@@ -1,0 +1,205 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design:
+- exact dedup is a single hash-shuffle on md5(content);
+- MinHash signatures are per-row expressions (no shuffle); LSH banding
+  turns all-pairs comparison into an equi-join on (band_id, band_key),
+  so the shuffle fans in only colliding docs;
+- verification (exact Jaccard on shingle sets) runs only on candidate
+  pairs, never all pairs.
+
+All hashing uses md5 hex strings so results are engine-portable (the
+DuckDB oracle reproduces them bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_PERM = 8
+DEFAULT_BAND_SIZE = 2
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical content by md5; keep min id as canonical.
+
+    One shuffle keyed on the content hash (never on the content itself,
+    so wide documents don't inflate the exchange).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def with_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "shingles",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles; short docs fall back to whole text."""
+    words = F.split(F.col(text_col), " ")
+    sz = F.size(words)
+    gram = F.transform(
+        F.sequence(F.lit(1), sz - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(n)]
+        ),
+    )
+    shingles = F.when(sz >= n, gram).otherwise(F.array(F.col(text_col)))
+    return df.withColumn(out, F.array_distinct(shingles))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    num_perm: int = DEFAULT_NUM_PERM,
+) -> DataFrame:
+    """k salted-md5 MinHash components: mh_j = min(md5(j || ':' || s)).
+
+    Salted rehash simulates k permutations; min over hex strings is a
+    total order, so each component is a valid MinHash.
+    """
+    def salted(j: int):
+        prefix = f"{j}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    out = df
+    for j in range(num_perm):
+        out = out.withColumn(
+            f"mh{j}",
+            F.array_min(F.transform(F.col(shingle_col), salted(j))),
+        )
+    return out
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """Band the signature, bucket-join, emit distinct candidate id pairs.
+
+    bands = num_perm / band_size; docs agreeing on ANY full band collide.
+    The self-join is an equi-join on (band_id, band_key) — Catalyst
+    shuffles both sides on the band key, so cost is sum of bucket^2, not
+    n^2.
+    """
+    n_bands = num_perm // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"mh{b * band_size + r}") for r in range(band_size)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig_df.select(
+        F.col(id_col), F.explode(bands).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def near_duplicate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    num_perm: int = DEFAULT_NUM_PERM,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact Jaccard verification.
+
+    Returns (doc_a, doc_b, jaccard) for candidate pairs whose exact
+    shingle-set Jaccard >= threshold.
+    """
+    sh = with_shingles(df.select(id_col, text_col), text_col, n=shingle_n)
+    sig = minhash_signatures(sh, num_perm=num_perm)
+    pairs = lsh_candidate_pairs(sig, id_col, num_perm, band_size)
+    shing = sh.select(F.col(id_col), F.col("shingles"))
+    jac = (
+        F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+        / F.size(F.array_union(F.col("sa"), F.col("sb")))
+    )
+    return (
+        pairs.join(
+            shing.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            shing.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sb")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 16-bit signature built from per-word md5 nibbles. Generated as
+# a SQL string that is valid in BOTH Spark SQL and DuckDB (instr/substr/
+# md5/floor are shared), so the oracle is the same computation textually.
+# ---------------------------------------------------------------------------
+def _bit_sum_exprs(word_expr: str = "w") -> list[str]:
+    terms = []
+    for b in range(16):
+        nib = (
+            f"(instr('0123456789abcdef', substr(md5({word_expr}), {1 + b // 4}, 1)) - 1)"
+        )
+        bit = f"(CAST(FLOOR({nib} / {2 ** (b % 4)}) AS INT) % 2)"
+        terms.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{b}")
+    return terms
+
+
+def simhash_sql(explode_clause: str) -> str:
+    """SimHash SQL over an exploded (doc_id, w) word stream.
+
+    ``explode_clause`` supplies the dialect-specific word explosion:
+    - Spark:  SELECT doc_id, explode(split(text, ' ')) AS w FROM documents
+    - DuckDB: SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    """
+    sums = ",\n         ".join(_bit_sum_exprs())
+    packed = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(16)
+    )
+    return f"""
+    SELECT doc_id, CAST({packed} AS INT) AS simhash
+    FROM (
+      SELECT doc_id,
+         {sums}
+      FROM ({explode_clause})
+      GROUP BY doc_id
+    )
+    """
+
+
+SPARK_WORDS_CLAUSE = "SELECT doc_id, explode(split(text, ' ')) AS w FROM documents"
+DUCKDB_WORDS_CLAUSE = "SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"

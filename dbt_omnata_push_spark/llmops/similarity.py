@@ -1,0 +1,173 @@
+"""Similarity search over an embedding column (array<float>).
+
+Three tiers:
+- ``brute_force_topk``: exact cosine top-k via broadcast cross join +
+  higher-order functions (zip_with/aggregate) — the correctness baseline;
+  O(n_queries * n_vectors), all JVM-side.
+- ``ivf_topk_within_label``: IVF-style pruning — the candidate set is
+  restricted to the query's coarse cluster (here the precomputed ``label``
+  column stands in for a kmeans assignment); at scale the table is
+  partitioned by cluster id so Catalyst prunes partitions.
+- ``lsh_ann_topk``: random-hyperplane LSH bucketing (numpy inside a
+  mapInPandas stage) — sub-linear candidate generation when no cluster
+  assignment exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    queries is expected to be small (broadcast); ranking uses a window
+    partitioned by query id with vec_id tiebreak for determinism.
+    """
+    from pyspark.sql import Window
+
+    sim = cosine(F.col(q_vec_col), F.col(vec_col))
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col(q_id_col))
+        .select(q_id_col, id_col, sim.alias("sim"))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank")
+    )
+
+
+def ivf_topk_within_label(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+    q_label_col: str = "q_label",
+) -> DataFrame:
+    """IVF-pruned top-k: candidates limited to the query's coarse cluster.
+
+    The equi-join on the cluster id replaces the cross join — at scale,
+    with the table bucketed/partitioned by cluster, this reads only the
+    probed cluster's partitions.
+    """
+    from pyspark.sql import Window
+
+    sim = cosine(F.col(q_vec_col), F.col(vec_col))
+    scored = (
+        emb.join(F.broadcast(queries), F.col(label_col) == F.col(q_label_col))
+        .filter(F.col(id_col) != F.col(q_id_col))
+        .select(q_id_col, id_col, sim.alias("sim"))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank")
+    )
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket on sign bits, rank within bucket.
+
+    The hyperplanes are a seeded numpy matrix broadcast to executors; the
+    signature is computed in a vectorized mapInPandas stage (Arrow
+    batches). Candidates = vectors sharing the query's bucket; exact
+    cosine + window ranking runs only inside buckets. Recall < 1 by
+    design — this is the approximate scale path next to brute_force_topk.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    def signature_of(batch_vecs: "pd.Series") -> "pd.Series":
+        mat = np.stack(batch_vecs.to_numpy())
+        bits = (mat @ planes) >= 0
+        return pd.Series(bits.dot(1 << np.arange(n_planes)).astype("int64"))
+
+    def sign_partition(id_name, vec_name):
+        out_schema = StructType(
+            [StructField(id_name, LongType()), StructField("bucket", LongType())]
+        )
+
+        def fn(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        id_name: pdf[id_name].astype("int64"),
+                        "bucket": signature_of(pdf[vec_name]),
+                    }
+                )
+
+        return fn, out_schema
+
+    fn_e, schema_e = sign_partition(id_col, vec_col)
+    emb_sig = emb.select(id_col, vec_col).mapInPandas(fn_e, schema_e)
+    fn_q, schema_q = sign_partition(q_id_col, q_vec_col)
+    q_sig = queries.select(q_id_col, q_vec_col).mapInPandas(fn_q, schema_q)
+
+    candidates = (
+        emb.join(emb_sig, id_col)
+        .join(F.broadcast(queries.join(q_sig, q_id_col)), "bucket")
+        .filter(F.col(id_col) != F.col(q_id_col))
+    )
+    sim = cosine(F.col(q_vec_col), F.col(vec_col))
+    scored = candidates.select(q_id_col, id_col, sim.alias("sim"))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank", F.round("sim", 6).alias("sim"))
+    )

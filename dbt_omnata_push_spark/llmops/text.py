@@ -1,0 +1,124 @@
+"""Text analysis operators over a documents table.
+
+All operators are pure pyspark.sql.functions expressions (JVM-side,
+whole-stage codegen) — no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword markers per language for the n-gram/stopword language-ID
+# heuristic. Deterministic, tiny, broadcast as literals.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pas"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "no"],
+}
+
+
+def with_words(df: DataFrame, text_col: str = "text", out: str = "words") -> DataFrame:
+    """Tokenize on single spaces (the normalized-document contract)."""
+    return df.withColumn(out, F.split(F.col(text_col), " "))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality/statistics features.
+
+    Length, word counts, vocabulary richness, punctuation/digit ratios and
+    a composite quality score — the standard pre-training corpus filters.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chars = F.length(F.col(text_col))
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), "[a-zA-Z0-9 ]", ""))
+    n_digits = F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        (n_distinct.cast("double") / n_words).alias("vocab_ratio"),
+        (n_chars.cast("double") / n_words).alias("avg_word_len"),
+        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+        (n_digits.cast("double") / n_chars).alias("digit_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-overlap language-ID heuristic.
+
+    Counts marker-stopword occurrences per language (with multiplicity)
+    and picks the argmax, ties broken by language-code order; 'und'
+    (undetermined) when nothing matches.
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+    hits = {
+        lang: F.size(
+            F.filter(words, lambda w: w.isin(markers))  # noqa: B023
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[hits[lang] for lang in langs])
+    pred = F.lit("und")
+    # Reverse order so earlier languages win ties via later overwrite.
+    for lang in reversed(langs):
+        pred = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(pred)
+    out = df.select(
+        F.col(id_col), *[hits[lang].alias(f"hits_{lang}") for lang in langs]
+    )
+    return out.withColumn(
+        "predicted_lang",
+        _argmax_expr([(f"hits_{lang}", lang) for lang in langs]),
+    )
+
+
+def _argmax_expr(pairs: list[tuple[str, str]]) -> Column:
+    best = F.greatest(*[F.col(c) for c, _ in pairs])
+    expr = F.lit("und")
+    for col, lang in reversed(pairs):
+        expr = F.when((F.col(col) > 0) & (F.col(col) == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
+BPEISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per document."""
+    ws = F.size(F.split(F.col(text_col), " "))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPEISH_PATTERN), 0))
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpeish_tokens"),
+    )
+
+
+def char_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", gram: int = 8
+) -> DataFrame:
+    """Winnowing-lite document fingerprint.
+
+    min(md5(char-8-gram)) over a rolling character window — a bottom-1
+    sketch of the rolling-hash set; equal fingerprints => near-identical
+    content prefix sets. Pure expressions, codegen-friendly.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    grams = F.when(
+        n >= gram,
+        F.transform(
+            F.sequence(F.lit(1), n - (gram - 1)),
+            lambda i: t.substr(i, F.lit(gram)),
+        ),
+    ).otherwise(F.array(t))
+    return df.select(
+        F.col(id_col),
+        F.array_min(F.transform(grams, F.md5)).alias("fingerprint"),
+    )

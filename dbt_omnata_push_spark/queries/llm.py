@@ -1,0 +1,390 @@
+"""LLM-data-pipeline query inventory (documents + embeddings tables).
+
+Every oracle reproduces the Spark computation bit-for-bit: hashing is
+md5-hex (identical in both engines), Jaccard/ratios are int/int double
+divisions (exact IEEE), rankings carry unique tiebreaks. SimHash runs the
+SAME generated SQL text in both engines (llmops.dedup.simhash_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine.catalog import load_table, register_testdata
+from ..llmops import dedup as D
+from ..llmops import similarity as S
+from ..llmops import text as T
+from . import query
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-hash groupBy, canonical = min doc_id."""
+    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+_MINHASH_ORACLE_BASE = """
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(words) - 2),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+              ELSE [text] END AS shingles
+  FROM toks
+),
+sig AS (
+  SELECT doc_id, shingles,
+         {mh_cols}
+  FROM sh
+)
+"""
+
+
+def _mh_cols(num_perm: int) -> str:
+    return ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> md5('{j}:' || s))) AS mh{j}"
+        for j in range(num_perm)
+    )
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=_MINHASH_ORACLE_BASE.format(mh_cols=_mh_cols(4))
+    + "SELECT doc_id, mh0, mh1, mh2, mh3 FROM sig",
+    tags=("llm", "dedup", "minhash"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-md5 MinHash signature (4 components shown; engine default 8)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = D.minhash_signatures(D.with_shingles(docs), num_perm=4)
+    return sig.select("doc_id", "mh0", "mh1", "mh2", "mh3")
+
+
+_LSH_PAIRS_ORACLE = (
+    _MINHASH_ORACLE_BASE.format(mh_cols=_mh_cols(8))
+    + """,
+bands AS (
+  SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+  FROM pairs
+  JOIN sig sa ON doc_a = sa.doc_id
+  JOIN sig sb ON doc_b = sb.doc_id
+)
+WHERE jaccard >= 0.3
+"""
+)
+
+
+@query("dedup_minhash_lsh_pairs", oracle=_LSH_PAIRS_ORACLE, tags=("llm", "dedup", "lsh"))
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band-bucket join + exact Jaccard >= 0.3."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.near_duplicate_pairs(docs, threshold=0.3)
+
+
+@query(
+    "dedup_simhash",
+    oracle=D.simhash_sql(D.DUCKDB_WORDS_CLAUSE),
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (same generated SQL text as the oracle)."""
+    register_testdata(spark, sf_dir, ["documents"])
+    return spark.sql(D.simhash_sql(D.SPARK_WORDS_CLAUSE))
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(words) >= 2
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(words) - 1),
+                     i -> words[i] || ' ' || words[i+1]))
+              ELSE [text] END AS shingles
+  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS words FROM documents)
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+WHERE jaccard >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE, tags=("llm", "dedup"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked word-2-gram Jaccard pairs (blocking key: lang)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sh = D.with_shingles(docs, n=2).select("doc_id", "lang", "shingles")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))).cast(
+            "double"
+        )
+        / F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS vocab_ratio,
+           CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / length(text) AS digit_ratio
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics (length/vocab/punct/digit ratios)."""
+    return T.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    hits = ",\n           ".join(
+        "len(list_filter(string_split(lower(text), ' '), w -> w IN ({}))) AS hits_{}".format(
+            ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang]), lang
+        )
+        for lang in sorted(T.LANG_MARKERS)
+    )
+    langs = sorted(T.LANG_MARKERS)
+    great = "GREATEST({})".format(", ".join(f"hits_{lang}" for lang in langs))
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = (
+            f"CASE WHEN hits_{lang} > 0 AND hits_{lang} = {great} "
+            f"THEN '{lang}' ELSE {pred} END"
+        )
+    return f"""
+    SELECT doc_id, {', '.join(f'hits_{lang}' for lang in langs)},
+           {pred} AS predicted_lang
+    FROM (SELECT doc_id,
+           {hits}
+          FROM documents)
+    """
+
+
+_HITS_FILTER_NOTE = """list_filter counts occurrences with multiplicity, matching
+Spark's F.filter(words, w -> w isin markers) size."""
+
+
+@query("text_language_id", oracle=_langid_oracle(), tags=("llm", "text"))
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language-ID heuristic (argmax with stable ties)."""
+    return T.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{T.BPEISH_PATTERN}')) AS bpeish_tokens
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    return T.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_min(list_transform(
+             CASE WHEN length(text) >= 8
+                  THEN list_transform(generate_series(1, length(text) - 7),
+                                      i -> substr(text, i, 8))
+                  ELSE [text] END,
+             g -> md5(g))) AS fingerprint
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling char-8-gram bottom-1 fingerprint (winnowing-lite)."""
+    return T.char_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+)
+SELECT q_id, vec_id, rank FROM (
+  SELECT q.q_id, e.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.q_id
+           ORDER BY list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                    e.vec_id) AS rank
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.q_id
+)
+WHERE rank <= 10
+"""
+
+
+@query("similarity_topk_bruteforce", oracle=_TOPK_ORACLE, tags=("llm", "similarity"))
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors vec_id < 5 (rank output)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return S.brute_force_topk(emb, queries, k=10)
+
+
+_IVF_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+  FROM embeddings WHERE vec_id < 5
+)
+SELECT q_id, vec_id, rank FROM (
+  SELECT q.q_id, e.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.q_id
+           ORDER BY list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                    e.vec_id) AS rank
+  FROM q JOIN embeddings e ON e.label = q.q_label
+  WHERE e.vec_id <> q.q_id
+)
+WHERE rank <= 10
+"""
+
+
+@query("similarity_topk_ivf", oracle=_IVF_ORACLE, tags=("llm", "similarity"))
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned cosine top-10 (candidates limited to the query's cluster)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    return S.ivf_topk_within_label(emb, queries, k=10)
+
+
+@query("similarity_topk_lsh_ann", oracle=None, tags=("llm", "similarity", "ann"))
+def similarity_topk_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (approximate; rows-only check by design)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return S.lsh_ann_topk(emb, queries, k=10)
+
+
+_EMB_NEARDUP_ORACLE = """
+SELECT vec_a, vec_b, sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+WHERE sim >= 0.98
+"""
+
+
+@query("dedup_embedding_cosine", oracle=None, tags=("llm", "dedup", "similarity"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.98, blocked by cluster label).
+
+    Rows-only check: the >= threshold sits on a continuous float, where a
+    1-ulp engine difference could flip membership; the deterministic
+    rank-based variants above carry the exact oracle instead.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = S.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.98)
+    )
+
+
+@query("multimodal_features", oracle=None, tags=("llm", "multimodal"))
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: payload -> mapInPandas feature extraction.
+
+    Rows-only check (the feature extractor is the documented stub)."""
+    from ..llmops import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    return M.extract_features(M.documents_as_media(docs), decode_stub=True)

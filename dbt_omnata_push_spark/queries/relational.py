@@ -1,0 +1,546 @@
+"""Relational operator inventory over the TPC-H-ish testdata.
+
+Each query re-expresses an operator family the reference engine executes
+on Snowflake (SURVEY.md §2.2) as idiomatic PySpark: declarative
+DataFrame/Spark SQL plans that Catalyst can push down, prune, and pick
+join strategies for. Reference citations are in each docstring.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..engine.catalog import load_table, register_testdata
+from . import query
+
+
+def _dec(c, scale=2):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation: grouped sum/avg/count with exact-decimal arithmetic.
+# Reference surface: SUM + GROUP BY (transactions_daily.sql:8-11),
+# count(*) probes (macros/apps/salesforce.sql:11).
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "filter"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation (sum/avg/count, pushed filter)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = disc * (F.lit(1) + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("_sq"),
+            F.sum(_dec("l_extendedprice")).alias("_sbp"),
+            F.sum(disc).alias("_sdp"),
+            F.sum(charge).alias("_sc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sbp").cast("double").alias("sum_base_price"),
+            F.col("_sdp").cast("double").alias("sum_disc_price"),
+            F.col("_sc").cast("double").alias("sum_charge"),
+            (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+            "count_order",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join + aggregation (customer-orders-lineitem-nation-region).
+# The reference never joins two large relations (SURVEY.md §2.2 joins) --
+# Catalyst gives us broadcast/shuffle strategy selection for free; the
+# small dims (nation, region) broadcast automatically.
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name
+    """,
+    tags=("join", "agg"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join; dims broadcast, facts shuffle on keys."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .join(li, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("_rev"), F.count(F.lit(1)).alias("n_items"))
+        .select("n_name", F.col("_rev").cast("double").alias("revenue"), "n_items")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti join: the reference's incremental NOT-IN filter
+# (accounts_load.sql:23-28) -> left_anti (keys are non-null by contract).
+# ---------------------------------------------------------------------------
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    tags=("join", "anti"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN (subquery) anti-join (accounts_load.sql:23-28 shape)."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+    tags=("join", "semi"),
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join (complement of the anti-join surface)."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery high-watermark filter (transactions_daily.sql:19).
+# ---------------------------------------------------------------------------
+@query(
+    "recent_orders_watermark",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderdate > (SELECT MAX(o_orderdate) - INTERVAL 90 DAY FROM orders)
+    """,
+    tags=("filter", "scalar-subquery"),
+)
+def recent_orders_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark incremental filter: scalar max then filter above it."""
+    od = load_table(spark, sf_dir, "orders")
+    wm = od.agg(F.max("o_orderdate").alias("wm")).collect()[0]["wm"]
+    cutoff = wm - _dt.timedelta(days=90)
+    return od.filter(F.col("o_orderdate") > F.lit(cutoff)).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions: partitioned row_number (the reference uses global
+# row numbering, marketing_cloud_data_extension_upload.sql:56; we expose
+# the general partitioned form, scale-safe because it partitions by key).
+# ---------------------------------------------------------------------------
+@query(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned row_number window, top-3 per key (deterministic tiebreak)."""
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        od.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "global_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "limit"),
+)
+def global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans this as TakeOrderedAndProject (no full sort)."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batching shape (SFMC staging): batch = floor(idx / 100), then per-batch
+# array_agg (marketing_cloud_data_extension_upload.sql:57-63). For the
+# deterministic oracle we derive the index from the dense o_orderkey; at
+# scale the engine uses ops.rownum.with_global_index (order-free, no
+# single-partition window).
+# ---------------------------------------------------------------------------
+@query(
+    "staging_batches",
+    oracle="""
+    SELECT CAST(FLOOR(o_orderkey / 100) AS INT) AS batch_number,
+           COUNT(*) AS n_rows,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS batch_value
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "batching"),
+)
+def staging_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-of-100 grouping with per-batch stats (SFMC staging shape)."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.withColumn(
+            "batch_number", F.floor(F.col("o_orderkey") / 100).cast("int")
+        )
+        .groupBy("batch_number")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("batch_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1-row metadata cross join (salesforce_bulk_load.sql:47): the job
+# descriptor is joined to every record; in Spark, broadcast by construction.
+# ---------------------------------------------------------------------------
+@query(
+    "records_with_job_metadata",
+    oracle="""
+    SELECT c_custkey, c_name, meta.max_order_date, meta.n_orders
+    FROM customer,
+         (SELECT MAX(o_orderdate) AS max_order_date, COUNT(*) AS n_orders
+          FROM orders) AS meta
+    """,
+    tags=("join", "cross", "broadcast"),
+)
+def records_with_job_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row stream x 1-row metadata via broadcast cross join."""
+    cu = load_table(spark, sf_dir, "customer")
+    meta = load_table(spark, sf_dir, "orders").agg(
+        F.max("o_orderdate").alias("max_order_date"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return cu.crossJoin(F.broadcast(meta)).select(
+        "c_custkey", "c_name", "max_order_date", "n_orders"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured surface: OBJECT_CONSTRUCT -> JSON -> path extraction
+# (accounts_load.sql:14-15, RECORD:"AccountID__c"::varchar at :23).
+# ---------------------------------------------------------------------------
+@query(
+    "record_json_roundtrip",
+    oracle="""
+    SELECT c_custkey,
+           json_extract_string(rec, '$.Name') AS name_out,
+           json_extract_string(rec, '$.AccountID__c') AS account_id_out
+    FROM (SELECT c_custkey,
+                 to_json(struct_pack(Name := c_name,
+                                     AccountID__c := CAST(c_custkey AS VARCHAR))) AS rec
+          FROM customer)
+    """,
+    tags=("json", "record"),
+)
+def record_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBJECT_CONSTRUCT + variant-path extraction parity over JSON strings."""
+    cu = load_table(spark, sf_dir, "customer")
+    rec = F.to_json(
+        F.struct(
+            F.col("c_name").alias("Name"),
+            F.col("c_custkey").cast("string").alias("AccountID__c"),
+        )
+    )
+    return cu.select(
+        "c_custkey",
+        F.get_json_object(rec, "$.Name").alias("name_out"),
+        F.get_json_object(rec, "$.AccountID__c").alias("account_id_out"),
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "agg"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction on a string column + grouped integer aggs."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-bucketed aggregation over the event stream (batch form; the
+# streaming wrapper reuses the same plan with a watermark).
+# Continuous doubles are integer-ized (floor(x*1000)) for exact parity.
+# ---------------------------------------------------------------------------
+@query(
+    "events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "time"),
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour aggregation (count, distinct users, exact scaled sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("value_millis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap-based sessions via lag + running sum windows.
+# (Beyond-reference op; standard SQL in both engines.)
+# ---------------------------------------------------------------------------
+_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@query(
+    "events_sessionized",
+    oracle=_SESSION_SQL.replace("FROM events", "FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events)", 1),
+    tags=("window", "session"),
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum."""
+    register_testdata(spark, sf_dir, ["events"])
+    return spark.sql(_SESSION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Set operations + distinct (not used by the reference; free in Spark SQL,
+# SURVEY.md §2.2 'Set operations').
+# ---------------------------------------------------------------------------
+@query(
+    "distinct_union_labels",
+    oracle="""
+    SELECT val, src FROM (
+      SELECT DISTINCT c_mktsegment AS val, 'segment' AS src FROM customer
+      UNION ALL
+      SELECT DISTINCT o_orderpriority AS val, 'priority' AS src FROM orders
+    )
+    """,
+    tags=("set", "distinct"),
+)
+def distinct_union_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT + UNION ALL over two labelled domains."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    a = cu.select(F.col("c_mktsegment").alias("val")).distinct().withColumn(
+        "src", F.lit("segment")
+    )
+    b = od.select(F.col("o_orderpriority").alias("val")).distinct().withColumn(
+        "src", F.lit("priority")
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "segments_except_negative",
+    oracle="""
+    SELECT c_mktsegment FROM customer
+    EXCEPT
+    SELECT c_mktsegment FROM customer WHERE c_acctbal < 0
+    """,
+    tags=("set",),
+)
+def segments_except_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference) between two projections."""
+    cu = load_table(spark, sf_dir, "customer")
+    return cu.select("c_mktsegment").subtract(
+        cu.filter(F.col("c_acctbal") < 0).select("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped list collection (array_agg, marketing_cloud...upload.sql:61) --
+# output stringified + sorted for order-insensitive comparison.
+# ---------------------------------------------------------------------------
+@query(
+    "nations_per_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           array_to_string(list_sort(list_distinct(list(n_name))), ',') AS nations,
+           COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "collect"),
+)
+def nations_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg/collect_set surface with deterministic ordering."""
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# String expression surface: concat (||, transactions_daily_load.sql:12-13),
+# casts, CASE.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_duplicate_keys",
+    oracle="""
+    SELECT c_custkey,
+           c_name || '_' || n_name AS duplicate_key,
+           CASE WHEN c_acctbal >= 5000 THEN 'high'
+                WHEN c_acctbal >= 0 THEN 'mid'
+                ELSE 'negative' END AS balance_band
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    tags=("scalar", "string"),
+)
+def customer_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String concat composite key (|| operator parity) + CASE banding."""
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    return cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey).select(
+        "c_custkey",
+        F.concat_ws("_", F.col("c_name"), F.col("n_name")).alias("duplicate_key"),
+        F.when(F.col("c_acctbal") >= 5000, "high")
+        .when(F.col("c_acctbal") >= 0, "mid")
+        .otherwise("negative")
+        .alias("balance_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Latest-record-per-key: the MERGE/upsert read-side semantic of the
+# tracking_table materialization (tracking_table_materialization.sql:28-35)
+# expressed as a pure query (dedup to most recent version).
+# ---------------------------------------------------------------------------
+@query(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+    tags=("window", "upsert-read"),
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert read-side semantics: newest row per key via window dedup."""
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        od.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )

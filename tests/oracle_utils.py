@@ -1,0 +1,100 @@
+"""Local replica of the driver's Spark-vs-DuckDB comparison.
+
+Stricter than the driver (exact value equality after column-name sort),
+so anything passing here should hash-match in CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime.datetime):
+        # pandas.Timestamp is a datetime subclass; force plain datetime so
+        # repr-based sorting is type-stable.
+        return datetime.datetime(
+            v.year, v.month, v.day, v.hour, v.minute, v.second, v.microsecond
+        )
+    if hasattr(v, "to_pydatetime"):  # pandas.Timestamp
+        return v.to_pydatetime().replace(tzinfo=None)
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    try:  # Decimal -> float-compatible comparison via exact str? keep Decimal
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except ImportError:
+        pass
+    return v
+
+
+def compare(spark_df, oracle: str, sf_dir: str, float_tol: float = 0.0):
+    """Return (ok, detail). Column-name-sorted, row-order-insensitive."""
+    con = duckdb_con(sf_dir)
+    odf = con.execute(oracle).fetchdf()
+    ocols = sorted(odf.columns.str.lower())
+    scols = sorted(c.lower() for c in spark_df.columns)
+    if ocols != scols:
+        return False, f"schema mismatch: spark={scols} oracle={ocols}"
+    srows = [
+        tuple(_norm(r[c]) for c in sorted(spark_df.columns, key=str.lower))
+        for r in (row.asDict() for row in spark_df.collect())
+    ]
+    orows = [
+        tuple(_norm(v) for v in row)
+        for row in odf[sorted(odf.columns, key=str.lower)].itertuples(index=False)
+    ]
+    if len(srows) != len(orows):
+        return False, f"row count: spark={len(srows)} oracle={len(orows)}"
+    s_sorted = sorted(srows, key=repr)
+    o_sorted = sorted(orows, key=repr)
+    for i, (a, b) in enumerate(zip(s_sorted, o_sorted)):
+        if a != b:
+            if float_tol and _close(a, b, float_tol):
+                continue
+            return False, f"row {i}: spark={a!r} oracle={b!r}"
+    return True, f"ok ({len(srows)} rows)"
+
+
+def _close(a, b, tol):
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if isinstance(x, float) and isinstance(y, float):
+            if abs(x - y) > tol * max(1.0, abs(x), abs(y)):
+                return False
+        elif x != y:
+            return False
+    return True
