@@ -141,10 +141,20 @@ def near_duplicate_pairs(
     Returns (doc_a, doc_b, jaccard) for candidate pairs whose exact
     shingle-set Jaccard >= threshold.
     """
-    sh = with_shingles(df.select(id_col, text_col), text_col, n=shingle_n)
-    sig = minhash_signatures(sh, num_perm=num_perm)
+    # Spread the expression-heavy signature stage across cores: a single
+    # small parquet file arrives as one partition, which would serialize
+    # ~num_perm * n_shingles md5 calls per doc onto one core.
+    spark = df.sparkSession
+    src = df.select(id_col, text_col).repartition(
+        spark.sparkContext.defaultParallelism, id_col
+    )
+    # Persist the signature stage: it feeds both sides of the band
+    # self-join AND the verification join — without a persist each
+    # reference re-runs the md5-transform pipeline (4x cost).
+    sh = with_shingles(src, text_col, n=shingle_n)
+    sig = minhash_signatures(sh, num_perm=num_perm).persist()
     pairs = lsh_candidate_pairs(sig, id_col, num_perm, band_size)
-    shing = sh.select(F.col(id_col), F.col("shingles"))
+    shing = sig.select(F.col(id_col), F.col("shingles"))
     jac = (
         F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
         / F.size(F.array_union(F.col("sa"), F.col("sb")))
