@@ -1,0 +1,103 @@
+"""Connector surface = the reference's external-function inventory.
+
+The reference shapes every remote operation as a Snowflake External
+Function called from SQL (SURVEY.md §2.2 'External/remote functions');
+our engine shapes them as Python connector methods with an explicit
+placement contract (SURVEY.md §7 hard-part 4):
+
+- once-per-run operations run on the DRIVER (create_job, close_job,
+  ensure_data_extension, start_import, wait_for_import);
+- per-batch operations run on EXECUTORS inside Arrow-batched
+  mapInPandas stages (load_batch, stage_batch, fetch_results), so the
+  connector instance must be picklable.
+
+Function-name mapping (reference file:line in /root/reference):
+  SFDC_BULK_API_CREATE_JOB   (salesforce_bulk_load.sql:15)  -> create_job
+  SFDC_BULK_API_LOAD_BATCH   (salesforce_bulk_load.sql:46)  -> load_batch
+  SFDC_BULK_API_CLOSE_JOB    (salesforce_bulk_load.sql:53)  -> close_job
+  SFMC_DATA_EXTENSION_MANAGE (marketing_cloud_data_extension_upload.sql:21) -> ensure_data_extension
+  SFMC_STAGE_DATA            (...upload.sql:61,101)         -> stage_batch
+  SFMC_DE_IMPORT             (...upload.sql:68,104)         -> start_import
+  SFMC_AWAIT_RESULTS_POLL    (...upload.sql:68,104)         -> wait_for_import
+  SFMC_FETCH_RESULTS         (...upload.sql:81,116)         -> fetch_results
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+
+class Connector(ABC):
+    """Marker base for all app connectors."""
+
+
+class SalesforceConnector(Connector):
+    @abstractmethod
+    def create_job(
+        self,
+        operation: str,
+        object_name: str,
+        use_serial: bool,
+        external_id_field: str | None,
+    ) -> dict:
+        """Open a Bulk API job; returns the job descriptor (driver-side)."""
+
+    @abstractmethod
+    def load_batch(self, job_id: str, records: list[dict]) -> list[dict]:
+        """Push a batch of records; returns one result dict per record
+        (executor-side, called from a mapInPandas stage)."""
+
+    @abstractmethod
+    def close_job(self, job_id: str) -> dict:
+        """Close the job; returns the final descriptor (driver-side)."""
+
+
+class MarketingCloudConnector(Connector):
+    @abstractmethod
+    def ensure_data_extension(self, configuration: dict) -> dict:
+        """Idempotently create/verify the data extension (driver-side)."""
+
+    @abstractmethod
+    def stage_batch(self, rows: list[list]) -> str:
+        """Stage one batch of [row_index, record] pairs; returns the
+        staged-query id (executor-side)."""
+
+    @abstractmethod
+    def start_import(self, configuration: dict, stage_id: str) -> str:
+        """Kick off the data-extension import; returns a handle (driver)."""
+
+    @abstractmethod
+    def wait_for_import(self, handle: str) -> bool:
+        """Blocking poll until the import finishes (driver-side loop —
+        never parks an executor on a long poll, SURVEY.md §4)."""
+
+    @abstractmethod
+    def fetch_results(self, stage_id: str, row_indices: list[int]) -> list[dict]:
+        """Per-row import results for the given indices (executor-side;
+        the reference calls SFMC_FETCH_RESULTS once per row, we batch)."""
+
+
+_REGISTRY: dict[str, type] = {}
+
+
+def register_connector(app: str, cls: type) -> None:
+    _REGISTRY[app] = cls
+
+
+def get_connector(app: str, config: dict | None = None) -> Connector:
+    """Resolve a connector instance for an app.
+
+    config['connector'] may carry a pre-built instance (how tests inject
+    mocks); otherwise the registered class for the app is instantiated.
+    Mirrors the reference's var('omnata_functions_database')-based
+    function resolution (salesforce_bulk_load.sql:9-10) — one config
+    point for all remote functions, including the GPG path (the
+    reference inconsistently hard-codes those; SURVEY.md §2.2 note).
+    """
+    config = config or {}
+    inst = config.get("connector")
+    if inst is not None:
+        return inst
+    if app not in _REGISTRY:
+        raise ValueError(f"no connector registered for app '{app}'")
+    return _REGISTRY[app]()

@@ -1,0 +1,129 @@
+"""Engine: model registry, DAG toposort, materialization dispatch, hooks.
+
+The dbt-runtime replacement (SURVEY.md §3.1 'Spark engine equivalent'):
+parse -> DAG -> compile -> execute-in-topological-order, with pre/post
+hooks (omnata_push_materialization.sql:2,17) and per-model run results.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .model import Context, Model
+from .store import TableStore
+
+
+@dataclass
+class RunResult:
+    model: str
+    status: str  # success | skipped | error
+    rows_affected: int = 0
+    message: str = ""
+    extra: dict = field(default_factory=dict)
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: TableStore,
+        vars: dict[str, Any] | None = None,
+        full_refresh: bool = False,
+    ):
+        self.spark = spark
+        self.store = store
+        self.vars = vars or {}
+        self.full_refresh = full_refresh
+        self.models: dict[str, Model] = {}
+        self.seeds: dict[str, DataFrame] = {}
+        self.pre_hooks: list[Callable[[Model], None]] = []
+        self.post_hooks: list[Callable[[Model, RunResult], None]] = []
+        self._view_cache: dict[str, DataFrame] = {}
+
+    # -- registration -----------------------------------------------------
+    def register(self, model: Model) -> Model:
+        self.models[model.name] = model
+        return model
+
+    def seed(self, name: str, df: DataFrame) -> None:
+        """dbt seed: CSV/DataFrame -> table (integration_tests/README.md:5)."""
+        self.seeds[name] = df
+        self.store.overwrite(self.spark, name, df)
+
+    # -- name resolution --------------------------------------------------
+    def view_name(self, name: str) -> str:
+        return f"model__{name}"
+
+    def existing(self, name: str) -> DataFrame | None:
+        if self.store.exists(name):
+            return self.store.read(self.spark, name)
+        return None
+
+    def ref(self, name: str) -> DataFrame:
+        """Resolve a ref: materialized output > seed > registered view."""
+        if name in self._view_cache:
+            return self._view_cache[name]
+        if self.store.exists(name):
+            return self.store.read(self.spark, name)
+        if name in self.seeds:
+            return self.seeds[name]
+        raise KeyError(f"unresolvable ref: {name}")
+
+    def _publish(self, name: str, df: DataFrame) -> None:
+        self._view_cache[name] = df
+        df.createOrReplaceTempView(self.view_name(name))
+
+    # -- execution --------------------------------------------------------
+    def build_df(self, model: Model) -> DataFrame:
+        """Compile the model into a DataFrame (no materialization)."""
+        ctx = Context(self, model)
+        # Make every ref available as a temp view for SQL models.
+        for r in model.refs:
+            if r in self.models or r in self.seeds or self.store.exists(r):
+                try:
+                    self._publish(r, self.ref(r))
+                except KeyError:
+                    pass
+        if model.builder is not None:
+            return model.builder(ctx)
+        return self.spark.sql(model.compile_sql(ctx))
+
+    def run(self, select: list[str] | None = None) -> dict[str, RunResult]:
+        """Execute models in topological order (dbt run)."""
+        from ..materializations import materialize
+
+        names = select or list(self.models)
+        graph = {
+            n: [r for r in self.models[n].refs if r in self.models]
+            for n in names
+        }
+        order = list(TopologicalSorter(graph).static_order())
+        results: dict[str, RunResult] = {}
+        for name in order:
+            if name not in names:
+                continue
+            model = self.models[name]
+            for hook in self.pre_hooks:
+                hook(model)
+            result = materialize(self, model)
+            for hook in self.post_hooks:
+                hook(model, result)
+            results[name] = result
+        return results
+
+    def test(self, sql_or_df) -> None:
+        """dbt singular test: returned rows => failure
+        (integration_tests/tests/sfdc_load_tasks_after_run.sql:1-5)."""
+        df = (
+            self.spark.sql(sql_or_df)
+            if isinstance(sql_or_df, str)
+            else sql_or_df
+        )
+        bad = df.count()
+        if bad:
+            raise AssertionError(f"test failed: {bad} rows returned")

@@ -1,0 +1,82 @@
+"""Core materializations: view, table, incremental, tracking_table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..engine.dag import RunResult
+from ..engine.model import Context
+
+
+def materialize_view(engine, model) -> RunResult:
+    df = engine.build_df(model)
+    engine._publish(model.name, df)
+    return RunResult(model.name, "success", message="view published")
+
+
+def materialize_table(engine, model) -> RunResult:
+    df = engine.build_df(model)
+    engine.store.overwrite(engine.spark, model.name, df)
+    n = engine.store.read(engine.spark, model.name).count()
+    engine._publish(model.name, engine.store.read(engine.spark, model.name))
+    return RunResult(model.name, "success", rows_affected=n)
+
+
+def materialize_incremental(engine, model) -> RunResult:
+    """Stock dbt incremental (transactions_daily.sql:1-3):
+    first run CTAS; later runs insert rows passing the model's own
+    is_incremental() filter; with unique_key, upsert instead of append."""
+    ctx = Context(engine, model)
+    df = engine.build_df(model)
+    if not ctx.is_incremental():
+        engine.store.overwrite(engine.spark, model.name, df)
+    else:
+        key = model.config.get("unique_key")
+        if key:
+            engine.store.merge_upsert(engine.spark, model.name, df, key)
+        else:
+            engine.store.append(engine.spark, model.name, df)
+    out = engine.store.read(engine.spark, model.name)
+    engine._publish(model.name, out)
+    return RunResult(model.name, "success", rows_affected=out.count())
+
+
+def materialize_tracking_table(engine, model) -> RunResult:
+    """tracking_table (macros/tracking_table_materialization.sql:17-35).
+
+    Branches:
+    (a) not exists            -> CTAS                       (line 18)
+    (b) forced refresh        -> rebuild; the reference's rename-to-
+        backup/CTAS/drop-backup dance (lines 19-27) collapses into the
+        store's version-pointer swap
+    (c) else                  -> upsert on unique_key with schema
+        widening (lines 28-35)
+    Full refresh obeys var 'drop-omnata-task-tables', NOT --full-refresh
+    (line 5) — the tables must survive a normal full refresh.
+    """
+    drop_var = bool(engine.vars.get("drop-omnata-task-tables", False))
+    df = engine.build_df(model)
+    if not engine.store.exists(model.name) or drop_var:
+        engine.store.overwrite(engine.spark, model.name, df)
+    else:
+        key = model.config.get("unique_key")
+        if not key:
+            raise ValueError(f"tracking_table {model.name} requires unique_key")
+        engine.store.merge_upsert(engine.spark, model.name, df, key)
+    out = engine.store.read(engine.spark, model.name)
+    engine._publish(model.name, out)
+    return RunResult(model.name, "success", rows_affected=out.count())
+
+
+def high_watermark_incremental(ctx: Context, df, watermark_col: str):
+    """Helper for model builders: apply the reference's scalar-subquery
+    watermark filter (transactions_daily.sql:19) on incremental runs."""
+    if not ctx.is_incremental():
+        return df
+    existing = ctx.this_df()
+    if existing is None:
+        return df
+    wm = existing.agg(F.max(watermark_col).alias("wm")).collect()[0]["wm"]
+    if wm is None:
+        return df
+    return df.filter(F.col(watermark_col) > F.lit(wm))

@@ -1,0 +1,145 @@
+"""Reference-parity integration suite (SURVEY.md §5, FIXTURES.md §6).
+
+Reproduces the reference's end-to-end workflow — seed, run, assert
+tracking-table counts, run again and assert idempotency — against the
+mock connectors (canned responses == integration_tests/dbt_project.yml
+mocks)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_omnata_push_spark.connectors import (
+    MockMarketingCloudConnector,
+    MockSalesforceConnector,
+)
+from dbt_omnata_push_spark.materializations import tracking
+
+from .fixtures import N_ACCOUNTS, N_CONTACTS, N_DAYS, build_engine
+
+
+@pytest.fixture(scope="module")
+def engines(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("store"))
+    sf, mc = MockSalesforceConnector(), MockMarketingCloudConnector()
+    engine = build_engine(spark, root, sf, mc)
+    first = engine.run()
+    second = engine.run()
+    return engine, first, second, sf, mc
+
+
+def _table(engine, name):
+    return engine.store.read(engine.spark, name)
+
+
+def test_first_run_statuses(engines):
+    engine, first, _, _, _ = engines
+    for name in (
+        "accounts_load",
+        "accounts_load_legacy",
+        "transactions_daily",
+        "transactions_daily_load",
+        "contacts_load",
+    ):
+        assert first[name].status == "success", first[name]
+
+
+def test_sfdc_task_rows(engines):
+    """One task row per SFDC push model (reference asserts 2 with a known
+    ambiguity; FIXTURES.md §6 pins per-model: 3 jobs here)."""
+    engine, *_ = engines
+    tasks = _table(engine, tracking.SFDC_LOAD_TASKS)
+    assert tasks.count() == 3
+    names = {r["load_task_name"] for r in tasks.collect()}
+    assert names == {"accounts_load", "accounts_load_legacy", "transactions_daily_load"}
+
+
+def test_sfdc_log_rows_9700(engines):
+    """100 + 100 + 9500 = 9700 log rows — the reference's headline
+    assertion (tests/sfdc_load_task_logs_after_run.sql:5)."""
+    engine, *_ = engines
+    logs = _table(engine, tracking.SFDC_LOAD_TASK_LOGS)
+    assert logs.count() == N_ACCOUNTS * 2 + N_ACCOUNTS * N_DAYS  # 9700
+    per_model = {
+        r["load_task_name"]: r["n"]
+        for r in logs.groupBy("load_task_name").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_model == {
+        "accounts_load": N_ACCOUNTS,
+        "accounts_load_legacy": N_ACCOUNTS,
+        "transactions_daily_load": N_ACCOUNTS * N_DAYS,
+    }
+
+
+def test_every_log_row_succeeded(engines):
+    """result.success = true for every record (mock, dbt_project.yml:46-51)."""
+    engine, *_ = engines
+    logs = _table(engine, tracking.SFDC_LOAD_TASK_LOGS)
+    assert (
+        logs.filter(F.get_json_object("result", "$.success") != "true").count() == 0
+    )
+
+
+def test_task_rows_have_close_metadata(engines):
+    """UPDATE...FROM applied close descriptors (salesforce_bulk_load.sql:51-56)."""
+    engine, *_ = engines
+    tasks = _table(engine, tracking.SFDC_LOAD_TASKS).collect()
+    for row in tasks:
+        close = json.loads(row["close_metadata"])
+        assert close["state"] == "Closed"
+        creation = json.loads(row["creation_metadata"])
+        assert creation["id"] == row["job_id"]
+        assert row["creation_time"] is not None
+
+
+def test_sfmc_tables(engines):
+    engine, *_ = engines
+    tasks = _table(engine, tracking.SFMC_LOAD_TASKS)
+    logs = _table(engine, tracking.SFMC_LOAD_TASK_LOGS)
+    assert tasks.count() == 1
+    assert logs.count() == N_CONTACTS
+    assert (
+        logs.filter(F.get_json_object("result", "$.success") != "true").count() == 0
+    )
+
+
+def test_second_run_idempotent(engines):
+    """Run-twice: incremental NOT-IN filters + empty-probe short-circuit
+    push 0 new records (macros/apps/salesforce.sql:5-18 +
+    accounts_load.sql:19-30)."""
+    engine, _, second, _, _ = engines
+    for name in ("accounts_load", "accounts_load_legacy", "transactions_daily_load"):
+        assert second[name].status == "skipped", second[name]
+    assert second["contacts_load"].status == "skipped"
+    assert _table(engine, tracking.SFDC_LOAD_TASKS).count() == 3
+    assert _table(engine, tracking.SFDC_LOAD_TASK_LOGS).count() == 9700
+    assert _table(engine, tracking.SFMC_LOAD_TASK_LOGS).count() == N_CONTACTS
+
+
+def test_no_extra_jobs_created(engines):
+    """Empty loads never call create_job (driver-side mock counters)."""
+    _, _, _, sf, mc = engines
+    assert len(sf.created_jobs) == 3
+    assert len(sf.closed_jobs) == 3
+    # ensure_data_extension runs every time (idempotent remote op), but
+    # only ONE import was started.
+    assert len(mc.imports) == 1
+
+
+def test_transactions_daily_contents(engines):
+    engine, *_ = engines
+    daily = _table(engine, "transactions_daily")
+    assert daily.count() == N_ACCOUNTS * N_DAYS
+    assert daily.filter(F.col("GTV_DAILY").isNull()).count() == 0
+
+
+def test_singular_tests_pass(engines):
+    """dbt-test equivalents of the reference's post-run assertions."""
+    engine, *_ = engines
+    tasks = _table(engine, tracking.SFDC_LOAD_TASKS)
+    engine.test(tasks.groupBy().count().filter(F.col("count") != 3))
+    logs = _table(engine, tracking.SFDC_LOAD_TASK_LOGS)
+    engine.test(logs.groupBy().count().filter(F.col("count") != 9700))
