@@ -1,0 +1,152 @@
+"""Minimal Snowflake-dialect -> Spark SQL rewriter.
+
+Lets the reference's model SQL run near-verbatim through ``spark.sql``
+(SURVEY.md §7 step 7). Deliberately minimal-but-sufficient: ONLY the
+constructs that actually appear in the reference repo (§2.2 inventory)
+are rewritten; this is a pre-processing pass on SQL text, not a general
+transpiler and not a Catalyst extension.
+
+| Snowflake construct                  | rewrite                           |
+|--------------------------------------|-----------------------------------|
+| ``expr::type`` casts                 | ``CAST(expr AS type)``            |
+| ``col:"Field"`` variant path         | ``get_json_object(col,'$.Field')``|
+| ``OBJECT_CONSTRUCT('k', v, ...)``    | ``to_json(named_struct(...))``    |
+| ``PARSE_JSON('literal')``            | the literal (JSON-string boundary)|
+| ``ARRAY_CONSTRUCT(a, b)``            | ``array(a, b)``                   |
+| ``ARRAY_AGG(x)``                     | ``collect_list(x)``               |
+| ``UUID_STRING()``                    | ``uuid()``                        |
+| ``over (partition by null order by null)`` | ``over (order by monotonically_increasing_id())`` |
+
+The last rewrite preserves semantics but NOT scale (single-partition
+window): engine code paths use ops.rownum.with_global_index instead;
+the rewrite exists only so verbatim reference SQL executes.
+
+VARIANT policy (SURVEY.md §1.2): records are JSON strings at SQL
+boundaries, so OBJECT_CONSTRUCT serializes and ``:"path"`` extraction
+reads with get_json_object; both compose (extraction after construction
+round-trips through JSON text exactly like Snowflake's VARIANT).
+"""
+
+from __future__ import annotations
+
+import re
+
+_TYPE_MAP = {
+    "varchar": "string",
+    "string": "string",
+    "int": "int",
+    "integer": "int",
+    "bigint": "bigint",
+    "double": "double",
+    "float": "double",
+    "date": "date",
+    "timestamp": "timestamp",
+    "boolean": "boolean",
+    "variant": "string",  # VARIANT boundary = JSON string
+    "number": "decimal(38,0)",
+}
+
+_CAST_TYPE_RE = re.compile(
+    r"::\s*(varchar|string|integer|int|bigint|double|float|date|timestamp|"
+    r"boolean|variant|number)\s*(\(\s*\d+(?:\s*,\s*\d+)?\s*\))?",
+    re.IGNORECASE,
+)
+_PATH_RE = re.compile(r'([A-Za-z_][A-Za-z_0-9.]*)\s*:\s*"([^"]+)"')
+_FUNC_RES = {
+    "OBJECT_CONSTRUCT": re.compile(r"\bobject_construct\s*\(", re.IGNORECASE),
+    "PARSE_JSON": re.compile(r"\bparse_json\s*\(", re.IGNORECASE),
+    "ARRAY_CONSTRUCT": re.compile(r"\barray_construct\s*\(", re.IGNORECASE),
+    "ARRAY_AGG": re.compile(r"\barray_agg\s*\(", re.IGNORECASE),
+    "UUID_STRING": re.compile(r"\buuid_string\s*\(\s*\)", re.IGNORECASE),
+}
+_GLOBAL_WINDOW_RE = re.compile(
+    r"over\s*\(\s*partition\s+by\s+null\s+order\s+by\s+null\s*\)", re.IGNORECASE
+)
+
+
+def _find_expr_start(sql: str, cast_pos: int) -> int:
+    """Backward scan for the start of the expression preceding ``::``.
+
+    Handles identifiers, dotted names, string literals, function calls
+    and parenthesized expressions — the only shapes the reference casts
+    (SURVEY.md §2.2 scalar functions)."""
+    i = cast_pos - 1
+    while i >= 0 and sql[i].isspace():
+        i -= 1
+    if i < 0:
+        return 0
+    if sql[i] in ")\"']":  # parenthesized expr / quoted ident / literal
+        close = sql[i]
+        openers = {")": "(", '"': '"', "'": "'", "]": "["}
+        opener = openers[close]
+        depth = 0
+        while i >= 0:
+            c = sql[i]
+            if c == close and (close != opener or depth == 0):
+                depth += 1
+            elif c == opener:
+                depth -= 1
+                if depth == 0:
+                    i -= 1
+                    break
+            i -= 1
+        # include a preceding function name: foo(...)::int
+        j = i
+        while j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
+            j -= 1
+        return j + 1
+    while i >= 0 and (sql[i].isalnum() or sql[i] in "_.$"):
+        i -= 1
+    return i + 1
+
+
+def _rewrite_casts(sql: str) -> str:
+    while True:
+        m = _CAST_TYPE_RE.search(sql)
+        if not m:
+            return sql
+        ty = _TYPE_MAP[m.group(1).lower()]
+        if m.group(2) and ty == "string":
+            pass  # varchar(100) -> string (length is metadata only)
+        elif m.group(2):
+            ty = f"{ty}{m.group(2).replace(' ', '')}" if ty.startswith("decimal") else ty
+        start = _find_expr_start(sql, m.start())
+        expr = sql[start : m.start()].strip()
+        sql = f"{sql[:start]}CAST({expr} AS {ty}){sql[m.end():]}"
+
+
+def _rewrite_funcs(sql: str) -> str:
+    def replace_call(sql: str, pattern: re.Pattern, transform) -> str:
+        while True:
+            m = pattern.search(sql)
+            if not m:
+                return sql
+            depth, i = 1, m.end()
+            while i < len(sql) and depth:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                i += 1
+            inner = sql[m.end() : i - 1]
+            sql = sql[: m.start()] + transform(inner) + sql[i:]
+
+    sql = _FUNC_RES["UUID_STRING"].sub("uuid()", sql)
+    sql = replace_call(
+        sql, _FUNC_RES["OBJECT_CONSTRUCT"], lambda a: f"to_json(named_struct({a}))"
+    )
+    sql = replace_call(sql, _FUNC_RES["PARSE_JSON"], lambda a: a.strip())
+    sql = replace_call(sql, _FUNC_RES["ARRAY_CONSTRUCT"], lambda a: f"array({a})")
+    sql = replace_call(sql, _FUNC_RES["ARRAY_AGG"], lambda a: f"collect_list({a})")
+    return sql
+
+
+def transpile(sql: str) -> str:
+    """Rewrite Snowflake-dialect SQL (the reference's surface) to Spark SQL."""
+    out = _PATH_RE.sub(lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", sql)
+    out = _rewrite_casts(out)
+    out = _rewrite_funcs(out)
+    out = _GLOBAL_WINDOW_RE.sub(
+        "over (order by monotonically_increasing_id())", out
+    )
+    return out

@@ -48,5 +48,6 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module and return the populated registry."""
     from . import relational  # noqa: F401
     from . import llm  # noqa: F401
+    from . import streaming_q  # noqa: F401
 
     return REGISTRY

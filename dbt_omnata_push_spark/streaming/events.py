@@ -1,0 +1,105 @@
+"""Structured Streaming wrapper over the events table (beyond-reference,
+SURVEY.md §2.2 'Streaming-only operators' note).
+
+The batch queries (queries/relational.py events_*) and these streaming
+plans share the same transformation shape — watermark + windowed agg is
+the streaming form of the date_trunc groupBy. ``run_stream_once`` uses
+availableNow + a memory sink so tests exercise the real micro-batch
+engine deterministically (no timers).
+
+At scale: the parquet source becomes Kafka/files-on-arrival; the memory
+sink becomes a Delta/parquet sink with checkpointing; the watermark
+bounds state for late data.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # raw ns (parquet TIMESTAMP(NANOS))
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The file source needs a directory; select just the events file via
+    # glob (in production this is the landing directory of the stream).
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour windowed counts with late-data watermark."""
+    ev = _events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("value_millis"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_millis",
+        )
+    )
+
+
+def sessionless_dedup_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact-dedup on event_id within the watermark horizon
+    (dropDuplicates with state bounded by the watermark)."""
+    ev = _events_stream(spark, sf_dir)
+    return ev.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_stream_once(stream_df: DataFrame, name: str = "stream_out") -> DataFrame:
+    """Execute a streaming plan over all currently-available input
+    (Trigger.AvailableNow) into a memory sink; returns the result as a
+    batch DataFrame. Deterministic — used by tests and the rows-only
+    correctness entries."""
+    spark = stream_df.sparkSession
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append" if not stream_df.isStreaming else _mode(stream_df))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def _mode(df: DataFrame) -> str:
+    # Aggregated streams need complete/update; plain streams append.
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "complete" if "Aggregate" in plan else "append"

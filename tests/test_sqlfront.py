@@ -1,0 +1,96 @@
+"""Snowflake-dialect front-end: reference-shaped SQL runs via spark.sql."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_omnata_push_spark.engine.sqlfront import transpile
+
+
+def test_cast_rewrites():
+    assert transpile("a::varchar") == "CAST(a AS string)"
+    assert transpile("x.y::int") == "CAST(x.y AS int)"
+    assert (
+        transpile("(row_number/100)::int") == "CAST((row_number/100) AS int)"
+    )
+    assert transpile("f(a, b)::double") == "CAST(f(a, b) AS double)"
+    assert transpile("col::varchar(255)") == "CAST(col AS string)"
+
+
+def test_variant_path_rewrite():
+    assert (
+        transpile('METADATA:"id"') == "get_json_object(METADATA, '$.id')"
+    )
+    assert (
+        transpile('RECORD:"AccountID__c"::varchar')
+        == "CAST(get_json_object(RECORD, '$.AccountID__c') AS string)"
+    )
+
+
+def test_function_rewrites():
+    assert (
+        transpile("OBJECT_CONSTRUCT('Name', n, 'Id', i)")
+        == "to_json(named_struct('Name', n, 'Id', i))"
+    )
+    assert transpile("ARRAY_AGG(ARRAY_CONSTRUCT(rn, rec))") == (
+        "collect_list(array(rn, rec))"
+    )
+    assert transpile("UUID_STRING()") == "uuid()"
+    assert transpile("PARSE_JSON('{\"a\": 1}')") == "'{\"a\": 1}'"
+
+
+def test_global_window_rewrite():
+    out = transpile("row_number() over (partition by null order by null)")
+    assert out == "row_number() over (order by monotonically_increasing_id())"
+
+
+def test_reference_shaped_model_sql_executes(spark):
+    """A push-model SELECT in the reference's dialect (the
+    accounts_load.sql:14-28 shape) runs end-to-end after transpile."""
+    spark.createDataFrame(
+        [("Acme", "acme"), ("Globex", "globex")], "NAME string, ACCOUNT_ID string"
+    ).createOrReplaceTempView("accounts_sf")
+    spark.createDataFrame(
+        [('{"AccountID__c": "acme"}', '{"success": true}', "accounts_load")],
+        "RECORD string, RESULT string, load_task_name string",
+    ).createOrReplaceTempView("logs_sf")
+    sql = transpile(
+        """
+        select OBJECT_CONSTRUCT('Name', NAME, 'AccountID__c', ACCOUNT_ID) as RECORD
+        from accounts_sf
+        where 1=1
+        and ACCOUNT_ID not in (
+            select RECORD:"AccountID__c"::varchar
+            from logs_sf
+            where load_task_name = 'accounts_load'
+            and RESULT:"success" = true
+        )
+        """
+    )
+    rows = spark.sql(sql).collect()
+    assert len(rows) == 1
+    assert (
+        F.get_json_object(F.lit(rows[0]["RECORD"]), "$.AccountID__c") is not None
+    )
+    assert '"AccountID__c":"globex"' in rows[0]["RECORD"]
+
+
+def test_batching_sql_shape(spark):
+    """The SFMC staging CTE chain shape (upload.sql:56-63) after transpile."""
+    spark.range(250).selectExpr("CAST(id AS string) AS record").createOrReplaceTempView(
+        "recs_sf"
+    )
+    sql = transpile(
+        """
+        with data_indexed as (
+            select record,
+                   row_number() over (partition by null order by null) as rn,
+                   (row_number() over (partition by null order by null) / 100)::int as batch_number
+            from recs_sf
+        )
+        select batch_number, ARRAY_AGG(ARRAY_CONSTRUCT(rn, record)) as batch_rows
+        from data_indexed group by batch_number
+        """
+    )
+    out = spark.sql(sql).collect()
+    assert sum(len(r["batch_rows"]) for r in out) == 250
