@@ -49,5 +49,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import relational  # noqa: F401
     from . import llm  # noqa: F401
     from . import streaming_q  # noqa: F401
+    from . import extended  # noqa: F401
 
     return REGISTRY

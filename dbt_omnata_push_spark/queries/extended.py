@@ -1,0 +1,163 @@
+"""Extended operator coverage: rollup, lateral/UDTF parity, remaining
+testdata tables (part, supplier), dedup apply-step, and an oracle-checked
+property test of the scale-safe global index."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine.catalog import load_table
+from ..ops.rownum import with_global_index
+from . import query
+
+
+def _dec(c, scale=2):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+@query(
+    "revenue_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (free in Spark SQL; SURVEY.md §2.2 noted the
+    reference never uses them — exposed here as engine surface)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("gross"),
+    )
+
+
+@query(
+    "parts_brand_stats",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           MIN(p_retailprice) AS min_price,
+           MAX(p_retailprice) AS max_price,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM part
+    WHERE p_size BETWEEN 10 AND 40
+    GROUP BY p_brand
+    """,
+    tags=("agg", "filter"),
+)
+def parts_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN-range filter + grouped stats over the part table."""
+    pa = load_table(spark, sf_dir, "part")
+    return (
+        pa.filter(F.col("p_size").between(10, 40))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+            F.sum(_dec("p_retailprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "supplier_regions",
+    oracle="""
+    SELECT r_name,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("join", "agg"),
+)
+def supplier_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier -> nation -> region star join with balance rollup."""
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    return (
+        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(_dec("s_acctbal")).cast("double").alias("total_balance"),
+        )
+    )
+
+
+@query(
+    "words_posexplode",
+    oracle="""
+    SELECT doc_id, i AS pos, words[i] AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS words
+          FROM documents WHERE doc_id < 20),
+         unnest(generate_series(1, len(words))) AS t(i)
+    """,
+    tags=("lateral", "udtf"),
+)
+def words_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral table-function parity (the reference's table(JSON_TO_CSV)
+    lateral joins, upload.sql:93): posexplode with 1-based positions."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    words = docs.select("doc_id", F.split("text", " ").alias("words"))
+    return words.select(
+        "doc_id", F.posexplode("words").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "token")
+
+
+@query(
+    "dedup_canonical_docs",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keep
+          FROM documents GROUP BY 1) g
+      ON md5(d.text) = g.h AND d.doc_id = g.keep
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup apply-step: keep only the canonical (min-id) doc per
+    content hash — the materializing half of dedup_exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.withColumn("h", F.md5("text"))
+    keep = hashed.groupBy("h").agg(F.min("doc_id").alias("keep"))
+    return (
+        hashed.join(keep, (hashed.h == keep.h) & (hashed.doc_id == keep.keep))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@query(
+    "global_index_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) AS n_distinct_idx,
+           CAST(1 AS BIGINT) AS min_idx,
+           COUNT(*) AS max_idx
+    FROM orders
+    """,
+    tags=("ops", "rownum"),
+)
+def global_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked property of ops.rownum.with_global_index: indices
+    are dense, unique, 1..N — regardless of partitioning. (The oracle
+    states the property; the Spark side computes it from the real op.)"""
+    od = load_table(spark, sf_dir, "orders").repartition(16)
+    idx = with_global_index(od, "row_idx", one_based=True)
+    return idx.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("row_idx").alias("n_distinct_idx"),
+        F.min("row_idx").alias("min_idx"),
+        F.max("row_idx").alias("max_idx"),
+    )
