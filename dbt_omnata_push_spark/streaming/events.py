@@ -71,6 +71,25 @@ def hourly_counts_stream(
     )
 
 
+def sliding_counts_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Sliding 1-hour window, 30-minute slide: each event contributes to
+    two overlapping windows (the streaming overlap-window operator)."""
+    ev = _events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
 def sessionless_dedup_stream(
     spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
 ) -> DataFrame:

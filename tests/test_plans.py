@@ -1,0 +1,63 @@
+"""Plan-quality regression tests: the physical plans the engine relies
+on for 100TB scale must not silently degrade.
+
+Checks the properties called out in BASELINE.md: predicate pushdown into
+parquet scans, column pruning, broadcast joins for small dims, no
+single-partition window in scale paths, whole-stage codegen presence."""
+
+from __future__ import annotations
+
+from dbt_omnata_push_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def _formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["pricing_summary"].fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # Pruned read schema: no orderkey/partkey/suppkey columns scanned.
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+    # Aggregation is partial->final (map-side combine before the shuffle).
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_revenue_by_nation_broadcasts_dims(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["revenue_by_nation"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at minimum
+    # Status filter pushed all the way into the orders scan.
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_anti_join_is_a_join_not_subquery_loop(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["customers_without_orders"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_global_top_orders_uses_takeordered(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["global_top_orders"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # top-k, not a full global sort
+
+
+def test_no_single_partition_window_in_scale_paths(spark, sf_dir):
+    """Engine ops never use a null-partition window (SURVEY.md §4.1).
+    Partitioned windows are fine; an empty PartitionBy on a big table is
+    the failure mode this guards against."""
+    for name in ("staging_batches", "dedup_minhash_lsh_pairs", "events_hourly"):
+        plan = _formatted_plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "Window" not in plan, name
+
+
+def test_topk_window_is_partitioned(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["top_orders_per_customer"].fn(spark, sf_dir))
+    assert "windowspecdefinition(o_custkey" in plan  # partitioned by key
+    # rank<=3 pushed below the window as a group-limit (no full rank pass)
+    assert "WindowGroupLimit" in plan
