@@ -139,6 +139,41 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_type_counts_salted",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis,
+           MIN(user_id) AS min_user,
+           MAX(user_id) AS max_user
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "skew"),
+)
+def events_type_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted two-stage aggregation over the (5-value, heavily
+    skewed) event_type key — exactly equivalent to the direct group-by,
+    which is what the oracle states (ops/skew.py)."""
+    from ..ops.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", F.count(F.lit(1))),
+            "value_millis": (
+                "sum",
+                F.sum(F.floor(F.col("value") * 1000).cast("bigint")),
+            ),
+            "min_user": ("min", F.min("user_id")),
+            "max_user": ("max", F.max("user_id")),
+        },
+    )
+
+
+@query(
     "global_index_stats",
     oracle="""
     SELECT COUNT(*) AS n_rows,

@@ -119,6 +119,9 @@ def run_stream_once(stream_df: DataFrame, name: str = "stream_out") -> DataFrame
 
 
 def _mode(df: DataFrame) -> str:
-    # Aggregated streams need complete/update; plain streams append.
+    # Aggregated streams need complete; arbitrary-state operators need
+    # update; plain streams append.
     plan = df._jdf.queryExecution().analyzed().toString()
+    if "WithState" in plan:
+        return "update"
     return "complete" if "Aggregate" in plan else "append"

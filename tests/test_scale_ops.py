@@ -1,0 +1,96 @@
+"""Scale-technique operators: salted aggregation, bucketed co-located
+joins, compaction, custom stateful streaming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_omnata_push_spark.engine.catalog import load_table
+from dbt_omnata_push_spark.engine.store import TableStore
+from dbt_omnata_push_spark.ops.compact import compact, n_files
+from dbt_omnata_push_spark.ops.skew import salted_agg
+
+
+def test_salted_agg_equals_direct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    direct = {
+        (r["event_type"]): (r["n"], r["s"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r["event_type"]): (r["n"], r["s"])
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            {"n": ("count", F.count(F.lit(1))), "s": ("sum", F.sum("user_id"))},
+        ).collect()
+    }
+    assert direct == salted
+
+
+def test_compact_reduces_files(spark, tmp_path):
+    store = TableStore(str(tmp_path))
+    store.create(spark, "t", spark.range(0, 1000).repartition(8).toDF("k"))
+    for _ in range(5):
+        store.append(spark, "t", spark.range(0, 100).repartition(4).toDF("k"))
+    before = n_files(store, "t")
+    assert before >= 20
+    after = compact(spark, store, "t")
+    assert after == 1  # tiny table -> single target file
+    assert store.read(spark, "t").count() == 1500
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both fact tables on the join key pre-shuffles them once
+    at write time; the join then runs with NO Exchange on either side —
+    the co-located join strategy for repeated large-fact joins at scale."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckets LOCATION '{tmp_path}'")
+    # At test scale the planner would broadcast the small side (correct!);
+    # disable broadcast so the plan shows the co-located SMJ that large
+    # fact-fact joins get.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        load_table(spark, sf_dir, "orders").write.bucketBy(
+            8, "o_orderkey"
+        ).sortBy("o_orderkey").mode("overwrite").saveAsTable("buckets.orders_b")
+        load_table(spark, sf_dir, "lineitem").write.bucketBy(
+            8, "l_orderkey"
+        ).sortBy("l_orderkey").mode("overwrite").saveAsTable("buckets.lineitem_b")
+        joined = spark.table("buckets.orders_b").join(
+            spark.table("buckets.lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() == load_table(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS buckets.orders_b")
+        spark.sql("DROP TABLE IF EXISTS buckets.lineitem_b")
+        spark.sql("DROP DATABASE IF EXISTS buckets")
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_stateful_user_profiles(spark, sf_dir):
+    from dbt_omnata_push_spark.streaming.events import _events_stream, run_stream_once
+    from dbt_omnata_push_spark.streaming.stateful import user_profile_stream
+
+    out = run_stream_once(
+        user_profile_stream(_events_stream(spark, sf_dir)), "t_profiles"
+    )
+    batch = load_table(spark, sf_dir, "events")
+    expected = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    got = {
+        r["user_id"]: (r["n_events"], round(r["value_sum"], 6))
+        for r in out.collect()
+    }
+    assert got == expected
