@@ -91,7 +91,13 @@ class Engine:
                     pass
         if model.builder is not None:
             return model.builder(ctx)
-        return self.spark.sql(model.compile_sql(ctx))
+        sql = model.compile_sql(ctx)
+        if model.config.get("dialect") == "snowflake":
+            # Reference-dialect model SQL runs near-verbatim (sqlfront).
+            from .sqlfront import transpile
+
+            sql = transpile(sql)
+        return self.spark.sql(sql)
 
     def run(self, select: list[str] | None = None) -> dict[str, RunResult]:
         """Execute models in topological order (dbt run)."""

@@ -134,8 +134,12 @@ def _salesforce_bulk_load(engine, model, records: DataFrame, legacy=False) -> Ru
     # (salesforce_bulk_load.sql:34-48). serial_load=true -> one executor
     # slot == the reference's serial concurrency mode (README.md:71).
     indexed = with_global_index(records, "row_idx", one_based=False)
-    if serial:
-        indexed = indexed.coalesce(1)
+    # serial_load (README.md:71) == max_parallel_batches=1; any bound
+    # caps concurrent remote calls by capping partitions (SURVEY.md §7
+    # hard-part 4: bounded concurrency toward the SaaS API).
+    max_parallel = 1 if serial else cfg.get("max_parallel_batches")
+    if max_parallel:
+        indexed = indexed.coalesce(int(max_parallel))
     batch_size = int(cfg.get("batch_size", DEFAULT_BATCH_SIZE))
 
     def push_batches(batches):

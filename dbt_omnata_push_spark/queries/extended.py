@@ -139,6 +139,30 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_digest
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata surface with an exact oracle: byte length
+    and content digest computed over the opaque payload (the decode-free
+    half of the multimodal pipeline; llmops/multimodal.py)."""
+    from ..llmops.multimodal import documents_as_media
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("payload_digest"),
+    )
+
+
+@query(
     "events_type_counts_salted",
     oracle="""
     SELECT event_type,
