@@ -139,6 +139,30 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "percentile"),
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark percentile ==
+    DuckDB quantile_cont: both linear-interpolate on the sorted values,
+    verified exact on this data)."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+    )
+
+
+@query(
     "multimodal_metadata",
     oracle="""
     SELECT doc_id,
