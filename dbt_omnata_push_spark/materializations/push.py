@@ -26,6 +26,7 @@ from ..connectors.base import get_connector
 from ..engine.dag import RunResult
 from ..ops.batching import DEFAULT_BATCH_SIZE
 from ..ops.gpg import encrypt_batch, gpg_session_params, json_records_to_csv
+from ..ops.retry import RetryPolicy
 from ..ops.rownum import with_global_index
 from . import tracking
 
@@ -142,6 +143,8 @@ def _salesforce_bulk_load(engine, model, records: DataFrame, legacy=False) -> Ru
         indexed = indexed.coalesce(int(max_parallel))
     batch_size = int(cfg.get("batch_size", DEFAULT_BATCH_SIZE))
 
+    retry = RetryPolicy(max_attempts=int(cfg.get("max_retries", 3)))
+
     def push_batches(batches):
         import pandas as pd
 
@@ -150,7 +153,12 @@ def _salesforce_bulk_load(engine, model, records: DataFrame, legacy=False) -> Ru
             results: list[str] = []
             for start in range(0, len(recs), batch_size):
                 chunk = recs[start : start + batch_size]
-                res = connector.load_batch(job_id, [json.loads(r) for r in chunk])
+                # Transient transport errors retry with backoff; per-record
+                # API failures come back as results and are logged as-is
+                # (the NOT-IN incremental filter re-pushes them next run).
+                res = retry.call(
+                    connector.load_batch, job_id, [json.loads(r) for r in chunk]
+                )
                 results.extend(json.dumps(r) for r in res)
             yield pd.DataFrame(
                 {"row_idx": pdf["row_idx"], "record": recs, "result": results}
