@@ -31,6 +31,22 @@ from pyspark.sql import functions as F
 _MID_ROW_MASK = (1 << 33) - 1
 
 
+def with_ordered_global_index(
+    df: DataFrame, order_cols: list[str], col_name: str = "row_idx"
+) -> DataFrame:
+    """Total-order global row number WITHOUT a single-partition window.
+
+    ``row_number() over (order by cols)`` semantics at scale:
+    repartitionByRange places partition i strictly before partition j in
+    key order, sortWithinPartitions orders inside, and the same
+    count-offset pass as with_global_index turns per-partition positions
+    into a global 1..N ranking. Ties broken by partition placement
+    (include a unique column in order_cols for full determinism).
+    """
+    ranged = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    return with_global_index(ranged, col_name, one_based=True)
+
+
 def with_global_index(
     df: DataFrame, col_name: str = "row_idx", one_based: bool = True
 ) -> DataFrame:

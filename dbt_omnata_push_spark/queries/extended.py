@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..engine.catalog import load_table
-from ..ops.rownum import with_global_index
+from ..ops.rownum import with_global_index, with_ordered_global_index
 from . import query
 
 
@@ -135,6 +135,112 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hashed.join(keep, (hashed.h == keep.h) & (hashed.doc_id == keep.keep))
         .select("doc_id", "lang", "n_chars")
+    )
+
+
+@query(
+    "orders_ordered_index",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS row_idx
+    FROM orders
+    """,
+    tags=("ops", "rownum", "sort"),
+)
+def orders_ordered_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order global numbering at scale: range-repartition +
+    within-partition sort + offset pass reproduces row_number() over a
+    global ORDER BY with no single-partition window (ops/rownum.py).
+    The oracle IS that window — the hash match proves equivalence."""
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    idx = with_ordered_global_index(od, ["o_totalprice", "o_orderkey"])
+    return idx.select("o_orderkey", "row_idx")
+
+
+@query(
+    "orders_status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_f,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_o,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab) with an explicit value list — one shuffle, the
+    pivot columns are map-side CASE aggregations."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+@query(
+    "orders_by_month",
+    oracle="""
+    SELECT CAST(date_part('year', o_orderdate) AS INT) AS order_year,
+           CAST(date_part('month', o_orderdate) AS INT) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_value
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "time"),
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension extraction + grouped aggregation (at scale the
+    table is partitioned by these columns for partition pruning)."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.groupBy(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("month_value"),
+    )
+
+
+@query(
+    "documents_quality_filter",
+    oracle="""
+    SELECT doc_id, quality_score FROM (
+      SELECT doc_id,
+             (CAST(LEAST(n_words, 100) AS DOUBLE) / 100)
+             * (CAST(n_distinct AS DOUBLE) / n_words) AS quality_score
+      FROM (SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct
+            FROM documents)
+    )
+    WHERE quality_score >= 0.2
+    """,
+    tags=("llm", "text", "filter"),
+)
+def documents_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality gate: composite score (length x vocabulary
+    diversity, exact int-ratio arithmetic) with a keep threshold — the
+    standard pre-training filter shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    score = (
+        F.least(n_words, F.lit(100)).cast("double") / 100
+    ) * (n_distinct.cast("double") / n_words)
+    return (
+        docs.select("doc_id", score.alias("quality_score"))
+        .filter(F.col("quality_score") >= 0.2)
     )
 
 
