@@ -63,22 +63,28 @@ def minhash_signatures(
     shingle_col: str = "shingles",
     num_perm: int = DEFAULT_NUM_PERM,
 ) -> DataFrame:
-    """k salted-md5 MinHash components: mh_j = min(md5(j || ':' || s)).
+    """k salted-md5 MinHash components: mh_j = min(md5(j || ':' || md5(s))).
 
-    Salted rehash simulates k permutations; min over hex strings is a
-    total order, so each component is a valid MinHash.
+    Each shingle (arbitrarily long) is hashed ONCE to a 32-char digest;
+    the k permutations rehash only that fixed-width digest, so hash
+    input bytes scale with k*32 instead of k*len(shingle). Min over hex
+    strings is a total order, so each component is a valid MinHash.
     """
-    def salted(j: int):
-        prefix = f"{j}:"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    out = df
+    hashed = "__sh_md5"
+    out = df.withColumn(
+        hashed, F.transform(F.col(shingle_col), lambda s: F.md5(s))
+    )
     for j in range(num_perm):
+        prefix = f"{j}:"
         out = out.withColumn(
             f"mh{j}",
-            F.array_min(F.transform(F.col(shingle_col), salted(j))),
+            F.array_min(
+                F.transform(
+                    F.col(hashed), lambda h: F.md5(F.concat(F.lit(prefix), h))
+                )
+            ),
         )
-    return out
+    return out.drop(hashed)
 
 
 def lsh_candidate_pairs(

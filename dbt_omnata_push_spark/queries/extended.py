@@ -350,3 +350,96 @@ def global_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("row_idx").alias("min_idx"),
         F.max("row_idx").alias("max_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of and range joins: operators Spark lacks natively, rebuilt as
+# shuffle-friendly compositions (ops/asof.py, ops/rangejoin.py). DuckDB
+# has both natively (ASOF JOIN, IEJoin), which makes exact oracles.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_asof_last_error",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      FROM events
+    ),
+    c AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+    e AS (
+      SELECT user_id, ts, MAX(value) AS last_error_value
+      FROM ev WHERE event_type = 'error' GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           e.ts AS last_error_ts, e.last_error_value
+    FROM c ASOF JOIN e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+    tags=("ops", "join", "asof"),
+)
+def events_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each click annotated with the user's most
+    recent error at-or-before it. Union-merge + one keyed window — a
+    single hash shuffle, vs DuckDB's native ASOF JOIN as the oracle.
+    Inner semantics here (NULL timestamps don't hash portably); the
+    left-outer variant is unit-tested in tests/test_asof_range.py."""
+    from ..ops.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_error_value"))
+    )
+    out = asof_join(
+        clicks,
+        errors,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["last_error_value"],
+        right_ts_alias="last_error_ts",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "last_error_ts", "last_error_value"
+    ).filter(F.col("last_error_ts").isNotNull())
+
+
+@query(
+    "events_range_join_error_window",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    ),
+    c AS (SELECT event_id AS click_id, ts FROM ev WHERE event_type = 'click'),
+    e AS (SELECT event_id AS error_id, ts AS start_ts,
+                 ts + INTERVAL 10 MINUTE AS end_ts
+          FROM ev WHERE event_type = 'error')
+    SELECT click_id, error_id
+    FROM c JOIN e ON c.ts >= e.start_ts AND c.ts < e.end_ts
+    """,
+    tags=("ops", "join", "range"),
+)
+def events_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join (clicks inside any 10-minute error window)
+    via bucket decomposition: explode intervals to overlapped buckets,
+    equi-join on bucket id, re-filter exactly — a hash join instead of
+    the BroadcastNestedLoopJoin a raw inequality join would plan."""
+    from ..ops.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTE")).alias("end_ts"),
+    )
+    out = interval_join(
+        clicks, errors, "ts", "start_ts", "end_ts", bucket_width_s=600
+    )
+    return out.select("click_id", "error_id")

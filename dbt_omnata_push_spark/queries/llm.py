@@ -51,17 +51,20 @@ sh AS (
               ELSE [text] END AS shingles
   FROM toks
 ),
+hs AS (
+  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hh FROM sh
+),
 sig AS (
   SELECT doc_id, shingles,
          {mh_cols}
-  FROM sh
+  FROM hs
 )
 """
 
 
 def _mh_cols(num_perm: int) -> str:
     return ",\n         ".join(
-        f"list_min(list_transform(shingles, s -> md5('{j}:' || s))) AS mh{j}"
+        f"list_min(list_transform(hh, h -> md5('{j}:' || h))) AS mh{j}"
         for j in range(num_perm)
     )
 
