@@ -184,11 +184,11 @@ def near_duplicate_pairs(
 # a SQL string that is valid in BOTH Spark SQL and DuckDB (instr/substr/
 # md5/floor are shared), so the oracle is the same computation textually.
 # ---------------------------------------------------------------------------
-def _bit_sum_exprs(word_expr: str = "w") -> list[str]:
+def _bit_sum_exprs(hash_expr: str = "h") -> list[str]:
     terms = []
     for b in range(16):
         nib = (
-            f"(instr('0123456789abcdef', substr(md5({word_expr}), {1 + b // 4}, 1)) - 1)"
+            f"(instr('0123456789abcdef', substr({hash_expr}, {1 + b // 4}, 1)) - 1)"
         )
         bit = f"(CAST(FLOOR({nib} / {2 ** (b % 4)}) AS INT) % 2)"
         terms.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{b}")
@@ -201,6 +201,11 @@ def simhash_sql(explode_clause: str) -> str:
     ``explode_clause`` supplies the dialect-specific word explosion:
     - Spark:  SELECT doc_id, explode(split(text, ' ')) AS w FROM documents
     - DuckDB: SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+
+    Each word is md5-hashed ONCE in an inner select; the 16 bit-sum
+    aggregates read substrings of that digest (16x less hashing than
+    inlining md5(w) per bit — engines don't reliably CSE across
+    aggregate expressions).
     """
     sums = ",\n         ".join(_bit_sum_exprs())
     packed = " + ".join(
@@ -211,7 +216,7 @@ def simhash_sql(explode_clause: str) -> str:
     FROM (
       SELECT doc_id,
          {sums}
-      FROM ({explode_clause})
+      FROM (SELECT doc_id, md5(w) AS h FROM ({explode_clause}))
       GROUP BY doc_id
     )
     """
@@ -219,3 +224,66 @@ def simhash_sql(explode_clause: str) -> str:
 
 SPARK_WORDS_CLAUSE = "SELECT doc_id, explode(split(text, ' ')) AS w FROM documents"
 DUCKDB_WORDS_CLAUSE = "SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate clustering: candidate pairs -> connected components.
+# The apply-step after pair mining: every doc gets the min doc_id of its
+# duplicate cluster, so "keep one per cluster" is a single filter.
+# ---------------------------------------------------------------------------
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    Returns (node, component) where component = min node id reachable.
+    Each iteration is one shuffle (join on node + min-agg); convergence
+    needs O(component diameter) rounds — near-dup clusters are shallow
+    (stars around a canonical doc), so 3-4 rounds typical. Label frames
+    are persisted per round and checked for a fixpoint with a count of
+    changed labels; at cluster scale swap the count action for an
+    accumulator. GraphX/GraphFrames would give the same algorithm but
+    pulls in an RDD API dependency for no gain at this shape.
+    """
+    both = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        both.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        # candidate label for each node: min over neighbours' labels
+        neighbour_min = (
+            both.join(labels, both.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbour_min, labels.node == neighbour_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -443,3 +443,40 @@ def events_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFram
         clicks, errors, "ts", "start_ts", "end_ts", bucket_width_s=600
     )
     return out.select("click_id", "error_id")
+
+
+@query(
+    "events_approx_distinct_rollup",
+    # No oracle: HLL estimates are approximate by design (DataSketches
+    # binary state isn't reproducible in DuckDB). Accuracy bounds and
+    # merge-associativity are pinned in tests/test_sketches.py.
+    tags=("ops", "sketch", "approx"),
+)
+def events_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-user rollup: per (event_type, day) HLL
+    sketches union-merged to per-type estimates. At 100 TB the raw
+    distinct shuffle is replaced by fixed-size sketch exchange, and the
+    fine-grained sketch table is reusable for any coarser rollup."""
+    from ..ops.sketches import approx_distinct_rollup
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    return approx_distinct_rollup(
+        ev, ["event_type", "day"], ["event_type"], "user_id"
+    )
+
+
+@query(
+    "orders_approx_quantiles",
+    tags=("ops", "sketch", "approx"),
+)
+def orders_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate order-value quantiles: bounded
+    memory per partition, merge-combined — no global sort. Exact
+    counterpart (same probs) is order_value_percentiles; rank-error
+    bound tested in tests/test_sketches.py."""
+    from ..ops.sketches import approx_quantiles
+
+    od = load_table(spark, sf_dir, "orders")
+    return approx_quantiles(od, "o_totalprice", [0.25, 0.5, 0.75, 0.95])

@@ -82,9 +82,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("doc_id", "mh0", "mh1", "mh2", "mh3")
 
 
-_LSH_PAIRS_ORACLE = (
-    _MINHASH_ORACLE_BASE.format(mh_cols=_mh_cols(8))
-    + """,
+_BANDS_PAIRS_SQL = """,
 bands AS (
   SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
   UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
@@ -96,16 +94,46 @@ pairs AS (
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b, jaccard FROM (
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+    FROM pairs
+    JOIN sig sa ON doc_a = sa.doc_id
+    JOIN sig sb ON doc_b = sb.doc_id
+  )
+  WHERE jaccard >= 0.3
 )
-SELECT doc_a, doc_b, jaccard FROM (
-  SELECT doc_a, doc_b,
-         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-           / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
-  FROM pairs
-  JOIN sig sa ON doc_a = sa.doc_id
-  JOIN sig sb ON doc_b = sb.doc_id
+"""
+
+_LSH_PAIRS_ORACLE = (
+    _MINHASH_ORACLE_BASE.format(mh_cols=_mh_cols(8))
+    + _BANDS_PAIRS_SQL
+    + "SELECT doc_a, doc_b, jaccard FROM verified"
 )
-WHERE jaccard >= 0.3
+
+# Connected components over the verified near-dup pairs: DuckDB computes
+# the transitive closure with a recursive CTE; min reachable id == the
+# component label the Spark side converges to by label propagation.
+_COMPONENTS_ORACLE = (
+    _MINHASH_ORACLE_BASE.format(mh_cols=_mh_cols(8)).replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    )
+    + _BANDS_PAIRS_SQL
+    + """,
+undirected AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION ALL SELECT doc_b AS a, doc_a AS b FROM verified
+),
+reach(node, comp) AS (
+  SELECT DISTINCT a AS node, a AS comp FROM undirected
+  UNION
+  SELECT u.b AS node, r.comp AS comp
+  FROM reach r JOIN undirected u ON u.a = r.node
+)
+SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node
 """
 )
 
@@ -115,6 +143,22 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: band-bucket join + exact Jaccard >= 0.3."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return D.near_duplicate_pairs(docs, threshold=0.3)
+
+
+@query(
+    "dedup_components",
+    oracle=_COMPONENTS_ORACLE,
+    tags=("llm", "dedup", "iterative"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: LSH pairs -> connected components
+    by iterative min-label propagation (one shuffle per round; an
+    iterative algorithm, not SQL — the oracle is a recursive CTE
+    computing the same transitive closure)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = D.near_duplicate_pairs(docs, threshold=0.3).select("doc_a", "doc_b")
+    comp = D.connected_components(pairs)
+    return comp.select(F.col("node").alias("doc_id"), "component")
 
 
 @query(
