@@ -435,3 +435,109 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return M.extract_features(M.documents_as_media(docs), decode_stub=True)
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM words GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf FROM (
+      SELECT doc_id, token, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf*N/df (rational
+    tf-idf: one exactly-rounded division of exact integers, so the
+    score is bit-identical across engines — no log() ULP drift). The
+    doc-frequency side is a broadcastable token->df table; the ranking
+    window partitions by doc_id, so no global sort."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = words.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
+@query(
+    "corpus_prep_pipeline",
+    oracle="""
+    WITH canon AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS keep FROM documents GROUP BY 1
+    ),
+    scored AS (
+      SELECT doc_id, lang, text,
+             (CAST(LEAST(n_words, 100) AS DOUBLE) / 100)
+             * (CAST(n_distinct AS DOUBLE) / n_words) AS quality_score,
+             n_words
+      FROM (SELECT doc_id, lang, text,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct
+            FROM documents)
+    )
+    SELECT s.doc_id, s.lang, s.n_words AS n_tokens, s.quality_score
+    FROM scored s
+    JOIN canon c ON md5(s.text) = c.h AND s.doc_id = c.keep
+    WHERE s.quality_score >= 0.2
+    """,
+    tags=("llm", "pipeline"),
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard pre-training corpus prep flow as ONE composed plan:
+    exact dedup (keep canonical copy) -> quality gate -> token stats.
+    Composability is the point: each stage is a DataFrame->DataFrame
+    operator, Catalyst fuses the projections and reuses the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.withColumn("h", F.md5("text"))
+    canon = hashed.groupBy("h").agg(F.min("doc_id").alias("keep"))
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    scored = hashed.withColumn(
+        "quality_score",
+        (F.least(n_words, F.lit(100)).cast("double") / 100)
+        * (n_distinct.cast("double") / n_words),
+    ).withColumn("n_tokens", n_words.cast("bigint"))
+    return (
+        scored.join(
+            canon,
+            (scored.h == canon.h) & (scored.doc_id == canon.keep),
+        )
+        .filter(F.col("quality_score") >= 0.2)
+        .select("doc_id", "lang", "n_tokens", "quality_score")
+    )
