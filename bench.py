@@ -25,8 +25,13 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
+    "dedup_components",
     "text_stats",
+    "text_tfidf_top_terms",
+    "corpus_prep_pipeline",
     "similarity_topk_bruteforce",
+    "events_asof_last_error",
+    "events_range_join_error_window",
 ]
 
 

@@ -248,9 +248,14 @@ def connected_components(
     accumulator. GraphX/GraphFrames would give the same algorithm but
     pulls in an RDD API dependency for no gain at this shape.
     """
-    both = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # Materialize the edge list once: it is read twice per iteration,
+    # and recomputing an upstream pair-mining pipeline every round would
+    # dominate the runtime.
+    both = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .persist()
+    )
     labels = (
         both.select(F.col("a").alias("node"))
         .distinct()
@@ -286,4 +291,5 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    both.unpersist()
     return labels
