@@ -171,3 +171,152 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF training: distributed Lloyd's k-means over the embedding column.
+# The assign step is a pure JVM expression (no Python in the hot path);
+# the update step reduces k*dim partial sums to the driver — the same
+# shape MLlib uses (per-iteration state is tiny; the data never moves).
+# ---------------------------------------------------------------------------
+def assign_clusters(
+    emb: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment by squared euclidean distance.
+
+    Centroids are embedded as literal arrays (k*dim doubles in the
+    plan — fine for coarse IVF codebooks; for k beyond ~1000 switch to
+    a broadcast DataFrame join). Ties break to the lowest cluster id
+    via struct ordering.
+    """
+    def sqdist(c):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                arr,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(sqdist(c).alias("d"), F.lit(j).alias("cid"))
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )
+    return emb.withColumn(out_col, best["cid"])
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-7,
+) -> list:
+    """Lloyd's k-means; returns the centroid list (python floats).
+
+    Deterministic init: the k lowest-id vectors (reproducible without
+    RNG state; k-means|| would be the quality upgrade at scale). Each
+    iteration: one scan for assignment + a (cluster, pos) grouped sum —
+    the shuffle carries k*dim doubles, independent of row count.
+    Empty clusters keep their previous centroid.
+    """
+    init = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[0]] for r in init]
+    for _ in range(max_iter):
+        assigned = assign_clusters(emb, centroids, vec_col)
+        stats = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("pos", "v")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]
+        dims = {}
+        for r in stats:
+            dims.setdefault(r["cluster"], {})[r["pos"]] = r["s"] / r["n"]
+        for cid, posmap in dims.items():
+            new_centroids[cid] = [posmap[p] for p in sorted(posmap)]
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(old, new))
+            for old, new in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        if shift <= tol:
+            break
+    return centroids
+
+
+def ivf_topk_trained(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """IVF search with a trained codebook: probe the query's nprobe
+    nearest cells, rank candidates by exact cosine within them.
+
+    At scale the embedding table is written partitioned/bucketed by
+    ``cluster`` so each probe reads only its cells; recall/latency is
+    tuned by nprobe, never by rescanning the corpus.
+    """
+    from pyspark.sql import Window
+
+    cells = assign_clusters(emb, centroids, vec_col)
+
+    def sqdist_q(c):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(
+                F.col(q_vec_col),
+                arr,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    probes = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(sqdist_q(c).alias("d"), F.lit(j).alias("cid"))
+                    for j, c in enumerate(centroids)
+                ]
+            )
+        ),
+        1,
+        nprobe,
+    )
+    q_cells = queries.withColumn(
+        "cluster", F.explode(F.transform(probes, lambda s: s["cid"]))
+    )
+    sim = cosine(F.col(q_vec_col), F.col(vec_col))
+    scored = (
+        cells.join(F.broadcast(q_cells), "cluster")
+        .filter(F.col(id_col) != F.col(q_id_col))
+        .select(q_id_col, id_col, sim.alias("sim"))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank")
+    )

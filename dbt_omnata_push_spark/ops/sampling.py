@@ -1,0 +1,44 @@
+"""Sampling operators for corpus curation.
+
+Two shapes:
+- deterministic stratified top-n: reproducible across engines and runs
+  (hash-ordered, no RNG state), the right default for dataset curation
+  where a sample must be re-derivable from the data alone;
+- proportional random sample: Spark-native Bernoulli sampling per
+  stratum (sampleBy) for quick statistical work where exact
+  reproducibility across engines doesn't matter.
+
+At scale the stratified top-n is a per-stratum window (WindowGroupLimit
+pushes the rank filter below the sort), so no stratum ever needs more
+than its own partition's memory; skewed strata are handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample_deterministic(
+    df: DataFrame, strata: list[str], n_per_stratum: int, id_col: str
+) -> DataFrame:
+    """First ``n_per_stratum`` rows per stratum ordered by md5(id).
+
+    The hash order is a fixed pseudo-random permutation of each
+    stratum, so the sample is unbiased w.r.t. any natural ordering of
+    the data while being bit-reproducible anywhere md5 exists.
+    """
+    order_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*strata).orderBy(order_key, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
+def proportional_sample(
+    df: DataFrame, stratum_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sample (Spark-native sampleBy)."""
+    return df.sampleBy(stratum_col, fractions, seed)

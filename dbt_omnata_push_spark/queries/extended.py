@@ -480,3 +480,29 @@ def orders_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     od = load_table(spark, sf_dir, "orders")
     return approx_quantiles(od, "o_totalprice", [0.25, 0.5, 0.75, 0.95])
+
+
+@query(
+    "documents_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+    tags=("ops", "sampling"),
+)
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 20 docs per language, ordered by
+    a hash permutation — reproducible anywhere md5 exists, no RNG state
+    (ops/sampling.py). The per-stratum window gets WindowGroupLimit
+    pushdown, so no global sort."""
+    from ..ops.sampling import stratified_sample_deterministic
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_deterministic(docs, ["lang"], 20, "doc_id").select(
+        "doc_id", "lang"
+    )

@@ -541,3 +541,17 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality_score") >= 0.2)
         .select("doc_id", "lang", "n_tokens", "quality_score")
     )
+
+
+@query("similarity_topk_ivf_trained", oracle=None, tags=("llm", "similarity", "ivf"))
+def similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF path: train a k-means codebook on the corpus (Lloyd's,
+    deterministic init), then probe the 2 nearest cells per query.
+    Approximate (recall tuned by nprobe) -> rows-only; recall vs brute
+    force is pinned in tests/test_ann_quality.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = S.kmeans_fit(emb, k=8, max_iter=5)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return S.ivf_topk_trained(emb, queries, centroids, k=10, nprobe=2)

@@ -62,3 +62,68 @@ def test_ivf_recall_equals_same_label_fraction(spark, sf_dir):
     assert exact_pairs & ivf_pairs == same_label
     r = _recall(ivf, exact)
     assert abs(r - len(same_label) / len(exact_pairs)) < 1e-9
+
+
+def test_kmeans_shrinks_inertia_and_assigns_all(spark, sf_dir):
+    from dbt_omnata_push_spark.engine.catalog import load_table
+    from dbt_omnata_push_spark.llmops.similarity import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def inertia(centroids):
+        assigned = assign_clusters(emb, centroids)
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+        return assigned.select(
+            F.sum(F.array_min(F.array(*dists))).alias("i")
+        ).collect()[0]["i"]
+
+    init = kmeans_fit(emb, k=4, max_iter=1)
+    trained = kmeans_fit(emb, k=4, max_iter=8)
+    assert inertia(trained) <= inertia(init) + 1e-9
+    n = emb.count()
+    assigned = assign_clusters(emb, trained)
+    assert assigned.filter(F.col("cluster").isNull()).count() == 0
+    assert assigned.count() == n
+    assert assigned.select("cluster").distinct().count() <= 4
+
+
+def test_trained_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from dbt_omnata_push_spark.engine.catalog import load_table
+    from dbt_omnata_push_spark.llmops.similarity import (
+        brute_force_topk,
+        ivf_topk_trained,
+        kmeans_fit,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    centroids = kmeans_fit(emb, k=8, max_iter=5)
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_topk_trained(emb, queries, centroids, k=10, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # nprobe=2 of 8 cells; structured testdata clusters keep recall high
+    assert recall >= 0.5, recall
