@@ -506,3 +506,73 @@ def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample_deterministic(docs, ["lang"], 20, "doc_id").select(
         "doc_id", "lang"
     )
+
+
+@query(
+    "customer_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frame (running sum per customer) — exact decimal
+    accumulation, unique (date, orderkey) ordering."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "events_value_delta",
+    oracle="""
+    SELECT event_id, user_id, delta_cents, next_cents FROM (
+      SELECT event_id, user_id,
+             CAST(FLOOR(value * 100) AS BIGINT)
+               - CAST(FLOOR(LAG(value) OVER w * 100) AS BIGINT) AS delta_cents,
+             CAST(FLOOR(LEAD(value) OVER w * 100) AS BIGINT) AS next_cents
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE delta_cents IS NOT NULL AND next_cents IS NOT NULL
+    """,
+    tags=("window", "lag", "lead"),
+)
+def events_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-user event streams (integer-ized cents so the
+    arithmetic is exact). Interior rows only: a NULL-able bigint column
+    turns into float64/NaN on the oracle's pandas side and can't
+    hash-match, so first/last-row NULL semantics live in unit tests."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    lag_cents = F.floor(F.lag("value").over(w) * 100).cast("bigint")
+    lead_cents = F.floor(F.lead("value").over(w) * 100).cast("bigint")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            (cents - lag_cents).alias("delta_cents"),
+            lead_cents.alias("next_cents"),
+        )
+        .filter(
+            F.col("delta_cents").isNotNull() & F.col("next_cents").isNotNull()
+        )
+    )

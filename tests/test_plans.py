@@ -61,3 +61,34 @@ def test_topk_window_is_partitioned(spark, sf_dir):
     assert "windowspecdefinition(o_custkey" in plan  # partitioned by key
     # rank<=3 pushed below the window as a group-limit (no full rank pass)
     assert "WindowGroupLimit" in plan
+
+
+def test_asof_join_single_keyed_shuffle_no_nested_loop(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["events_asof_last_error"].fn(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    # the merge window is partitioned by the join key, never global
+    assert "Window" in plan
+
+
+def test_range_join_is_hash_join(spark, sf_dir):
+    plan = _formatted_plan(
+        REGISTRY["events_range_join_error_window"].fn(spark, sf_dir)
+    )
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_tfidf_broadcasts_doc_frequency(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["text_tfidf_top_terms"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_window_group_limit(spark, sf_dir):
+    plan = _formatted_plan(
+        REGISTRY["documents_stratified_sample"].fn(spark, sf_dir)
+    )
+    # rank<=n is pushed below the sort (WindowGroupLimit), so no stratum
+    # is fully sorted just to take its first 20 rows
+    assert "WindowGroupLimit" in plan
