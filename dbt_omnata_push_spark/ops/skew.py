@@ -41,3 +41,33 @@ def salted_agg(
             for out, (merge, _) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small side.
+
+    For a hot key holding a large fraction of ``big``, a plain shuffle
+    join sends the whole key to one task. Salting splits it over
+    ``n_salts`` tasks: big rows get a random salt, small rows are
+    exploded once per salt value, and the join key becomes (key, salt).
+    Row multiplicity is unchanged (each big row matches exactly its own
+    salt's copy). Cost: small side inflates n_salts-fold — use for
+    big x small joins where AQE's skew split can't help (e.g. the small
+    side is too large to broadcast but the big side is hot-keyed).
+    Supports inner and left joins (the left/big side is preserved).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    salted_big = big.withColumn(
+        "_salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_big.join(salted_small, [on, "_salt"], how).drop("_salt")

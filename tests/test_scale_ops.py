@@ -94,3 +94,25 @@ def test_stateful_user_profiles(spark, sf_dir):
         for r in out.collect()
     }
     assert got == expected
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from dbt_omnata_push_spark.engine.catalog import load_table
+    from dbt_omnata_push_spark.ops.skew import salted_join
+    from pyspark.sql import functions as F
+
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = od.join(cu, "o_custkey").groupBy("c_mktsegment").count()
+    salted = salted_join(od, cu, "o_custkey").groupBy("c_mktsegment").count()
+    assert {tuple(r) for r in plain.collect()} == {
+        tuple(r) for r in salted.collect()
+    }
+
+    # left join keeps unmatched big-side rows exactly once
+    cu_half = cu.filter(F.col("o_custkey") % 2 == 0)
+    plain_l = od.join(cu_half, "o_custkey", "left").count()
+    salted_l = salted_join(od, cu_half, "o_custkey", how="left").count()
+    assert plain_l == salted_l == od.count()
