@@ -544,3 +544,105 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
     )
+
+
+@query(
+    "shipping_priority_top10",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, pushed filters on every input,
+    grouped revenue, global top-10 (TakeOrderedAndProject, no full
+    sort). Exact decimal revenue with unique orderkey tiebreak."""
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .join(li, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "order_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+    tags=("semi-join", "agg"),
+)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS -> left-semi join with a
+    non-equi conjunct, then grouped count."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    semi = od.join(
+        li,
+        (od.o_orderkey == li.l_orderkey) & (li.l_shipdate > od.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "shipmode_priority_buckets",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate < o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_returnflag
+    """,
+    tags=("join", "case", "agg"),
+)
+def shipmode_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join with a date-arithmetic predicate, CASE/IN
+    bucketed conditional counts."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            < F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
