@@ -91,3 +91,98 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(decode_batch, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, decode_stub: bool = True
+) -> DataFrame:
+    """Resize stage: binary -> binary with target-dimension metadata.
+
+    One-to-one over Arrow batches; the stub 'resample' truncates/repeats
+    payload bytes to width*height deterministically, standing in for a
+    PIL resize. The schema, batch shape, and partition behavior are what
+    a real decoder would use unchanged.
+    """
+    import pandas as pd
+
+    target = width * height
+
+    def resize_batch(batches):
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image resize requires PIL; install and replace "
+                    "this stub (see llmops/multimodal.py)"
+                )
+            resized = pdf["payload"].map(
+                lambda b: (b * (target // max(len(b), 1) + 1))[:target]
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": resized,
+                    "mime": pdf["mime"],
+                    "n_bytes": resized.map(len),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(resize_batch, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, decode_stub: bool = True
+) -> DataFrame:
+    """Frame sampling: one media row -> n_frames frame rows (one-to-many
+    inside mapInPandas — the output batch is longer than the input, the
+    Arrow contract that a real ffmpeg frame extractor needs).
+
+    The stub slices the payload into n_frames even chunks standing in
+    for decoded frames; real code swaps the slicer for ffmpeg keyframe
+    extraction and nothing else changes.
+    """
+    import pandas as pd
+
+    def frames_batch(batches):
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg; install and "
+                    "replace this stub (see llmops/multimodal.py)"
+                )
+            rows = {"media_id": [], "frame_idx": [], "frame_payload": [], "n_bytes": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                step = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = payload[i * step : (i + 1) * step]
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_payload"].append(chunk)
+                    rows["n_bytes"].append(len(chunk))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(frames_batch, FRAME_SCHEMA)

@@ -555,3 +555,30 @@ def similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return S.ivf_topk_trained(emb, queries, centroids, k=10, nprobe=2)
+
+
+@query("multimodal_frame_sample", oracle=None, tags=("llm", "multimodal"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage: one media row -> 4 frame rows through a
+    one-to-many mapInPandas (stubbed slicer; the Arrow batch contract is
+    the real ffmpeg shape). Rows-only: binary payloads don't hash via
+    the oracle path; shape/determinism pinned in
+    tests/test_multimodal_stages.py."""
+    from ..llmops import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.documents_as_media(docs)
+    frames = M.sample_frames(media, n_frames=4)
+    return frames.select("media_id", "frame_idx", "n_bytes")
+
+
+@query("multimodal_resize", oracle=None, tags=("llm", "multimodal"))
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: binary->binary with dimension metadata (stubbed
+    resampler behind the same mapInPandas plumbing a PIL decode uses)."""
+    from ..llmops import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.documents_as_media(docs)
+    resized = M.resize_media(media, width=32, height=32)
+    return resized.select("media_id", "width", "height", "n_bytes")
