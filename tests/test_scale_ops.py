@@ -116,3 +116,37 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     plain_l = od.join(cu_half, "o_custkey", "left").count()
     salted_l = salted_join(od, cu_half, "o_custkey", how="left").count()
     assert plain_l == salted_l == od.count()
+
+
+def test_partitioned_write_prunes_at_plan_time(spark, sf_dir, tmp_path):
+    from dbt_omnata_push_spark.engine.catalog import load_table
+    from dbt_omnata_push_spark.ops.partitioning import (
+        read_pruned,
+        write_partitioned,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path, ["day"])
+
+    some_day = ev.select("day").first()["day"]
+    pruned = read_pruned(spark, path, day=some_day)
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "isnotnull(day" in plan
+    # pruned read touches exactly the one partition's rows
+    expected = ev.filter(F.col("day") == some_day).count()
+    assert pruned.count() == expected
+
+    # small-file hygiene: each hive partition dir holds one data file
+    import glob
+    import os
+
+    days = glob.glob(os.path.join(path, "day=*"))
+    assert days
+    for d in days:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d
