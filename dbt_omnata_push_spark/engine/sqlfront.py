@@ -15,7 +15,16 @@ transpiler and not a Catalyst extension.
 | ``ARRAY_CONSTRUCT(a, b)``            | ``array(a, b)``                   |
 | ``ARRAY_AGG(x)``                     | ``collect_list(x)``               |
 | ``UUID_STRING()``                    | ``uuid()``                        |
+| ``IFF(c, a, b)``                     | ``if(c, a, b)``                   |
+| ``DATEADD(part, n, expr)``           | ``timestampadd(part, n, expr)``   |
+| ``LISTAGG(x, d)``                    | ``array_join(collect_list(x), d)``|
+| ``TO_VARCHAR(x)``                    | ``CAST(x AS STRING)``             |
 | ``over (partition by null order by null)`` | ``over (order by monotonically_increasing_id())`` |
+
+(IFF/DATEADD/LISTAGG/TO_VARCHAR exceed the reference's own surface —
+they are the most common Snowflake idioms in user model SQL that would
+be pointed at this engine; NVL/COALESCE/CURRENT_TIMESTAMP parse
+natively in Spark and need no rewrite.)
 
 The last rewrite preserves semantics but NOT scale (single-partition
 window): engine code paths use ops.rownum.with_global_index instead;
@@ -58,7 +67,31 @@ _FUNC_RES = {
     "ARRAY_CONSTRUCT": re.compile(r"\barray_construct\s*\(", re.IGNORECASE),
     "ARRAY_AGG": re.compile(r"\barray_agg\s*\(", re.IGNORECASE),
     "UUID_STRING": re.compile(r"\buuid_string\s*\(\s*\)", re.IGNORECASE),
+    "IFF": re.compile(r"\biff\s*\(", re.IGNORECASE),
+    "DATEADD": re.compile(r"\bdateadd\s*\(", re.IGNORECASE),
+    "LISTAGG": re.compile(r"\blistagg\s*\(", re.IGNORECASE),
+    "TO_VARCHAR": re.compile(r"\bto_varchar\s*\(", re.IGNORECASE),
 }
+
+
+def _split_top_level_args(args: str) -> list[str]:
+    """Split a call's argument text on top-level commas (quote/paren aware)."""
+    parts, depth, start, quote = [], 0, 0, None
+    for i, c in enumerate(args):
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(args[start:i].strip())
+            start = i + 1
+    parts.append(args[start:].strip())
+    return parts
 _GLOBAL_WINDOW_RE = re.compile(
     r"over\s*\(\s*partition\s+by\s+null\s+order\s+by\s+null\s*\)", re.IGNORECASE
 )
@@ -138,6 +171,24 @@ def _rewrite_funcs(sql: str) -> str:
     sql = replace_call(sql, _FUNC_RES["PARSE_JSON"], lambda a: a.strip())
     sql = replace_call(sql, _FUNC_RES["ARRAY_CONSTRUCT"], lambda a: f"array({a})")
     sql = replace_call(sql, _FUNC_RES["ARRAY_AGG"], lambda a: f"collect_list({a})")
+    sql = replace_call(sql, _FUNC_RES["IFF"], lambda a: f"if({a})")
+
+    def dateadd(a: str) -> str:
+        part, n, expr = _split_top_level_args(a)
+        return f"timestampadd({part.strip(chr(39))}, {n}, {expr})"
+
+    sql = replace_call(sql, _FUNC_RES["DATEADD"], dateadd)
+
+    def listagg(a: str) -> str:
+        parts = _split_top_level_args(a)
+        expr = parts[0]
+        delim = parts[1] if len(parts) > 1 else "''"
+        return f"array_join(collect_list({expr}), {delim})"
+
+    sql = replace_call(sql, _FUNC_RES["LISTAGG"], listagg)
+    sql = replace_call(
+        sql, _FUNC_RES["TO_VARCHAR"], lambda a: f"CAST({a} AS STRING)"
+    )
     return sql
 
 

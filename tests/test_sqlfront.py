@@ -94,3 +94,32 @@ def test_batching_sql_shape(spark):
     )
     out = spark.sql(sql).collect()
     assert sum(len(r["batch_rows"]) for r in out) == 250
+
+
+def test_iff_dateadd_listagg_to_varchar(spark):
+    from dbt_omnata_push_spark.engine.sqlfront import transpile
+
+    sql = transpile(
+        "SELECT IFF(1 < 2, 'y', 'n') AS a, "
+        "DATEADD('day', 3, TIMESTAMP '2024-01-01 00:00:00')::date AS b, "
+        "TO_VARCHAR(42) AS c"
+    )
+    row = spark.sql(sql).collect()[0]
+    assert row["a"] == "y"
+    assert str(row["b"]) == "2024-01-04"
+    assert row["c"] == "42"
+
+
+def test_listagg_rewrite_executes(spark):
+    from dbt_omnata_push_spark.engine.sqlfront import transpile
+
+    spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k int, v string"
+    ).createOrReplaceTempView("t_listagg")
+    sql = transpile(
+        "SELECT k, LISTAGG(v, ',') AS vs FROM "
+        "(SELECT k, v FROM t_listagg ORDER BY k, v) GROUP BY k"
+    )
+    got = {r["k"]: r["vs"] for r in spark.sql(sql).collect()}
+    assert set(got[1].split(",")) == {"a", "b"}
+    assert got[2] == "c"
