@@ -262,7 +262,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .persist()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # candidate label for each node: min over neighbours' labels
         neighbour_min = (
             both.join(labels, both.b == labels.node)
@@ -280,13 +280,19 @@ def connected_components(
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        if it == 0:
+            # round 1 always changes something when any edge exists;
+            # materialize the frame without paying the comparison join
+            new_labels.count()
+            changed = 1
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
         labels.unpersist()
         labels = new_labels
         if changed == 0:

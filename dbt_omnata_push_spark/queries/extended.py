@@ -576,3 +576,47 @@ def events_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("delta_cents").isNotNull() & F.col("next_cents").isNotNull()
         )
     )
+
+
+@query(
+    "revenue_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (completes the rollup/cube family)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("gross"),
+    )
+
+
+@query(
+    "segments_intersect_building_markets",
+    oracle="""
+    SELECT c_mktsegment AS segment FROM customer WHERE c_acctbal > 0
+    INTERSECT
+    SELECT c_mktsegment FROM customer WHERE c_acctbal < 0
+    """,
+    tags=("setop", "intersect"),
+)
+def segments_intersect_building_markets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERSECT set op (segments having both positive- and
+    negative-balance customers) — completes union/except coverage."""
+    cu = load_table(spark, sf_dir, "customer")
+    pos = cu.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_mktsegment").alias("segment")
+    )
+    neg = cu.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_mktsegment").alias("segment")
+    )
+    return pos.intersect(neg)
