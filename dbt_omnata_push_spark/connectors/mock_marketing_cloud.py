@@ -17,10 +17,18 @@ from .base import MarketingCloudConnector, register_connector
 
 
 class MockMarketingCloudConnector(MarketingCloudConnector):
-    def __init__(self, stage_id: str = "abcd"):
+    def __init__(self, stage_id: str = "abcd", call_log: str | None = None):
         self.stage_id = stage_id
         self.managed: list[dict] = []
         self.imports: list[tuple] = []
+        # See MockSalesforceConnector.call_log: file-based tally because
+        # executor-side calls happen in forked Python workers.
+        self.call_log = call_log
+
+    def _tally(self, kind: str, n: int) -> None:
+        if self.call_log:
+            with open(self.call_log, "a") as f:
+                f.write(f"{kind},{n}\n")
 
     def ensure_data_extension(self, configuration):
         self.managed.append(configuration)
@@ -31,6 +39,7 @@ class MockMarketingCloudConnector(MarketingCloudConnector):
         }
 
     def stage_batch(self, rows):
+        self._tally("stage_batch", len(rows))
         return self.stage_id
 
     def start_import(self, configuration, stage_id):
@@ -41,6 +50,7 @@ class MockMarketingCloudConnector(MarketingCloudConnector):
         return True
 
     def fetch_results(self, stage_id, row_indices):
+        self._tally("fetch_results", len(row_indices))
         return [{"success": True} for _ in row_indices]
 
 

@@ -19,11 +19,20 @@ from .base import SalesforceConnector, register_connector
 
 
 class MockSalesforceConnector(SalesforceConnector):
-    def __init__(self, job_prefix: str = "750000000000001"):
+    def __init__(self, job_prefix: str = "750000000000001", call_log: str | None = None):
         self.job_prefix = job_prefix
         self._seq = itertools.count(1)
         self.created_jobs: list[dict] = []
         self.closed_jobs: list[str] = []
+        # Optional append-only file tallying executor-side calls: the
+        # connector is pickled into Python workers, so in-memory counters
+        # on the driver copy never see load_batch traffic.
+        self.call_log = call_log
+
+    def _tally(self, kind: str, n: int) -> None:
+        if self.call_log:
+            with open(self.call_log, "a") as f:
+                f.write(f"{kind},{n}\n")
 
     def create_job(self, operation, object_name, use_serial, external_id_field):
         job_id = f"{self.job_prefix}{next(self._seq):03d}"
@@ -48,6 +57,7 @@ class MockSalesforceConnector(SalesforceConnector):
         return meta
 
     def load_batch(self, job_id, records):
+        self._tally("load_batch", len(records))
         return [
             {
                 "created": True,

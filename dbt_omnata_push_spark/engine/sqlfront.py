@@ -142,7 +142,10 @@ def _rewrite_casts(sql: str) -> str:
         if m.group(2) and ty == "string":
             pass  # varchar(100) -> string (length is metadata only)
         elif m.group(2):
-            ty = f"{ty}{m.group(2).replace(' ', '')}" if ty.startswith("decimal") else ty
+            if ty.startswith("decimal"):
+                # number(10,2) -> decimal(10,2): the explicit precision
+                # replaces the bare-`number` default of decimal(38,0).
+                ty = f"decimal{m.group(2).replace(' ', '')}"
         start = _find_expr_start(sql, m.start())
         expr = sql[start : m.start()].strip()
         sql = f"{sql[:start]}CAST({expr} AS {ty}){sql[m.end():]}"

@@ -164,7 +164,12 @@ def _salesforce_bulk_load(engine, model, records: DataFrame, legacy=False) -> Ru
                 {"row_idx": pdf["row_idx"], "record": recs, "result": results}
             )
 
-    pushed = indexed.mapInPandas(push_batches, _PUSH_SCHEMA)
+    # Persist + materialize before the merge: merge_upsert evaluates its
+    # source twice (distinct-keys subtree + union subtree); without a
+    # materialized barrier every record would be pushed to the remote API
+    # twice per run.
+    pushed = indexed.mapInPandas(push_batches, _PUSH_SCHEMA).persist()
+    n = pushed.count()
     logs = pushed.select(
         F.lit(job_id).alias("job_id"),
         # deterministic id (reference: UUID_STRING(), line 40) so task
@@ -183,9 +188,7 @@ def _salesforce_bulk_load(engine, model, records: DataFrame, legacy=False) -> Ru
     engine.store.merge_upsert(
         spark, tracking.SFDC_LOAD_TASK_LOGS, logs, "job_log_entry_id"
     )
-    n = engine.store.read(spark, tracking.SFDC_LOAD_TASK_LOGS).filter(
-        F.col("job_id") == job_id
-    ).count()
+    pushed.unpersist()
 
     # (4) close job + UPDATE...FROM (salesforce_bulk_load.sql:51-56).
     close_meta = connector.close_job(job_id)
@@ -235,7 +238,12 @@ def _marketing_cloud_upload(engine, model, records: DataFrame) -> RunResult:
     # (2) global 1-based numbering (upload.sql:56; zipWithIndex-style,
     # never a null-partition window) + batch-of-100 (line 57).
     batch_size = int(cfg.get("batch_size", DEFAULT_BATCH_SIZE))
-    indexed = with_global_index(records, "row_idx", one_based=True)
+    # Persist + materialize the index assignment: it feeds two separate
+    # actions (staging and result fetch), and a recomputation across a
+    # shuffle could assign different row numbers, mis-associating per-row
+    # results with records.
+    indexed = with_global_index(records, "row_idx", one_based=True).persist()
+    n_records = indexed.count()
     batched = indexed.withColumn(
         "batch_number", F.floor(F.col("row_idx") / batch_size).cast("int")
     )
@@ -265,8 +273,19 @@ def _marketing_cloud_upload(engine, model, records: DataFrame) -> RunResult:
 
     staged = batched.groupBy("batch_number").applyInPandas(stage_batches, stage_schema)
     stage_ids = [r["stage_id"] for r in staged.select("stage_id").distinct().collect()]
-    # any_value collapse (upload.sql:64-66): the staging calls share one
-    # staged-query id per load.
+    if not stage_ids:
+        # full-refresh on an empty model: nothing staged -> no-op instead
+        # of crashing on stage_ids[0].
+        indexed.unpersist()
+        return RunResult(model.name, "skipped", message="empty load, no-op")
+    # any_value collapse (upload.sql:64-66) assumes the staging calls share
+    # ONE staged-query id per load; a connector returning per-batch ids
+    # would silently drop batches from the import, so fail loudly instead.
+    if len(stage_ids) != 1:
+        raise RuntimeError(
+            f"expected a single staged-query id per load, got {len(stage_ids)}: "
+            f"{stage_ids[:5]}"
+        )
     stage_id = stage_ids[0]
 
     # (4) import + blocking poll — driver (SFMC_AWAIT_RESULTS_POLL(
@@ -274,6 +293,7 @@ def _marketing_cloud_upload(engine, model, records: DataFrame) -> RunResult:
     handle = connector.start_import(import_params, stage_id)
     ok = connector.wait_for_import(handle)
     if not ok:
+        indexed.unpersist()
         return RunResult(model.name, "error", message="import poll failed")
 
     # (5) per-row results (SFMC_FETCH_RESULTS, upload.sql:70-84) — batched
@@ -331,8 +351,8 @@ def _marketing_cloud_upload(engine, model, records: DataFrame) -> RunResult:
     engine.store.merge_upsert(
         spark, tracking.SFMC_LOAD_TASK_LOGS, logs, "job_log_entry_id"
     )
-    n = engine.store.read(spark, tracking.SFMC_LOAD_TASK_LOGS).filter(
-        F.col("job_id") == job_id
-    ).count()
     results.unpersist()
-    return RunResult(model.name, "success", rows_affected=n, extra={"job_id": job_id})
+    indexed.unpersist()
+    return RunResult(
+        model.name, "success", rows_affected=n_records, extra={"job_id": job_id}
+    )

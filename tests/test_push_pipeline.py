@@ -24,11 +24,24 @@ from .fixtures import N_ACCOUNTS, N_CONTACTS, N_DAYS, build_engine
 @pytest.fixture(scope="module")
 def engines(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("store"))
-    sf, mc = MockSalesforceConnector(), MockMarketingCloudConnector()
+    sf = MockSalesforceConnector(call_log=f"{root}/sf_calls.log")
+    mc = MockMarketingCloudConnector(call_log=f"{root}/mc_calls.log")
     engine = build_engine(spark, root, sf, mc)
     first = engine.run()
     second = engine.run()
     return engine, first, second, sf, mc
+
+
+def _tally(path):
+    counts: dict[str, int] = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                kind, n = line.strip().split(",")
+                counts[kind] = counts.get(kind, 0) + int(n)
+    except FileNotFoundError:
+        pass
+    return counts
 
 
 def _table(engine, name):
@@ -143,3 +156,48 @@ def test_singular_tests_pass(engines):
     engine.test(tasks.groupBy().count().filter(F.col("count") != 3))
     logs = _table(engine, tracking.SFDC_LOAD_TASK_LOGS)
     engine.test(logs.groupBy().count().filter(F.col("count") != 9700))
+
+
+def test_remote_calls_exactly_once(engines):
+    """Each record reaches the remote API exactly once across both runs.
+
+    Guards the persist-before-merge fix: merge_upsert evaluates its source
+    twice, so an unpersisted mapInPandas push stage would call load_batch
+    on every record twice per run (2x remote writes and API traffic)."""
+    engine, *_ = engines
+    sf = _tally(f"{engine.store.root}/sf_calls.log")
+    mc = _tally(f"{engine.store.root}/mc_calls.log")
+    assert sf.get("load_batch", 0) == N_ACCOUNTS * 2 + N_ACCOUNTS * N_DAYS  # 9700
+    assert mc.get("stage_batch", 0) == N_CONTACTS
+    assert mc.get("fetch_results", 0) == N_CONTACTS
+
+
+def test_sfmc_full_refresh_empty_model_noop(spark, tmp_path):
+    """full-refresh-marketing-cloud=true + empty model: zero batches stage,
+    so the run must no-op (skipped), not crash on stage_ids[0]."""
+    from dbt_omnata_push_spark.engine.dag import Engine
+    from dbt_omnata_push_spark.engine.model import Model
+    from dbt_omnata_push_spark.engine.store import TableStore
+
+    mc = MockMarketingCloudConnector()
+    engine = Engine(
+        spark,
+        TableStore(str(tmp_path)),
+        vars={"full-refresh-marketing-cloud": True},
+    )
+    engine.register(
+        Model(
+            "empty_contacts_load",
+            builder=lambda ctx: spark.createDataFrame([], "record string"),
+            config={
+                "materialized": "omnata_push",
+                "app": "marketing_cloud",
+                "operation": "data_extension_upload",
+                "data_extension_name": "Contacts",
+                "connector": mc,
+            },
+        )
+    )
+    results = engine.run()
+    assert results["empty_contacts_load"].status == "skipped"
+    assert len(mc.imports) == 0

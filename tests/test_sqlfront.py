@@ -15,6 +15,9 @@ def test_cast_rewrites():
     )
     assert transpile("f(a, b)::double") == "CAST(f(a, b) AS double)"
     assert transpile("col::varchar(255)") == "CAST(col AS string)"
+    assert transpile("x::number") == "CAST(x AS decimal(38,0))"
+    assert transpile("x::number(10,2)") == "CAST(x AS decimal(10,2))"
+    assert transpile("x::number(12)") == "CAST(x AS decimal(12))"
 
 
 def test_variant_path_rewrite():
