@@ -94,9 +94,13 @@ class Engine:
         sql = model.compile_sql(ctx)
         if model.config.get("dialect") == "snowflake":
             # Reference-dialect model SQL runs near-verbatim (sqlfront).
-            from .sqlfront import transpile
+            from .sqlfront import GLOBAL_ROWNUM_MARKER, resolve_global_rownum, transpile
 
             sql = transpile(sql)
+            if GLOBAL_ROWNUM_MARKER in sql:
+                # Global row numbering routes through with_global_index
+                # (no single-partition Window in the plan).
+                sql = resolve_global_rownum(self.spark, sql)
         return self.spark.sql(sql)
 
     def run(self, select: list[str] | None = None) -> dict[str, RunResult]:

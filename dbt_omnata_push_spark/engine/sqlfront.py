@@ -95,6 +95,13 @@ def _split_top_level_args(args: str) -> list[str]:
 _GLOBAL_WINDOW_RE = re.compile(
     r"over\s*\(\s*partition\s+by\s+null\s+order\s+by\s+null\s*\)", re.IGNORECASE
 )
+# row_number() over the null window -> resolved by resolve_global_rownum
+# into ops.rownum.with_global_index (no Window operator in the plan).
+_GLOBAL_ROWNUM_RE = re.compile(
+    r"row_number\s*\(\s*\)\s*over\s*\(\s*partition\s+by\s+null\s+order\s+by\s+null\s*\)",
+    re.IGNORECASE,
+)
+GLOBAL_ROWNUM_MARKER = "__global_row_number__()"
 
 
 def _find_expr_start(sql: str, cast_pos: int) -> int:
@@ -196,11 +203,102 @@ def _rewrite_funcs(sql: str) -> str:
 
 
 def transpile(sql: str) -> str:
-    """Rewrite Snowflake-dialect SQL (the reference's surface) to Spark SQL."""
+    """Rewrite Snowflake-dialect SQL (the reference's surface) to Spark SQL.
+
+    ``row_number() over (partition by null order by null)`` becomes the
+    GLOBAL_ROWNUM_MARKER, which is NOT directly runnable: callers with a
+    SparkSession must pass the result through ``resolve_global_rownum``
+    (the engine's build_df does). Other functions over the null window
+    fall back to a single-partition monotonic window — semantically
+    correct but not scale-safe, kept only so verbatim SQL executes.
+    """
     out = _PATH_RE.sub(lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", sql)
     out = _rewrite_casts(out)
     out = _rewrite_funcs(out)
+    out = _GLOBAL_ROWNUM_RE.sub(GLOBAL_ROWNUM_MARKER, out)
     out = _GLOBAL_WINDOW_RE.sub(
         "over (order by monotonically_increasing_id())", out
     )
     return out
+
+
+_IDENT_RE = re.compile(r"[A-Za-z_][\w.]*")
+_GID_COL = "__gid__"
+
+
+def _from_target(sql: str, mpos: int) -> tuple[int, int, str]:
+    """Locate the FROM relation of the SELECT containing the marker.
+
+    Forward scan from the marker tracking parenthesis depth relative to
+    the marker's position: the owning SELECT's FROM appears at depth <= 0
+    (closing parens of expression groups around the marker may take depth
+    negative); any FROM at depth > 0 belongs to a nested scalar subquery
+    in a later select item and is skipped.
+    """
+    depth = 0
+    i = mpos
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth <= 0
+            and sql[i : i + 4].lower() == "from"
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+            and (i + 4 >= n or not (sql[i + 4].isalnum() or sql[i + 4] == "_"))
+        ):
+            j = i + 4
+            while j < n and sql[j].isspace():
+                j += 1
+            m = _IDENT_RE.match(sql, j)
+            if not m:
+                raise ValueError(
+                    "global row_number() requires its SELECT to read FROM a "
+                    "named table/view (subquery FROM unsupported); "
+                    "materialize the subquery or use "
+                    "ops.rownum.with_global_index directly"
+                )
+            return j, m.end(), m.group(0)
+        i += 1
+    raise ValueError("no FROM found for global row_number() marker")
+
+
+def resolve_global_rownum(spark, sql: str) -> str:
+    """Replace GLOBAL_ROWNUM_MARKER occurrences with a dense index column.
+
+    For each SELECT using the marker, the FROM relation is swapped for a
+    temp view pre-numbered by ops.rownum.with_global_index (two narrow
+    jobs, no single-partition Window — SURVEY.md §4.1). All markers over
+    one relation share one index assignment, matching Snowflake's
+    single-window evaluation.
+    """
+    from ..ops.rownum import with_global_index
+
+    aliased: dict[str, str] = {}
+    while GLOBAL_ROWNUM_MARKER in sql:
+        mpos = sql.index(GLOBAL_ROWNUM_MARKER)
+        fs, fe, ident = _from_target(sql, mpos)
+        if ident.endswith("__gidx"):  # second marker over the same SELECT
+            alias = ident
+        elif ident in aliased:
+            alias = aliased[ident]
+        else:
+            alias = f"{ident.replace('.', '_')}__gidx"
+            try:
+                base = spark.table(ident)
+            except Exception as e:
+                raise ValueError(
+                    f"global row_number(): FROM relation '{ident}' must be a "
+                    "resolvable table/view (CTE names are not; materialize "
+                    "the CTE first)"
+                ) from e
+            with_global_index(base, _GID_COL, one_based=True).createOrReplaceTempView(
+                alias
+            )
+            aliased[ident] = alias
+        sql = sql[:fs] + alias + sql[fe:]
+        sql = sql.replace(GLOBAL_ROWNUM_MARKER, _GID_COL, 1)
+    return sql

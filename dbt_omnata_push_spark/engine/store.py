@@ -6,7 +6,9 @@ SURVEY.md §2.1 D2). This container has no Delta/Iceberg, so we provide a
 minimal transactional-pointer format:
 
     <root>/<table>/v=<N>/part-*.parquet     immutable version directories
+    <root>/<table>/v=<N>/<pcol>=<val>/...   (partitioned tables)
     <root>/<table>/_VERSION                 current version pointer
+    <root>/<table>/_META                    partition spec + schema JSON
 
 Reads resolve the pointer; rewrites (merge/overwrite) write v=N+1 and
 atomically swap the pointer, so a reader never observes a half-written
@@ -15,6 +17,14 @@ engine; the reference likewise assumes one dbt run at a time — its
 random temp-table suffixes, macros/random.sql:1-3, exist for the same
 reason).
 
+Partitioned tables make MERGE O(touched partitions) instead of O(table):
+only partitions present in the merge source are anti-joined and
+rewritten; every other partition directory is hard-linked from the
+previous version (same bytes, new immutable version — the file-level
+analogue of Delta's replaceWhere / Iceberg's overwrite-by-filter). At
+100 TB the tracking log table is merged per run with cost proportional
+to that run's jobs, not the table's history.
+
 On a production lakehouse this module is replaced 1:1 by Delta/Iceberg
 (`MERGE INTO`, `mergeSchema`); the materialization layer only talks to
 this interface.
@@ -22,11 +32,13 @@ this interface.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 class TableStore:
@@ -40,6 +52,27 @@ class TableStore:
 
     def _version_file(self, name: str) -> str:
         return os.path.join(self._dir(name), "_VERSION")
+
+    def _meta_file(self, name: str) -> str:
+        return os.path.join(self._dir(name), "_META")
+
+    def meta(self, name: str) -> dict:
+        try:
+            with open(self._meta_file(name)) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def partition_by(self, name: str) -> str | None:
+        return self.meta(name).get("partition_by")
+
+    def _set_meta(self, name: str, partition_by: str | None, schema: StructType):
+        tmp = self._meta_file(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"partition_by": partition_by, "schema": schema.jsonValue()}, f
+            )
+        os.replace(tmp, self._meta_file(name))
 
     def current_version(self, name: str) -> int | None:
         try:
@@ -87,13 +120,33 @@ class TableStore:
 
     # -- operations -------------------------------------------------------
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.option("mergeSchema", "true").parquet(self.data_path(name))
+        reader = spark.read.option("mergeSchema", "true")
+        meta = self.meta(name)
+        if meta.get("partition_by") and meta.get("schema"):
+            # A partitioned table can have zero partition directories (a
+            # fresh empty tracking table), so the schema comes from _META
+            # rather than file inference; the partition column resolves
+            # from directory names on non-empty reads.
+            reader = reader.schema(StructType.fromJson(meta["schema"]))
+        return reader.parquet(self.data_path(name))
 
-    def create(self, spark: SparkSession, name: str, df: DataFrame) -> None:
+    def create(
+        self,
+        spark: SparkSession,
+        name: str,
+        df: DataFrame,
+        partition_by: str | None = None,
+    ) -> None:
         """CTAS (create_table_as, tracking_table_materialization.sql:18)."""
         os.makedirs(self._dir(name), exist_ok=True)
+        if partition_by is None:
+            partition_by = self.partition_by(name)  # keep spec on rebuilds
         v = (self.current_version(name) or -1) + 1
-        df.write.mode("overwrite").parquet(os.path.join(self._dir(name), f"v={v}"))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(os.path.join(self._dir(name), f"v={v}"))
+        self._set_meta(name, partition_by, df.schema)
         self._set_version(name, v)
 
     def append(self, spark: SparkSession, name: str, df: DataFrame) -> None:
@@ -101,7 +154,11 @@ class TableStore:
         if not self.exists(name):
             self.create(spark, name, df)
             return
-        df.write.mode("append").parquet(self.data_path(name))
+        pcol = self.partition_by(name)
+        writer = df.write.mode("append")
+        if pcol:
+            writer = writer.partitionBy(pcol)
+        writer.parquet(self.data_path(name))
 
     def merge_upsert(
         self, spark: SparkSession, name: str, src: DataFrame, unique_key: str
@@ -110,11 +167,20 @@ class TableStore:
 
         incremental_upsert on unique_key (tracking_table_materialization
         .sql:34) with schema widening: unionByName(allowMissingColumns)
-        reproduces expand_target_column_types (lines 31-33) for added
-        columns.
+        reproduces expand_target_column_types (lines 31-33) — Spark's
+        set-operation type coercion widens common columns (int->bigint,
+        decimal precision) and adds missing ones as nulls.
+
+        On a partitioned table, only partitions present in ``src`` are
+        anti-joined and rewritten; untouched partition directories are
+        hard-linked into the new version (O(touched) merge cost).
         """
         if not self.exists(name):
             self.create(spark, name, src)
+            return
+        pcol = self.partition_by(name)
+        if pcol and pcol in src.columns:
+            self._partition_scoped_merge(spark, name, src, unique_key, pcol)
             return
         target = self.read(spark, name)
         keys = src.select(F.col(unique_key).alias("_mk")).distinct()
@@ -123,6 +189,57 @@ class TableStore:
         )
         merged = kept.unionByName(src, allowMissingColumns=True)
         self._rewrite(spark, name, merged)
+
+    def _partition_scoped_merge(
+        self,
+        spark: SparkSession,
+        name: str,
+        src: DataFrame,
+        unique_key: str,
+        pcol: str,
+    ) -> None:
+        # Touched partition values: one per job in practice (a handful per
+        # run), so the driver-side collect is bounded by run size, not
+        # table size.
+        touched = [r[0] for r in src.select(pcol).distinct().collect()]
+        target = self.read(spark, name)
+        # isin on the partition column prunes to touched directories at
+        # scan time — the anti-join never reads untouched history.
+        kept = target.filter(F.col(pcol).isin(touched)).join(
+            src.select(F.col(unique_key).alias("_mk")).distinct(),
+            F.col(unique_key) == F.col("_mk"),
+            "left_anti",
+        )
+        merged = kept.unionByName(src, allowMissingColumns=True)
+
+        table_dir = self._dir(name)
+        v = self.current_version(name)
+        staging = os.path.join(table_dir, "_staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        merged.write.mode("overwrite").partitionBy(pcol).parquet(staging)
+
+        new_dir = os.path.join(table_dir, f"v={v + 1}")
+        shutil.rmtree(new_dir, ignore_errors=True)
+        os.makedirs(new_dir)
+        # Every touched partition appears in staging (src rows survive the
+        # union), so "dirs written to staging" IS the touched set under
+        # Spark's own value escaping.
+        staged = {
+            e for e in os.listdir(staging) if e.startswith(f"{pcol}=")
+        }
+        for entry in staged:
+            os.rename(os.path.join(staging, entry), os.path.join(new_dir, entry))
+        old_dir = os.path.join(table_dir, f"v={v}")
+        for entry in os.listdir(old_dir):
+            if entry.startswith(f"{pcol}=") and entry not in staged:
+                shutil.copytree(
+                    os.path.join(old_dir, entry),
+                    os.path.join(new_dir, entry),
+                    copy_function=os.link,  # same bytes, no data copy
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+        self._set_meta(name, pcol, merged.schema)
+        self._set_version(name, v + 1)
 
     def update_from(
         self,
@@ -154,13 +271,20 @@ class TableStore:
         )
         self._rewrite(spark, name, out)
 
-    def overwrite(self, spark: SparkSession, name: str, df: DataFrame) -> None:
+    def overwrite(
+        self,
+        spark: SparkSession,
+        name: str,
+        df: DataFrame,
+        partition_by: str | None = None,
+    ) -> None:
         """Forced rebuild (the reference's rename-to-backup/CTAS/drop dance,
         tracking_table_materialization.sql:19-27 — the version pointer swap
         makes the backup choreography unnecessary)."""
-        self._rewrite(spark, name, df) if self.exists(name) else self.create(
-            spark, name, df
-        )
+        if self.exists(name):
+            self._rewrite(spark, name, df)
+        else:
+            self.create(spark, name, df, partition_by=partition_by)
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._dir(name), ignore_errors=True)
@@ -168,7 +292,10 @@ class TableStore:
     def _rewrite(self, spark: SparkSession, name: str, df: DataFrame) -> None:
         v = self.current_version(name)
         new_v = v + 1
-        df.write.mode("overwrite").parquet(
-            os.path.join(self._dir(name), f"v={new_v}")
-        )
+        pcol = self.partition_by(name)
+        writer = df.write.mode("overwrite")
+        if pcol and pcol in df.columns:
+            writer = writer.partitionBy(pcol)
+        writer.parquet(os.path.join(self._dir(name), f"v={new_v}"))
+        self._set_meta(name, pcol if pcol in df.columns else None, df.schema)
         self._set_version(name, new_v)

@@ -57,7 +57,16 @@ def materialize_tracking_table(engine, model) -> RunResult:
     drop_var = bool(engine.vars.get("drop-omnata-task-tables", False))
     df = engine.build_df(model)
     if not engine.store.exists(model.name) or drop_var:
-        engine.store.overwrite(engine.spark, model.name, df)
+        from . import tracking as _tracking
+
+        engine.store.overwrite(
+            engine.spark,
+            model.name,
+            df,
+            partition_by=model.config.get(
+                "partition_by", _tracking.PARTITION_BY.get(model.name)
+            ),
+        )
     else:
         key = model.config.get("unique_key")
         if not key:

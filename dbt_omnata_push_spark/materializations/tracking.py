@@ -67,10 +67,25 @@ SCHEMAS: dict[str, StructType] = {
 }
 
 
+# Log tables grow by one job's worth of rows per run but are merged every
+# run; partitioning by job_id makes that merge rewrite only the new job's
+# directory (store._partition_scoped_merge) instead of the whole history.
+# Task tables stay unpartitioned: one row per job, trivially small.
+PARTITION_BY: dict[str, str] = {
+    SFDC_LOAD_TASK_LOGS: "job_id",
+    SFMC_LOAD_TASK_LOGS: "job_id",
+}
+
+
 def ensure_tracking_table(engine, name: str) -> None:
     """Create the table from its declared empty schema if missing
     (the reference forces these via '-- depends_on' edges; our push
     materializations ensure them directly)."""
     if not engine.store.exists(name):
         spark: SparkSession = engine.spark
-        engine.store.create(spark, name, spark.createDataFrame([], SCHEMAS[name]))
+        engine.store.create(
+            spark,
+            name,
+            spark.createDataFrame([], SCHEMAS[name]),
+            partition_by=PARTITION_BY.get(name),
+        )

@@ -43,8 +43,13 @@ def test_function_rewrites():
 
 
 def test_global_window_rewrite():
+    # row_number() over the null window becomes the engine marker
+    # (resolved via with_global_index — no Window operator at runtime);
+    # other functions keep the monotonic fallback.
     out = transpile("row_number() over (partition by null order by null)")
-    assert out == "row_number() over (order by monotonically_increasing_id())"
+    assert out == "__global_row_number__()"
+    out2 = transpile("count(*) over (partition by null order by null)")
+    assert out2 == "count(*) over (order by monotonically_increasing_id())"
 
 
 def test_reference_shaped_model_sql_executes(spark):
@@ -79,7 +84,11 @@ def test_reference_shaped_model_sql_executes(spark):
 
 
 def test_batching_sql_shape(spark):
-    """The SFMC staging CTE chain shape (upload.sql:56-63) after transpile."""
+    """The SFMC staging CTE chain shape (upload.sql:56-63) after transpile
+    + marker resolution: dense 1..N numbering, derived batch numbers, and
+    NO Window operator anywhere in the plan (VERDICT round 1 #3b)."""
+    from dbt_omnata_push_spark.engine.sqlfront import resolve_global_rownum
+
     spark.range(250).selectExpr("CAST(id AS string) AS record").createOrReplaceTempView(
         "recs_sf"
     )
@@ -95,8 +104,14 @@ def test_batching_sql_shape(spark):
         from data_indexed group by batch_number
         """
     )
-    out = spark.sql(sql).collect()
+    sql = resolve_global_rownum(spark, sql)
+    df = spark.sql(sql)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    out = df.collect()
     assert sum(len(r["batch_rows"]) for r in out) == 250
+    rns = sorted(int(x[0]) for r in out for x in r["batch_rows"])
+    assert rns == list(range(1, 251))  # dense, 1-based, consistent across uses
 
 
 def test_iff_dateadd_listagg_to_varchar(spark):

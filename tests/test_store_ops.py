@@ -111,3 +111,118 @@ def test_batching_shapes(spark):
     assert collected.count() == 3
     total = collected.select(F.sum(F.size("rows")).alias("s")).collect()[0]["s"]
     assert total == 250
+
+
+# -- partitioned tables ----------------------------------------------------
+
+
+def _make_partitioned(spark, store, jobs=("j1", "j2", "j3"), rows_per_job=3):
+    df = spark.createDataFrame(
+        [(j, f"{j}-{i}", f"v-{j}-{i}") for j in jobs for i in range(rows_per_job)],
+        "job_id string, entry_id string, payload string",
+    )
+    store.create(spark, "logs", df, partition_by="job_id")
+    return df
+
+
+def test_partitioned_create_read_roundtrip(spark, store):
+    _make_partitioned(spark, store)
+    out = store.read(spark, "logs")
+    assert out.count() == 9
+    assert set(out.columns) == {"job_id", "entry_id", "payload"}
+    assert store.partition_by("logs") == "job_id"
+
+
+def test_partitioned_empty_create_then_merge(spark, store):
+    """A fresh (zero-row) partitioned tracking table reads via _META schema
+    and accepts its first merge."""
+    empty = spark.createDataFrame([], "job_id string, entry_id string, payload string")
+    store.create(spark, "logs", empty, partition_by="job_id")
+    assert store.read(spark, "logs").count() == 0
+    src = spark.createDataFrame(
+        [("j1", "e1", "p1")], "job_id string, entry_id string, payload string"
+    )
+    store.merge_upsert(spark, "logs", src, "entry_id")
+    assert store.read(spark, "logs").count() == 1
+
+
+def test_partition_scoped_merge_links_untouched(spark, store):
+    """Merging one job rewrites ONE partition directory; the other
+    partitions are hard-linked bytes from the previous version (the
+    O(touched)-not-O(table) MERGE contract, VERDICT round 1 #3a)."""
+    import os
+
+    _make_partitioned(spark, store)
+    v0 = store.data_path("logs")
+    inode_of = lambda d: {
+        f: os.stat(os.path.join(d, f)).st_ino
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    }
+    j2_before = inode_of(os.path.join(v0, "job_id=j2"))
+    j3_before = inode_of(os.path.join(v0, "job_id=j3"))
+
+    src = spark.createDataFrame(
+        [("j1", "j1-0", "UPDATED"), ("j1", "j1-9", "NEW")],
+        "job_id string, entry_id string, payload string",
+    )
+    store.merge_upsert(spark, "logs", src, "entry_id")
+
+    v1 = store.data_path("logs")
+    assert v1 != v0
+    # untouched partitions: identical inodes (no data copied or rewritten)
+    assert inode_of(os.path.join(v1, "job_id=j2")) == j2_before
+    assert inode_of(os.path.join(v1, "job_id=j3")) == j3_before
+    # touched partition: fresh files
+    assert not (
+        set(inode_of(os.path.join(v1, "job_id=j1")).values())
+        & set(inode_of(os.path.join(v0, "job_id=j1")).values())
+    )
+    rows = {r["entry_id"]: r["payload"] for r in store.read(spark, "logs").collect()}
+    assert rows["j1-0"] == "UPDATED"
+    assert rows["j1-9"] == "NEW"
+    assert len(rows) == 10
+
+
+def test_partitioned_read_prunes_partitions(spark, store):
+    """A job_id filter on a partitioned table prunes at plan time: only
+    that partition's directory is scanned."""
+    _make_partitioned(spark, store)
+    plan = (
+        store.read(spark, "logs")
+        .filter(F.col("job_id") == "j2")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "job_id=j2" in plan or "PartitionFilters" in plan
+
+
+def test_merge_widens_int_to_bigint(spark, store):
+    """expand_target_column_types parity for EXISTING columns
+    (tracking_table_materialization.sql:31-33): int source merged into a
+    bigint-needing target widens instead of failing."""
+    store.create(spark, "t", spark.createDataFrame([(1, 10)], "k int, v int"))
+    store.merge_upsert(
+        spark, "t", spark.createDataFrame([(2, 2**40)], "k int, v long"), "k"
+    )
+    out = store.read(spark, "t")
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert {r["v"] for r in out.collect()} == {10, 2**40}
+
+
+def test_merge_widens_decimal_precision(spark, store):
+    from decimal import Decimal
+
+    store.create(
+        spark, "t",
+        spark.createDataFrame([(1, Decimal("1.25"))], "k int, v decimal(10,2)"),
+    )
+    store.merge_upsert(
+        spark, "t",
+        spark.createDataFrame([(2, Decimal("3.1234"))], "k int, v decimal(12,4)"),
+        "k",
+    )
+    out = store.read(spark, "t")
+    assert dict(out.dtypes)["v"] == "decimal(12,4)"
+    assert out.count() == 2
