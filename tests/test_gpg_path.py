@@ -1,9 +1,15 @@
 """Encrypted SFMC upload path (reference GPG UDTF chain redesigned as
-per-batch encryption, SURVEY.md §2.1 D8) + gpg op units."""
+per-batch encryption, SURVEY.md §2.1 D8) + gpg op units.
+
+The cipher is verified against the real GnuPG binary: a throwaway RSA
+keypair is generated with gpg, our RFC 4880 writer encrypts to its
+public key, and gpg must decrypt the result bit-exact."""
 
 from __future__ import annotations
 
 import base64
+import shutil
+import subprocess
 
 import pytest
 from pyspark.sql import functions as F
@@ -20,10 +26,83 @@ from dbt_omnata_push_spark.ops.gpg import (
 )
 
 
+_GENKEY_PARAMS = """\
+%no-protection
+Key-Type: RSA
+Key-Length: 2048
+Key-Usage: sign
+Subkey-Type: RSA
+Subkey-Length: 2048
+Subkey-Usage: encrypt
+Name-Real: Omnata Test
+Name-Email: omnata-test@example.com
+Expire-Date: 0
+%commit
+"""
+
+
+@pytest.fixture(scope="module")
+def gpg_keypair(tmp_path_factory):
+    """(homedir, armored_public_key) backed by a real GnuPG keyring."""
+    if shutil.which("gpg") is None:
+        pytest.skip("gpg binary not available")
+    home = tmp_path_factory.mktemp("gpghome")
+    home.chmod(0o700)
+    params = home / "params"
+    params.write_text(_GENKEY_PARAMS)
+    subprocess.run(
+        ["gpg", "--batch", "--homedir", str(home), "--gen-key", str(params)],
+        check=True, capture_output=True, timeout=180,
+    )
+    pub = subprocess.run(
+        ["gpg", "--homedir", str(home), "--armor", "--export"],
+        check=True, capture_output=True, timeout=60,
+    ).stdout.decode()
+    return str(home), pub
+
+
+def _gpg_decrypt(homedir: str, armored: str) -> str:
+    return subprocess.run(
+        ["gpg", "--batch", "--homedir", homedir, "--decrypt"],
+        input=armored.encode(), check=True, capture_output=True, timeout=60,
+    ).stdout.decode()
+
+
 def test_session_params_deterministic():
     a = gpg_session_params("PUBKEY")
     assert a == gpg_session_params("PUBKEY")
     assert a["key_id"] != gpg_session_params("OTHER")["key_id"]
+    assert a["real"] is False  # unparseable placeholder -> stub armor
+
+
+def test_real_key_roundtrip_via_gnupg(gpg_keypair):
+    """Our RFC 4880 writer's output decrypts bit-exact under real GnuPG,
+    targeting the encryption subkey (VERDICT round 1 #2)."""
+    home, pub = gpg_keypair
+    session = gpg_session_params(pub)
+    assert session["real"] is True
+    plaintext = "row_number,email\n1,a@example.com\n2,b@example.com\n"
+    msg = encrypt_batch(session, plaintext)
+    assert msg.startswith("-----BEGIN PGP MESSAGE-----")
+    assert "STUB" not in msg
+    assert _gpg_decrypt(home, msg) == plaintext
+    # two encryptions of the same plaintext differ (fresh session keys)
+    assert encrypt_batch(session, plaintext) != msg
+
+
+def test_real_key_targets_encryption_subkey(gpg_keypair):
+    from dbt_omnata_push_spark.ops.openpgp import parse_public_key
+
+    home, pub = gpg_keypair
+    key = parse_public_key(pub)
+    listing = subprocess.run(
+        ["gpg", "--homedir", home, "--list-keys", "--with-colons"],
+        check=True, capture_output=True, timeout=60,
+    ).stdout.decode()
+    sub_ids = [
+        line.split(":")[4] for line in listing.splitlines() if line.startswith("sub:")
+    ]
+    assert key["key_id"] in sub_ids
 
 
 def test_json_to_csv():
@@ -76,7 +155,8 @@ class CapturingMC(MockMarketingCloudConnector):
 
 
 @pytest.fixture(scope="module")
-def encrypted_engine(spark, tmp_path_factory):
+def encrypted_engine(spark, tmp_path_factory, gpg_keypair):
+    _, pub = gpg_keypair
     root = str(tmp_path_factory.mktemp("gpg_store"))
     mc = CapturingMC(str(tmp_path_factory.mktemp("staged")))
     engine = Engine(spark, TableStore(root))
@@ -104,7 +184,7 @@ def encrypted_engine(spark, tmp_path_factory):
                 "operation": "data_extension_upload",
                 "data_extension_name": "Enc DE",
                 "encrypted": True,
-                "gpg_public_key": "TESTKEY",
+                "gpg_public_key": pub,
                 "connector": mc,
             },
             depends_on=["contacts_small"],
@@ -140,3 +220,19 @@ def test_encrypted_payloads_are_armored_batches(encrypted_engine):
     for rows in payloads:
         assert len(rows) == 1  # [batch_first_idx, armored_payload]
         assert rows[0][1].startswith("-----BEGIN PGP MESSAGE-----")
+        assert "STUB" not in rows[0][1]
+
+
+def test_encrypted_payloads_decrypt_to_batch_csv(encrypted_engine, gpg_keypair):
+    """End-to-end: each staged payload decrypts (real GnuPG) to the CSV
+    block for that batch, with per-original-row numbering intact."""
+    home, _ = gpg_keypair
+    _, _, mc = encrypted_engine
+    seen_rows = 0
+    for rows in mc.payloads():
+        csv_text = _gpg_decrypt(home, rows[0][1])
+        lines = csv_text.strip().split("\n")
+        assert lines[0] == "row_number,ContactID,EmailAddress"
+        seen_rows += len(lines) - 1
+        assert all("@example.com" in l for l in lines[1:])
+    assert seen_rows == 250
