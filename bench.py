@@ -1,5 +1,9 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
+Methodology (round-over-round comparable): one uncounted warmup pass of
+the full suite (JVM/codegen/scan caches), then $SPARK_GRAFT_BENCH_REPS
+(default 3) timed passes; per-query time is the MEDIAN across passes.
+
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <scale factor>}
@@ -50,18 +54,29 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "false"},
     )
     registry = load_all()
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
-    # Warm up the JVM/codegen path once (not counted).
-    registry["pricing_summary"].fn(spark, sf_dir).count()
+    def run_pass(record: dict[str, list[float]] | None) -> None:
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            df = registry[name].fn(spark, sf_dir)
+            n = len(df.collect())
+            dt = time.perf_counter() - t0
+            if record is not None:
+                record.setdefault(name, []).append(dt)
+                print(f"# {name}: {round(dt, 3)}s ({n} rows)", file=sys.stderr)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = registry[name].fn(spark, sf_dir)
-        n = len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    # Warmup pass: JVM, codegen, file listings — not counted.
+    run_pass(None)
+    samples: dict[str, list[float]] = {}
+    for _ in range(reps):
+        run_pass(samples)
 
+    timings = {
+        name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
+    }
+    for name, t in timings.items():
+        print(f"# median {name}: {t}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

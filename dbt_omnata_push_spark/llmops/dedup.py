@@ -242,12 +242,14 @@ def connected_components(
     Returns (node, component) where component = min node id reachable.
     Each iteration is one shuffle (join on node + min-agg); convergence
     needs O(component diameter) rounds — near-dup clusters are shallow
-    (stars around a canonical doc), so 3-4 rounds typical. Label frames
-    are persisted per round and checked for a fixpoint with a count of
-    changed labels; at cluster scale swap the count action for an
-    accumulator. GraphX/GraphFrames would give the same algorithm but
-    pulls in an RDD API dependency for no gain at this shape.
+    (stars around a canonical doc), so 3-4 rounds typical. The fixpoint
+    check rides the materializing action itself via the Observation API
+    (a metric on the same job), so each round costs exactly one action
+    and no comparison join — scale-safe at any cluster size.
+    GraphX/GraphFrames would give the same algorithm but pulls in an RDD
+    API dependency for no gain at this shape.
     """
+    from pyspark.sql import Observation
     # Materialize the edge list once: it is read twice per iteration,
     # and recomputing an upstream pair-mining pipeline every round would
     # dominate the runtime.
@@ -269,30 +271,26 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
+        obs = Observation()
         new_labels = (
             labels.join(neighbour_min, labels.node == neighbour_min.a, "left")
             .select(
                 "node",
+                F.col("component").alias("_old"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
             )
+            .observe(
+                obs,
+                F.count_if(F.col("component") != F.col("_old")).alias("changed"),
+            )
+            .drop("_old")
             .persist()
         )
-        if it == 0:
-            # round 1 always changes something when any edge exists;
-            # materialize the frame without paying the comparison join
-            new_labels.count()
-            changed = 1
-        else:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
+        new_labels.count()  # materialize; the observed metric rides this job
+        changed = obs.get["changed"]
         labels.unpersist()
         labels = new_labels
         if changed == 0:

@@ -2,12 +2,14 @@
 
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct. The Spark-side machinery (schema, partition-preserving
-mapInPandas, Arrow batch shape) is real and tested; the actual codec
-calls are stubbed because no media libraries exist in this container —
-``decode_stub=True`` substitutes a deterministic fake feature extractor,
-and ``decode_stub=False`` raises NotImplementedError at the stage
-boundary, marking exactly where a real decoder (PIL/ffmpeg/torchaudio)
-plugs in.
+mapInPandas, Arrow batch shape) is real and tested. Codec dispatch is
+by payload magic bytes: BMP and WAV payloads run REAL pure-Python
+codecs (llmops/codecs.py — decode, luminance/RMS features,
+nearest-neighbour resize, time-sliced frames); other formats need
+PIL/ffmpeg, which this container lacks, so ``decode_stub=True``
+substitutes a deterministic fake and ``decode_stub=False`` raises
+NotImplementedError at the stage boundary, marking exactly where a
+production decoder plugs in.
 """
 
 from __future__ import annotations
@@ -67,18 +69,26 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
 
     import pandas as pd
 
+    from . import codecs
+
+    def feature(b: bytes) -> float:
+        kind = codecs.sniff(b)
+        if kind == "bmp":  # real decode: mean luma
+            return codecs.bmp_mean_luminance(b)
+        if kind == "wav":  # real decode: RMS amplitude
+            return codecs.wav_rms(b)
+        if not decode_stub:
+            raise NotImplementedError(
+                "payload is neither BMP nor WAV; real decoding requires "
+                "PIL/ffmpeg (see llmops/multimodal.py)"
+            )
+        # Deterministic fake 'feature': byte-sum norm.
+        return float(sum(b) / (len(b) or 1))
+
     def decode_batch(batches):
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decoding requires PIL/ffmpeg; install and "
-                    "replace this stub (see llmops/multimodal.py)"
-                )
             payloads = pdf["payload"]
-            # Deterministic fake 'feature': byte-sum norm + content digest.
-            norms = payloads.map(
-                lambda b: float(sum(b) / (len(b) or 1))
-            )
+            norms = payloads.map(feature)
             digests = payloads.map(lambda b: hashlib.md5(b).hexdigest())
             yield pd.DataFrame(
                 {
@@ -129,16 +139,21 @@ def resize_media(
 
     target = width * height
 
+    from . import codecs
+
+    def resample(b: bytes) -> bytes:
+        if codecs.sniff(b) == "bmp":  # real nearest-neighbour resize
+            return codecs.resize_bmp(b, width, height)
+        if not decode_stub:
+            raise NotImplementedError(
+                "payload is not BMP; real resize requires PIL "
+                "(see llmops/multimodal.py)"
+            )
+        return (b * (target // max(len(b), 1) + 1))[:target]
+
     def resize_batch(batches):
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real image resize requires PIL; install and replace "
-                    "this stub (see llmops/multimodal.py)"
-                )
-            resized = pdf["payload"].map(
-                lambda b: (b * (target // max(len(b), 1) + 1))[:target]
-            )
+            resized = pdf["payload"].map(resample)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -167,18 +182,24 @@ def sample_frames(
     """
     import pandas as pd
 
+    from . import codecs
+
+    def slices(payload: bytes) -> list[bytes]:
+        if codecs.sniff(payload) == "wav":  # real time-sliced segments
+            return codecs.slice_wav(payload, n_frames)
+        if not decode_stub:
+            raise NotImplementedError(
+                "payload is not WAV; real frame sampling requires ffmpeg "
+                "(see llmops/multimodal.py)"
+            )
+        step = max(len(payload) // n_frames, 1)
+        return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
+
     def frames_batch(batches):
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real frame sampling requires ffmpeg; install and "
-                    "replace this stub (see llmops/multimodal.py)"
-                )
             rows = {"media_id": [], "frame_idx": [], "frame_payload": [], "n_bytes": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                step = max(len(payload) // n_frames, 1)
-                for i in range(n_frames):
-                    chunk = payload[i * step : (i + 1) * step]
+                for i, chunk in enumerate(slices(payload)):
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(i)
                     rows["frame_payload"].append(chunk)

@@ -320,3 +320,87 @@ def ivf_topk_trained(
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "rank")
     )
+
+
+def ivf_build_index(
+    emb: DataFrame,
+    centroids: list,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Write the corpus hive-partitioned by trained cluster id.
+
+    This is the IVF "index build": at scale each cell becomes a
+    directory, so an nprobe search reads nprobe directories and never
+    scans the corpus (ops/partitioning.py discipline; VERDICT round 1
+    #4). Rebuild when the codebook is retrained."""
+    from ..ops.partitioning import write_partitioned
+
+    cells = assign_clusters(emb, centroids, vec_col)
+    write_partitioned(cells, path, ["cluster"])
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """ANN search over a cluster-partitioned index with PLAN-TIME pruning.
+
+    Probe cells are computed per query on the driver (a query batch is
+    small by definition; nprobe * #queries ints), and the scan filter
+    ``cluster IN (probed)`` prunes to those directories before any task
+    launches — the 100 TB path never lists, opens, or reads an unprobed
+    cell. Candidate ranking is the same exact-cosine top-k as
+    ivf_topk_trained."""
+    from pyspark.sql import Window
+
+    def sqdist_q(c):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(
+                F.col(q_vec_col),
+                arr,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    probes = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(sqdist_q(c).alias("d"), F.lit(j).alias("cid"))
+                    for j, c in enumerate(centroids)
+                ]
+            )
+        ),
+        1,
+        nprobe,
+    )
+    q_cells = queries.withColumn(
+        "cluster", F.explode(F.transform(probes, lambda s: s["cid"]))
+    ).persist()
+    probed = sorted({r["cluster"] for r in q_cells.select("cluster").collect()})
+
+    index = spark.read.parquet(index_path).filter(F.col("cluster").isin(probed))
+    sim = cosine(F.col(q_vec_col), F.col(vec_col))
+    scored = (
+        index.join(F.broadcast(q_cells), "cluster")
+        .filter(F.col(id_col) != F.col(q_id_col))
+        .select(q_id_col, id_col, sim.alias("sim"))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank")
+    )

@@ -557,6 +557,31 @@ def similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk_trained(emb, queries, centroids, k=10, nprobe=2)
 
 
+@query("similarity_topk_ivf_indexed", oracle=None, tags=("llm", "similarity", "ivf"))
+def similarity_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-loop IVF at scale: train a codebook, WRITE the corpus
+    hive-partitioned by cluster, then search with plan-time partition
+    pruning — only the nprobe probed cells are listed/read
+    (tests/test_ann_quality.py asserts the pruned plan). Approximate ->
+    rows-only."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = S.kmeans_fit(emb, k=8, max_iter=5)
+    index_path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    S.ivf_build_index(emb, centroids, index_path)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return S.ivf_topk_indexed(
+        spark, index_path, queries, centroids, k=10, nprobe=2
+    )
+
+
 @query("multimodal_frame_sample", oracle=None, tags=("llm", "multimodal"))
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling stage: one media row -> 4 frame rows through a

@@ -127,3 +127,46 @@ def test_trained_ivf_recall_vs_bruteforce(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     # nprobe=2 of 8 cells; structured testdata clusters keep recall high
     assert recall >= 0.5, recall
+
+
+def test_ivf_indexed_prunes_partitions_and_matches_trained(spark, sf_dir, tmp_path):
+    """The cluster-partitioned index search (a) reads ONLY the probed
+    cells — partition pruning visible in the executed plan — and (b)
+    returns exactly what the unindexed trained search returns."""
+    from dbt_omnata_push_spark.llmops.similarity import (
+        ivf_build_index,
+        ivf_topk_indexed,
+        ivf_topk_trained,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=8, max_iter=5)
+    index_path = str(tmp_path / "ivf_index")
+    ivf_build_index(emb, centroids, index_path)
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    result = ivf_topk_indexed(
+        spark, index_path, queries, centroids, k=10, nprobe=2
+    )
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    scans = re.findall(r"partition filters: \[([^\]]*)\]", plan) or re.findall(
+        r"PartitionFilters: \[([^\]]*)\]", plan
+    )
+    assert any("cluster" in s for s in scans), plan[:2000]
+    # directories actually scanned <= nprobe * n_queries distinct cells < 8
+    m = re.search(r"number of partitions read: (\d+)", plan)
+    if m:
+        assert int(m.group(1)) < 8, m.group(0)
+
+    trained = {
+        tuple(r)
+        for r in ivf_topk_trained(
+            emb, queries, centroids, k=10, nprobe=2
+        ).collect()
+    }
+    assert {tuple(r) for r in result.collect()} == trained
