@@ -122,3 +122,90 @@ def char_fingerprint(
         F.col(id_col),
         F.array_min(F.transform(grams, F.md5)).alias("fingerprint"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signal: duplicated word-bigram fraction.
+
+    Boilerplate / template / spam text repeats n-grams; high
+    rep_ratio (1 - distinct/total bigrams) is a standard pretraining
+    quality filter. Pure expressions (no shuffle — per-row arrays), one
+    int/int division so the oracle matches bit-for-bit.
+    """
+    words = F.split(F.col(text_col), " ")
+    sz = F.size(words)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), sz - 1),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )
+    n_total = F.size(bigrams)
+    n_distinct = F.size(F.array_distinct(bigrams))
+    return (
+        df.filter(sz >= 2)
+        .select(
+            F.col(id_col),
+            n_total.cast("long").alias("n_bigrams"),
+            n_distinct.cast("long").alias("n_distinct_bigrams"),
+            (F.lit(1.0) - n_distinct.cast("double") / n_total).alias("rep_ratio"),
+        )
+    )
+
+
+def regex_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pattern-count scan (the PII/boilerplate-detector shape).
+
+    Counts per document for a battery of regexes via regexp_extract_all
+    (JVM-side, codegen). Swap the battery for email/phone/SSN patterns
+    in a real PII pass — the plan shape is identical; the shipped
+    patterns are chosen to actually hit the synthetic corpus.
+    """
+    t = F.col(text_col)
+
+    def n(pattern: str):
+        return F.size(F.regexp_extract_all(t, F.lit(pattern), 0)).cast("long")
+
+    n_words = F.size(F.split(t, " "))
+    n_long = n("[a-z]{6,}")
+    return df.select(
+        F.col(id_col),
+        n_long.alias("n_long_words"),
+        n("[aeiou]{2}").alias("n_double_vowels"),
+        (n_long.cast("double") / n_words).alias("frac_long_words"),
+    )
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing word n-grams with a
+    held-out evaluation set (the filter every serious pretraining corpus
+    runs before training).
+
+    Plan shape for 100 TB: the benchmark side (test suites, eval
+    prompts) is tiny relative to the corpus, so its distinct shingles
+    BROADCAST; the corpus side explodes shingles map-side and the join
+    never shuffles corpus data. Returns (doc_id, n_shared_ngrams) for
+    contaminated docs only — anti-join against it to decontaminate.
+    """
+    from .dedup import with_shingles
+
+    bench_sh = (
+        with_shingles(benchmark, n=n)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    corpus_sh = with_shingles(corpus, n=n).select(
+        F.col(id_col), F.explode("shingles").alias("sh")
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )

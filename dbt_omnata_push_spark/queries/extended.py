@@ -620,3 +620,264 @@ def segments_intersect_building_markets(
         F.col("c_mktsegment").alias("segment")
     )
     return pos.intersect(neg)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped widening: the remaining classic plan shapes the engine
+# must get right (outer-join distributions, correlated aggregates,
+# disjunctive pushdown, having + join-back, two-dim star pairs).
+# Money math follows the oracle-determinism rules: DECIMAL(18,2) sums,
+# single divisions, unique tiebreaks.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS n_customers FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY c_count
+    """,
+    tags=("join", "agg"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count histogram over a LEFT outer join
+    (customers with zero orders must survive into the 0 bucket)."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left")
+        .groupBy(cu.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "promo_revenue_by_month",
+    oracle="""
+    SELECT month(l_shipdate) AS ship_month,
+           100 * (CAST(SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE))
+             AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY month(l_shipdate)
+    """,
+    tags=("join", "agg"),
+)
+def promo_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio, part dim broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+    total = F.sum(rev)
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            (F.lit(100) * (promo.cast("double") / total.cast("double"))).alias(
+                "promo_pct"
+            )
+        )
+    )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH stats AS (
+      SELECT l_partkey AS sp,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tot_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_li
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN stats ON l_partkey = sp
+    WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * n_li < tot_qty
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average rewritten as an
+    aggregate-then-join; the avg comparison is cleared of division
+    (qty * 2 * n < total) so both engines filter on exact decimals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_partkey").alias("sp")).agg(
+        F.sum(_dec("l_quantity")).alias("tot_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    return (
+        li.join(stats, li.l_partkey == stats.sp)
+        .filter(_dec("l_quantity") * 2 * F.col("n_li") < F.col("tot_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly"),
+        )
+    )
+
+
+@query(
+    "large_volume_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_custkey, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120
+    """,
+    tags=("join", "agg", "having"),
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped join (map-side partial agg
+    then post-aggregation filter)."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(F.sum(_dec("l_quantity")).alias("_sq"))
+        .filter(F.col("_sq") > 120)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("_sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "brand_bracket_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("join", "filter"),
+)
+def brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-bracket predicate — Catalyst
+    pushes the common join key and keeps the OR residual on the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#22") & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & q.between(20, 30))
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "returned_revenue_top_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk"),
+)
+def returned_revenue_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue ranking, global top-20 via
+    TakeOrderedAndProject (never a full sort), custkey tiebreak."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .join(li, li.l_orderkey == od.o_orderkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "nation_pair_trade",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name
+    """,
+    tags=("join", "agg"),
+)
+def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border trade volume — the nation dim joins
+    TWICE under different roles (both broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    sn = na.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = na.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )

@@ -607,3 +607,92 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.documents_as_media(docs)
     resized = M.resize_media(media, width=32, height=32)
     return resized.select("media_id", "width", "height", "n_bytes")
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    b AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(words) - 1),
+                            i -> words[i] || ' ' || words[i+1]) AS bigrams
+      FROM w WHERE len(words) >= 2
+    )
+    SELECT doc_id,
+           CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
+           1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+             AS rep_ratio
+    FROM b
+    """,
+    tags=("llm", "text"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-bigram fraction per doc (boilerplate/spam signal)."""
+    return T.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_regex_scan",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS BIGINT)
+             AS n_long_words,
+           CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT)
+             AS n_double_vowels,
+           CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS frac_long_words
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_regex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex battery scan (the PII-detector plan shape, JVM-side)."""
+    return T.regex_scan(load_table(spark, sf_dir, "documents"))
+
+
+_DECONTAM_ORACLE = """
+WITH ct AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words
+  FROM documents WHERE doc_id % 50 != 0
+),
+csh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(words) - 2),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+              ELSE [text] END AS shingles
+  FROM ct
+),
+cx AS (SELECT doc_id, unnest(shingles) AS sh FROM csh),
+bt AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words
+  FROM documents WHERE doc_id % 50 = 0
+),
+bsh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(words) - 2),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+              ELSE [text] END AS shingles
+  FROM bt
+),
+bx AS (SELECT DISTINCT unnest(shingles) AS sh FROM bsh)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+FROM cx JOIN bx USING (sh)
+GROUP BY doc_id
+"""
+
+
+@query("corpus_decontamination", oracle=_DECONTAM_ORACLE, tags=("llm", "dedup"))
+def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id % 50 != 0) sharing
+    word-3-grams with a held-out benchmark split (doc_id % 50 == 0).
+    The benchmark shingle set broadcasts — corpus data never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return T.contamination_hits(corpus, benchmark, n=3)

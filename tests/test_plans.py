@@ -92,3 +92,46 @@ def test_stratified_sample_window_group_limit(spark, sf_dir):
     # rank<=n is pushed below the sort (WindowGroupLimit), so no stratum
     # is fully sorted just to take its first 20 rows
     assert "WindowGroupLimit" in plan
+
+
+def test_brand_bracket_pushes_join_key_keeps_or_residual(spark, sf_dir):
+    """Q19 shape: the OR'd brackets must not break the broadcast equi-join
+    or the partkey pushdown; brand IN-list reaches the part scan."""
+    plan = _formatted_plan(REGISTRY["brand_bracket_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # Catalyst derives per-scan disjunctive pushdowns from the OR'd
+    # brackets: brand equalities reach the part scan, quantity ranges
+    # reach the lineitem scan.
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l for l in pushed)
+    assert any("l_quantity" in l for l in pushed)
+
+
+def test_nation_pair_trade_broadcasts_both_roles(spark, sf_dir):
+    """Q7 shape: supplier + both nation roles broadcast; facts never
+    broadcast."""
+    plan = _formatted_plan(REGISTRY["nation_pair_trade"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_returned_revenue_topk_no_global_sort(spark, sf_dir):
+    plan = _formatted_plan(
+        REGISTRY["returned_revenue_top_customers"].fn(spark, sf_dir)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # filter pushed to scan
+
+
+def test_customer_order_distribution_outer_join_preserved(spark, sf_dir):
+    plan = _formatted_plan(
+        REGISTRY["customer_order_distribution"].fn(spark, sf_dir)
+    )
+    assert "LeftOuter" in plan
+
+
+def test_decontamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark shingle set must broadcast; corpus shingles must not
+    shuffle through a sort-merge join."""
+    plan = _formatted_plan(REGISTRY["corpus_decontamination"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
