@@ -68,3 +68,81 @@ def stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_once(
         sessionless_dedup_stream(spark, sf_dir), name="stream_events_dedup_out"
     )
+
+
+@query(
+    "stream_events_sessions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, vm,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, ts, vm,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(vm) AS BIGINT) AS value_millis
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session"),
+)
+def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows in Structured Streaming
+    (F.session_window, 30-min gap); the oracle is the classic
+    gaps-and-islands rewrite — streaming sessions must equal the batch
+    definition exactly."""
+    from ..streaming.events import session_window_stream
+
+    return run_stream_once(
+        session_window_stream(spark, sf_dir, gap="30 minutes"),
+        name="stream_events_sessions_out",
+    )
+
+
+@query(
+    "stream_error_prior_clicks",
+    oracle="""
+    WITH e AS (
+      SELECT event_id AS e_id, user_id, CAST(ts AS TIMESTAMP) AS e_ts
+      FROM events WHERE event_type = 'error'
+    ),
+    c AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT e_id, CAST(COUNT(*) AS BIGINT) AS n_prior_clicks
+    FROM e JOIN c USING (user_id)
+    WHERE c_ts >= e_ts - INTERVAL 30 MINUTE AND c_ts < e_ts
+    GROUP BY e_id
+    """,
+    tags=("streaming", "join"),
+)
+def stream_error_prior_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (watermarked both sides, bounded
+    state): errors joined to the same user's clicks in the prior 30
+    minutes; the pair stream lands in the sink and the count per error
+    aggregates batch-side."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.events import error_click_join_stream
+
+    pairs = run_stream_once(
+        error_click_join_stream(spark, sf_dir, lookback="30 minutes"),
+        name="stream_error_prior_clicks_out",
+    )
+    return pairs.groupBy("e_id").agg(F.count(F.lit(1)).alias("n_prior_clicks"))

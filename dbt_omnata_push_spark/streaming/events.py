@@ -119,9 +119,81 @@ def run_stream_once(stream_df: DataFrame, name: str = "stream_out") -> DataFrame
 
 
 def _mode(df: DataFrame) -> str:
-    # Aggregated streams need complete; arbitrary-state operators need
-    # update; plain streams append.
+    # Aggregated streams need complete; arbitrary-state and
+    # session-window operators need update (session windows cannot run
+    # complete; with availableNow's single batch, update emits each
+    # final session exactly once); plain streams append.
     plan = df._jdf.queryExecution().analyzed().toString()
     if "WithState" in plan:
         return "update"
     return "complete" if "Aggregate" in plan else "append"
+
+
+def session_window_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows (the streaming form of sessionization):
+    a session closes when a user is idle for ``gap``; state is bounded
+    by the watermark. session_window merges adjacent windows inside the
+    micro-batch engine — no per-user global sort anywhere."""
+    ev = _events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias(
+                "value_millis"
+            ),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "value_millis",
+        )
+    )
+
+
+def error_click_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: for each error event, count the same
+    user's click events in the preceding ``lookback``. Both sides carry
+    watermarks and the join has explicit time bounds, so the engine can
+    expire state — the canonical bounded stream-stream join."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    # Returns the raw join pairs (append mode): a streaming aggregation
+    # stacked on a stream-stream join is a second stateful operator with
+    # its own output-mode constraints — callers aggregate the sink.
+    return errors.join(
+        clicks,
+        F.expr(
+            f"e_user = c_user AND c_ts >= e_ts - INTERVAL {lookback} "
+            "AND c_ts < e_ts"
+        ),
+    )
