@@ -102,6 +102,10 @@ _GLOBAL_ROWNUM_RE = re.compile(
     re.IGNORECASE,
 )
 GLOBAL_ROWNUM_MARKER = "__global_row_number__()"
+# QUALIFY <pred> [ORDER BY ...] [LIMIT ...] — Snowflake's post-window
+# filter, absent from OSS Spark.
+_QUALIFY_RE = re.compile(r"\bqualify\b", re.IGNORECASE)
+_QUALIFY_TAIL_RE = re.compile(r"\b(order\s+by|limit)\b", re.IGNORECASE)
 
 
 def _find_expr_start(sql: str, cast_pos: int) -> int:
@@ -215,11 +219,63 @@ def transpile(sql: str) -> str:
     out = _PATH_RE.sub(lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", sql)
     out = _rewrite_casts(out)
     out = _rewrite_funcs(out)
+    out = _rewrite_qualify(out)
     out = _GLOBAL_ROWNUM_RE.sub(GLOBAL_ROWNUM_MARKER, out)
     out = _GLOBAL_WINDOW_RE.sub(
         "over (order by monotonically_increasing_id())", out
     )
     return out
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """QUALIFY pred -> post-window filter in a wrapping SELECT.
+
+    ``<query> QUALIFY <pred> [tail]`` becomes
+    ``SELECT * EXCEPT(__q) FROM (SELECT *, (<pred>) AS __q FROM
+    (<query>)) WHERE __q [tail]`` — the predicate's window functions
+    evaluate over the inner query's output, which covers the idiomatic
+    dedupe/top-per-group uses (predicates referencing un-selected input
+    columns are not supported). Only a top-level, single QUALIFY is
+    rewritten; QUALIFY inside subqueries raises.
+    """
+    matches = [
+        m for m in _QUALIFY_RE.finditer(sql) if _depth_at(sql, m.start()) == 0
+    ]
+    if not matches:
+        if _QUALIFY_RE.search(sql):
+            raise ValueError(
+                "QUALIFY inside a subquery is not supported by the "
+                "transpiler; lift it into the outer query or filter a "
+                "window column explicitly"
+            )
+        return sql
+    m = matches[0]
+    head = sql[: m.start()].rstrip()
+    rest = sql[m.end() :]
+    tail_m = next(
+        (
+            t
+            for t in _QUALIFY_TAIL_RE.finditer(rest)
+            if _depth_at(rest, t.start()) == 0
+        ),
+        None,
+    )
+    pred = (rest[: tail_m.start()] if tail_m else rest).strip()
+    tail = rest[tail_m.start() :].strip() if tail_m else ""
+    return (
+        f"SELECT * EXCEPT(__q) FROM (SELECT *, ({pred}) AS __q FROM "
+        f"({head})) WHERE __q {tail}".strip()
+    )
+
+
+def _depth_at(sql: str, pos: int) -> int:
+    depth = 0
+    for c in sql[:pos]:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+    return depth
 
 
 _IDENT_RE = re.compile(r"[A-Za-z_][\w.]*")

@@ -141,3 +141,40 @@ def test_listagg_rewrite_executes(spark):
     got = {r["k"]: r["vs"] for r in spark.sql(sql).collect()}
     assert set(got[1].split(",")) == {"a", "b"}
     assert got[2] == "c"
+
+
+def test_qualify_rewrite_executes(spark):
+    """Snowflake QUALIFY (top-per-group dedupe idiom) runs via the
+    post-window-filter rewrite."""
+    spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "c", 5)], "k int, v string, ts int"
+    ).createOrReplaceTempView("t_qualify")
+    sql = transpile(
+        "SELECT k, v, ts FROM t_qualify "
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY ts DESC) = 1"
+    )
+    got = {(r["k"], r["v"]) for r in spark.sql(sql).collect()}
+    assert got == {(1, "b"), (2, "c")}
+    assert "__q" not in spark.sql(sql).columns
+
+
+def test_qualify_with_tail_order_limit(spark):
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(12)], "id int, k int"
+    ).createOrReplaceTempView("t_qualify2")
+    sql = transpile(
+        "SELECT id, k FROM t_qualify2 "
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY id) <= 2 "
+        "ORDER BY id LIMIT 3"
+    )
+    assert [r["id"] for r in spark.sql(sql).collect()] == [0, 1, 2]
+
+
+def test_qualify_in_subquery_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="QUALIFY inside a subquery"):
+        transpile(
+            "SELECT * FROM (SELECT k FROM t QUALIFY row_number() "
+            "OVER (ORDER BY k) = 1)"
+        )

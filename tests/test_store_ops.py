@@ -226,3 +226,24 @@ def test_merge_widens_decimal_precision(spark, store):
     out = store.read(spark, "t")
     assert dict(out.dtypes)["v"] == "decimal(12,4)"
     assert out.count() == 2
+
+
+def test_vacuum_after_partition_merge_keeps_linked_bytes(spark, store):
+    """Vacuuming the superseded version after a partition-scoped merge
+    must not corrupt the current version: hard-linked files survive the
+    old directory's removal (inode refcount, not path, owns the bytes)."""
+    _make_partitioned(spark, store)
+    store.merge_upsert(
+        spark,
+        "logs",
+        spark.createDataFrame(
+            [("j1", "j1-0", "UPDATED")],
+            "job_id string, entry_id string, payload string",
+        ),
+        "entry_id",
+    )
+    store.vacuum("logs")
+    out = {r["entry_id"]: r["payload"] for r in store.read(spark, "logs").collect()}
+    assert len(out) == 9
+    assert out["j1-0"] == "UPDATED"
+    assert out["j2-1"] == "v-j2-1"  # untouched partition still readable
