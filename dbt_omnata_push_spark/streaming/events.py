@@ -39,22 +39,28 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     # The file source needs a directory; select just the events file via
     # glob (in production this is the landing directory of the stream).
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # max_files_per_trigger splits processing into multiple micro-batches
+    # (tests use it to exercise cross-batch state merging).
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(sf_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def hourly_counts_stream(
-    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours", **source_opts
 ) -> DataFrame:
     """Tumbling 1-hour windowed counts with late-data watermark."""
-    ev = _events_stream(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir, **source_opts)
     return (
         ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
@@ -72,11 +78,11 @@ def hourly_counts_stream(
 
 
 def sliding_counts_stream(
-    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours", **source_opts
 ) -> DataFrame:
     """Sliding 1-hour window, 30-minute slide: each event contributes to
     two overlapping windows (the streaming overlap-window operator)."""
-    ev = _events_stream(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir, **source_opts)
     return (
         ev.withWatermark("ts", watermark)
         .groupBy(
@@ -91,25 +97,29 @@ def sliding_counts_stream(
 
 
 def sessionless_dedup_stream(
-    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour", **source_opts
 ) -> DataFrame:
     """Streaming exact-dedup on event_id within the watermark horizon
     (dropDuplicates with state bounded by the watermark)."""
-    ev = _events_stream(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir, **source_opts)
     return ev.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
-def run_stream_once(stream_df: DataFrame, name: str = "stream_out") -> DataFrame:
+def run_stream_once(
+    stream_df: DataFrame, name: str = "stream_out", mode: str | None = None
+) -> DataFrame:
     """Execute a streaming plan over all currently-available input
     (Trigger.AvailableNow) into a memory sink; returns the result as a
     batch DataFrame. Deterministic — used by tests and the rows-only
-    correctness entries."""
+    correctness entries. ``mode`` overrides the inferred output mode
+    (e.g. append for multi-batch watermark-eviction tests, where
+    complete would lose evicted state)."""
     spark = stream_df.sparkSession
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("append" if not stream_df.isStreaming else _mode(stream_df))
+            .outputMode(mode or _mode(stream_df))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -119,10 +129,12 @@ def run_stream_once(stream_df: DataFrame, name: str = "stream_out") -> DataFrame
 
 
 def _mode(df: DataFrame) -> str:
-    # Aggregated streams need complete; arbitrary-state and
-    # session-window operators need update (session windows cannot run
-    # complete; with availableNow's single batch, update emits each
-    # final session exactly once); plain streams append.
+    # Aggregated streams (incl. session windows) use complete — finite
+    # availableNow input, and the memory sink replaces its contents per
+    # trigger so the final table is the final state; arbitrary-state
+    # operators need update; plain streams append. Production sinks use
+    # append + watermark instead of complete (complete re-emits all
+    # state every trigger — wrong at scale).
     plan = df._jdf.queryExecution().analyzed().toString()
     if "WithState" in plan:
         return "update"
@@ -134,12 +146,13 @@ def session_window_stream(
     sf_dir: str,
     gap: str = "30 minutes",
     watermark: str = "2 hours",
+    **source_opts,
 ) -> DataFrame:
     """Gap-based session windows (the streaming form of sessionization):
     a session closes when a user is idle for ``gap``; state is bounded
     by the watermark. session_window merges adjacent windows inside the
     micro-batch engine — no per-user global sort anywhere."""
-    ev = _events_stream(spark, sf_dir)
+    ev = _events_stream(spark, sf_dir, **source_opts)
     return (
         ev.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
@@ -164,13 +177,14 @@ def error_click_join_stream(
     sf_dir: str,
     lookback: str = "30 minutes",
     watermark: str = "2 hours",
+    **source_opts,
 ) -> DataFrame:
     """Stream-stream interval join: for each error event, count the same
     user's click events in the preceding ``lookback``. Both sides carry
     watermarks and the join has explicit time bounds, so the engine can
     expire state — the canonical bounded stream-stream join."""
     clicks = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, **source_opts)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
@@ -178,7 +192,7 @@ def error_click_join_stream(
         .withWatermark("c_ts", watermark)
     )
     errors = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, **source_opts)
         .filter(F.col("event_type") == "error")
         .select(
             F.col("event_id").alias("e_id"),

@@ -65,3 +65,83 @@ def test_stream_ingest_exactly_once(spark, sf_dir, tmp_path):
     replay = load_table(spark, sf_dir, "events").limit(100)
     ingest_batch(spark, store, "events_ingest", replay, batch_id=0)
     assert store.read(spark, "events_ingest").count() == n_src
+
+
+def _multi_file_events(spark, sf_dir, tmp_path, n_files=4):
+    """Copy events into n time-ordered files so maxFilesPerTrigger=1
+    yields n micro-batches arriving in event-time order. The file source
+    picks up files oldest-mtime-first, so mtimes are pinned in range
+    order (part-00000 = earliest ts range) — otherwise arrival order is
+    arbitrary and older batches would be dropped as late data."""
+    import glob
+    import os
+    import time
+
+    ev = spark.read.option("mergeSchema", "true").parquet(f"{sf_dir}/events.parquet")
+    out = str(tmp_path / "events_stream")
+    ev.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(out)
+    base = time.time() - 3600
+    for i, path in enumerate(sorted(glob.glob(f"{out}/part-*.parquet"))):
+        os.utime(path, (base + i * 60, base + i * 60))
+    return out
+
+
+def test_session_stream_multibatch_state_merge(spark, sf_dir, tmp_path):
+    """Session aggregation across 4 micro-batches (append mode): every
+    session the watermark has closed must be emitted exactly as the
+    single-pass result computes it — sessions spanning batch boundaries
+    merge in the state store before emission. Sessions still open at the
+    final watermark are legitimately withheld (the watermark never jumps
+    to infinity), so the comparison is on the closed prefix."""
+    import datetime
+
+    from dbt_omnata_push_spark.streaming.events import (
+        run_stream_once,
+        session_window_stream,
+    )
+
+    src = _multi_file_events(spark, sf_dir, tmp_path)
+    multi = run_stream_once(
+        session_window_stream(
+            spark, src, glob="*.parquet", max_files_per_trigger=1
+        ),
+        name="sess_multi",
+        mode="append",
+    )
+    single = run_stream_once(
+        session_window_stream(spark, sf_dir), name="sess_single"
+    )
+    key = lambda df: {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in df.collect()
+    }
+    multi_k, single_k = key(multi), key(single)
+    # append output is a subset: nothing fabricated, nothing double-emitted
+    assert multi_k <= single_k
+    assert multi.count() == len(multi_k)
+    # and it is exactly the closed prefix: every single-pass session that
+    # ended before the final watermark (max ts - 2h delay) was emitted
+    max_ts = max(r["session_end"] for r in single.collect())
+    watermark = max_ts - datetime.timedelta(hours=2, minutes=30)
+    closed = {k for k in single_k if k[2] < watermark}
+    assert closed <= multi_k
+    assert len(multi_k) >= len(closed)
+
+
+def test_dedup_stream_multibatch_state(spark, sf_dir, tmp_path):
+    """dropDuplicates state persists across micro-batches: total output
+    equals the batch-side distinct count."""
+    from dbt_omnata_push_spark.streaming.events import (
+        run_stream_once,
+        sessionless_dedup_stream,
+    )
+
+    src = _multi_file_events(spark, sf_dir, tmp_path)
+    out = run_stream_once(
+        sessionless_dedup_stream(
+            spark, src, glob="*.parquet", max_files_per_trigger=1
+        ),
+        name="dedup_multi",
+    )
+    batch = load_table(spark, sf_dir, "events")
+    assert out.count() == batch.select("event_id").distinct().count()
