@@ -50,5 +50,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import llm  # noqa: F401
     from . import streaming_q  # noqa: F401
     from . import extended  # noqa: F401
+    from . import tpch  # noqa: F401
 
     return REGISTRY
