@@ -1,0 +1,122 @@
+"""Training-batch assembly operators: scalable prefix sums, sequence
+packing, and seeded corpus shuffle/split.
+
+These are pipeline stages an LLM training-data build needs downstream of
+dedup/filtering (the reference pushes records to remote apps — its
+analog of "assemble the final feed" — e.g. the batched staging loop in
+marketing_cloud_data_extension_upload.sql:56-99; here the feed is token
+budget-packed training sequences instead of 100-row API batches).
+
+Scale notes:
+- Prefix sums use the same two-pass scheme as ops/rownum (range
+  partition -> per-partition window + broadcast offsets), never a
+  single-partition global window. The per-partition window is keyed by
+  spark_partition_id, so every partition computes its local cumulative
+  sum in parallel; the driver only sees #partitions rows.
+- Shuffle/split is hash-based (md5), so it is deterministic, seedable,
+  needs no global sort, and at 100 TB the split assignment is a pure
+  map stage with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from itertools import accumulate
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out: str = "prefix_sum",
+    exclusive: bool = True,
+) -> DataFrame:
+    """Global running sum of ``value_col`` in ``order_cols`` order
+    WITHOUT a single-partition window.
+
+    Two-pass: repartitionByRange gives ordered partitions; each computes
+    its local cumulative sum with a per-partition window (parallel); the
+    tiny per-partition totals are accumulated on the driver and
+    broadcast back as a literal map. ``exclusive`` yields the sum of all
+    STRICTLY preceding rows (0 for the first row) — the form sequence
+    packing needs.
+    """
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    )
+    local = ranged.withColumn("_local_sum", F.coalesce(F.sum(value_col).over(w), F.lit(0)))
+    totals = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_t"))
+        .orderBy("_pid")
+        .collect()
+    )
+    pids = [r["_pid"] for r in totals]
+    sums = [r["_t"] for r in totals]
+    offsets = dict(zip(pids, accumulate([0] + sums[:-1])))
+    if offsets:
+        mapping = F.create_map(
+            *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+        )
+        out_df = local.withColumn(
+            out, (mapping[F.col("_pid")] + F.col("_local_sum")).cast("long")
+        )
+    else:
+        out_df = local.withColumn(out, F.lit(0).cast("long"))
+    return out_df.drop("_pid", "_local_sum")
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_cols: list[str],
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end in
+    ``order_cols`` order and cut every ``budget`` tokens; a document's
+    bin is the chunk its first token lands in.
+
+    This is the streaming packing used for LLM pre-training batches
+    (deterministic, order-defined), not best-fit bin packing (which is
+    inherently sequential). bin_id = floor(exclusive_prefix / budget).
+    """
+    pref = with_prefix_sum(df, order_cols, token_col, out="_tok_before")
+    return pref.withColumn(
+        bin_col, (F.col("_tok_before") / F.lit(budget)).cast("long")
+    ).drop("_tok_before")
+
+
+def shuffle_split(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "seed42",
+    boundaries: tuple[str, str] = ("cc", "e6"),
+    hash_col: str = "shuffle_key",
+    split_col: str = "split",
+) -> DataFrame:
+    """Seeded deterministic corpus shuffle + train/val/test split.
+
+    shuffle_key = md5(seed || ':' || key) gives a uniform, seedable,
+    engine-portable ordering; the split is the hex prefix bucket
+    (2 hex chars = 256 buckets: < 'cc' -> train (~80%), < 'e6' -> val
+    (~10%), else test). Pure map stage — no shuffle, no state; writing
+    the corpus ordered by shuffle_key IS the global shuffle.
+    """
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string")))
+    bucket = F.substring(F.col(hash_col), 1, 2)
+    return df.withColumn(hash_col, h).withColumn(
+        split_col,
+        F.when(bucket < boundaries[0], F.lit("train"))
+        .when(bucket < boundaries[1], F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

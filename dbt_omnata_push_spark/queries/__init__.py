@@ -51,5 +51,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import streaming_q  # noqa: F401
     from . import extended  # noqa: F401
     from . import tpch  # noqa: F401
+    from . import training  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,169 @@
+"""Training-batch assembly queries: sequence packing, seeded corpus
+shuffle/split, and n-gram LM coverage scoring.
+
+These cover the "assemble the final training feed" stage downstream of
+dedup/quality filtering — the reference's analog is its batched staging
+loop (marketing_cloud_data_extension_upload.sql:56-99: global row
+number -> fixed-size batch key -> per-batch push); here batches are
+token-budget bins and the batch key derives from a scalable prefix sum
+instead of a single-partition row_number window.
+
+Determinism: token counts are exact integers in both engines (same
+whitespace split), the shuffle key is md5 (bit-identical), bin ids are
+floor-division of integer sums (< 2^53, exact in double), and coverage
+is a single int/int division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine.catalog import load_table
+from ..llmops import dedup as D
+from ..ops.packing import pack_sequences, shuffle_split
+from ..ops.rownum import with_ordered_global_index
+from . import query
+
+_SEED = "seed42"
+_BUDGET = 1024
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: order the corpus by a seeded hash, lay documents
+# end-to-end, cut every _BUDGET tokens. The prefix sum behind bin_id is
+# the two-pass ops/packing.with_prefix_sum — per-partition windows plus
+# broadcast offsets, never a global single-partition window.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             md5('{_SEED}:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), pref AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tok_before
+      FROM toks
+    )
+    SELECT CAST(floor(tok_before / {_BUDGET}) AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+    FROM pref
+    GROUP BY 1
+    ORDER BY bin_id
+    """,
+    tags=("llm", "training", "packing"),
+)
+def corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of the shuffled corpus into 1024-token
+    bins; per-bin document and token counts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = shuffle_split(docs, "doc_id", seed=_SEED).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.col("shuffle_key").alias("h"),
+    )
+    packed = pack_sequences(
+        toks, token_col="n_tok", budget=_BUDGET, order_cols=["h", "doc_id"]
+    )
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seeded shuffle + split: the assignment is a pure map stage (md5 bucket
+# thresholds); the global shuffle RANK uses the scale-safe ordered index
+# (range partition + per-partition numbering), not a global window.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_shuffle_split",
+    oracle=f"""
+    SELECT doc_id, split,
+           CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS shuffle_rank
+    FROM (
+      SELECT doc_id, h,
+             CASE WHEN substr(h, 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(h, 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   md5('{_SEED}:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents)
+    )
+    """,
+    tags=("llm", "training", "sampling"),
+)
+def corpus_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded corpus shuffle (md5 order) with ~80/10/10
+    train/val/test assignment and a scale-safe global shuffle rank."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = shuffle_split(docs, "doc_id", seed=_SEED)
+    ranked = with_ordered_global_index(
+        assigned, ["shuffle_key", "doc_id"], col_name="shuffle_rank"
+    )
+    return ranked.select("doc_id", "split", "shuffle_rank")
+
+
+# ---------------------------------------------------------------------------
+# N-gram LM coverage: document-frequency-weighted "commonness" of each
+# document's bigrams — a cheap LM-style fluency proxy (documents made of
+# corpus-frequent bigrams score high; OOV-heavy ones score low). The
+# gram->df table shuffles on the gram key (the correct 100 TB shape:
+# cost ~ corpus vocabulary, partial-aggregated map-side).
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_lm_coverage",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= 2
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(words) - 1),
+                         i -> words[i] || ' ' || words[i+1]))
+                  ELSE [text] END AS shingles
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+    ), grams AS (
+      SELECT doc_id, unnest(shingles) AS g FROM sh
+    ), dfreq AS (
+      SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS common_grams,
+           CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS coverage
+    FROM grams JOIN dfreq USING (g)
+    GROUP BY doc_id
+    """,
+    tags=("llm", "training", "text"),
+)
+def ngram_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram document-frequency coverage per document: the fraction of
+    its distinct bigrams that occur in >= 3 documents corpus-wide."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = (
+        D.with_shingles(docs, n=2)
+        .select("doc_id", F.explode("shingles").alias("g"))
+    )
+    dfreq = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    common = F.sum(F.when(F.col("df") >= 3, 1).otherwise(0))
+    return (
+        grams.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            common.alias("common_grams"),
+            (common.cast("double") / F.count(F.lit(1))).alias("coverage"),
+        )
+    )
