@@ -215,6 +215,116 @@ def assign_clusters(
     return emb.withColumn(out_col, best["cid"])
 
 
+def _min_sqdist(vec_col: str, centroids: list):
+    """Squared distance to the nearest of ``centroids`` (JVM expression)."""
+
+    def sqdist(c):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                arr,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return F.array_min(F.array(*[sqdist(c) for c in centroids]))
+
+
+def kmeans_parallel_init(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 3,
+    oversample: int | None = None,
+    seed: str = "kmpp",
+) -> list:
+    """k-means|| oversampling initialization (Bahmani et al.,
+    "Scalable K-Means++", VLDB 2012) — the init that holds up at 100 TB:
+    each of the few rounds is ONE distributed pass (cost scan + filtered
+    collect of ~oversample rows); nothing sequential per center, unlike
+    k-means++'s k dependent passes.
+
+    Deterministic without RNG state: the first center is the
+    md5-minimal row and per-round sampling compares an md5-derived
+    uniform against the k-means|| inclusion probability
+    min(1, oversample * d^2 / phi), so reruns and different cluster
+    sizes pick identical centers.
+
+    The ~1 + oversample*rounds weighted candidates are reduced to k
+    centers with a driver-side weighted Lloyd's pass (the candidate set
+    is tiny by construction — this is the standard k-means|| recluster
+    step, not a scale concern).
+    """
+    l = oversample or 2 * k
+    hashed = emb.withColumn(
+        "_h", F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    )
+    first = hashed.orderBy("_h").limit(1).select(vec_col).collect()
+    if not first:
+        return []
+    centers = [[float(x) for x in first[0][0]]]
+    for r in range(rounds):
+        d2 = _min_sqdist(vec_col, centers)
+        costed = hashed.withColumn(
+            "_u",
+            F.md5(F.concat(F.lit(f"{seed}:{r}:"), F.col(id_col).cast("string"))),
+        ).withColumn("_d2", d2)
+        phi = costed.agg(F.sum("_d2").alias("s")).collect()[0]["s"]
+        if not phi:  # all points coincide with a center
+            break
+        u_r = F.conv(F.substring("_u", 1, 13), 16, 10).cast("double") / float(16**13)
+        picked = (
+            costed.filter(u_r < F.lit(float(l)) * F.col("_d2") / F.lit(float(phi)))
+            .select(vec_col)
+            .collect()
+        )
+        centers.extend([float(x) for x in row[0]] for row in picked)
+    # weight candidates by how many points each one is nearest to
+    counts = {
+        row["cluster"]: row["n"]
+        for row in assign_clusters(emb, centers, vec_col)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    weights = [counts.get(i, 0) for i in range(len(centers))]
+    return _weighted_lloyds(centers, weights, k)
+
+
+def _weighted_lloyds(points: list, weights: list, k: int, iters: int = 20) -> list:
+    """Driver-side weighted k-means on the tiny k-means|| candidate set.
+    Deterministic init: the k heaviest candidates (ties by index)."""
+    if len(points) <= k:
+        return points
+    order = sorted(range(len(points)), key=lambda i: (-weights[i], i))
+    centers = [list(points[i]) for i in order[:k]]
+    for _ in range(iters):
+        sums = [[0.0] * len(points[0]) for _ in range(k)]
+        wsum = [0.0] * k
+        for p, w in zip(points, weights):
+            if w == 0:
+                continue
+            j = min(
+                range(k),
+                key=lambda c: sum((a - b) ** 2 for a, b in zip(p, centers[c])),
+            )
+            wsum[j] += w
+            for d, v in enumerate(p):
+                sums[j][d] += w * v
+        new = [
+            [s / wsum[j] for s in sums[j]] if wsum[j] else centers[j]
+            for j in range(k)
+        ]
+        if new == centers:
+            break
+        centers = new
+    return centers
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 8,
@@ -222,17 +332,22 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tol: float = 1e-7,
+    init_centroids: list | None = None,
 ) -> list:
     """Lloyd's k-means; returns the centroid list (python floats).
 
-    Deterministic init: the k lowest-id vectors (reproducible without
-    RNG state; k-means|| would be the quality upgrade at scale). Each
-    iteration: one scan for assignment + a (cluster, pos) grouped sum —
-    the shuffle carries k*dim doubles, independent of row count.
-    Empty clusters keep their previous centroid.
+    Default init: the k lowest-id vectors (reproducible without RNG
+    state); pass ``init_centroids`` (e.g. from kmeans_parallel_init) for
+    the k-means|| quality upgrade. Each iteration: one scan for
+    assignment + a (cluster, pos) grouped sum — the shuffle carries
+    k*dim doubles, independent of row count. Empty clusters keep their
+    previous centroid.
     """
-    init = emb.orderBy(id_col).limit(k).select(vec_col).collect()
-    centroids = [[float(x) for x in r[0]] for r in init]
+    if init_centroids is not None:
+        centroids = [list(c) for c in init_centroids]
+    else:
+        init = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+        centroids = [[float(x) for x in r[0]] for r in init]
     for _ in range(max_iter):
         assigned = assign_clusters(emb, centroids, vec_col)
         stats = (

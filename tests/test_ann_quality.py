@@ -170,3 +170,37 @@ def test_ivf_indexed_prunes_partitions_and_matches_trained(spark, sf_dir, tmp_pa
         ).collect()
     }
     assert {tuple(r) for r in result.collect()} == trained
+
+
+def test_kmeans_parallel_init_beats_naive(spark, sf_dir):
+    """k-means|| init: deterministic, returns k centers, and the fully
+    trained model starts from (and ends at) inertia no worse than the
+    naive first-k init's final inertia."""
+    from dbt_omnata_push_spark.engine.catalog import load_table
+    from dbt_omnata_push_spark.llmops.similarity import (
+        _min_sqdist,
+        kmeans_fit,
+        kmeans_parallel_init,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def inertia(centroids):
+        return emb.select(
+            F.sum(_min_sqdist("embedding", centroids)).alias("i")
+        ).collect()[0]["i"]
+
+    k = 8
+    init_a = kmeans_parallel_init(emb, k=k, rounds=3)
+    init_b = kmeans_parallel_init(emb, k=k, rounds=3)
+    assert init_a == init_b  # md5-driven sampling is deterministic
+    assert len(init_a) == k
+    assert len({tuple(c) for c in init_a}) == k  # distinct centers
+
+    trained_kmpp = kmeans_fit(emb, k=k, max_iter=8, init_centroids=init_a)
+    trained_naive = kmeans_fit(emb, k=k, max_iter=8)
+    # the oversampled init must not land in a worse local optimum here
+    assert inertia(trained_kmpp) <= inertia(trained_naive) * 1.05
+    # and the init itself is already competitive with naive's final fit
+    assert inertia(init_a) <= inertia(kmeans_fit(emb, k=k, max_iter=1)) * 1.5
