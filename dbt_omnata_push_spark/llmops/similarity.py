@@ -519,3 +519,86 @@ def ivf_topk_indexed(
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "rank")
     )
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    n_bands: int = 8,
+    planes_per_band: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs via banded random-hyperplane LSH —
+    the no-blocking-key scale path next to dedup_embedding_cosine's
+    label-blocked exact join.
+
+    MinHash-LSH's OR-of-ANDs amplification applied to cosine space: one
+    Arrow-batched mapInPandas pass emits (id, band, bucket) sign
+    signatures; candidate pairs are an equi-join on (band, bucket)
+    (cost ~ sum of bucket sizes squared, never all-pairs); the exact
+    cosine filter makes precision 1 against the same-threshold
+    brute-force pairs. With p = 1 - theta/pi per plane, pair recall is
+    1 - (1 - p^r)^b — ~0.999 at cosine 0.98 with r=b=8.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bands * planes_per_band))
+    weights = 1 << np.arange(planes_per_band)
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("band", LongType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+
+    def sign(batches):
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy())
+            bits = (mat @ planes) >= 0  # (n, bands*r)
+            ids = pdf[id_col].astype("int64").to_numpy()
+            frames = []
+            for band in range(n_bands):
+                chunk = bits[:, band * planes_per_band : (band + 1) * planes_per_band]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: ids,
+                            "band": np.int64(band),
+                            "bucket": chunk.dot(weights).astype("int64"),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    sig = emb.select(id_col, vec_col).mapInPandas(sign, out_schema)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+    eb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+    sim = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

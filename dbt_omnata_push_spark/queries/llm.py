@@ -426,6 +426,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_embedding_lsh", oracle=None, tags=("llm", "dedup", "similarity", "lsh"))
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane LSH — the scale
+    path when no blocking label exists (candidate generation is a
+    (band, bucket) equi-join, never all-pairs; exact-cosine verify).
+
+    Rows-only check: the threshold sits on a continuous float and the
+    banding is probabilistic; the recall bound is asserted in
+    tests/test_ann_quality.py against the brute-force pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_near_dup_pairs(emb, threshold=0.98).select(
+        "vec_a", "vec_b", F.round("sim", 6).alias("sim")
+    )
+
+
 @query("multimodal_features", oracle=None, tags=("llm", "multimodal"))
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: payload -> mapInPandas feature extraction.

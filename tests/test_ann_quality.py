@@ -204,3 +204,36 @@ def test_kmeans_parallel_init_beats_naive(spark, sf_dir):
     assert inertia(trained_kmpp) <= inertia(trained_naive) * 1.05
     # and the init itself is already competitive with naive's final fit
     assert inertia(init_a) <= inertia(kmeans_fit(emb, k=k, max_iter=1)) * 1.5
+
+
+def test_lsh_near_dup_recall_vs_bruteforce(spark, sf_dir):
+    """Banded-LSH near-dup pairs: precision 1 (subset of brute-force
+    same-threshold pairs, by the exact-cosine verify step) and recall
+    >= 0.9 (r=b=8 banding at cosine .98 is ~0.999 in expectation)."""
+    from dbt_omnata_push_spark.engine.catalog import load_table
+    from dbt_omnata_push_spark.llmops.similarity import (
+        cosine,
+        lsh_near_dup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.98)
+        .collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in lsh_near_dup_pairs(emb, threshold=0.98).collect()
+    }
+    assert got <= exact  # exact verify => no false positives
+    if exact:
+        assert len(got) / len(exact) >= 0.9
