@@ -36,6 +36,12 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "events_asof_last_error",
     "events_range_join_error_window",
+    # round 2 additions: heaviest new TPC-H shapes + training-batch ops
+    "suppliers_waiting_orders",
+    "nation_market_share",
+    "corpus_sequence_packing",
+    "ngram_lm_coverage",
+    "dedup_embedding_lsh",
 ]
 
 
