@@ -19,16 +19,16 @@ transpiler and not a Catalyst extension.
 | ``DATEADD(part, n, expr)``           | ``timestampadd(part, n, expr)``   |
 | ``LISTAGG(x, d)``                    | ``array_join(collect_list(x), d)``|
 | ``TO_VARCHAR(x)``                    | ``CAST(x AS STRING)``             |
-| ``over (partition by null order by null)`` | ``over (order by monotonically_increasing_id())`` |
+| ``row_number() over (partition by null order by null)`` | GLOBAL_ROWNUM_MARKER -> ``with_global_index`` |
 
 (IFF/DATEADD/LISTAGG/TO_VARCHAR exceed the reference's own surface —
 they are the most common Snowflake idioms in user model SQL that would
 be pointed at this engine; NVL/COALESCE/CURRENT_TIMESTAMP parse
 natively in Spark and need no rewrite.)
 
-The last rewrite preserves semantics but NOT scale (single-partition
-window): engine code paths use ops.rownum.with_global_index instead;
-the rewrite exists only so verbatim reference SQL executes.
+Any OTHER window function over the null window raises: the only faithful
+Spark plan is a single-partition Window, a silent scale-killer at 100 TB,
+and the reference's own SQL only ever uses row_number() there.
 
 VARIANT policy (SURVEY.md §1.2): records are JSON strings at SQL
 boundaries, so OBJECT_CONSTRUCT serializes and ``:"path"`` extraction
@@ -213,17 +213,28 @@ def transpile(sql: str) -> str:
     GLOBAL_ROWNUM_MARKER, which is NOT directly runnable: callers with a
     SparkSession must pass the result through ``resolve_global_rownum``
     (the engine's build_df does). Other functions over the null window
-    fall back to a single-partition monotonic window — semantically
-    correct but not scale-safe, kept only so verbatim SQL executes.
+    raise ValueError — the faithful plan would be a single-partition
+    Window, which is never acceptable at scale.
     """
     out = _PATH_RE.sub(lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", sql)
     out = _rewrite_casts(out)
     out = _rewrite_funcs(out)
     out = _rewrite_qualify(out)
     out = _GLOBAL_ROWNUM_RE.sub(GLOBAL_ROWNUM_MARKER, out)
-    out = _GLOBAL_WINDOW_RE.sub(
-        "over (order by monotonically_increasing_id())", out
-    )
+    leftover = _GLOBAL_WINDOW_RE.search(out)
+    if leftover:
+        # Any OTHER function over the null window would need a
+        # single-partition Window (all rows on one executor) — a silent
+        # scale-killer at 100 TB. The reference itself only ever uses
+        # row_number() here (macros/apps/*_upload.sql), which routes
+        # through ops.rownum.with_global_index; refuse the rest loudly.
+        raise ValueError(
+            "only row_number() is supported over (partition by null order "
+            "by null): other window functions would force a "
+            "single-partition Window plan. Rewrite with an explicit "
+            "partition/order key, or use ops.rownum.with_global_index for "
+            "global numbering."
+        )
     return out
 
 
@@ -280,6 +291,26 @@ def _depth_at(sql: str, pos: int) -> int:
 
 _IDENT_RE = re.compile(r"[A-Za-z_][\w.]*")
 _GID_COL = "__gid__"
+# Keywords that can follow a FROM relation with no alias between them;
+# any other bare identifier in that position IS an alias.
+_POST_FROM_KEYWORDS = {
+    "where", "group", "order", "limit", "having", "qualify", "join",
+    "inner", "left", "right", "full", "cross", "natural", "on", "using",
+    "union", "intersect", "except", "minus", "window",
+}
+
+
+def _has_alias_after(sql: str, fe: int) -> bool:
+    """True when an explicit alias token follows the FROM identifier at fe."""
+    j = fe
+    n = len(sql)
+    while j < n and sql[j].isspace():
+        j += 1
+    m = _IDENT_RE.match(sql, j)
+    if not m:
+        return False
+    tok = m.group(0).lower()
+    return tok == "as" or tok not in _POST_FROM_KEYWORDS
 
 
 def _from_target(sql: str, mpos: int) -> tuple[int, int, str]:
@@ -355,6 +386,13 @@ def resolve_global_rownum(spark, sql: str) -> str:
                 alias
             )
             aliased[ident] = alias
-        sql = sql[:fs] + alias + sql[fe:]
+        # Preserve qualified references (t.x): when the original FROM had
+        # no explicit alias, re-alias the swapped view back to the source
+        # name's last segment so existing qualifiers keep resolving
+        # (ADVICE r2: bare swap broke `SELECT t.x ... FROM t`).
+        replacement = alias
+        if alias != ident and not _has_alias_after(sql, fe):
+            replacement = f"{alias} AS {ident.rsplit('.', 1)[-1]}"
+        sql = sql[:fs] + replacement + sql[fe:]
         sql = sql.replace(GLOBAL_ROWNUM_MARKER, _GID_COL, 1)
     return sql

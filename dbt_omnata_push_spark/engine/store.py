@@ -204,13 +204,46 @@ class TableStore:
         touched = [r[0] for r in src.select(pcol).distinct().collect()]
         target = self.read(spark, name)
         # isin on the partition column prunes to touched directories at
-        # scan time — the anti-join never reads untouched history.
-        kept = target.filter(F.col(pcol).isin(touched)).join(
+        # scan time — the anti-join never reads untouched history. NULL
+        # partition values need an explicit isNull branch: isin() never
+        # matches NULL, and the staged __HIVE_DEFAULT_PARTITION__ dir
+        # would otherwise replace prior null-partition rows wholesale.
+        non_null = [t for t in touched if t is not None]
+        touched_pred = F.col(pcol).isin(non_null)
+        if len(non_null) < len(touched):
+            touched_pred = touched_pred | F.col(pcol).isNull()
+        kept = target.filter(touched_pred).join(
             src.select(F.col(unique_key).alias("_mk")).distinct(),
             F.col(unique_key) == F.col("_mk"),
             "left_anti",
         )
         merged = kept.unionByName(src, allowMissingColumns=True)
+
+        # Hard-linking untouched partitions is only sound when their old
+        # parquet files still read under the merged schema. Spark 4 reads
+        # some narrower types in place (int->bigint) but not every
+        # widening (e.g. decimal precision+scale changes), so any
+        # name/type drift falls back to a full rewrite of this version.
+        old = self.meta(name).get("schema")
+        if old is not None:
+            # name->type comparison, order-insensitive: partitioned reads
+            # surface the partition column last regardless of its stored
+            # position.
+            old_types = {f.name: f.dataType for f in StructType.fromJson(old).fields}
+            new_types = {f.name: f.dataType for f in merged.schema.fields}
+            if old_types != new_types:
+                # full rewrite = anti-join over the WHOLE target (not just
+                # touched partitions) so untouched history is re-encoded
+                # under the widened schema too.
+                full_kept = target.join(
+                    src.select(F.col(unique_key).alias("_mk")).distinct(),
+                    F.col(unique_key) == F.col("_mk"),
+                    "left_anti",
+                )
+                self._rewrite(
+                    spark, name, full_kept.unionByName(src, allowMissingColumns=True)
+                )
+                return
 
         table_dir = self._dir(name)
         v = self.current_version(name)
@@ -250,26 +283,28 @@ class TableStore:
         set_cols: list[str],
     ) -> None:
         """UPDATE ... FROM (salesforce_bulk_load.sql:52-55): overwrite only
-        ``set_cols`` on matching keys, leave other rows untouched."""
+        ``set_cols`` on matching keys, leave other rows untouched.
+
+        Implemented as a MERGE of the patched rows: the inner join yields
+        the full-width matched rows with ``set_cols`` replaced, and
+        ``merge_upsert`` swaps them in. On a partitioned table that
+        routes through the partition-scoped path — untouched partitions
+        are hard-linked, so the cost is O(touched partitions), not
+        O(table) (the last O(table) write path flagged in round 2)."""
         target = self.read(spark, name)
         patch = src.select(
             F.col(unique_key).alias("_uk"),
             *[F.col(c).alias(f"_new_{c}") for c in set_cols],
         )
-        joined = target.join(patch, target[unique_key] == patch["_uk"], "left")
-        out = joined.select(
+        patched = target.join(
+            patch, target[unique_key] == patch["_uk"], "inner"
+        ).select(
             *[
-                (
-                    F.when(F.col("_uk").isNotNull(), F.col(f"_new_{c}"))
-                    .otherwise(F.col(c))
-                    .alias(c)
-                    if c in set_cols
-                    else F.col(c)
-                )
+                (F.col(f"_new_{c}").alias(c) if c in set_cols else F.col(c))
                 for c in target.columns
             ]
         )
-        self._rewrite(spark, name, out)
+        self.merge_upsert(spark, name, patched, unique_key)
 
     def overwrite(
         self,

@@ -146,27 +146,32 @@ def _parse_key_body(body: bytes) -> dict | None:
     n, pos = _read_mpi(body, 6)
     e, _ = _read_mpi(body, pos)
     fpr = hashlib.sha1(b"\x99" + struct.pack(">H", len(body)) + body).digest()
-    return {"n": n, "e": e, "key_id": fpr[-8:].hex().upper()}
+    return {"n": n, "e": e, "key_id": fpr[-8:].hex().upper(), "algo": algo}
 
 
 def parse_public_key(armored: str) -> dict:
     """Extract RSA material from an armored public key block.
 
-    Prefers the last encryption subkey (GnuPG's default layout is a
-    sign/certify primary + an encryption subkey); falls back to the
-    primary key. Returns {"n", "e", "key_id"}.
+    Prefers the last encryption-capable subkey — algorithm 1
+    (RSA encrypt-or-sign) or 2 (RSA encrypt-only); algorithm 3 subkeys
+    (RSA sign-only, RFC 4880 §9.1) are never encryption targets, so a
+    keyring whose latest subkey is a signing subkey still selects the
+    encryption subkey (ADVICE r2). Falls back to an encryption-capable
+    primary. Returns {"n", "e", "key_id", "algo"}.
     """
-    primary, subkey = None, None
+    primary, enc_subkey = None, None
     for tag, body in iter_packets(unarmor(armored)):
         if tag == 6 and primary is None:
             primary = _parse_key_body(body)
         elif tag == 14:
             parsed = _parse_key_body(body)
-            if parsed:
-                subkey = parsed
-    key = subkey or primary
+            if parsed and parsed["algo"] in (1, 2):
+                enc_subkey = parsed
+    key = enc_subkey
+    if key is None and primary and primary["algo"] in (1, 2):
+        key = primary
     if not key:
-        raise ValueError("no RSA public key packet found")
+        raise ValueError("no encryption-capable RSA key packet found")
     return key
 
 

@@ -105,6 +105,36 @@ def test_real_key_targets_encryption_subkey(gpg_keypair):
     assert key["key_id"] in sub_ids
 
 
+def test_later_signing_subkey_not_selected(gpg_keypair):
+    """ADVICE r2: a keyring whose LAST subkey is sign-only RSA must still
+    encrypt to the encryption subkey — GnuPG must decrypt the result."""
+    home, _ = gpg_keypair
+    from dbt_omnata_push_spark.ops.gpg import encrypt_batch, gpg_session_params
+    from dbt_omnata_push_spark.ops.openpgp import parse_public_key
+
+    listing = subprocess.run(
+        ["gpg", "--homedir", home, "--list-keys", "--with-colons"],
+        check=True, capture_output=True, timeout=60,
+    ).stdout.decode()
+    fpr = next(
+        line.split(":")[9] for line in listing.splitlines() if line.startswith("fpr:")
+    )
+    subprocess.run(
+        ["gpg", "--batch", "--pinentry-mode", "loopback", "--passphrase", "",
+         "--homedir", home, "--quick-add-key", fpr, "rsa2048", "sign"],
+        check=True, capture_output=True, timeout=180,
+    )
+    pub2 = subprocess.run(
+        ["gpg", "--homedir", home, "--armor", "--export"],
+        check=True, capture_output=True, timeout=60,
+    ).stdout.decode()
+    key = parse_public_key(pub2)
+    assert key["algo"] in (1, 2)
+    plaintext = "row_number,email\n1,s@example.com\n"
+    msg = encrypt_batch(gpg_session_params(pub2), plaintext)
+    assert _gpg_decrypt(home, msg) == plaintext
+
+
 def test_json_to_csv():
     csv_text = json_records_to_csv(
         [(1, '{"b": 2, "a": "x"}'), (2, '{"b": 3, "a": "y,z"}')]

@@ -45,11 +45,20 @@ def test_function_rewrites():
 def test_global_window_rewrite():
     # row_number() over the null window becomes the engine marker
     # (resolved via with_global_index — no Window operator at runtime);
-    # other functions keep the monotonic fallback.
+    # any OTHER function over the null window raises: the only faithful
+    # plan would be a single-partition Window (scale-killer at 100 TB).
     out = transpile("row_number() over (partition by null order by null)")
     assert out == "__global_row_number__()"
-    out2 = transpile("count(*) over (partition by null order by null)")
-    assert out2 == "count(*) over (order by monotonically_increasing_id())"
+    import pytest
+
+    with pytest.raises(ValueError, match="single-partition"):
+        transpile("count(*) over (partition by null order by null)")
+    with pytest.raises(ValueError, match="row_number"):
+        transpile("rank() over (partition by null  order by  null)")
+    # transpile output can therefore never contain the null window — the
+    # only survivors are the marker (Window-free after resolution) and
+    # explicit user-keyed windows.
+    assert "partition by null" not in out.lower()
 
 
 def test_reference_shaped_model_sql_executes(spark):
@@ -112,6 +121,32 @@ def test_batching_sql_shape(spark):
     assert sum(len(r["batch_rows"]) for r in out) == 250
     rns = sorted(int(x[0]) for r in out for x in r["batch_rows"])
     assert rns == list(range(1, 251))  # dense, 1-based, consistent across uses
+
+
+def test_global_rownum_preserves_qualified_refs(spark):
+    """ADVICE r2: swapping FROM t for the __gidx view must re-alias it
+    so table-qualified column references keep resolving."""
+    from dbt_omnata_push_spark.engine.sqlfront import resolve_global_rownum
+
+    spark.range(5).selectExpr("id AS x").createOrReplaceTempView("tq_sf")
+    # no explicit alias: qualified by the table name itself
+    sql = resolve_global_rownum(
+        spark,
+        transpile(
+            "select tq_sf.x, row_number() over (partition by null order by null) as rn from tq_sf"
+        ),
+    )
+    rows = spark.sql(sql).collect()
+    assert sorted(r["rn"] for r in rows) == [1, 2, 3, 4, 5]
+    # explicit alias: the alias must survive the swap untouched
+    sql2 = resolve_global_rownum(
+        spark,
+        transpile(
+            "select t.x, row_number() over (partition by null order by null) as rn from tq_sf t"
+        ),
+    )
+    rows2 = spark.sql(sql2).collect()
+    assert sorted(r["rn"] for r in rows2) == [1, 2, 3, 4, 5]
 
 
 def test_iff_dateadd_listagg_to_varchar(spark):
