@@ -3,7 +3,8 @@
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct. The Spark-side machinery (schema, partition-preserving
 mapInPandas, Arrow batch shape) is real and tested. Codec dispatch is
-by payload magic bytes: BMP and WAV payloads run REAL pure-Python
+by payload magic bytes: BMP, PNG (compressed — stdlib-zlib inflate +
+RFC 2083 scanline unfiltering) and WAV payloads run REAL pure-Python
 codecs (llmops/codecs.py — decode, luminance/RMS features,
 nearest-neighbour resize, time-sliced frames); other formats need
 PIL/ffmpeg, which this container lacks, so ``decode_stub=True``
@@ -75,11 +76,13 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
         kind = codecs.sniff(b)
         if kind == "bmp":  # real decode: mean luma
             return codecs.bmp_mean_luminance(b)
+        if kind == "png":  # real inflate+unfilter decode: mean luma
+            return codecs.png_mean_luminance(b)
         if kind == "wav":  # real decode: RMS amplitude
             return codecs.wav_rms(b)
         if not decode_stub:
             raise NotImplementedError(
-                "payload is neither BMP nor WAV; real decoding requires "
+                "payload is not BMP/PNG/WAV; real decoding requires "
                 "PIL/ffmpeg (see llmops/multimodal.py)"
             )
         # Deterministic fake 'feature': byte-sum norm.
@@ -142,11 +145,14 @@ def resize_media(
     from . import codecs
 
     def resample(b: bytes) -> bytes:
-        if codecs.sniff(b) == "bmp":  # real nearest-neighbour resize
+        kind = codecs.sniff(b)
+        if kind == "bmp":  # real nearest-neighbour resize
             return codecs.resize_bmp(b, width, height)
+        if kind == "png":  # real decode -> resample -> re-deflate
+            return codecs.resize_png(b, width, height)
         if not decode_stub:
             raise NotImplementedError(
-                "payload is not BMP; real resize requires PIL "
+                "payload is not BMP/PNG; real resize requires PIL "
                 "(see llmops/multimodal.py)"
             )
         return (b * (target // max(len(b), 1) + 1))[:target]

@@ -683,7 +683,7 @@ def promo_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
     total = F.sum(rev)
     return (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .groupBy(F.month("l_shipdate").alias("ship_month"))
         .agg(
             (F.lit(100) * (promo.cast("double") / total.cast("double"))).alias(
@@ -789,7 +789,7 @@ def brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .filter(cond)
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -869,7 +869,7 @@ def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
-        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        li.join(su, li.l_suppkey == su.s_suppkey)
         .join(od, li.l_orderkey == od.o_orderkey)
         .join(cu, od.o_custkey == cu.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))

@@ -123,8 +123,10 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cost").alias("mc")
     )
     return (
+        # mins grows with part (one row per eligible partkey) — no forced
+        # broadcast; AQE picks the strategy from runtime size.
         eligible.join(
-            F.broadcast(mins),
+            mins,
             (eligible.p_partkey == mins.mk) & (eligible.cost == mins.mc),
         )
         .join(sup, eligible.l_suppkey == sup.s_suppkey)
@@ -184,8 +186,11 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(cust, od.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(pt.filter(F.col("p_type") == "PROMO")), li.l_partkey == pt.p_partkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        # part/supplier grow linearly with scale — no forced broadcast
+        # (a hint bypasses AQE's size check and OOMs at 100x); only the
+        # bounded nation dims keep hints.
+        .join(pt.filter(F.col("p_type") == "PROMO"), li.l_partkey == pt.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
     )
     return (
@@ -244,9 +249,9 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
         "decimal(2,1)"
     )
     return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(
-            F.broadcast(pt.filter(F.col("p_name").like("%widget%"))),
+            pt.filter(F.col("p_name").like("%widget%")),
             li.l_partkey == pt.p_partkey,
         )
         .join(od, li.l_orderkey == od.o_orderkey)
@@ -291,7 +296,7 @@ def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     per_part = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(
             F.broadcast(nat.filter(F.col("n_regionkey") == 0)),
             F.col("s_nationkey") == F.col("n_nationkey"),
@@ -394,7 +399,7 @@ def supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
         )
         .join(li, pt.p_partkey == li.l_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -443,7 +448,7 @@ def excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_ps = (
         li.join(
-            F.broadcast(pt.filter(F.col("p_name").like("small%"))),
+            pt.filter(F.col("p_name").like("small%")),
             li.l_partkey == pt.p_partkey,
         )
         .groupBy("l_partkey", "l_suppkey")
@@ -535,7 +540,7 @@ def suppliers_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (per_order.n_supp >= 2)
             & (per_order.n_late == 1),
         )
-        .join(F.broadcast(sup), li_o.l_suppkey == sup.s_suppkey)
+        .join(sup, li_o.l_suppkey == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

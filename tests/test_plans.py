@@ -129,6 +129,53 @@ def test_customer_order_distribution_outer_join_preserved(spark, sf_dir):
     assert "LeftOuter" in plan
 
 
+def _broadcast_hint_subtrees(df) -> list[str]:
+    """toString() of every ResolvedHint subtree in the analyzed plan."""
+    out = []
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "ResolvedHint":
+            out.append(node.toString())
+        it = node.children().iterator()
+        while it.hasNext():
+            stack.append(it.next())
+    return out
+
+
+def test_no_forced_broadcast_on_scale_growing_tables(spark, sf_dir):
+    """VERDICT r2: a forced F.broadcast() hint bypasses AQE's size check;
+    supplier/part grow linearly with scale factor (~1e9 rows at 100 TB)
+    and the token->df vocab grows with the corpus, so no broadcast-hint
+    subtree may scan them. Bounded dims (nation, region, 1-row aggregates)
+    may keep their hints."""
+    import re
+
+    suspect = re.compile(r"/(supplier|part)\.parquet")
+    for name in (
+        "min_cost_supplier",
+        "nation_market_share",
+        "product_profit_by_nation_year",
+        "important_part_values",
+        "supplier_count_by_part",
+        "excess_inventory_suppliers",
+        "suppliers_waiting_orders",
+        "promo_revenue_by_month",
+        "brand_bracket_revenue",
+        "nation_pair_trade",
+        "text_tfidf_top_terms",
+        "supplier_regions",
+        "top_revenue_supplier",
+    ):
+        if name not in REGISTRY:
+            continue
+        for subtree in _broadcast_hint_subtrees(REGISTRY[name].fn(spark, sf_dir)):
+            assert not suspect.search(subtree), (
+                f"{name}: broadcast hint covers a scale-growing table:\n"
+                + subtree[:2000]
+            )
+
+
 def test_decontamination_broadcasts_benchmark_side(spark, sf_dir):
     """The benchmark shingle set must broadcast; corpus shingles must not
     shuffle through a sort-merge join."""
