@@ -179,6 +179,67 @@ def near_duplicate_pairs(
     )
 
 
+def duplicated_ngram_coverage(
+    df: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level duplication signal: per document, the fraction of
+    word n-gram positions whose gram occurs more than once in the corpus.
+
+    The Spark-native approximation of suffix-array substring dedup (Lee
+    et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): a suffix array is a global sort the cluster can't afford at
+    100 TB, but fixed-n gram multiplicity finds the same long duplicated
+    spans (a duplicated span of length L covers L-n+1 duplicated gram
+    positions). Every gram is md5-hashed BEFORE the shuffle so exchange
+    width is a fixed 32 chars regardless of gram length.
+
+    Plan shape: one groupBy shuffle on gram hash (map-side partial agg
+    over corpus tokens), one co-partitioned join back on the same key,
+    one groupBy on doc id, and a final left join against the doc frame.
+    Nothing is all-pairs; nothing collects.
+    """
+    words = F.split(F.col(text_col), " ")
+    sz = F.size(words)
+    grams_arr = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.md5(
+                F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(F.col(id_col), grams_arr.alias("__grams"))
+    grams = base.select(F.col(id_col), F.explode("__grams").alias("g"))
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        grams.join(counts.filter(F.col("cnt") > 1), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    n_positions = F.greatest(sz - (n - 1), F.lit(0)).cast("long")
+    return (
+        df.select(F.col(id_col), n_positions.alias("n_gram_positions"))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_gram_positions"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_positions"),
+            F.when(
+                F.col("n_gram_positions") > 0,
+                F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+                / F.col("n_gram_positions"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash: 16-bit signature built from per-word md5 nibbles. Generated as
 # a SQL string that is valid in BOTH Spark SQL and DuckDB (instr/substr/

@@ -178,6 +178,126 @@ def regex_scan(
     )
 
 
+# PII patterns shared by the scan and redaction passes. Written in the
+# common subset of Java regex (Spark) and RE2 (DuckDB oracle): character
+# classes, bounded repetition, ASCII word boundaries — no lookarounds,
+# no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+# Redaction order matters: SSN before phone (a bare \d{3}-\d{4} would
+# otherwise eat the tail of an SSN), email before ipv4 (hostnames with
+# dotted quads).
+PII_REDACTION_ORDER = ("email", "ssn", "phone", "ipv4")
+
+
+def pii_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII hit counts (email / SSN / phone / IPv4).
+
+    The standard pre-training privacy filter. Pure regexp_extract_all
+    expressions — map-side, whole-stage codegen, zero shuffle; at 100 TB
+    this is a scan-rate pass.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    total = sum(
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long")
+        for pat in PII_PATTERNS.values()
+    )
+    return df.select(F.col(id_col), *counts, total.alias("n_pii_total"))
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", out: str = "redacted"
+) -> DataFrame:
+    """Replace every PII match with a typed placeholder ('[EMAIL]', ...).
+
+    Chained regexp_replace in PII_REDACTION_ORDER so overlapping
+    patterns resolve deterministically. Map-side only — no shuffle.
+    """
+    c: Column = F.col(text_col)
+    for name in PII_REDACTION_ORDER:
+        c = F.regexp_replace(c, PII_PATTERNS[name], f"[{name.upper()}]")
+    return df.withColumn(out, c)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_words: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-width word-window chunks (the RAG/context-window
+    splitter): chunk i covers words [1 + i*stride, 1 + i*stride + chunk_words).
+
+    Chunk starts come from sequence(1, n_words, stride), so every word is
+    covered and trailing partial chunks are kept. Entirely per-row array
+    expressions followed by posexplode — map-side, no shuffle; chunking
+    100 TB is a scan-rate pass that parallelizes per input split.
+    """
+    if stride < 1 or chunk_words < 1:
+        raise ValueError("chunk_words and stride must be >= 1")
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(1), F.size(words), F.lit(stride))
+    exploded = (
+        df.withColumn("__words", words)
+        .select(F.col(id_col), "__words", F.posexplode(starts).alias("chunk_id", "__start"))
+    )
+    piece = F.slice(F.col("__words"), F.col("__start"), chunk_words)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.col("__start").alias("start_word"),
+        F.size(piece).cast("long").alias("n_words"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Composite linear quality score + keep/drop gate.
+
+    A fixed-weight linear model over the text_stats features (the shape
+    of a fasttext-style quality classifier's decision function, with
+    hand-set weights since no model ships in this container). All
+    ratios are int/int double divisions, so the score is bit-identical
+    across engines. Map-side only.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chars = F.length(F.col(text_col))
+    n_words = F.size(words)
+    vocab_ratio = F.size(F.array_distinct(words)).cast("double") / n_words
+    avg_word_len = n_chars.cast("double") / n_words
+    digit_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), "[^0-9]", "")).cast("double") / n_chars
+    )
+    score = (
+        F.lit(0.5)
+        + F.lit(0.4) * vocab_ratio
+        - F.lit(0.3) * digit_ratio
+        - F.lit(0.02) * (avg_word_len - F.lit(5.0))
+        + F.when((n_words >= 20) & (n_words <= 1000), F.lit(0.1)).otherwise(F.lit(-0.1))
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        vocab_ratio.alias("vocab_ratio"),
+        score.alias("quality_score"),
+        (score >= 0.7).alias("keep"),
+    )
+
+
 def contamination_hits(
     corpus: DataFrame,
     benchmark: DataFrame,

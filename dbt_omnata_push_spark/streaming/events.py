@@ -38,6 +38,18 @@ EVENTS_SCHEMA = StructType(
     ]
 )
 
+# Same shape for TIMESTAMP(MICROS) inputs, where ts is a real timestamp.
+_EVENTS_SCHEMA_US = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
 
 def _events_stream(
     spark: SparkSession,
@@ -49,11 +61,23 @@ def _events_stream(
     # glob (in production this is the landing directory of the stream).
     # max_files_per_trigger splits processing into multiple micro-batches
     # (tests use it to exercise cross-batch state merging).
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option("pathGlobFilter", glob)
+    #
+    # ts precision is sniffed from a driver-side batch schema read:
+    # TIMESTAMP(NANOS) parquet surfaces as bigint (nanosAsLong) and needs
+    # a ns->us conversion; TIMESTAMP(MICROS) parquet is a timestamp
+    # already. Testdata has shipped as both across generator versions.
+    batch_ts = dict(
+        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).dtypes
+    ).get("ts")
+    ns_input = batch_ts == "bigint"
+    schema = EVENTS_SCHEMA if ns_input else _EVENTS_SCHEMA_US
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(sf_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ns_input:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def hourly_counts_stream(
