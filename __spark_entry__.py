@@ -32,35 +32,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver-coverage rotation (judge r2 #3): the driver hash-checks 50
 # queries per round in dict order, so entries never (or longest-ago)
-# driver-checked lead. Head = flagship + the 41 queries with no
-# CORRECTNESS row in r1/r2 + the 6 checked only in r1; the r2-checked
-# remainder follows in registry order. Recompute next round from the
-# union of CORRECTNESS_r*.json keys.
+# driver-checked lead. After r3 the union of CORRECTNESS_r{1,2,3}.json
+# keys covers all 97 previously-registered queries; head for r4 =
+# flagship + the 5 new (never-checked) queries + the 47 whose latest
+# driver row is r2 (stalest). Recompute next round from the union of
+# CORRECTNESS_r*.json keys.
 _DRIVER_ORDER_HEAD = [
     "pricing_summary",
-    # never driver-checked (r1+r2)
-    "stream_events_sessions", "stream_error_prior_clicks",
-    "orders_status_pivot", "orders_by_month", "documents_quality_filter",
-    "order_value_percentiles", "multimodal_metadata",
-    "events_type_counts_salted", "global_index_stats",
-    "events_asof_last_error", "events_range_join_error_window",
-    "events_approx_distinct_rollup", "orders_approx_quantiles",
-    "documents_stratified_sample", "customer_running_total",
-    "events_value_delta", "revenue_cube",
-    "segments_intersect_building_markets", "customer_order_distribution",
-    "promo_revenue_by_month", "small_quantity_revenue",
-    "large_volume_orders", "brand_bracket_revenue",
-    "returned_revenue_top_customers", "nation_pair_trade",
-    "nation_customer_supplier_fullouter", "customer_balance_deciles",
-    "order_flags_unpivot", "forecast_revenue", "min_cost_supplier",
-    "nation_market_share", "product_profit_by_nation_year",
-    "important_part_values", "top_revenue_supplier",
-    "supplier_count_by_part", "excess_inventory_suppliers",
-    "suppliers_waiting_orders", "idle_customer_balance",
-    "corpus_sequence_packing", "corpus_shuffle_split", "ngram_lm_coverage",
-    # checked only in round 1 (stalest of the rest)
-    "revenue_rollup", "parts_brand_stats", "supplier_regions",
-    "words_posexplode", "dedup_canonical_docs", "orders_ordered_index",
+    # never driver-checked (new in r4)
+    "text_pii_scan", "text_pii_redact", "text_chunks",
+    "text_quality_score", "dedup_ngram_coverage",
+    # last driver-checked in round 2 (stalest of the rest)
+    "customers_with_open_orders", "recent_orders_watermark",
+    "top_orders_per_customer", "global_top_orders", "staging_batches",
+    "records_with_job_metadata", "record_json_roundtrip",
+    "events_json_extract", "events_hourly", "events_sessionized",
+    "distinct_union_labels", "segments_except_negative",
+    "nations_per_segment", "customer_duplicate_keys",
+    "latest_order_per_customer", "shipping_priority_top10",
+    "order_priority_counts", "shipmode_priority_buckets", "dedup_exact",
+    "dedup_minhash_signatures", "dedup_minhash_lsh_pairs",
+    "dedup_components", "dedup_simhash", "dedup_ngram_jaccard",
+    "text_stats", "text_language_id", "text_token_counts",
+    "text_fingerprint", "similarity_topk_bruteforce",
+    "similarity_topk_ivf", "similarity_topk_lsh_ann",
+    "dedup_embedding_cosine", "dedup_embedding_lsh",
+    "multimodal_features", "text_tfidf_top_terms", "corpus_prep_pipeline",
+    "similarity_topk_ivf_trained", "similarity_topk_ivf_indexed",
+    "multimodal_frame_sample", "multimodal_resize",
+    "text_repetition_stats", "text_regex_scan", "corpus_decontamination",
+    "corpus_mixture_sample", "stream_events_hourly",
+    "stream_events_sliding", "stream_events_dedup",
 ]
 
 

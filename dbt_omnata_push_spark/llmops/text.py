@@ -36,6 +36,10 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     n_distinct = F.size(F.array_distinct(words))
     n_punct = F.length(F.regexp_replace(F.col(text_col), "[a-zA-Z0-9 ]", ""))
     n_digits = F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))
+    # n_words >= 1 always (split('') -> ['']), but n_chars is 0 for the
+    # empty document — and Spark 4 runs ANSI mode by default, so a bare
+    # x / n_chars aborts the whole job on one empty row. Guard char-
+    # denominated ratios (0.0 for empty text, matching the oracle CASE).
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -43,9 +47,14 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         n_distinct.alias("n_distinct_words"),
         (n_distinct.cast("double") / n_words).alias("vocab_ratio"),
         (n_chars.cast("double") / n_words).alias("avg_word_len"),
-        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
-        (n_digits.cast("double") / n_chars).alias("digit_ratio"),
+        _ratio(n_punct, n_chars).alias("punct_ratio"),
+        _ratio(n_digits, n_chars).alias("digit_ratio"),
     )
+
+
+def _ratio(num: Column, denom: Column) -> Column:
+    """num/denom as double, 0.0 when denom == 0 (ANSI-safe)."""
+    return F.when(denom > 0, num.cast("double") / denom).otherwise(F.lit(0.0))
 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -189,9 +198,13 @@ PII_PATTERNS: dict[str, str] = {
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
 
-# Redaction order matters: SSN before phone (a bare \d{3}-\d{4} would
-# otherwise eat the tail of an SSN), email before ipv4 (hostnames with
-# dotted quads).
+# Redaction order: the one that matters is email BEFORE ipv4 (a mail
+# domain containing a dotted quad, e.g. user@10.1.2.3.example.com, must
+# become [EMAIL], not keep a partial [IPV4] inside the address).
+# SSN-before-phone is NOT load-bearing:
+# \b\d{3}-\d{4}\b can never match inside or at the tail of an SSN
+# (no boundary-preceded 3-digit run there is followed by exactly 4
+# digits), it is kept first purely for readability.
 PII_REDACTION_ORDER = ("email", "ssn", "phone", "ipv4")
 
 
@@ -209,6 +222,10 @@ def pii_scan(
         F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long").alias(f"n_{name}")
         for name, pat in PII_PATTERNS.items()
     ]
+    # n_pii_total is the sum of per-type counts: a span matching two
+    # patterns (a dotted-quad mail hostname is both email and ipv4)
+    # counts once per type. Documented over-count — the redaction pass
+    # resolves overlaps via PII_REDACTION_ORDER instead.
     total = sum(
         F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long")
         for pat in PII_PATTERNS.values()
@@ -240,13 +257,19 @@ def chunk_documents(
     """Overlapping fixed-width word-window chunks (the RAG/context-window
     splitter): chunk i covers words [1 + i*stride, 1 + i*stride + chunk_words).
 
-    Chunk starts come from sequence(1, n_words, stride), so every word is
-    covered and trailing partial chunks are kept. Entirely per-row array
-    expressions followed by posexplode — map-side, no shuffle; chunking
-    100 TB is a scan-rate pass that parallelizes per input split.
+    Chunk starts come from sequence(1, n_words, stride); with
+    stride <= chunk_words (validated) every word is covered and trailing
+    partial chunks are kept. Entirely per-row array expressions followed
+    by posexplode — map-side, no shuffle; chunking 100 TB is a scan-rate
+    pass that parallelizes per input split.
     """
     if stride < 1 or chunk_words < 1:
         raise ValueError("chunk_words and stride must be >= 1")
+    if stride > chunk_words:
+        raise ValueError(
+            f"stride ({stride}) > chunk_words ({chunk_words}) would leave "
+            "uncovered word gaps between consecutive chunks"
+        )
     words = F.split(F.col(text_col), " ")
     starts = F.sequence(F.lit(1), F.size(words), F.lit(stride))
     exploded = (
@@ -279,8 +302,10 @@ def quality_score(
     n_words = F.size(words)
     vocab_ratio = F.size(F.array_distinct(words)).cast("double") / n_words
     avg_word_len = n_chars.cast("double") / n_words
-    digit_ratio = (
-        F.length(F.regexp_replace(F.col(text_col), "[^0-9]", "")).cast("double") / n_chars
+    # _ratio guards n_chars == 0 (empty doc) — ANSI mode would otherwise
+    # abort the job with DIVIDE_BY_ZERO on a single empty row.
+    digit_ratio = _ratio(
+        F.length(F.regexp_replace(F.col(text_col), "[^0-9]", "")), n_chars
     )
     score = (
         F.lit(0.5)

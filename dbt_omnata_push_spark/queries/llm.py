@@ -236,10 +236,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
              / len(string_split(text, ' ')) AS vocab_ratio,
            CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
-           CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-             / length(text) AS punct_ratio,
-           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-             / length(text) AS digit_ratio
+           CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                     / length(text)
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                     / length(text)
+                ELSE 0.0 END AS digit_ratio
     FROM documents
     """,
     tags=("llm", "text"),
@@ -809,3 +813,156 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction, chunking, quality gate, substring-dup coverage
+# (round-3 operators, now oracle-gated)
+# ---------------------------------------------------------------------------
+
+# The PII battery is shared with the oracle verbatim — the patterns are
+# written in the common Java-regex/RE2 subset (llmops/text.py).
+_PII_COUNT_COLS = ",\n           ".join(
+    f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+    for name, pat in T.PII_PATTERNS.items()
+)
+_PII_TOTAL = " + ".join(
+    f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+    for pat in T.PII_PATTERNS.values()
+)
+
+
+@query(
+    "text_pii_scan",
+    oracle=f"""
+    SELECT doc_id,
+           {_PII_COUNT_COLS},
+           {_PII_TOTAL} AS n_pii_total
+    FROM documents
+    """,
+    tags=("llm", "text", "pii"),
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII hit counts (email/SSN/phone/IPv4) — map-side scan."""
+    return T.pii_scan(load_table(spark, sf_dir, "documents"))
+
+
+def _pii_redact_oracle() -> str:
+    expr = "text"
+    for name in T.PII_REDACTION_ORDER:
+        pat = T.PII_PATTERNS[name]
+        expr = f"regexp_replace({expr}, '{pat}', '[{name.upper()}]', 'g')"
+    return f"SELECT doc_id, {expr} AS redacted FROM documents"
+
+
+@query("text_pii_redact", oracle=_pii_redact_oracle(), tags=("llm", "text", "pii"))
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-placeholder PII redaction (chained regexp_replace, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.pii_redact(docs).select("doc_id", "redacted")
+
+
+@query(
+    "text_chunks",
+    oracle="""
+    SELECT doc_id,
+           chunk_id,
+           start_word,
+           CAST(len(piece) AS BIGINT) AS n_words,
+           array_to_string(piece, ' ') AS chunk_text
+    FROM (
+      SELECT doc_id,
+             CAST((s - 1) // 24 AS INT) AS chunk_id,
+             CAST(s AS INT) AS start_word,
+             list_slice(words, s, s + 32 - 1) AS piece
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               unnest(generate_series(1, len(string_split(text, ' ')), 24)) AS s
+        FROM documents
+      )
+    )
+    """,
+    tags=("llm", "text"),
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-word chunks, stride 24 (RAG/context-window splitter)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.chunk_documents(docs, chunk_words=32, stride=24)
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id, n_words, vocab_ratio, quality_score,
+           quality_score >= CAST(0.7 AS DOUBLE) AS keep
+    FROM (
+      SELECT doc_id,
+             CAST(n_words AS BIGINT) AS n_words,
+             vocab_ratio,
+             CAST(0.5 AS DOUBLE)
+               + CAST(0.4 AS DOUBLE) * vocab_ratio
+               - CAST(0.3 AS DOUBLE) * digit_ratio
+               - CAST(0.02 AS DOUBLE) * (avg_word_len - CAST(5.0 AS DOUBLE))
+               + CASE WHEN n_words >= 20 AND n_words <= 1000
+                      THEN CAST(0.1 AS DOUBLE) ELSE CAST(-0.1 AS DOUBLE) END
+               AS quality_score
+      FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS vocab_ratio,
+               CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS avg_word_len,
+               CASE WHEN length(text) > 0
+                    THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                         / length(text)
+                    ELSE 0.0 END AS digit_ratio
+        FROM documents
+      )
+    )
+    """,
+    tags=("llm", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality score + keep/drop gate (bit-exact
+    int/int double arithmetic, identical association order both engines)."""
+    return T.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_coverage",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(words) >= 4
+                    THEN list_transform(
+                           generate_series(1, len(words) - 3),
+                           i -> md5(array_to_string(list_slice(words, i, i + 3), ' ')))
+                    ELSE CAST([] AS VARCHAR[]) END) AS g
+      FROM base
+    ),
+    counts AS (SELECT g, COUNT(*) AS cnt FROM grams GROUP BY g),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_dup
+      FROM grams JOIN counts USING (g)
+      WHERE cnt > 1
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(greatest(len(words) - 3, 0) AS BIGINT) AS n_gram_positions,
+           CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_positions,
+           CASE WHEN greatest(len(words) - 3, 0) > 0
+                THEN CAST(COALESCE(n_dup, 0) AS DOUBLE) / greatest(len(words) - 3, 0)
+                ELSE 0.0 END AS dup_frac
+    FROM base b LEFT JOIN per_doc USING (doc_id)
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated word-4-gram position fraction per document (the
+    Spark-native stand-in for suffix-array substring dedup; Lee et al.
+    2021). Gram hashes shuffled once, nothing all-pairs."""
+    return D.duplicated_ngram_coverage(load_table(spark, sf_dir, "documents"), n=4)

@@ -51,25 +51,42 @@ _EVENTS_SCHEMA_US = StructType(
 )
 
 
+def _sniff_ts_precision(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> str:
+    """'ns' or 'us': which parquet timestamp flavor the landing dir holds.
+
+    TIMESTAMP(NANOS) parquet surfaces as bigint (nanosAsLong) and needs a
+    ns->us conversion; TIMESTAMP(MICROS) is a timestamp already. Testdata
+    has shipped as both across generator versions, so we sniff via a
+    driver-side batch schema read. An empty landing directory — the
+    normal state of a streaming source at query start — can't be sniffed
+    (the batch read raises); default to 'ns', the generator's current
+    flavor, so stream construction still succeeds and waits for files.
+    """
+    try:
+        batch_ts = dict(
+            spark.read.option("pathGlobFilter", glob).parquet(sf_dir).dtypes
+        ).get("ts")
+    except Exception:  # AnalysisException: unable to infer schema (no files)
+        return "ns"
+    return "ns" if batch_ts == "bigint" else "us"
+
+
 def _events_stream(
     spark: SparkSession,
     sf_dir: str,
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    ts_precision: str | None = None,
 ) -> DataFrame:
     # The file source needs a directory; select just the events file via
     # glob (in production this is the landing directory of the stream).
     # max_files_per_trigger splits processing into multiple micro-batches
     # (tests use it to exercise cross-batch state merging).
-    #
-    # ts precision is sniffed from a driver-side batch schema read:
-    # TIMESTAMP(NANOS) parquet surfaces as bigint (nanosAsLong) and needs
-    # a ns->us conversion; TIMESTAMP(MICROS) parquet is a timestamp
-    # already. Testdata has shipped as both across generator versions.
-    batch_ts = dict(
-        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).dtypes
-    ).get("ts")
-    ns_input = batch_ts == "bigint"
+    # ts_precision lets callers that build several streams over the same
+    # dir (e.g. the stream-stream join) sniff once and share the answer.
+    ns_input = (ts_precision or _sniff_ts_precision(spark, sf_dir, glob)) == "ns"
     schema = EVENTS_SCHEMA if ns_input else _EVENTS_SCHEMA_US
     reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger:
@@ -207,6 +224,11 @@ def error_click_join_stream(
     user's click events in the preceding ``lookback``. Both sides carry
     watermarks and the join has explicit time bounds, so the engine can
     expire state — the canonical bounded stream-stream join."""
+    # Sniff the parquet ts flavor once for both sides of the join.
+    source_opts.setdefault(
+        "ts_precision",
+        _sniff_ts_precision(spark, sf_dir, source_opts.get("glob", "events.parquet")),
+    )
     clicks = (
         _events_stream(spark, sf_dir, **source_opts)
         .filter(F.col("event_type") == "click")

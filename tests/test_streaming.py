@@ -145,3 +145,22 @@ def test_dedup_stream_multibatch_state(spark, sf_dir, tmp_path):
     )
     batch = load_table(spark, sf_dir, "events")
     assert out.count() == batch.select("event_id").distinct().count()
+
+
+def test_stream_construction_on_empty_landing_dir(spark, tmp_path):
+    # The normal state of a streaming landing dir at query start: no
+    # files yet. The ts-precision sniff must fall back to the ns schema
+    # instead of failing stream construction (ADVICE r3).
+    from dbt_omnata_push_spark.streaming.events import (
+        _sniff_ts_precision,
+        hourly_counts_stream,
+        run_stream_once,
+    )
+
+    empty = tmp_path / "landing"
+    empty.mkdir()
+    assert _sniff_ts_precision(spark, str(empty)) == "ns"
+    out = run_stream_once(
+        hourly_counts_stream(spark, str(empty)), name="empty_landing"
+    )
+    assert out.count() == 0

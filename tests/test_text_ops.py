@@ -1,0 +1,168 @@
+"""Edge-case tests for the PII / chunking / quality / substring-dup
+operators (llmops.text, llmops.dedup.duplicated_ngram_coverage).
+
+Oracle bit-parity for the happy path is covered by
+tests/test_oracle_parity.py (text_pii_scan, text_pii_redact,
+text_chunks, text_quality_score, dedup_ngram_coverage); these tests pin
+the corners the corpus doesn't exercise: empty/null text under Spark 4's
+default ANSI mode, stride validation, and overlapping PII matches.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_omnata_push_spark.llmops import dedup as D
+from dbt_omnata_push_spark.llmops import text as T
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------------------
+# Empty-document safety (ANSI mode divides)
+# ---------------------------------------------------------------------------
+
+
+def test_text_stats_empty_doc_no_ansi_abort(spark):
+    # Spark 4 defaults to ANSI mode; x / length('') must not abort the job.
+    out = T.text_stats(_docs(spark, [(1, ""), (2, "a b")])).orderBy("doc_id").collect()
+    empty = out[0]
+    assert empty["n_chars"] == 0
+    assert empty["punct_ratio"] == 0.0
+    assert empty["digit_ratio"] == 0.0
+    # split('') -> [''] so word-denominated ratios stay well-defined.
+    assert empty["n_words"] == 1
+
+
+def test_quality_score_empty_doc_no_ansi_abort(spark):
+    out = (
+        T.quality_score(_docs(spark, [(1, ""), (2, "w " * 30 + "end")]))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert out[0]["quality_score"] is not None
+    assert out[1]["keep"] in (True, False)
+
+
+# ---------------------------------------------------------------------------
+# Chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_rejects_gapping_stride(spark):
+    docs = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="stride"):
+        T.chunk_documents(docs, chunk_words=4, stride=5)
+    with pytest.raises(ValueError):
+        T.chunk_documents(docs, chunk_words=0, stride=1)
+
+
+def test_chunk_documents_covers_every_word(spark):
+    text = " ".join(f"w{i}" for i in range(11))
+    rows = T.chunk_documents(
+        _docs(spark, [(1, text)]), chunk_words=4, stride=3
+    ).collect()
+    covered = set()
+    for r in rows:
+        assert 1 <= r["n_words"] <= 4
+        covered.update(range(r["start_word"], r["start_word"] + r["n_words"]))
+        assert r["chunk_text"].split(" ") == [
+            f"w{i - 1}" for i in range(r["start_word"], r["start_word"] + r["n_words"])
+        ]
+    assert covered == set(range(1, 12))
+    # chunk_id is the dense 0-based index of the start position.
+    assert sorted(r["chunk_id"] for r in rows) == list(range(len(rows)))
+
+
+def test_chunk_documents_empty_doc_single_empty_chunk(spark):
+    # Documented: split('') tokenizes to [''], so an empty doc emits one
+    # chunk whose text is '' (n_words=1) rather than disappearing.
+    rows = T.chunk_documents(_docs(spark, [(1, "")])).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == ""
+    assert rows[0]["n_words"] == 1
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scan_counts_and_overlap_overcount(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail bob@example.com ssn 123-45-6789 call 555-1234 ip 10.0.0.1"),
+            # dotted quad inside a mail domain: the span is an email AND
+            # contains an ipv4 match.
+            (2, "user@10.1.2.3.example.com says hi"),
+            (3, "clean text only"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in T.pii_scan(docs).collect()}
+    assert (
+        rows[1]["n_email"],
+        rows[1]["n_ssn"],
+        rows[1]["n_phone"],
+        rows[1]["n_ipv4"],
+    ) == (1, 1, 1, 1)
+    # SSN-tail is NOT double-counted as phone (\b\d{3}-\d{4}\b can't match
+    # inside 123-45-6789), so the total is exactly 4.
+    assert rows[1]["n_pii_total"] == 4
+    # The overlapping span counts once per matching type (documented
+    # over-count): email and ipv4 both hit.
+    assert rows[2]["n_email"] == 1 and rows[2]["n_ipv4"] == 1
+    assert rows[2]["n_pii_total"] == 2
+    assert rows[3]["n_pii_total"] == 0
+
+
+def test_pii_redact_order_resolves_overlaps(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "reach user@10.1.2.3.example.com or 123-45-6789 or 555-1234 at 192.168.0.1"),
+            (2, ""),
+        ],
+    )
+    out = {r["doc_id"]: r["redacted"] for r in T.pii_redact(docs).collect()}
+    # email wins over ipv4 on the mail-host overlap; the SSN is redacted
+    # whole (no [PHONE] carved out of its tail); the bare ip still hits.
+    assert out[1] == "reach [EMAIL] or [SSN] or [PHONE] at [IPV4]"
+    assert out[2] == ""
+
+
+def test_pii_redact_null_text_passthrough(spark):
+    docs = spark.createDataFrame([(1, None)], "doc_id bigint, text string")
+    assert T.pii_redact(docs).collect()[0]["redacted"] is None
+
+
+# ---------------------------------------------------------------------------
+# Duplicated n-gram coverage
+# ---------------------------------------------------------------------------
+
+
+def test_duplicated_ngram_coverage_finds_shared_span(spark):
+    shared = "the quick brown fox jumps"
+    docs = _docs(
+        spark,
+        [
+            (1, shared + " over one lazy dog"),
+            (2, shared + " across another fence"),
+            (3, "completely unrelated words here now"),
+            (4, "tiny doc"),  # < n words -> zero gram positions
+        ],
+    )
+    rows = {r["doc_id"]: r for r in D.duplicated_ngram_coverage(docs, n=4).collect()}
+    # The shared 5-word span contributes 2 duplicated 4-gram positions
+    # to each of docs 1 and 2 (L - n + 1 = 2).
+    assert rows[1]["n_dup_positions"] == 2
+    assert rows[2]["n_dup_positions"] == 2
+    assert rows[1]["n_gram_positions"] == 6
+    assert rows[1]["dup_frac"] == pytest.approx(2 / 6)
+    assert rows[3]["n_dup_positions"] == 0
+    assert rows[4]["n_gram_positions"] == 0 and rows[4]["dup_frac"] == 0.0
+    # Every doc appears exactly once (left join back to the doc frame).
+    assert set(rows) == {1, 2, 3, 4}
