@@ -42,6 +42,8 @@ _DRIVER_ORDER_HEAD = [
     # never driver-checked (new in r4)
     "text_pii_scan", "text_pii_redact", "text_chunks",
     "text_quality_score", "dedup_ngram_coverage",
+    "corpus_token_budget", "corpus_source_cap", "embedding_quantize_int8",
+    "embedding_label_centroids", "corpus_rarity_score",
     # last driver-checked in round 2 (stalest of the rest)
     "customers_with_open_orders", "recent_orders_watermark",
     "top_orders_per_customer", "global_top_orders", "staging_batches",

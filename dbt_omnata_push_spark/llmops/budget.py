@@ -1,0 +1,82 @@
+"""Corpus budgeting operators: per-source token budgets and rate caps.
+
+The mixture-weights question ("how much of each source goes into the
+training set") shows up as two primitives:
+
+- ``token_budget_cap``: keep each source's documents, in a seeded
+  deterministic order, until a token budget fills — the exact form of
+  'take 50B tokens of web, 5B of code'.
+- ``source_rate_cap``: keep at most N documents per key — the domain /
+  source frequency cap used against boilerplate-heavy hosts.
+
+Both ride ops.packing.with_keyed_prefix_sum, which stays parallel even
+when one key dominates the corpus (range partitioning on (key, order);
+no per-key single-task window, no driver-side state). The ordering key
+is md5(seed:doc_id), so runs are reproducible and engine-portable, and
+re-runs with a bigger budget are supersets (stable order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..ops.packing import with_keyed_prefix_sum
+
+
+def _seeded_order(id_col: str, seed: str):
+    return F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+
+
+def token_budget_cap(
+    df: DataFrame,
+    budget: int,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "cap",
+) -> DataFrame:
+    """Per-``key_col`` token budget: keep documents in seeded-hash order
+    while the running (inclusive) whitespace-token total stays within
+    ``budget``.
+
+    Returns the kept rows with ``n_tokens`` and the inclusive running
+    total ``cum_tokens`` (== the budget consumed through this doc).
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    toks = df.select(
+        F.col(id_col),
+        F.col(key_col),
+        _seeded_order(id_col, seed).alias("_ord"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    cum = with_keyed_prefix_sum(
+        toks, key_col, ["_ord", id_col], "n_tokens", out="cum_tokens", exclusive=False
+    )
+    return cum.filter(F.col("cum_tokens") <= budget).drop("_ord")
+
+
+def source_rate_cap(
+    df: DataFrame,
+    max_per_key: int,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "cap",
+) -> DataFrame:
+    """Keep at most ``max_per_key`` rows per key, chosen by seeded hash
+    order (deterministic subsample, not head-of-file bias).
+
+    Implemented as a keyed prefix COUNT through the same two-pass
+    machinery — rank = exclusive prefix of 1s — so a single key with
+    10^9 rows still ranks in parallel across partitions.
+    """
+    if max_per_key < 1:
+        raise ValueError("max_per_key must be >= 1")
+    keyed = df.withColumn("_ord", _seeded_order(id_col, seed)).withColumn(
+        "_one", F.lit(1).cast("long")
+    )
+    ranked = with_keyed_prefix_sum(
+        keyed, key_col, ["_ord", id_col], "_one", out="_rank", exclusive=True
+    )
+    return ranked.filter(F.col("_rank") < max_per_key).drop("_ord", "_one", "_rank")

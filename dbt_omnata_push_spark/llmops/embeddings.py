@@ -1,0 +1,86 @@
+"""Embedding-column operators beyond similarity search: quantization
+and per-label centroid aggregation.
+
+Everything here is exact-arithmetic-by-construction so the DuckDB
+oracle hash-matches: float32 inputs widen to double before any math,
+and cross-row aggregation only ever sums integer-ized values (floor to
+a fixed scale, BIGINT) — never raw doubles, whose summation order
+differs between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Fixed-point scale for cross-row sums of embedding components.
+_Q = 1_000_000
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization (the standard ANN-index /
+    KV-cache compression step): q_i = round(x_i * 127 / max|x|), clipped
+    to [-127, 127]; all-zero vectors quantize to zeros.
+
+    Pure per-row array expressions — map-side, scan-rate at 100 TB. The
+    returned columns are order-independent summaries of the quantized
+    vector (sum/min/max of q, max reconstruction error), so results are
+    engine-exact; the full int8 array is one F.transform away for a
+    writer stage.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    amax = F.array_max(F.transform(x, F.abs))
+    # round-half-up via floor(v + 0.5): identical in Spark and DuckDB
+    # (both floor toward -inf; negatives round toward +inf on ties,
+    # consistently on both sides).
+    q = F.transform(
+        x,
+        lambda v: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(v * 127.0 / amax + 0.5).cast("int")),
+        ),
+    )
+    q = F.when(amax > 0.0, q).otherwise(F.transform(x, lambda v: F.lit(0)))
+    dq_err = F.when(
+        amax > 0.0,
+        F.array_max(
+            F.zip_with(x, q, lambda v, b: F.abs(v - b.cast("double") * amax / 127.0))
+        ),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.size(F.col(vec_col)).alias("n_dims"),
+        amax.alias("max_abs"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, b: acc + b).alias("sum_q"),
+        F.array_min(q).alias("min_q"),
+        F.array_max(q).alias("max_q"),
+        dq_err.alias("max_abs_err"),
+    )
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Element-wise per-label centroid, as (label, pos) rows.
+
+    posexplode -> groupBy (label, pos) is the scalable shape: the
+    shuffle key space is #labels x dim (uniform, no skew), map-side
+    partial aggregation compresses each partition to at most that many
+    rows, and no executor ever materializes a per-label vector list.
+    Components are summed as floor(x * 1e6) BIGINTs (exact, order-
+    independent); mean_q = sum_q / n_vecs as one final double division.
+    """
+    e = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).select(
+        label_col,
+        "pos",
+        F.floor(F.col("x").cast("double") * _Q).cast("long").alias("xq"),
+    )
+    return e.groupBy(label_col, "pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("xq").alias("sum_q"),
+        (F.sum("xq").cast("double") / F.count(F.lit(1))).alias("mean_q"),
+    )

@@ -354,3 +354,57 @@ def contamination_hits(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared_ngrams"))
     )
+
+
+def rarity_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-relative bigram rarity score — the log-free stand-in for a
+    CCNet-style LM-perplexity quality bucket (no LM ships in this
+    container; corpus bigram statistics play the model).
+
+    Per document: mean inverse corpus frequency of its word bigrams,
+    integer-ized as sum(10^9 div cnt) so cross-row totals are exact
+    BIGINT arithmetic in every engine (ln/exp would differ by ULPs
+    between libm implementations and break the oracle hash). High
+    mean_rarity = mostly corpus-unique text; low = boilerplate.
+
+    Plan shape: one gram-keyed groupBy (map-side partial agg), one
+    co-keyed join back, one doc-keyed groupBy. Identical to
+    duplicated_ngram_coverage — nothing all-pairs, nothing collects.
+    """
+    words = F.split(F.col(text_col), " ")
+    sz = F.size(words)
+    grams_arr = F.when(
+        sz >= 2,
+        F.transform(
+            F.sequence(F.lit(1), sz - 1),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(F.col(id_col), F.explode(grams_arr).alias("g"))
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = grams.join(counts, "g").select(
+        id_col, F.expr("1000000000 div cnt").alias("inv")
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("inv").alias("rarity_sum"),
+    )
+    mean_rarity = F.col("rarity_sum").cast("double") / F.col("n_bigrams")
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("rarity_sum"), F.lit(0)).cast("long").alias("rarity_sum"),
+            F.coalesce(mean_rarity, F.lit(0.0)).alias("mean_rarity"),
+            F.when(F.coalesce(mean_rarity, F.lit(0.0)) >= 500_000_000.0, F.lit("high"))
+            .when(F.coalesce(mean_rarity, F.lit(0.0)) >= 100_000_000.0, F.lit("medium"))
+            .otherwise(F.lit("low"))
+            .alias("rarity_bucket"),
+        )
+    )

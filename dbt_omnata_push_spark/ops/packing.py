@@ -75,6 +75,60 @@ def with_prefix_sum(
     return out_df.drop("_pid", "_local_sum")
 
 
+def with_keyed_prefix_sum(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out: str = "prefix_sum",
+    exclusive: bool = True,
+) -> DataFrame:
+    """Per-key running sum of ``value_col`` in ``order_cols`` order,
+    scalable in BOTH key cardinality and per-key size.
+
+    A plain Window.partitionBy(key) puts each key's whole history in one
+    task — fine for millions of small keys, a straggler when one key is
+    huge (the 'one source dominates the corpus' case). This variant
+    range-partitions on (key, order) so a huge key spans many
+    partitions, computes partition-local per-key sums with a parallel
+    window, then derives cross-partition offsets WITHOUT any driver
+    collect: partition totals per (partition, key) form a frame of at
+    most (#keys + #partitions) rows, a tiny per-key window over it
+    yields each partition's starting offset, and a join on
+    (partition, key) adds them back (AQE broadcasts the offsets frame).
+    """
+    ranged = (
+        df.repartitionByRange(key_col, *order_cols)
+        .sortWithinPartitions(key_col, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("_pid", key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    )
+    local = ranged.withColumn(
+        "_local_sum", F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    )
+    totals = ranged.groupBy("_pid", key_col).agg(F.sum(value_col).alias("_t"))
+    # Offset for (pid, key) = that key's total in all earlier pids. Each
+    # key appears in at most #partitions rows here, so this window is
+    # over a bounded, tiny frame.
+    wt = (
+        Window.partitionBy(key_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_pid", key_col, F.coalesce(F.sum("_t").over(wt), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(offsets, ["_pid", key_col])
+        .withColumn(out, (F.col("_off") + F.col("_local_sum")).cast("long"))
+        .drop("_pid", "_local_sum", "_off")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

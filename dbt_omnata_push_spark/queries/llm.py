@@ -966,3 +966,170 @@ def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-native stand-in for suffix-array substring dedup; Lee et al.
     2021). Gram hashes shuffled once, nothing all-pairs."""
     return D.duplicated_ngram_coverage(load_table(spark, sf_dir, "documents"), n=4)
+
+
+# ---------------------------------------------------------------------------
+# Corpus budgeting, embedding quantization/centroids, rarity scoring
+# (round-4 operators)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_token_budget",
+    oracle="""
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM (
+        SELECT doc_id, source,
+               md5('cap:' || CAST(doc_id AS VARCHAR)) AS ord,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      )
+    )
+    WHERE cum_tokens <= 1500
+    """,
+    tags=("llm", "budget"),
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 1500-token budget cap in seeded-hash order ('take N
+    tokens of each source'). Keyed two-pass prefix sum — no per-source
+    single-task window, no driver collect; a source 1000x bigger than
+    the rest still sums in parallel."""
+    from ..llmops.budget import token_budget_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_cap(docs, budget=1500, key_col="source", seed="cap")
+
+
+@query(
+    "corpus_source_cap",
+    oracle="""
+    SELECT doc_id, source, lang
+    FROM (
+      SELECT doc_id, source, lang,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 40
+    """,
+    tags=("llm", "budget"),
+)
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most 40 docs per source by seeded hash (domain/source frequency
+    cap). Rank computed as a keyed prefix COUNT through the same
+    two-pass machinery — parallel even for a dominant key."""
+    from ..llmops.budget import source_rate_cap
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return source_rate_cap(docs, max_per_key=40, key_col="source", seed="cap")
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+             list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS amax
+      FROM embeddings
+    ),
+    qd AS (
+      SELECT vec_id, x, amax,
+             CASE WHEN amax > 0.0
+                  THEN list_transform(x, v -> greatest(-127, least(127,
+                         CAST(floor(v * 127.0 / amax + 0.5) AS INT))))
+                  ELSE list_transform(x, v -> 0) END AS q
+      FROM m
+    )
+    SELECT vec_id,
+           CAST(len(x) AS INT) AS n_dims,
+           amax AS max_abs,
+           CAST(list_sum(list_transform(q, b -> CAST(b AS BIGINT))) AS BIGINT) AS sum_q,
+           CAST(list_min(q) AS INT) AS min_q,
+           CAST(list_max(q) AS INT) AS max_q,
+           CASE WHEN amax > 0.0
+                THEN list_max(list_transform(generate_series(1, len(x)),
+                       i -> abs(x[i] - CAST(q[i] AS DOUBLE) * amax / 127.0)))
+                ELSE 0.0 END AS max_abs_err
+    FROM qd
+    """,
+    tags=("llm", "embedding"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization summary (map-side,
+    scan-rate; exact double arithmetic in identical association order
+    both engines)."""
+    from ..llmops.embeddings import quantize_int8
+
+    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    )
+    SELECT label, CAST(i - 1 AS INT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_q,
+           CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))
+                AS DOUBLE) / COUNT(*) AS mean_q
+    FROM e GROUP BY label, i
+    """,
+    tags=("llm", "embedding"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise per-label centroids via posexplode -> (label, pos)
+    groupBy: fixed-point BIGINT sums (order-independent), no per-label
+    vector materialization, uniform shuffle keys."""
+    from ..llmops.embeddings import label_centroids
+
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "corpus_rarity_score",
+    oracle="""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(words) >= 2
+                    THEN list_transform(generate_series(1, len(words) - 1),
+                           i -> md5(words[i] || ' ' || words[i+1]))
+                    ELSE CAST([] AS VARCHAR[]) END) AS g
+      FROM base
+    ),
+    counts AS (SELECT g, COUNT(*) AS cnt FROM grams GROUP BY g),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(1000000000 // cnt) AS BIGINT) AS rarity_sum
+      FROM grams JOIN counts USING (g) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           COALESCE(rarity_sum, 0) AS rarity_sum,
+           COALESCE(CAST(rarity_sum AS DOUBLE) / n_bigrams, 0.0) AS mean_rarity,
+           CASE WHEN COALESCE(CAST(rarity_sum AS DOUBLE) / n_bigrams, 0.0)
+                     >= 500000000.0 THEN 'high'
+                WHEN COALESCE(CAST(rarity_sum AS DOUBLE) / n_bigrams, 0.0)
+                     >= 100000000.0 THEN 'medium'
+                ELSE 'low' END AS rarity_bucket
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc USING (doc_id)
+    """,
+    tags=("llm", "text"),
+)
+def corpus_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative bigram rarity (log-free CCNet-style quality
+    bucket): integer-ized inverse corpus frequency, one gram-keyed
+    shuffle + one doc-keyed shuffle."""
+    return T.rarity_score(load_table(spark, sf_dir, "documents"))
