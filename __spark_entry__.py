@@ -44,6 +44,8 @@ _DRIVER_ORDER_HEAD = [
     "text_quality_score", "dedup_ngram_coverage",
     "corpus_token_budget", "corpus_source_cap", "embedding_quantize_int8",
     "embedding_label_centroids", "corpus_rarity_score",
+    "dedup_incremental_batch", "corpus_temperature_mixture",
+    "corpus_quality_percentile",
     # last driver-checked in round 2 (stalest of the rest)
     "customers_with_open_orders", "recent_orders_watermark",
     "top_orders_per_customer", "global_top_orders", "staging_batches",

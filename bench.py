@@ -47,6 +47,12 @@ HEADLINE = [
     # median times) and the seeded shuffle-split training op
     "similarity_topk_ivf_indexed",
     "corpus_shuffle_split",
+    # round 4 additions: heaviest new corpus ops (gram-shuffle substring
+    # dedup, rarity scoring, keyed-prefix budgeting, batch-vs-index dedup)
+    "dedup_ngram_coverage",
+    "corpus_rarity_score",
+    "corpus_token_budget",
+    "dedup_incremental_batch",
 ]
 
 

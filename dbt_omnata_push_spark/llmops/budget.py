@@ -80,3 +80,37 @@ def source_rate_cap(
         keyed, key_col, ["_ord", id_col], "_one", out="_rank", exclusive=True
     )
     return ranked.filter(F.col("_rank") < max_per_key).drop("_ord", "_one", "_rank")
+
+
+def quality_percentile_filter(
+    df: DataFrame,
+    keep_frac_num: int = 2,
+    keep_frac_den: int = 5,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Keep the top keep_frac (default 2/5 = 40%) of rows per key by
+    ``score_col`` — the per-source quality gate.
+
+    Rank within key comes from the keyed prefix COUNT (descending score
+    via a negated order column), so a dominant source still ranks in
+    parallel; the percentile predicate is pure integer arithmetic
+    (rank * den < n * num), no double division to drift.
+    """
+    neg = df.withColumn("_neg_score", -F.col(score_col))
+    ranked = with_keyed_prefix_sum(
+        neg.withColumn("_one", F.lit(1).cast("long")),
+        key_col,
+        ["_neg_score", id_col],
+        "_one",
+        out="_rank",
+        exclusive=True,
+    )
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.join(counts, key_col)
+        .filter(F.col("_rank") * keep_frac_den < F.col("_n") * keep_frac_num)
+        .withColumn("rank_in_key", F.col("_rank"))
+        .drop("_neg_score", "_one", "_rank", "_n")
+    )

@@ -14,7 +14,7 @@ DuckDB oracle reproduces them bit-for-bit).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_NUM_PERM = 8
@@ -39,6 +39,49 @@ def exact_dedup_groups(
     )
 
 
+def word_ngrams(
+    text_col: str,
+    n: int,
+    hashed: bool = False,
+    short_fallback: Column | None = None,
+) -> Column:
+    """Word n-gram array with ONCE-PER-ROW tokenization, structurally.
+
+    The token array binds as a LAMBDA VARIABLE (a transform over a
+    one-element array), never as a projected column or an inline
+    expression. This matters: CollapseProject inlines column aliases
+    into adjacent projects, and an expression referenced inside a
+    higher-order-function lambda re-evaluates PER ELEMENT — so the
+    innocent-looking element_at(split(text), i) re-tokenizes the
+    document once per gram position, O(words^2) per doc (measured 10x
+    whole-query cost at sf0.1 before this formulation). A lambda
+    variable can never be inlined, so tokenization stays once-per-row
+    regardless of optimizer project-collapsing choices.
+
+    ``hashed`` md5s each gram inside the same lambda (fixed 32-char
+    output — keeps downstream exchanges narrow). Docs with < n words
+    yield ``short_fallback`` (default: empty array).
+    """
+    words = F.split(F.col(text_col), " ")
+
+    def gram(wv, i):
+        g = F.concat_ws(" ", *[F.element_at(wv, i + j) for j in range(n)])
+        return F.md5(g) if hashed else g
+
+    inner = F.transform(
+        F.array(words),  # evaluated once per row; wv is a bound value
+        lambda wv: F.transform(
+            F.sequence(F.lit(1), F.size(wv) - (n - 1)), lambda i: gram(wv, i)
+        ),
+    )[0]
+    fallback = (
+        short_fallback
+        if short_fallback is not None
+        else F.array().cast("array<string>")
+    )
+    return F.when(F.size(words) >= n, inner).otherwise(fallback)
+
+
 def with_shingles(
     df: DataFrame,
     text_col: str = "text",
@@ -46,16 +89,10 @@ def with_shingles(
     n: int = 3,
 ) -> DataFrame:
     """Distinct word n-gram shingles; short docs fall back to whole text."""
-    words = F.split(F.col(text_col), " ")
-    sz = F.size(words)
-    gram = F.transform(
-        F.sequence(F.lit(1), sz - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(n)]
-        ),
+    grams = word_ngrams(
+        text_col, n, short_fallback=F.array(F.col(text_col))
     )
-    shingles = F.when(sz >= n, gram).otherwise(F.array(F.col(text_col)))
-    return df.withColumn(out, F.array_distinct(shingles))
+    return df.withColumn(out, F.array_distinct(grams))
 
 
 def minhash_signatures(
@@ -87,18 +124,16 @@ def minhash_signatures(
     return out.drop(hashed)
 
 
-def lsh_candidate_pairs(
+def band_table(
     sig_df: DataFrame,
     id_col: str = "doc_id",
     num_perm: int = DEFAULT_NUM_PERM,
     band_size: int = DEFAULT_BAND_SIZE,
 ) -> DataFrame:
-    """Band the signature, bucket-join, emit distinct candidate id pairs.
+    """Explode a signature frame to (id, band_id, band_key) rows.
 
-    bands = num_perm / band_size; docs agreeing on ANY full band collide.
-    The self-join is an equi-join on (band_id, band_key) — Catalyst
-    shuffles both sides on the band key, so cost is sum of bucket^2, not
-    n^2.
+    Per-row expressions only (no shuffle); at 100 TB this is also the
+    layout of a PERSISTED LSH index table, bucketed by band_key.
     """
     n_bands = num_perm // band_size
     bands = F.array(
@@ -114,9 +149,25 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    exploded = sig_df.select(
-        F.col(id_col), F.explode(bands).alias("band")
-    ).select(id_col, "band.band_id", "band.band_key")
+    return sig_df.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        id_col, "band.band_id", "band.band_key"
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """Band the signature, bucket-join, emit distinct candidate id pairs.
+
+    bands = num_perm / band_size; docs agreeing on ANY full band collide.
+    The self-join is an equi-join on (band_id, band_key) — Catalyst
+    shuffles both sides on the band key, so cost is sum of bucket^2, not
+    n^2.
+    """
+    exploded = band_table(sig_df, id_col, num_perm, band_size)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -199,22 +250,26 @@ def duplicated_ngram_coverage(
     Plan shape: one groupBy shuffle on gram hash (map-side partial agg
     over corpus tokens), one co-partitioned join back on the same key,
     one groupBy on doc id, and a final left join against the doc frame.
-    Nothing is all-pairs; nothing collects.
+    Nothing is all-pairs; nothing collects. The exploded gram frame is
+    spread across cores (a small parquet arrives as one partition) and
+    localCheckpointed once — it feeds BOTH the count aggregation and the
+    join side, and the per-token md5 pipeline is the dominant cost
+    (measured 34.5s -> ~3s at sf0.1 from this alone).
     """
     words = F.split(F.col(text_col), " ")
     sz = F.size(words)
-    grams_arr = F.when(
-        sz >= n,
-        F.transform(
-            F.sequence(F.lit(1), sz - (n - 1)),
-            lambda i: F.md5(
-                F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-    base = df.select(F.col(id_col), grams_arr.alias("__grams"))
-    grams = base.select(F.col(id_col), F.explode("__grams").alias("g"))
+    spark = df.sparkSession
+    base = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(spark.sparkContext.defaultParallelism, id_col)
+        .select(
+            F.col(id_col), word_ngrams(text_col, n, hashed=True).alias("__grams")
+        )
+    )
+    grams = (
+        base.select(F.col(id_col), F.explode("__grams").alias("g"))
+        .localCheckpoint(eager=False)
+    )
     counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
     per_doc = (
         grams.join(counts.filter(F.col("cnt") > 1), "g")
@@ -367,3 +422,73 @@ def connected_components(
             break
     both.unpersist()
     return labels
+
+
+def incremental_dedup_against_index(
+    index_sig: DataFrame,
+    batch_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    num_perm: int = DEFAULT_NUM_PERM,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup an incoming batch against a stored corpus signature index
+    WITHOUT rescanning or shuffling the corpus.
+
+    ``index_sig`` is the persisted output of ``minhash_signatures`` over
+    the historical corpus (id, shingles, mh0..mhK — at 100 TB a table
+    maintained incrementally as batches are accepted). The daily-ingest
+    shape: the batch side is bounded (a day's documents), so its banded
+    form and its shingles BROADCAST — both joins stream the index
+    map-side, and the 100 TB corpus is never exchanged. Returns
+    (new_id, corpus_id, jaccard >= threshold) collisions; anti-join the
+    batch against it to admit only novel documents.
+    """
+    spark = batch_df.sparkSession
+    batch_sig = minhash_signatures(
+        with_shingles(
+            batch_df.select(id_col, text_col).repartition(
+                spark.sparkContext.defaultParallelism, id_col
+            ),
+            text_col,
+            n=shingle_n,
+        ),
+        num_perm=num_perm,
+    ).persist()
+    new_bands = band_table(batch_sig, id_col, num_perm, band_size)
+    idx_bands = band_table(index_sig, id_col, num_perm, band_size)
+    # Broadcast is justified: the batch is bounded by ingest cadence,
+    # not corpus size (contrast with the forbidden supplier/part hints).
+    pairs = (
+        idx_bands.alias("c")
+        .join(
+            F.broadcast(new_bands.alias("n")),
+            (F.col("c.band_id") == F.col("n.band_id"))
+            & (F.col("c.band_key") == F.col("n.band_key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    with_sa = pairs.join(
+        F.broadcast(
+            batch_sig.select(F.col(id_col).alias("new_id"), F.col("shingles").alias("sa"))
+        ),
+        "new_id",
+    )
+    jac = (
+        F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+        / F.size(F.array_union(F.col("sa"), F.col("sb")))
+    )
+    # Stream the index once more for shingle fetch; the (pairs + batch
+    # shingles) side stays broadcast, so again no corpus shuffle.
+    return (
+        index_sig.select(F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sb"))
+        .join(F.broadcast(with_sa), "corpus_id")
+        .select("new_id", "corpus_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -143,12 +143,10 @@ def repetition_stats(
     quality filter. Pure expressions (no shuffle — per-row arrays), one
     int/int division so the oracle matches bit-for-bit.
     """
-    words = F.split(F.col(text_col), " ")
-    sz = F.size(words)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), sz - 1),
-        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
-    )
+    from .dedup import word_ngrams
+
+    sz = F.size(F.split(F.col(text_col), " "))
+    bigrams = word_ngrams(text_col, 2)
     n_total = F.size(bigrams)
     n_distinct = F.size(F.array_distinct(bigrams))
     return (
@@ -371,20 +369,22 @@ def rarity_score(
 
     Plan shape: one gram-keyed groupBy (map-side partial agg), one
     co-keyed join back, one doc-keyed groupBy. Identical to
-    duplicated_ngram_coverage — nothing all-pairs, nothing collects.
+    duplicated_ngram_coverage — nothing all-pairs, nothing collects;
+    the exploded gram frame is spread across cores and localCheckpointed
+    once because it feeds both the count agg and the join side.
     """
-    words = F.split(F.col(text_col), " ")
-    sz = F.size(words)
-    grams_arr = F.when(
-        sz >= 2,
-        F.transform(
-            F.sequence(F.lit(1), sz - 1),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = df.select(F.col(id_col), F.explode(grams_arr).alias("g"))
+    from .dedup import word_ngrams
+
+    spark = df.sparkSession
+    grams = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(spark.sparkContext.defaultParallelism, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(word_ngrams(text_col, 2, hashed=True)).alias("g"),
+        )
+        .localCheckpoint(eager=False)
+    )
     counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
     scored = grams.join(counts, "g").select(
         id_col, F.expr("1000000000 div cnt").alias("inv")

@@ -70,3 +70,45 @@ def deterministic_mixture(
     bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
     thr = mapping[F.col(stratum_col)]
     return df.filter(thr.isNotNull() & (bucket < thr))
+
+
+def temperature_mixture(
+    df: DataFrame,
+    stratum_col: str,
+    budget_docs: int,
+    key_col: str,
+    seed: str = "tmix",
+) -> DataFrame:
+    """Temperature-reweighted mixture sampling (alpha = 0.5): source s
+    gets a document allocation proportional to sqrt(n_s) — the standard
+    'flatten the source distribution' reweighting (multilingual /
+    DoReMi-style pipelines), here with temperature T = 2.
+
+    Exactness discipline: sqrt is IEEE-754 correctly rounded in every
+    engine, so floor(sqrt(n) * 1e6) is a portable integer weight; all
+    later arithmetic (allocation split, md5-threshold) is BIGINT, so the
+    kept set is bit-reproducible. Plan shape: one tiny per-source agg, a
+    1-row total, a source-keyed join back (AQE broadcasts the stats
+    frame), then a pure map-side threshold filter — the corpus itself
+    never shuffles.
+    """
+    wq = F.floor(F.sqrt(F.count(F.lit(1)).cast("double")) * 1_000_000).cast("long")
+    stats = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n"), wq.alias("wq")
+    )
+    total = stats.agg(F.sum("wq").cast("long").alias("total_wq"))
+    alloc = stats.crossJoin(total).select(
+        stratum_col,
+        "n",
+        F.expr(f"({budget_docs}L * wq) div total_wq").alias("target"),
+    )
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string"))), 1, 8
+    )
+    thr = F.lpad(F.lower(F.hex(F.expr("(target * 4294967296L) div n"))), 8, "0")
+    return (
+        df.join(alloc, stratum_col)
+        .withColumn("__bucket", bucket)
+        .filter((F.col("target") >= F.col("n")) | (F.col("__bucket") < thr))
+        .drop("__bucket")
+    )

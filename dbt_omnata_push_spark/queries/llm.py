@@ -1133,3 +1133,143 @@ def corpus_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket): integer-ized inverse corpus frequency, one gram-keyed
     shuffle + one doc-keyed shuffle."""
     return T.rarity_score(load_table(spark, sf_dir, "documents"))
+
+
+_INCREMENTAL_ORACLE = (
+    _MINHASH_ORACLE_BASE.format(mh_cols=_mh_cols(8))
+    + """,
+bands AS (
+  SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
+),
+pairs AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM bands n JOIN bands c
+    ON n.band_id = c.band_id AND n.band_key = c.band_key
+  WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+)
+SELECT new_id, corpus_id, jaccard FROM (
+  SELECT new_id, corpus_id,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+  FROM pairs
+  JOIN sig sa ON new_id = sa.doc_id
+  JOIN sig sb ON corpus_id = sb.doc_id
+)
+WHERE jaccard >= 0.3
+"""
+)
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=_INCREMENTAL_ORACLE,
+    tags=("llm", "dedup", "incremental"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: the batch (doc_id % 5 == 0) checked against
+    the historical corpus index (doc_id % 5 != 0). The batch side
+    broadcasts through both the band join and the shingle fetch, so the
+    corpus is streamed map-side and never shuffled — the shape that
+    admits a day's documents against a 100 TB corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    index_sig = D.minhash_signatures(D.with_shingles(corpus), num_perm=8)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return D.incremental_dedup_against_index(index_sig, batch, threshold=0.3)
+
+
+@query(
+    "corpus_temperature_mixture",
+    oracle="""
+    WITH stats AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS total_wq FROM stats),
+    alloc AS (SELECT source, n, (200 * wq) // total_wq AS target FROM stats, tot),
+    kept AS (
+      SELECT d.source, a.target
+      FROM documents d JOIN alloc a USING (source)
+      WHERE a.target >= a.n
+         OR substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+            < lpad(lower(hex((a.target * 4294967296) // a.n)), 8, '0')
+    )
+    SELECT source, CAST(target AS BIGINT) AS target,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY source, target
+    """,
+    tags=("llm", "sampling"),
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted (alpha=0.5) mixture: 200-doc budget split
+    proportional to sqrt(source size) — bit-reproducible (IEEE sqrt +
+    BIGINT allocation + md5 threshold), corpus never shuffled."""
+    from ..ops.sampling import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = temperature_mixture(docs, "source", budget_docs=200, key_col="doc_id")
+    return kept.groupBy("source", "target").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    ).select("source", "target", "n_kept")
+
+
+_QSCORE_SQL = """
+      SELECT doc_id, source,
+             CAST(0.5 AS DOUBLE)
+               + CAST(0.4 AS DOUBLE) * vocab_ratio
+               - CAST(0.3 AS DOUBLE) * digit_ratio
+               - CAST(0.02 AS DOUBLE) * (avg_word_len - CAST(5.0 AS DOUBLE))
+               + CASE WHEN n_words >= 20 AND n_words <= 1000
+                      THEN CAST(0.1 AS DOUBLE) ELSE CAST(-0.1 AS DOUBLE) END
+               AS quality_score
+      FROM (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS vocab_ratio,
+               CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS avg_word_len,
+               CASE WHEN length(text) > 0
+                    THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                         / length(text)
+                    ELSE 0.0 END AS digit_ratio
+        FROM documents
+      )
+"""
+
+
+@query(
+    "corpus_quality_percentile",
+    oracle=f"""
+    WITH scored AS ({_QSCORE_SQL}),
+    ranked AS (
+      SELECT doc_id, source, quality_score,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY quality_score DESC, doc_id) - 1
+                  AS BIGINT) AS rank_in_key,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    )
+    SELECT doc_id, source, quality_score, rank_in_key
+    FROM ranked WHERE rank_in_key * 5 < n * 2
+    """,
+    tags=("llm", "budget", "text"),
+)
+def corpus_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 40% per source by quality score. Rank via keyed prefix COUNT
+    (parallel for a dominant source); percentile predicate in integer
+    arithmetic."""
+    from ..llmops.budget import quality_percentile_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = T.quality_score(docs).select("doc_id", "quality_score").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    out = quality_percentile_filter(scored, keep_frac_num=2, keep_frac_den=5)
+    return out.select("doc_id", "source", "quality_score", "rank_in_key")

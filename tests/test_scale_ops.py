@@ -175,3 +175,54 @@ def test_connected_components_converges_without_max_iter_hit(spark):
     )
     out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 9: 1, 50: 50, 60: 50}
+
+
+def test_incremental_dedup_matches_full_rescan(spark, sf_dir):
+    """The batch-vs-index path must find exactly the cross-split pairs a
+    full-corpus near_duplicate_pairs run finds (same bands, same
+    verification threshold)."""
+    from dbt_omnata_push_spark.llmops import dedup as D
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).repartition(8, "doc_id")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index_sig = D.minhash_signatures(D.with_shingles(corpus), num_perm=8)
+    inc = {
+        (r["new_id"], r["corpus_id"]): round(r["jaccard"], 9)
+        for r in D.incremental_dedup_against_index(index_sig, batch).collect()
+    }
+    full = D.near_duplicate_pairs(docs, threshold=0.3).collect()
+    cross = {}
+    for r in full:
+        a, b = r["doc_a"], r["doc_b"]
+        if (a % 5 == 0) != (b % 5 == 0):
+            new_id, corpus_id = (a, b) if a % 5 == 0 else (b, a)
+            cross[(new_id, corpus_id)] = round(r["jaccard"], 9)
+    assert inc == cross
+    assert inc, "cross-split near-dup set must be non-empty to mean anything"
+
+
+def test_incremental_dedup_never_shuffle_joins_corpus(spark, sf_dir):
+    """Every join in the incremental path must be a BroadcastHashJoin
+    with the batch-derived side broadcast — a SortMergeJoin or shuffled
+    hash join would co-shuffle the (100 TB) corpus index."""
+    from dbt_omnata_push_spark.llmops import dedup as D
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    index_sig = D.minhash_signatures(
+        D.with_shingles(docs.filter(F.col("doc_id") % 5 != 0)), num_perm=8
+    )
+    out = D.incremental_dedup_against_index(
+        index_sig, docs.filter(F.col("doc_id") % 5 == 0)
+    )
+    out.collect()  # let AQE finalize the executed plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

@@ -166,3 +166,40 @@ def test_duplicated_ngram_coverage_finds_shared_span(spark):
     assert rows[4]["n_gram_positions"] == 0 and rows[4]["dup_frac"] == 0.0
     # Every doc appears exactly once (left join back to the doc frame).
     assert set(rows) == {1, 2, 3, 4}
+
+
+# ---------------------------------------------------------------------------
+# Tokenize-once guarantee (the O(words^2) re-split regression guard)
+# ---------------------------------------------------------------------------
+
+
+def test_word_ngrams_never_resplits_per_element(spark):
+    """element_at(split(text), i) inside a HOF lambda re-tokenizes the
+    document per gram position (O(words^2) per doc — measured 10x whole-
+    query cost). word_ngrams must bind tokens as a lambda variable, so
+    the optimized plan never feeds split() into element_at directly."""
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id bigint, text string")
+    for fn in (
+        lambda: df.select(D.word_ngrams("text", 3).alias("g")),
+        lambda: D.with_shingles(df, n=3).select("shingles"),
+        lambda: T.repetition_stats(df).select("n_bigrams"),
+    ):
+        plan = fn()._jdf.queryExecution().optimizedPlan().toString()
+        assert "element_at(split(" not in plan, plan[:400]
+
+
+def test_word_ngrams_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y"), (3, "")], "doc_id bigint, text string"
+    )
+    rows = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", D.word_ngrams("text", 3).alias("g")).collect()
+    }
+    assert rows[1] == ["a b c", "b c d"]
+    assert rows[2] == [] and rows[3] == []
+    hashed = df.select("doc_id", D.word_ngrams("text", 3, hashed=True).alias("g"))
+    import hashlib
+
+    got = {r["doc_id"]: r["g"] for r in hashed.collect()}
+    assert got[1] == [hashlib.md5(s.encode()).hexdigest() for s in ["a b c", "b c d"]]
