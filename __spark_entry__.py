@@ -45,7 +45,7 @@ _DRIVER_ORDER_HEAD = [
     "corpus_token_budget", "corpus_source_cap", "embedding_quantize_int8",
     "embedding_label_centroids", "corpus_rarity_score",
     "dedup_incremental_batch", "corpus_temperature_mixture",
-    "corpus_quality_percentile",
+    "corpus_quality_percentile", "stream_events_category_rollup",
     # last driver-checked in round 2 (stalest of the rest)
     "customers_with_open_orders", "recent_orders_watermark",
     "top_orders_per_customer", "global_top_orders", "staging_batches",

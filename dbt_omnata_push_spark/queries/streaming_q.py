@@ -146,3 +146,31 @@ def stream_error_prior_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="stream_error_prior_clicks_out",
     )
     return pairs.groupBy("e_id").agg(F.count(F.lit(1)).alias("n_prior_clicks"))
+
+
+@query(
+    "stream_events_category_rollup",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           CASE event_type
+             WHEN 'click' THEN 'interaction'
+             WHEN 'view' THEN 'interaction'
+             WHEN 'signup' THEN 'account'
+             WHEN 'purchase' THEN 'transaction'
+             WHEN 'error' THEN 'fault'
+           END AS category,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "join", "window"),
+)
+def stream_events_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (event stream x category dim) feeding
+    an hourly windowed aggregation — exact against the batch oracle."""
+    from ..streaming.events import category_rollup_stream
+
+    return run_stream_once(
+        category_rollup_stream(spark, sf_dir), name="stream_events_category_out"
+    )

@@ -257,3 +257,44 @@ def error_click_join_stream(
             "AND c_ts < e_ts"
         ),
     )
+
+
+# Static event-type dimension for the stream-static enrichment join.
+# In production this is a slowly-changing dim table the stream joins
+# against; the literal frame keeps the query deterministic.
+EVENT_CATEGORY_DIM = (
+    ("click", "interaction"),
+    ("view", "interaction"),
+    ("signup", "account"),
+    ("purchase", "transaction"),
+    ("error", "fault"),
+)
+
+
+def category_rollup_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours", **source_opts
+) -> DataFrame:
+    """Stream-static join + windowed rollup: every micro-batch joins the
+    event stream against a static dimension frame (broadcast — the
+    canonical streaming enrichment; the static side is re-read per
+    trigger, so dim updates are picked up), then aggregates hourly per
+    category under the watermark."""
+    dim = spark.createDataFrame(
+        list(EVENT_CATEGORY_DIM), "event_type string, category string"
+    )
+    ev = _events_stream(spark, sf_dir, **source_opts)
+    return (
+        ev.join(F.broadcast(dim), "event_type")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("category"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("value_millis"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "category",
+            "n_events",
+            "value_millis",
+        )
+    )
