@@ -84,3 +84,56 @@ def label_centroids(
         F.sum("xq").alias("sum_q"),
         (F.sum("xq").cast("double") / F.count(F.lit(1))).alias("mean_q"),
     )
+
+
+def label_outliers(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k outliers per label: vectors farthest from their label
+    centroid — the embedding-space mislabel/poison detector.
+
+    Exact-arithmetic trick: comparing ||x - mean||^2 across vectors of
+    one label is equivalent to comparing sum_pos (xq*n - sum_q)^2 (both
+    scale by n^2), so the whole score stays in integer/decimal space —
+    no float accumulation, engine-exact ordering. DECIMAL(38,0) keeps
+    the squares overflow-safe under ANSI mode at corpus-scale n.
+
+    Plan shape: explode -> (label, pos) centroid agg -> co-keyed join
+    back -> (id, label) agg -> per-label top-k (labels are a bounded
+    catalog, so the final window is over bounded groups).
+    """
+    from pyspark.sql import Window
+
+    e = df.select(
+        F.col(id_col), F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).select(
+        id_col,
+        label_col,
+        "pos",
+        F.floor(F.col("x").cast("double") * _Q).cast("long").alias("xq"),
+    )
+    cent = e.groupBy(label_col, "pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("xq").alias("sum_q")
+    )
+    dev = (F.col("xq") * F.col("n_vecs") - F.col("sum_q")).cast("decimal(19,0)")
+    dist = (
+        e.join(cent, [label_col, "pos"])
+        .select(id_col, label_col, (dev * dev).alias("contrib"))
+        .groupBy(id_col, label_col)
+        .agg(F.sum("contrib").alias("dist2"))
+    )
+    w = Window.partitionBy(label_col).orderBy(F.col("dist2").desc(), F.col(id_col))
+    return (
+        dist.withColumn("outlier_rank", F.row_number().over(w))
+        .filter(F.col("outlier_rank") <= k)
+        .select(
+            label_col,
+            F.col(id_col),
+            F.col("dist2").cast("double").alias("dist2_scaled"),
+            "outlier_rank",
+        )
+    )

@@ -1273,3 +1273,45 @@ def corpus_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = quality_percentile_filter(scored, keep_frac_num=2, keep_frac_den=5)
     return out.select("doc_id", "source", "quality_score", "rank_in_key")
+
+
+@query(
+    "embedding_label_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+      FROM (SELECT vec_id, label, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)
+    ),
+    cent AS (
+      SELECT label, i, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(xq) AS BIGINT) AS sum_q
+      FROM e GROUP BY label, i
+    ),
+    dist AS (
+      SELECT vec_id, label,
+             SUM(CAST(xq * n_vecs - sum_q AS DECIMAL(19,0))
+                 * CAST(xq * n_vecs - sum_q AS DECIMAL(19,0))) AS dist2
+      FROM e JOIN cent USING (label, i)
+      GROUP BY vec_id, label
+    )
+    SELECT label, vec_id, CAST(dist2 AS DOUBLE) AS dist2_scaled, outlier_rank
+    FROM (
+      SELECT label, vec_id, dist2,
+             CAST(row_number() OVER (PARTITION BY label
+                                     ORDER BY dist2 DESC, vec_id) AS INT)
+               AS outlier_rank
+      FROM dist
+    )
+    WHERE outlier_rank <= 5
+    """,
+    tags=("llm", "embedding"),
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 centroid-distance outliers per label (mislabel detector);
+    integer/decimal arithmetic end-to-end so ordering is engine-exact."""
+    from ..llmops.embeddings import label_outliers
+
+    return label_outliers(load_table(spark, sf_dir, "embeddings"), k=5)

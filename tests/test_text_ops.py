@@ -203,3 +203,66 @@ def test_word_ngrams_values(spark):
 
     got = {r["doc_id"]: r["g"] for r in hashed.collect()}
     assert got[1] == [hashlib.md5(s.encode()).hexdigest() for s in ["a b c", "b c d"]]
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "x1", "y2", "zz", "the", "of"]
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_word_ngrams_matches_python_reference(spark, doc_words):
+    n = 3
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(doc_words)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", D.word_ngrams("text", n).alias("g")).collect()
+    }
+    for i, (_, text) in enumerate(rows):
+        toks = text.split(" ")  # matches split('', ' ') -> [''] semantics
+        expect = (
+            [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            if len(toks) >= n
+            else []
+        )
+        assert got[i] == expect
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "plain words",
+                "a@b.co",
+                "123-45-6789",
+                "555-1234",
+                "10.0.0.1",
+                "u@10.1.2.3.example.com",
+                "",
+            ]
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_pii_redact_idempotent(spark, pieces):
+    # Redaction placeholders contain no digits or '@', so a second pass
+    # must be a no-op — redaction is idempotent.
+    df = spark.createDataFrame([(1, " ".join(pieces))], "doc_id bigint, text string")
+    once = T.pii_redact(df).select(F.col("redacted").alias("text"), "doc_id")
+    twice = T.pii_redact(once).collect()[0]
+    assert twice["redacted"] == twice["text"]
