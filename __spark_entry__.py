@@ -46,7 +46,7 @@ _DRIVER_ORDER_HEAD = [
     "embedding_label_centroids", "corpus_rarity_score",
     "dedup_incremental_batch", "corpus_temperature_mixture",
     "corpus_quality_percentile", "stream_events_category_rollup",
-    "embedding_label_outliers",
+    "embedding_label_outliers", "corpus_curation_full",
     # last driver-checked in round 2 (stalest of the rest)
     "customers_with_open_orders", "recent_orders_watermark",
     "top_orders_per_customer", "global_top_orders", "staging_batches",

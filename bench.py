@@ -53,6 +53,9 @@ HEADLINE = [
     "corpus_rarity_score",
     "corpus_token_budget",
     "dedup_incremental_batch",
+    # the flagship composed plan: dedup -> near-dup -> decontam ->
+    # quality -> budget -> split in one query
+    "corpus_curation_full",
 ]
 
 

@@ -1315,3 +1315,189 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.embeddings import label_outliers
 
     return label_outliers(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+def _minhash_cte_over(source: str) -> str:
+    """The minhash signature CTE chain (8 perms) over an arbitrary
+    source CTE — same shape as _MINHASH_ORACLE_BASE, parameterized."""
+    return f"""
+mtoks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words FROM {source}
+),
+msh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(words) - 2),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+              ELSE [text] END AS shingles
+  FROM mtoks
+),
+mhs AS (
+  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hh FROM msh
+),
+msig AS (
+  SELECT doc_id, shingles,
+         {_mh_cols(8)}
+  FROM mhs
+),
+mbands AS (
+  SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM msig
+  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM msig
+  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM msig
+  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM msig
+),
+mpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM mbands a JOIN mbands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+mverified AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+    FROM mpairs
+    JOIN msig sa ON doc_a = sa.doc_id
+    JOIN msig sb ON doc_b = sb.doc_id
+  )
+  WHERE jaccard >= 0.3
+)"""
+
+
+_CURATION_ORACLE = f"""
+WITH corpus0 AS (SELECT * FROM documents WHERE doc_id % 50 != 0),
+canon AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM corpus0 GROUP BY 1),
+exact_keep AS (
+  SELECT c.* FROM corpus0 c
+  JOIN canon ON md5(c.text) = canon.h AND c.doc_id = canon.keep_id
+),
+{_minhash_cte_over('exact_keep')},
+near_keep AS (
+  SELECT * FROM exact_keep
+  WHERE doc_id NOT IN (SELECT doc_b FROM mverified)
+),
+bt AS (SELECT doc_id, text, string_split(text, ' ') AS words
+       FROM documents WHERE doc_id % 50 = 0),
+bsh AS (
+  SELECT CASE WHEN len(words) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(words) - 2),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+              ELSE [text] END AS shingles
+  FROM bt
+),
+bx AS (SELECT DISTINCT unnest(shingles) AS g3 FROM bsh),
+ctoks AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM near_keep),
+csh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(words) - 2),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+              ELSE [text] END AS shingles
+  FROM ctoks
+),
+contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(shingles) AS g3 FROM csh) cx
+  JOIN bx USING (g3)
+),
+clean AS (
+  SELECT * FROM near_keep
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+scored AS (
+  SELECT doc_id,
+         CAST(0.5 AS DOUBLE)
+           + CAST(0.4 AS DOUBLE) * vocab_ratio
+           - CAST(0.3 AS DOUBLE) * digit_ratio
+           - CAST(0.02 AS DOUBLE) * (avg_word_len - CAST(5.0 AS DOUBLE))
+           + CASE WHEN n_words >= 20 AND n_words <= 1000
+                  THEN CAST(0.1 AS DOUBLE) ELSE CAST(-0.1 AS DOUBLE) END
+           AS quality_score
+  FROM (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS vocab_ratio,
+           CAST(length(text) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_word_len,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                     / length(text)
+                ELSE 0.0 END AS digit_ratio
+    FROM clean
+  )
+),
+kept AS (
+  SELECT c.doc_id, c.source, c.text FROM clean c
+  JOIN scored s USING (doc_id) WHERE s.quality_score >= CAST(0.7 AS DOUBLE)
+),
+budg AS (
+  SELECT doc_id, source, n_tokens, cum_tokens FROM (
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_tokens
+    FROM (SELECT doc_id, source,
+                 md5('cap:' || CAST(doc_id AS VARCHAR)) AS ord,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM kept)
+  )
+  WHERE cum_tokens <= 1200
+)
+SELECT doc_id, source, n_tokens, cum_tokens,
+       CASE WHEN b < 'cc' THEN 'train'
+            WHEN b < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT *, substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+      FROM budg)
+"""
+
+
+@query("corpus_curation_full", oracle=_CURATION_ORACLE, tags=("llm", "pipeline"))
+def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pre-training curation pass as one composed plan:
+    exact dedup (canonical copy) -> MinHash-LSH near-dup removal (drop
+    the higher id of each verified pair) -> benchmark decontamination
+    (3-gram overlap vs the held-out doc_id % 50 == 0 split) -> quality
+    gate (score >= 0.7) -> per-source 1200-token budget -> seeded
+    train/val/test split. Every stage is one of the engine's oracle-
+    gated operators; composability is the product claim."""
+    from ..llmops.budget import token_budget_cap
+    from ..ops.packing import shuffle_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus0 = docs.filter(F.col("doc_id") % 50 != 0)
+    canon = D.exact_dedup_groups(corpus0)
+    exact_keep = (
+        corpus0.withColumn("h", F.md5("text"))
+        .join(
+            canon.select(
+                F.col("content_hash").alias("h"),
+                F.col("canonical_doc_id").alias("doc_id"),
+            ),
+            ["h", "doc_id"],
+        )
+        .drop("h")
+    )
+    pairs = D.near_duplicate_pairs(
+        exact_keep.select("doc_id", "text"), threshold=0.3
+    )
+    near_keep = exact_keep.join(
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    contaminated = T.contamination_hits(near_keep, bench, n=3)
+    clean = near_keep.join(contaminated.select("doc_id"), "doc_id", "left_anti")
+    kept = clean.join(
+        T.quality_score(clean).filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    budgeted = token_budget_cap(kept, budget=1200, key_col="source", seed="cap")
+    return shuffle_split(budgeted, "doc_id").select(
+        "doc_id", "source", "n_tokens", "cum_tokens", "split"
+    )
