@@ -1486,14 +1486,19 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.near_duplicate_pairs(
         exact_keep.select("doc_id", "text"), threshold=0.3
     )
+    # near_keep and clean each feed TWO consumers (a shingle/score pass
+    # plus the surviving-row join): localCheckpoint computes each once
+    # and keeps the composed optimizer tree small.
     near_keep = exact_keep.join(
         pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
         "doc_id",
         "left_anti",
-    )
+    ).localCheckpoint(eager=False)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     contaminated = T.contamination_hits(near_keep, bench, n=3)
-    clean = near_keep.join(contaminated.select("doc_id"), "doc_id", "left_anti")
+    clean = near_keep.join(
+        contaminated.select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint(eager=False)
     kept = clean.join(
         T.quality_score(clean).filter(F.col("keep")).select("doc_id"), "doc_id"
     )
