@@ -1,12 +1,15 @@
-"""Pure-Python media codecs: BMP (24bpp), PNG (8-bit RGB/RGBA), WAV (PCM16).
+"""Pure-Python media codecs: BMP (24bpp), PNG (8-bit RGB/RGBA), GIF
+(87a/89a single-image LZW), WAV (PCM16).
 
 The multimodal stages (llmops/multimodal.py) are Arrow-batched Spark
 plumbing around a pluggable codec. Container constraints rule out
 PIL/ffmpeg, but these formats are implementable from their public
 specifications — PNG via stdlib zlib (RFC 2083: chunk framing, CRC32,
-scanline filters 0-4) — so the decode/resize/slice paths run on REAL
-bytes end-to-end, including one COMPRESSED format (judge r2 #7).
-Video remains the documented NotImplementedError boundary.
+scanline filters 0-4), GIF via a from-scratch LZW (GIF89a spec appendix
+F: variable-width LSB-first codes, clear/EOI, 12-bit table growth +
+reset) — so the decode/resize/slice paths run on REAL bytes end-to-end,
+including two COMPRESSED formats. Video remains the documented
+NotImplementedError boundary.
 
 Not performance-critical: codecs run inside executor-side Pandas
 batches; swap for PIL/ffmpeg in production for speed, not correctness.
@@ -26,11 +29,13 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff(payload: bytes) -> str | None:
-    """'bmp' | 'png' | 'wav' | None by magic bytes."""
+    """'bmp' | 'png' | 'gif' | 'wav' | None by magic bytes."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:8] == PNG_MAGIC:
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return None
@@ -316,3 +321,199 @@ def slice_wav(data: bytes, n_slices: int) -> list[bytes]:
         chunk = s[i * step * ch : (i + 1) * step * ch]
         out.append(encode_wav(chunk, wav["sample_rate"], ch))
     return out
+
+
+# ---------------------------------------------------------------------------
+# GIF: 87a/89a single-image, global color table, REAL LZW in both
+# directions (GIF89a spec appendix F): variable-width codes starting at
+# min_code_size+1 bits, LSB-first packing, clear/EOI codes, table growth
+# to 12 bits with an explicit CLEAR-and-reset at 4096 entries (no
+# deferred-clear ambiguity). Interlace and local color tables are out of
+# scope; extensions are skipped on decode.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode_gif(indices: list[int], mcs: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {(i,): i for i in range(clear)}, eoi + 1, mcs + 1
+
+    table, next_code, code_size = fresh()
+    emit(clear, code_size)
+    w: tuple = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        table[wk] = next_code
+        next_code += 1
+        # Writer bumps one step after the reader's table (which lags by
+        # exactly one entry) reaches 2^size — hence the +1.
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code == 4096:  # table full: reset both sides explicitly
+            emit(clear, code_size)
+            table, next_code, code_size = fresh()
+        w = (k,)
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, mcs: int) -> list[int]:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = 0  # bit cursor
+    total = len(data) * 8
+
+    def read(size: int) -> int:
+        nonlocal pos
+        if pos + size > total:
+            return eoi  # truncated stream: treat as end
+        byte, bit = divmod(pos, 8)
+        val = int.from_bytes(data[byte : byte + 3], "little") >> bit
+        pos += size
+        return val & ((1 << size) - 1)
+
+    def fresh():
+        return {i: (i,) for i in range(clear)}, eoi + 1, mcs + 1
+
+    table, next_code, code_size = fresh()
+    out: list[int] = []
+    prev: tuple | None = None
+    while True:
+        code = read(code_size)
+        if code == clear:
+            table, next_code, code_size = fresh()
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:  # the KwKwK special case
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def encode_gif(
+    width: int, height: int, palette: list[tuple], indices: list[int]
+) -> bytes:
+    """palette: 2..256 (r, g, b) entries; indices: row-major pixel
+    palette indices (len == width*height)."""
+    if not 2 <= len(palette) <= 256:
+        raise ValueError("palette must have 2..256 entries")
+    if len(indices) != width * height:
+        raise ValueError("indices length must equal width*height")
+    size_bits = max((len(palette) - 1).bit_length(), 1)
+    mcs = max(size_bits, 2)  # spec: LZW minimum code size >= 2
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | ((size_bits - 1) & 0x07), 0, 0])
+    for i in range(1 << size_bits):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        out += bytes((r, g, b))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out.append(mcs)
+    lzw = _lzw_encode_gif(indices, mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> dict:
+    """-> {width, height, palette, pixels (top-down (r,g,b) rows)}."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    width, height = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table unsupported")
+    table_size = 2 << (packed & 0x07)
+    off = 13
+    palette = [tuple(data[off + 3 * i : off + 3 * i + 3]) for i in range(table_size)]
+    off += 3 * table_size
+    while data[off] == 0x21:  # extension blocks: label + sub-blocks
+        off += 2
+        while data[off]:
+            off += data[off] + 1
+        off += 1
+    if data[off] != 0x2C:
+        raise ValueError(f"expected image descriptor, got 0x{data[off]:02x}")
+    ix, iy, iw, ih = struct.unpack_from("<HHHH", data, off + 1)
+    ipacked = data[off + 9]
+    if ipacked & 0x80:
+        raise ValueError("local color tables unsupported")
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF unsupported")
+    off += 10
+    mcs = data[off]
+    off += 1
+    lzw = bytearray()
+    while data[off]:
+        n = data[off]
+        lzw += data[off + 1 : off + 1 + n]
+        off += n + 1
+    indices = _lzw_decode_gif(bytes(lzw), mcs)
+    if len(indices) < iw * ih:
+        raise ValueError("GIF pixel data shorter than image dimensions")
+    pixels = [
+        [palette[indices[y * iw + x]] for x in range(iw)] for y in range(ih)
+    ]
+    return {"width": iw, "height": ih, "palette": palette, "pixels": pixels}
+
+
+def gif_mean_luminance(data: bytes) -> float:
+    img = decode_gif(data)
+    tot = n = 0.0
+    for row in img["pixels"]:
+        for r, g, b in row:
+            tot += 0.299 * r + 0.587 * g + 0.114 * b
+            n += 1
+    return tot / n if n else 0.0
+
+
+def resize_gif(data: bytes, new_width: int, new_height: int) -> bytes:
+    """Nearest-neighbour resample on the index grid, re-encoded with the
+    same palette (palette images resample losslessly per pixel)."""
+    img = decode_gif(data)
+    w, h = img["width"], img["height"]
+    pal = img["palette"]
+    lut = {c: i for i, c in enumerate(pal)}
+    out = [
+        lut[img["pixels"][(y * h) // new_height][(x * w) // new_width]]
+        for y in range(new_height)
+        for x in range(new_width)
+    ]
+    return encode_gif(new_width, new_height, pal, out)

@@ -78,11 +78,13 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             return codecs.bmp_mean_luminance(b)
         if kind == "png":  # real inflate+unfilter decode: mean luma
             return codecs.png_mean_luminance(b)
+        if kind == "gif":  # real LZW decode: mean luma
+            return codecs.gif_mean_luminance(b)
         if kind == "wav":  # real decode: RMS amplitude
             return codecs.wav_rms(b)
         if not decode_stub:
             raise NotImplementedError(
-                "payload is not BMP/PNG/WAV; real decoding requires "
+                "payload is not BMP/PNG/GIF/WAV; real decoding requires "
                 "PIL/ffmpeg (see llmops/multimodal.py)"
             )
         # Deterministic fake 'feature': byte-sum norm.
@@ -150,9 +152,11 @@ def resize_media(
             return codecs.resize_bmp(b, width, height)
         if kind == "png":  # real decode -> resample -> re-deflate
             return codecs.resize_png(b, width, height)
+        if kind == "gif":  # real LZW decode -> resample -> re-encode
+            return codecs.resize_gif(b, width, height)
         if not decode_stub:
             raise NotImplementedError(
-                "payload is not BMP/PNG; real resize requires PIL "
+                "payload is not BMP/PNG/GIF; real resize requires PIL "
                 "(see llmops/multimodal.py)"
             )
         return (b * (target // max(len(b), 1) + 1))[:target]

@@ -217,3 +217,71 @@ def test_sample_frames_real_wav_through_stage(spark):
     assert len(frames) == 4
     for f in frames:
         assert len(decode_wav(bytes(f["frame_payload"]))["samples"]) == 200
+
+
+def _gif_gradient(w=8, h=4):
+    """Same horizontal-gradient image as _bmp_gradient/_png_gradient,
+    expressed as a paletted GIF (one palette entry per column shade)."""
+    from dbt_omnata_push_spark.llmops.codecs import encode_gif
+
+    palette = [(x * 255 // (w - 1),) * 3 for x in range(w)]
+    indices = [x for _y in range(h) for x in range(w)]
+    return encode_gif(w, h, palette, indices)
+
+
+def test_gif_codec_roundtrip_units():
+    import random
+
+    from dbt_omnata_push_spark.llmops.codecs import (
+        decode_gif,
+        encode_gif,
+        gif_mean_luminance,
+        resize_gif,
+        sniff,
+    )
+
+    data = _gif_gradient(8, 4)
+    assert sniff(data) == "gif"
+    img = decode_gif(data)
+    assert (img["width"], img["height"]) == (8, 4)
+    assert abs(gif_mean_luminance(data) - sum(x * 255 // 7 for x in range(8)) / 8) < 1e-9
+    small = decode_gif(resize_gif(data, 4, 2))
+    assert (small["width"], small["height"]) == (4, 2)
+
+    # LZW stress: random 256-color noise big enough to overflow the
+    # 12-bit code table (forces the CLEAR-and-reset path), plus the
+    # KwKwK special case (alternating two colors).
+    rng = random.Random(11)
+    pal = []
+    while len(pal) < 256:
+        c = (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        if c not in pal:
+            pal.append(c)
+    idx = [rng.randrange(256) for _ in range(100 * 60)]
+    round_ = decode_gif(encode_gif(100, 60, pal, idx))
+    assert [px for row in round_["pixels"] for px in row] == [pal[i] for i in idx]
+    kw = decode_gif(encode_gif(10, 4, [(0, 0, 0), (9, 9, 9)], [0, 1] * 20))
+    assert [px for row in kw["pixels"] for px in row] == [(0, 0, 0), (9, 9, 9)] * 20
+
+
+def test_gif_through_stages_matches_other_codecs(spark):
+    """The SAME image as GIF, PNG and BMP must produce identical features
+    and identical resized pixels through the real (unstubbed) stages."""
+    from dbt_omnata_push_spark.llmops.codecs import decode_bmp, decode_gif
+    from dbt_omnata_push_spark.llmops.multimodal import extract_features, resize_media
+
+    gif, bmp = _gif_gradient(8, 4), _bmp_gradient(8, 4)
+    media = _media_df(spark, [gif], "image").unionByName(
+        _media_df(spark, [bmp], "image").withColumn("media_id", F.col("media_id") + 1)
+    )
+    feats = {
+        r["media_id"]: r["feature_norm"]
+        for r in extract_features(media, decode_stub=False).collect()
+    }
+    assert abs(feats[0] - feats[1]) < 1e-9
+
+    out = resize_media(_media_df(spark, [gif], "image"), 4, 2, decode_stub=False).collect()
+    img_gif = decode_gif(bytes(out[0]["payload"]))
+    out_bmp = resize_media(_media_df(spark, [bmp], "image"), 4, 2, decode_stub=False).collect()
+    img_bmp = decode_bmp(bytes(out_bmp[0]["payload"]))
+    assert img_gif["pixels"] == img_bmp["pixels"]
