@@ -646,3 +646,96 @@ def shipmode_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
         )
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    conv AS (
+      SELECT s.user_id, MIN(p.pts) AS first_purchase_after
+      FROM s LEFT JOIN p
+        ON p.user_id = s.user_id AND p.pts > s.first_signup
+      GROUP BY s.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_signup_users,
+           CAST(COUNT(first_purchase_after) AS BIGINT) AS n_converted,
+           CAST(COUNT(first_purchase_after) AS DOUBLE) / COUNT(*)
+             AS conversion_rate
+    FROM conv
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (signup -> later purchase, per user): the event-
+    sequence conversion shape. One user-keyed shuffle per step; the
+    step join is user-co-keyed so no fact table is broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        s.join(p, (p.user_id == s.user_id) & (F.col("pts") > F.col("first_signup")), "left")
+        .groupBy(s.user_id)
+        .agg(F.min("pts").alias("first_purchase_after"))
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.count("first_purchase_after").alias("n_converted"),
+        (
+            F.count("first_purchase_after").cast("double") / F.count(F.lit(1))
+        ).alias("conversion_rate"),
+    )
+
+
+@query(
+    "events_hourly_retention",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, user_id
+      FROM events
+    )
+    SELECT a.h AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained
+    FROM a LEFT JOIN a b
+      ON b.user_id = a.user_id AND b.h = a.h + INTERVAL 1 HOUR
+    GROUP BY a.h
+    """,
+    tags=("events", "retention"),
+)
+def events_hourly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-over-hour cohort retention: of the users active in hour h,
+    how many are active again in h+1. Distinct (hour, user) frame
+    self-joined on (user, adjacent hour) — user-co-keyed shuffle, no
+    all-pairs, scales with active-user-hours."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
+    ).distinct()
+    b = a.select(F.col("h").alias("bh"), F.col("user_id").alias("buser"))
+    joined = a.join(
+        b,
+        (F.col("buser") == F.col("user_id"))
+        & (F.col("bh") == F.col("h") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy(F.col("h").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("buser").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+    )
