@@ -1506,3 +1506,78 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_split(budgeted, "doc_id").select(
         "doc_id", "source", "n_tokens", "cum_tokens", "split"
     )
+
+
+_MH_EST_SUM_SQL = " + ".join(
+    f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(8)
+)
+
+_MH_ESTIMATE_ORACLE = (
+    _MINHASH_ORACLE_BASE.format(mh_cols=_mh_cols(8))
+    + f""",
+bands AS (
+  SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
+  SELECT doc_a, doc_b,
+         CAST({_MH_EST_SUM_SQL} AS DOUBLE) / 8 AS est_jaccard,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+  FROM pairs
+  JOIN sig sa ON doc_a = sa.doc_id
+  JOIN sig sb ON doc_b = sb.doc_id
+)
+WHERE jaccard >= 0.3
+"""
+)
+
+
+@query(
+    "dedup_minhash_jaccard_estimate",
+    oracle=_MH_ESTIMATE_ORACLE,
+    tags=("llm", "dedup", "sketch"),
+)
+def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact on one frame: for each verified near-dup pair,
+    the MinHash agreement fraction (the 8-component Jaccard estimator —
+    what a 100 TB pass would use to SKIP the exact verify) next to the
+    exact shingle Jaccard. At scale the estimate column is free (the
+    signatures already exist for banding); the exact column is the
+    audit."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sig = D.minhash_signatures(D.with_shingles(src), num_perm=8).persist()
+    pairs = D.lsh_candidate_pairs(sig, "doc_id", 8, 2)
+    mh_cols = [f"mh{j}" for j in range(8)]
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sa"),
+        *[F.col(c).alias(f"a_{c}") for c in mh_cols],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sb"),
+        *[F.col(c).alias(f"b_{c}") for c in mh_cols],
+    )
+    est = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in mh_cols
+    ).cast("double") / 8
+    jac = (
+        F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+        / F.size(F.array_union(F.col("sa"), F.col("sb")))
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+    )

@@ -739,3 +739,66 @@ def events_hourly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_retained"),
     )
+
+
+@query(
+    "events_hourly_anomalies",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(n) AS BIGINT) AS sum_n,
+             CAST(SUM(n * n) AS BIGINT) AS sum_n2
+      FROM hc GROUP BY event_type
+    )
+    SELECT event_type, h AS hour, n,
+           CAST(n_hours AS BIGINT) AS n_hours,
+           (CAST(n AS DOUBLE) - CAST(sum_n AS DOUBLE) / n_hours)
+             / sqrt(CAST(sum_n2 AS DOUBLE) / n_hours
+                    - (CAST(sum_n AS DOUBLE) / n_hours)
+                      * (CAST(sum_n AS DOUBLE) / n_hours)) AS zscore
+    FROM hc JOIN stats USING (event_type)
+    WHERE (CAST(n AS DOUBLE) - CAST(sum_n AS DOUBLE) / n_hours)
+          * (CAST(n AS DOUBLE) - CAST(sum_n AS DOUBLE) / n_hours)
+          > 4.0 * (CAST(sum_n2 AS DOUBLE) / n_hours
+                   - (CAST(sum_n AS DOUBLE) / n_hours)
+                     * (CAST(sum_n AS DOUBLE) / n_hours))
+    """,
+    tags=("events", "anomaly"),
+)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours where an event type's count deviates > 2 sigma from that
+    type's hourly mean — the volume-anomaly detector shape. Counts,
+    sums and sums-of-squares stay BIGINT (exact, order-independent);
+    the mean/variance/z-score are fixed-order double expressions, so
+    the oracle matches bit-for-bit. The sigma test is applied on the
+    squared inequality (no sqrt in the predicate) to avoid comparing
+    against a NaN sigma when a type has constant counts."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_n2"),
+    )
+    mean = F.col("sum_n").cast("double") / F.col("n_hours")
+    var = F.col("sum_n2").cast("double") / F.col("n_hours") - mean * mean
+    dev = F.col("n").cast("double") - mean
+    return (
+        hc.join(stats, "event_type")
+        .filter(dev * dev > F.lit(4.0) * var)
+        .select(
+            "event_type",
+            F.col("h").alias("hour"),
+            "n",
+            F.col("n_hours").cast("long").alias("n_hours"),
+            (dev / F.sqrt(var)).alias("zscore"),
+        )
+    )
