@@ -802,3 +802,45 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dev / F.sqrt(var)).alias("zscore"),
         )
     )
+
+
+@query(
+    "parts_market_basket",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    counted AS (
+      SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM pairs GROUP BY part_a, part_b
+    )
+    SELECT part_a, part_b, n_orders
+    FROM counted
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 100
+    """,
+    tags=("tpch", "basket"),
+)
+def parts_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top part pairs bought together.
+    The self-join is co-keyed on the order key (pair fan-out bounded by
+    per-order basket size, never corpus-all-pairs); the pair count is a
+    map-side-combining groupBy; top-100 is TakeOrderedAndProject with a
+    full deterministic tiebreak."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk"))
+    ).select(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(100)
+    )
