@@ -34,9 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries per round in dict order, so entries never (or longest-ago)
 # driver-checked lead. After r3 the union of CORRECTNESS_r{1,2,3}.json
 # keys covers all 97 previously-registered queries; head for r4 =
-# flagship + the 5 new (never-checked) queries + the 47 whose latest
-# driver row is r2 (stalest). Recompute next round from the union of
-# CORRECTNESS_r*.json keys.
+# flagship + the 22 queries ADDED in round 4 (never driver-checked) +
+# the 47 whose latest driver row is r2 (stalest) — the driver's 50-query
+# window covers the flagship, every new query, and the 27 stalest.
+# Recompute next round from the union of CORRECTNESS_r*.json keys.
 _DRIVER_ORDER_HEAD = [
     "pricing_summary",
     # never driver-checked (new in r4)
