@@ -1612,7 +1612,14 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: byte-banded candidates (pigeonhole — any
     pair within hamming 1 of a 2-band split shares an exact byte), then
     exact bit_count(xor) verify. The banding keeps the join an equi-join
-    on (band, byte) — sum-of-bucket-squared, never all-pairs."""
+    on (band, byte) — sum-of-bucket-squared, never all-pairs.
+
+    Scale note: the 16-bit signature (reference-parity toy width) has
+    only 256 byte buckets, so bucket size grows linearly with corpus
+    size and the candidate join degrades toward O(n^2/512) at 100 TB.
+    The production shape is the SAME plan over a 64-bit simhash with
+    16-bit bands (65536 buckets per band) — widen the signature, not
+    the algorithm."""
     register_testdata(spark, sf_dir, ["documents"])
     sh = spark.sql(D.simhash_sql(D.SPARK_WORDS_CLAUSE))
     lo = sh.select("doc_id", "simhash", F.lit(0).alias("band_id"), (F.col("simhash") % 256).alias("byte"))
