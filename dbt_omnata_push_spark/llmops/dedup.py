@@ -300,9 +300,9 @@ def duplicated_ngram_coverage(
 # a SQL string that is valid in BOTH Spark SQL and DuckDB (instr/substr/
 # md5/floor are shared), so the oracle is the same computation textually.
 # ---------------------------------------------------------------------------
-def _bit_sum_exprs(hash_expr: str = "h") -> list[str]:
+def _bit_sum_exprs(hash_expr: str = "h", bits: int = 16) -> list[str]:
     terms = []
-    for b in range(16):
+    for b in range(bits):
         nib = (
             f"(instr('0123456789abcdef', substr({hash_expr}, {1 + b // 4}, 1)) - 1)"
         )
@@ -329,6 +329,39 @@ def simhash_sql(explode_clause: str) -> str:
     )
     return f"""
     SELECT doc_id, CAST({packed} AS INT) AS simhash
+    FROM (
+      SELECT doc_id,
+         {sums}
+      FROM (SELECT doc_id, md5(w) AS h FROM ({explode_clause}))
+      GROUP BY doc_id
+    )
+    """
+
+
+def simhash_bands_sql(
+    explode_clause: str, bits: int = 64, band_bits: int = 16
+) -> str:
+    """Production-width SimHash as PRE-BANDED columns b0..b{n-1}.
+
+    A 64-bit simhash (16 hex nibbles of each word's md5 drive 64
+    bit-sums) emitted directly as four 16-bit band values — the layout
+    the banded candidate join wants, and it sidesteps packing 64 bits
+    into a signed BIGINT (bit 63 would overflow the packed sum). With
+    65536 buckets per band, bucket sizes stay sparse at corpus scale —
+    this is the fix for the 16-bit toy signature's O(n^2/512) candidate
+    join. Same textual SQL runs on Spark and DuckDB.
+    """
+    n_bands = bits // band_bits
+    sums = ",\n         ".join(_bit_sum_exprs(bits=bits))
+    band_cols = []
+    for band in range(n_bands):
+        packed = " + ".join(
+            f"CASE WHEN s{band * band_bits + i} > 0 THEN {2 ** i} ELSE 0 END"
+            for i in range(band_bits)
+        )
+        band_cols.append(f"CAST({packed} AS INT) AS b{band}")
+    return f"""
+    SELECT doc_id, {", ".join(band_cols)}
     FROM (
       SELECT doc_id,
          {sums}

@@ -1645,3 +1645,67 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", ham.cast("int").alias("hamming")
     ).filter(ham <= 1)
+
+
+_SIMHASH64_ORACLE = f"""
+WITH sh AS ({D.simhash_bands_sql(D.DUCKDB_WORDS_CLAUSE)}),
+bands AS (
+  SELECT doc_id, b0, b1, b2, b3, 0 AS band_id, b0 AS bv FROM sh
+  UNION ALL SELECT doc_id, b0, b1, b2, b3, 1, b1 FROM sh
+  UNION ALL SELECT doc_id, b0, b1, b2, b3, 2, b2 FROM sh
+  UNION ALL SELECT doc_id, b0, b1, b2, b3, 3, b3 FROM sh
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+         b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+            + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS INT)
+         AS hamming
+FROM pairs
+"""
+
+
+@query(
+    "dedup_simhash64_pairs",
+    oracle=_SIMHASH64_ORACLE,
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width SimHash candidate pairs: 64-bit signature as
+    four pre-banded 16-bit values; docs sharing ANY band collide
+    (pigeonhole recall for hamming <= 3), exact 64-bit hamming attached.
+    65536 buckets per band keep the candidate equi-join sparse at
+    corpus scale — the scale fix for the 16-bit toy signature. Callers
+    threshold on hamming."""
+    register_testdata(spark, sf_dir, ["documents"])
+    sh = spark.sql(D.simhash_bands_sql(D.SPARK_WORDS_CLAUSE))
+    bands = None
+    for j in range(4):
+        part = sh.select(
+            "doc_id", "b0", "b1", "b2", "b3",
+            F.lit(j).alias("band_id"), F.col(f"b{j}").alias("bv"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.b{j}").alias(f"a{j}") for j in range(4)],
+            *[F.col(f"b.b{j}").alias(f"c{j}") for j in range(4)],
+        )
+        .distinct()
+    )
+    ham = sum(F.bit_count(F.expr(f"a{j} ^ c{j}")) for j in range(4))
+    return pairs.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
