@@ -844,3 +844,74 @@ def parts_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(100)
     )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey AS custkey,
+             MAX(CAST(o_orderdate AS TIMESTAMP)) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, n_orders, total_spend,
+           CASE WHEN last_order >= TIMESTAMP '2000-08-01 00:00:00' THEN 3
+                WHEN last_order >= TIMESTAMP '1999-08-01 00:00:00' THEN 2
+                ELSE 1 END AS r_score,
+           CASE WHEN n_orders >= 15 THEN 3
+                WHEN n_orders >= 8 THEN 2 ELSE 1 END AS f_score,
+           CASE WHEN total_spend >= 3000000.0 THEN 3
+                WHEN total_spend >= 1500000.0 THEN 2 ELSE 1 END AS m_score,
+           'RFM-' ||
+             CAST(CASE WHEN last_order >= TIMESTAMP '2000-08-01 00:00:00' THEN 3
+                       WHEN last_order >= TIMESTAMP '1999-08-01 00:00:00' THEN 2
+                       ELSE 1 END AS VARCHAR) ||
+             CAST(CASE WHEN n_orders >= 15 THEN 3
+                       WHEN n_orders >= 8 THEN 2 ELSE 1 END AS VARCHAR) ||
+             CAST(CASE WHEN total_spend >= 3000000.0 THEN 3
+                       WHEN total_spend >= 1500000.0 THEN 2 ELSE 1 END AS VARCHAR)
+             AS segment
+    FROM c
+    """,
+    tags=("orders", "rfm"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency/frequency/monetary score
+    buckets): one customer-keyed aggregation, money summed as
+    decimal(18,2) per the engine's exactness discipline, fixed-threshold
+    bucketing so the segment labels are engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("timestamp")).alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spend"),
+    )
+    r = (
+        F.when(F.col("last_order") >= F.expr("TIMESTAMP '2000-08-01 00:00:00'"), 3)
+        .when(F.col("last_order") >= F.expr("TIMESTAMP '1999-08-01 00:00:00'"), 2)
+        .otherwise(1)
+    )
+    f = F.when(F.col("n_orders") >= 15, 3).when(F.col("n_orders") >= 8, 2).otherwise(1)
+    m = (
+        F.when(F.col("total_spend") >= 3000000.0, 3)
+        .when(F.col("total_spend") >= 1500000.0, 2)
+        .otherwise(1)
+    )
+    return c.select(
+        "custkey",
+        "n_orders",
+        "total_spend",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+        F.concat(
+            F.lit("RFM-"),
+            r.cast("string"),
+            f.cast("string"),
+            m.cast("string"),
+        ).alias("segment"),
+    )
