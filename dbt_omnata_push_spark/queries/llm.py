@@ -1709,3 +1709,41 @@ def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ham = sum(F.bit_count(F.expr(f"a{j} ^ c{j}")) for j in range(4))
     return pairs.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+
+
+@query(
+    "dedup_fingerprint_groups",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             list_min(list_transform(
+               CASE WHEN length(text) >= 8
+                    THEN list_transform(generate_series(1, length(text) - 7),
+                                        i -> substr(text, i, 8))
+                    ELSE [text] END,
+               g -> md5(g))) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM fp
+    GROUP BY fingerprint
+    HAVING COUNT(*) > 1
+    """,
+    tags=("llm", "dedup", "fingerprint"),
+)
+def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-lite dedup: group by the rolling char-8-gram bottom-1
+    fingerprint (equal fingerprints => shared rare substring — catches
+    near-identical docs that byte-exact md5 grouping misses). One
+    fingerprint-keyed shuffle, same scale shape as exact dedup."""
+    fp = T.char_fingerprint(load_table(spark, sf_dir, "documents"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
