@@ -525,3 +525,53 @@ def incremental_dedup_against_index(
         .select("new_id", "corpus_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def pair_graph_pagerank(
+    pairs: DataFrame,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Fixed-iteration PageRank over the (undirected) near-dup pair
+    graph — ranks the 'hub' documents of duplicate neighborhoods (the
+    template/boilerplate sources other docs cluster around).
+
+    Exactness discipline: ranks live in integer space (initial rank =
+    ``scale``; damping applied as (85 * x) div 100; per-edge
+    contribution rank div degree), so a fixed iteration count is
+    bit-identical in any engine — no float accumulation. Per iteration:
+    one edge-keyed join + one dst-keyed groupBy (map-side partial agg);
+    lineage is truncated per round with localCheckpoint, same as
+    connected_components. Nodes are pair members only; deg >= 1 always.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    base = (15 * scale) // 100
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("node").alias("src"), "deg", "rank"), "src"
+            )
+            .select("dst", F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(base)
+                    + F.expr("(85 * coalesce(c, 0)) div 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("node").alias("doc_id"), F.col("rank"))

@@ -1647,8 +1647,9 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(ham <= 1)
 
 
-_SIMHASH64_ORACLE = f"""
-WITH sh AS ({D.simhash_bands_sql(D.DUCKDB_WORDS_CLAUSE)}),
+# CTE chain ending in `shcand` (doc_a, doc_b, hamming) — reused by the
+# pairs query and the dedup-graph PageRank oracle.
+_SIMHASH64_CTES = f"""sh AS ({D.simhash_bands_sql(D.DUCKDB_WORDS_CLAUSE)}),
 bands AS (
   SELECT doc_id, b0, b1, b2, b3, 0 AS band_id, b0 AS bv FROM sh
   UNION ALL SELECT doc_id, b0, b1, b2, b3, 1, b1 FROM sh
@@ -1661,12 +1662,18 @@ pairs AS (
          b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b,
-       CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
-            + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS INT)
-         AS hamming
-FROM pairs
+),
+shcand AS (
+  SELECT doc_a, doc_b,
+         CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+              + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS INT)
+           AS hamming
+  FROM pairs
+)"""
+
+_SIMHASH64_ORACLE = f"""
+WITH {_SIMHASH64_CTES}
+SELECT doc_a, doc_b, hamming FROM shcand
 """
 
 
@@ -1747,3 +1754,56 @@ def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT d.node, d.deg,
+         CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank
+  FROM pdeg d LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(r.rank // r.deg) AS BIGINT) AS c
+    FROM pedges e JOIN {prev} r ON e.src = r.node
+    GROUP BY e.dst
+  ) s USING (node)
+)"""
+
+
+_PAGERANK_ORACLE = (
+    "WITH "
+    + _SIMHASH64_CTES
+    + """,
+pedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM shcand WHERE hamming <= 8
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM shcand WHERE hamming <= 8
+),
+pdeg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM pedges GROUP BY src),
+pr0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS rank FROM pdeg),"""
+    + _pagerank_iter_sql("pr0", "pr1")
+    + ","
+    + _pagerank_iter_sql("pr1", "pr2")
+    + ","
+    + _pagerank_iter_sql("pr2", "pr3")
+    + """
+SELECT node AS doc_id, rank FROM pr3
+"""
+)
+
+
+@query(
+    "dedup_graph_pagerank",
+    oracle=_PAGERANK_ORACLE,
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration integer PageRank over the simhash64 similarity graph
+    (hamming <= 8 candidates — dense enough for non-trivial hubs, unlike
+    the mostly-isolated jaccard-0.3 pairs): surfaces the hub documents
+    duplicate neighborhoods cluster around. Iterative joins+aggregations
+    on Spark; the oracle unrolls the same integer recurrence as chained
+    CTEs — bit-identical because every rank update is BIGINT arithmetic
+    ((85*x) div 100 damping, rank div degree contributions)."""
+    cand = dedup_simhash64_pairs(spark, sf_dir)
+    pairs = cand.filter(F.col("hamming") <= 8).select("doc_a", "doc_b")
+    return D.pair_graph_pagerank(pairs, iters=3)
