@@ -56,6 +56,8 @@ HEADLINE = [
     # the flagship composed plan: dedup -> near-dup -> decontam ->
     # quality -> budget -> split in one query
     "corpus_curation_full",
+    # iterative graph algorithm over the simhash64 similarity graph
+    "dedup_graph_pagerank",
 ]
 
 

@@ -546,9 +546,26 @@ def pair_graph_pagerank(
     lineage is truncated per round with localCheckpoint, same as
     connected_components. Nodes are pair members only; deg >= 1 always.
     """
-    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=False)
+    # Both edge directions come from ONE evaluation of the (possibly
+    # expensive) pairs input via explode — a union of two selects would
+    # re-run the upstream pair-mining pipeline once per branch.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("node"), "deg")
     base = (15 * scale) // 100
