@@ -1366,7 +1366,7 @@ mverified AS (
 )"""
 
 
-_CURATION_ORACLE = f"""
+_CURATION_CTES = f"""
 WITH corpus0 AS (SELECT * FROM documents WHERE doc_id % 50 != 0),
 canon AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM corpus0 GROUP BY 1),
 exact_keep AS (
@@ -1447,7 +1447,9 @@ budg AS (
           FROM kept)
   )
   WHERE cum_tokens <= 1200
-)
+)"""
+
+_CURATION_FINAL_SELECT = """
 SELECT doc_id, source, n_tokens, cum_tokens,
        CASE WHEN b < 'cc' THEN 'train'
             WHEN b < 'e6' THEN 'val'
@@ -1455,6 +1457,8 @@ SELECT doc_id, source, n_tokens, cum_tokens,
 FROM (SELECT *, substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
       FROM budg)
 """
+
+_CURATION_ORACLE = _CURATION_CTES + _CURATION_FINAL_SELECT
 
 
 @query("corpus_curation_full", oracle=_CURATION_ORACLE, tags=("llm", "pipeline"))
@@ -1466,8 +1470,18 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate (score >= 0.7) -> per-source 1200-token budget -> seeded
     train/val/test split. Every stage is one of the engine's oracle-
     gated operators; composability is the product claim."""
-    from ..llmops.budget import token_budget_cap
     from ..ops.packing import shuffle_split
+
+    stages = _curation_stages(spark, sf_dir)
+    return shuffle_split(stages["token_budget"], "doc_id").select(
+        "doc_id", "source", "n_tokens", "cum_tokens", "split"
+    )
+
+
+def _curation_stages(spark: SparkSession, sf_dir: str) -> dict:
+    """The curation chain's stage frames, in pipeline order (shared by
+    the full pipeline and its funnel audit)."""
+    from ..llmops.budget import token_budget_cap
 
     docs = load_table(spark, sf_dir, "documents")
     corpus0 = docs.filter(F.col("doc_id") % 50 != 0)
@@ -1503,9 +1517,44 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.quality_score(clean).filter(F.col("keep")).select("doc_id"), "doc_id"
     )
     budgeted = token_budget_cap(kept, budget=1200, key_col="source", seed="cap")
-    return shuffle_split(budgeted, "doc_id").select(
-        "doc_id", "source", "n_tokens", "cum_tokens", "split"
-    )
+    return {
+        "corpus": corpus0,
+        "exact_dedup": exact_keep,
+        "near_dedup": near_keep,
+        "decontaminated": clean,
+        "quality_gate": kept,
+        "token_budget": budgeted,
+    }
+
+
+@query(
+    "corpus_curation_funnel",
+    oracle=_CURATION_CTES
+    + """
+SELECT * FROM (
+  SELECT 0 AS stage_idx, 'corpus' AS stage,
+         CAST((SELECT COUNT(*) FROM corpus0) AS BIGINT) AS n_docs
+  UNION ALL SELECT 1, 'exact_dedup', CAST((SELECT COUNT(*) FROM exact_keep) AS BIGINT)
+  UNION ALL SELECT 2, 'near_dedup', CAST((SELECT COUNT(*) FROM near_keep) AS BIGINT)
+  UNION ALL SELECT 3, 'decontaminated', CAST((SELECT COUNT(*) FROM clean) AS BIGINT)
+  UNION ALL SELECT 4, 'quality_gate', CAST((SELECT COUNT(*) FROM kept) AS BIGINT)
+  UNION ALL SELECT 5, 'token_budget', CAST((SELECT COUNT(*) FROM budg) AS BIGINT)
+)
+""",
+    tags=("llm", "pipeline", "audit"),
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation observability: per-stage surviving-document counts for
+    the full pipeline ('where did my data go'). Same stage frames as
+    corpus_curation_full; one count per stage, unioned."""
+    stages = _curation_stages(spark, sf_dir)
+    out = None
+    for idx, (name, df) in enumerate(stages.items()):
+        row = df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_docs"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 _MH_EST_SUM_SQL = " + ".join(
