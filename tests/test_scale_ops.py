@@ -226,3 +226,35 @@ def test_incremental_dedup_never_shuffle_joins_corpus(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_pagerank_integer_recurrence_exact(spark):
+    """Hand-computed 3-node path graph a-b-c: after one iteration the
+    integer recurrence gives endpoints 150000 + (85 * 500000) div 100
+    and the hub 150000 + (85 * 2000000) div 100."""
+    from dbt_omnata_push_spark.llmops.dedup import pair_graph_pagerank
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    one = {r["doc_id"]: r["rank"] for r in pair_graph_pagerank(pairs, iters=1).collect()}
+    assert one == {1: 575000, 2: 1850000, 3: 575000}
+    # Ranks redistribute but total mass stays within damping bounds.
+    three = {r["doc_id"]: r["rank"] for r in pair_graph_pagerank(pairs, iters=3).collect()}
+    assert set(three) == {1, 2, 3}
+    assert three[2] > three[1] == three[3]
+
+
+def test_pagerank_empty_pairs(spark):
+    from dbt_omnata_push_spark.llmops.dedup import pair_graph_pagerank
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert pair_graph_pagerank(pairs, iters=2).count() == 0
+
+
+def test_token_budget_smaller_than_any_doc(spark):
+    from dbt_omnata_push_spark.llmops.budget import token_budget_cap
+
+    docs = spark.createDataFrame(
+        [(1, "s", "a b c d e"), (2, "s", "f g h")], "doc_id long, source string, text string"
+    )
+    # budget 2 < every doc's token count -> nothing fits.
+    assert token_budget_cap(docs, budget=2, key_col="source").count() == 0
