@@ -53,7 +53,7 @@ _DRIVER_ORDER_HEAD = [
     "dedup_simhash_hamming_pairs", "parts_market_basket",
     "dedup_simhash64_pairs", "customer_rfm_segments",
     "dedup_fingerprint_groups", "dedup_graph_pagerank",
-    "corpus_curation_funnel",
+    "corpus_curation_funnel", "events_type_transitions",
     # last driver-checked in round 2 (stalest of the rest)
     "customers_with_open_orders", "recent_orders_watermark",
     "top_orders_per_customer", "global_top_orders", "staging_batches",

@@ -915,3 +915,37 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             m.cast("string"),
         ).alias("segment"),
     )
+
+
+@query(
+    "events_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    tags=("events", "sequence"),
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (the Markov-chain /
+    user-journey matrix). The lag window partitions by user — parallel
+    across users, each group bounded by one user's history; the
+    (event_id) tiebreak makes simultaneous events deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
