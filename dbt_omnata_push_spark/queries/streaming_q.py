@@ -174,3 +174,34 @@ def stream_events_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_stream_once(
         category_rollup_stream(spark, sf_dir), name="stream_events_category_out"
     )
+
+
+@query(
+    "stream_user_type_changes",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS prev
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND prev != event_type
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_type_changes
+    FROM seq GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "sequence"),
+)
+def stream_user_type_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    running per-user count of event-type changes, last type carried as
+    state across micro-batches — exact against the batch lag-window
+    oracle."""
+    from ..streaming.events import _events_stream
+    from ..streaming.stateful import type_change_stream
+
+    ev = _events_stream(spark, sf_dir)
+    return run_stream_once(
+        type_change_stream(ev), name="stream_user_type_changes_out"
+    )

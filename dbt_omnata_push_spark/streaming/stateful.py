@@ -16,6 +16,7 @@ from pyspark.sql import functions as F  # noqa: F401  (callers compose)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -75,6 +76,55 @@ def user_profile_stream(events_stream: DataFrame) -> DataFrame:
             _update_profile,
             outputStructType=PROFILE_SCHEMA,
             stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+TYPE_CHANGES_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_type_changes", LongType()),
+    ]
+)
+
+_TC_STATE_SCHEMA = StructType(
+    [
+        StructField("last_type", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _update_type_changes(key, pdfs, state):
+    import pandas as pd
+
+    last_type, n = state.get if state.exists else (None, 0)
+    pdf = pd.concat(list(pdfs))
+    # Events inside a micro-batch arrive unordered; restore event-time
+    # order (event_id tiebreak) before walking the sequence. Cross-batch
+    # continuity comes from the carried last_type.
+    pdf = pdf.sort_values(["ts", "event_id"])
+    for t in pdf["event_type"]:
+        if last_type is not None and t != last_type:
+            n += 1
+        last_type = t
+    state.update((last_type, n))
+    yield pd.DataFrame({"user_id": [key[0]], "n_type_changes": [n]})
+
+
+def type_change_stream(events_stream: DataFrame) -> DataFrame:
+    """Running per-user count of event-type CHANGES (prev != next) — the
+    streaming form of the transition-matrix walk, with the last seen
+    type carried as per-key state across micro-batches."""
+    return (
+        events_stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_type_changes,
+            outputStructType=TYPE_CHANGES_SCHEMA,
+            stateStructType=_TC_STATE_SCHEMA,
             outputMode="update",
             timeoutConf="NoTimeout",
         )

@@ -164,3 +164,33 @@ def test_stream_construction_on_empty_landing_dir(spark, tmp_path):
         hourly_counts_stream(spark, str(empty)), name="empty_landing"
     )
     assert out.count() == 0
+
+
+def test_type_change_stream_multibatch_state_continuity(spark, sf_dir, tmp_path):
+    """The per-user last-type state must carry across micro-batch
+    boundaries: 4 time-ordered batches through applyInPandasWithState
+    end at exactly the single-batch (and batch-SQL) counts."""
+    from dbt_omnata_push_spark.streaming.events import _events_stream, run_stream_once
+    from dbt_omnata_push_spark.streaming.stateful import type_change_stream
+
+    src = _multi_file_events(spark, sf_dir, tmp_path)
+    multi = run_stream_once(
+        type_change_stream(
+            _events_stream(spark, src, glob="*.parquet", max_files_per_trigger=1)
+        ),
+        name="tc_multi",
+        mode="update",
+    )
+    # update mode re-emits a row per key per batch; the FINAL row per
+    # user (max count — counts are monotone) is the answer.
+    final_multi = {
+        r["user_id"]: r["n_type_changes"]
+        for r in multi.groupBy("user_id")
+        .agg(F.max("n_type_changes").alias("n_type_changes"))
+        .collect()
+    }
+    single = run_stream_once(
+        type_change_stream(_events_stream(spark, sf_dir)), name="tc_single"
+    )
+    final_single = {r["user_id"]: r["n_type_changes"] for r in single.collect()}
+    assert final_multi == final_single
