@@ -54,7 +54,7 @@ _DRIVER_ORDER_HEAD = [
     "dedup_simhash64_pairs", "customer_rfm_segments",
     "dedup_fingerprint_groups", "dedup_graph_pagerank",
     "corpus_curation_funnel", "events_type_transitions",
-    "stream_user_type_changes",
+    "stream_user_type_changes", "orders_mom_growth",
     # last driver-checked in round 2 (stalest of the rest)
     "customers_with_open_orders", "recent_orders_watermark",
     "top_orders_per_customer", "global_top_orders", "staging_batches",

@@ -949,3 +949,48 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@query(
+    "orders_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, prev_revenue,
+           (revenue - prev_revenue) / prev_revenue AS growth
+    FROM (
+      SELECT month, revenue,
+             lag(revenue) OVER (ORDER BY month) AS prev_revenue
+      FROM m
+    )
+    WHERE prev_revenue IS NOT NULL
+    """,
+    tags=("orders", "timeseries"),
+)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the calendar series is BOUNDED
+    (months, not rows), so the unpartitioned lag window operates on an
+    already-aggregated ~80-row frame — not a single-partition scan of
+    the fact table. Money summed as decimal(18,2) then one double
+    division per row."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("timestamp")).alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return (
+        m.select("month", "revenue", prev.alias("prev_revenue"))
+        .filter(F.col("prev_revenue").isNotNull())
+        .withColumn(
+            "growth",
+            (F.col("revenue") - F.col("prev_revenue")) / F.col("prev_revenue"),
+        )
+    )
