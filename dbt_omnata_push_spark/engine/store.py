@@ -130,6 +130,34 @@ class TableStore:
             reader = reader.schema(StructType.fromJson(meta["schema"]))
         return reader.parquet(self.data_path(name))
 
+    def versions(self, name: str) -> list[int]:
+        """Version numbers still on disk, ascending (vacuum trims old
+        ones; the current pointer is always present)."""
+        d = self._dir(name)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(d)
+            if e.startswith("v=") and e.split("=", 1)[1].isdigit()
+        )
+
+    def read_version(
+        self, spark: SparkSession, name: str, version: int
+    ) -> DataFrame:
+        """Time travel: read a specific (possibly superseded) version —
+        the Delta ``versionAsOf`` analogue. Version directories are
+        immutable, so a historical read is just a scan of that
+        directory; vacuumed versions raise instead of silently reading
+        the wrong data."""
+        if version not in self.versions(name):
+            raise ValueError(
+                f"version {version} of '{name}' does not exist "
+                f"(on disk: {self.versions(name)}; vacuum removes old versions)"
+            )
+        reader = spark.read.option("mergeSchema", "true")
+        return reader.parquet(os.path.join(self._dir(name), f"v={version}"))
+
     def create(
         self,
         spark: SparkSession,

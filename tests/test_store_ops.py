@@ -326,3 +326,22 @@ def test_vacuum_after_partition_merge_keeps_linked_bytes(spark, store):
     assert len(out) == 9
     assert out["j1-0"] == "UPDATED"
     assert out["j2-1"] == "v-j2-1"  # untouched partition still readable
+
+
+def test_time_travel_read_version(spark, store):
+    """Delta-style versionAsOf: immutable version dirs stay readable
+    after a MERGE creates a new version; vacuum makes historical reads
+    raise instead of silently reading wrong data."""
+    store.create(spark, "t", spark.createDataFrame([(1, "old"), (2, "keep")], "k int, v string"))
+    store.merge_upsert(
+        spark, "t", spark.createDataFrame([(1, "new")], "k int, v string"), "k"
+    )
+    assert store.versions("t") == [0, 1]
+    v0 = {r["k"]: r["v"] for r in store.read_version(spark, "t", 0).collect()}
+    assert v0 == {1: "old", 2: "keep"}
+    cur = {r["k"]: r["v"] for r in store.read(spark, "t").collect()}
+    assert cur == {1: "new", 2: "keep"}
+    store.vacuum("t")
+    assert store.versions("t") == [1]
+    with pytest.raises(ValueError, match="vacuum"):
+        store.read_version(spark, "t", 0)
