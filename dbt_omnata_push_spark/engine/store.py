@@ -302,6 +302,67 @@ class TableStore:
         self._set_meta(name, pcol, merged.schema)
         self._set_version(name, v + 1)
 
+    def scd2_commit(
+        self,
+        spark: SparkSession,
+        name: str,
+        open_df: DataFrame,
+        newly_closed_df: DataFrame,
+        pcol: str = "dbt_is_current",
+    ) -> None:
+        """Commit one SCD2 snapshot round: the ``pcol=true`` (open)
+        partition is rewritten from ``open_df``; the ``pcol=false``
+        (closed-history) partition keeps its previous files hard-linked
+        and gains ``newly_closed_df``'s files alongside them.
+
+        This is the write shape that keeps dbt-style snapshots viable at
+        100 TB: closed history is append-only and dominates the table's
+        size, so a snapshot run costs O(open rows + changed rows) — the
+        closed bulk is never decoded, shuffled, or rewritten. (On
+        Delta/Iceberg the same effect falls out of MERGE + partition on
+        the current flag.) Falls back to a full rewrite when the merged
+        schema drifted from the stored one, mirroring
+        ``_partition_scoped_merge``'s hard-link soundness rule.
+        """
+        merged = open_df.unionByName(newly_closed_df, allowMissingColumns=True)
+        old = self.meta(name).get("schema")
+        if old is not None:
+            old_types = {f.name: f.dataType for f in StructType.fromJson(old).fields}
+            new_types = {f.name: f.dataType for f in merged.schema.fields}
+            if old_types != new_types:
+                closed_hist = self.read(spark, name).filter(~F.col(pcol))
+                self._rewrite(spark, name, merged.unionByName(closed_hist))
+                return
+
+        table_dir = self._dir(name)
+        v = self.current_version(name)
+        staging = os.path.join(table_dir, "_staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        merged.write.mode("overwrite").partitionBy(pcol).parquet(staging)
+
+        new_dir = os.path.join(table_dir, f"v={v + 1}")
+        shutil.rmtree(new_dir, ignore_errors=True)
+        os.makedirs(new_dir)
+        for entry in os.listdir(staging):
+            if entry.startswith(f"{pcol}="):
+                os.rename(os.path.join(staging, entry), os.path.join(new_dir, entry))
+        closed_entry = f"{pcol}=false"
+        old_closed = os.path.join(table_dir, f"v={v}", closed_entry)
+        if os.path.isdir(old_closed):
+            new_closed = os.path.join(new_dir, closed_entry)
+            os.makedirs(new_closed, exist_ok=True)
+            for fname in os.listdir(old_closed):
+                if fname.endswith(".parquet"):
+                    # Spark part-file names embed task+attempt UUIDs, so a
+                    # fresh staging write can never collide with them.
+                    os.link(
+                        os.path.join(old_closed, fname),
+                        os.path.join(new_closed, fname),
+                    )
+        shutil.rmtree(staging, ignore_errors=True)
+        self._set_meta(name, pcol, merged.schema)
+        self._set_version(name, v + 1)
+
     def update_from(
         self,
         spark: SparkSession,

@@ -11,6 +11,9 @@ materialized= config value -> implementation:
                                load_task_materialization.sql) — kept as a
                                config alias onto the salesforce path
                                (SURVEY.md §2.1 D3)
+  snapshot                     SCD2 history (dbt's snapshot class; the
+                               reference scaffolds snapshots/ but ships
+                               no implementation — see snapshot.py)
 """
 
 from __future__ import annotations
@@ -18,6 +21,7 @@ from __future__ import annotations
 from ..engine.dag import RunResult
 from .core import materialize_incremental, materialize_table, materialize_tracking_table, materialize_view
 from .push import materialize_load_task, materialize_omnata_push
+from .snapshot import materialize_snapshot
 
 _DISPATCH = {
     "view": materialize_view,
@@ -26,6 +30,7 @@ _DISPATCH = {
     "tracking_table": materialize_tracking_table,
     "omnata_push": materialize_omnata_push,
     "load_task": materialize_load_task,
+    "snapshot": materialize_snapshot,
 }
 
 

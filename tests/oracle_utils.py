@@ -40,6 +40,8 @@ def _norm(v):
         if math.isnan(v):
             return "NaN"
         return v
+    if v != v:  # pandas.NaT (and any NaN-like) — not equal to itself
+        return "NaN"
     if isinstance(v, datetime.datetime):
         # pandas.Timestamp is a datetime subclass; force plain datetime so
         # repr-based sorting is type-stable.

@@ -36,9 +36,17 @@ def test_contract_shape(entry_mod):
     # every callable is actually callable and named
     for name, fn in qs.items():
         assert callable(fn), name
-    # rotation head references only registered queries
-    missing = [n for n in entry_mod._DRIVER_ORDER_HEAD if n not in qs]
-    assert missing == []
+    # rotation is self-derived from CORRECTNESS_r*.json: never-checked
+    # queries must precede every already-checked one (flagship aside)
+    latest = entry_mod._latest_driver_round()
+    names = list(qs)
+    first_checked = next(
+        (i for i, n in enumerate(names[1:], 1) if n in latest), len(names)
+    )
+    assert all(n not in latest for n in names[1:first_checked])
+    checked_tail = [latest[n] for n in names[first_checked:] if n in latest]
+    # stalest-first: checked rounds never decrease along the tail
+    assert checked_tail == sorted(checked_tail)
 
 
 def test_every_oracle_parses_in_duckdb(entry_mod):
