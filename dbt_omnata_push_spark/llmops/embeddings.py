@@ -30,33 +30,61 @@ def quantize_int8(
     engine-exact; the full int8 array is one F.transform away for a
     writer stage.
     """
-    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    amax = F.array_max(F.transform(x, F.abs))
-    # round-half-up via floor(v + 0.5): identical in Spark and DuckDB
-    # (both floor toward -inf; negatives round toward +inf on ties,
-    # consistently on both sides).
-    q = F.transform(
-        x,
-        lambda v: F.greatest(
-            F.lit(-127),
-            F.least(F.lit(127), F.floor(v * 127.0 / amax + 0.5).cast("int")),
-        ),
+    # amax must NOT be referenced as a free expression inside the
+    # per-element lambdas: HOF lambda bodies re-evaluate free
+    # expressions per element, so an inline array_max turns the row
+    # cost O(dims^2) (the word_ngrams pitfall — see dedup.word_ngrams).
+    # Bind (x, amax) ONCE per row as lambda-variable struct fields, and
+    # expand the result through an explode of a 1-element array so
+    # CollapseProject cannot re-inline the summary struct into six
+    # copies of itself.
+    x0 = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    bound = F.array(
+        F.struct(x0.alias("x"), F.array_max(F.transform(x0, F.abs)).alias("m"))
     )
-    q = F.when(amax > 0.0, q).otherwise(F.transform(x, lambda v: F.lit(0)))
-    dq_err = F.when(
-        amax > 0.0,
-        F.array_max(
-            F.zip_with(x, q, lambda v, b: F.abs(v - b.cast("double") * amax / 127.0))
-        ),
-    ).otherwise(F.lit(0.0))
+
+    def summarize(s):
+        x, amax = s["x"], s["m"]
+        # round-half-up via floor(v + 0.5): identical in Spark and
+        # DuckDB (both floor toward -inf; negatives round toward +inf
+        # on ties, consistently on both sides).
+        q = F.transform(
+            x,
+            lambda v: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(v * 127.0 / amax + 0.5).cast("int")),
+            ),
+        )
+        q = F.when(amax > 0.0, q).otherwise(F.transform(x, lambda v: F.lit(0)))
+        dq_err = F.when(
+            amax > 0.0,
+            F.array_max(
+                F.zip_with(
+                    x, q, lambda v, b: F.abs(v - b.cast("double") * amax / 127.0)
+                )
+            ),
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            F.size(x).alias("n_dims"),
+            amax.alias("max_abs"),
+            F.aggregate(q, F.lit(0).cast("long"), lambda acc, b: acc + b).alias(
+                "sum_q"
+            ),
+            F.array_min(q).alias("min_q"),
+            F.array_max(q).alias("max_q"),
+            dq_err.alias("max_abs_err"),
+        )
+
     return df.select(
-        F.col(id_col),
-        F.size(F.col(vec_col)).alias("n_dims"),
-        amax.alias("max_abs"),
-        F.aggregate(q, F.lit(0).cast("long"), lambda acc, b: acc + b).alias("sum_q"),
-        F.array_min(q).alias("min_q"),
-        F.array_max(q).alias("max_q"),
-        dq_err.alias("max_abs_err"),
+        F.col(id_col), F.explode(F.transform(bound, summarize)).alias("_s")
+    ).select(
+        id_col,
+        "_s.n_dims",
+        "_s.max_abs",
+        "_s.sum_q",
+        "_s.min_q",
+        "_s.max_q",
+        "_s.max_abs_err",
     )
 
 
@@ -99,8 +127,14 @@ def label_outliers(
     Exact-arithmetic trick: comparing ||x - mean||^2 across vectors of
     one label is equivalent to comparing sum_pos (xq*n - sum_q)^2 (both
     scale by n^2), so the whole score stays in integer/decimal space —
-    no float accumulation, engine-exact ordering. DECIMAL(38,0) keeps
-    the squares overflow-safe under ANSI mode at corpus-scale n.
+    no float accumulation, engine-exact ordering. Each factor is cast to
+    DECIMAL(18,0) BEFORE the multiply, so no intermediate ever runs in
+    BIGINT where ANSI mode would raise on overflow; the deviation is
+    then narrowed to DECIMAL(19,0) and its square accumulates in
+    DECIMAL(38,0). Overflow-safe while |xq*n - sum_q| < 1e19, i.e.
+    n_vecs up to ~1e12 for unit-range embeddings at the 1e6 fixed-point
+    scale; beyond that both engines raise loudly rather than wrapping
+    (the oracle carries the identical per-factor casts).
 
     Plan shape: explode -> (label, pos) centroid agg -> co-keyed join
     back -> (id, label) agg -> per-label top-k (labels are a bounded
@@ -119,7 +153,10 @@ def label_outliers(
     cent = e.groupBy(label_col, "pos").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.sum("xq").alias("sum_q")
     )
-    dev = (F.col("xq") * F.col("n_vecs") - F.col("sum_q")).cast("decimal(19,0)")
+    dev = (
+        F.col("xq").cast("decimal(18,0)") * F.col("n_vecs").cast("decimal(18,0)")
+        - F.col("sum_q").cast("decimal(18,0)")
+    ).cast("decimal(19,0)")
     dist = (
         e.join(cent, [label_col, "pos"])
         .select(id_col, label_col, (dev * dev).alias("contrib"))

@@ -1292,8 +1292,10 @@ def corpus_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dist AS (
       SELECT vec_id, label,
-             SUM(CAST(xq * n_vecs - sum_q AS DECIMAL(19,0))
-                 * CAST(xq * n_vecs - sum_q AS DECIMAL(19,0))) AS dist2
+             SUM(CAST(CAST(xq AS DECIMAL(18,0)) * CAST(n_vecs AS DECIMAL(18,0))
+                      - CAST(sum_q AS DECIMAL(18,0)) AS DECIMAL(19,0))
+                 * CAST(CAST(xq AS DECIMAL(18,0)) * CAST(n_vecs AS DECIMAL(18,0))
+                        - CAST(sum_q AS DECIMAL(18,0)) AS DECIMAL(19,0))) AS dist2
       FROM e JOIN cent USING (label, i)
       GROUP BY vec_id, label
     )

@@ -158,6 +158,7 @@ def stream_error_prior_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN 'signup' THEN 'account'
              WHEN 'purchase' THEN 'transaction'
              WHEN 'error' THEN 'fault'
+             ELSE 'other'
            END AS category,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis

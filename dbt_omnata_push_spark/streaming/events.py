@@ -61,15 +61,30 @@ def _sniff_ts_precision(
     has shipped as both across generator versions, so we sniff via a
     driver-side batch schema read. An empty landing directory — the
     normal state of a streaming source at query start — can't be sniffed
-    (the batch read raises); default to 'ns', the generator's current
-    flavor, so stream construction still succeeds and waits for files.
+    (the batch read raises UNABLE_TO_INFER_SCHEMA); default to 'ns', the
+    generator's current flavor, so stream construction still succeeds
+    and waits for files. ONLY that error falls back: a transient read
+    failure (permissions, corrupt footer) on a dir that actually holds
+    microsecond files must surface, not silently mis-build the schema.
     """
+    from pyspark.errors import AnalysisException
+
     try:
         batch_ts = dict(
             spark.read.option("pathGlobFilter", glob).parquet(sf_dir).dtypes
         ).get("ts")
-    except Exception:  # AnalysisException: unable to infer schema (no files)
-        return "ns"
+    except AnalysisException as e:
+        cond = None
+        get_cond = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        if get_cond is not None:
+            cond = get_cond()
+        if cond == "UNABLE_TO_INFER_SCHEMA" or (
+            cond is None and "UNABLE_TO_INFER_SCHEMA" in str(e)
+        ):
+            return "ns"
+        raise
     return "ns" if batch_ts == "bigint" else "us"
 
 
@@ -278,13 +293,19 @@ def category_rollup_stream(
     event stream against a static dimension frame (broadcast — the
     canonical streaming enrichment; the static side is re-read per
     trigger, so dim updates are picked up), then aggregates hourly per
-    category under the watermark."""
+    category under the watermark.
+
+    LEFT join + 'other' fallback, not inner: an event_type missing from
+    the dim must surface as its own rollup bucket, never silently drop
+    events (the batch oracle carries the matching CASE ... ELSE
+    'other')."""
     dim = spark.createDataFrame(
         list(EVENT_CATEGORY_DIM), "event_type string, category string"
     )
     ev = _events_stream(spark, sf_dir, **source_opts)
     return (
-        ev.join(F.broadcast(dim), "event_type")
+        ev.join(F.broadcast(dim), "event_type", "left")
+        .withColumn("category", F.coalesce(F.col("category"), F.lit("other")))
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), F.col("category"))
         .agg(

@@ -258,3 +258,20 @@ def test_token_budget_smaller_than_any_doc(spark):
     )
     # budget 2 < every doc's token count -> nothing fits.
     assert token_budget_cap(docs, budget=2, key_col="source").count() == 0
+
+
+def test_quantize_binds_amax_once_per_row(spark):
+    """HOF-lambda re-eval guard for quantize_int8 (ADVICE r4): amax must
+    be bound as a lambda-variable struct field, evaluated once per row —
+    not re-derived per element / per output column. One array_max-over-
+    transform binding in the optimized plan, behind a Generate that
+    blocks CollapseProject from re-inlining the summary struct."""
+    from dbt_omnata_push_spark.llmops.embeddings import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.1, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    plan = quantize_int8(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("array_max(transform(") == 1, plan[:600]
+    assert "Generate" in plan

@@ -194,3 +194,49 @@ def test_type_change_stream_multibatch_state_continuity(spark, sf_dir, tmp_path)
     )
     final_single = {r["user_id"]: r["n_type_changes"] for r in single.collect()}
     assert final_multi == final_single
+
+
+def test_sniff_reraises_non_schema_errors(spark, tmp_path):
+    # Only the empty-dir UNABLE_TO_INFER_SCHEMA case may fall back to
+    # 'ns' (ADVICE r4): a corrupt parquet footer must surface, not
+    # silently build the wrong stream schema.
+    import pytest as _pytest
+
+    from dbt_omnata_push_spark.streaming.events import _sniff_ts_precision
+
+    bad = tmp_path / "landing_bad"
+    bad.mkdir()
+    (bad / "events.parquet").write_bytes(b"PAR1 this is not a parquet file")
+    with _pytest.raises(Exception) as ei:
+        _sniff_ts_precision(spark, str(bad))
+    assert "UNABLE_TO_INFER_SCHEMA" not in str(ei.value)
+
+
+def test_category_rollup_keeps_unknown_event_types(spark, tmp_path):
+    # LEFT join + 'other' fallback (ADVICE r4): an event_type missing
+    # from the static dim groups under 'other' instead of dropping.
+    import datetime
+
+    from dbt_omnata_push_spark.streaming.events import (
+        category_rollup_stream,
+        run_stream_once,
+    )
+
+    landing = tmp_path / "landing_unknown"
+    landing.mkdir()
+    t0 = datetime.datetime(2026, 1, 1, 10, 30)
+    rows = [
+        (1, t0, 7, "click", 1.5, "{}"),
+        (2, t0, 8, "mystery_type", 2.5, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(landing / "staged"))
+    out = run_stream_once(
+        category_rollup_stream(spark, str(landing / "staged"), glob="*.parquet"),
+        name="rollup_unknown",
+    )
+    cats = {r["category"]: r["n_events"] for r in out.collect()}
+    assert cats == {"interaction": 1, "other": 1}
