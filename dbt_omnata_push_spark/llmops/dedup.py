@@ -592,3 +592,86 @@ def pair_graph_pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("node").alias("doc_id"), F.col("rank"))
+
+
+def pair_graph_pagerank_converged(
+    pairs: DataFrame,
+    tol: int | None = None,
+    max_iter: int = 50,
+    scale: int = 1_000_000,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> tuple[DataFrame, int]:
+    """Production PageRank: same integer recurrence as
+    ``pair_graph_pagerank``, but the loop stops when the largest
+    per-node rank change falls to ``tol`` (default scale/10000 = 0.01%)
+    instead of running a caller-guessed fixed count — graphs with small
+    diameters stop early, deep chains run as long as they need.
+
+    The rank-delta check rides the round's materializing action via the
+    Observation API (the connected_components machinery): each round
+    costs exactly one job, no extra comparison pass over the ranks.
+    Returns ``(ranks_df, rounds_run)``. The fixed-``iters`` variant
+    stays the oracle mode — a deterministic iteration count is what
+    makes the result expressible as unrolled SQL CTEs.
+    """
+    from pyspark.sql import Observation
+
+    if tol is None:
+        tol = max(1, scale // 10_000)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = (15 * scale) // 100
+    ranks = deg.select(
+        F.col("src").alias("node"), "deg", F.lit(scale).cast("long").alias("rank")
+    ).localCheckpoint(eager=True)
+    rounds = 0
+    for _ in range(max_iter):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("node").alias("src"), "deg", "rank"), "src"
+            )
+            .select("dst", F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        obs = Observation()
+        new_ranks = (
+            ranks.join(contrib, ranks.node == contrib.dst, "left")
+            .select(
+                "node",
+                "deg",
+                F.col("rank").alias("_old"),
+                (F.lit(base) + F.expr("(85 * coalesce(c, 0)) div 100"))
+                .cast("long")
+                .alias("rank"),
+            )
+            .observe(
+                obs, F.max(F.abs(F.col("rank") - F.col("_old"))).alias("delta")
+            )
+            .drop("_old")
+            .localCheckpoint(eager=True)  # metric rides this job
+        )
+        rounds += 1
+        delta = obs.get["delta"]
+        ranks = new_ranks
+        if delta is None or delta <= tol:
+            break
+    edges.unpersist()
+    return ranks.select(F.col("node").alias("doc_id"), F.col("rank")), rounds

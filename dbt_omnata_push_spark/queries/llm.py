@@ -1814,3 +1814,4 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dedup_simhash64_pairs(spark, sf_dir)
     pairs = cand.filter(F.col("hamming") <= 8).select("doc_a", "doc_b")
     return D.pair_graph_pagerank(pairs, iters=3)
+
