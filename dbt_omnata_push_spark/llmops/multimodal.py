@@ -4,13 +4,14 @@ Images/audio/video are carried as ``binary`` columns with a metadata
 struct. The Spark-side machinery (schema, partition-preserving
 mapInPandas, Arrow batch shape) is real and tested. Codec dispatch is
 by payload magic bytes: BMP, PNG (compressed — stdlib-zlib inflate +
-RFC 2083 scanline unfiltering) and WAV payloads run REAL pure-Python
-codecs (llmops/codecs.py — decode, luminance/RMS features,
-nearest-neighbour resize, time-sliced frames); other formats need
-PIL/ffmpeg, which this container lacks, so ``decode_stub=True``
-substitutes a deterministic fake and ``decode_stub=False`` raises
-NotImplementedError at the stage boundary, marking exactly where a
-production decoder plugs in.
+RFC 2083 scanline unfiltering), GIF (LZW), WAV and AVI (RIFF container,
+uncompressed DIB video frames) payloads run REAL pure-Python codecs
+(llmops/codecs.py — decode, luminance/RMS features, nearest-neighbour
+resize, time-sliced audio segments, video frame extraction emitting
+standalone BMPs); other formats need PIL/ffmpeg, which this container
+lacks, so ``decode_stub=True`` substitutes a deterministic fake and
+``decode_stub=False`` raises NotImplementedError at the stage boundary,
+marking exactly where a production decoder plugs in.
 """
 
 from __future__ import annotations
@@ -82,10 +83,12 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             return codecs.gif_mean_luminance(b)
         if kind == "wav":  # real decode: RMS amplitude
             return codecs.wav_rms(b)
+        if kind == "avi":  # real video decode: mean luma over all frames
+            return codecs.avi_mean_luminance(b)
         if not decode_stub:
             raise NotImplementedError(
-                "payload is not BMP/PNG/GIF/WAV; real decoding requires "
-                "PIL/ffmpeg (see llmops/multimodal.py)"
+                "payload is not BMP/PNG/GIF/WAV/AVI; real decoding "
+                "requires PIL/ffmpeg (see llmops/multimodal.py)"
             )
         # Deterministic fake 'feature': byte-sum norm.
         return float(sum(b) / (len(b) or 1))
@@ -154,10 +157,12 @@ def resize_media(
             return codecs.resize_png(b, width, height)
         if kind == "gif":  # real LZW decode -> resample -> re-encode
             return codecs.resize_gif(b, width, height)
+        if kind == "avi":  # real per-frame resample -> re-encoded AVI
+            return codecs.resize_avi(b, width, height)
         if not decode_stub:
             raise NotImplementedError(
-                "payload is not BMP/PNG/GIF; real resize requires PIL "
-                "(see llmops/multimodal.py)"
+                "payload is not BMP/PNG/GIF/AVI; real resize requires "
+                "PIL/ffmpeg (see llmops/multimodal.py)"
             )
         return (b * (target // max(len(b), 1) + 1))[:target]
 
@@ -195,12 +200,15 @@ def sample_frames(
     from . import codecs
 
     def slices(payload: bytes) -> list[bytes]:
-        if codecs.sniff(payload) == "wav":  # real time-sliced segments
+        kind = codecs.sniff(payload)
+        if kind == "wav":  # real time-sliced segments
             return codecs.slice_wav(payload, n_frames)
+        if kind == "avi":  # real frames, emitted as standalone BMPs
+            return codecs.sample_avi_frames(payload, n_frames)
         if not decode_stub:
             raise NotImplementedError(
-                "payload is not WAV; real frame sampling requires ffmpeg "
-                "(see llmops/multimodal.py)"
+                "payload is not WAV/AVI; real frame sampling requires "
+                "ffmpeg (see llmops/multimodal.py)"
             )
         step = max(len(payload) // n_frames, 1)
         return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
