@@ -675,3 +675,72 @@ def pair_graph_pagerank_converged(
             break
     edges.unpersist()
     return ranks.select(F.col("node").alias("doc_id"), F.col("rank")), rounds
+
+
+def block_dedup_rebuild(
+    df: DataFrame,
+    block_words: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document (block-level) global dedup with document rebuild —
+    the line/paragraph dedup stage of web-corpus curation (RefinedWeb's
+    line dedup; the reference analog is whole-record dedup before push,
+    marketing_cloud_data_extension_upload.sql:56).
+
+    Documents are cut into non-overlapping ``block_words``-word blocks;
+    a block survives only at its GLOBAL first occurrence (smallest
+    (doc_id, block_id) over every document containing that exact
+    block); each document is rebuilt from its surviving blocks in
+    order. Output: one row per document with its original block count,
+    surviving block count, and rebuilt text ('' when everything was a
+    repeat).
+
+    Scale shape: the winner election is one shuffle keyed on md5(block)
+    (32-byte keys, never the block text); the rebuild is one shuffle on
+    doc_id with sort_array over the bounded per-doc block list. No
+    all-pairs stage anywhere. block_id fits in 20 bits (docs < 2^20
+    blocks), so the (doc_id, block_id) winner order packs into one
+    BIGINT — a single-column min, engine-portable.
+    """
+    from ..llmops.text import chunk_documents
+
+    blocks = chunk_documents(
+        df.select(id_col, text_col),
+        chunk_words=block_words,
+        stride=block_words,
+        text_col=text_col,
+        id_col=id_col,
+    ).select(
+        id_col,
+        F.col("chunk_id").alias("block_id"),
+        F.col("chunk_text").alias("block_text"),
+        F.md5(F.col("chunk_text")).alias("block_hash"),
+        (F.col(id_col) * F.lit(1 << 20) + F.col("chunk_id")).alias("pos_key"),
+    )
+    winners = blocks.groupBy("block_hash").agg(F.min("pos_key").alias("win_key"))
+    kept = blocks.join(winners, "block_hash").filter(
+        F.col("pos_key") == F.col("win_key")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("block_id", "block_text"))
+                ),
+                lambda s: s["block_text"],
+            ),
+            " ",
+        ).alias("rebuilt_text"),
+    )
+    totals = blocks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_blocks"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_blocks").cast("long").alias("n_blocks"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("rebuilt_text"), F.lit("")).alias("rebuilt_text"),
+        )
+    )

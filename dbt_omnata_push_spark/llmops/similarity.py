@@ -610,3 +610,52 @@ def lsh_near_dup_pairs(
         .select("vec_a", "vec_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def semantic_dedup_flags(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: within each (pre-computed)
+    embedding cluster, a vector is a duplicate iff some LOWER-id vector
+    in the same cluster has cosine similarity >= threshold (rounded to
+    6 dp — Spark<->DuckDB cosine is bit-identical, see
+    dedup_embedding_cosine). Flags, doesn't drop, so callers can audit.
+
+    Scale shape (Abbas et al., SemDeDup): clustering caps the pairwise
+    stage at O(sum c_i^2) instead of O(n^2) — each cluster's pair join
+    is an equi-join on the cluster key. On 100 TB, cluster sizes are
+    bounded by the k-means codebook (ivf_train supplies one when no
+    label exists), so per-cluster all-pairs is the design, not a bug.
+    The dup test is a LEFT SEMI join (no pair materialization in the
+    output) followed by a broadcast-size flag join.
+    """
+    base = emb.select(id_col, cluster_col, vec_col)
+    a = base.alias("a")
+    b = base.alias("b")
+    sim = F.round(
+        cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col(f"a.{cluster_col}") == F.col(f"b.{cluster_col}"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+            "inner",
+        )
+        .filter(sim >= threshold)
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        base.join(dups, id_col, "left")
+        .select(
+            id_col,
+            cluster_col,
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

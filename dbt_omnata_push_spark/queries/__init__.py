@@ -52,5 +52,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import extended  # noqa: F401
     from . import tpch  # noqa: F401
     from . import training  # noqa: F401
+    from . import curation  # noqa: F401
 
     return REGISTRY

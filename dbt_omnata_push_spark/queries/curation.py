@@ -1,0 +1,304 @@
+"""Round-5 corpus-curation operators: sub-document block dedup,
+SemDeDup-style semantic dedup, CCNet-style tercile bucketing, byte-
+budgeted shard assembly, and a hashed-feature linear classifier.
+
+These extend the training-data surface downstream of the reference's
+whole-record staging loop (marketing_cloud_data_extension_upload.sql:
+56-99 batches rows; here the "rows" are document fragments, embedding
+clusters, and byte-budgeted output shards).
+
+Determinism discipline (see queries/__init__): every score is either
+pure integer arithmetic or an int/int double division; hashes are md5
+hex (engine-portable); every ordering carries a unique tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine.catalog import load_table
+from ..llmops import dedup as D
+from ..llmops import similarity as S
+from ..llmops import text as T
+from ..ops.packing import shuffle_split, with_keyed_prefix_sum
+from ..ops.rownum import with_ordered_global_index
+from . import query
+from .llm import _EMB_AUG_CTE, _with_planted_dups
+
+_SEED = "seed42"
+_SHARD_BYTES = 16384
+
+
+# ---------------------------------------------------------------------------
+# Block-level (paragraph/line) global dedup + document rebuild — the
+# RefinedWeb line-dedup stage: a 32-word block survives only at its
+# global first occurrence; documents are rebuilt from surviving blocks.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_block_global",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id,
+             CAST((s - 1) // 32 AS INT) AS block_id,
+             array_to_string(list_slice(words, s, s + 31), ' ') AS block_text,
+             doc_id * 1048576 + CAST((s - 1) // 32 AS BIGINT) AS pos_key
+      FROM (SELECT doc_id, string_split(text, ' ') AS words,
+                   unnest(generate_series(1, len(string_split(text, ' ')), 32)) AS s
+            FROM documents)
+    ), winners AS (
+      SELECT block_text, MIN(pos_key) AS win_key FROM pos GROUP BY 1
+    ), kept AS (
+      SELECT p.doc_id, p.block_id, p.block_text
+      FROM pos p JOIN winners w
+        ON p.block_text = w.block_text AND p.pos_key = w.win_key
+    ), rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(block_text, ' ' ORDER BY block_id) AS rebuilt_text
+      FROM kept GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(t.n_blocks AS BIGINT) AS n_blocks,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(r.rebuilt_text, '') AS rebuilt_text
+    FROM (SELECT doc_id, COUNT(*) AS n_blocks FROM pos GROUP BY 1) t
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    tags=("llm", "dedup", "curation"),
+)
+def dedup_block_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document global dedup: 32-word blocks keep only their global
+    first occurrence; per-doc rebuild stats + rebuilt text."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.block_dedup_rebuild(docs, block_words=32)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): within each embedding cluster, flag a
+# vector as duplicate iff a lower-id cluster-mate has cosine >= 0.9.
+# Clustering bounds the pairwise stage at O(sum c_i^2), never O(n^2).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_semantic_clusters",
+    oracle=_EMB_AUG_CTE
+    + """
+    , dups AS (
+      SELECT DISTINCT a.vec_id
+      FROM aug a JOIN aug b
+        ON a.label = b.label AND b.vec_id < a.vec_id
+      WHERE ROUND(list_cosine_similarity(
+              a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.9
+    )
+    SELECT a.vec_id, a.label, (d.vec_id IS NOT NULL) AS is_dup
+    FROM aug a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """,
+    tags=("llm", "dedup", "similarity", "curation"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the dup-planted corpus: per-vector duplicate flag,
+    blocked by the precomputed cluster label (exact cosine verify)."""
+    emb = _with_planted_dups(load_table(spark, sf_dir, "embeddings"))
+    return S.semantic_dedup_flags(emb, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style tercile bucketing: rank the corpus by an integer-ized
+# quality score and cut exact head/middle/tail thirds by RANK (pure
+# integer arithmetic — no interpolated-quantile cutoffs to drift).
+# ---------------------------------------------------------------------------
+_QS_FEATURES_SQL = """
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS vocab_ratio,
+             CAST(length(text) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_word_len,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                       / length(text)
+                  ELSE 0.0 END AS digit_ratio
+      FROM documents
+"""
+
+_QS_SCORE_SQL = """
+             CAST(0.5 AS DOUBLE)
+               + CAST(0.4 AS DOUBLE) * vocab_ratio
+               - CAST(0.3 AS DOUBLE) * digit_ratio
+               - CAST(0.02 AS DOUBLE) * (avg_word_len - CAST(5.0 AS DOUBLE))
+               + CASE WHEN n_words >= 20 AND n_words <= 1000
+                      THEN CAST(0.1 AS DOUBLE) ELSE CAST(-0.1 AS DOUBLE) END
+"""
+
+
+@query(
+    "corpus_perplexity_buckets",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(floor(({_QS_SCORE_SQL}) * 1000000) AS BIGINT) AS score_int
+      FROM ({_QS_FEATURES_SQL})
+    ), r AS (
+      SELECT doc_id, score_int,
+             ROW_NUMBER() OVER (ORDER BY score_int DESC, doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM q
+    )
+    SELECT doc_id, score_int,
+           CASE WHEN (rnk - 1) * 3 < n THEN 'head'
+                WHEN (rnk - 1) * 3 < 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM r
+    """,
+    tags=("llm", "training", "curation"),
+)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/middle/tail corpus terciles by quality score (the CCNet
+    perplexity-bucketing shape, scored by the fixed-weight linear model).
+
+    Cut points are exact row-rank thirds ((rank-1)*3 < k*n — integer
+    math), ranked by the scale-safe ordered global index, never an
+    interpolated quantile or a single-partition window.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = T.quality_score(docs).select(
+        "doc_id",
+        F.floor(F.col("quality_score") * 1000000).cast("long").alias("score_int"),
+    )
+    # Descending score via negated order column (ordered index sorts asc).
+    ranked = with_ordered_global_index(
+        scored.withColumn("_neg", -F.col("score_int")),
+        ["_neg", "doc_id"],
+        col_name="rnk",
+    ).drop("_neg")
+    n = scored.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "score_int",
+            F.when((F.col("rnk") - 1) * 3 < F.col("n"), F.lit("head"))
+            .when((F.col("rnk") - 1) * 3 < 2 * F.col("n"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Byte-budgeted output shards per split: the writer stage that turns a
+# curated corpus into fixed-size training files. Composes the seeded
+# shuffle/split with the keyed prefix sum (scales in BOTH the number of
+# splits and the size of each).
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_shard_assignment",
+    oracle=f"""
+    WITH sp AS (
+      SELECT doc_id, n_chars, h,
+             CASE WHEN substr(h, 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(h, 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, n_chars,
+                   md5('{_SEED}:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents)
+    ), pref AS (
+      SELECT split, n_chars,
+             CAST(COALESCE(SUM(n_chars) OVER (
+               PARTITION BY split ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS bytes_before
+      FROM sp
+    )
+    SELECT split,
+           CAST(floor(bytes_before / {_SHARD_BYTES}) AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS shard_bytes
+    FROM pref
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "training", "packing", "curation"),
+)
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic byte-budgeted shard ids per train/val/test split
+    (a document's shard is the 16 KiB window its first byte lands in),
+    with per-shard doc and byte counts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    assigned = shuffle_split(docs, "doc_id", seed=_SEED)
+    pref = with_keyed_prefix_sum(
+        assigned,
+        "split",
+        ["shuffle_key", "doc_id"],
+        "n_chars",
+        out="bytes_before",
+        exclusive=True,
+    )
+    return (
+        pref.withColumn(
+            "shard_id",
+            F.floor(F.col("bytes_before") / F.lit(_SHARD_BYTES)).cast("long"),
+        )
+        .groupBy("split", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("shard_bytes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear classifier: fasttext's architecture (hashed
+# n-gram bag -> linear head) with md5-derived fixed weights, so the
+# decision function is exact integer arithmetic in both engines. The
+# real-model swap point is the weight expression only.
+# ---------------------------------------------------------------------------
+@query(
+    "text_hashed_classifier",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= 2
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(words) - 1),
+                         i -> words[i] || ' ' || words[i+1]))
+                  ELSE [text] END AS shingles
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+    ), wt AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(g), 1, 6)) AS BIGINT) % 2001 - 1000 AS w
+      FROM (SELECT doc_id, unnest(shingles) AS g FROM sh)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(w) AS BIGINT) AS logit,
+           SUM(w) >= 0 AS label
+    FROM wt
+    GROUP BY doc_id
+    """,
+    tags=("llm", "text", "curation"),
+)
+def text_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fasttext-shaped quality classifier: distinct-bigram bag, hashed
+    24-bit md5 weights in [-1000, 1000], integer logit, sign label.
+
+    Map-side feature hashing + one doc_id-keyed partial aggregation —
+    the same plan a learned linear head would run at 100 TB; swapping
+    real weights in changes only the weight expression."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = (
+        D.with_shingles(docs, n=2)
+        .select("doc_id", F.explode("shingles").alias("g"))
+    )
+    w = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 6), 16, 10).cast("long")
+        % 2001
+        - 1000
+    )
+    return (
+        grams.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w").cast("long").alias("logit"),
+        )
+        .withColumn("label", F.col("logit") >= 0)
+    )
