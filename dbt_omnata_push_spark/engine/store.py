@@ -423,3 +423,70 @@ class TableStore:
         writer.parquet(os.path.join(self._dir(name), f"v={new_v}"))
         self._set_meta(name, pcol if pcol in df.columns else None, df.schema)
         self._set_version(name, new_v)
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        name: str,
+        from_version: int,
+        to_version: int,
+        unique_key: str,
+    ) -> DataFrame:
+        """Change-data-feed between two on-disk versions (the Delta CDF
+        ``readChangeData`` analogue over this store's immutable version
+        directories; builds on read_version / time travel).
+
+        Emits rows in the ``to_version`` schema plus a ``change_type``
+        column: 'insert' (key only in to), 'delete' (key only in from,
+        rendered in the widened schema with new columns null),
+        'update_preimage' / 'update_postimage' (key in both with any
+        non-key column changed). Unchanged rows emit nothing, so a
+        MERGE that rewrote identical bytes is CDC-silent.
+
+        Scale shape: three joins keyed on ``unique_key`` (two
+        anti-joins + one inner with a row-digest inequality), each a
+        plain hash shuffle on the key — never a full-row comparison
+        shuffle (the digest is computed map-side). Downstream
+        incremental consumers get O(changed) rows regardless of table
+        size.
+        """
+        old = self.read_version(spark, name, from_version)
+        new = self.read_version(spark, name, to_version)
+        # Render the old version in the new (possibly widened) schema:
+        # set-operation coercion widens common columns and nulls new ones.
+        old_w = old.unionByName(new.limit(0), allowMissingColumns=True).select(
+            new.columns
+        )
+        payload = [c for c in new.columns if c != unique_key]
+
+        def digest(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "_digest", F.md5(F.to_json(F.struct(*[F.col(c) for c in payload])))
+            )
+
+        o, n = digest(old_w).alias("o"), digest(new).alias("n")
+        key_eq = F.col(f"o.{unique_key}") == F.col(f"n.{unique_key}")
+        inserts = (
+            n.join(o, key_eq, "left_anti")
+            .drop("_digest")
+            .withColumn("change_type", F.lit("insert"))
+        )
+        deletes = (
+            o.join(n, key_eq, "left_anti")
+            .drop("_digest")
+            .withColumn("change_type", F.lit("delete"))
+        )
+        changed = o.join(
+            n, key_eq & (F.col("o._digest") != F.col("n._digest")), "inner"
+        )
+        pre = (
+            changed.select("o.*")
+            .drop("_digest")
+            .withColumn("change_type", F.lit("update_preimage"))
+        )
+        post = (
+            changed.select("n.*")
+            .drop("_digest")
+            .withColumn("change_type", F.lit("update_postimage"))
+        )
+        return inserts.unionByName(deletes).unionByName(pre).unionByName(post)

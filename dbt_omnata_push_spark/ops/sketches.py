@@ -80,3 +80,84 @@ def approx_quantiles(
     return agg.select(F.explode(pairs).alias("pv")).select(
         F.col("pv.prob").alias("prob"), F.col("pv.value").alias("value")
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Mergeable Bloom filter over ``key_col`` as a sparse (word_idx,
+    word_bits) frame of 64-bit words — the set-membership companion to
+    the HLL distinct sketches above (incremental-dedup gatekeeper: probe
+    a new batch against the corpus filter without shuffling the corpus).
+
+    Each key sets k bit positions h_j = xxhash64(j || key) mod m; the
+    build explodes keys to (word, mask) pairs and bit_or-aggregates per
+    word — map-side partial aggregation bounds the shuffle at
+    O(distinct words), and two filters (or two days of one filter)
+    merge by unioning frames and re-bit_or-ing.
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    key = F.col(key_col).cast("string")
+    pos = F.array(
+        *[
+            ((F.xxhash64(F.concat(F.lit(f"{j}:"), key)) % m_bits) + m_bits)
+            % m_bits
+            for j in range(k_hashes)
+        ]
+    )
+    words = (
+        df.select(F.explode(pos).alias("_p"))
+        .select(
+            F.shiftright(F.col("_p"), 6).alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(_p & 63 AS INT))").alias("_mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_mask").alias("word_bits"))
+    )
+    return words
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Membership test: a probe key is (maybe-)present iff ALL k of its
+    bit positions are set. No false negatives; false-positive rate ~
+    (1 - e^(-kn/m))^k.
+
+    The probe explodes to (key, word_idx) and joins the sparse filter on
+    word_idx — an equi-join whose build side is the filter's word frame
+    (m/64 rows max, broadcastable for any practical m), so probing a
+    100 TB batch is one broadcast join, no shuffle of the batch.
+    """
+    key = F.col(key_col).cast("string")
+    pos = F.array(
+        *[
+            ((F.xxhash64(F.concat(F.lit(f"{j}:"), key)) % m_bits) + m_bits)
+            % m_bits
+            for j in range(k_hashes)
+        ]
+    )
+    exploded = probes.select(key_col, F.explode(pos).alias("_p")).select(
+        key_col,
+        F.shiftright(F.col("_p"), 6).alias("word_idx"),
+        F.expr("shiftleft(1L, CAST(_p & 63 AS INT))").alias("_mask"),
+    )
+    hit = (
+        exploded.join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "_hit",
+            (F.coalesce(F.col("word_bits"), F.lit(0)).bitwiseAND(F.col("_mask")))
+            != 0,
+        )
+        .groupBy(key_col)
+        .agg((F.count(F.lit(1)) == F.sum(F.col("_hit").cast("int"))).alias("maybe_present"))
+    )
+    return hit

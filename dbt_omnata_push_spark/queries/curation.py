@@ -302,3 +302,203 @@ def text_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("label", F.col("logit") >= 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Change-data-feed over the versioned store: CTAS a baseline from
+# orders, MERGE a modified batch, read the v0->v1 diff. Inserts and
+# update pre/post images come out; rows MERGE rewrote with identical
+# bytes are CDC-silent (the row-digest inequality filters them).
+# ---------------------------------------------------------------------------
+@query(
+    "orders_cdc_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice,
+           'insert' AS change_type
+    FROM b LEFT JOIN a ON b.o_orderkey = a.o_orderkey
+    WHERE a.o_orderkey IS NULL
+    UNION ALL
+    SELECT a.o_orderkey, a.o_orderstatus, a.o_totalprice,
+           'update_preimage' AS change_type
+    FROM a JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderstatus <> b.o_orderstatus
+       OR a.o_totalprice <> b.o_totalprice
+    UNION ALL
+    SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice,
+           'update_postimage' AS change_type
+    FROM a JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderstatus <> b.o_orderstatus
+       OR a.o_totalprice <> b.o_totalprice
+    """,
+    tags=("store", "cdc", "incremental"),
+)
+def orders_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff between two store versions of an orders dimension:
+    baseline = keys % 3 != 0; merged batch = keys % 2 == 0 with status
+    flipped to 'U' on % 4 == 0. Emits inserts + update pre/post images;
+    identical-byte rewrites emit nothing."""
+    import tempfile
+
+    from ..engine.store import TableStore
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    batch = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("U")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    store = TableStore(tempfile.mkdtemp(prefix="sg-cdc-"))
+    store.create(spark, "dim_orders", base)
+    store.merge_upsert(spark, "dim_orders", batch, unique_key="o_orderkey")
+    return store.read_changes(
+        spark, "dim_orders", 0, 1, unique_key="o_orderkey"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "change_type")
+
+
+# ---------------------------------------------------------------------------
+# JSONL ingest round-trip: the training-corpus interchange format.
+# Write documents through the generic sink, read back through the
+# generic source with an explicit schema, aggregate — the oracle runs
+# on the ORIGINAL table, so any row/field corruption in the round-trip
+# breaks the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "documents_jsonl_roundtrip",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_text_len,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("source", "jsonl", "llm"),
+)
+def documents_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents -> JSONL sink -> JSONL source (explicit schema) ->
+    per-source aggregate; exactness vs the parquet original proves the
+    text interchange path loses nothing."""
+    import tempfile
+
+    from ..sources import read_source, write_sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sg-jsonl-") + "/docs"
+    write_sink(docs, path, fmt="json")
+    back = read_source(spark, path, fmt="json", schema=docs.schema)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.length("text")).cast("long").alias("total_text_len"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership: the incremental-dedup gatekeeper. Build the
+# filter over order custkeys, probe every customer, compare against the
+# exact semi-join. Deterministic (fixed xxhash64 seed) but the hash
+# family is Spark-specific -> rows-only driver check; the FPR bound and
+# the no-false-negative guarantee are pytest-asserted.
+# ---------------------------------------------------------------------------
+@query("customers_bloom_membership", oracle=None, tags=("sketch", "bloom"))
+def customers_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe customers against a Bloom filter of order custkeys: count
+    of maybe-present vs exactly-present vs false positives."""
+    from ..ops.sketches import bloom_build, bloom_probe
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    # Probe every customer PLUS a disjoint shifted key range, so the
+    # false-positive rate is measured against keys known absent.
+    probes = cust.unionByName(
+        cust.select((F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"))
+    )
+    bloom = bloom_build(orders, "o_custkey")
+    probed = bloom_probe(bloom, probes, "c_custkey")
+    exact = (
+        cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left_semi"
+        ).withColumn("_exact", F.lit(True))
+    )
+    joined = probed.join(exact, "c_custkey", "left").select(
+        "c_custkey",
+        "maybe_present",
+        F.coalesce(F.col("_exact"), F.lit(False)).alias("exact_present"),
+    )
+    return joined.groupBy().agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.col("maybe_present").cast("long")).alias("n_maybe"),
+        F.sum(F.col("exact_present").cast("long")).alias("n_exact"),
+        F.sum(
+            (F.col("maybe_present") & ~F.col("exact_present")).cast("long")
+        ).alias("n_false_positive"),
+        F.sum(
+            (~F.col("maybe_present") & F.col("exact_present")).cast("long")
+        ).alias("n_false_negative"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key: the same 64-term bit interleave is
+# generated once for Spark (codegen'd shifts) and once as unrolled SQL
+# for the oracle, so the layout key the writer clusters on is exactly
+# cross-checkable. ops/zorder.py::zorder_write is the write path; the
+# skipping effect is pytest-measured (test_zorder.py).
+# ---------------------------------------------------------------------------
+def _zorder_oracle() -> str:
+    from ..ops.zorder import bucket16_sql, zvalue_sql
+
+    z = zvalue_sql(
+        [
+            bucket16_sql("user_id"),
+            bucket16_sql("CAST(floor(value * 100) AS BIGINT)"),
+        ]
+    )
+    return f"""
+    SELECT event_id, {z} AS zval
+    FROM events
+    ORDER BY zval, event_id
+    LIMIT 200
+    """
+
+
+@query(
+    "events_zorder_index",
+    oracle=_zorder_oracle(),
+    tags=("layout", "zorder"),
+)
+def events_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton code of (user bucket, value-cent bucket) per event; first
+    200 events in Z-curve order."""
+    from ..ops.zorder import bucket16, zvalue
+
+    ev = load_table(spark, sf_dir, "events")
+    z = zvalue(
+        [
+            bucket16(F.col("user_id")),
+            bucket16(F.floor(F.col("value") * 100).cast("long")),
+        ]
+    )
+    return (
+        ev.select("event_id", z.alias("zval"))
+        .orderBy("zval", "event_id")
+        .limit(200)
+    )
