@@ -64,6 +64,14 @@ HEADLINE = [
     # round 5: SCD2 snapshot materialization (two rounds over the orders
     # dimension — measures the O(open+changed) history commit)
     "orders_scd2_history",
+    # round 5 curation surface: sub-document block dedup + rebuild,
+    # cluster-bounded SemDeDup, byte-budgeted shard assembly, hashed
+    # linear classifier, and the store CDC diff (create+merge+read_changes)
+    "dedup_block_global",
+    "dedup_semantic_clusters",
+    "corpus_shard_assignment",
+    "text_hashed_classifier",
+    "orders_cdc_diff",
 ]
 
 

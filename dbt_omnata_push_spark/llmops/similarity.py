@@ -633,11 +633,20 @@ def semantic_dedup_flags(
     The dup test is a LEFT SEMI join (no pair materialization in the
     output) followed by a broadcast-size flag join.
     """
-    base = emb.select(id_col, cluster_col, vec_col)
+    # Precompute each vector's norm ONCE (map-side) instead of inside
+    # the pair expression — cosine(a,b) would re-derive both norms per
+    # PAIR, tripling the O(pairs * dim) work. dot/(na*nb) performs the
+    # identical float ops in the identical order as cosine(), so the
+    # rounded sim stays bit-exact vs the oracle.
+    base = emb.select(id_col, cluster_col, vec_col).withColumn(
+        "_nrm", _norm(F.col(vec_col))
+    )
     a = base.alias("a")
     b = base.alias("b")
     sim = F.round(
-        cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+        _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (F.col("a._nrm") * F.col("b._nrm")),
+        6,
     )
     dups = (
         a.join(

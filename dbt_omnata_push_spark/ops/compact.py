@@ -5,7 +5,10 @@ at 100TB-scale ingest cadence that means millions of small files and
 metadata-bound scans. ``compact`` rewrites a table into
 ceil(bytes / target_file_bytes) files via a new store version — the
 version-pointer swap makes it safe next to concurrent readers, exactly
-like Delta OPTIMIZE."""
+like Delta OPTIMIZE. With ``zorder_by``, the rewrite also clusters
+rows on a Morton code of the given columns (OPTIMIZE ... ZORDER BY):
+same file count, but every file's min/max stats go tight on ALL the
+named dimensions, so selective scans skip files on any of them."""
 
 from __future__ import annotations
 
@@ -13,8 +16,10 @@ import math
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..engine.store import TableStore
+from .zorder import bucket16, zvalue
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
@@ -38,10 +43,31 @@ def compact(
     store: TableStore,
     name: str,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 16,
 ) -> int:
-    """Rewrite the table into size-targeted files; returns new file count."""
+    """Rewrite the table into size-targeted files; returns new file count.
+
+    Plain mode coalesces (no shuffle). ``zorder_by`` mode pays one
+    range shuffle on the Morton code to buy multi-dimension file
+    skipping on every future scan — the right trade for a table read
+    many times per rewrite.
+    """
     total = table_bytes(store, name)
     target = max(1, math.ceil(total / target_file_bytes))
-    df = store.read(spark, name).coalesce(target)
+    df = store.read(spark, name)
+    if zorder_by:
+        z = zvalue(
+            [bucket16(F.col(c).cast("long")) for c in zorder_by],
+            bits=zorder_bits,
+        )
+        df = (
+            df.withColumn("_z", z)
+            .repartitionByRange(target, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    else:
+        df = df.coalesce(target)
     store.overwrite(spark, name, df)
     return n_files(store, name)

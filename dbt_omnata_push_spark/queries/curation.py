@@ -502,3 +502,99 @@ def events_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zval", "event_id")
         .limit(200)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup without a precomputed label: learn the clustering (k-means
+# on the corpus embeddings), assign, then run the same within-cluster
+# duplicate flags. Rows-only driver check (float centroid means aren't
+# engine-portable); the planted-clone recall guarantee is pytest-
+# asserted (identical vectors always co-assign, so every clone pair
+# lands in one cluster).
+# ---------------------------------------------------------------------------
+@query("dedup_semantic_ivf", oracle=None, tags=("llm", "dedup", "similarity"))
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with learned clusters: k-means codebook (k=8, the IVF
+    training path) supplies the blocking key, then within-cluster
+    cosine >= 0.98 flags duplicates."""
+    emb = _with_planted_dups(load_table(spark, sf_dir, "embeddings")).drop("label")
+    centroids = S.kmeans_fit(emb, k=8, max_iter=4)
+    assigned = S.assign_clusters(emb, centroids)
+    return S.semantic_dedup_flags(
+        assigned, threshold=0.98, cluster_col="cluster"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval split leakage: after the seeded shuffle split, how many of
+# each eval document's distinct 3-gram shingles also occur in ANY train
+# document. The pipeline-QA twin of benchmark decontamination (there
+# the benchmark is external; here the leak is across our own split).
+# ---------------------------------------------------------------------------
+@query(
+    "split_leakage_check",
+    oracle=f"""
+    WITH sp AS (
+      SELECT doc_id, text,
+             CASE WHEN substr(h, 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(h, 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, text,
+                   md5('{_SEED}:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents)
+    ), sh AS (
+      SELECT doc_id, split,
+             CASE WHEN len(words) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(words) - 2),
+                         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                  ELSE [text] END AS shingles
+      FROM (SELECT doc_id, split, text, string_split(text, ' ') AS words FROM sp)
+    ), train_g AS (
+      SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE split = 'train'
+    ), ev AS (
+      SELECT doc_id, split, unnest(shingles) AS g FROM sh WHERE split <> 'train'
+    )
+    SELECT ev.doc_id, ev.split,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 2
+             >= COUNT(*) AS leaked
+    FROM ev LEFT JOIN train_g t ON ev.g = t.g
+    GROUP BY ev.doc_id, ev.split
+    """,
+    tags=("llm", "training", "decontamination", "curation"),
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per eval-split document: distinct 3-gram count, how many grams
+    leak from the train split, and a >= 50% leak flag.
+
+    Scale shape: one equi-join on the gram key (train grams
+    partial-aggregated to distinct map-side) — the same
+    corpus-vs-benchmark plan as contamination_hits, with the train
+    corpus in the benchmark role; no pairwise doc comparison.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sp = shuffle_split(docs, "doc_id", seed=_SEED).drop("shuffle_key")
+    sh = D.with_shingles(sp, n=3)
+    train_g = (
+        sh.filter(F.col("split") == "train")
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ev = sh.filter(F.col("split") != "train").select(
+        "doc_id", "split", F.explode("shingles").alias("g")
+    )
+    return (
+        ev.join(train_g, "g", "left")
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_shared"),
+        )
+        .withColumn(
+            "leaked", F.col("n_shared") * 2 >= F.col("n_grams")
+        )
+    )

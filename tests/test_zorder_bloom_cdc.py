@@ -162,3 +162,54 @@ class TestCdc:
         store = self._store(spark, tmp_path, [(1, None)], [(1, "x")])
         kinds = {r["change_type"] for r in store.read_changes(spark, "t", 0, 1, "k").collect()}
         assert kinds == {"update_preimage", "update_postimage"}
+
+
+class TestZOrderCompact:
+    def test_compact_zorder_clusters_files(self, spark, tmp_path):
+        from dbt_omnata_push_spark.ops.compact import compact
+
+        store = TableStore(str(tmp_path / "zc"))
+        df = (
+            spark.range(20_000)
+            .select(
+                F.col("id"),
+                ((F.xxhash64("id") % 500 + 500) % 500).alias("x"),
+                ((F.xxhash64("id", F.lit(7)) % 500 + 500) % 500).alias("y"),
+            )
+            .repartition(32)  # many small files, random layout
+        )
+        store.create(spark, "t", df)
+        got_files = compact(
+            spark, store, "t", target_file_bytes=16 * 1024, zorder_by=["x", "y"]
+        )
+        assert got_files > 4  # enough files for spans to mean something
+
+        back = spark.read.parquet(store.data_path("t")).withColumn(
+            "_f", F.input_file_name()
+        )
+
+        def mean_span(col):
+            return (
+                back.groupBy("_f")
+                .agg((F.max(col) - F.min(col)).alias("s"))
+                .agg(F.avg("s"))
+                .collect()[0][0]
+            )
+
+        # clustered on BOTH dims: average per-file span well under the
+        # full 500-wide domain a random layout would show
+        assert mean_span("x") < 275
+        assert mean_span("y") < 275
+
+    def test_compact_zorder_preserves_rows(self, spark, tmp_path):
+        from dbt_omnata_push_spark.ops.compact import compact
+
+        store = TableStore(str(tmp_path / "zp"))
+        df = spark.range(1000).select(
+            F.col("id"), (F.col("id") % 97).alias("x"), (F.col("id") % 89).alias("y")
+        )
+        store.create(spark, "t", df)
+        compact(spark, store, "t", target_file_bytes=8 * 1024, zorder_by=["x", "y"])
+        back = store.read(spark, "t")
+        assert back.count() == 1000
+        assert back.agg(F.sum("id")).collect()[0][0] == 999 * 1000 // 2
