@@ -598,3 +598,31 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "leaked", F.col("n_shared") * 2 >= F.col("n_grams")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: the top-8 learned merges over the corpus
+# word-frequency table. Iterative (one pair-count + argmax job pair per
+# round) with an unrolled-CTE oracle, like dedup_graph_pagerank.
+# ---------------------------------------------------------------------------
+def _bpe_oracle() -> str:
+    from ..llmops.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql(8)
+
+
+@query(
+    "bpe_vocab_merges",
+    oracle=_bpe_oracle(),
+    tags=("llm", "tokenizer", "training", "iterative"),
+)
+def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges learned from the corpus word-frequency table:
+    (round, sym_a, sym_b, pair_count)."""
+    from ..llmops.bpe import bpe_train, word_freq_table
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    merges = bpe_train(word_freq_table(docs), n_merges=8)
+    return spark.createDataFrame(
+        merges, "round int, sym_a string, sym_b string, pair_count long"
+    )

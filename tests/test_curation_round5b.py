@@ -94,3 +94,30 @@ def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert good == {1, 2}
     assert len(bad) == 1 and "NOT JSON" in bad[0]["_corrupt_record"]
+
+
+class TestBpe:
+    def _train(self, spark, rows, n=5):
+        from dbt_omnata_push_spark.llmops.bpe import bpe_train
+
+        words = spark.createDataFrame(rows, "word string, freq long")
+        return bpe_train(words, n_merges=n)
+
+    def test_hand_computed_merges(self, spark):
+        # 'ab' x10, 'abc' x5: round 1 merges (a,b) count 15; round 2
+        # merges (ab,c) count 5; then no pairs remain -> early stop.
+        got = self._train(spark, [("ab", 10), ("abc", 5)])
+        assert got == [(1, "a", "b", 15), (2, "ab", "c", 5)]
+
+    def test_adjacent_repeat_greedy_left_to_right(self, spark):
+        # 'aaaa': pairs 'a a' x3 -> merge once; rewrite must produce
+        # 'aa aa' (greedy left-to-right), then round 2 merges (aa,aa).
+        got = self._train(spark, [("aaaa", 1)], n=2)
+        assert got[0] == (1, "a", "a", 3)
+        assert got[1] == (2, "aa", "aa", 1)
+
+    def test_tiebreak_lexicographic(self, spark):
+        # 'xy' and 'ab' both freq 1: pair counts tie at 1 -> 'a b' wins
+        # the pair-string ascending tiebreak.
+        got = self._train(spark, [("xy", 1), ("ab", 1)], n=1)
+        assert got == [(1, "a", "b", 1)]

@@ -182,3 +182,54 @@ def test_decontamination_broadcasts_benchmark_side(spark, sf_dir):
     plan = _formatted_plan(REGISTRY["corpus_decontamination"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_block_dedup_shuffles_on_hash_not_text(spark, sf_dir):
+    """Winner election must exchange on the 32-byte md5, never the block
+    text (wide keys would inflate the shuffle ~10x)."""
+    plan = _formatted_plan(REGISTRY["dedup_block_global"].fn(spark, sf_dir))
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert "block_text" not in m.group(1), m.group(0)
+    assert "block_hash" in plan
+
+
+def test_shard_assignment_no_global_window(spark, sf_dir):
+    """Keyed prefix sum: windows partition on (_pid, split) / (split);
+    no empty-PartitionBy window anywhere."""
+    plan = _formatted_plan(REGISTRY["corpus_shard_assignment"].fn(spark, sf_dir))
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), "unpartitioned window in shard assignment"
+
+
+def test_semantic_dedup_joins_on_cluster_key(spark, sf_dir):
+    """SemDeDup's pair stage must be an equi-join on the cluster label
+    (never a cartesian/BNLJ all-pairs)."""
+    plan = _formatted_plan(REGISTRY["dedup_semantic_clusters"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hashed_classifier_partial_aggregates(spark, sf_dir):
+    """Gram explode -> doc_id aggregation must map-side combine."""
+    plan = _formatted_plan(REGISTRY["text_hashed_classifier"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_bloom_probe_broadcasts_filter(spark, sf_dir):
+    """The sparse bloom word frame is the build side of a broadcast
+    join; the probe batch is never shuffled."""
+    plan = _formatted_plan(
+        REGISTRY["customers_bloom_membership"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_split_leakage_gram_join_no_allpairs(spark, sf_dir):
+    """Leak detection joins on the gram key; no doc-pair comparison."""
+    plan = _formatted_plan(REGISTRY["split_leakage_check"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
