@@ -626,3 +626,44 @@ def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round int, sym_a string, sym_b string, pair_count long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus tokenization under the learned BPE merges: per-doc word /
+# char / symbol counts — the compression measurement that tells you the
+# vocab is working. Train on the vocab table (driver holds 8 pairs),
+# then one map-side pass re-segments every word.
+# ---------------------------------------------------------------------------
+def _bpe_tok_oracle() -> str:
+    from ..llmops.bpe import bpe_tokenize_oracle_sql
+
+    return bpe_tokenize_oracle_sql(8)
+
+
+@query(
+    "bpe_tokenize_stats",
+    oracle=_bpe_tok_oracle(),
+    tags=("llm", "tokenizer", "training"),
+)
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token counts under the corpus-trained 8-merge
+    vocab: (doc_id, n_words, n_chars, n_tokens)."""
+    from ..llmops.bpe import bpe_segment, bpe_train, word_freq_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(word_freq_table(docs), n_merges=8)
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    seg = words.select(
+        "doc_id",
+        F.length("w").cast("long").alias("n_chars"),
+        F.size(F.split(bpe_segment(F.col("w"), merges), " "))
+        .cast("long")
+        .alias("n_symbols"),
+    )
+    return seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_symbols").cast("long").alias("n_tokens"),
+    )
