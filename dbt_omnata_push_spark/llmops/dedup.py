@@ -744,3 +744,33 @@ def block_dedup_rebuild(
             F.coalesce(F.col("rebuilt_text"), F.lit("")).alias("rebuilt_text"),
         )
     )
+
+
+def bloom_gated_new_rows(
+    batch: DataFrame,
+    corpus_keys: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Incremental-dedup gate: rows of ``batch`` whose ``key_col`` is
+    NOT in ``corpus_keys``, decided bloom-first.
+
+    The Bloom filter (ops/sketches.py) splits the batch map-side:
+    definitely-new rows (filter says absent — no false negatives) pass
+    straight through WITHOUT ever joining the corpus; only the
+    maybe-present slice (true dups + the ~0.1% false positives) pays
+    the exact anti-join. Semantics are EXACTLY the plain anti-join —
+    the filter only routes — so the operator keeps an exact oracle
+    while the corpus-sized join input shrinks from |batch| to
+    |dups + FP|. At 100 TB this is the difference between shuffling
+    every ingest batch against the corpus index and shuffling only the
+    suspected duplicates.
+    """
+    from ..ops.sketches import bloom_build, bloom_probe
+
+    bloom = bloom_build(corpus_keys, key_col)
+    verdicts = bloom_probe(bloom, batch.select(key_col).distinct(), key_col)
+    routed = batch.join(verdicts, key_col, "left")
+    definitely_new = routed.filter(~F.col("maybe_present")).drop("maybe_present")
+    suspected = routed.filter(F.col("maybe_present")).drop("maybe_present")
+    survivors = suspected.join(corpus_keys, key_col, "left_anti")
+    return definitely_new.unionByName(survivors)

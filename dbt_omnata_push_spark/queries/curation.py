@@ -667,3 +667,36 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("n_chars"),
         F.sum("n_symbols").cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-gated incremental dedup: the filter routes (definitely-new rows
+# skip the corpus join entirely; only suspected dups pay the exact
+# anti-join), so semantics stay EXACTLY the anti-join and the oracle is
+# the plain NOT-IN — while the corpus-sized join input shrinks to the
+# suspected slice.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_bloom_gated",
+    oracle="""
+    SELECT b.doc_id
+    FROM documents b
+    LEFT JOIN (
+      SELECT DISTINCT md5(text) AS content_hash
+      FROM documents WHERE doc_id % 2 = 0
+    ) c ON md5(b.text) = c.content_hash
+    WHERE c.content_hash IS NULL
+    """,
+    tags=("llm", "dedup", "sketch", "incremental"),
+)
+def dedup_bloom_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch rows not already in the even-doc corpus, decided
+    bloom-first with an exact anti-join fallback."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.withColumn("content_hash", F.md5("text"))
+    corpus = (
+        batch.filter(F.col("doc_id") % 2 == 0)
+        .select("content_hash")
+        .distinct()
+    )
+    return D.bloom_gated_new_rows(batch, corpus, "content_hash").select("doc_id")
