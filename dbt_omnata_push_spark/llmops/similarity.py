@@ -333,6 +333,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     tol: float = 1e-7,
     init_centroids: list | None = None,
+    arrow_assign: bool = False,
 ) -> list:
     """Lloyd's k-means; returns the centroid list (python floats).
 
@@ -348,8 +349,12 @@ def kmeans_fit(
     else:
         init = emb.orderBy(id_col).limit(k).select(vec_col).collect()
         centroids = [[float(x) for x in r[0]] for r in init]
+    assign = assign_clusters_arrow if arrow_assign else assign_clusters
     for _ in range(max_iter):
-        assigned = assign_clusters(emb, centroids, vec_col)
+        # arrow_assign=True routes the hot assignment through the
+        # Arrow/numpy matrix path (~2x at k*dim scale); identical
+        # argmin semantics, float-rounding-order differences only.
+        assigned = assign(emb, centroids, vec_col)
         stats = (
             assigned.select(
                 "cluster", F.posexplode(F.col(vec_col)).alias("pos", "v")
@@ -668,3 +673,37 @@ def semantic_dedup_flags(
             F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def assign_clusters_arrow(
+    emb: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment via one Arrow-batched numpy pass —
+    the dense-math fast path (same A/B rationale as the LSH signing
+    stage: matrix products beat per-centroid JVM expression trees ~2x
+    at k*dim scale). Semantics match assign_clusters (squared
+    euclidean, ties to the lowest cluster id via argmin-first); only
+    float rounding order differs, so use it where assignment feeds
+    training/blocking, not where an oracle needs bit-exact JVM math.
+    """
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+    c2 = (C * C).sum(axis=1)  # (k,)
+    schema = StructType(list(emb.schema.fields) + [StructField(out_col, IntegerType())])
+
+    def go(batches):
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant
+            # per row, so argmin needs only the cross term + c2.
+            scores = -2.0 * (mat @ C.T) + c2[None, :]
+            pdf = pdf.copy()
+            pdf[out_col] = np.argmin(scores, axis=1).astype("int32")
+            yield pdf
+
+    return emb.mapInPandas(go, schema)

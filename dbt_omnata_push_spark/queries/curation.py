@@ -518,7 +518,7 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     training path) supplies the blocking key, then within-cluster
     cosine >= 0.98 flags duplicates."""
     emb = _with_planted_dups(load_table(spark, sf_dir, "embeddings")).drop("label")
-    centroids = S.kmeans_fit(emb, k=8, max_iter=4)
+    centroids = S.kmeans_fit(emb, k=8, max_iter=4, arrow_assign=True)
     assigned = S.assign_clusters(emb, centroids)
     return S.semantic_dedup_flags(
         assigned, threshold=0.98, cluster_col="cluster"

@@ -615,7 +615,7 @@ def similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate (recall tuned by nprobe) -> rows-only; recall vs brute
     force is pinned in tests/test_ann_quality.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = S.kmeans_fit(emb, k=8, max_iter=5)
+    centroids = S.kmeans_fit(emb, k=8, max_iter=5, arrow_assign=True)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -649,7 +649,7 @@ def similarity_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker) as f:
             centroids = json.load(f)
     else:
-        centroids = S.kmeans_fit(emb, k=8, max_iter=5)
+        centroids = S.kmeans_fit(emb, k=8, max_iter=5, arrow_assign=True)
         S.ivf_build_index(emb, centroids, index_path)
         with open(marker, "w") as f:
             json.dump([list(map(float, c)) for c in centroids], f)
