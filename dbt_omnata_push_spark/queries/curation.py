@@ -700,3 +700,64 @@ def dedup_bloom_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return D.bloom_gated_new_rows(batch, corpus, "content_hash").select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource: a registered custom source read like any
+# table (plan-time schema, partitioned executor-side reads — the
+# Spark-native analogue of the reference's external-function sources).
+# Deterministic md5 rows make it exactly oracle-checkable.
+# ---------------------------------------------------------------------------
+@query(
+    "pysource_synthetic_docs",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS doc_id,
+           md5('doc:' || CAST(i AS VARCHAR)) AS text
+    FROM range(0, 1000) t(i)
+    """,
+    tags=("source", "datasource"),
+)
+def pysource_synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read 1000 rows from the registered Python DataSource; every byte
+    reproduced by the oracle's md5 expression."""
+    from ..sources.pysource import SyntheticDocsDataSource
+
+    try:
+        spark.dataSource.register(SyntheticDocsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return spark.read.format("synthdocs").option("n_docs", 1000).load()
+
+
+# ---------------------------------------------------------------------------
+# Native rank-family windows (percent_rank / cume_dist / ntile) — the
+# one window family the inventory didn't yet exercise; partitioned by
+# priority so no single-partition window.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_priority_rank_windows",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "rank"),
+)
+def orders_priority_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile(4) per order within its
+    priority class (unique (price, key) ordering; int/int division
+    makes both rank ratios bit-exact)."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return od.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

@@ -73,3 +73,26 @@ def test_generic_tests(spark, tmp_path):
         "child.status.accepted_values": 2,  # null + 'bad'
         "child.parent_id.relationships": 1,  # 99 has no parent
     }
+
+
+def test_python_datasource_partitioned_read(spark):
+    """Spark 4 Python DataSource: plan-time schema, one task per
+    partition slice, deterministic rows."""
+    from dbt_omnata_push_spark.sources.pysource import SyntheticDocsDataSource
+
+    try:
+        spark.dataSource.register(SyntheticDocsDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("synthdocs")
+        .option("n_docs", 100)
+        .option("n_partitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert len(rows) == 100
+    import hashlib
+
+    assert rows[7] == hashlib.md5(b"doc:7").hexdigest()
