@@ -761,3 +761,29 @@ def orders_priority_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) self-join with sound segment blocking: the
+# all-pairs oracle IS the losslessness proof for the blocking scheme.
+# ---------------------------------------------------------------------------
+@query(
+    "customers_fuzzy_name_pairs",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    tags=("join", "fuzzy", "cleaning"),
+)
+def customers_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-name pairs within Levenshtein distance 1 via PassJoin
+    segment blocking (equi-join on segment content, never a cross
+    join); the oracle recomputes the all-pairs definition."""
+    from ..ops.fuzzyjoin import fuzzy_self_pairs
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_self_pairs(cust, "c_custkey", "c_name", max_dist=1).select(
+        F.col("id_a"), F.col("id_b"), F.col("dist").cast("int").alias("dist")
+    )

@@ -207,3 +207,42 @@ class TestBloomGated:
         # fresh checkpoint, same files: the gate must admit nothing new
         drain(str(tmp_path / "cp2"))
         assert store.read(spark, "corpus").count() == after_one
+
+
+class TestFuzzyJoin:
+    def _pairs(self, spark, rows, max_dist=2):
+        from dbt_omnata_push_spark.ops.fuzzyjoin import fuzzy_self_pairs
+
+        df = spark.createDataFrame(rows, "id long, s string")
+        return {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in fuzzy_self_pairs(df, "id", "s", max_dist=max_dist).collect()
+        }
+
+    def test_substitution_in_every_segment_found(self, spark):
+        # base 'abcdefghi' (9 chars, 3 segments of 3 at max_dist=2):
+        # one substitution inside each segment must be caught.
+        rows = [(0, "abcdefghi"), (1, "Xbcdefghi"), (2, "abcdXfghi"), (3, "abcdefghX")]
+        got = self._pairs(spark, rows)
+        assert {(0, 1, 1), (0, 2, 1), (0, 3, 1)} <= got
+
+    def test_insertion_deletion_shift_window(self, spark):
+        # insertion/deletion shifts later segments — the +-max_dist
+        # substring window must still find the untouched segment.
+        rows = [(0, "abcdefghi"), (1, "abcdefghiX"), (2, "abcdfghi"), (3, "XYabcdefghi")]
+        got = self._pairs(spark, rows)
+        assert (0, 1, 1) in got  # append
+        assert (0, 2, 1) in got  # delete 'e'
+        assert (0, 3, 2) in got  # prepend two chars
+    def test_beyond_threshold_excluded(self, spark):
+        rows = [(0, "abcdefghi"), (1, "XXXdefghi")]
+        got = self._pairs(spark, rows, max_dist=2)
+        assert got == set()  # distance 3 > 2
+
+    def test_plan_has_no_cartesian(self, spark, sf_dir):
+        from dbt_omnata_push_spark.queries import load_all
+
+        df = load_all()["customers_fuzzy_name_pairs"].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
