@@ -72,6 +72,12 @@ HEADLINE = [
     "corpus_shard_assignment",
     "text_hashed_classifier",
     "orders_cdc_diff",
+    # round 5b: composed block-dedup->quality->split->shard pipeline,
+    # fuzzy join (PassJoin blocking), BPE training + tokenization
+    "corpus_curation_v2",
+    "customers_fuzzy_name_pairs",
+    "bpe_vocab_merges",
+    "bpe_tokenize_stats",
 ]
 
 

@@ -787,3 +787,114 @@ def customers_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_pairs(cust, "c_custkey", "c_name", max_dist=1).select(
         F.col("id_a"), F.col("id_b"), F.col("dist").cast("int").alias("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed round-5 pipeline: block-level dedup (drop fully-duplicated
+# docs) -> quality gate on the REBUILT text -> seeded split -> byte-
+# budgeted shard assembly. One lazy plan, oracle-exact end to end.
+# ---------------------------------------------------------------------------
+_V2_QS_KEEP = """
+             CAST(0.5 AS DOUBLE)
+               + CAST(0.4 AS DOUBLE) * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')))
+               - CAST(0.3 AS DOUBLE) * (CASE WHEN length(text) > 0
+                   THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                        / length(text) ELSE 0.0 END)
+               - CAST(0.02 AS DOUBLE) * (CAST(length(text) AS DOUBLE)
+                   / len(string_split(text, ' ')) - CAST(5.0 AS DOUBLE))
+               + CASE WHEN len(string_split(text, ' ')) >= 20
+                       AND len(string_split(text, ' ')) <= 1000
+                      THEN CAST(0.1 AS DOUBLE) ELSE CAST(-0.1 AS DOUBLE) END
+             >= CAST(0.7 AS DOUBLE)
+"""
+
+
+@query(
+    "corpus_curation_v2",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id,
+             CAST((s - 1) // 32 AS INT) AS block_id,
+             array_to_string(list_slice(words, s, s + 31), ' ') AS block_text,
+             doc_id * 1048576 + CAST((s - 1) // 32 AS BIGINT) AS pos_key
+      FROM (SELECT doc_id, string_split(text, ' ') AS words,
+                   unnest(generate_series(1, len(string_split(text, ' ')), 32)) AS s
+            FROM documents)
+    ), winners AS (
+      SELECT block_text, MIN(pos_key) AS win_key FROM pos GROUP BY 1
+    ), rebuilt AS (
+      SELECT p.doc_id, COUNT(*) AS n_kept,
+             string_agg(p.block_text, ' ' ORDER BY p.block_id) AS text
+      FROM pos p JOIN winners w
+        ON p.block_text = w.block_text AND p.pos_key = w.win_key
+      GROUP BY p.doc_id
+    ), quality AS (
+      SELECT doc_id, text FROM rebuilt
+      WHERE {_V2_QS_KEEP}
+    ), sp AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, h,
+             CASE WHEN substr(h, 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(h, 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, text,
+                   md5('{_SEED}:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM quality)
+    ), pref AS (
+      SELECT split, n_bytes,
+             CAST(COALESCE(SUM(n_bytes) OVER (
+               PARTITION BY split ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS bytes_before
+      FROM sp
+    )
+    SELECT split,
+           CAST(floor(bytes_before / {_SHARD_BYTES}) AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes
+    FROM pref
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "curation", "pipeline"),
+)
+def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 composed pipeline: block dedup -> quality gate on the
+    rebuilt text -> seeded split -> 16 KiB shard assembly; per-shard
+    doc and byte counts. One lazy plan (no fan-out, so no staging
+    checkpoint needed — each stage feeds exactly one consumer)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rebuilt = (
+        D.block_dedup_rebuild(docs, block_words=32)
+        .filter(F.col("n_kept") > 0)
+        .select("doc_id", F.col("rebuilt_text").alias("text"))
+    )
+    kept = (
+        T.quality_score(rebuilt)
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .join(rebuilt, "doc_id")
+    )
+    assigned = shuffle_split(
+        kept.select("doc_id", F.length("text").cast("long").alias("n_bytes")),
+        "doc_id",
+        seed=_SEED,
+    )
+    pref = with_keyed_prefix_sum(
+        assigned,
+        "split",
+        ["shuffle_key", "doc_id"],
+        "n_bytes",
+        out="bytes_before",
+        exclusive=True,
+    )
+    return (
+        pref.withColumn(
+            "shard_id",
+            F.floor(F.col("bytes_before") / F.lit(_SHARD_BYTES)).cast("long"),
+        )
+        .groupBy("split", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("shard_bytes"),
+        )
+    )
