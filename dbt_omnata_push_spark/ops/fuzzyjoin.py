@@ -1,43 +1,67 @@
-"""Edit-distance fuzzy join: PassJoin-style segment blocking + exact
+"""Edit-distance fuzzy join: symmetric-delete blocking + exact
 Levenshtein verify.
 
 The record-linkage/data-cleaning join (near-identical names, typo'd
 keys) that naive engines run as an all-pairs Levenshtein — O(n^2)
-distance evaluations. The sound blocking scheme (Li et al., PassJoin):
-partition each left string into ``max_dist + 1`` contiguous segments;
-if ed(s, t) <= max_dist, pigeonhole says at least one segment is
-untouched by every edit and therefore appears in t VERBATIM, at a
-start position shifted by at most the net insertions/deletions before
-it (<= max_dist). So candidates = an EQUI-JOIN on
-(length-group, segment-index, segment-content) between left segments
-and right substrings sampled at the +-max_dist window — never a cross
-join — and the exact Levenshtein runs only on candidates. Blocking is
-LOSSLESS: the oracle-equality of the all-pairs definition is the
-soundness proof, re-checked on real data every round.
+distance evaluations. Blocking scheme (the SymSpell / symmetric-delete
+argument): if ed(a, b) <= d, delete from ``a`` the characters that the
+optimal edit script substitutes-or-deletes (<= d of them) and from
+``b`` the characters it substitutes-or-inserts (<= d): the two results
+are EQUAL. So every true pair shares at least one member of their
+<=d-deletion neighborhoods, and candidates = an EQUI-JOIN on the
+deletion-variant string — never a cross join. The exact Levenshtein
+runs only on candidates. Blocking is LOSSLESS: the query's all-pairs
+oracle is the soundness proof, re-checked on real data every round.
 
-Scale shape: the left side emits max_dist+1 rows per string; the right
-side emits (2*max_dist + 1) * (max_dist + 1) substrings per string per
-left length group (length groups collected to the driver — bounded by
-string-length diversity, like the kmeans centroid loop). Both sides
-are map-side explodes into one hash equi-join on the segment content.
+Chosen over PassJoin segment blocking after measurement: segment
+blocking degenerates to all-pairs when a segment is constant across
+the dataset (a shared 'Customer#' prefix put every row in one bucket —
+366s at sf0.1). Deletion variants always retain the discriminating
+characters, so common prefixes cost nothing; neighborhood size is
+C(len, <=d) per row (19 variants at len=18, d=1; 172 at d=2) — a
+map-side explode into one hash equi-join whose buckets stay near the
+true-pair density.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _segments(length: int, k: int) -> list[tuple[int, int]]:
-    """(start, len) 1-based contiguous segmentation of ``length`` into
-    ``k`` parts, earlier parts shorter (deterministic)."""
-    base, extra = divmod(length, k)
-    out, pos = [], 1
-    for i in range(k):
-        seg_len = base + (1 if i >= k - extra else 0)
-        out.append((pos, seg_len))
-        pos += seg_len
-    return out
+def _delete_at(s: Column, i: Column) -> Column:
+    """``s`` with the 1-based ``i``-th char removed (JVM expressions)."""
+    return F.concat(F.substring(s, 1, i - 1), s.substr(i + 1, F.length(s)))
+
+
+def deletion_neighborhood(s: Column, max_dist: int) -> Column:
+    """Distinct strings reachable from ``s`` by deleting up to
+    ``max_dist`` characters (including ``s`` itself), as an array
+    column of pure JVM higher-order expressions."""
+    if max_dist not in (1, 2):
+        raise ValueError("deletion-neighborhood blocking supports max_dist 1 or 2")
+    n = F.length(s)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    one = F.transform(idx, lambda i: _delete_at(s, i))
+    variants = F.concat(F.array(s), one)
+    if max_dist == 2:
+        idx2 = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        # delete position j of the already-deleted string for j >= i:
+        # enumerating ordered (i, j) pairs once covers every 2-subset.
+        two = F.flatten(
+            F.transform(
+                idx2,
+                lambda i: F.transform(
+                    F.sequence(i, n - 1), lambda j: _delete_at(_delete_at(s, i), j)
+                ),
+            )
+        )
+        variants = F.concat(variants, two)
+    return F.array_distinct(variants)
 
 
 def fuzzy_self_pairs(
@@ -49,68 +73,27 @@ def fuzzy_self_pairs(
     """Pairs (id_a < id_b) with levenshtein(str_a, str_b) <= max_dist.
 
     Returns (id_a, id_b, dist). Exactly equivalent to the all-pairs
-    filter (the blocking only prunes); the segment equi-join keeps the
-    candidate set near-linear for realistic typo distributions.
+    filter (the blocking only prunes); candidates come from the
+    deletion-variant equi-join.
     """
-    k = max_dist + 1
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(str_col).alias("_s"),
-        F.length(str_col).alias("_len"),
+    base = df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
+    exploded = base.select(
+        "_id",
+        "_s",
+        F.explode(deletion_neighborhood(F.col("_s"), max_dist)).alias("_v"),
     )
-    lengths = [r["_len"] for r in base.select("_len").distinct().collect()]
-
-    # Left probe rows: the k segments of each string.
-    seg_rows = []
-    for L in lengths:
-        for i, (start, seg_len) in enumerate(_segments(L, k)):
-            if seg_len == 0:
-                continue
-            seg_rows.append((L, i, start, seg_len))
-    probe = None
-    for L, i, start, seg_len in seg_rows:
-        part = base.filter(F.col("_len") == L).select(
-            "_id",
-            "_s",
-            "_len",
-            F.lit(i).alias("_seg"),
-            F.substring("_s", start, seg_len).alias("_content"),
-            F.lit(L).alias("_lgroup"),
-        )
-        probe = part if probe is None else probe.unionByName(part)
-
-    # Right index rows: substrings at the shifted window for each left
-    # length group a right string could match (|len diff| <= max_dist).
-    index = None
-    for L, i, start, seg_len in seg_rows:
-        for shift in range(-max_dist, max_dist + 1):
-            s2 = start + shift
-            if s2 < 1:
-                continue
-            part = (
-                base.filter(
-                    (F.col("_len") >= L - max_dist)
-                    & (F.col("_len") <= L + max_dist)
-                    & (F.col("_len") >= s2 + seg_len - 1)
-                )
-                .select(
-                    F.col("_id").alias("_idb"),
-                    F.col("_s").alias("_sb"),
-                    F.lit(i).alias("_seg"),
-                    F.substring("_s", s2, seg_len).alias("_content"),
-                    F.lit(L).alias("_lgroup"),
-                )
-            )
-            index = part if index is None else index.unionByName(part)
-
+    a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
-        probe.join(index, ["_lgroup", "_seg", "_content"])
-        .filter(F.col("_id") < F.col("_idb"))
+        a.join(
+            b,
+            (F.col("a._v") == F.col("b._v"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
         .select(
-            F.col("_id").alias("id_a"),
-            F.col("_idb").alias("id_b"),
-            F.col("_s").alias("_sa"),
-            F.col("_sb").alias("_sb"),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._s").alias("_sa"),
+            F.col("b._s").alias("_sb"),
         )
         .distinct()
     )
