@@ -898,3 +898,88 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").cast("long").alias("shard_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC-style ordered-arg aggregation (min_by/max_by): open/close values
+# per hour chosen by a total (ts, event_id) order packed into one
+# sortable string key, so both engines pick identical rows.
+# ---------------------------------------------------------------------------
+@query(
+    "events_hourly_ohlc",
+    oracle="""
+    SELECT hour, event_type,
+           CAST(arg_min(vm, ord) AS BIGINT) AS open_millis,
+           CAST(arg_max(vm, ord) AS BIGINT) AS close_millis,
+           CAST(MIN(vm) AS BIGINT) AS low_millis,
+           CAST(MAX(vm) AS BIGINT) AS high_millis,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             event_type,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS vm,
+             lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 20, '0') AS ord
+      FROM events
+    )
+    GROUP BY hour, event_type
+    """,
+    tags=("agg", "ohlc", "ordered"),
+)
+def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly open/close/low/high per event type — min_by/max_by keyed
+    on a packed (ts, event_id) total order (integer-millis values stay
+    hash-exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    ord_key = F.concat(
+        F.lpad((F.unix_micros(ts)).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    vm = F.floor(F.col("value") * 1000).cast("long")
+    return (
+        ev.select(
+            F.date_trunc("hour", ts).alias("hour"),
+            "event_type",
+            vm.alias("vm"),
+            ord_key.alias("ord"),
+        )
+        .groupBy("hour", "event_type")
+        .agg(
+            F.expr("min_by(vm, ord)").cast("long").alias("open_millis"),
+            F.expr("max_by(vm, ord)").cast("long").alias("close_millis"),
+            F.min("vm").cast("long").alias("low_millis"),
+            F.max("vm").cast("long").alias("high_millis"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS with GROUPING() flags — the mixed-set shape
+# cube/rollup can't express (here: by-nation, by-segment, and grand
+# total, but NOT nation x segment).
+# ---------------------------------------------------------------------------
+_GSETS_SQL = """
+SELECT CAST(c_nationkey AS {strtype}) AS nation_key, c_mktsegment,
+       CAST(GROUPING(c_nationkey) AS INT) AS g_nation,
+       CAST(GROUPING(c_mktsegment) AS INT) AS g_segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM {table}
+GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment), ())
+"""
+
+
+@query(
+    "customers_grouping_sets",
+    oracle=_GSETS_SQL.format(table="customer", strtype="VARCHAR"),
+    tags=("agg", "groupingsets"),
+)
+def customers_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed GROUPING SETS (by nation, by segment, grand total) with
+    GROUPING() flags disambiguating real NULLs from set placeholders."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_gsets_v"
+    )
+    return spark.sql(_GSETS_SQL.format(table="customer_gsets_v", strtype="STRING"))
