@@ -77,9 +77,11 @@ def fuzzy_self_pairs(
     deletion-variant equi-join.
     """
     base = df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
+    # The variant self-join and the candidate de-dup carry ONLY
+    # (id, variant) — strings rejoin after distinct, so the widest
+    # shuffles move ids, not payload (matters when keys are long).
     exploded = base.select(
         "_id",
-        "_s",
         F.explode(deletion_neighborhood(F.col("_s"), max_dist)).alias("_v"),
     )
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -89,16 +91,15 @@ def fuzzy_self_pairs(
             (F.col("a._v") == F.col("b._v"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._s").alias("_sa"),
-            F.col("b._s").alias("_sb"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
+    sa = base.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+    sb = base.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
     return (
-        cand.withColumn("dist", F.levenshtein("_sa", "_sb"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("_sa", "_sb"))
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
