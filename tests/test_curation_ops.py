@@ -97,3 +97,22 @@ class TestTercileBuckets:
         # exact integer terciles: ceil(n/3) head, then the next third
         assert counts["head"] == (n + 2) // 3
         assert counts["head"] + counts["middle"] == (2 * n + 2) // 3
+
+
+class TestBlockDedupSkew:
+    def test_hot_block_in_every_doc(self, spark):
+        """Pathological skew: one block repeated in EVERY document (the
+        boilerplate-header case). Winner election is a groupBy (partial
+        aggregation absorbs the hot key); output stays correct."""
+        hot = " ".join(["boiler"] * 32)
+        docs = spark.createDataFrame(
+            [(i, hot + " " + " ".join(f"u{i}w{j}" for j in range(32)))
+             for i in range(200)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r.asDict() for r in block_dedup_rebuild(docs).collect()}
+        # doc 0 keeps both blocks; every other doc loses only the hot one
+        assert out[0]["n_kept"] == 2
+        for i in range(1, 200):
+            assert out[i]["n_kept"] == 1, i
+            assert "boiler" not in out[i]["rebuilt_text"]

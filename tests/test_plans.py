@@ -233,3 +233,27 @@ def test_split_leakage_gram_join_no_allpairs(spark, sf_dir):
     plan = _formatted_plan(REGISTRY["split_leakage_check"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_diff_is_key_joins_no_cartesian(spark, sf_dir):
+    """read_changes = two anti-joins + one digest-inequality inner
+    join, all keyed — no nested-loop anywhere."""
+    plan = _formatted_plan(REGISTRY["orders_cdc_diff"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ohlc_partial_aggregates(spark, sf_dir):
+    """min_by/max_by rollup must map-side combine before the shuffle."""
+    plan = _formatted_plan(REGISTRY["events_hourly_ohlc"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2
+
+
+def test_fuzzy_join_no_cartesian_and_narrow_shuffle(spark, sf_dir):
+    """Candidate generation is a variant equi-join carrying ids, not
+    string payload; verify stage rejoins strings afterwards."""
+    plan = _formatted_plan(
+        REGISTRY["customers_fuzzy_name_pairs"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
