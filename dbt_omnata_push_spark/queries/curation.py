@@ -983,3 +983,70 @@ def customers_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "customer_gsets_v"
     )
     return spark.sql(_GSETS_SQL.format(table="customer_gsets_v", strtype="STRING"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: fold the store's CDC feed into a stored
+# per-status aggregate — O(changed keys), base table never rescanned.
+# The oracle recomputes the aggregate from the reconstructed post-MERGE
+# state, so equality proves maintenance == full refresh.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_ivm_status_totals",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), v1 AS (
+      SELECT * FROM b
+      UNION ALL
+      SELECT a.* FROM a LEFT JOIN b ON a.o_orderkey = b.o_orderkey
+      WHERE b.o_orderkey IS NULL
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM v1
+    GROUP BY o_orderstatus
+    """,
+    tags=("store", "cdc", "ivm", "incremental"),
+)
+def orders_ivm_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained per-status (count, sum-cents) aggregate after folding
+    the v0->v1 CDC feed into the v0 aggregate — never rescanning v1."""
+    import tempfile
+
+    from ..engine.store import TableStore
+    from ..ops.ivm import apply_cdc, build_agg
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    batch = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("U")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    store = TableStore(tempfile.mkdtemp(prefix="sg-ivm-"))
+    store.create(spark, "dim_orders", base)
+    store.merge_upsert(spark, "dim_orders", batch, unique_key="o_orderkey")
+    agg_v0 = build_agg(
+        store.read_version(spark, "dim_orders", 0), ["o_orderstatus"], ["cents"]
+    )
+    changes = store.read_changes(spark, "dim_orders", 0, 1, "o_orderkey")
+    return apply_cdc(agg_v0, changes, ["o_orderstatus"], ["cents"]).select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )

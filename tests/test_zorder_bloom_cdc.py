@@ -213,3 +213,51 @@ class TestZOrderCompact:
         back = store.read(spark, "t")
         assert back.count() == 1000
         assert back.agg(F.sum("id")).collect()[0][0] == 999 * 1000 // 2
+
+
+class TestIvm:
+    def test_maintained_equals_rebuilt(self, spark, tmp_path):
+        from dbt_omnata_push_spark.ops.ivm import apply_cdc, build_agg
+
+        store = TableStore(str(tmp_path / "ivm"))
+        v0 = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 5)],
+            "k long, grp string, v long",
+        )
+        # v1: update 2 (a->b move), delete 3, insert 5, drop group c
+        v1 = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 21), (5, "a", 7)],
+            "k long, grp string, v long",
+        )
+        store.create(spark, "t", v0)
+        store.overwrite(spark, "t", v1)
+        agg0 = build_agg(store.read_version(spark, "t", 0), ["grp"], ["v"])
+        changes = store.read_changes(spark, "t", 0, 1, "k")
+        maintained = {
+            (r["grp"], r["n_rows"], r["sum_v"])
+            for r in apply_cdc(agg0, changes, ["grp"], ["v"]).collect()
+        }
+        rebuilt = {
+            (r["grp"], r["n_rows"], r["sum_v"])
+            for r in build_agg(v1, ["grp"], ["v"]).collect()
+        }
+        assert maintained == rebuilt
+        # group 'c' vanished: maintained must not carry an n_rows=0 husk
+        assert not any(g == "c" for g, _, _ in maintained)
+
+    def test_noop_cdc_leaves_agg_unchanged(self, spark, tmp_path):
+        from dbt_omnata_push_spark.ops.ivm import apply_cdc, build_agg
+
+        store = TableStore(str(tmp_path / "ivm2"))
+        rows = [(1, "a", 10), (2, "b", 20)]
+        df = spark.createDataFrame(rows, "k long, grp string, v long")
+        store.create(spark, "t", df)
+        store.overwrite(spark, "t", df)
+        agg0 = build_agg(store.read_version(spark, "t", 0), ["grp"], ["v"])
+        changes = store.read_changes(spark, "t", 0, 1, "k")
+        assert changes.count() == 0
+        out = {
+            (r["grp"], r["n_rows"], r["sum_v"])
+            for r in apply_cdc(agg0, changes, ["grp"], ["v"]).collect()
+        }
+        assert out == {("a", 1, 10), ("b", 1, 20)}
