@@ -1050,3 +1050,62 @@ def orders_ivm_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("sum_cents").cast("long").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index phrase search: word-position postings joined on
+# (doc, pos+1) — the search-engine primitive over the corpus, exact in
+# both engines via the same positional definition (no regex-consume
+# artifacts on back-to-back phrase repeats).
+# ---------------------------------------------------------------------------
+_PHRASE_A, _PHRASE_B = "table", "value"
+
+
+@query(
+    "documents_phrase_search",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), hits AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               generate_series(1, len(words) - 1),
+               i -> words[i] = '{_PHRASE_A}' AND words[i+1] = '{_PHRASE_B}'
+             )) AS pos
+      FROM w
+      WHERE len(words) >= 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(pos) AS BIGINT) AS first_pos
+    FROM hits
+    GROUP BY doc_id
+    """,
+    tags=("text", "search", "index"),
+)
+def documents_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents containing the phrase 'table value': occurrence count
+    and first (1-based) word position, via positional postings.
+
+    Scale shape: the postings explode is map-side; the phrase test is a
+    self-join of the positions table on (doc_id, pos+1) — with a
+    persisted inverted index (term-partitioned postings), only the two
+    terms' postings are ever read. Here both sides filter before the
+    join, so the exchange carries just the matching terms' positions.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    positions = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    a = positions.filter(F.col("word") == _PHRASE_A).select("doc_id", "pos")
+    b = positions.filter(F.col("word") == _PHRASE_B).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+    )
