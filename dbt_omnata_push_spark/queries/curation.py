@@ -1109,3 +1109,32 @@ def documents_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pos").cast("long").alias("first_pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-TABLE profiling: per-column stats in one logical pass, oracle
+# generated from the same column list (bigint/string columns — float
+# rendering is engine-specific; continuous columns go through the
+# sketch path at scale).
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+
+def _profile_oracle() -> str:
+    from ..ops.profile import profile_oracle_sql
+
+    return profile_oracle_sql("orders", _PROFILE_COLS)
+
+
+@query(
+    "orders_table_profile",
+    oracle=_profile_oracle(),
+    tags=("profile", "stats", "quality"),
+)
+def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column profile of orders (rows, nulls, distinct,
+    min/max) — the stats collection an optimizer and a data-quality
+    gate both feed on."""
+    from ..ops.profile import table_profile
+
+    return table_profile(load_table(spark, sf_dir, "orders"), _PROFILE_COLS)
