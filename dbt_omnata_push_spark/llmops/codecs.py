@@ -604,10 +604,11 @@ def decode_avi(data: bytes) -> dict:
         raise ValueError("not an AVI payload")
     width = height = None
     fps = 0
+    top_down = False
     frame_chunks: list[bytes] = []
 
     def walk(start: int, end: int) -> None:
-        nonlocal width, height, fps
+        nonlocal width, height, fps, top_down
         for fourcc, body, size in _riff_chunks(data, start, end):
             if fourcc == b"LIST":
                 walk(body + 4, body + size)
@@ -618,7 +619,9 @@ def decode_avi(data: bytes) -> dict:
                     raise ValueError(
                         f"only uncompressed 24bpp AVI supported (bpp={bpp})"
                     )
-                width, height = w, abs(h)
+                # h < 0 marks a TOP-DOWN frame layout (no row flip on
+                # decode); h > 0 is the default bottom-up DIB order.
+                width, height, top_down = w, abs(h), h < 0
             elif fourcc == b"avih":
                 micros = struct.unpack_from("<I", data, body)[0]
                 fps = round(1_000_000 / micros) if micros else 0
@@ -639,7 +642,8 @@ def decode_avi(data: bytes) -> dict:
                 b, g, r = chunk_bytes[off + 3 * x : off + 3 * x + 3]
                 row.append((r, g, b))
             rows.append(row)
-        rows.reverse()  # bottom-up -> top-down
+        if not top_down:
+            rows.reverse()  # bottom-up -> top-down
         frames.append(rows)
     return {"width": width, "height": height, "fps": fps, "frames": frames}
 

@@ -716,7 +716,16 @@ def block_dedup_rebuild(
         F.col("chunk_id").alias("block_id"),
         F.col("chunk_text").alias("block_text"),
         F.md5(F.col("chunk_text")).alias("block_hash"),
-        (F.col(id_col) * F.lit(1 << 20) + F.col("chunk_id")).alias("pos_key"),
+        (
+            F.col(id_col) * F.lit(1 << 20)
+            # Loud failure instead of silent winner corruption if a
+            # document ever exceeds 2^20 blocks (the packing bound).
+            + F.when(F.col("chunk_id") < F.lit(1 << 20), F.col("chunk_id")).otherwise(
+                F.raise_error(
+                    F.lit("block_dedup_rebuild: document exceeds 2^20 blocks")
+                ).cast("int")
+            )
+        ).alias("pos_key"),
     )
     winners = blocks.groupBy("block_hash").agg(F.min("pos_key").alias("win_key"))
     kept = blocks.join(winners, "block_hash").filter(
@@ -767,10 +776,15 @@ def bloom_gated_new_rows(
     """
     from ..ops.sketches import bloom_build, bloom_probe
 
+    # NULL keys: a plain anti-join KEEPS a NULL-key row (NULL matches
+    # nothing in the corpus), but an equi-join on the verdicts frame
+    # would silently drop it — route NULL keys straight to the output.
+    null_rows = batch.filter(F.col(key_col).isNull())
+    nn = batch.filter(F.col(key_col).isNotNull())
     bloom = bloom_build(corpus_keys, key_col)
-    verdicts = bloom_probe(bloom, batch.select(key_col).distinct(), key_col)
-    routed = batch.join(verdicts, key_col, "left")
+    verdicts = bloom_probe(bloom, nn.select(key_col).distinct(), key_col)
+    routed = nn.join(verdicts, key_col, "left")
     definitely_new = routed.filter(~F.col("maybe_present")).drop("maybe_present")
     suspected = routed.filter(F.col("maybe_present")).drop("maybe_present")
     survivors = suspected.join(corpus_keys, key_col, "left_anti")
-    return definitely_new.unionByName(survivors)
+    return definitely_new.unionByName(survivors).unionByName(null_rows)

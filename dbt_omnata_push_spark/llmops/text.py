@@ -284,6 +284,28 @@ def chunk_documents(
     )
 
 
+def quality_score_expr(text_col: str = "text"):
+    """The quality score as a bare Column (shared by quality_score and
+    single-consumer pipeline filters — see corpus_curation_v2)."""
+    words = F.split(F.col(text_col), " ")
+    n_chars = F.length(F.col(text_col))
+    n_words = F.size(words)
+    vocab_ratio = F.size(F.array_distinct(words)).cast("double") / n_words
+    avg_word_len = n_chars.cast("double") / n_words
+    # _ratio guards n_chars == 0 (empty doc) — ANSI mode would otherwise
+    # abort the job with DIVIDE_BY_ZERO on a single empty row.
+    digit_ratio = _ratio(
+        F.length(F.regexp_replace(F.col(text_col), "[^0-9]", "")), n_chars
+    )
+    return (
+        F.lit(0.5)
+        + F.lit(0.4) * vocab_ratio
+        - F.lit(0.3) * digit_ratio
+        - F.lit(0.02) * (avg_word_len - F.lit(5.0))
+        + F.when((n_words >= 20) & (n_words <= 1000), F.lit(0.1)).otherwise(F.lit(-0.1))
+    )
+
+
 def quality_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -296,22 +318,9 @@ def quality_score(
     across engines. Map-side only.
     """
     words = F.split(F.col(text_col), " ")
-    n_chars = F.length(F.col(text_col))
     n_words = F.size(words)
     vocab_ratio = F.size(F.array_distinct(words)).cast("double") / n_words
-    avg_word_len = n_chars.cast("double") / n_words
-    # _ratio guards n_chars == 0 (empty doc) — ANSI mode would otherwise
-    # abort the job with DIVIDE_BY_ZERO on a single empty row.
-    digit_ratio = _ratio(
-        F.length(F.regexp_replace(F.col(text_col), "[^0-9]", "")), n_chars
-    )
-    score = (
-        F.lit(0.5)
-        + F.lit(0.4) * vocab_ratio
-        - F.lit(0.3) * digit_ratio
-        - F.lit(0.02) * (avg_word_len - F.lit(5.0))
-        + F.when((n_words >= 20) & (n_words <= 1000), F.lit(0.1)).otherwise(F.lit(-0.1))
-    )
+    score = quality_score_expr(text_col)
     return df.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),

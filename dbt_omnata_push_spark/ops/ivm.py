@@ -62,9 +62,20 @@ def apply_cdc(
             ],
         )
     )
-    joined = agg.join(deltas, keys, "full_outer")
+    # Null-safe key equality: a list-of-names join matches NULL keys to
+    # nothing, which would split a NULL-key group into two output rows
+    # and break the full-refresh equality contract.
+    a, d = agg.alias("a"), deltas.alias("d")
+    cond = None
+    for k in keys:
+        c = F.col(f"a.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = c if cond is None else cond & c
+    joined = a.join(d, cond, "full_outer")
+    key_cols = [
+        F.coalesce(F.col(f"a.{k}"), F.col(f"d.{k}")).alias(k) for k in keys
+    ]
     maintained = joined.select(
-        *keys,
+        *key_cols,
         (
             F.coalesce(F.col("n_rows"), F.lit(0))
             + F.coalesce(F.col("_d_n"), F.lit(0))

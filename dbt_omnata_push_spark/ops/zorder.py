@@ -41,6 +41,10 @@ def zvalue(cols: list[Column], bits: int = DEFAULT_BITS) -> Column:
     k = len(cols)
     if k < 2:
         raise ValueError("zvalue needs >= 2 columns")
+    if k * bits > 64:
+        # JVM long shifts use only the low 6 bits of the shift amount,
+        # so positions >= 64 would silently wrap and corrupt the code.
+        raise ValueError(f"k*bits = {k * bits} exceeds the 64-bit Morton code")
     terms = [
         F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * k + j)
         for j, c in enumerate(cols)
@@ -54,6 +58,8 @@ def zvalue_sql(exprs: list[str], bits: int = DEFAULT_BITS) -> str:
     k = len(exprs)
     if k < 2:
         raise ValueError("zvalue needs >= 2 columns")
+    if k * bits > 64:
+        raise ValueError(f"k*bits = {k * bits} exceeds the 64-bit Morton code")
     terms = [
         f"((({e}) >> {i}) & 1) << {i * k + j}"
         for j, e in enumerate(exprs)

@@ -778,9 +778,10 @@ def orders_priority_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "fuzzy", "cleaning"),
 )
 def customers_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer-name pairs within Levenshtein distance 1 via PassJoin
-    segment blocking (equi-join on segment content, never a cross
-    join); the oracle recomputes the all-pairs definition."""
+    """Customer-name pairs within Levenshtein distance 1 via
+    symmetric-delete (deletion-neighborhood) blocking — an equi-join on
+    deletion variants, never a cross join; the oracle recomputes the
+    all-pairs definition (= losslessness proof)."""
     from ..ops.fuzzyjoin import fuzzy_self_pairs
 
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -860,20 +861,17 @@ _V2_QS_KEEP = """
 def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 composed pipeline: block dedup -> quality gate on the
     rebuilt text -> seeded split -> 16 KiB shard assembly; per-shard
-    doc and byte counts. One lazy plan (no fan-out, so no staging
-    checkpoint needed — each stage feeds exactly one consumer)."""
+    doc and byte counts. One lazy plan where each stage feeds exactly
+    one consumer (the quality gate is a FILTER on the rebuilt frame
+    using the shared score expression, not a join-back — so the
+    block-dedup subtree appears once, no staging checkpoint needed)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     rebuilt = (
         D.block_dedup_rebuild(docs, block_words=32)
         .filter(F.col("n_kept") > 0)
         .select("doc_id", F.col("rebuilt_text").alias("text"))
     )
-    kept = (
-        T.quality_score(rebuilt)
-        .filter(F.col("keep"))
-        .select("doc_id")
-        .join(rebuilt, "doc_id")
-    )
+    kept = rebuilt.filter(T.quality_score_expr("text") >= 0.7)
     assigned = shuffle_split(
         kept.select("doc_id", F.length("text").cast("long").alias("n_bytes")),
         "doc_id",

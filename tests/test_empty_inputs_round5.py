@@ -108,3 +108,74 @@ def test_zvalue_three_columns(spark):
     zsql = zvalue_sql([bucket16_sql(c) for c in ("a", "b", "c")])
     duck_z = sorted(r[0] for r in con.execute(f"SELECT {zsql} FROM t").fetchall())
     assert spark_z == duck_z
+
+
+def test_bloom_gate_keeps_null_key_rows(spark):
+    """Anti-join semantics: a NULL key matches nothing in the corpus,
+    so the row must SURVIVE the gate (review finding: the verdict
+    equi-join silently dropped it)."""
+    from dbt_omnata_push_spark.llmops.dedup import bloom_gated_new_rows
+
+    corpus = spark.createDataFrame([("k1",)], "h string")
+    batch = spark.createDataFrame(
+        [(1, "k1"), (2, "k2"), (3, None)], "row_id long, h string"
+    )
+    got = {r["row_id"] for r in bloom_gated_new_rows(batch, corpus, "h").collect()}
+    assert got == {2, 3}
+
+
+def test_ivm_null_group_key_merges(spark):
+    """Null-safe group join: a NULL-key group in both the aggregate and
+    the delta feed must fold into ONE row (review finding: plain join
+    split it into two)."""
+    from dbt_omnata_push_spark.ops.ivm import apply_cdc, build_agg
+
+    agg = build_agg(
+        spark.createDataFrame(
+            [(1, None, 5), (2, "a", 7)], "k long, grp string, v long"
+        ),
+        ["grp"],
+        ["v"],
+    )
+    changes = spark.createDataFrame(
+        [(3, None, 2, "insert")], "k long, grp string, v long, change_type string"
+    )
+    out = {(r["grp"], r["n_rows"], r["sum_v"])
+           for r in apply_cdc(agg, changes, ["grp"], ["v"]).collect()}
+    assert out == {(None, 2, 7), ("a", 1, 7)}
+
+
+def test_zvalue_rejects_over_64_bits(spark):
+    import pytest
+
+    from dbt_omnata_push_spark.ops.zorder import zvalue, zvalue_sql
+
+    with pytest.raises(ValueError, match="64-bit"):
+        zvalue([F.lit(1)] * 5, bits=16)
+    with pytest.raises(ValueError, match="64-bit"):
+        zvalue_sql(["a"] * 5, bits=16)
+
+
+def test_avi_top_down_height_not_flipped():
+    """A negative strf height marks top-down row order: frames must NOT
+    be reversed on decode (review finding: they were flipped)."""
+    import struct
+
+    from dbt_omnata_push_spark.llmops.codecs import decode_avi, encode_avi
+
+    # two-row frame with distinct rows, written bottom-up by encode_avi
+    top = [(255, 0, 0)]
+    bottom = [(0, 0, 255)]
+    data = bytearray(encode_avi(1, 2, [[top, bottom]], fps=1))
+    # find the strf BITMAPINFO height field and negate it; the pixel
+    # data (bottom-up order: 'bottom' row first) is left as-is, so a
+    # top-down reader must now yield rows in on-disk order.
+    i = data.index(b"strf")
+    h_off = i + 8 + 8  # fourcc + size + (hdr_size, width)
+    (h,) = struct.unpack_from("<i", data, h_off)
+    struct.pack_into("<i", data, h_off, -h)
+    vid = decode_avi(bytes(data))
+    # on-disk row 0 was 'bottom' (encode wrote bottom-up); top-down
+    # decode returns it first, unflipped
+    assert vid["frames"][0][0] == bottom
+    assert vid["frames"][0][1] == top
