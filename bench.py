@@ -73,7 +73,7 @@ HEADLINE = [
     "text_hashed_classifier",
     "orders_cdc_diff",
     # round 5b: composed block-dedup->quality->split->shard pipeline,
-    # fuzzy join (PassJoin blocking), BPE training + tokenization
+    # fuzzy join (symmetric-delete blocking), BPE training + tokenization
     "corpus_curation_v2",
     "customers_fuzzy_name_pairs",
     "bpe_vocab_merges",

@@ -465,7 +465,11 @@ class TableStore:
             )
 
         o, n = digest(old_w).alias("o"), digest(new).alias("n")
-        key_eq = F.col(f"o.{unique_key}") == F.col(f"n.{unique_key}")
+        # Null-safe key equality (<=>): a NULL-key row present
+        # identically in both versions is "unchanged" and must emit
+        # nothing — plain = would mis-emit it as an insert+delete pair.
+        # Mirrors ops/ivm.py's eqNullSafe key fold.
+        key_eq = F.col(f"o.{unique_key}").eqNullSafe(F.col(f"n.{unique_key}"))
         inserts = (
             n.join(o, key_eq, "left_anti")
             .drop("_digest")

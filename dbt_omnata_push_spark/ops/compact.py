@@ -57,10 +57,30 @@ def compact(
     target = max(1, math.ceil(total / target_file_bytes))
     df = store.read(spark, name)
     if zorder_by:
-        z = zvalue(
-            [bucket16(F.col(c).cast("long")) for c in zorder_by],
-            bits=zorder_bits,
-        )
+        # Validate up front: cast('long') on a non-numeric column would
+        # silently null out in non-ANSI mode and collapse the whole
+        # clustering key to one bucket.
+        integral = {"byte", "short", "int", "integer", "bigint", "long"}
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for c in zorder_by:
+            if c not in types:
+                raise ValueError(f"zorder_by column not in table: {c}")
+            if types[c] not in integral:
+                raise ValueError(
+                    f"zorder_by column {c} has non-integral type "
+                    f"{types[c]}; bucket an integral surrogate first"
+                )
+        if len(zorder_by) == 1:
+            # Single column: Morton interleave is the identity; a plain
+            # range-partitioned sort on the bucketed column gives the
+            # same tight min/max stats (Delta OPTIMIZE ZORDER BY one
+            # column is likewise just a clustered sort).
+            z = bucket16(F.col(zorder_by[0]).cast("long"))
+        else:
+            z = zvalue(
+                [bucket16(F.col(c).cast("long")) for c in zorder_by],
+                bits=zorder_bits,
+            )
         df = (
             df.withColumn("_z", z)
             .repartitionByRange(target, "_z")

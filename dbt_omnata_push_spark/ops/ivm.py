@@ -26,10 +26,18 @@ from pyspark.sql import functions as F
 def build_agg(
     df: DataFrame, keys: list[str], sum_cols: list[str]
 ) -> DataFrame:
-    """The maintained shape: per-key COUNT(*) + SUMs."""
+    """The maintained shape: per-key COUNT(*) + SUMs + per-measure
+    non-null counts.
+
+    The ``nn_<c>`` columns make SUM exactly self-maintainable under
+    NULL measures: SQL's SUM is NULL iff zero non-null inputs remain,
+    which a maintained sum alone cannot distinguish from a sum of 0
+    (deleting the only non-null row must flip the sum back to NULL).
+    """
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        *[F.count(c).cast("long").alias(f"nn_{c}") for c in sum_cols],
     )
 
 
@@ -60,6 +68,16 @@ def apply_cdc(
                 F.sum(F.col(c) * F.col("_sign")).alias(f"_d_{c}")
                 for c in sum_cols
             ],
+            *[
+                F.sum(
+                    F.when(F.col(c).isNotNull(), F.col("_sign")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("long")
+                .alias(f"_dnn_{c}")
+                for c in sum_cols
+            ],
         )
     )
     # Null-safe key equality: a list-of-names join matches NULL keys to
@@ -74,18 +92,29 @@ def apply_cdc(
     key_cols = [
         F.coalesce(F.col(f"a.{k}"), F.col(f"d.{k}")).alias(k) for k in keys
     ]
+    def _nn(c: str):
+        return F.coalesce(F.col(f"nn_{c}"), F.lit(0)) + F.coalesce(
+            F.col(f"_dnn_{c}"), F.lit(0)
+        )
+
     maintained = joined.select(
         *key_cols,
         (
             F.coalesce(F.col("n_rows"), F.lit(0))
             + F.coalesce(F.col("_d_n"), F.lit(0))
         ).alias("n_rows"),
+        # SUM over zero non-null inputs is NULL in SQL; the maintained
+        # non-null count tells us when we're in that state (full-refresh
+        # equality for groups whose measure went all-NULL).
         *[
-            (
+            F.when(_nn(c) == 0, F.lit(None))
+            .otherwise(
                 F.coalesce(F.col(f"sum_{c}"), F.lit(0))
                 + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
-            ).alias(f"sum_{c}")
+            )
+            .alias(f"sum_{c}")
             for c in sum_cols
         ],
+        *[_nn(c).alias(f"nn_{c}") for c in sum_cols],
     )
     return maintained.filter(F.col("n_rows") > 0)

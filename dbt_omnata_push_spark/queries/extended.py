@@ -979,7 +979,10 @@ def order_flags_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCD2_TS1, _SCD2_TS2 = "2026-01-01 00:00:00", "2026-02-01 00:00:00"
 # Open rows surface the conventional SCD2 high-date instead of NULL so
 # the oracle compare never ships a NULL timestamp (pandas NaT is not
-# comparable) — dbt_is_current already encodes openness.
+# comparable) — dbt_is_current already encodes openness. The validity
+# interval is projected as VARCHAR on BOTH sides: 9999-12-31 overflows
+# pandas' nanosecond timestamp range (max 2262-04-11), so a timestamp
+# projection would crash the driver compare before reading a row.
 _SCD2_OPEN = "9999-12-31 00:00:00"
 
 
@@ -994,26 +997,26 @@ _SCD2_OPEN = "9999-12-31 00:00:00"
     -- run-1 rows (o_orderkey % 7 <> 0) whose price changes in run 2
     -- (o_orderkey % 10 = 0): closed at TS2 with the OLD price
     SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS price,
-           TIMESTAMP '{_SCD2_TS1}' AS dbt_valid_from,
-           TIMESTAMP '{_SCD2_TS2}' AS dbt_valid_to,
+           '{_SCD2_TS1}' AS dbt_valid_from,
+           '{_SCD2_TS2}' AS dbt_valid_to,
            FALSE AS dbt_is_current
     FROM base WHERE o_orderkey % 7 <> 0 AND o_orderkey % 10 = 0
     UNION ALL
     -- run-1 rows untouched by run 2: still open from TS1
     SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE),
-           TIMESTAMP '{_SCD2_TS1}', TIMESTAMP '{_SCD2_OPEN}', TRUE
+           '{_SCD2_TS1}', '{_SCD2_OPEN}', TRUE
     FROM base WHERE o_orderkey % 7 <> 0 AND o_orderkey % 10 <> 0
     UNION ALL
     -- changed keys reopened at TS2 with the NEW price
     SELECT o_orderkey, o_orderstatus, CAST(o_totalprice + 100 AS DOUBLE),
-           TIMESTAMP '{_SCD2_TS2}', TIMESTAMP '{_SCD2_OPEN}', TRUE
+           '{_SCD2_TS2}', '{_SCD2_OPEN}', TRUE
     FROM base WHERE o_orderkey % 7 <> 0 AND o_orderkey % 10 = 0
     UNION ALL
     -- keys first seen in run 2 (o_orderkey % 7 = 0): open from TS2
     SELECT o_orderkey, o_orderstatus,
            CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
                      ELSE o_totalprice END AS DOUBLE),
-           TIMESTAMP '{_SCD2_TS2}', TIMESTAMP '{_SCD2_OPEN}', TRUE
+           '{_SCD2_TS2}', '{_SCD2_OPEN}', TRUE
     FROM base WHERE o_orderkey % 7 = 0
     """,
     tags=("materialization", "scd2", "snapshot"),
@@ -1064,9 +1067,12 @@ def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderstatus",
         F.col("o_totalprice").cast("double").alias("price"),
-        "dbt_valid_from",
+        F.date_format("dbt_valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "dbt_valid_from"
+        ),
         F.coalesce(
-            F.col("dbt_valid_to"), F.lit(_SCD2_OPEN).cast("timestamp")
+            F.date_format("dbt_valid_to", "yyyy-MM-dd HH:mm:ss"),
+            F.lit(_SCD2_OPEN),
         ).alias("dbt_valid_to"),
         "dbt_is_current",
     )

@@ -261,3 +261,101 @@ class TestIvm:
             for r in apply_cdc(agg0, changes, ["grp"], ["v"]).collect()
         }
         assert out == {("a", 1, 10), ("b", 1, 20)}
+
+
+class TestAdviceR5Fixes:
+    """Regression tests for the round-5 ADVICE findings."""
+
+    def test_cdc_null_key_unchanged_row_is_silent(self, spark, tmp_path):
+        # A NULL-key row present identically in both versions must emit
+        # nothing (null-safe key join), not a spurious insert+delete.
+        store = TableStore(str(tmp_path / "nk"))
+        rows = [(None, "a"), (2, "b")]
+        store.create(spark, "t", spark.createDataFrame(rows, "k long, v string"))
+        store.overwrite(
+            spark, "t", spark.createDataFrame(rows, "k long, v string")
+        )
+        assert store.read_changes(spark, "t", 0, 1, "k").count() == 0
+
+    def test_cdc_null_key_change_is_update(self, spark, tmp_path):
+        store = TableStore(str(tmp_path / "nk2"))
+        store.create(
+            spark, "t", spark.createDataFrame([(None, "a")], "k long, v string")
+        )
+        store.overwrite(
+            spark, "t", spark.createDataFrame([(None, "A")], "k long, v string")
+        )
+        kinds = {
+            r["change_type"]
+            for r in store.read_changes(spark, "t", 0, 1, "k").collect()
+        }
+        assert kinds == {"update_preimage", "update_postimage"}
+
+    def test_ivm_all_null_measure_group_sums_to_null(self, spark, tmp_path):
+        # Deleting the only non-null measure row must flip the
+        # maintained SUM back to NULL (exact full-refresh equality).
+        from dbt_omnata_push_spark.ops.ivm import apply_cdc, build_agg
+
+        store = TableStore(str(tmp_path / "ivmnull"))
+        v0 = spark.createDataFrame(
+            [(1, "a", 5), (2, "a", None), (3, "b", None)],
+            "k long, grp string, v long",
+        )
+        # v1: delete the only non-null 'a' row; insert a null-measure row
+        v1 = spark.createDataFrame(
+            [(2, "a", None), (3, "b", None), (4, "b", None)],
+            "k long, grp string, v long",
+        )
+        store.create(spark, "t", v0)
+        store.overwrite(spark, "t", v1)
+        agg0 = build_agg(store.read_version(spark, "t", 0), ["grp"], ["v"])
+        changes = store.read_changes(spark, "t", 0, 1, "k")
+        maintained = {
+            (r["grp"], r["n_rows"], r["sum_v"], r["nn_v"])
+            for r in apply_cdc(agg0, changes, ["grp"], ["v"]).collect()
+        }
+        rebuilt = {
+            (r["grp"], r["n_rows"], r["sum_v"], r["nn_v"])
+            for r in build_agg(v1, ["grp"], ["v"]).collect()
+        }
+        assert maintained == rebuilt
+        assert ("a", 1, None, 0) in maintained
+
+    def test_compact_single_column_zorder(self, spark, tmp_path):
+        from dbt_omnata_push_spark.ops.compact import compact
+
+        store = TableStore(str(tmp_path / "z1"))
+        df = spark.range(2000).select(
+            F.col("id"), (F.col("id") * 37 % 500).alias("x")
+        )
+        store.create(spark, "t", df)
+        got_files = compact(
+            spark, store, "t", target_file_bytes=8 * 1024, zorder_by=["x"]
+        )
+        assert got_files > 2
+        back = spark.read.parquet(store.data_path("t")).withColumn(
+            "_f", F.input_file_name()
+        )
+        span = (
+            back.groupBy("_f")
+            .agg((F.max("x") - F.min("x")).alias("s"))
+            .agg(F.avg("s"))
+            .collect()[0][0]
+        )
+        assert span < 275  # clustered, not random over the 500 domain
+        assert store.read(spark, "t").count() == 2000
+
+    def test_compact_zorder_rejects_non_integral(self, spark, tmp_path):
+        import pytest
+
+        from dbt_omnata_push_spark.ops.compact import compact
+
+        store = TableStore(str(tmp_path / "zbad"))
+        df = spark.range(10).select(
+            F.col("id"), F.col("id").cast("string").alias("s")
+        )
+        store.create(spark, "t", df)
+        with pytest.raises(ValueError, match="non-integral"):
+            compact(spark, store, "t", zorder_by=["id", "s"])
+        with pytest.raises(ValueError, match="not in table"):
+            compact(spark, store, "t", zorder_by=["nope"])
