@@ -78,6 +78,13 @@ HEADLINE = [
     "customers_fuzzy_name_pairs",
     "bpe_vocab_merges",
     "bpe_tokenize_stats",
+    # round 6: deep BPE training (256 requested merges, saturates when
+    # the vocab fully collapses; lineage checkpointed every 16 rounds),
+    # phrase search over the materialized term-partitioned index, and
+    # the multi-table LSH ANN path (recall measured in the recall block)
+    "bpe_vocab_merges_deep",
+    "documents_phrase_search",
+    "similarity_topk_lsh_ann",
 ]
 
 
