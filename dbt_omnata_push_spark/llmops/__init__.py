@@ -26,6 +26,7 @@ from .dedup import (
     simhash_sql,
 )
 from .similarity import brute_force_topk, ivf_topk_within_label, lsh_ann_topk
+from .pq import pq_encode, pq_topk_adc, pq_train
 
 __all__ = [
     "with_words",
@@ -42,4 +43,7 @@ __all__ = [
     "brute_force_topk",
     "ivf_topk_within_label",
     "lsh_ann_topk",
+    "pq_train",
+    "pq_encode",
+    "pq_topk_adc",
 ]

