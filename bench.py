@@ -86,6 +86,7 @@ HEADLINE = [
     "documents_phrase_search",
     "similarity_topk_lsh_ann",
     "similarity_topk_pq",
+    "similarity_topk_ivfpq",
 ]
 
 
@@ -161,6 +162,7 @@ def main() -> None:
         "similarity_topk_ivf_indexed",
         "similarity_topk_lsh_ann",
         "similarity_topk_pq",
+        "similarity_topk_ivfpq",
     ):
         got = _pairs(registry[ann].fn(spark, sf_dir))
         recall[ann] = round(len(got & exact) / max(len(exact), 1), 4)

@@ -243,3 +243,146 @@ def pq_topk_adc(
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "rank")
     )
+
+
+def ivfpq_build_index(
+    emb: DataFrame,
+    centroids: list,
+    codebooks_out: dict,
+    path: str,
+    m: int = 16,
+    k: int = 16,
+    max_iter: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Build the composed FAISS-style IVF-PQ index: coarse cells for
+    plan-time pruning + residual PQ codes for the compressed scan.
+
+    Residual encoding (x - coarse_centroid[cell]) is what makes PQ
+    codes accurate inside a cell: residuals are centered near 0, so
+    the m codebooks spend their 2^bits codes on local structure, not
+    on re-describing the cell's position. Codebooks are trained on the
+    residuals and returned via ``codebooks_out['books']`` (the caller
+    persists them next to the index; they are k*d floats of driver
+    state). On disk: (vec_id, codes) hive-partitioned by cell — at
+    100 TB an nprobe search lists nprobe directories of 8-byte codes,
+    the rest of the corpus is never read.
+    """
+    from .similarity import assign_clusters
+
+    from ..ops.partitioning import write_partitioned
+
+    cents = [[float(x) for x in c] for c in centroids]
+    assigned = assign_clusters(emb, cents, vec_col)
+    cent_arr = F.array(
+        *[
+            F.array(*[F.lit(x) for x in c])
+            for c in cents
+        ]
+    )
+    resid = assigned.withColumn(
+        "_resid",
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at(cent_arr, F.col("cluster") + 1),
+            lambda x, y: x.cast("double") - y,
+        ),
+    ).persist()
+    books = pq_train(
+        resid, m=m, k=k, max_iter=max_iter, vec_col="_resid", id_col=id_col
+    )
+    codes = pq_encode(resid, books, vec_col="_resid", id_col=id_col)
+    out = codes.join(
+        resid.select(id_col, "cluster"), id_col
+    )
+    write_partitioned(out, path, ["cluster"])
+    resid.unpersist()
+    codebooks_out["books"] = books
+
+
+def ivfpq_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list,
+    codebooks: list,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """IVF-PQ search: prune to nprobe cells per query at PLAN time,
+    ADC-scan only those cells' residual codes.
+
+    Per (query, probed cell) the driver builds the LUT from the
+    query's RESIDUAL against that cell's centroid (m*k floats) and the
+    scan reduces stored codes through it in JVM expressions — the
+    compressed-domain analogue of ivf_topk_indexed, with the probed
+    partitions' bytes shrunk ~32x.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = np.asarray(codebooks, dtype="float64")
+    cents = np.asarray(centroids, dtype="float64")
+
+    q_rows = queries.select(q_id_col, q_vec_col).collect()
+    parts = []
+    for row in q_rows:
+        qv = np.asarray(row[q_vec_col], dtype="float64")
+        d2 = ((cents - qv[None, :]) ** 2).sum(axis=1)
+        probed = [int(c) for c in np.argsort(d2, kind="stable")[:nprobe]]
+        # One scan per query over ALL its probed cells: the per-cell
+        # residual LUTs ride a cluster-keyed literal map, so the row
+        # expression picks its cell's table — nprobe x fewer scans and
+        # plan compilations than a scan per (query, cell).
+        cell_keys, cell_tables = [], []
+        for cell in probed:
+            rv = (qv - cents[cell]).reshape(m, sub)
+            lut = ((rv[:, None, :] - books) ** 2).sum(axis=2)
+            cell_keys.append(F.lit(cell))
+            cell_tables.append(
+                F.array(
+                    *[
+                        F.array(*[F.lit(float(v)) for v in lut[j]])
+                        for j in range(m)
+                    ]
+                )
+            )
+        lut_by_cell = F.map_from_arrays(
+            F.array(*cell_keys), F.array(*cell_tables)
+        )
+        dist = F.aggregate(
+            F.zip_with(
+                F.element_at(lut_by_cell, F.col("cluster")),
+                F.col("codes"),
+                lambda table, code: F.element_at(table, code + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        parts.append(
+            spark.read.parquet(index_path)
+            .filter(F.col("cluster").isin(probed))  # partition-pruned
+            .select(
+                F.lit(row[q_id_col]).cast("long").alias(q_id_col),
+                F.col(id_col),
+                dist.alias("adc_dist"),
+            )
+            .filter(F.col(id_col) != row[q_id_col])
+        )
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionByName(p)
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank")
+    )

@@ -706,6 +706,56 @@ def similarity_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_topk_ivfpq", oracle=None, tags=("llm", "similarity", "pq", "ivf")
+)
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FAISS IVF-PQ shape (r6): coarse cells give
+    plan-time partition pruning, residual PQ codes give the ~32x
+    compressed scan inside each probed cell. Index + codebooks are a
+    cached on-disk artifact keyed by sf (like similarity_topk_ivf_indexed:
+    the warmup pays the one-time train+build; the timed passes measure
+    the pruned compressed search). Approximate -> rows-only;
+    recall + pruning pinned in tests/test_ann_quality.py."""
+    import json
+    import os
+    import tempfile
+
+    from ..llmops import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivfpq_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    marker = os.path.join(index_path, "_IVFPQ.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+        centroids, books = meta["centroids"], meta["books"]
+    else:
+        centroids = S.kmeans_fit(emb, k=8, max_iter=5, arrow_assign=True)
+        out: dict = {}
+        PQ.ivfpq_build_index(
+            emb, centroids, out, index_path, m=16, k=16, max_iter=4
+        )
+        books = out["books"]
+        with open(marker, "w") as f:
+            json.dump(
+                {
+                    "centroids": [list(map(float, c)) for c in centroids],
+                    "books": books,
+                },
+                f,
+            )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return PQ.ivfpq_topk(
+        spark, index_path, queries, centroids, books, k=10, nprobe=2
+    )
+
+
+@query(
     "multimodal_frame_sample",
     # EXACT oracle (judge r5 #2): the slicer is deterministic — step =
     # max(len//4, 1); frame i covers [i*step, (i+1)*step) clamped to
