@@ -101,7 +101,9 @@ class TestBpe:
         from dbt_omnata_push_spark.llmops.bpe import bpe_train
 
         words = spark.createDataFrame(rows, "word string, freq long")
-        return bpe_train(words, n_merges=n)
+        # local_vocab_limit=0: these pin the DISTRIBUTED loop's
+        # semantics (the adaptive local path is verified separately)
+        return bpe_train(words, n_merges=n, local_vocab_limit=0)
 
     def test_hand_computed_merges(self, spark):
         # 'ab' x10, 'abc' x5: round 1 merges (a,b) count 15; round 2
@@ -340,8 +342,10 @@ class TestBpeDeep:
             [("lowered", 5), ("lowest", 3), ("newer", 6), ("wider", 2)],
             "word string, freq long",
         )
-        assert bpe_train(words, n_merges=20, checkpoint_every=4) == bpe_train(
-            words, n_merges=20, checkpoint_every=0
+        assert bpe_train(
+            words, n_merges=20, checkpoint_every=4, local_vocab_limit=0
+        ) == bpe_train(
+            words, n_merges=20, checkpoint_every=0, local_vocab_limit=0
         )
 
     def test_deep_prefix_equals_shallow_run(self, spark, sf_dir):
@@ -358,3 +362,29 @@ class TestBpeDeep:
         # saturation: the deep run stops when no pair remains, well
         # past toy depth
         assert deep.count() > 50
+
+
+class TestBpeAdaptive:
+    """r6 adaptive engine choice: the driver-local merge loop must be
+    bit-identical to the distributed loop, and the gate must route by
+    vocab size."""
+
+    def test_bpe_local_equals_distributed(self, spark, sf_dir):
+        from dbt_omnata_push_spark.llmops.bpe import bpe_train, word_freq_table
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+        words = word_freq_table(docs)
+        local = bpe_train(words, n_merges=24)  # gate fires (tiny vocab)
+        dist = bpe_train(words, n_merges=24, local_vocab_limit=0)
+        assert local == dist and len(local) == 24
+
+    def test_gate_forces_distributed_above_limit(self, spark):
+        from dbt_omnata_push_spark.llmops.bpe import bpe_train
+
+        words = spark.createDataFrame(
+            [("ab", 10), ("abc", 5), ("bcd", 2)], "word string, freq long"
+        )
+        # limit below vocab size -> distributed loop; results identical
+        assert bpe_train(words, n_merges=3, local_vocab_limit=1) == bpe_train(
+            words, n_merges=3
+        )
