@@ -161,3 +161,112 @@ def bloom_probe(
         .agg((F.count(F.lit(1)) == F.sum(F.col("_hit").cast("int"))).alias("maybe_present"))
     )
     return hit
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch: fixed-memory frequency estimation + heavy hitters.
+# d x w counters regardless of key cardinality; per-partition partial
+# counts merge by addition (the groupBy IS the merge), estimates read d
+# counters and take the min — always >= the true count, over only by
+# colliding mass. Hashing is md5-prefix mod (like ops/invindex.py's
+# term buckets): bit-identical in PySpark, driver Python, and ANSI SQL,
+# so the whole approximate pipeline carries an EXACT cross-engine
+# oracle — the estimates are deterministic functions of the data.
+# ---------------------------------------------------------------------------
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_col(key, row: int, width: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{row}:"), key).cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    ).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(row, col, cnt) counter table — at most depth*width rows.
+
+    One explode to depth rows per input + a map-side-combined groupBy:
+    the shuffle carries at most depth*width*partitions rows. Building
+    over 100 TB is a scan-rate word count with bounded output.
+    """
+    key = F.col(key_col).cast("string")
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_col(key, r, width).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_rc"),
+        w.alias("_w"),
+    )
+    return (
+        rows.select(F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col"), "_w")
+        .groupBy("row", "col")
+        .agg(F.sum("_w").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union + re-sum: sketch merge is counter addition (associative,
+    commutative — shard sketches roll up in any order)."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(key, est) with est = min over rows of the key's counter.
+
+    The probe explodes each key to depth (row, col) coordinates and
+    joins the broadcastable counter table (<= depth*width rows); keys
+    absent from the sketch estimate 0 (coalesce — an empty counter was
+    never stored).
+    """
+    key = F.col(key_col).cast("string")
+    coords = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_col(key, r, width).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_rc"),
+    ).select(key_col, F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col"))
+    return (
+        coords.join(F.broadcast(cms), ["row", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )

@@ -1251,3 +1251,84 @@ def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.profile import table_profile
 
     return table_profile(load_table(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters (r6): fixed-memory (d x w counters)
+# term-frequency estimation — the 100 TB primitive for "top terms
+# without holding the vocabulary". The md5-prefix hash computes
+# bit-identically in Spark and DuckDB, so the approximate estimates are
+# deterministic and the whole pipeline carries an EXACT oracle
+# (overestimate-only error is pinned separately in tests).
+# ---------------------------------------------------------------------------
+def _cms_col_sql(key_expr: str, row: int, width: int) -> str:
+    return (
+        f"CAST(CAST(concat('0x', substr(md5('{row}:' || {key_expr}), 1, 15))"
+        f" AS BIGINT) % {width} AS INT)"
+    )
+
+
+def _cms_oracle() -> str:
+    from ..ops.sketches import CMS_DEPTH, CMS_WIDTH
+
+    build_cols = " , ".join(
+        f"({_cms_col_sql('term', r, CMS_WIDTH)})" for r in range(CMS_DEPTH)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT term, {r} AS row, {_cms_col_sql('term', r, CMS_WIDTH)} AS col FROM terms"
+        for r in range(CMS_DEPTH)
+    )
+    build_rows = "\nUNION ALL\n".join(
+        f"SELECT {r} AS row, {_cms_col_sql('term', r, CMS_WIDTH)} AS col FROM words"
+        for r in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), build AS (
+      SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        {build_rows}
+      ) GROUP BY row, col
+    ), terms AS (
+      SELECT DISTINCT term FROM words
+    ), probe AS (
+      {probe_rows}
+    ), est AS (
+      SELECT p.term, MIN(COALESCE(b.cnt, 0)) AS est
+      FROM probe p LEFT JOIN build b ON p.row = b.row AND p.col = b.col
+      GROUP BY p.term
+    )
+    SELECT term, CAST(est AS BIGINT) AS cms_count
+    FROM est
+    ORDER BY est DESC, term ASC
+    LIMIT 20
+    """
+
+
+@query(
+    "documents_term_cms_topk",
+    oracle=_cms_oracle(),
+    tags=("sketch", "cms", "heavy-hitters"),
+)
+def documents_term_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus terms ranked by their Count-Min estimate.
+
+    Build is one explode + map-side-combined groupBy into <= d*w
+    counters; the estimate pass probes the broadcast counter table for
+    every distinct term. At 100 TB the sketch replaces a vocabulary-
+    sized exact count wherever only heavy hitters matter, and shard
+    sketches merge by addition (ops/sketches.py::cms_merge)."""
+    from ..ops.sketches import cms_build, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    cms = cms_build(words, "term")
+    terms = words.distinct()
+    est = cms_estimate(cms, terms, "term")
+    return (
+        est.select("term", F.col("est").alias("cms_count"))
+        .orderBy(F.col("cms_count").desc(), F.col("term").asc())
+        .limit(20)
+    )

@@ -64,3 +64,66 @@ def test_gk_quantiles_rank_error(spark, sf_dir):
     for p, v in approx.items():
         rank = bisect.bisect_left(vals, v)
         assert abs(rank - p * n) <= max(2, n / 1000), (p, rank, p * n)
+
+
+class TestCountMin:
+    def _words(self, spark):
+        rows = (
+            [("alpha",)] * 50 + [("beta",)] * 20 + [("gamma",)] * 5
+            + [(f"rare{i}",) for i in range(200)]
+        )
+        return spark.createDataFrame(rows, "term string")
+
+    def test_never_underestimates_and_heavy_hitters_exact(self, spark):
+        from dbt_omnata_push_spark.ops.sketches import cms_build, cms_estimate
+
+        words = self._words(spark)
+        cms = cms_build(words, "term")
+        exact = {
+            r["term"]: r["c"]
+            for r in words.groupBy("term").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        est = {
+            r["term"]: r["est"]
+            for r in cms_estimate(cms, words.distinct(), "term").collect()
+        }
+        assert set(est) == set(exact)
+        for t, c in exact.items():
+            assert est[t] >= c, (t, est[t], c)  # one-sided error only
+        # heavy hitters rise above the colliding tail mass: with
+        # 275 items over 4x256 counters, expected collision mass per
+        # counter ~ 1; the 50-count hitter must estimate within +25
+        assert est["alpha"] - exact["alpha"] <= 25
+
+    def test_merge_equals_whole(self, spark):
+        from dbt_omnata_push_spark.ops.sketches import (
+            cms_build,
+            cms_estimate,
+            cms_merge,
+        )
+
+        words = self._words(spark).withColumn(
+            "half", (F.length("term") % 2 == 0).cast("int")
+        )
+        whole = cms_build(words, "term")
+        merged = cms_merge(
+            cms_build(words.filter("half = 0"), "term"),
+            cms_build(words.filter("half = 1"), "term"),
+        )
+        probe = words.select("term").distinct()
+        a = {r["term"]: r["est"] for r in cms_estimate(whole, probe, "term").collect()}
+        b = {r["term"]: r["est"] for r in cms_estimate(merged, probe, "term").collect()}
+        assert a == b
+
+    def test_absent_key_estimates_bounded_by_collisions(self, spark):
+        from dbt_omnata_push_spark.ops.sketches import cms_build, cms_estimate
+
+        words = self._words(spark)
+        cms = cms_build(words, "term")
+        ghosts = spark.createDataFrame(
+            [(f"ghost{i}",) for i in range(20)], "term string"
+        )
+        est = {r["term"]: r["est"] for r in cms_estimate(cms, ghosts, "term").collect()}
+        # absent keys read only colliding mass; with load factor ~1 the
+        # min over 4 rows stays tiny
+        assert all(v <= 10 for v in est.values()), est
