@@ -282,3 +282,24 @@ def test_idle_customer_balance_anti_join(spark, sf_dir):
     assert any(
         "o_custkey" in l and "o_totalprice" not in l for l in read_schemas
     ), read_schemas
+
+
+def test_boilerplate_removal_plan_no_cartesian(spark, sf_dir):
+    """r6: frequency gate + rebuild stay equi-join/groupBy shaped —
+    no cartesian, map-side partial aggregation before each exchange."""
+    plan = _formatted_plan(
+        REGISTRY["corpus_boilerplate_removal"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial -> final
+
+
+def test_cms_probe_is_broadcast(spark, sf_dir):
+    """r6: the CMS estimate pass joins the bounded counter table as a
+    broadcast — probing never shuffles the key stream against it."""
+    plan = _formatted_plan(REGISTRY["documents_term_cms_topk"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # top-20 is a TakeOrdered, not a global sort of the vocabulary
+    assert "TakeOrderedAndProject" in plan
