@@ -1076,3 +1076,64 @@ def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dbt_valid_to"),
         "dbt_is_current",
     )
+
+
+# ---------------------------------------------------------------------------
+# File-statistics data skipping (r6): cluster orders on o_orderkey
+# (single-column OPTIMIZE), collect the per-file min/max manifest, then
+# answer a range query scheduling only intersecting files — the
+# Delta/Iceberg file-skipping loop end-to-end. The oracle is the plain
+# filtered aggregate; losslessness of the pruning IS the check, and the
+# file-count reduction is pinned in tests/test_filestats.py.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_skipping_scan",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000
+    """,
+    tags=("store", "data-skipping", "optimize"),
+)
+def orders_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range aggregate over a clustered store table read through the
+    file-stats manifest (ops/filestats.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine.store import TableStore
+    from ..ops.compact import compact
+    from ..ops.filestats import collect_file_stats, read_skipping
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_skip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    store = TableStore(root)
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    store.create(spark, "orders_clustered", od)
+    compact(
+        spark,
+        store,
+        "orders_clustered",
+        target_file_bytes=64 * 1024,
+        zorder_by=["o_orderkey"],
+    )
+    collect_file_stats(spark, store, "orders_clustered", ["o_orderkey"])
+    pruned = read_skipping(
+        spark, store, "orders_clustered", "o_orderkey", 1000, 2000
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )

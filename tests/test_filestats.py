@@ -1,0 +1,90 @@
+"""File-statistics manifest + data-skipping reads (r6): pruning must be
+real (fewer files scheduled) and lossless (equals the unpruned scan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_omnata_push_spark.engine.store import TableStore
+from dbt_omnata_push_spark.ops.compact import compact
+from dbt_omnata_push_spark.ops.filestats import (
+    collect_file_stats,
+    read_skipping,
+)
+
+
+def _clustered_store(spark, tmp_path, n=4000):
+    store = TableStore(str(tmp_path / "fs"))
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") * 37 % 1000).alias("x")
+    )
+    store.create(spark, "t", df)
+    # cluster on x so per-file [min, max] is tight -> skipping bites
+    compact(spark, store, "t", target_file_bytes=8 * 1024, zorder_by=["x"])
+    return store
+
+
+def test_skipping_is_lossless_and_prunes_files(spark, tmp_path):
+    store = _clustered_store(spark, tmp_path)
+    manifest = collect_file_stats(spark, store, "t", ["x"])
+    assert len(manifest) > 4  # enough files for skipping to mean anything
+
+    lo, hi = 100, 150
+    pruned = read_skipping(spark, store, "t", "x", lo, hi)
+    # files actually scheduled: count distinct input files in the scan
+    n_files = (
+        pruned.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert n_files < len(manifest), (n_files, len(manifest))
+
+    full = (
+        spark.read.parquet(store.data_path("t"))
+        .filter(F.col("x").between(lo, hi))
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in full.collect()
+    )
+    assert pruned.count() > 0  # non-vacuous
+
+
+def test_disjoint_range_reads_nothing(spark, tmp_path):
+    store = _clustered_store(spark, tmp_path)
+    collect_file_stats(spark, store, "t", ["x"])
+    out = read_skipping(spark, store, "t", "x", 5000, 6000)
+    assert out.count() == 0
+
+
+def test_all_null_files_skipped_but_results_exact(spark, tmp_path):
+    store = TableStore(str(tmp_path / "nulls"))
+    some = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, None)], "id long, x int"
+    )
+    # two files: one with values, one all-null (repartition by nullness)
+    store.create(
+        spark,
+        "t",
+        some.repartition(2, F.col("x").isNull().cast("int")),
+    )
+    collect_file_stats(spark, store, "t", ["x"])
+    got = {r["id"] for r in read_skipping(spark, store, "t", "x", 0, 15).collect()}
+    assert got == {1}
+
+
+def test_manifest_survives_version_immutability(spark, tmp_path):
+    """A manifest belongs to ONE immutable version dir; after a rewrite
+    the new version has no manifest until collected again (stale stats
+    can never be consulted against new data)."""
+    import os
+
+    from dbt_omnata_push_spark.ops.filestats import MANIFEST_NAME
+
+    store = _clustered_store(spark, tmp_path)
+    collect_file_stats(spark, store, "t", ["x"])
+    v_old = store.data_path("t")
+    assert os.path.exists(os.path.join(v_old, MANIFEST_NAME))
+    store.overwrite(
+        spark, "t", spark.range(10).select(F.col("id"), F.lit(1).alias("x"))
+    )
+    v_new = store.data_path("t")
+    assert v_new != v_old
+    assert not os.path.exists(os.path.join(v_new, MANIFEST_NAME))
