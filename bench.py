@@ -87,6 +87,14 @@ HEADLINE = [
     "similarity_topk_lsh_ann",
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    # round 6b: shuffle-free co-bucketed join (write cost included —
+    # that's the honest price of the layout), windowed substring-span
+    # dedup, and the time-series rollup family
+    "orders_customer_bucketed_join",
+    "dedup_substring_spans",
+    "events_time_weighted_avg",
+    "events_hourly_gapfill",
+    "events_minmax_downsample",
 ]
 
 

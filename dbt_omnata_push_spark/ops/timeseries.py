@@ -1,0 +1,165 @@
+"""Time-series rollup operators: time-weighted averages, gap filling,
+and min/max downsampling.
+
+These are the continuous-aggregate primitives a metrics/hypertable
+engine offers over an event stream (TimescaleDB's ``time_weight`` /
+``time_bucket_gapfill`` / ``lttb`` family re-expressed Spark-first).
+Everything here is built from JVM expressions — windows only where
+sequential semantics demand them, aggregations (map-side partial)
+where they don't.
+
+Determinism discipline (oracle hash-exactness): continuous doubles are
+never summed as doubles. Values are fixed-point-scaled to bigint
+(``floor(value*100)`` — testdata carries 2-decimal values) and
+durations are integer microseconds, so every sum is an exact integer
+in both engines; the final ratio is one IEEE double division, which is
+deterministic given identical integer inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Fixed-point scale for the testdata's 2-decimal `value` column.
+VALUE_SCALE = 100
+
+
+def _scaled(val_col: str) -> Column:
+    return F.floor(F.col(val_col) * VALUE_SCALE).cast("long")
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    val_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-key time-weighted average: each observation is weighted by
+    how long it remained current (until the key's next observation).
+    The key's last observation carries no weight — it has no successor
+    interval (left-closed interpolation, TimescaleDB ``time_weight
+    ('LOCF')`` semantics).
+
+    Scale shape: ONE shuffle on the key for the lead() window; the
+    weighted sums then reduce map-side. Skewed keys behave like any
+    keyed window — salt upstream with ops/skew.py if one key dominates.
+
+    Output: key cols, ``n_obs``, ``span_us`` (covered microseconds),
+    ``tw_avg`` (double).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    # Testdata timestamps are TIMESTAMP_NTZ; the session tz is pinned
+    # UTC (engine/session.py), so this cast is instant-preserving.
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dt_us = F.lead(ts_us).over(w) - ts_us
+    weighted = df.select(
+        *key_cols,
+        dt_us.alias("_dt_us"),
+        (_scaled(val_col) * dt_us).alias("_wsum"),
+    ).filter(F.col("_dt_us").isNotNull())
+    return weighted.groupBy(*key_cols).agg(
+        F.count("*").alias("n_obs"),
+        F.sum("_dt_us").alias("span_us"),
+        (
+            F.sum("_wsum").cast("double")
+            / F.sum("_dt_us").cast("double")
+            / F.lit(float(VALUE_SCALE))
+        ).alias("tw_avg"),
+    )
+
+
+def hourly_gapfill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Dense per-key hourly counts: every (key, hour) slot between the
+    GLOBAL min and max hour appears exactly once, empty slots filled
+    with zeros (``time_bucket_gapfill`` semantics).
+
+    Scale shape: the fact table aggregates FIRST (map-side partial ->
+    one shuffle on (key, hour)); the dense scaffold is keys x hours —
+    dimension-sized, broadcast onto the aggregate as a left join. The
+    raw events are never joined row-wise against the calendar.
+
+    Output: key, ``hour`` (timestamp), ``n_events``, ``value_cents``
+    (exact fixed-point sum; 0 for empty slots).
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    agg = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            hour.alias("hour"),
+            _scaled(val_col).alias("_v"),
+        )
+        .groupBy("_k", "hour")
+        .agg(F.count("*").alias("n_events"), F.sum("_v").alias("value_cents"))
+    )
+    bounds = df.select(
+        F.date_trunc("hour", F.min(ts_col)).alias("lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    keys = df.select(F.col(key_col).alias("_k")).distinct()
+    scaffold = keys.crossJoin(F.broadcast(hours))
+    return (
+        scaffold.join(agg, ["_k", "hour"], "left")
+        .select(
+            F.col("_k").alias(key_col),
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
+        )
+    )
+
+
+def minmax_downsample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per (key, hour) keep exactly the extreme observations: the row
+    with the minimum value and the row with the maximum value (the
+    min/max decimation a plotting/downsampling pipeline uses — it
+    preserves envelopes, unlike averaging).
+
+    Deterministic argmin/argmax WITHOUT a window sort: ``F.min`` /
+    ``F.max`` over a struct ordered (value, ts, tiebreak) is a
+    lexicographic extreme -> ties break identically in both engines,
+    and the aggregation is map-side partial (each partition reduces to
+    2 structs per group before the shuffle) — strictly cheaper than a
+    row_number window, which must shuffle every row.
+
+    Output: key, hour, ``kind`` ('min'|'max'), ``value``, event ts/id.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    srt = F.struct(
+        _scaled(val_col).alias("v"),
+        F.col(ts_col).alias("ts"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    agg = df.groupBy(F.col(key_col).alias("key"), hour.alias("hour")).agg(
+        F.min(srt).alias("_lo"), F.max(srt).alias("_hi")
+    )
+    out = []
+    for kind, c in (("min", "_lo"), ("max", "_hi")):
+        out.append(
+            agg.select(
+                "key",
+                "hour",
+                F.lit(kind).alias("kind"),
+                (F.col(f"{c}.v").cast("double") / VALUE_SCALE).alias("value"),
+                F.col(f"{c}.ts").alias("ts"),
+                F.col(f"{c}.tb").alias("event_id"),
+            )
+        )
+    return out[0].unionByName(out[1])

@@ -53,5 +53,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import tpch  # noqa: F401
     from . import training  # noqa: F401
     from . import curation  # noqa: F401
+    from . import timeseries  # noqa: F401
 
     return REGISTRY

@@ -1137,3 +1137,53 @@ def orders_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("long").alias("min_key"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (r6): pay the join shuffle ONCE at write
+# time. Both tables are saved bucketed on the join key with matching
+# bucket counts, so the join plan is scan -> SortMergeJoin with zero
+# Exchange on either side (tests/test_bucketing.py pins the plan). The
+# oracle is the plain join — bucketing must be invisible to results.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_customer_bucketed_join",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("layout", "bucketing", "join"),
+)
+def orders_customer_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-dim join via co-bucketed storage
+    (ops/bucketing.py): orders and customer are both written bucketed
+    16 ways on the customer key, then joined through the catalog —
+    the per-query exchange is gone; only the final small groupBy
+    shuffles. At 100 TB this is the difference between re-shuffling
+    the fact table on every merge/join and never shuffling it again."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..ops.bucketing import bucketed_join, write_bucketed
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice")
+    )
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(od, f"sg_orders_b16_{tag}", os.path.join(root, "orders"), "o_custkey", 16)
+    write_bucketed(cu, f"sg_customer_b16_{tag}", os.path.join(root, "customer"), "c_custkey", 16)
+    joined = bucketed_join(
+        spark, f"sg_orders_b16_{tag}", f"sg_customer_b16_{tag}", "o_custkey", "c_custkey"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").cast("double").alias("revenue"),
+    )

@@ -1983,3 +1983,47 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cand.filter(F.col("hamming") <= 8).select("doc_a", "doc_b")
     return D.pair_graph_pagerank(pairs, iters=3)
 
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (r6): windowed suffix-array approximation
+# (llmops/substr.py) — verbatim repeated k-char spans ACROSS documents,
+# the failure mode whole-document MinHash/SimHash can't see. md5 span
+# keys compute bit-identically in Spark and DuckDB, so the oracle is
+# EXACT.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_substring_spans",
+    oracle="""
+    WITH spans AS (
+      SELECT doc_id, md5(SUBSTR(text, CAST(pos AS INTEGER), 32)) AS h
+      FROM (
+        SELECT doc_id, text,
+               UNNEST(generate_series(1, LENGTH(text) - 31, 8)) AS pos
+        FROM documents WHERE LENGTH(text) >= 32
+      )
+    ),
+    freq AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY h
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS total_spans,
+           CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_spans,
+           CAST(MAX(f.nd) AS BIGINT) AS max_span_docs
+    FROM spans s JOIN freq f ON s.h = f.h
+    GROUP BY s.doc_id
+    HAVING CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) > 0
+    """,
+    tags=("llm", "dedup", "substring"),
+)
+def dedup_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span profile: slide a 32-char window with
+    stride 8, hash spans, flag hashes shared by >= 2 distinct docs
+    (Lee et al. 2022 exact-substring dedup, distributed via windowed
+    hashing instead of a corpus-wide suffix array). Only (doc_id, hash)
+    pairs enter the shuffle — span text never leaves the map side."""
+    from ..llmops.substr import duplicated_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, k=32, stride=8)

@@ -1,0 +1,133 @@
+"""Time-series rollup queries: time-weighted averages, gap-filled
+hourly buckets, min/max envelope downsampling (ops/timeseries.py).
+
+Beyond-reference operators (the reference delegates all rollups to
+Snowflake SQL); these are the continuous-aggregate primitives of a
+hypertable engine, re-expressed as Spark aggregations. All three carry
+EXACT DuckDB oracles — values are fixed-point bigints end-to-end, so
+the only doubles are single deterministic divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine.catalog import load_table
+from ..ops.timeseries import hourly_gapfill, minmax_downsample, time_weighted_avg
+from . import query
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v,
+             LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS nxt
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_obs,
+           CAST(SUM(nxt - ts_us) AS BIGINT) AS span_us,
+           CAST(SUM(v * (nxt - ts_us)) AS DOUBLE)
+             / CAST(SUM(nxt - ts_us) AS DOUBLE) / 100.0 AS tw_avg
+    FROM seq
+    WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("timeseries", "window", "agg"),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted mean of `value`: each observation weighted
+    by microseconds until the user's next event (LOCF interpolation,
+    TimescaleDB `time_weight`). One keyed window shuffle, then map-side
+    partial sums; integer arithmetic until the final division."""
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev, ["user_id"], "ts", "value", tiebreak_col="event_id"
+    )
+
+
+@query(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+             date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    keys AS (SELECT DISTINCT event_type FROM events)
+    SELECT k.event_type, h.hour,
+           COALESCE(a.n_events, 0) AS n_events,
+           COALESCE(a.value_cents, 0) AS value_cents
+    FROM keys k
+    CROSS JOIN hours h
+    LEFT JOIN agg a ON a.event_type = k.event_type AND a.hour = h.hour
+    """,
+    tags=("timeseries", "gapfill", "agg"),
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type — every (type, hour) slot in
+    the global range present, zeros where no events fell
+    (`time_bucket_gapfill`). Facts aggregate before touching the
+    calendar scaffold; the scaffold is dimension-sized and broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    return hourly_gapfill(ev, "event_type", "ts", "value")
+
+
+@query(
+    "events_minmax_downsample",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type AS key,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             CAST(ts AS TIMESTAMP) AS ts,
+             event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    lo AS (
+      SELECT key, hour, 'min' AS kind, CAST(v AS DOUBLE) / 100 AS value,
+             ts, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY key, hour ORDER BY v, ts, event_id
+             ) AS rn
+      FROM ranked
+    ),
+    hi AS (
+      SELECT key, hour, 'max' AS kind, CAST(v AS DOUBLE) / 100 AS value,
+             ts, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY key, hour ORDER BY v DESC, ts DESC, event_id DESC
+             ) AS rn
+      FROM ranked
+    )
+    SELECT key, hour, kind, value, ts, event_id FROM lo WHERE rn = 1
+    UNION ALL
+    SELECT key, hour, kind, value, ts, event_id FROM hi WHERE rn = 1
+    """,
+    tags=("timeseries", "downsample", "agg"),
+)
+def events_minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope downsampling: per (event_type, hour) keep exactly the
+    min-value and max-value observations. Spark side is a struct
+    min/max aggregation (map-side partial, no window sort) — the oracle
+    proves it equals the row_number formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    return minmax_downsample(ev, "event_type", "ts", "value", "event_id")
