@@ -111,3 +111,150 @@ def read_skipping(
             .filter(F.col(col).between(lo, hi))
         )
     return spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom filters: equality-predicate file skipping for columns
+# where clustering (and therefore min/max) can't help — every file's
+# [min, max] on a non-leading column overlaps every other's, so range
+# stats prune nothing, but a point lookup `col = v` only needs files
+# whose Bloom MIGHT contain v (Delta's bloomFilterIndex / Iceberg's
+# bloom column metric). No false negatives -> pruning is lossless; the
+# residual row filter still applies.
+#
+# The hash family is md5-prefix mod (the same portable construction as
+# ops/invindex.py's term buckets and the CMS in ops/sketches.py): it
+# computes bit-identically as a JVM expression at build time and in
+# driver-side hashlib at probe time, so probing costs zero Spark jobs.
+# ---------------------------------------------------------------------------
+
+BLOOM_MANIFEST_NAME = "_FILE_BLOOMS.json"
+_BLOOM_M_BITS = 1 << 16  # 8 KiB packed bitmap per (file, column)
+_BLOOM_K = 4
+
+
+def _bloom_pos_py(value: str, j: int, m_bits: int = _BLOOM_M_BITS) -> int:
+    """Driver-side bit position — must match _bloom_pos_col exactly."""
+    import hashlib
+
+    h = hashlib.md5(f"{j}:{value}".encode("utf-8")).hexdigest()[:15]
+    return int(h, 16) % m_bits
+
+
+def _bloom_pos_col(col, j: int, m_bits: int = _BLOOM_M_BITS):
+    """The identical position as a JVM expression (15 hex digits fit a
+    long; conv is exact up to 2^60)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{j}:"), col.cast("string")).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    ).cast("int")
+
+
+def collect_file_blooms(
+    spark: SparkSession,
+    store: TableStore,
+    name: str,
+    cols: list[str],
+    m_bits: int = _BLOOM_M_BITS,
+    k: int = _BLOOM_K,
+) -> dict:
+    """Build per-file Bloom bitmaps for ``cols`` and write the manifest.
+
+    One scan: every row expands to k bit positions per column (map-side
+    JVM expressions), distinct (file, col, pos) triples aggregate to a
+    position list per file — output size is bounded by
+    #files x #cols x m_bits bits, independent of row count. NULLs set
+    no bits (a NULL never equals a probe value).
+
+    Manifest: {file: {col: base64(packed bitmap)}}.
+    """
+    import base64
+
+    path = store.data_path(name)
+    df = spark.read.parquet(path).withColumn("_f", F.input_file_name())
+    per_col = []
+    for c in cols:
+        positions = F.array(
+            *[_bloom_pos_col(F.col(c), j, m_bits) for j in range(k)]
+        )
+        per_col.append(
+            df.filter(F.col(c).isNotNull()).select(
+                "_f", F.lit(c).alias("_c"), F.explode(positions).alias("_p")
+            )
+        )
+    union = per_col[0]
+    for p in per_col[1:]:
+        union = union.unionByName(p)
+    rows = (
+        union.distinct()
+        .groupBy("_f", "_c")
+        .agg(F.collect_list("_p").alias("_ps"))
+        .collect()
+    )
+    manifest: dict = {}
+    for r in rows:
+        bitmap = bytearray(m_bits // 8)
+        for pos in r["_ps"]:
+            bitmap[pos >> 3] |= 1 << (pos & 7)
+        manifest.setdefault(r["_f"], {})[r["_c"]] = base64.b64encode(
+            bytes(bitmap)
+        ).decode("ascii")
+    tmp = os.path.join(path, BLOOM_MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"m_bits": m_bits, "k": k, "files": manifest}, f)
+    os.replace(tmp, os.path.join(path, BLOOM_MANIFEST_NAME))
+    return manifest
+
+
+def read_skipping_eq(
+    spark: SparkSession,
+    store: TableStore,
+    name: str,
+    col: str,
+    value,
+) -> DataFrame:
+    """Read rows with ``col = value``, scheduling ONLY files whose Bloom
+    might contain the value (no false negatives -> lossless pruning;
+    pinned by tests/test_filestats.py). Files absent from the manifest
+    are conservatively kept. Probing is pure driver-side arithmetic —
+    no Spark job, no scan."""
+    import base64
+
+    path = store.data_path(name)
+    with open(os.path.join(path, BLOOM_MANIFEST_NAME)) as f:
+        doc = json.load(f)
+    m_bits, k = doc["m_bits"], doc["k"]
+    positions = [_bloom_pos_py(str(value), j, m_bits) for j in range(k)]
+
+    def norm(p: str) -> str:
+        return p.split("://", 1)[-1]
+
+    blooms = {norm(fp): colmap for fp, colmap in doc["files"].items()}
+    listed = [
+        os.path.join(root, e)
+        for root, _dirs, files in os.walk(path)
+        for e in files
+        if e.endswith(".parquet")
+    ]
+    keep = []
+    for fpath in listed:
+        colmap = blooms.get(norm(os.path.abspath(fpath)))
+        if colmap is None or col not in colmap:
+            keep.append(fpath)  # unknown file: never skip blindly
+            continue
+        bitmap = base64.b64decode(colmap[col])
+        if all(bitmap[p >> 3] & (1 << (p & 7)) for p in positions):
+            keep.append(fpath)
+    if not keep:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*keep).filter(F.col(col) == value)

@@ -1187,3 +1187,67 @@ def orders_customer_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_totalprice").cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file skipping (r6b): the equality-predicate complement of
+# orders_skipping_scan. The table is clustered on o_orderkey, so every
+# file's [min, max] on o_custkey overlaps every other's and range stats
+# prune NOTHING — but the per-file Bloom prunes a point lookup to the
+# few files that might hold the key. Losslessness (no false negatives)
+# is the Bloom contract, pinned by tests/test_filestats.py; the oracle
+# is the plain filtered aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_bloom_skipping_scan",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_custkey = 7
+    """,
+    tags=("layout", "skipping", "bloom"),
+)
+def orders_bloom_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through per-file Bloom filters
+    (ops/filestats.py::read_skipping_eq): cluster orders on o_orderkey,
+    index o_custkey with 8 KiB-per-file bitmaps, then schedule only the
+    files whose Bloom might contain custkey 7. Probing is driver-side
+    md5 arithmetic over the manifest — zero Spark jobs before the
+    pruned scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine.store import TableStore
+    from ..ops.compact import compact
+    from ..ops.filestats import collect_file_blooms, read_skipping_eq
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bloomskip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    store = TableStore(root)
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    store.create(spark, "orders_bloomed", od)
+    compact(
+        spark,
+        store,
+        "orders_bloomed",
+        target_file_bytes=64 * 1024,
+        zorder_by=["o_orderkey"],
+    )
+    collect_file_blooms(spark, store, "orders_bloomed", ["o_custkey"])
+    pruned = read_skipping_eq(spark, store, "orders_bloomed", "o_custkey", 7)
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )

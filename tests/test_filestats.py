@@ -88,3 +88,90 @@ def test_manifest_survives_version_immutability(spark, tmp_path):
     v_new = store.data_path("t")
     assert v_new != v_old
     assert not os.path.exists(os.path.join(v_new, MANIFEST_NAME))
+
+
+# ------------------------------------------------------- bloom skipping
+
+
+def _bloomed_store(spark, tmp_path, n=4000):
+    """Cluster on x; collect blooms on y — a column min/max CAN'T prune
+    (y is uniform across every file by construction)."""
+    from dbt_omnata_push_spark.ops.filestats import collect_file_blooms
+
+    store = TableStore(str(tmp_path / "bl"))
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") * 37 % 1000).alias("x"),
+        # sparse point-lookup column: few distinct values, each rare,
+        # scattered across the x-clustered layout
+        F.when(F.col("id") % 997 == 0, F.concat(F.lit("needle-"), F.col("id")))
+        .otherwise(F.concat(F.lit("hay-"), F.col("id") % 7))
+        .alias("y"),
+    )
+    store.create(spark, "t", df)
+    compact(spark, store, "t", target_file_bytes=8 * 1024, zorder_by=["x"])
+    collect_file_blooms(spark, store, "t", ["y"])
+    return store
+
+
+def test_bloom_skipping_prunes_and_is_lossless(spark, tmp_path):
+    from dbt_omnata_push_spark.ops.filestats import read_skipping_eq
+
+    store = _bloomed_store(spark, tmp_path)
+    listed = (
+        spark.read.parquet(store.data_path("t"))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert listed > 4
+    pruned = read_skipping_eq(spark, store, "t", "y", "needle-997")
+    n_files = pruned.select(F.input_file_name().alias("f")).distinct().count()
+    assert n_files < listed, (n_files, listed)
+    full = spark.read.parquet(store.data_path("t")).filter(
+        F.col("y") == "needle-997"
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in full.collect()
+    )
+    assert pruned.count() == 1
+
+
+def test_bloom_no_false_negatives_every_value(spark, tmp_path):
+    """Losslessness over ALL present needle values — the Bloom contract
+    (false positives allowed, false negatives never)."""
+    from dbt_omnata_push_spark.ops.filestats import read_skipping_eq
+
+    store = _bloomed_store(spark, tmp_path)
+    needles = [
+        r["y"]
+        for r in spark.read.parquet(store.data_path("t"))
+        .filter(F.col("y").startswith("needle-"))
+        .collect()
+    ]
+    assert needles
+    for v in needles:
+        assert read_skipping_eq(spark, store, "t", "y", v).count() == 1, v
+
+
+def test_bloom_absent_value_reads_few_or_no_files(spark, tmp_path):
+    from dbt_omnata_push_spark.ops.filestats import read_skipping_eq
+
+    store = _bloomed_store(spark, tmp_path)
+    out = read_skipping_eq(spark, store, "t", "y", "never-existed-xyz")
+    assert out.count() == 0
+
+
+def test_bloom_nulls_set_no_bits(spark, tmp_path):
+    from dbt_omnata_push_spark.ops.filestats import (
+        collect_file_blooms,
+        read_skipping_eq,
+    )
+
+    store = TableStore(str(tmp_path / "blnull"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, y string"
+    )
+    store.create(spark, "t", df)
+    collect_file_blooms(spark, store, "t", ["y"])
+    assert {r["id"] for r in read_skipping_eq(spark, store, "t", "y", "a").collect()} == {1}
