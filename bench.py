@@ -11,6 +11,7 @@ Prints ONE JSON line:
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -135,6 +136,19 @@ def main() -> None:
             # this, dedup_embedding_lsh read 5.6s in the suite vs 1.8s
             # solo purely from accumulated block-manager pressure.
             spark.catalog.clearCache()
+            # clearCache misses raw RDD persists (localCheckpoint
+            # blocks from iterative/pipelined queries). Waiting for the
+            # ContextCleaner needs a JVM GC, and forcing one is worse
+            # than the disease (measured r6b: System.gc() per query
+            # fixed the 3.1s-vs-1.2s events_asof_last_error neighbor
+            # tax but inflated corpus_curation_full 3.4 -> 16.7s via
+            # JIT/code-cache disruption). Instead drop the blocks
+            # DIRECTLY: unpersist every leftover persistent RDD —
+            # nothing is live between bench entries by construction.
+            del df
+            gc.collect()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(False)
             if record is not None:
                 record.setdefault(name, []).append(dt)
                 print(f"# {name}: {round(dt, 3)}s ({n} rows)", file=sys.stderr)

@@ -203,3 +203,48 @@ def materialize_snapshot(engine, model) -> RunResult:
     out = engine.store.read(engine.spark, model.name)
     engine._publish(model.name, out)
     return RunResult(model.name, "success", rows_affected=out.count())
+
+
+def snapshot_at(history: DataFrame, ts) -> DataFrame:
+    """Reconstruct the dimension as it existed at time ``ts`` — SCD2
+    time travel. A row is visible when ``dbt_valid_from <= ts`` and its
+    interval had not closed (``dbt_valid_to`` NULL or ``> ts``:
+    intervals are half-open [from, to)).
+
+    One filter over history, no shuffle. At scale the store lays closed
+    history out by valid_to, so a recent ``ts`` prunes most closed
+    partitions before the scan.
+    """
+    t = F.lit(ts).cast("timestamp") if isinstance(ts, str) else ts
+    return history.filter(
+        (F.col("dbt_valid_from") <= t)
+        & (F.col("dbt_valid_to").isNull() | (F.col("dbt_valid_to") > t))
+    )
+
+
+def scd2_temporal_join(
+    facts: DataFrame,
+    history: DataFrame,
+    unique_key: str,
+    fact_ts_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time dimension join: each fact row joins the history
+    version that was valid AT ITS OWN timestamp (the correctness rule
+    for joining facts to an SCD2 dimension — joining the current row
+    backdates later attribute changes onto old facts).
+
+    Plan shape: one equi-join shuffle on the key; the interval
+    predicate [valid_from, valid_to) is a residual filter on the
+    matched pairs, so no range/theta join materializes. Each fact
+    matches at most one version (SCD2 intervals per key are disjoint
+    by construction — snapshot_apply closes a row at exactly the
+    instant its successor opens).
+    """
+    t = F.col(fact_ts_col)
+    cond = (
+        (facts[unique_key] == history[unique_key])
+        & (history["dbt_valid_from"] <= t)
+        & (history["dbt_valid_to"].isNull() | (history["dbt_valid_to"] > t))
+    )
+    return facts.join(history, cond, how).drop(history[unique_key])

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .rownum import with_ordered_global_index
+
 
 def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     """(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)
@@ -62,3 +64,94 @@ FROM {table}"""
         for c in cols
     ]
     return "\nUNION ALL\n".join(selects)
+
+
+def value_histogram(df: DataFrame, col: str, n_bins: int) -> DataFrame:
+    """Exact equi-width histogram (the ANALYZE companion a cost-based
+    optimizer feeds on): one aggregation for [min, max], then a
+    map-side bin assignment and one shuffle on the bin id. The bounds
+    ride along as a broadcast 1-row frame — no driver collect, so the
+    op composes lazily inside larger plans.
+
+    Bin math is plain IEEE double arithmetic (identical in any engine
+    given identical inputs): width = (max-min)/n, bin = clamp(floor(
+    (v-min)/width), 0, n-1); the max value lands in the last bin.
+    Empty bins are emitted with n=0 via a bin scaffold (histograms
+    with holes silently misread as dense are how estimators go wrong).
+
+    Output: bin (int), lo_edge, hi_edge (double), n (long).
+    """
+    bounds = df.agg(
+        F.min(F.col(col).cast("double")).alias("_lo"),
+        F.max(F.col(col).cast("double")).alias("_hi"),
+    )
+    with_b = df.select(F.col(col).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    ).crossJoin(F.broadcast(bounds))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    bin_id = F.least(
+        F.greatest(
+            F.floor((F.col("_v") - F.col("_lo")) / width).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    counts = (
+        with_b.select(bin_id.alias("bin"), "_lo", "_hi")
+        .groupBy("bin", "_lo", "_hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scaffold = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+            "_lo",
+            "_hi",
+        )
+    )
+    w2 = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    return (
+        scaffold.join(counts, ["bin", "_lo", "_hi"], "left")
+        .select(
+            "bin",
+            (F.col("_lo") + F.col("bin") * w2).alias("lo_edge"),
+            (F.col("_lo") + (F.col("bin") + 1) * w2).alias("hi_edge"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame, col: str, n_buckets: int, tiebreak: str
+) -> DataFrame:
+    """Exact equi-depth (quantile-bucket) histogram: every bucket holds
+    the same row count +-1 — the histogram shape CBOs prefer for skewed
+    columns, where equi-width piles everything into two bins.
+
+    Built on the scale-safe total ordering (ops/rownum.py: range
+    repartition + per-partition sort + count-offset pass, no
+    single-partition window): bucket = ((rank-1) * n) div total, pure
+    integer arithmetic, so the assignment is engine-exact against a
+    ROW_NUMBER oracle. The 1-row total rides as a broadcast.
+
+    Output: bucket (int), n (long), lo, hi (the bucket's value range).
+    """
+    ordered = df.select(
+        F.col(col).alias("_v"), F.col(tiebreak).alias("_t")
+    )
+    idx = with_ordered_global_index(ordered, ["_v", "_t"])
+    total = ordered.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        idx.crossJoin(F.broadcast(total))
+        .select(
+            F.expr(f"int(((row_idx - 1) * {n_buckets}) div _total)").alias(
+                "bucket"
+            ),
+            "_v",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+        )
+    )

@@ -150,16 +150,18 @@ def minmax_downsample(
     agg = df.groupBy(F.col(key_col).alias("key"), hour.alias("hour")).agg(
         F.min(srt).alias("_lo"), F.max(srt).alias("_hi")
     )
-    out = []
-    for kind, c in (("min", "_lo"), ("max", "_hi")):
-        out.append(
-            agg.select(
-                "key",
-                "hour",
-                F.lit(kind).alias("kind"),
-                (F.col(f"{c}.v").cast("double") / VALUE_SCALE).alias("value"),
-                F.col(f"{c}.ts").alias("ts"),
-                F.col(f"{c}.tb").alias("event_id"),
-            )
-        )
-    return out[0].unionByName(out[1])
+    # Single-consumer plan: a union of two selects over `agg` would
+    # compute the aggregation twice; exploding a 2-element array turns
+    # it into one aggregation + a per-row expansion.
+    pair = F.array(
+        F.struct(F.lit("min").alias("kind"), F.col("_lo").alias("s")),
+        F.struct(F.lit("max").alias("kind"), F.col("_hi").alias("s")),
+    )
+    return agg.select("key", "hour", F.explode(pair).alias("e")).select(
+        "key",
+        "hour",
+        F.col("e.kind").alias("kind"),
+        (F.col("e.s.v").cast("double") / VALUE_SCALE).alias("value"),
+        F.col("e.s.ts").alias("ts"),
+        F.col("e.s.tb").alias("event_id"),
+    )

@@ -1332,3 +1332,79 @@ def documents_term_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cms_count").desc(), F.col("term").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (r6b): the profiler's distribution companion
+# (ops/profile.py::value_histogram). Exact: bin math is plain IEEE
+# double arithmetic, identical in both engines; empty bins are emitted
+# (a CBO estimator reading a holey histogram as dense is how row-count
+# estimates go wrong).
+# ---------------------------------------------------------------------------
+@query(
+    "events_value_histogram",
+    oracle="""
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    binned AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((value - lo) / ((hi - lo) / 20.0))
+                                 AS INT), 0), 19) AS bin
+      FROM events, b WHERE value IS NOT NULL
+    ),
+    counts AS (SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin),
+    bins AS (SELECT UNNEST(generate_series(0, 19)) AS bin)
+    SELECT CAST(bins.bin AS INT) AS bin,
+           b.lo + bins.bin * ((b.hi - b.lo) / 20.0) AS lo_edge,
+           b.lo + (bins.bin + 1) * ((b.hi - b.lo) / 20.0) AS hi_edge,
+           COALESCE(counts.n, 0) AS n
+    FROM bins CROSS JOIN b LEFT JOIN counts ON counts.bin = bins.bin
+    """,
+    tags=("profile", "histogram", "agg"),
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of events.value: one bounds
+    aggregation broadcast onto a map-side bin assignment, one shuffle
+    on the bin id, dense bins via scaffold left-join — no driver
+    collect anywhere, so the op composes lazily."""
+    from ..ops.profile import value_histogram
+
+    ev = load_table(spark, sf_dir, "events")
+    return value_histogram(ev, "value", 20)
+
+
+@query(
+    "orders_price_equidepth",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v, o_orderkey AS t,
+             ROW_NUMBER() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)),
+                                         o_orderkey) AS rn,
+             COUNT(*) OVER () AS total
+      FROM orders
+    )
+    SELECT CAST(((rn - 1) * 8) // total AS INT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(v) AS DOUBLE) AS lo,
+           CAST(MAX(v) AS DOUBLE) AS hi
+    FROM r GROUP BY 1
+    """,
+    tags=("profile", "histogram", "rownum"),
+)
+def orders_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bucket equi-depth histogram of order prices
+    (ops/profile.py::equidepth_histogram): bucket assignment is integer
+    arithmetic over the scale-safe total ordering (range repartition +
+    count-offset, no single-partition window) — the oracle IS the
+    ROW_NUMBER formulation, so the hash match proves the distributed
+    ranking exact."""
+    from ..ops.profile import equidepth_histogram
+
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"), "o_orderkey"
+    )
+    out = equidepth_histogram(od, "price", 8, "o_orderkey")
+    return out.select(
+        "bucket",
+        "n",
+        F.col("lo").cast("double").alias("lo"),
+        F.col("hi").cast("double").alias("hi"),
+    )

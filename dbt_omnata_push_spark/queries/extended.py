@@ -1032,6 +1032,28 @@ def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Snapshot commits are O(open + changed): closed history is
     hard-linked, never rewritten (TableStore.scd2_commit)."""
+    return _build_scd2_orders_history(spark, sf_dir, "spark_graft_scd2").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.date_format("dbt_valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "dbt_valid_from"
+        ),
+        F.coalesce(
+            F.date_format("dbt_valid_to", "yyyy-MM-dd HH:mm:ss"),
+            F.lit(_SCD2_OPEN),
+        ).alias("dbt_valid_to"),
+        "dbt_is_current",
+    )
+
+
+def _build_scd2_orders_history(
+    spark: SparkSession, sf_dir: str, root_prefix: str
+) -> DataFrame:
+    """Two deterministic snapshot rounds over the orders dimension
+    (run 1: keys with o_orderkey % 7 != 0; run 2: every key, prices
+    bumped +100 for o_orderkey % 10 == 0); returns the history table.
+    Shared by orders_scd2_history and orders_scd2_pointintime."""
     import os
     import shutil
     import tempfile
@@ -1053,7 +1075,7 @@ def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_scd2_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"{root_prefix}_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
     store = TableStore(root)
@@ -1063,19 +1085,7 @@ def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot_apply(
         spark, store, "orders_dim", src2, "o_orderkey", snapshot_ts=_SCD2_TS2
     )
-    return store.read(spark, "orders_dim").select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.col("o_totalprice").cast("double").alias("price"),
-        F.date_format("dbt_valid_from", "yyyy-MM-dd HH:mm:ss").alias(
-            "dbt_valid_from"
-        ),
-        F.coalesce(
-            F.date_format("dbt_valid_to", "yyyy-MM-dd HH:mm:ss"),
-            F.lit(_SCD2_OPEN),
-        ).alias("dbt_valid_to"),
-        "dbt_is_current",
-    )
+    return store.read(spark, "orders_dim")
 
 
 # ---------------------------------------------------------------------------
@@ -1250,4 +1260,80 @@ def orders_bloom_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total"),
         F.min("o_orderkey").cast("long").alias("min_key"),
         F.max("o_orderkey").cast("long").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time (temporal) join (r6b): the query side of the
+# snapshot materialization — every fact joins the dimension version
+# valid AT ITS OWN timestamp, not the current one (joining current
+# backdates later attribute changes onto old facts). The oracle
+# reconstructs both probes set-theoretically from the deterministic
+# two-round history, like orders_scd2_history's.
+# ---------------------------------------------------------------------------
+_SCD2_MID, _SCD2_POST = "2026-01-15 00:00:00", "2026-02-15 00:00:00"
+
+
+@query(
+    "orders_scd2_pointintime",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      FROM orders
+    )
+    -- probe 'mid' (between TS1 and TS2): only run-1 keys visible, at
+    -- the OLD price
+    SELECT 'mid' AS probe, o_orderkey, CAST(p AS DOUBLE) AS price,
+           '{_SCD2_TS1}' AS valid_from
+    FROM base WHERE o_orderkey % 7 <> 0
+    UNION ALL
+    -- probe 'post' (after TS2): unchanged run-1 keys still carry their
+    -- TS1 row ...
+    SELECT 'post', o_orderkey, CAST(p AS DOUBLE), '{_SCD2_TS1}'
+    FROM base WHERE o_orderkey % 7 <> 0 AND o_orderkey % 10 <> 0
+    UNION ALL
+    -- ... changed keys carry the TS2 reopen at the NEW price ...
+    SELECT 'post', o_orderkey, CAST(p + 100 AS DOUBLE), '{_SCD2_TS2}'
+    FROM base WHERE o_orderkey % 7 <> 0 AND o_orderkey % 10 = 0
+    UNION ALL
+    -- ... and keys first seen in run 2 open at TS2
+    SELECT 'post', o_orderkey,
+           CAST(CASE WHEN o_orderkey % 10 = 0 THEN p + 100 ELSE p END
+                AS DOUBLE),
+           '{_SCD2_TS2}'
+    FROM base WHERE o_orderkey % 7 = 0
+    """,
+    tags=("materialization", "scd2", "temporal-join"),
+)
+def orders_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension join over the SCD2 history
+    (materializations/snapshot.py::scd2_temporal_join): every order key
+    probes the dimension at two instants — between the snapshot rounds
+    and after both. One equi-join shuffle on the key; the validity
+    interval is a residual filter, and SCD2's disjoint-interval
+    invariant guarantees at most one match per fact."""
+    from ..materializations.snapshot import scd2_temporal_join
+
+    history = _build_scd2_orders_history(
+        spark, sf_dir, "spark_graft_scd2pit"
+    )
+    facts = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .withColumn("probe", F.explode(F.array(F.lit("mid"), F.lit("post"))))
+        .withColumn(
+            "ts",
+            F.when(F.col("probe") == "mid", F.lit(_SCD2_MID))
+            .otherwise(F.lit(_SCD2_POST))
+            .cast("timestamp"),
+        )
+    )
+    joined = scd2_temporal_join(facts, history, "o_orderkey", "ts", "inner")
+    return joined.select(
+        "probe",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.date_format("dbt_valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_from"
+        ),
     )

@@ -53,9 +53,14 @@ QUERIES = [
     "dedup_semantic_clusters",
     "bpe_vocab_merges_deep",
     "corpus_curation_v2",
+    # round 6b additions (events/orders amplified since r6b): span
+    # explosion, keyed window, write-then-join layout cost
+    "dedup_substring_spans",
+    "events_time_weighted_avg",
+    "orders_customer_bucketed_join",
 ]
 
-TABLES = ["documents", "embeddings", "customer"]
+TABLES = ["documents", "embeddings", "customer", "events", "orders"]
 
 ID_STRIDE = 10_000_000
 
@@ -65,14 +70,38 @@ def build_scaled(spark, factor: int, out_dir: str) -> None:
     docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
     emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
     cust = spark.read.parquet(f"{BASE_SF}/customer.parquet")
+    ev = spark.read.parquet(f"{BASE_SF}/events.parquet")
+    od = spark.read.parquet(f"{BASE_SF}/orders.parquet")
 
     doc_parts, emb_parts, cust_parts = [], [], []
+    ev_parts, od_parts = [], []
     for i in range(factor):
         if i == 0:
             doc_parts.append(docs)
             emb_parts.append(emb)
             cust_parts.append(cust)
+            ev_parts.append(ev)
+            od_parts.append(od)
             continue
+        # events/orders: shift every entity id by the replica stride —
+        # replicas are disjoint user/customer populations sharing the
+        # same time range and distributions, so keyed windows and joins
+        # gain rows but no artificial cross-replica structure.
+        ev_parts.append(
+            ev.select(
+                (F.col("event_id") + i * ID_STRIDE).alias("event_id"),
+                "ts",
+                (F.col("user_id") + i * ID_STRIDE).alias("user_id"),
+                *[c for c in ev.columns if c not in ("event_id", "user_id", "ts")],
+            )
+        )
+        od_parts.append(
+            od.select(
+                (F.col("o_orderkey") + i * ID_STRIDE).alias("o_orderkey"),
+                (F.col("o_custkey") + i * ID_STRIDE).alias("o_custkey"),
+                *[c for c in od.columns if c not in ("o_orderkey", "o_custkey")],
+            )
+        )
         marker = f"_r{i}"
         doc_parts.append(
             docs.select(
@@ -129,11 +158,17 @@ def build_scaled(spark, factor: int, out_dir: str) -> None:
     union_all(cust_parts).repartition(32).write.mode("overwrite").parquet(
         f"{out_dir}/customer.parquet"
     )
+    union_all(ev_parts).repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/events.parquet"
+    )
+    union_all(od_parts).repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/orders.parquet"
+    )
 
 
-def time_queries(spark, registry, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, registry, sf_dir: str, queries=None) -> dict[str, float]:
     out = {}
-    for name in QUERIES:
+    for name in queries or QUERIES:
         t0 = time.perf_counter()
         n = len(registry[name].fn(spark, sf_dir).collect())
         out[name] = round(time.perf_counter() - t0, 2)
@@ -144,7 +179,13 @@ def time_queries(spark, registry, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of QUERIES (default: all)",
+    )
     args = ap.parse_args()
+    selected = args.queries.split(",") if args.queries else QUERIES
 
     from dbt_omnata_push_spark.engine.session import get_spark
     from dbt_omnata_push_spark.queries import load_all
@@ -172,9 +213,9 @@ def main() -> None:
     build_scaled(spark, args.factor, xn_dir)
 
     # warmup (JVM/codegen) on the small end, uncounted
-    time_queries(spark, registry, x1_dir)
-    base = time_queries(spark, registry, x1_dir)
-    scaled = time_queries(spark, registry, xn_dir)
+    time_queries(spark, registry, x1_dir, selected)
+    base = time_queries(spark, registry, x1_dir, selected)
+    scaled = time_queries(spark, registry, xn_dir, selected)
 
     # SemDeDup k-scaling: the registry query blocks on the FIXED label
     # column, so its per-cluster all-pairs stage is O(n^2 / k) with k
@@ -184,6 +225,8 @@ def main() -> None:
     # llmops/similarity.py::semantic_dedup_flags); this measures that
     # claim directly: k=8 at x1 vs k=8*factor at x{factor}.
     from dbt_omnata_push_spark.llmops import similarity as S
+
+    run_semdedup = "dedup_semantic_clusters" in selected
 
     def semdedup_secs(sf_dir: str, k: int) -> float:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -197,13 +240,15 @@ def main() -> None:
         print(f"# semdedup {sf_dir} k={k}: {dt}s ({n} rows)", file=sys.stderr)
         return dt
 
-    semdedup = {
-        "base_k8_sec": semdedup_secs(x1_dir, 8),
-        "scaled_k_sec": semdedup_secs(xn_dir, 8 * args.factor),
-    }
-    semdedup["time_ratio_scaled_k"] = round(
-        semdedup["scaled_k_sec"] / semdedup["base_k8_sec"], 2
-    )
+    semdedup = None
+    if run_semdedup:
+        semdedup = {
+            "base_k8_sec": semdedup_secs(x1_dir, 8),
+            "scaled_k_sec": semdedup_secs(xn_dir, 8 * args.factor),
+        }
+        semdedup["time_ratio_scaled_k"] = round(
+            semdedup["scaled_k_sec"] / semdedup["base_k8_sec"], 2
+        )
 
     result = {
         "metric": "scale_rehearsal",
@@ -216,7 +261,7 @@ def main() -> None:
                 "scaled_sec": scaled[q],
                 "time_ratio": round(scaled[q] / base[q], 2),
             }
-            for q in QUERIES
+            for q in selected
         },
     }
     print(json.dumps(result))

@@ -303,3 +303,42 @@ def test_cms_probe_is_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # top-20 is a TakeOrdered, not a global sort of the vocabulary
     assert "TakeOrderedAndProject" in plan
+
+
+def test_scd2_pointintime_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The temporal join must hash on the key with the validity
+    interval as a residual filter — a BroadcastNestedLoopJoin here
+    would mean the interval predicate became the join condition."""
+    plan = _formatted_plan(REGISTRY["orders_scd2_pointintime"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_histogram_partial_aggregates_and_broadcast_bounds(spark, sf_dir):
+    """Bin counting must combine map-side; the bounds row rides as a
+    broadcast, never a shuffle."""
+    plan = _formatted_plan(REGISTRY["events_value_histogram"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial -> final
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_tw_avg_aggregation_reuses_window_partitioning(spark, sf_dir):
+    """groupBy(user_id) directly after a user_id-partitioned window
+    must NOT re-exchange — one shuffle total."""
+    import re
+
+    plan = _formatted_plan(REGISTRY["events_time_weighted_avg"].fn(spark, sf_dir))
+    # formatted mode names each node twice (tree + section); count nodes
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1
+    assert "Window" in plan
+
+
+def test_substring_spans_shuffles_hashes_not_text(spark, sf_dir):
+    """Only (doc_id, md5) pairs may enter an exchange — the span text
+    stays map-side."""
+    import re
+
+    plan = _formatted_plan(REGISTRY["dedup_substring_spans"].fn(spark, sf_dir))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]+)\)", plan):
+        assert "text" not in m.group(1), m.group(0)

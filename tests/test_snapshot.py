@@ -204,3 +204,73 @@ def test_engine_dispatch_snapshot_materialization(spark, tmp_path):
     hist = store.read(spark, "dim_history")
     assert hist.filter(F.col("dbt_is_current")).count() == 2
     assert hist.filter("NOT dbt_is_current").count() == 1
+
+
+# --------------------------------------------- point-in-time (r6b)
+
+
+def test_snapshot_at_reconstructs_each_round(spark, tmp_path):
+    from dbt_omnata_push_spark.materializations.snapshot import (
+        snapshot_apply,
+        snapshot_at,
+    )
+
+    store = TableStore(str(tmp_path / "pit"))
+    s1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    s2 = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "k long, v string")
+    snapshot_apply(spark, store, "d", s1, "k", snapshot_ts="2026-01-01 00:00:00")
+    snapshot_apply(spark, store, "d", s2, "k", snapshot_ts="2026-02-01 00:00:00")
+    hist = store.read(spark, "d")
+
+    at_mid = {
+        (r["k"], r["v"]) for r in snapshot_at(hist, "2026-01-15 00:00:00").collect()
+    }
+    assert at_mid == {(1, "a"), (2, "b")}
+    at_post = {
+        (r["k"], r["v"]) for r in snapshot_at(hist, "2026-02-15 00:00:00").collect()
+    }
+    assert at_post == {(1, "a"), (2, "B"), (3, "c")}
+    # before the first round: nothing existed
+    assert snapshot_at(hist, "2025-12-01 00:00:00").count() == 0
+    # exactly AT a round boundary: the new interval is already open
+    # (half-open [from, to))
+    at_ts2 = {
+        (r["k"], r["v"]) for r in snapshot_at(hist, "2026-02-01 00:00:00").collect()
+    }
+    assert at_ts2 == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_scd2_temporal_join_matches_at_most_one_version(spark, tmp_path):
+    from dbt_omnata_push_spark.materializations.snapshot import (
+        scd2_temporal_join,
+        snapshot_apply,
+    )
+
+    store = TableStore(str(tmp_path / "tj"))
+    s1 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v int")
+    s2 = spark.createDataFrame([(1, 10), (2, 99)], "k long, v int")
+    snapshot_apply(spark, store, "d", s1, "k", snapshot_ts="2026-01-01 00:00:00")
+    snapshot_apply(spark, store, "d", s2, "k", snapshot_ts="2026-02-01 00:00:00")
+    hist = store.read(spark, "d")
+    facts = spark.createDataFrame(
+        [
+            (100, 2, "2026-01-15 00:00:00"),  # sees v=20
+            (101, 2, "2026-02-15 00:00:00"),  # sees v=99
+            (102, 1, "2026-02-15 00:00:00"),  # unchanged key: v=10
+            (103, 7, "2026-02-15 00:00:00"),  # unknown key
+            (104, 2, "2025-01-01 00:00:00"),  # before history began
+        ],
+        "fact_id long, k long, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+
+    inner = {
+        r["fact_id"]: r["v"]
+        for r in scd2_temporal_join(facts, hist, "k", "ts").collect()
+    }
+    assert inner == {100: 20, 101: 99, 102: 10}
+    left = scd2_temporal_join(facts, hist, "k", "ts", how="left")
+    assert left.count() == 5  # every fact exactly once (disjoint intervals)
+    nulls = {
+        r["fact_id"] for r in left.filter(F.col("v").isNull()).collect()
+    }
+    assert nulls == {103, 104}

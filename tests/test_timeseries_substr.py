@@ -173,3 +173,14 @@ def test_duplicated_span_stats_identical_docs_all_spans_dup(spark):
 def test_duplicated_span_stats_empty(spark):
     docs = spark.createDataFrame([], "doc_id bigint, text string")
     assert duplicated_span_stats(docs).count() == 0
+
+
+def test_minmax_downsample_single_aggregation_plan(spark):
+    """The min/max pair must come from ONE aggregation (explode of a
+    2-struct array), not a self-union that scans and aggregates twice."""
+    rows = [(1, _ts("2024-01-01T00:00:00"), 1, 2.0)]
+    ev = _events(spark, rows).withColumn("event_type", F.lit("t"))
+    df = minmax_downsample(ev, "event_type", "ts", "value", "event_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert plan.count("Scan ExistingRDD") <= 1
