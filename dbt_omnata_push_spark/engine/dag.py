@@ -137,3 +137,19 @@ class Engine:
         bad = df.count()
         if bad:
             raise AssertionError(f"test failed: {bad} rows returned")
+
+    def generic_test(self, kind: str, df: DataFrame, *args, **kwargs) -> None:
+        """dbt generic (schema) test: `unique` / `not_null` /
+        `accepted_values` / `relationships` over a DataFrame — failure
+        rows raise, like the singular path (engine/generic_tests.py)."""
+        from .generic_tests import GENERIC_TESTS
+
+        try:
+            builder = GENERIC_TESTS[kind]
+        except KeyError:
+            raise ValueError(
+                f"unknown generic test: {kind!r} (have {sorted(GENERIC_TESTS)})"
+            ) from None
+        bad = builder(df, *args, **kwargs).count()
+        if bad:
+            raise AssertionError(f"{kind} test failed: {bad} failure rows")

@@ -994,3 +994,76 @@ def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("revenue") - F.col("prev_revenue")) / F.col("prev_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dbt generic (schema) tests (r6b): the four canonical dbt-core tests
+# as failure-row queries (engine/generic_tests.py). Two are configured
+# to FAIL with deterministic counts — the restricted accepted-values
+# list and a thinned parent key set — so the non-zero failure paths
+# are oracle-verified, not just the all-green ones.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_generic_test_summary",
+    oracle="""
+    SELECT 'unique__o_orderkey' AS test_name, COUNT(*) AS n_failures
+    FROM (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL
+          GROUP BY 1 HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'not_null__o_custkey', COUNT(*)
+    FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    -- dbt's accepted_values failure rows are GROUPED by value (one row
+    -- per offending value), like unique's are grouped by key
+    SELECT 'accepted_values__o_orderstatus', COUNT(*)
+    FROM (SELECT o_orderstatus FROM orders
+          WHERE o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('F', 'O')
+          GROUP BY 1)
+    UNION ALL
+    SELECT 'relationships__o_custkey', COUNT(*)
+    FROM orders o
+    WHERE o_custkey IS NOT NULL AND NOT EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 3 <> 0
+    )
+    """,
+    tags=("dbt", "generic-tests", "quality"),
+)
+def orders_generic_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failure counts for dbt's four generic tests over orders:
+    unique(o_orderkey) and not_null(o_custkey) pass (0), while
+    accepted_values restricted to ('F','O') counts the 'P' orders and
+    relationships against a thinned customer key set (custkey % 3 != 0)
+    counts the orphaned third. unique = one hash agg; relationships =
+    broadcast LEFT ANTI."""
+    from ..engine.generic_tests import (
+        accepted_values_failures,
+        not_null_failures,
+        relationships_failures,
+        unique_failures,
+    )
+
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 != 0
+    )
+    parts = [
+        ("unique__o_orderkey", unique_failures(od, "o_orderkey")),
+        ("not_null__o_custkey", not_null_failures(od, "o_custkey")),
+        (
+            "accepted_values__o_orderstatus",
+            accepted_values_failures(od, "o_orderstatus", ["F", "O"]),
+        ),
+        (
+            "relationships__o_custkey",
+            relationships_failures(od, "o_custkey", cu, "c_custkey"),
+        ),
+    ]
+    out = None
+    for name, df in parts:
+        one = df.agg(F.count(F.lit(1)).alias("n_failures")).select(
+            F.lit(name).alias("test_name"), "n_failures"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
