@@ -206,3 +206,46 @@ def stream_user_type_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_once(
         type_change_stream(ev), name="stream_user_type_changes_out"
     )
+
+
+@query(
+    "stream_events_ivm_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents,
+           COUNT(value) AS nn_value_cents
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("streaming", "ivm", "materialized-view"),
+)
+def stream_events_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained materialized view
+    (streaming/ivm_stream.py): foreachBatch folds each micro-batch's
+    deltas into the stored per-type rollup via ops/ivm.apply_cdc —
+    O(batch + touched groups) per batch, never a base rescan, replay-
+    safe because the applied batch id rides in the same atomic table
+    version. The oracle is the full batch recompute: maintenance ==
+    full refresh, hash-exact."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine.store import TableStore
+    from ..streaming.ivm_stream import BATCH_COL, ivm_maintained_stream
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivmstream_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    store = TableStore(os.path.join(root, "store"))
+    ivm_maintained_stream(
+        spark,
+        sf_dir,
+        store,
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )
+    return store.read(spark, "events_type_rollup").drop(BATCH_COL)

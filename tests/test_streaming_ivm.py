@@ -1,0 +1,91 @@
+"""Streaming IVM (streaming/ivm_stream.py): the continuously-maintained
+rollup must equal the batch recompute, stay exact under replay, and
+never rescan the base."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_omnata_push_spark.engine.catalog import load_table
+from dbt_omnata_push_spark.engine.store import TableStore
+from dbt_omnata_push_spark.streaming.ivm_stream import (
+    BATCH_COL,
+    fold_batch,
+    ivm_maintained_stream,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _batch_expected(spark):
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return {
+        r["event_type"]: (r["n_rows"], r["sum_value_cents"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value_cents").alias("sum_value_cents"),
+        )
+        .collect()
+    }
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    store = TableStore(str(tmp_path / "ivm"))
+    ivm_maintained_stream(
+        spark, SF_SMOKE, store, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    got = {
+        r["event_type"]: (r["n_rows"], r["sum_value_cents"])
+        for r in store.read(spark, "events_type_rollup").collect()
+    }
+    assert got == _batch_expected(spark)
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path):
+    store = TableStore(str(tmp_path / "rp"))
+    b0 = spark.createDataFrame(
+        [("click", 100), ("click", 50), ("error", 10)],
+        "event_type string, value_cents long",
+    )
+    assert fold_batch(spark, store, "t", b0, 0, ["event_type"], ["value_cents"]) == "created"
+    b1 = spark.createDataFrame(
+        [("click", 7)], "event_type string, value_cents long"
+    )
+    assert fold_batch(spark, store, "t", b1, 1, ["event_type"], ["value_cents"]) == "applied"
+    # at-least-once delivery replays batch 1: must be a no-op
+    assert fold_batch(spark, store, "t", b1, 1, ["event_type"], ["value_cents"]) == "replayed"
+    assert fold_batch(spark, store, "t", b0, 0, ["event_type"], ["value_cents"]) == "replayed"
+    got = {
+        r["event_type"]: (r["n_rows"], r["sum_value_cents"])
+        for r in store.read(spark, "t").collect()
+    }
+    assert got == {"click": (3, 157), "error": (1, 10)}
+
+
+def test_restart_with_same_checkpoint_is_noop(spark, tmp_path):
+    store = TableStore(str(tmp_path / "rs"))
+    ckpt = str(tmp_path / "ckpt2")
+    ivm_maintained_stream(spark, SF_SMOKE, store, checkpoint_dir=ckpt)
+    v1 = store.current_version("events_type_rollup")
+    ivm_maintained_stream(spark, SF_SMOKE, store, checkpoint_dir=ckpt)
+    # source progress is checkpointed: nothing new to fold
+    assert store.current_version("events_type_rollup") == v1
+    got = {
+        r["event_type"]: (r["n_rows"], r["sum_value_cents"])
+        for r in store.read(spark, "events_type_rollup").collect()
+    }
+    assert got == _batch_expected(spark)
+
+
+def test_progress_rides_in_the_same_table(spark, tmp_path):
+    store = TableStore(str(tmp_path / "pg"))
+    b0 = spark.createDataFrame(
+        [("a", 1)], "event_type string, value_cents long"
+    )
+    fold_batch(spark, store, "t", b0, 5, ["event_type"], ["value_cents"])
+    cols = store.read(spark, "t").columns
+    assert BATCH_COL in cols  # one atomic swap covers data + progress
