@@ -153,3 +153,63 @@ class Engine:
         bad = builder(df, *args, **kwargs).count()
         if bad:
             raise AssertionError(f"{kind} test failed: {bad} failure rows")
+
+    def run_schema_tests(
+        self, select: list[str] | None = None
+    ) -> dict[str, RunResult]:
+        """Run every declared column test (dbt `dbt test` over schema
+        tests). Models declare them dbt-style in config:
+
+            config={"column_tests": {
+                "id": ["unique", "not_null"],
+                "status": [{"accepted_values": {"values": ["F", "O"]}}],
+                "cust_id": [{"relationships": {"to": "customers",
+                                               "field": "id"}}],
+            }}
+
+        Returns one RunResult per test (status `success`/`error` with
+        the failure-row count), like dbt's test report — it does not
+        raise, so a run surfaces EVERY violation, not just the first.
+        """
+        from .generic_tests import (
+            accepted_values_failures,
+            not_null_failures,
+            relationships_failures,
+            unique_failures,
+        )
+
+        results: dict[str, RunResult] = {}
+        for mname in select or list(self.models):
+            spec = self.models[mname].config.get("column_tests") or {}
+            for col, tests in spec.items():
+                for t in tests:
+                    if isinstance(t, str):
+                        kind, params = t, {}
+                    else:
+                        (kind, params), = t.items()
+                    df = self.ref(mname)
+                    if kind == "unique":
+                        fails = unique_failures(df, col)
+                    elif kind == "not_null":
+                        fails = not_null_failures(df, col)
+                    elif kind == "accepted_values":
+                        fails = accepted_values_failures(
+                            df, col, params["values"]
+                        )
+                    elif kind == "relationships":
+                        fails = relationships_failures(
+                            df, col, self.ref(params["to"]), params["field"]
+                        )
+                    else:
+                        raise ValueError(
+                            f"unknown schema test {kind!r} on {mname}.{col}"
+                        )
+                    n = fails.count()
+                    tid = f"{kind}__{mname}__{col}"
+                    results[tid] = RunResult(
+                        model=tid,
+                        status="success" if n == 0 else "error",
+                        rows_affected=n,
+                        message="" if n == 0 else f"{n} failure rows",
+                    )
+        return results

@@ -76,3 +76,50 @@ def test_engine_generic_test_relationships_end_to_end(spark, tmp_path):
     parent = spark.createDataFrame([(1,)], "pk int")
     with pytest.raises(AssertionError, match="relationships test failed: 1"):
         eng.generic_test("relationships", child, "fk", parent, "pk")
+
+
+def test_run_schema_tests_end_to_end(spark, tmp_path):
+    """dbt-style column_tests config through materialize + report."""
+    from dbt_omnata_push_spark.engine.model import Model
+
+    eng = Engine(spark, TableStore(str(tmp_path / "st")))
+    eng.seed(
+        "customers_src",
+        spark.createDataFrame([(1, "F"), (2, "O"), (2, "X")], "id int, s string"),
+    )
+    eng.register(
+        Model(
+            name="customers_m",
+            sql="SELECT * FROM {{ ref('customers_src') }}",
+            config={
+                "materialized": "table",
+                "column_tests": {
+                    "id": ["unique", "not_null"],
+                    "s": [{"accepted_values": {"values": ["F", "O"]}}],
+                },
+            },
+        )
+    )
+    eng.register(
+        Model(
+            name="orders_m",
+            sql="SELECT id + 10 AS cust_ref FROM {{ ref('customers_m') }}",
+            config={
+                "materialized": "table",
+                "column_tests": {
+                    "cust_ref": [
+                        {"relationships": {"to": "customers_m", "field": "id"}}
+                    ]
+                },
+            },
+        )
+    )
+    eng.run()
+    res = eng.run_schema_tests()
+    by = {k: (v.status, v.rows_affected) for k, v in res.items()}
+    assert by["unique__customers_m__id"] == ("error", 1)  # id=2 dup group
+    assert by["not_null__customers_m__id"] == ("success", 0)
+    assert by["accepted_values__customers_m__s"] == ("error", 1)  # 'X'
+    assert by["relationships__orders_m__cust_ref"] == ("error", 3)  # all orphaned
+    # every declared test reported, none raised
+    assert len(res) == 4
