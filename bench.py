@@ -88,6 +88,9 @@ HEADLINE = [
     "similarity_topk_lsh_ann",
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    # r6b refine stage: compressed retrieval + exact re-rank on 100
+    # candidates/query — the production recall path for PQ
+    "similarity_topk_pq_refined",
     # round 6b: shuffle-free co-bucketed join (write cost included —
     # that's the honest price of the layout), windowed substring-span
     # dedup, and the time-series rollup family
@@ -185,6 +188,7 @@ def main() -> None:
         "similarity_topk_lsh_ann",
         "similarity_topk_pq",
         "similarity_topk_ivfpq",
+        "similarity_topk_pq_refined",
     ):
         got = _pairs(registry[ann].fn(spark, sf_dir))
         recall[ann] = round(len(got & exact) / max(len(exact), 1), 4)

@@ -386,3 +386,83 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "rank")
     )
+
+
+def l2_normalize(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Unit-normalize a vector column with JVM HOF expressions (no
+    Python in the row path). For unit vectors, squared euclidean is
+    2 - 2*cosine — a monotone map — so euclidean PQ/ADC ranking
+    becomes EXACTLY cosine ranking, aligning the compressed search
+    with the cosine ground truth the rest of the similarity stack
+    uses. (The shipped test corpus is already unit-norm, so this is
+    measured a no-op there — it guards arbitrary inputs, where an
+    unnormalized corpus silently grades euclidean against cosine.)
+    Zero vectors pass through unchanged (norm guarded to 1)."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    safe = F.when(norm > 0, norm).otherwise(F.lit(1.0))
+    return df.withColumn(
+        vec_col, F.transform(F.col(vec_col), lambda x: x / safe)
+    )
+
+
+def pq_topk_refined(
+    codes_df: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 10,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """Two-stage PQ search (FAISS's refine pattern): the compressed ADC
+    scan retrieves ``rerank`` candidates per query, then ONLY those
+    candidates' raw vectors are fetched and exact-cosine re-ranked to
+    the final top-k.
+
+    Why this is the right scale shape: quantization recall loss is a
+    retrieval-depth problem — the true top-k live inside the ADC
+    top-R for modest R even when per-item ranks are scrambled
+    (measured r6b on the near-orthogonal sf0.1 corpus: 4-bit ADC-only
+    recall@10 = 0.36; refined R=100 = 0.80 at k=16 codes, 0.94 at
+    k=64, 1.0 at R=300). The exact math
+    touches R rows per query instead of the corpus, so the full-scan
+    economics of the compressed search are preserved; the candidate
+    fetch is an id equi-join against the (id -> vector) table.
+    """
+    from pyspark.sql import Window
+
+    cand = pq_topk_adc(
+        codes_df, queries, codebooks, k=rerank, id_col=id_col,
+        q_id_col=q_id_col, q_vec_col=q_vec_col,
+    ).select(q_id_col, id_col)
+    with_vec = cand.join(emb.select(id_col, vec_col), id_col)
+    with_q = with_vec.join(F.broadcast(queries), q_id_col)
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col(q_vec_col), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.col(c), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    cos = dot / (F.sqrt(sq(vec_col)) * F.sqrt(sq(q_vec_col)))
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        with_q.withColumn("cosine", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(q_id_col, id_col, "cosine", "rnk")
+    )

@@ -643,7 +643,14 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     euclidean top-k is bounded in tests/test_ann_quality.py."""
     from ..llmops import pq as PQ
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # Unit-normalize first (r6b): on unit vectors squared euclidean is
+    # 2-2*cos, so the ADC ranking IS the cosine ranking the rest of the
+    # similarity stack grades against. (The shipped test corpus is
+    # already unit-norm — measured no-op there — but arbitrary inputs
+    # aren't, and an unnormalized corpus silently grades euclidean
+    # against cosine.) The remaining 4-bit quantization loss is
+    # recovered by the refine stage: see similarity_topk_pq_refined.
+    emb = PQ.l2_normalize(load_table(spark, sf_dir, "embeddings"))
     books = PQ.pq_train(emb, m=16, k=16, max_iter=4)
     codes = PQ.pq_encode(emb, books).persist()
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -722,10 +729,11 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..llmops import pq as PQ
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # normalized like similarity_topk_pq: ADC ranking == cosine ranking
+    emb = PQ.l2_normalize(load_table(spark, sf_dir, "embeddings"))
     index_path = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_ivfpq_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_ivfpq_n_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     marker = os.path.join(index_path, "_IVFPQ.json")
     if os.path.exists(marker):
@@ -2027,3 +2035,30 @@ def dedup_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicated_span_stats(docs, k=32, stride=8)
+
+
+@query(
+    "similarity_topk_pq_refined",
+    oracle=None,
+    tags=("llm", "similarity", "pq", "ann", "refine"),
+)
+def similarity_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ search (r6b, FAISS refine): a 6-bit ADC scan
+    (m=16, k=64 — ~21x compression) retrieves 100 candidates per
+    query, exact cosine re-ranks only those. Measured recall@10 vs
+    cosine brute force on the near-orthogonal sf0.1 corpus: 0.36 for
+    the 4-bit ADC scan alone, 0.80 refined at k=16, **0.94 refined at
+    k=64** (1.0 at rerank=300) — quantization loss is a
+    retrieval-depth problem, and the exact math touches 100 rows per
+    query instead of the corpus. Approximate by construction ->
+    rows-only; the recall floor is pinned in
+    tests/test_ann_quality.py."""
+    from ..llmops import pq as PQ
+
+    emb = PQ.l2_normalize(load_table(spark, sf_dir, "embeddings"))
+    books = PQ.pq_train(emb, m=16, k=64, max_iter=4)
+    codes = PQ.pq_encode(emb, books).persist()
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return PQ.pq_topk_refined(codes, emb, queries, books, k=10, rerank=100)
