@@ -89,13 +89,19 @@ def value_histogram(df: DataFrame, col: str, n_bins: int) -> DataFrame:
         F.col("_v").isNotNull()
     ).crossJoin(F.broadcast(bounds))
     width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
-    bin_id = F.least(
-        F.greatest(
-            F.floor((F.col("_v") - F.col("_lo")) / width).cast("int"),
-            F.lit(0),
+    # Degenerate range (all values equal): width 0 would divide by
+    # zero under ANSI mode — every value belongs in bin 0 (found by
+    # hypothesis in tests/test_property_round6b.py).
+    bin_id = F.when(
+        F.col("_hi") > F.col("_lo"),
+        F.least(
+            F.greatest(
+                F.floor((F.col("_v") - F.col("_lo")) / width).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
         ),
-        F.lit(n_bins - 1),
-    )
+    ).otherwise(F.lit(0))
     counts = (
         with_b.select(bin_id.alias("bin"), "_lo", "_hi")
         .groupBy("bin", "_lo", "_hi")

@@ -59,13 +59,23 @@ def time_weighted_avg(
         dt_us.alias("_dt_us"),
         (_scaled(val_col) * dt_us).alias("_wsum"),
     ).filter(F.col("_dt_us").isNotNull())
-    return weighted.groupBy(*key_cols).agg(
+    agg = weighted.groupBy(*key_cols).agg(
         F.count("*").alias("n_obs"),
         F.sum("_dt_us").alias("span_us"),
-        (
-            F.sum("_wsum").cast("double")
-            / F.sum("_dt_us").cast("double")
-            / F.lit(float(VALUE_SCALE))
+        F.sum("_wsum").alias("_wsum_total"),
+    )
+    # span 0 (every observation at one instant) has no time-weighted
+    # mean — NULL, not a divide-by-zero (ANSI mode raises; found by
+    # hypothesis in tests/test_property_round6b.py).
+    return agg.select(
+        *key_cols,
+        "n_obs",
+        "span_us",
+        F.when(
+            F.col("span_us") > 0,
+            F.col("_wsum_total").cast("double")
+            / F.col("span_us").cast("double")
+            / F.lit(float(VALUE_SCALE)),
         ).alias("tw_avg"),
     )
 

@@ -33,8 +33,10 @@ from . import query
     SELECT user_id,
            COUNT(*) AS n_obs,
            CAST(SUM(nxt - ts_us) AS BIGINT) AS span_us,
-           CAST(SUM(v * (nxt - ts_us)) AS DOUBLE)
-             / CAST(SUM(nxt - ts_us) AS DOUBLE) / 100.0 AS tw_avg
+           CASE WHEN SUM(nxt - ts_us) > 0 THEN
+             CAST(SUM(v * (nxt - ts_us)) AS DOUBLE)
+               / CAST(SUM(nxt - ts_us) AS DOUBLE) / 100.0
+           END AS tw_avg
     FROM seq
     WHERE nxt IS NOT NULL
     GROUP BY user_id
