@@ -175,3 +175,75 @@ def minmax_downsample(
         F.col("e.s.ts").alias("ts"),
         F.col("e.s.tb").alias("event_id"),
     )
+
+
+def hourly_gapfill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Gap-filled hourly series with last-observation-carried-forward
+    interpolation (TimescaleDB ``time_bucket_gapfill`` + ``locf``):
+    empty slots repeat the key's most recent hourly value instead of
+    zero; slots before a key's first observation stay NULL.
+
+    Built on hourly_gapfill's dense scaffold plus ONE extra keyed
+    window (last_value IGNORE NULLS over the dense series). The window
+    input is the scaffold — keys x hours, dimension-sized — never the
+    raw events.
+
+    Output: key, hour, n_events, value_cents (exact fixed-point),
+    locf_cents (carried forward, NULL before first observation).
+    """
+    dense = hourly_gapfill(df, key_col, ts_col, val_col)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    observed = F.when(F.col("n_events") > 0, F.col("value_cents"))
+    return dense.withColumn(
+        "locf_cents", F.last(observed, ignorenulls=True).over(w)
+    )
+
+
+def interval_coalesce(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping/adjacent half-open intervals per key into
+    maximal disjoint spans (gaps-and-islands): the temporal normalizer
+    behind session stitching, maintenance-window dedup, and validity-
+    interval compaction.
+
+    Standard two-window formulation, both over the same key partition
+    (ONE shuffle): a running maximum of end marks where a new island
+    starts (current start > max end so far), a running sum of those
+    markers numbers the islands, then one aggregation per island.
+    Adjacent intervals (start == previous end) merge — half-open
+    semantics.
+
+    Output: key cols, island (0-based), start, end, n_intervals.
+    """
+    w_order = Window.partitionBy(*key_cols).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    numbered = df.withColumn("_new", is_new).withColumn(
+        "island",
+        F.sum("_new").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        - 1,
+    )
+    return numbered.groupBy(*key_cols, "island").agg(
+        F.min(start_col).alias("start"),
+        F.max(end_col).alias("end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

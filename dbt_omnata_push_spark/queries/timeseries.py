@@ -133,3 +133,115 @@ def events_minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves it equals the row_number formulation."""
     ev = load_table(spark, sf_dir, "events")
     return minmax_downsample(ev, "event_type", "ts", "value", "event_id")
+
+
+@query(
+    "events_hourly_gapfill_locf",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+             date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    keys AS (SELECT DISTINCT event_type FROM events),
+    dense AS (
+      SELECT k.event_type, h.hour,
+             COALESCE(a.n_events, 0) AS n_events,
+             COALESCE(a.value_cents, 0) AS value_cents
+      FROM keys k
+      CROSS JOIN hours h
+      LEFT JOIN agg a ON a.event_type = k.event_type AND a.hour = h.hour
+    )
+    -- leading-edge slots (before a key's first observation) are NULL
+    -- in the op; projected as -1 here because the driver compare can't
+    -- ship NULL numerics (pandas NaN != None)
+    SELECT event_type, hour, n_events, value_cents,
+           COALESCE(
+             LAST_VALUE(CASE WHEN n_events > 0 THEN value_cents END
+                        IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             -1) AS locf_cents
+    FROM dense
+    """,
+    tags=("timeseries", "gapfill", "locf", "window"),
+)
+def events_hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with last-observation-carried-forward
+    interpolation: empty slots repeat the type's most recent hourly
+    total (NULL before its first observation). The LOCF window runs
+    over the dimension-sized dense scaffold, never the raw events."""
+    from ..ops.timeseries import hourly_gapfill_locf
+
+    ev = load_table(spark, sf_dir, "events")
+    out = hourly_gapfill_locf(ev, "event_type", "ts", "value")
+    return out.withColumn(
+        "locf_cents", F.coalesce("locf_cents", F.lit(-1))
+    )
+
+
+@query(
+    "events_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    numbered AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+               AS island
+      FROM marked
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           MIN(s) AS start_ts, MAX(e) AS end_ts,
+           COUNT(*) AS n_intervals
+    FROM numbered GROUP BY 1, 2
+    """,
+    tags=("timeseries", "interval", "gaps-islands"),
+)
+def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge each user's overlapping 10-minute activity intervals into
+    maximal disjoint spans (gaps-and-islands,
+    ops/timeseries.py::interval_coalesce): running-max-end island
+    detection + island numbering in ONE keyed shuffle, then one
+    aggregation per island. The oracle is the identical two-window
+    formulation in DuckDB."""
+    from ..ops.timeseries import interval_coalesce
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("interval 10 minutes")).alias("e"),
+    )
+    out = interval_coalesce(ev, ["user_id"], "s", "e")
+    return out.select(
+        "user_id",
+        F.col("island").cast("long").alias("island"),
+        F.col("start").alias("start_ts"),
+        F.col("end").alias("end_ts"),
+        "n_intervals",
+    )

@@ -184,3 +184,65 @@ def test_minmax_downsample_single_aggregation_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+# ----------------------------------------------------- locf + intervals
+
+
+def test_locf_carries_forward_and_leading_null(spark):
+    from dbt_omnata_push_spark.ops.timeseries import hourly_gapfill_locf
+
+    rows = [
+        (1, _ts("2024-01-01T01:10:00"), 1, 2.0),   # hour 1 (hour 0 empty)
+        (2, _ts("2024-01-01T03:10:00"), 1, 5.0),   # hour 3 (hour 2 gap)
+    ]
+    ev = _events(spark, rows).withColumn("event_type", F.lit("t"))
+    # widen the global range so hour 0 exists: add another type at hour 0
+    other = _events(
+        spark, [(9, _ts("2024-01-01T00:05:00"), 2, 1.0)]
+    ).withColumn("event_type", F.lit("u"))
+    out = hourly_gapfill_locf(ev.unionByName(other), "event_type", "ts", "value")
+    t = {r["hour"].hour: r["locf_cents"] for r in out.filter(F.col("event_type") == "t").collect()}
+    assert t[0] is None          # before first observation
+    assert t[1] == 200           # observed
+    assert t[2] == 200           # carried forward across the gap
+    assert t[3] == 500
+
+
+def test_interval_coalesce_merges_overlaps_and_adjacent(spark):
+    from dbt_omnata_push_spark.ops.timeseries import interval_coalesce
+
+    rows = [
+        # overlapping pair -> one island
+        (1, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T00:10:00")),
+        (1, _ts("2024-01-01T00:05:00"), _ts("2024-01-01T00:20:00")),
+        # adjacent (start == prev end) -> merges under half-open
+        (1, _ts("2024-01-01T00:20:00"), _ts("2024-01-01T00:30:00")),
+        # gap -> new island
+        (1, _ts("2024-01-01T01:00:00"), _ts("2024-01-01T01:05:00")),
+        # contained interval -> absorbed
+        (2, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T01:00:00")),
+        (2, _ts("2024-01-01T00:10:00"), _ts("2024-01-01T00:20:00")),
+    ]
+    df = spark.createDataFrame(rows, "k long, s timestamp, e timestamp")
+    out = {
+        (r["k"], r["island"]): (r["start"], r["end"], r["n_intervals"])
+        for r in interval_coalesce(df, ["k"], "s", "e").collect()
+    }
+    assert out[(1, 0)] == (
+        _ts("2024-01-01T00:00:00"), _ts("2024-01-01T00:30:00"), 3
+    )
+    assert out[(1, 1)] == (
+        _ts("2024-01-01T01:00:00"), _ts("2024-01-01T01:05:00"), 1
+    )
+    assert out[(2, 0)] == (
+        _ts("2024-01-01T00:00:00"), _ts("2024-01-01T01:00:00"), 2
+    )
+    assert len(out) == 3
+
+
+def test_interval_coalesce_empty(spark):
+    from dbt_omnata_push_spark.ops.timeseries import interval_coalesce
+
+    df = spark.createDataFrame([], "k long, s timestamp, e timestamp")
+    assert interval_coalesce(df, ["k"], "s", "e").count() == 0
