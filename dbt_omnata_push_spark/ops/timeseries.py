@@ -208,6 +208,62 @@ def hourly_gapfill_locf(
     )
 
 
+def counter_rate(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    val_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-key monotonic-counter analytics with reset handling
+    (Prometheus ``rate``/``increase``, TimescaleDB ``counter_agg``):
+    a sample below its predecessor means the counter restarted at
+    zero, so it contributes its own value to the increase instead of
+    a negative delta.
+
+    Scale shape: ONE shuffle on the key for the lag() window; the
+    per-pair contributions then reduce map-side into one row per key.
+    All sums are fixed-point integers (exact across engines); the
+    rate is a single final double division.
+
+    Output: key cols, ``n_samples``, ``resets``, ``increase_cents``
+    (exact), ``rate_per_sec`` (double; NULL when the key's span is a
+    single instant or a single sample).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    v = _scaled(val_col)
+    prev = F.lag(v).over(w)
+    contrib = F.when(prev.isNull(), F.lit(None).cast("long")).otherwise(
+        F.when(v >= prev, v - prev).otherwise(v)
+    )
+    is_reset = F.when(prev.isNotNull() & (v < prev), 1).otherwise(0)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    marked = df.select(
+        *key_cols,
+        contrib.alias("_c"),
+        is_reset.alias("_r"),
+        ts_us.alias("_us"),
+    )
+    agg = marked.groupBy(*key_cols).agg(
+        F.count("*").alias("n_samples"),
+        F.sum("_r").alias("resets"),
+        F.coalesce(F.sum("_c"), F.lit(0)).alias("increase_cents"),
+        (F.max("_us") - F.min("_us")).alias("_span_us"),
+    )
+    return agg.select(
+        *key_cols,
+        "n_samples",
+        "resets",
+        "increase_cents",
+        F.when(
+            F.col("_span_us") > 0,
+            F.col("increase_cents").cast("double")
+            / F.lit(float(VALUE_SCALE))
+            / (F.col("_span_us").cast("double") / F.lit(1_000_000.0)),
+        ).alias("rate_per_sec"),
+    )
+
+
 def interval_coalesce(
     df: DataFrame,
     key_cols: list[str],

@@ -245,3 +245,49 @@ def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("end").alias("end_ts"),
         "n_intervals",
     )
+
+
+@query(
+    "events_counter_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v,
+             LAG(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS prev,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+      WINDOW w AS (PARTITION BY event_type
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    agg AS (
+      SELECT event_type,
+             COUNT(*) AS n_samples,
+             CAST(SUM(CASE WHEN prev IS NOT NULL AND v < prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS resets,
+             CAST(COALESCE(SUM(CASE WHEN prev IS NULL THEN NULL
+                                    WHEN v >= prev THEN v - prev
+                                    ELSE v END), 0) AS BIGINT)
+               AS increase_cents,
+             MAX(ts_us) - MIN(ts_us) AS span_us
+      FROM seq GROUP BY 1
+    )
+    SELECT event_type, n_samples, resets, increase_cents,
+           CASE WHEN span_us > 0 THEN
+             CAST(increase_cents AS DOUBLE) / 100.0
+               / (CAST(span_us AS DOUBLE) / 1000000.0)
+           END AS rate_per_sec
+    FROM agg
+    """,
+    tags=("timeseries", "counter", "rate", "window"),
+)
+def events_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-reset-aware per-type rate (Prometheus ``rate`` /
+    TimescaleDB ``counter_agg`` semantics,
+    ops/timeseries.py::counter_rate): a sample below its predecessor
+    counts as a restart-at-zero and contributes its own value. One
+    keyed window shuffle, then a map-side-partial reduce; increases
+    are exact fixed-point bigints."""
+    from ..ops.timeseries import counter_rate
+
+    ev = load_table(spark, sf_dir, "events")
+    return counter_rate(ev, ["event_type"], "ts", "value", "event_id")

@@ -246,3 +246,48 @@ def test_interval_coalesce_empty(spark):
 
     df = spark.createDataFrame([], "k long, s timestamp, e timestamp")
     assert interval_coalesce(df, ["k"], "s", "e").count() == 0
+
+
+# ------------------------------------------------------------ counter rate
+
+
+def test_counter_rate_reset_semantics(spark):
+    from dbt_omnata_push_spark.ops.timeseries import counter_rate
+
+    rows = [
+        # key "a": 1.00 -> 3.00 (+200) -> 0.50 (reset, +50) -> 2.50 (+200)
+        (1, _ts("2024-01-01T00:00:00"), 1, 1.0),
+        (2, _ts("2024-01-01T00:00:10"), 1, 3.0),
+        (3, _ts("2024-01-01T00:00:20"), 1, 0.5),
+        (4, _ts("2024-01-01T00:00:30"), 1, 2.5),
+    ]
+    ev = _events(spark, rows).withColumn("event_type", F.lit("a"))
+    out = counter_rate(ev, ["event_type"], "ts", "value", "event_id").collect()
+    r = out[0]
+    assert r["n_samples"] == 4
+    assert r["resets"] == 1
+    assert r["increase_cents"] == 200 + 50 + 200
+    # 4.50 over 30 s
+    assert abs(r["rate_per_sec"] - 4.50 / 30.0) < 1e-12
+
+
+def test_counter_rate_single_sample_null_rate(spark):
+    from dbt_omnata_push_spark.ops.timeseries import counter_rate
+
+    ev = _events(spark, [(1, _ts("2024-01-01T00:00:00"), 1, 5.0)]).withColumn(
+        "event_type", F.lit("solo")
+    )
+    r = counter_rate(ev, ["event_type"], "ts", "value", "event_id").collect()[0]
+    assert r["n_samples"] == 1
+    assert r["resets"] == 0
+    assert r["increase_cents"] == 0
+    assert r["rate_per_sec"] is None
+
+
+def test_counter_rate_empty(spark):
+    from dbt_omnata_push_spark.ops.timeseries import counter_rate
+
+    df = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    ).withColumn("event_type", F.lit("x"))
+    assert counter_rate(df, ["event_type"], "ts", "value", "event_id").count() == 0
