@@ -1067,3 +1067,45 @@ def orders_generic_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE: iterative hierarchy traversal (Spark 4 native recursion).
+# (Beyond-reference op; identical ANSI WITH RECURSIVE text in both engines.)
+# ---------------------------------------------------------------------------
+_HIERARCHY_SQL = """
+WITH RECURSIVE
+edges AS (
+  SELECT c_custkey AS child, CAST(FLOOR(c_custkey / 10) AS BIGINT) AS parent
+  FROM customer WHERE c_custkey >= 10
+),
+walk AS (
+  SELECT c_custkey AS node, c_custkey AS anc, CAST(0 AS BIGINT) AS depth
+  FROM customer
+  UNION ALL
+  SELECT w.node, e.parent, w.depth + 1
+  FROM walk w JOIN edges e ON e.child = w.anc
+)
+SELECT node AS c_custkey, MAX(depth) AS depth,
+       CAST(MAX(CASE WHEN anc < 10 THEN anc END) AS BIGINT) AS root_key
+FROM walk GROUP BY node
+"""
+
+
+@query(
+    "customers_hierarchy_recursive",
+    oracle=_HIERARCHY_SQL,
+    tags=("recursive", "cte", "hierarchy"),
+)
+def customers_hierarchy_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE hierarchy walk: every customer climbs a
+    deterministic parent chain (parent = custkey div 10) to its
+    single-digit root, reporting depth and root key. Runs Spark 4's
+    native ``WITH RECURSIVE`` (SPARK-24497) — each recursion round is
+    one equi-join against the dimension-sized edge set, and the depth
+    is bounded by log10(max key), so 100 TB of keys costs ~7 rounds of
+    hash joins, not row-count-proportional iterations. The oracle is
+    the byte-identical SQL text under DuckDB's recursive evaluator —
+    cross-engine parity of iterative semantics."""
+    register_testdata(spark, sf_dir, ["customer"])
+    return spark.sql(_HIERARCHY_SQL)

@@ -99,3 +99,19 @@ def test_scd2_first_snapshot_on_empty_source(spark, tmp_path):
     )
     rows = store.read(spark, "d").collect()
     assert len(rows) == 1 and rows[0]["dbt_is_current"]
+
+
+def test_recursive_hierarchy_terminates_on_cycle_guard(spark):
+    """Native recursion must stop when the frontier empties: a chain
+    whose parents all resolve below the root threshold terminates in
+    <= depth rounds (no maxRecursion blowup)."""
+    spark.createDataFrame(
+        [(i,) for i in range(0, 1200, 7)], "c_custkey long"
+    ).createOrReplaceTempView("customer")
+    from dbt_omnata_push_spark.queries.relational import _HIERARCHY_SQL
+
+    rows = spark.sql(_HIERARCHY_SQL).collect()
+    assert len(rows) == len(range(0, 1200, 7))
+    by_key = {r["c_custkey"]: r for r in rows}
+    assert by_key[700]["depth"] == 2 and by_key[700]["root_key"] == 7
+    assert by_key[7]["depth"] == 0 and by_key[7]["root_key"] == 7
