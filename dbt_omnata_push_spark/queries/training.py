@@ -178,3 +178,60 @@ def ngram_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (common.cast("double") / F.count(F.lit(1))).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection (llmops/dsir.py): hashed-ngram likelihood
+# ratios against a trusted target domain, exact integer scoring.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_dsir_selection",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tgt,
+             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 4096 AS b
+      FROM (SELECT doc_id, source = 'src0' AS tgt,
+                   UNNEST(string_split(text, ' ')) AS w
+            FROM documents)
+    ),
+    tc AS (SELECT b, COUNT(*) AS ct FROM toks WHERE tgt GROUP BY 1),
+    sc AS (SELECT b, COUNT(*) AS cs FROM toks WHERE NOT tgt GROUP BY 1),
+    ratio AS (
+      SELECT COALESCE(tc.b, sc.b) AS b,
+             (COALESCE(ct, 0) + 1) * 1000000 // (COALESCE(cs, 0) + 1)
+               AS rppm
+      FROM tc FULL OUTER JOIN sc ON tc.b = sc.b
+    ),
+    feats AS (
+      SELECT doc_id, b, COUNT(*) AS cnt FROM toks
+      WHERE NOT tgt GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(SUM(cnt * rppm) AS BIGINT) AS score_ppm
+      FROM feats JOIN ratio USING (b) GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, score_ppm,
+           score_ppm // n_tokens AS mean_ratio_ppm
+    FROM scored
+    ORDER BY mean_ratio_ppm DESC, doc_id ASC
+    LIMIT 50
+    """,
+    tags=("llm", "dsir", "selection", "importance"),
+)
+def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (arXiv:2302.03169) over the documents table:
+    src0 plays the trusted target domain, every other source is the raw
+    pool; each pool document is scored by the smoothed target/source
+    hashed-unigram likelihood ratio (exact ppm integers — the log
+    variant ships as dsir_scores' log_weight column) and the top 50 by
+    length-normalized ratio are kept. Two dimension-sized distribution
+    frames broadcast onto per-doc counts; TakeOrderedAndProject top-k."""
+    from ..llmops.dsir import dsir_scores, dsir_select_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = dsir_scores(docs, F.col("source") == "src0")
+    return dsir_select_topk(scores, 50).select(
+        "doc_id", "n_tokens", "score_ppm", "mean_ratio_ppm"
+    )

@@ -1,0 +1,79 @@
+"""DSIR importance weighting (llmops/dsir.py): planted-domain ranking,
+log-weight sanity, and edge cases."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dbt_omnata_push_spark.llmops.dsir import (
+    dsir_scores,
+    dsir_select_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+
+
+def test_target_like_doc_outranks_generic(spark):
+    # Target domain speaks "quantum photon flux"; the pool has one doc
+    # in-domain and two off-domain. The in-domain doc must rank first.
+    rows = [
+        (100, "quantum photon flux quantum photon", True),
+        (101, "quantum flux photon photon quantum", True),
+        (1, "quantum photon flux", False),
+        (2, "market stock price trade", False),
+        (3, "weather rain cloud wind", False),
+    ]
+    df = _docs(spark, rows)
+    scores = dsir_scores(df, F.col("tgt"), text_col="text")
+    out = {r["doc_id"]: r for r in scores.collect()}
+    assert set(out) == {1, 2, 3}  # target rows held out
+    assert out[1]["mean_ratio_ppm"] > out[2]["mean_ratio_ppm"]
+    assert out[1]["mean_ratio_ppm"] > out[3]["mean_ratio_ppm"]
+    # the true log weight agrees on the planted separation
+    assert out[1]["log_weight"] > out[2]["log_weight"]
+    top = dsir_select_topk(scores, 1).collect()
+    assert [r["doc_id"] for r in top] == [1]
+
+
+def test_log_weight_matches_hand_computation(spark):
+    # One-token docs make the estimator hand-checkable: weight =
+    # cnt*(ln(ct+1)-ln(cs+1)) + n*(ln(ns+B)-ln(nt+B)).
+    rows = [
+        (10, "alpha", True),
+        (1, "alpha", False),
+        (2, "beta", False),
+    ]
+    df = _docs(spark, rows)
+    out = {
+        r["doc_id"]: r
+        for r in dsir_scores(df, F.col("tgt"), text_col="text").collect()
+    }
+    B = 4096
+    norm = math.log(2 + B) - math.log(1 + B)  # ns=2, nt=1
+    # doc 1: bucket(alpha) has ct=1, cs=1 -> ln(2)-ln(2)=0
+    assert abs(out[1]["log_weight"] - (0.0 + 1 * norm)) < 1e-12
+    # doc 2: bucket(beta) has ct=0, cs=1 -> ln(1)-ln(2)
+    assert abs(out[2]["log_weight"] - (math.log(1) - math.log(2) + norm)) < 1e-12
+    # exact integer ratio scores: doc1 (1+1)*1e6 div (1+1) = 1_000_000
+    assert out[1]["score_ppm"] == 1_000_000
+    assert out[2]["score_ppm"] == (0 + 1) * 1_000_000 // (1 + 1)
+
+
+def test_empty_target_degrades_gracefully(spark):
+    # No target rows: every ratio is (0+1)*1e6 div (cs+1) — uniform
+    # down-weighting, no crash, every pool doc still scored.
+    rows = [(1, "a b", False), (2, "c d", False)]
+    df = _docs(spark, rows)
+    out = dsir_scores(df, F.col("tgt"), text_col="text").collect()
+    assert len(out) == 2
+    assert all(r["score_ppm"] > 0 for r in out)
+
+
+def test_empty_pool_yields_empty_scores(spark):
+    rows = [(1, "a b", True)]
+    df = _docs(spark, rows)
+    assert dsir_scores(df, F.col("tgt"), text_col="text").count() == 0
