@@ -1109,3 +1109,43 @@ def customers_hierarchy_recursive(spark: SparkSession, sf_dir: str) -> DataFrame
     cross-engine parity of iterative semantics."""
     register_testdata(spark, sf_dir, ["customer"])
     return spark.sql(_HIERARCHY_SQL)
+
+
+@query(
+    "events_trailing_hour_stats",
+    oracle="""
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS n_trailing,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS trailing_cents
+    FROM (SELECT user_id, event_id, value,
+                 CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tsec
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "range-frame", "time"),
+)
+def events_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per event, count and exact fixed-point
+    sum of the same user's events in the trailing hour (inclusive).
+    The frame key is epoch SECONDS on both sides — the testdata's
+    timestamps carry microseconds, and a truncated key on one side
+    against a full-precision interval on the other would disagree for
+    events sitting within the sub-second band around the 1-hour
+    boundary. ONE keyed window shuffle, value range [-3600, 0]; ties
+    on the second all share the frame (RANGE, not ROWS), keeping the
+    result deterministic and oracle-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3600, 0)
+    )
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(cents).over(w).alias("trailing_cents"),
+    )
