@@ -112,3 +112,75 @@ def temperature_mixture(
         .filter((F.col("target") >= F.col("n")) | (F.col("__bucket") < thr))
         .drop("__bucket")
     )
+
+
+def systematic_weighted_resample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str,
+    seed: str = "sysres",
+) -> DataFrame:
+    """Systematic (low-variance) weighted resampling: draw exactly
+    ``k`` copies with per-row multiplicity proportional to weight —
+    the resampling stage importance-weighted selection pipelines (DSIR,
+    particle filters) run after scoring. Deterministic and integer-
+    exact: rows are laid on a weight line in seeded-md5 order, and the
+    k equally-spaced ticks at (2j+1)*W/(2k) are counted per interval
+    with pure BIGINT arithmetic — ``sum(n_copies) == k`` always, no
+    RNG, no floats, bit-identical in any engine with md5.
+
+    Scale shape: ONE corpus shuffle for the two-pass prefix sum
+    (ops/packing.with_prefix_sum — partition-local windows plus a
+    #partitions-row offset frame), a 1-row total broadcast, then a
+    map-side tick-count filter. Zero-weight rows draw nothing and
+    survive nothing.
+
+    Overflow bound: intermediate products reach 2k * W_total; with
+    BIGINT that caps W_total at ~4.6e18/k — document weights in
+    token/char units keep 100 TB corpora inside the bound (1e12 docs x
+    1e4 chars x 2k=2e3 ~ 2e19 would NOT fit: rescale weights, e.g.
+    div 100, before resampling at that extreme).
+
+    Output: ``id_col``, weight, ``n_copies`` (>= 1) for selected rows.
+    """
+    from .packing import with_prefix_sum
+
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("_w"),
+        h.alias("_h"),
+    )
+    pref = with_prefix_sum(base, ["_h", id_col], "_w", out="_lo", exclusive=True)
+    # NOT named "_W": analysis is case-insensitive by default, so "_W"
+    # next to "_w" is an AMBIGUOUS_REFERENCE after the crossJoin.
+    total = df.agg(F.sum(F.col(weight_col).cast("long")).alias("_wtot"))
+    spaced = pref.crossJoin(F.broadcast(total)).select(
+        id_col,
+        F.col("_w"),
+        F.col("_lo"),
+        (F.col("_lo") + F.col("_w")).alias("_hi"),
+        F.col("_wtot"),
+    )
+    # j_count(y) = #{j >= 0 : (2j+1)*W < y} = (y-W-1) div 2W + 1 for
+    # y > W, else 0; ticks live at (2j+1)*W/(2k) so y is 2k*lo / 2k*hi
+    # (scaling both sides by 2k keeps everything integral).
+    lo_y = F.expr(f"2L * {k} * _lo")
+    hi_y = F.expr(f"2L * {k} * _hi")
+    n_copies = F.when(
+        hi_y > F.col("_wtot"),
+        F.expr(f"(2L * {k} * _hi - _wtot - 1) div (2 * _wtot) + 1"),
+    ).otherwise(F.lit(0)) - F.when(
+        lo_y > F.col("_wtot"),
+        F.expr(f"(2L * {k} * _lo - _wtot - 1) div (2 * _wtot) + 1"),
+    ).otherwise(F.lit(0))
+    return (
+        spaced.filter(F.col("_wtot") > 0)
+        .select(
+            id_col,
+            F.col("_w").alias("weight"),
+            n_copies.cast("long").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 0)
+    )

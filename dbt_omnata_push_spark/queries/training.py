@@ -235,3 +235,55 @@ def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select_topk(scores, 50).select(
         "doc_id", "n_tokens", "score_ppm", "mean_ratio_ppm"
     )
+
+
+# ---------------------------------------------------------------------------
+# Systematic weighted resampling (ops/sampling.py): the exact-integer
+# resampling stage downstream of importance scoring (DSIR's "R").
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_weighted_resample",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, n_chars AS w,
+             md5('sysres:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    pref AS (
+      SELECT doc_id, w,
+             CAST(COALESCE(SUM(w) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS lo
+      FROM base
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM base),
+    counted AS (
+      SELECT doc_id, w,
+             (CASE WHEN 2 * 200 * (lo + w) > wt
+                   THEN (2 * 200 * (lo + w) - wt - 1) // (2 * wt) + 1
+                   ELSE 0 END)
+             - (CASE WHEN 2 * 200 * lo > wt
+                     THEN (2 * 200 * lo - wt - 1) // (2 * wt) + 1
+                     ELSE 0 END) AS n_copies
+      FROM pref, tot
+      WHERE wt > 0
+    )
+    SELECT doc_id, w AS weight, CAST(n_copies AS BIGINT) AS n_copies
+    FROM counted WHERE n_copies > 0
+    """,
+    tags=("llm", "sampling", "resample", "importance"),
+)
+def corpus_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic weighted resampling of the corpus, 200 draws with
+    multiplicity proportional to n_chars
+    (ops/sampling.py::systematic_weighted_resample). Deterministic
+    seeded-md5 ordering, two-pass scalable prefix sum, and pure-BIGINT
+    tick counting — sum(n_copies) == 200 exactly, verified by the
+    oracle and pinned by unit test. Composes downstream of
+    corpus_dsir_selection: feed mean_ratio_ppm as the weight to get
+    the paper's full select-then-resample pipeline."""
+    from ..ops.sampling import systematic_weighted_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return systematic_weighted_resample(docs, 200, "n_chars", "doc_id")

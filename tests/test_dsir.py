@@ -77,3 +77,40 @@ def test_empty_pool_yields_empty_scores(spark):
     rows = [(1, "a b", True)]
     df = _docs(spark, rows)
     assert dsir_scores(df, F.col("tgt"), text_col="text").count() == 0
+
+
+# ------------------------------------------------- systematic resampling
+
+
+def test_systematic_resample_exact_k_and_proportionality(spark):
+    from dbt_omnata_push_spark.ops.sampling import systematic_weighted_resample
+
+    df = spark.createDataFrame(
+        [(i, 10 if i % 10 else 1000) for i in range(100)],
+        "doc_id long, w long",
+    )
+    out = systematic_weighted_resample(df, 37, "w", "doc_id").collect()
+    assert sum(r["n_copies"] for r in out) == 37  # exactly k, always
+    # heavy rows (w=1000) hold ~53% of total mass (10*1000 / 18900);
+    # systematic sampling puts within-1 of the proportional share there
+    heavy = sum(r["n_copies"] for r in out if r["weight"] == 1000)
+    exp = 37 * (10 * 1000) / (10 * 1000 + 90 * 10)
+    assert abs(heavy - exp) <= 1.0
+
+
+def test_systematic_resample_zero_weights_never_selected(spark):
+    from dbt_omnata_push_spark.ops.sampling import systematic_weighted_resample
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 5), (3, 0), (4, 5)], "doc_id long, w long"
+    )
+    out = systematic_weighted_resample(df, 8, "w", "doc_id").collect()
+    assert all(r["weight"] > 0 for r in out)
+    assert sum(r["n_copies"] for r in out) == 8
+
+
+def test_systematic_resample_all_zero_weight_empty(spark):
+    from dbt_omnata_push_spark.ops.sampling import systematic_weighted_resample
+
+    df = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, w long")
+    assert systematic_weighted_resample(df, 5, "w", "doc_id").count() == 0
