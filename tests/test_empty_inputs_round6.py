@@ -77,10 +77,10 @@ def test_pq_guards_and_empty_queries(spark):
     no_queries = spark.createDataFrame(
         [], "q_id long, q_emb array<double>"
     )
-    with pytest.raises(IndexError):
-        # zero queries is a caller bug, not silent empty output: the
-        # union of per-query scans cannot be built from nothing
-        pq_topk_adc(codes, no_queries, books)
+    # zero queries -> zero rows (the broadcast-LUT join form scans
+    # against an empty LUT frame; the old per-query-union form raised
+    # IndexError here, which forced callers to special-case)
+    assert pq_topk_adc(codes, no_queries, books).count() == 0
 
 
 def test_scd2_first_snapshot_on_empty_source(spark, tmp_path):

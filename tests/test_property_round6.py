@@ -156,3 +156,24 @@ class TestPqProperty:
         ]
         got_order = [r["vec_id"] for r in sorted(ranked, key=lambda r: r["rank"])]
         assert got_order == order, seed
+
+
+def test_pq_train_local_and_distributed_paths_agree(spark):
+    """The adaptive driver-local Lloyd loop must match the distributed
+    partial-reduce loop (same init, same argmin tie-breaking) to float
+    tolerance — mirroring the BPE local/distributed equality gate."""
+    import numpy as np
+
+    from dbt_omnata_push_spark.llmops import pq as PQ
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(16)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    local = PQ.pq_train(df, m=4, k=8, max_iter=3)
+    dist = PQ.pq_train(df, m=4, k=8, max_iter=3, local_vector_limit=0)
+    a = np.asarray(local, dtype="float64")
+    b = np.asarray(dist, dtype="float64")
+    assert a.shape == b.shape
+    assert np.max(np.abs(a - b)) < 1e-9
