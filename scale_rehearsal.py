@@ -58,6 +58,14 @@ QUERIES = [
     "dedup_substring_spans",
     "events_time_weighted_avg",
     "orders_customer_bucketed_join",
+    # round 6c additions: corpus token explode + broadcast ratios,
+    # global two-pass prefix sum, gaps-and-islands window, RANGE-frame
+    # window, iterative recursive-CTE joins
+    "corpus_dsir_selection",
+    "corpus_weighted_resample",
+    "events_interval_coalesce",
+    "events_trailing_hour_stats",
+    "customers_hierarchy_recursive",
 ]
 
 TABLES = ["documents", "embeddings", "customer", "events", "orders"]
