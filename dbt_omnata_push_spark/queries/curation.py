@@ -14,7 +14,7 @@ hex (engine-portable); every ordering carries a unique tiebreak.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..engine.catalog import load_table
@@ -1407,4 +1407,75 @@ def orders_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("lo").cast("double").alias("lo"),
         F.col("hi").cast("double").alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed entity resolution: fuzzy blocking -> pair graph -> connected
+# components -> canonical cluster. The oracle cross-checks the ENTIRE
+# composition — including the iterative components stage — against
+# DuckDB's recursive-CTE reachability, so the exact hash covers an
+# iterative distributed algorithm end to end.
+# ---------------------------------------------------------------------------
+@query(
+    "customers_entity_resolution",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT a.c_custkey AS x, b.c_custkey AS y
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (
+      SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs
+    ),
+    reach AS (
+      SELECT x AS node, y AS r FROM edges
+      UNION
+      SELECT w.node, e.y FROM reach w JOIN edges e ON e.x = w.r
+    ),
+    labels AS (
+      SELECT c.c_custkey,
+             LEAST(c.c_custkey, COALESCE(MIN(r.r), c.c_custkey))
+               AS entity_id
+      FROM customer c LEFT JOIN reach r ON r.node = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_custkey, entity_id,
+           CAST(COUNT(*) OVER (PARTITION BY entity_id) AS BIGINT)
+             AS entity_size
+    FROM labels
+    """,
+    tags=("join", "fuzzy", "components", "entity-resolution"),
+)
+def customers_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over customer names, fully composed: symmetric-
+    delete fuzzy blocking (ops/fuzzyjoin.py, Levenshtein <= 1) mines the
+    match graph, min-label propagation (llmops/dedup.py::
+    connected_components, Observation-fixpoint, localCheckpoint lineage
+    truncation) resolves transitive clusters, and every customer —
+    matched or singleton — gets an entity id (min custkey of its
+    cluster) and cluster size. The oracle rebuilds the same answer from
+    first principles in DuckDB: all-pairs Levenshtein + recursive-CTE
+    reachability — an exact cross-engine check of an ITERATIVE
+    distributed algorithm, not just of one scan."""
+    from ..llmops.dedup import connected_components
+    from ..ops.fuzzyjoin import fuzzy_self_pairs
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = fuzzy_self_pairs(cust, "c_custkey", "c_name", max_dist=1)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    labeled = (
+        cust.select("c_custkey")
+        .join(comp, cust["c_custkey"] == comp["node"], "left")
+        .select(
+            "c_custkey",
+            F.coalesce("component", F.col("c_custkey")).alias("entity_id"),
+        )
+    )
+    w = Window.partitionBy("entity_id")
+    return labeled.select(
+        "c_custkey",
+        "entity_id",
+        F.count(F.lit(1)).over(w).alias("entity_size"),
     )
