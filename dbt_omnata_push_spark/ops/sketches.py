@@ -270,3 +270,81 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch. Unlike the HLL path above,
+# KMV over md5 is fully DETERMINISTIC — the sketch is "the k smallest
+# md5 digests of the distinct values" — so builds, merges, and the
+# estimator itself hash-match across engines: the one sketch family
+# that supports an exact DuckDB oracle, not just accuracy bounds.
+# ---------------------------------------------------------------------------
+
+KMV_K = 256  # ~1/sqrt(k-2) ≈ 6.3% relative standard error
+_HEX15_SPAN = float(1 << 60)  # conv(15 hex chars) spans [0, 2^60)
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, col, k: int = KMV_K
+) -> DataFrame:
+    """Per-group KMV sketch rows: the k lexicographically-smallest md5
+    digests of the group's DISTINCT values, one (group, h, rk) row
+    each.
+
+    Scale shape: distinct() first (one shuffle — dedup is the point of
+    a distinct sketch), then a per-group bottom-k window;
+    WindowGroupLimit pushes the rank filter below the sort so no group
+    ever materializes more than k rows per partition. The sketch table
+    is k rows/group and MERGEABLE: union sketch rows, re-rank, cut at
+    k — raw data never rescanned.
+    """
+    from pyspark.sql import Window
+
+    hashes = df.select(
+        F.col(key_col).alias("g"), F.md5(col.cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        hashes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(g, n_seen, kmv_est) per group. Groups with fewer than k
+    distinct values are EXACT (the sketch holds every hash); saturated
+    groups use the standard KMV estimator (k-1)/frac(kth smallest),
+    with the digest's first 15 hex chars as the uniform fraction —
+    every arithmetic step is deterministic, so the estimate itself is
+    oracle-checkable."""
+    kth_frac = (
+        F.conv(F.substring(F.max("h"), 1, 15), 16, 10).cast("double")
+        / F.lit(_HEX15_SPAN)
+    )
+    return (
+        sketch.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_seen"),
+            F.when(
+                F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+            )
+            .otherwise(F.lit(float(k - 1)) / kth_frac)
+            .alias("kmv_est"),
+        )
+    )
+
+
+def kmv_merge(sketches: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Merge all groups' sketch rows into ONE union sketch (group
+    '__union__'): distinct hashes across groups, re-ranked, cut at k.
+    This is the mergeability property — a per-day/per-partition sketch
+    table rolls up without touching raw data."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        sketches.select(F.lit("__union__").alias("g"), "h")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

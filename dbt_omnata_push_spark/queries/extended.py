@@ -1337,3 +1337,50 @@ def orders_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_from"
         ),
     )
+
+
+@query(
+    "events_kmv_distinct_users",
+    oracle="""
+    WITH hashes AS (
+      SELECT DISTINCT event_type AS g, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rk
+      FROM hashes
+    ),
+    merged AS (
+      SELECT '__union__' AS g, h,
+             ROW_NUMBER() OVER (ORDER BY h) AS rk
+      FROM (SELECT DISTINCT h FROM ranked WHERE rk <= 256)
+    ),
+    sk AS (
+      SELECT g, h FROM ranked WHERE rk <= 256
+      UNION ALL
+      SELECT g, h FROM merged WHERE rk <= 256
+    )
+    SELECT g, COUNT(*) AS n_seen,
+           CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 255.0 / (CAST(CAST(('0x' || substr(MAX(h), 1, 15))
+                       AS BIGINT) AS DOUBLE) / 1152921504606846976.0)
+           END AS kmv_est
+    FROM sk GROUP BY g
+    """,
+    tags=("sketch", "kmv", "distinct", "mergeable"),
+)
+def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketch per event type PLUS the merged
+    '__union__' rollup (ops/sketches.py::kmv_sketch/kmv_merge/
+    kmv_estimate): the k smallest md5 digests of each group's distinct
+    users, estimator (k-1)/frac(kth). Deterministic end to end — the
+    ONE sketch family whose build, merge, and estimate all hash-match
+    a DuckDB oracle exactly (HLL/GK ship accuracy bounds instead).
+    Mergeability is the scale story: the union row is computed from
+    the per-type sketch rows alone, never from raw events."""
+    from ..ops.sketches import kmv_estimate, kmv_merge, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "event_type", F.col("user_id")).persist()
+    both = sk.select("g", "h").unionByName(kmv_merge(sk).select("g", "h"))
+    return kmv_estimate(both)

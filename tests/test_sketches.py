@@ -127,3 +127,41 @@ class TestCountMin:
         # absent keys read only colliding mass; with load factor ~1 the
         # min over 4 rows stays tiny
         assert all(v <= 10 for v in est.values()), est
+
+
+# ----------------------------------------------------------------- KMV
+
+
+def test_kmv_exact_below_k_and_bounded_error_above(spark):
+    from dbt_omnata_push_spark.ops.sketches import kmv_estimate, kmv_sketch
+
+    rows = [("small", i % 50) for i in range(500)] + [
+        ("big", i) for i in range(20000)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    est = {
+        r["g"]: r
+        for r in kmv_estimate(
+            kmv_sketch(df, "event_type", F.col("user_id"))
+        ).collect()
+    }
+    assert est["small"]["n_seen"] == 50
+    assert est["small"]["kmv_est"] == 50.0  # exact below k
+    # saturated group: standard KMV RSE ~ 1/sqrt(k-2) ~ 6.3%; allow 4x
+    assert abs(est["big"]["kmv_est"] - 20000) / 20000 < 0.25
+
+
+def test_kmv_merge_equals_direct_union_sketch(spark):
+    from dbt_omnata_push_spark.ops.sketches import kmv_merge, kmv_sketch
+
+    rows = [("a", i) for i in range(3000)] + [("b", i + 1500) for i in range(3000)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    merged = kmv_merge(kmv_sketch(df, "event_type", F.col("user_id")))
+    direct = kmv_sketch(
+        df.withColumn("event_type", F.lit("__union__")),
+        "event_type",
+        F.col("user_id"),
+    )
+    a = sorted(r["h"] for r in merged.collect())
+    b = sorted(r["h"] for r in direct.collect())
+    assert a == b  # merging per-group sketches == sketching the union
