@@ -688,3 +688,41 @@ def resize_avi(data: bytes, new_width: int, new_height: int) -> bytes:
             ]
         )
     return encode_avi(new_width, new_height, out_frames, fps=vid["fps"] or 10)
+
+
+def dhash64(data: bytes) -> int:
+    """64-bit difference hash (dHash) of an image payload: decode
+    (BMP/PNG/GIF via the pure-Python decoders above), Rec. 601
+    grayscale, nearest-neighbour downsample to a 9x8 grid, then one
+    bit per horizontal gradient (left pixel strictly brighter than its
+    right neighbour). The classic perceptual-hash property falls out
+    of the construction: any monotone per-pixel brightness change that
+    preserves strict pixel order (uniform offset/gain without
+    clipping) leaves every gradient comparison — and therefore the
+    hash — bit-identical. Returned as a SIGNED 64-bit int (two's
+    complement wrap) so it fits Spark's LongType.
+    """
+    kind = sniff(data)
+    if kind == "bmp":
+        img = decode_bmp(data)
+    elif kind == "png":
+        img = decode_png(data)
+    elif kind == "gif":
+        img = decode_gif(data)
+    else:
+        raise ValueError(f"dhash64: unsupported payload kind {kind!r}")
+    w, h, px = img["width"], img["height"], img["pixels"]
+    gray = [
+        [
+            0.299 * px[(y * h) // 8][(x * w) // 9][0]
+            + 0.587 * px[(y * h) // 8][(x * w) // 9][1]
+            + 0.114 * px[(y * h) // 8][(x * w) // 9][2]
+            for x in range(9)
+        ]
+        for y in range(8)
+    ]
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            bits = (bits << 1) | (1 if gray[y][x] > gray[y][x + 1] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits

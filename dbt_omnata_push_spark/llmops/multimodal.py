@@ -225,3 +225,86 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(frames_batch, FRAME_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def perceptual_dhash(media: DataFrame) -> DataFrame:
+    """(media_id, phash) via the 64-bit difference hash
+    (llmops/codecs.py::dhash64) — REAL decode for BMP/PNG/GIF payloads;
+    anything else raises at the stage boundary (perceptual hashing of
+    undecodable bytes would be silently meaningless, so no stub here).
+
+    Partition-preserving mapInPandas, same Arrow batch shape as
+    extract_features. Downstream grouping is an equi-join/groupBy on
+    the 8-byte hash — image near-dup at corpus scale costs one shuffle
+    of (id, long), never of pixels.
+    """
+    import pandas as pd
+
+    from . import codecs
+
+    def hash_batch(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["payload"].map(codecs.dhash64),
+                }
+            )
+
+    return media.mapInPandas(hash_batch, PHASH_SCHEMA)
+
+
+def documents_as_synthetic_bmps(
+    df: DataFrame, id_col: str = "doc_id", n_groups: int = 100
+) -> DataFrame:
+    """Deterministic 9x8 grayscale BMPs from the documents table: the
+    base image is md5(doc_id % n_groups) bytes mapped into [40, 219]
+    (72 pixels), plus a per-document uniform brightness offset of
+    2*(doc_id % 7) — clip-free by construction, so dHash is provably
+    invariant within a group while distinct groups get pseudorandom
+    gradients. This is the planted structure the phash-dedup oracle
+    checks against pure SQL."""
+    import hashlib
+
+    import pandas as pd
+
+    from . import codecs
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                g = int(doc_id) % n_groups
+                base = hashlib.md5(f"img:{g}".encode()).digest()
+                base = (base * 5)[:72]  # 72 pixel seeds
+                off = 2 * (int(doc_id) % 7)
+                px = [
+                    [
+                        (
+                            40 + (base[y * 9 + x] % 180) + off,
+                        )
+                        * 3
+                        for x in range(9)
+                    ]
+                    for y in range(8)
+                ]
+                payloads.append(codecs.encode_bmp(9, 8, px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "mime": "image/bmp",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(build, MEDIA_SCHEMA)

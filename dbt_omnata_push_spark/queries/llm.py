@@ -2062,3 +2062,41 @@ def similarity_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return PQ.pq_topk_refined(codes, emb, queries, books, k=10, rerank=100)
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS canonical_doc, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY doc_id % 100
+    """,
+    tags=("multimodal", "phash", "dedup", "image"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup grouping by 64-bit perceptual difference hash
+    (llmops/codecs.py::dhash64 over REAL pure-Python BMP decode): each
+    document renders a deterministic 9x8 BMP whose base image depends
+    only on doc_id % 100 plus a per-document uniform brightness offset
+    (llmops/multimodal.py::documents_as_synthetic_bmps). dHash compares
+    neighbouring pixels, so the clip-free brightness shift leaves the
+    hash bit-identical — the defining perceptual-hash robustness
+    property — and grouping by phash must reproduce the doc_id % 100
+    partition EXACTLY, which is what the pure-SQL oracle checks (any
+    cross-group 64-bit collision or lost invariance breaks the hash
+    row). Scale shape: encode+hash are partition-preserving Arrow
+    stages; the dedup shuffle carries (id, int64) only — never pixels."""
+    from ..llmops.multimodal import (
+        documents_as_synthetic_bmps,
+        perceptual_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = perceptual_dhash(documents_as_synthetic_bmps(docs))
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.min("media_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select("canonical_doc", "n_docs")
+    )

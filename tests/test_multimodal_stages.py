@@ -358,3 +358,53 @@ def test_avi_through_feature_and_resize_stages(spark):
     vid = decode_avi(bytes(resized[0]["payload"]))
     assert (vid["width"], vid["height"], len(vid["frames"])) == (3, 2, 5)
     assert resized[0]["width"] == 3 and resized[0]["height"] == 2
+
+
+# ------------------------------------------------------------- dHash
+
+
+def test_dhash_brightness_invariance_and_gradient_sensitivity():
+    from dbt_omnata_push_spark.llmops import codecs
+
+    base = [[(40 + ((x * 13 + y * 7) % 180),) * 3 for x in range(9)] for y in range(8)]
+    h0 = codecs.dhash64(codecs.encode_bmp(9, 8, base))
+    # uniform clip-free brightness shift: hash must be bit-identical
+    brighter = [[(r + 20, g + 20, b + 20) for r, g, b in row] for row in base]
+    assert codecs.dhash64(codecs.encode_bmp(9, 8, brighter)) == h0
+    # flipping one horizontal gradient must flip exactly that bit
+    flipped = [row[:] for row in base]
+    flipped[0][0], flipped[0][1] = flipped[0][1], flipped[0][0]
+    h1 = codecs.dhash64(codecs.encode_bmp(9, 8, flipped))
+    assert h1 != h0
+
+
+def test_dhash_codec_agnostic_bmp_vs_png():
+    from dbt_omnata_push_spark.llmops import codecs
+
+    px = [[(40 + ((x * 29 + y * 3) % 180),) * 3 for x in range(9)] for y in range(8)]
+    h_bmp = codecs.dhash64(codecs.encode_bmp(9, 8, px))
+    h_png = codecs.dhash64(codecs.encode_png(9, 8, px, filter_type=4))
+    assert h_bmp == h_png  # same pixels, different container
+
+
+def test_dhash_rejects_undecodable_payloads():
+    import pytest
+
+    from dbt_omnata_push_spark.llmops import codecs
+
+    with pytest.raises(ValueError, match="unsupported payload"):
+        codecs.dhash64(b"plain text is not an image")
+
+
+def test_dhash_downsamples_larger_images():
+    from dbt_omnata_push_spark.llmops import codecs
+
+    # 18x16 image that nearest-neighbour-reduces to the 9x8 base grid
+    base = [[(40 + ((x * 13 + y * 7) % 180),) * 3 for x in range(9)] for y in range(8)]
+    big = [
+        [base[y // 2][x // 2] for x in range(18)]
+        for y in range(16)
+    ]
+    assert codecs.dhash64(codecs.encode_bmp(18, 16, big)) == codecs.dhash64(
+        codecs.encode_bmp(9, 8, base)
+    )
