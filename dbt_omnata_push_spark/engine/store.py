@@ -164,6 +164,112 @@ class TableStore:
             for entry in os.listdir(d):
                 if entry.startswith("v=") and int(entry[2:]) <= cur - keep:
                     shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+                elif entry.startswith("dv_v=") and int(entry[5:]) <= cur - keep:
+                    shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+
+    # -- deletion vectors ---------------------------------------------------
+    @staticmethod
+    def _dv_dir(version_dir: str) -> str:
+        # SIBLING of the version dir (dv_v=N next to v=N), not inside
+        # it: an underscore-prefixed subdir would be hidden from the
+        # data scan, but Spark's listing filter also refuses to READ
+        # an underscore path back ("All paths were ignored"), and a
+        # plain-named subdir would leak into the data scan. A sibling
+        # is invisible to the v=N scan and reads normally; vacuum
+        # removes it together with its version.
+        return os.path.join(
+            os.path.dirname(version_dir),
+            "dv_" + os.path.basename(version_dir),
+        )
+
+    @staticmethod
+    def _relpath_expr(version_dir: str):
+        """File identity relative to the version root — stable across
+        hard-link/copy retention because _retain_file/_promote_dir keep
+        basenames and partition-directory names."""
+        marker = "/" + os.path.basename(version_dir) + "/"
+        return F.element_at(
+            F.split(F.col("_metadata.file_path"), marker), -1
+        )
+
+    def _apply_dv(
+        self, spark: SparkSession, df: DataFrame, version_dir: str
+    ) -> DataFrame:
+        """Filter out rows listed in the version's deletion vector (a
+        broadcast anti-join on (file relpath, row_index) — O(deleted)
+        extra work, zero when no DV exists)."""
+        dv_dir = self._dv_dir(version_dir)
+        if not os.path.isdir(dv_dir):
+            return df
+        dv = spark.read.parquet(dv_dir)
+        marked = df.withColumn(
+            "_dv_rel", self._relpath_expr(version_dir)
+        ).withColumn("_dv_idx", F.col("_metadata.row_index"))
+        cond = (marked["_dv_rel"] == dv["relpath"]) & (
+            marked["_dv_idx"] == dv["row_index"]
+        )
+        return (
+            marked.join(F.broadcast(dv), cond, "left_anti")
+            .drop("_dv_rel", "_dv_idx")
+        )
+
+    def delete_where(self, spark: SparkSession, name: str, predicate) -> int:
+        """Targeted row deletion via DELETION VECTORS (the Delta/Iceberg
+        merge-on-read DELETE): matching row positions are recorded in a
+        per-version ``_dv`` sidecar and every data file is carried into
+        the new version unrewritten — commit cost is O(matched rows +
+        #files metadata), not O(table). Reads apply the vector as a
+        broadcast anti-join; rewrite paths (overwrite, unpartitioned
+        merge, OPTIMIZE/compact) read through the vector and so
+        MATERIALIZE the deletes, clearing the sidecar naturally.
+        Returns the number of newly deleted row positions.
+        """
+        v = self.current_version(name)
+        if v is None:
+            raise FileNotFoundError(f"table not found: {name}")
+        old_dir = os.path.join(self._dir(name), f"v={v}")
+        raw = spark.read.option("mergeSchema", "true")
+        meta = self.meta(name)
+        if meta.get("partition_by") and meta.get("schema"):
+            raw = raw.schema(StructType.fromJson(meta["schema"]))
+        hits = (
+            raw.parquet(old_dir)
+            .filter(predicate)
+            .select(
+                self._relpath_expr(old_dir).alias("relpath"),
+                F.col("_metadata.row_index").alias("row_index"),
+            )
+        )
+        old_dv_dir = self._dv_dir(old_dir)
+        if os.path.isdir(old_dv_dir):
+            old_dv = spark.read.parquet(old_dv_dir)
+            n_new = hits.join(
+                old_dv, ["relpath", "row_index"], "left_anti"
+            ).count()
+            merged_dv = hits.unionByName(old_dv).distinct()
+        else:
+            n_new = hits.count()
+            merged_dv = hits.distinct()
+
+        new_dir = os.path.join(self._dir(name), f"v={v + 1}")
+        shutil.rmtree(new_dir, ignore_errors=True)
+        for root, dirs, files in os.walk(old_dir):
+            if os.path.basename(root) == "_dv":
+                continue
+            dirs[:] = [d for d in dirs if d != "_dv"]
+            rel = os.path.relpath(root, old_dir)
+            dst_root = new_dir if rel == "." else os.path.join(new_dir, rel)
+            os.makedirs(dst_root, exist_ok=True)
+            for fname in files:
+                self._retain_file(
+                    os.path.join(root, fname), os.path.join(dst_root, fname)
+                )
+        staging = os.path.join(self._dir(name), "_dv_staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        merged_dv.coalesce(1).write.mode("overwrite").parquet(staging)
+        self._promote_dir(staging, self._dv_dir(new_dir))
+        self._set_version(name, v + 1)
+        return n_new
 
     # -- operations -------------------------------------------------------
     def read(self, spark: SparkSession, name: str) -> DataFrame:
@@ -175,7 +281,8 @@ class TableStore:
             # rather than file inference; the partition column resolves
             # from directory names on non-empty reads.
             reader = reader.schema(StructType.fromJson(meta["schema"]))
-        return reader.parquet(self.data_path(name))
+        path = self.data_path(name)
+        return self._apply_dv(spark, reader.parquet(path), path)
 
     def versions(self, name: str) -> list[int]:
         """Version numbers still on disk, ascending (vacuum trims old
@@ -203,7 +310,8 @@ class TableStore:
                 f"(on disk: {self.versions(name)}; vacuum removes old versions)"
             )
         reader = spark.read.option("mergeSchema", "true")
-        return reader.parquet(os.path.join(self._dir(name), f"v={version}"))
+        path = os.path.join(self._dir(name), f"v={version}")
+        return self._apply_dv(spark, reader.parquet(path), path)
 
     def create(
         self,
@@ -340,13 +448,32 @@ class TableStore:
                 os.path.join(staging, entry), os.path.join(new_dir, entry)
             )
         old_dir = os.path.join(table_dir, f"v={v}")
+        untouched = []
         for entry in os.listdir(old_dir):
             if entry.startswith(f"{pcol}=") and entry not in staged:
+                untouched.append(entry)
                 shutil.copytree(
                     os.path.join(old_dir, entry),
                     os.path.join(new_dir, entry),
                     copy_function=self._retain_file,  # same bytes, no rewrite
                 )
+        # Deletion vectors: touched partitions were re-read DV-applied
+        # (their deletes just materialized in staging), but the retained
+        # partitions carry their files verbatim — carry their DV rows
+        # too, or deleted rows would resurrect.
+        if untouched and os.path.isdir(self._dv_dir(old_dir)):
+            kept_dv = (
+                spark.read.parquet(self._dv_dir(old_dir))
+                .filter(
+                    F.element_at(F.split(F.col("relpath"), "/"), 1).isin(
+                        untouched
+                    )
+                )
+            )
+            dv_staging = os.path.join(table_dir, "_dv_staging")
+            shutil.rmtree(dv_staging, ignore_errors=True)
+            kept_dv.coalesce(1).write.mode("overwrite").parquet(dv_staging)
+            self._promote_dir(dv_staging, self._dv_dir(new_dir))
         shutil.rmtree(staging, ignore_errors=True)
         self._set_meta(name, pcol, merged.schema)
         self._set_version(name, v + 1)
@@ -398,7 +525,8 @@ class TableStore:
                     os.path.join(staging, entry), os.path.join(new_dir, entry)
                 )
         closed_entry = f"{pcol}=false"
-        old_closed = os.path.join(table_dir, f"v={v}", closed_entry)
+        old_ver_dir = os.path.join(table_dir, f"v={v}")
+        old_closed = os.path.join(old_ver_dir, closed_entry)
         if os.path.isdir(old_closed):
             new_closed = os.path.join(new_dir, closed_entry)
             os.makedirs(new_closed, exist_ok=True)
@@ -410,6 +538,17 @@ class TableStore:
                         os.path.join(old_closed, fname),
                         os.path.join(new_closed, fname),
                     )
+        # Deletion-vector carry for the retained closed partition (the
+        # open partition was rebuilt from open_df, so its DV rows drop).
+        if os.path.isdir(self._dv_dir(old_ver_dir)):
+            kept_dv = spark.read.parquet(self._dv_dir(old_ver_dir)).filter(
+                F.element_at(F.split(F.col("relpath"), "/"), 1)
+                == closed_entry
+            )
+            dv_staging = os.path.join(table_dir, "_dv_staging")
+            shutil.rmtree(dv_staging, ignore_errors=True)
+            kept_dv.coalesce(1).write.mode("overwrite").parquet(dv_staging)
+            self._promote_dir(dv_staging, self._dv_dir(new_dir))
         shutil.rmtree(staging, ignore_errors=True)
         self._set_meta(name, pcol, merged.schema)
         self._set_version(name, v + 1)

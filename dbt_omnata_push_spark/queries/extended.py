@@ -1384,3 +1384,56 @@ def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = kmv_sketch(ev, "event_type", F.col("user_id")).persist()
     both = sk.select("g", "h").unionByName(kmv_merge(sk).select("g", "h"))
     return kmv_estimate(both)
+
+
+@query(
+    "orders_gdpr_delete",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_custkey % 97 <> 0
+    GROUP BY o_orderstatus
+    """,
+    tags=("store", "delete", "deletion-vectors", "gdpr"),
+)
+def orders_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten deletes through DELETION VECTORS
+    (engine/store.py::delete_where): orders land in the versioned
+    store, every order of the affected customers (o_custkey % 97 == 0)
+    is deleted by predicate — recorded as (file, row_index) positions
+    in a dv_v=N sidecar with every data file carried unrewritten, an
+    O(matched + file-metadata) commit — and the post-delete aggregate
+    must match SQL's WHERE-excluded view of the raw table exactly.
+    Reads apply the vector as a broadcast anti-join; OPTIMIZE-style
+    rewrites materialize it (tests/test_deletion_vectors.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine.store import TableStore
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_dv_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    store = TableStore(root)
+    store.create(spark, "orders_dv", od)
+    store.delete_where(spark, "orders_dv", F.col("o_custkey") % 97 == 0)
+    return (
+        store.read(spark, "orders_dv")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("total_cents"),
+        )
+    )
