@@ -99,6 +99,20 @@ HEADLINE = [
     "events_time_weighted_avg",
     "events_hourly_gapfill",
     "events_minmax_downsample",
+    # round 6c: importance scoring/resampling, gaps-and-islands, RANGE
+    # frame, recursive CTE, composed entity resolution, KMV sketch,
+    # perceptual-hash image dedup, deletion-vector GDPR delete
+    "corpus_dsir_selection",
+    "corpus_weighted_resample",
+    "events_interval_coalesce",
+    "events_trailing_hour_stats",
+    "events_counter_rate",
+    "events_hourly_gapfill_locf",
+    "customers_hierarchy_recursive",
+    "customers_entity_resolution",
+    "events_kmv_distinct_users",
+    "multimodal_phash_dedup",
+    "orders_gdpr_delete",
 ]
 
 
