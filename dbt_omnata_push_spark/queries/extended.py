@@ -1437,3 +1437,63 @@ def orders_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_cents").alias("total_cents"),
         )
     )
+
+
+@query(
+    "orders_mv_routed_rollup",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("store", "mv", "routing", "rollup"),
+)
+def orders_mv_routed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view routing (ops/mvrouter.py): a rollup grouped by
+    (status, priority) is materialized in the store in the
+    IVM-maintainable shape, then a coarser GROUP BY status query is
+    answered ENTIRELY from the MV — COUNT(*) re-aggregates as
+    SUM(n_rows), SUM as SUM(sum_c) with NULL-iff-no-non-null restored
+    from the maintained non-null counts. The oracle recomputes the
+    answer from the raw fact table, so the hash proves rollup-lattice
+    subsumption is lossless; tests/test_mvrouter.py additionally pins
+    that the routed plan's input files are the MV's, never the fact
+    table's."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine.store import TableStore
+    from ..ops.mvrouter import MaterializedView, create_mv, route
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_mv_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    store = TableStore(root)
+    mv = MaterializedView(
+        table="orders_rollup",
+        source="orders",
+        group_cols=["o_orderstatus", "o_orderpriority"],
+        sum_cols=["price_cents"],
+    )
+    create_mv(spark, store, mv, od)
+    routed = route(
+        spark, store, [mv], "orders", ["o_orderstatus"], ["price_cents"]
+    )
+    assert routed is not None  # the MV subsumes this request
+    return routed.select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("sum_price_cents"),
+    )
