@@ -113,6 +113,7 @@ HEADLINE = [
     "events_kmv_distinct_users",
     "multimodal_phash_dedup",
     "orders_gdpr_delete",
+    "orders_mv_routed_rollup",
 ]
 
 
