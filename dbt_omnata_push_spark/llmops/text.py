@@ -417,3 +417,74 @@ def rarity_score(
             .alias("rarity_bucket"),
         )
     )
+
+
+def redact_terms(
+    df: DataFrame,
+    denylist: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dictionary-based redaction with STABLE pseudonyms: every token
+    on the denylist becomes ``X_<md5-prefix>`` — the same surface form
+    always maps to the same pseudonym, so downstream co-occurrence /
+    dedup statistics survive scrubbing (the PII/watchlist-scrub stage
+    of a curation pipeline, expressed entirely in JVM HOFs: split once,
+    transform with a literal-map lookup, re-join; zero Python in the
+    row path and zero shuffles — the denylist is dimension-sized by
+    definition and ships as a literal map).
+
+    Output: id, ``redacted_text``, ``n_redactions``.
+    """
+    import hashlib
+
+    pairs = []
+    for w in denylist:
+        pairs.append(F.lit(w))
+        pairs.append(
+            F.lit("X_" + hashlib.md5(w.encode("utf-8")).hexdigest()[:8])
+        )
+    # an argless create_map() is VOID-typed and fails lambda lookups;
+    # type the empty denylist explicitly
+    mapping = (
+        F.create_map(*pairs)
+        if pairs
+        else F.expr("CAST(map() AS MAP<STRING, STRING>)")
+    )
+    words = F.split(F.col(text_col), " ")
+
+    def replaced(wv):
+        return F.transform(
+            wv, lambda t: F.coalesce(mapping[t], t)
+        )
+
+    def hits(wv):
+        return F.size(F.filter(wv, lambda t: mapping[t].isNotNull()))
+
+    # bind the token array once as a lambda variable (the word_ngrams
+    # trick) so tokenization isn't re-run per element by CollapseProject
+    inner_text = F.transform(F.array(words), lambda wv: F.array_join(replaced(wv), " "))
+    inner_hits = F.transform(F.array(words), lambda wv: hits(wv))
+    return df.select(
+        F.col(id_col),
+        F.element_at(inner_text, 1).alias("redacted_text"),
+        F.element_at(inner_hits, 1).cast("long").alias("n_redactions"),
+    )
+
+
+def top_terms(
+    df: DataFrame, k: int, text_col: str = "text"
+) -> list[str]:
+    """The k most frequent tokens (count desc, token asc tiebreak) —
+    a deterministic, dimension-sized denylist source. One explode +
+    map-side-partial count + TakeOrdered; the k-row collect is the
+    denylist itself, bounded by design."""
+    rows = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(k)
+        .collect()
+    )
+    return [r["w"] for r in rows]

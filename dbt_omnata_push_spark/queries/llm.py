@@ -2100,3 +2100,41 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("canonical_doc", "n_docs")
     )
+
+
+@query(
+    "corpus_term_redaction",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    top AS (
+      SELECT w FROM tok GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT 20
+    ),
+    dl AS (SELECT list(w) AS denylist FROM top)
+    SELECT doc_id,
+           array_to_string(
+             list_transform(
+               string_split(text, ' '),
+               t -> CASE WHEN list_contains(denylist, t)
+                         THEN 'X_' || substr(md5(t), 1, 8) ELSE t END
+             ), ' ') AS redacted_text,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> list_contains(denylist, t)))
+                AS BIGINT) AS n_redactions
+    FROM documents CROSS JOIN dl
+    """,
+    tags=("llm", "text", "redaction", "pii"),
+)
+def corpus_term_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watchlist scrubbing with stable pseudonyms (llmops/text.py::
+    redact_terms): the corpus's 20 most frequent tokens play the
+    denylist (computed by top_terms — a bounded k-row collect, the
+    denylist IS dimension-sized), and every occurrence is rewritten to
+    the same md5-derived pseudonym so co-occurrence structure survives
+    scrubbing. The redaction itself is a pure map-side JVM-HOF pass —
+    zero shuffles, zero Python per row — and the oracle reproduces
+    every redacted byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    denylist = T.top_terms(docs, 20)
+    return T.redact_terms(docs, denylist)

@@ -266,3 +266,41 @@ def test_pii_redact_idempotent(spark, pieces):
     once = T.pii_redact(df).select(F.col("redacted").alias("text"), "doc_id")
     twice = T.pii_redact(once).collect()[0]
     assert twice["redacted"] == twice["text"]
+
+
+# ------------------------------------------------------------ redaction
+
+
+def test_redact_terms_stable_pseudonyms_and_counts(spark):
+    import hashlib
+
+    from dbt_omnata_push_spark.llmops.text import redact_terms
+
+    df = spark.createDataFrame(
+        [(1, "alice met bob and alice left"), (2, "charlie met nobody")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_terms(df, ["alice", "bob"]).collect()}
+    pa = "X_" + hashlib.md5(b"alice").hexdigest()[:8]
+    pb = "X_" + hashlib.md5(b"bob").hexdigest()[:8]
+    assert out[1]["redacted_text"] == f"{pa} met {pb} and {pa} left"
+    assert out[1]["n_redactions"] == 3
+    assert out[2]["redacted_text"] == "charlie met nobody"
+    assert out[2]["n_redactions"] == 0
+
+
+def test_redact_terms_empty_denylist_is_identity(spark):
+    from dbt_omnata_push_spark.llmops.text import redact_terms
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    r = redact_terms(df, []).collect()[0]
+    assert r["redacted_text"] == "a b c" and r["n_redactions"] == 0
+
+
+def test_top_terms_deterministic_tiebreak(spark):
+    from dbt_omnata_push_spark.llmops.text import top_terms
+
+    df = spark.createDataFrame(
+        [(1, "b a"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    assert top_terms(df, 2) == ["a", "b"]  # equal counts -> lexicographic
