@@ -2138,3 +2138,47 @@ def corpus_term_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     denylist = T.top_terms(docs, 20)
     return T.redact_terms(docs, denylist)
+
+
+@query(
+    "dedup_jaccard_prefix_join",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(words) - 2),
+                         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                  ELSE [array_to_string(words, ' ')] END AS toks
+      FROM w
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks))) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / (len(a.toks) + len(b.toks)
+               - len(list_intersect(a.toks, b.toks))) >= 0.6
+    """,
+    tags=("llm", "dedup", "jaccard", "ppjoin", "exact"),
+)
+def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.6 near-dup pairs over word-3-gram
+    shingle sets via prefix-filtered set-similarity join (ops/setjoin.py — the PPJoin
+    family): rarest-first global token order, |s|-ceil(0.6|s|)+1
+    prefixes, candidate equi-join on prefix tokens with the length
+    filter inside the join condition, exact verification on candidates
+    only. MinHash-LSH is the probabilistic sibling; this one MISSES
+    NOTHING, and the all-pairs oracle is the losslessness proof."""
+    from ..llmops.dedup import with_shingles
+    from ..ops.setjoin import jaccard_join_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = with_shingles(docs, n=3).select(
+        F.col("doc_id").alias("sid"), F.col("shingles").alias("tokens")
+    )
+    return jaccard_join_exact(sets, 0.6)
