@@ -137,11 +137,19 @@ class TableStore:
     def exists(self, name: str) -> bool:
         return self.current_version(name) is not None
 
-    def _set_version(self, name: str, v: int) -> None:
+    def _set_version(self, name: str, v: int, op: str = "commit") -> None:
         tmp = self._version_file(name) + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, self._version_file(name))  # atomic pointer swap
+        # Operation log (DESCRIBE HISTORY analogue): one JSON line per
+        # committed version. Appended AFTER the pointer swap — history
+        # is advisory metadata, never the source of truth for reads.
+        import time
+
+        with open(os.path.join(self._dir(name), "_LOG"), "a") as f:
+            json.dump({"version": v, "op": op, "ts_unix": time.time()}, f)
+            f.write("\n")
 
     def vacuum(self, name: str | None = None, keep: int = 1) -> None:
         """Delete superseded version directories.
@@ -268,7 +276,7 @@ class TableStore:
         shutil.rmtree(staging, ignore_errors=True)
         merged_dv.coalesce(1).write.mode("overwrite").parquet(staging)
         self._promote_dir(staging, self._dv_dir(new_dir))
-        self._set_version(name, v + 1)
+        self._set_version(name, v + 1, op="delete")
         return n_new
 
     # -- operations -------------------------------------------------------
@@ -283,6 +291,22 @@ class TableStore:
             reader = reader.schema(StructType.fromJson(meta["schema"]))
         path = self.data_path(name)
         return self._apply_dv(spark, reader.parquet(path), path)
+
+    def history(self, spark: SparkSession, name: str) -> DataFrame:
+        """DESCRIBE HISTORY analogue: one row per committed version
+        (version, op, ts_unix), newest first — advisory metadata read
+        from the append-only _LOG, never consulted by reads."""
+        log = os.path.join(self._dir(name), "_LOG")
+        rows = []
+        if os.path.exists(log):
+            with open(log) as f:
+                for line in f:
+                    if line.strip():
+                        rows.append(json.loads(line))
+        return spark.createDataFrame(
+            [(r["version"], r["op"], float(r["ts_unix"])) for r in rows],
+            "version long, op string, ts_unix double",
+        ).orderBy(F.desc("version"))
 
     def versions(self, name: str) -> list[int]:
         """Version numbers still on disk, ascending (vacuum trims old
@@ -330,7 +354,7 @@ class TableStore:
             writer = writer.partitionBy(partition_by)
         writer.parquet(os.path.join(self._dir(name), f"v={v}"))
         self._set_meta(name, partition_by, df.schema)
-        self._set_version(name, v)
+        self._set_version(name, v, op="create")
 
     def append(self, spark: SparkSession, name: str, df: DataFrame) -> None:
         """insert into ... select (salesforce_bulk_load.sql:35-47)."""
@@ -476,7 +500,7 @@ class TableStore:
             self._promote_dir(dv_staging, self._dv_dir(new_dir))
         shutil.rmtree(staging, ignore_errors=True)
         self._set_meta(name, pcol, merged.schema)
-        self._set_version(name, v + 1)
+        self._set_version(name, v + 1, op="merge")
 
     def scd2_commit(
         self,
@@ -551,7 +575,7 @@ class TableStore:
             self._promote_dir(dv_staging, self._dv_dir(new_dir))
         shutil.rmtree(staging, ignore_errors=True)
         self._set_meta(name, pcol, merged.schema)
-        self._set_version(name, v + 1)
+        self._set_version(name, v + 1, op="scd2_commit")
 
     def update_from(
         self,
@@ -612,7 +636,7 @@ class TableStore:
             writer = writer.partitionBy(pcol)
         writer.parquet(os.path.join(self._dir(name), f"v={new_v}"))
         self._set_meta(name, pcol if pcol in df.columns else None, df.schema)
-        self._set_version(name, new_v)
+        self._set_version(name, new_v, op="rewrite")
 
     def read_changes(
         self,

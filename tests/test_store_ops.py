@@ -416,3 +416,22 @@ class TestCopyLinkModes:
 
         with pytest.raises(ValueError, match="link_mode"):
             TableStore(str(tmp_path / "bad"), link_mode="s3")
+
+
+def test_history_records_operations_in_order(spark, tmp_path):
+    from dbt_omnata_push_spark.engine.store import TableStore
+    from pyspark.sql import functions as F
+
+    store = TableStore(str(tmp_path / "s"))
+    store.create(spark, "t", spark.range(10))
+    store.merge_upsert(
+        spark, "t", spark.range(5).select((F.col("id") + 100).alias("id")), "id"
+    )
+    store.delete_where(spark, "t", F.col("id") == 0)
+    hist = store.history(spark, "t").collect()
+    assert [(r["version"], r["op"]) for r in hist] == [
+        (2, "delete"),
+        (1, "rewrite"),  # unpartitioned merge rewrites
+        (0, "create"),
+    ]
+    assert all(r["ts_unix"] > 0 for r in hist)
