@@ -342,3 +342,58 @@ def test_substring_spans_shuffles_hashes_not_text(spark, sf_dir):
     plan = _formatted_plan(REGISTRY["dedup_substring_spans"].fn(spark, sf_dir))
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]+)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+# ------------------------------------------------- round-6c operators
+
+
+def test_trailing_hour_stats_single_keyed_window_shuffle(spark, sf_dir):
+    plan = _formatted_plan(
+        REGISTRY["events_trailing_hour_stats"].fn(spark, sf_dir)
+    )
+    assert "Window" in plan
+    # one keyed exchange feeds the RANGE-frame window; no extra
+    # shuffles ("Exchange (" counts tree nodes once — the formatted
+    # output repeats each node in the details section)
+    assert plan.count("Exchange (") == 1
+
+
+def test_counter_rate_map_side_partial_aggregation(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["events_counter_rate"].fn(spark, sf_dir))
+    # lag window (1 exchange on the key) then partial->final aggregate
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange (") <= 2
+
+
+def test_dsir_distribution_frames_broadcast(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["corpus_dsir_selection"].fn(spark, sf_dir))
+    # the <=n_buckets ratio frame rides a broadcast join onto doc feats;
+    # nothing in the plan is a cartesian product
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k selection, no full sort
+
+
+def test_jaccard_prefix_join_all_equi_joins(spark, sf_dir):
+    plan = _formatted_plan(
+        REGISTRY["dedup_jaccard_prefix_join"].fn(spark, sf_dir)
+    )
+    # the losslessness proof is the oracle; the scale proof is that no
+    # stage degenerates to an all-pairs product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_entity_resolution_no_cartesian_stage(spark, sf_dir):
+    plan = _formatted_plan(
+        REGISTRY["customers_entity_resolution"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_sketch_uses_window_group_limit(spark, sf_dir):
+    plan = _formatted_plan(
+        REGISTRY["events_kmv_distinct_users"].fn(spark, sf_dir)
+    )
+    # bottom-k per group must push the rank filter below the sort
+    assert "WindowGroupLimit" in plan
