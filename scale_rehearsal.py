@@ -66,6 +66,14 @@ QUERIES = [
     "events_interval_coalesce",
     "events_trailing_hour_stats",
     "customers_hierarchy_recursive",
+    # round 6c second wave: composed ER, exact prefix-filtered jaccard,
+    # image phash dedup, KMV sketch, map-side redaction, DV delete
+    "customers_entity_resolution",
+    "dedup_jaccard_prefix_join",
+    "multimodal_phash_dedup",
+    "events_kmv_distinct_users",
+    "corpus_term_redaction",
+    "orders_gdpr_delete",
 ]
 
 TABLES = ["documents", "embeddings", "customer", "events", "orders"]
