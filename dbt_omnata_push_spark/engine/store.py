@@ -144,12 +144,20 @@ class TableStore:
         os.replace(tmp, self._version_file(name))  # atomic pointer swap
         # Operation log (DESCRIBE HISTORY analogue): one JSON line per
         # committed version. Appended AFTER the pointer swap — history
-        # is advisory metadata, never the source of truth for reads.
+        # is advisory metadata, never the source of truth for reads —
+        # so an IO failure here (disk full, crash mid-append) must not
+        # propagate out of an already-committed version swap; history()
+        # skips any torn line the failure left behind (ADVICE r6).
         import time
 
-        with open(os.path.join(self._dir(name), "_LOG"), "a") as f:
-            json.dump({"version": v, "op": op, "ts_unix": time.time()}, f)
-            f.write("\n")
+        try:
+            with open(os.path.join(self._dir(name), "_LOG"), "a") as f:
+                json.dump(
+                    {"version": v, "op": op, "ts_unix": time.time()}, f
+                )
+                f.write("\n")
+        except OSError:
+            pass  # commit already durable; the log row is best-effort
 
     def vacuum(self, name: str | None = None, keep: int = 1) -> None:
         """Delete superseded version directories.
@@ -301,8 +309,15 @@ class TableStore:
         if os.path.exists(log):
             with open(log) as f:
                 for line in f:
-                    if line.strip():
+                    if not line.strip():
+                        continue
+                    try:
                         rows.append(json.loads(line))
+                    except ValueError:
+                        # A torn/partial line from a crash or disk-full
+                        # mid-append (the log write is best-effort, see
+                        # _set_version) must not poison history forever.
+                        continue
         return spark.createDataFrame(
             [(r["version"], r["op"], float(r["ts_unix"])) for r in rows],
             "version long, op string, ts_unix double",
@@ -626,6 +641,23 @@ class TableStore:
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._dir(name), ignore_errors=True)
+
+    def purge(self, spark: SparkSession, name: str) -> None:
+        """Physically erase deleted/superseded rows (GDPR erasure).
+
+        A deletion-vector delete_where is an O(matched) logical commit:
+        the dropped rows' BYTES remain readable in the carried
+        (hard-linked) data files and in every prior version until a
+        materializing rewrite lands AND old versions are vacuumed
+        (ADVICE r6). purge() performs exactly that pair: rewrite the
+        current DV-applied view into fresh parquet (new files — no
+        hard links back to old bytes, no DV sidecar), then vacuum
+        every superseded version directory. After purge(), no file on
+        disk contains the deleted rows. Time travel to pre-purge
+        versions intentionally raises (same contract as vacuum)."""
+        current = self.read(spark, name)  # DV-applied view
+        self._rewrite(spark, name, current)
+        self.vacuum(name, keep=1)
 
     def _rewrite(self, spark: SparkSession, name: str, df: DataFrame) -> None:
         v = self.current_version(name)

@@ -160,6 +160,34 @@ def _bloom_pos_col(col, j: int, m_bits: int = _BLOOM_M_BITS):
     ).cast("int")
 
 
+def _render_probe(spark: SparkSession, value) -> str:
+    """Render ``value`` exactly as the JVM rendered ``CAST(col AS
+    STRING)`` at Bloom build time.
+
+    ADVICE r6: probing with Python ``str(value)`` diverges from the
+    JVM rendering for booleans ('True' vs 'true'), doubles ('1e+16'
+    vs '1.0E16'), decimals and timestamps — a divergent rendering
+    probes the wrong bits and silently SKIPS files that contain
+    matching rows, violating the no-false-negative contract. Fast
+    path: bool/int/str render identically in both runtimes. Anything
+    else goes through Spark itself (a constant-folded 1-row literal
+    cast — no table scan)."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, str):
+        return value
+    if isinstance(value, int):
+        return str(value)
+    row = (
+        spark.range(1).select(F.lit(value).cast("string").alias("v")).first()
+    )
+    if row is None or row["v"] is None:
+        raise TypeError(
+            f"unsupported Bloom probe type: {type(value).__name__}"
+        )
+    return row["v"]
+
+
 def collect_file_blooms(
     spark: SparkSession,
     store: TableStore,
@@ -226,15 +254,17 @@ def read_skipping_eq(
     """Read rows with ``col = value``, scheduling ONLY files whose Bloom
     might contain the value (no false negatives -> lossless pruning;
     pinned by tests/test_filestats.py). Files absent from the manifest
-    are conservatively kept. Probing is pure driver-side arithmetic —
-    no Spark job, no scan."""
+    are conservatively kept. Probing is driver-side arithmetic over the
+    manifest — no table scan (non-int/str probes cost one 1-row literal
+    cast so the rendering matches the JVM's, see _render_probe)."""
     import base64
 
     path = store.data_path(name)
     with open(os.path.join(path, BLOOM_MANIFEST_NAME)) as f:
         doc = json.load(f)
     m_bits, k = doc["m_bits"], doc["k"]
-    positions = [_bloom_pos_py(str(value), j, m_bits) for j in range(k)]
+    probe = _render_probe(spark, value)
+    positions = [_bloom_pos_py(probe, j, m_bits) for j in range(k)]
 
     def norm(p: str) -> str:
         return p.split("://", 1)[-1]

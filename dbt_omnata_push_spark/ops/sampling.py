@@ -147,9 +147,30 @@ def systematic_weighted_resample(
     from .packing import with_prefix_sum
 
     h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    # Precondition enforcement (ADVICE r6): a negative weight corrupts
+    # the interval/tick arithmetic (sum(n_copies) != k, silently) and a
+    # non-integral weight would be silently floored by the cast. Both
+    # fail fast AT EXECUTION via a map-side raise_error guard — no
+    # extra eager scan, the check rides the existing pass.
+    w_raw = F.col(weight_col)
+    w_long = w_raw.cast("long")
+    w_checked = F.when(
+        w_raw.isNull()
+        | (w_long < 0)
+        | (w_long.cast("double") != w_raw.cast("double")),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "systematic_weighted_resample: weights must be "
+                    "non-negative integers, got "
+                ),
+                w_raw.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(w_long)
     base = df.select(
         F.col(id_col),
-        F.col(weight_col).cast("long").alias("_w"),
+        w_checked.alias("_w"),
         h.alias("_h"),
     )
     pref = with_prefix_sum(base, ["_h", id_col], "_w", out="_lo", exclusive=True)

@@ -1408,7 +1408,15 @@ def orders_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(matched + file-metadata) commit — and the post-delete aggregate
     must match SQL's WHERE-excluded view of the raw table exactly.
     Reads apply the vector as a broadcast anti-join; OPTIMIZE-style
-    rewrites materialize it (tests/test_deletion_vectors.py)."""
+    rewrites materialize it (tests/test_deletion_vectors.py).
+
+    Because right-to-be-forgotten demands PHYSICAL erasure — the DV
+    commit alone leaves the deleted bytes readable in the carried
+    files and in prior versions (ADVICE r6) — the GDPR path finishes
+    with store.purge(): a materializing rewrite of the DV-applied
+    view into fresh parquet plus a vacuum of every superseded
+    version. tests/test_deletion_vectors.py pins that no on-disk
+    file still contains a purged key afterwards."""
     import os
     import shutil
     import tempfile
@@ -1429,6 +1437,7 @@ def orders_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = TableStore(root)
     store.create(spark, "orders_dv", od)
     store.delete_where(spark, "orders_dv", F.col("o_custkey") % 97 == 0)
+    store.purge(spark, "orders_dv")  # physical erasure, not just DV
     return (
         store.read(spark, "orders_dv")
         .groupBy("o_orderstatus")

@@ -234,7 +234,11 @@ def stream_events_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..engine.store import TableStore
-    from ..streaming.ivm_stream import BATCH_COL, ivm_maintained_stream
+    from ..streaming.ivm_stream import (
+        BATCH_COL,
+        RUN_COL,
+        ivm_maintained_stream,
+    )
 
     root = os.path.join(
         tempfile.gettempdir(),
@@ -248,4 +252,4 @@ def stream_events_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         store,
         checkpoint_dir=os.path.join(root, "ckpt"),
     )
-    return store.read(spark, "events_type_rollup").drop(BATCH_COL)
+    return store.read(spark, "events_type_rollup").drop(BATCH_COL, RUN_COL)

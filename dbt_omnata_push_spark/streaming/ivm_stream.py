@@ -13,6 +13,13 @@ pipeline actually runs:
   version swap covers data + progress), and a replayed batch id is
   skipped. A separate progress table would reintroduce the
   torn-write window between two non-atomic commits.
+- the replay guard is scoped to a RUN IDENTITY, not the bare batch
+  id (ADVICE r6): Structured Streaming batch ids restart at 0 under
+  a fresh checkpoint directory, so "batch_id <= last" alone would
+  silently skip every batch of a restarted pipeline and leave the
+  view permanently stale. The maintained table stores the checkpoint
+  run id next to the batch id; a lower batch id only counts as a
+  replay when it arrives from the SAME run.
 
 Verification: stream result == batch groupBy over the same source
 (tests/test_streaming_ivm.py), plus a forced-replay test.
@@ -30,6 +37,31 @@ from ..ops.ivm import apply_cdc, build_agg
 from .events import _events_stream
 
 BATCH_COL = "_last_batch"
+RUN_COL = "_run_id"
+
+
+def checkpoint_run_id(checkpoint_dir: str) -> str:
+    """Stable identity for one checkpoint lifetime.
+
+    A uuid marker file inside the checkpoint directory: restarts from
+    the same checkpoint read the same id (batch ids continue, replays
+    are detectable); wiping/recreating the checkpoint dir mints a new
+    id (batch ids restart at 0 and must NOT look like replays)."""
+    import os
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "_sg_run_id")
+    try:
+        with open(marker) as f:
+            return f.read().strip()
+    except OSError:
+        run_id = uuid.uuid4().hex
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(run_id)
+        os.replace(tmp, marker)
+        return run_id
 
 
 def fold_batch(
@@ -40,22 +72,35 @@ def fold_batch(
     batch_id: int,
     keys: list[str],
     sum_cols: list[str],
+    run_id: str = "default",
 ) -> str:
     """Fold one micro-batch of INSERT rows into the maintained
-    aggregate. Returns 'applied' | 'replayed' | 'created'."""
+    aggregate. Returns 'applied' | 'replayed' | 'created'.
+
+    A batch is a replay ONLY if its id is <= the stored watermark AND
+    it comes from the same checkpoint run (ADVICE r6: a fresh
+    checkpoint restarts batch ids at 0; without the run check every
+    new batch would be mis-skipped and the view frozen)."""
     changes = batch_df.withColumn("change_type", F.lit("insert"))
     if store.exists(table):
         cur = store.read(spark, table)
-        last = cur.agg(F.max(BATCH_COL)).collect()[0][0]
-        if last is not None and batch_id <= last:
+        head = cur.select(F.max(BATCH_COL), F.any_value(RUN_COL)).collect()[0]
+        last, stored_run = head[0], head[1]
+        if last is not None and stored_run == run_id and batch_id <= last:
             return "replayed"  # at-least-once delivery; effect once
-        new = apply_cdc(cur.drop(BATCH_COL), changes, keys, sum_cols)
+        new = apply_cdc(
+            cur.drop(BATCH_COL, RUN_COL), changes, keys, sum_cols
+        )
         status = "applied"
     else:
         new = build_agg(batch_df, keys, sum_cols)
         status = "created"
     store.overwrite(
-        spark, table, new.withColumn(BATCH_COL, F.lit(batch_id))
+        spark,
+        table,
+        new.withColumn(BATCH_COL, F.lit(batch_id)).withColumn(
+            RUN_COL, F.lit(run_id)
+        ),
     )
     return status
 
@@ -76,12 +121,21 @@ def ivm_maintained_stream(
         F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
     )
 
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="sg_ivm_stream_")
+    run_id = checkpoint_run_id(ckpt)
+
     def _fold(bdf: DataFrame, bid: int) -> None:
         fold_batch(
-            spark, store, table, bdf, bid, ["event_type"], ["value_cents"]
+            spark,
+            store,
+            table,
+            bdf,
+            bid,
+            ["event_type"],
+            ["value_cents"],
+            run_id=run_id,
         )
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="sg_ivm_stream_")
     (
         stream.writeStream.foreachBatch(_fold)
         .option("checkpointLocation", ckpt)

@@ -114,3 +114,34 @@ def test_systematic_resample_all_zero_weight_empty(spark):
 
     df = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, w long")
     assert systematic_weighted_resample(df, 5, "w", "doc_id").count() == 0
+
+
+def test_resample_rejects_negative_and_fractional_weights(spark):
+    """ADVICE r6: a negative (or silently-floored fractional) weight
+    corrupts the tick arithmetic so sum(n_copies) != k with no error.
+    The guard raises at execution instead."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dbt_omnata_push_spark.ops.sampling import systematic_weighted_resample
+
+    neg = spark.createDataFrame(
+        [("a", 5), ("b", -3), ("c", 2)], "doc_id string, w long"
+    )
+    with pytest.raises(Exception) as ei:
+        systematic_weighted_resample(neg, 4, "w", "doc_id").collect()
+    assert "non-negative" in str(ei.value)
+
+    frac = spark.createDataFrame(
+        [("a", 5.0), ("b", 2.5)], "doc_id string, w double"
+    )
+    with pytest.raises(Exception) as ei2:
+        systematic_weighted_resample(frac, 4, "w", "doc_id").collect()
+    assert "non-negative" in str(ei2.value)
+
+    # integral doubles are fine (exactness preserved by the cast)
+    ok = spark.createDataFrame(
+        [("a", 5.0), ("b", 3.0)], "doc_id string, w double"
+    )
+    out = systematic_weighted_resample(ok, 4, "w", "doc_id").collect()
+    assert sum(r["n_copies"] for r in out) == 4

@@ -175,3 +175,40 @@ def test_bloom_nulls_set_no_bits(spark, tmp_path):
     store.create(spark, "t", df)
     collect_file_blooms(spark, store, "t", ["y"])
     assert {r["id"] for r in read_skipping_eq(spark, store, "t", "y", "a").collect()} == {1}
+
+
+def test_bloom_probe_rendering_matches_jvm_for_tricky_types(spark, tmp_path):
+    """ADVICE r6: Python str(value) diverges from the JVM's
+    CAST(col AS STRING) for booleans ('True' vs 'true'), large doubles
+    ('1e+16' vs '1.0E16') and timestamps — the probe must render
+    through the same cast so pruning stays lossless for EVERY type."""
+    import datetime
+
+    from dbt_omnata_push_spark.ops.filestats import (
+        collect_file_blooms,
+        read_skipping_eq,
+    )
+
+    store = TableStore(str(tmp_path / "bltypes"))
+    df = spark.createDataFrame(
+        [
+            (1, True, 1e16, datetime.datetime(2024, 5, 1, 12, 30, 0)),
+            (2, False, 0.5, datetime.datetime(2024, 5, 2, 0, 0, 0)),
+            (3, True, -3.25, datetime.datetime(2024, 5, 3, 23, 59, 59)),
+        ],
+        "id long, b boolean, d double, ts timestamp",
+    )
+    store.create(spark, "t", df)
+    collect_file_blooms(spark, store, "t", ["b", "d", "ts"])
+    # booleans: Python would render 'True'; JVM renders 'true'
+    assert {r["id"] for r in read_skipping_eq(spark, store, "t", "b", True).collect()} == {1, 3}
+    # large double: Python '1e+16' vs JVM '1.0E16'
+    assert {r["id"] for r in read_skipping_eq(spark, store, "t", "d", 1e16).collect()} == {1}
+    assert {r["id"] for r in read_skipping_eq(spark, store, "t", "d", -3.25).collect()} == {3}
+    # timestamp: Python isoformat has 'T'; JVM uses a space
+    assert {
+        r["id"]
+        for r in read_skipping_eq(
+            spark, store, "t", "ts", datetime.datetime(2024, 5, 2)
+        ).collect()
+    } == {2}

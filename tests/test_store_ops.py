@@ -435,3 +435,59 @@ def test_history_records_operations_in_order(spark, tmp_path):
         (0, "create"),
     ]
     assert all(r["ts_unix"] > 0 for r in hist)
+
+
+def test_history_tolerates_torn_log_line(spark, tmp_path):
+    """ADVICE r6: a torn/partial _LOG line (crash or disk-full
+    mid-append) must not make history() raise forever — the log is
+    advisory; unparsable lines are skipped."""
+    import os
+
+    store = TableStore(str(tmp_path / "torn"))
+    df = spark.createDataFrame([(1,)], "id long")
+    store.create(spark, "t", df)
+    store.overwrite(spark, "t", df)
+    log = os.path.join(store.root, "t", "_LOG")
+    with open(log, "a") as f:
+        f.write('{"version": 99, "op": "rew')  # torn mid-append
+    rows = store.history(spark, "t").collect()
+    assert [r["version"] for r in rows] == [1, 0]
+
+
+def test_purge_physically_erases_deleted_rows(spark, tmp_path):
+    """ADVICE r6: DV delete alone leaves deleted bytes readable in the
+    carried files and prior versions; purge() (rewrite + vacuum) must
+    remove them from every file on disk."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    store = TableStore(str(tmp_path / "purge"))
+    df = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("secret-"), F.col("id")).alias("payload")
+    )
+    store.create(spark, "t", df)
+    store.delete_where(spark, "t", F.col("id") % 10 == 0)
+    # pre-purge: the rows are still on disk somewhere (DV is logical)
+    tdir = os.path.join(store.root, "t")
+
+    def ids_on_disk():
+        files = [
+            os.path.join(root, e)
+            for root, _dirs, fs in os.walk(tdir)
+            for e in fs
+            # data files only (dv_v=N sidecars hold row positions)
+            if e.endswith(".parquet") and "/dv_v=" not in root
+        ]
+        return {r["id"] for r in spark.read.parquet(*files).collect()}
+
+    assert 10 in ids_on_disk()
+    store.purge(spark, "t")
+    remaining = ids_on_disk()
+    assert remaining.isdisjoint({i for i in range(0, 100, 10)})
+    assert 11 in remaining  # surviving rows intact
+    # every superseded version directory is gone
+    assert store.versions("t") == [store.current_version("t")]
+    kept = store.read(spark, "t")
+    assert kept.count() == 90
+    assert kept.filter(F.col("id") % 10 == 0).count() == 0

@@ -89,3 +89,40 @@ def test_progress_rides_in_the_same_table(spark, tmp_path):
     fold_batch(spark, store, "t", b0, 5, ["event_type"], ["value_cents"])
     cols = store.read(spark, "t").columns
     assert BATCH_COL in cols  # one atomic swap covers data + progress
+
+
+def test_fresh_checkpoint_restart_is_not_mistaken_for_replay(spark, tmp_path):
+    """ADVICE r6: batch ids restart at 0 under a fresh checkpoint dir.
+    Without a run identity the guard would skip every new batch as
+    'replayed' and freeze the view; with it, a new run's batch 0
+    applies even though the stored watermark is higher."""
+    from dbt_omnata_push_spark.engine.store import TableStore
+    from dbt_omnata_push_spark.streaming.ivm_stream import checkpoint_run_id
+
+    store = TableStore(str(tmp_path / "store"))
+    b0 = spark.createDataFrame(
+        [("a", 100), ("b", 50)], "event_type string, value_cents long"
+    )
+    b1 = spark.createDataFrame([("a", 25)], "event_type string, value_cents long")
+    run1 = checkpoint_run_id(str(tmp_path / "ckpt1"))
+    args = (["event_type"], ["value_cents"])
+    assert fold_batch(spark, store, "t", b0, 0, *args, run_id=run1) == "created"
+    assert fold_batch(spark, store, "t", b1, 1, *args, run_id=run1) == "applied"
+    # same run, same id -> replay (unchanged semantics)
+    assert fold_batch(spark, store, "t", b1, 1, *args, run_id=run1) == "replayed"
+    # NEW checkpoint: ids restart at 0 but must still apply
+    run2 = checkpoint_run_id(str(tmp_path / "ckpt2"))
+    assert run2 != run1
+    assert fold_batch(spark, store, "t", b1, 0, *args, run_id=run2) == "applied"
+    got = {
+        r["event_type"]: r["sum_value_cents"]
+        for r in store.read(spark, "t").collect()
+    }
+    assert got["a"] == 150  # 100 + 25 + 25 (second run's batch applied)
+
+
+def test_checkpoint_run_id_stable_across_restarts(tmp_path):
+    from dbt_omnata_push_spark.streaming.ivm_stream import checkpoint_run_id
+
+    p = str(tmp_path / "ck")
+    assert checkpoint_run_id(p) == checkpoint_run_id(p)
