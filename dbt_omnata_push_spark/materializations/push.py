@@ -95,7 +95,7 @@ def _salesforce_bulk_load(engine, model, records: DataFrame, legacy=False) -> Ru
     if not engine.vars.get("full-refresh-salesforce", False) and records.isEmpty():
         return RunResult(model.name, "skipped", message="empty load, no-op")
 
-    connector = get_connector("salesforce", cfg)
+    connector = get_connector("salesforce", cfg, engine.vars)
     load_type = cfg.get("operation") if legacy else cfg.get("load_type", "upsert")
     object_name = cfg.get("object_name")
     external_id_field = cfg.get("external_id_field")
@@ -106,7 +106,7 @@ def _salesforce_bulk_load(engine, model, records: DataFrame, legacy=False) -> Ru
     job_id = str(meta["id"])
 
     # (2) task row (salesforce_bulk_load.sql:21-31).
-    tracking.ensure_tracking_table(engine, tracking.SFDC_LOAD_TASKS)
+    tasks_tbl = tracking.ensure_tracking_table(engine, tracking.SFDC_LOAD_TASKS)
     spark = engine.spark
     task_row = spark.createDataFrame(
         [
@@ -126,7 +126,7 @@ def _salesforce_bulk_load(engine, model, records: DataFrame, legacy=False) -> Ru
     ).withColumn("creation_time", F.current_timestamp())
     engine.store.merge_upsert(
         spark,
-        tracking.SFDC_LOAD_TASKS,
+        tasks_tbl,
         task_row.select(*tracking.SCHEMAS[tracking.SFDC_LOAD_TASKS].fieldNames()),
         "job_id",
     )
@@ -184,10 +184,10 @@ def _salesforce_bulk_load(engine, model, records: DataFrame, legacy=False) -> Ru
         F.col("record"),
         F.col("result"),
     )
-    tracking.ensure_tracking_table(engine, tracking.SFDC_LOAD_TASK_LOGS)
-    engine.store.merge_upsert(
-        spark, tracking.SFDC_LOAD_TASK_LOGS, logs, "job_log_entry_id"
+    logs_tbl = tracking.ensure_tracking_table(
+        engine, tracking.SFDC_LOAD_TASK_LOGS
     )
+    engine.store.merge_upsert(spark, logs_tbl, logs, "job_log_entry_id")
     pushed.unpersist()
 
     # (4) close job + UPDATE...FROM (salesforce_bulk_load.sql:51-56).
@@ -196,7 +196,7 @@ def _salesforce_bulk_load(engine, model, records: DataFrame, legacy=False) -> Ru
         [(job_id, json.dumps(close_meta))], "job_id string, close_metadata string"
     )
     engine.store.update_from(
-        spark, tracking.SFDC_LOAD_TASKS, patch, "job_id", ["close_metadata"]
+        spark, tasks_tbl, patch, "job_id", ["close_metadata"]
     )
     return RunResult(model.name, "success", rows_affected=n, extra={"job_id": job_id})
 
@@ -209,7 +209,7 @@ def _salesforce_bulk_load(engine, model, records: DataFrame, legacy=False) -> Ru
 
 def _marketing_cloud_upload(engine, model, records: DataFrame) -> RunResult:
     cfg = model.config
-    connector = get_connector("marketing_cloud", cfg)
+    connector = get_connector("marketing_cloud", cfg, engine.vars)
     spark = engine.spark
 
     # (1) ensure data extension exists — driver (upload.sql:19-33).
@@ -327,8 +327,10 @@ def _marketing_cloud_upload(engine, model, records: DataFrame) -> RunResult:
     )
     # INSERT ALL (upload.sql:37-42): first row seeds the task, all rows
     # log -> two writes from the persisted result.
-    tracking.ensure_tracking_table(engine, tracking.SFMC_LOAD_TASKS)
-    tracking.ensure_tracking_table(engine, tracking.SFMC_LOAD_TASK_LOGS)
+    tasks_tbl = tracking.ensure_tracking_table(engine, tracking.SFMC_LOAD_TASKS)
+    logs_tbl = tracking.ensure_tracking_table(
+        engine, tracking.SFMC_LOAD_TASK_LOGS
+    )
     task_row = spark.createDataFrame(
         [
             (
@@ -344,12 +346,12 @@ def _marketing_cloud_upload(engine, model, records: DataFrame) -> RunResult:
     ).withColumn("creation_time", F.current_timestamp())
     engine.store.merge_upsert(
         spark,
-        tracking.SFMC_LOAD_TASKS,
+        tasks_tbl,
         task_row.select(*tracking.SCHEMAS[tracking.SFMC_LOAD_TASKS].fieldNames()),
         "job_id",
     )
     engine.store.merge_upsert(
-        spark, tracking.SFMC_LOAD_TASK_LOGS, logs, "job_log_entry_id"
+        spark, logs_tbl, logs, "job_log_entry_id"
     )
     results.unpersist()
     indexed.unpersist()

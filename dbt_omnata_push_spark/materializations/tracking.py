@@ -77,15 +77,51 @@ PARTITION_BY: dict[str, str] = {
 }
 
 
-def ensure_tracking_table(engine, name: str) -> None:
+def resolve(engine, name: str) -> str:
+    """Apply the reference's tracking-table namespace override
+    (README.md:106-116: ``+database:``/``+schema:`` per sfdc/sfmc model
+    group relocates the task tables). Engine vars carry the analogue:
+
+        vars={"tracking_table_namespace": {
+            "sfdc": {"database": "other_db", "schema": "other_schema"},
+            "sfmc": {"schema": "other_schema"},
+        }}
+
+    (or a plain string applying to both groups). The returned STORE
+    name is dot-qualified — ``other_db.other_schema.sfdc_load_tasks``
+    — which TableStore maps to its own directory, so relocated tables
+    never collide with the default flat names. Default: unchanged flat
+    name, bit-compatible with every existing store."""
+    ns = engine.vars.get("tracking_table_namespace")
+    if not ns:
+        return name
+    if isinstance(ns, str):
+        prefix = ns
+    else:
+        group = "sfdc" if name.startswith("sfdc") else "sfmc"
+        over = ns.get(group) or {}
+        if isinstance(over, str):
+            prefix = over
+        else:
+            prefix = ".".join(
+                p for p in (over.get("database"), over.get("schema")) if p
+            )
+    return f"{prefix}.{name}" if prefix else name
+
+
+def ensure_tracking_table(engine, name: str) -> str:
     """Create the table from its declared empty schema if missing
     (the reference forces these via '-- depends_on' edges; our push
-    materializations ensure them directly)."""
-    if not engine.store.exists(name):
+    materializations ensure them directly). ``name`` is the LOGICAL
+    name (a SCHEMAS key); the store name returned reflects any
+    namespace override and is what callers must read/merge against."""
+    store_name = resolve(engine, name)
+    if not engine.store.exists(store_name):
         spark: SparkSession = engine.spark
         engine.store.create(
             spark,
-            name,
+            store_name,
             spark.createDataFrame([], SCHEMAS[name]),
             partition_by=PARTITION_BY.get(name),
         )
+    return store_name
