@@ -52,6 +52,8 @@ _RECHECK_PRIORITY = [
     "stream_events_dedup",  # r7: gained an exact DuckDB oracle
     "orders_gdpr_delete",  # r7: purge (rewrite+vacuum) appended
     "customers_bloom_membership",  # r7: portable md5 family -> exact oracle
+    "documents_bm25_topk",  # r7: new (hash-exact BM25 scores)
+    "documents_hybrid_rrf",  # r7: new (hash-exact RRF fusion)
 ]
 
 

@@ -2190,3 +2190,126 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("sid"), F.col("shingles").alias("tokens")
     )
     return jaccard_join_exact(sets, 0.6)
+
+
+# ---------------------------------------------------------------------------
+# Ranked retrieval (r7): log-free BM25 + hybrid reciprocal-rank fusion.
+# Both hash-exact: the rarity-ratio IDF removes ln() (the one cross-
+# engine-unstable op in textbook BM25), contributions sum in fixed term
+# order, and RRF is integer-rank reciprocals — see llmops/retrieval.py.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("vector", "window", "merge")
+
+
+def _bm25_sql(limit: int) -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    contribs = "\n       + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"((n - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf{i} AS DOUBLE) * 2.2)"
+        f" / (CAST(tf{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        f" ELSE 0.0 END)"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH per AS (
+      SELECT doc_id,
+         len(string_split(text, ' ')) AS dl,
+         {tf_cols}
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         {df_cols}
+      FROM per
+    ),
+    scored AS (
+      SELECT doc_id,
+             ({contribs}) AS score
+      FROM per, stats
+    )
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored WHERE score > 0
+    ) WHERE rank <= {limit}
+    """
+
+
+@query(
+    "documents_bm25_topk",
+    oracle=_bm25_sql(20),
+    tags=("llm", "retrieval", "bm25"),
+)
+def documents_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by log-free BM25 for a fixed 3-term query.
+    One map-side tf/length pass, a 1-row broadcast stats aggregate,
+    map-side scoring, TakeOrdered top-k — the SCORE itself is in the
+    value hash (IEEE-exact op sequence, fixed summation order)."""
+    from ..llmops.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, list(_BM25_TERMS), k=20)
+
+
+def _hybrid_oracle() -> str:
+    bm25 = _bm25_sql(50).replace("\n", "\n    ")
+    return f"""
+    WITH bm AS ({bm25}),
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    ann AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY list_cosine_similarity(
+                 q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id
+             ) AS rank
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      QUALIFY rank <= 50
+    )
+    SELECT doc_id, rrf_score, rank FROM (
+      SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+             (COALESCE(1.0 / (60 + bm.rank), 0.0)
+              + COALESCE(1.0 / (60 + ann.rank), 0.0)) AS rrf_score,
+             ROW_NUMBER() OVER (
+               ORDER BY (COALESCE(1.0 / (60 + bm.rank), 0.0)
+                         + COALESCE(1.0 / (60 + ann.rank), 0.0)) DESC,
+                        COALESCE(bm.doc_id, ann.doc_id)
+             ) AS rank
+      FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
+    ) WHERE rank <= 10
+    """
+
+
+@query(
+    "documents_hybrid_rrf",
+    oracle=_hybrid_oracle(),
+    tags=("llm", "retrieval", "hybrid", "rrf"),
+)
+def documents_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 (term query) fused with the exact
+    cosine top-50 for embedding 0 (doc_id == vec_id in the testdata) by
+    reciprocal-rank fusion, final top-10. The fusion score is two
+    integer-rank reciprocals summed in fixed order — hash-exact, like
+    the BM25 score feeding it."""
+    from ..llmops.retrieval import bm25_topk, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, list(_BM25_TERMS), k=50).select("doc_id", "rank")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    ann = (
+        S.brute_force_topk(emb, qv, k=50, allow_full_scan=True)
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse(bm, ann, k=10).select("doc_id", "rrf_score", "rank")
