@@ -114,6 +114,9 @@ HEADLINE = [
     "multimodal_phash_dedup",
     "orders_gdpr_delete",
     "orders_mv_routed_rollup",
+    # round 7: hash-exact ranked retrieval (map-side BM25 + RRF fusion)
+    "documents_bm25_topk",
+    "documents_hybrid_rrf",
 ]
 
 

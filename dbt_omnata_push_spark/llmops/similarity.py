@@ -556,6 +556,31 @@ def ivf_build_index(
     write_partitioned(cells, path, ["cluster"])
 
 
+def ivf_index_append(
+    emb_new: DataFrame,
+    centroids: list,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to an existing IVF index WITHOUT
+    retraining or rewriting the corpus (r7): the new batch is assigned
+    to the FROZEN codebook's cells and appended into the per-cluster
+    directories — O(batch), the index-maintenance shape a continuously-
+    ingesting 100 TB corpus needs (FAISS `add` after `train`). Search
+    results over an appended index are EXACTLY those over an index
+    rebuilt from the union corpus with the same centroids (pytest-
+    pinned): cell assignment depends only on (vector, codebook), and
+    dynamic partition discovery unions the appended files per cell.
+    Retrain + rebuild only when codebook drift degrades recall."""
+    cells = assign_clusters(emb_new, centroids, vec_col)
+    (
+        cells.repartition("cluster")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+
+
 def ivf_topk_indexed(
     spark,
     index_path: str,

@@ -543,3 +543,42 @@ def test_lsh_multiprobe_raises_recall_at_constant_storage(spark, sf_dir):
     c1 = S.lsh_candidates(emb, queries, n_probes=1).count()
     c4 = S.lsh_candidates(emb, queries, n_probes=4).count()
     assert c4 > c1
+
+
+def test_ivf_index_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """r7: appending a batch to a frozen-codebook IVF index must yield
+    EXACTLY the search results of rebuilding the index from the union
+    corpus with the same centroids — and the appended search must stay
+    partition-pruned."""
+    import re
+
+    from dbt_omnata_push_spark.llmops.similarity import (
+        ivf_build_index,
+        ivf_index_append,
+        ivf_topk_indexed,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    centroids = kmeans_fit(old, k=8, max_iter=5, arrow_assign=True)
+
+    appended = str(tmp_path / "appended")
+    ivf_build_index(old, centroids, appended)
+    ivf_index_append(new, centroids, appended)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    ivf_build_index(emb, centroids, rebuilt)
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    res_a = ivf_topk_indexed(spark, appended, queries, centroids, k=10, nprobe=2)
+    res_b = ivf_topk_indexed(spark, rebuilt, queries, centroids, k=10, nprobe=2)
+    assert sorted(map(tuple, res_a.collect())) == sorted(
+        map(tuple, res_b.collect())
+    )
+    plan = res_a._jdf.queryExecution().executedPlan().toString()
+    scans = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cluster" in s for s in scans), plan[:1500]

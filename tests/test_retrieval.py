@@ -61,3 +61,15 @@ def test_rrf_fuses_both_lists(spark):
     assert out[10][0] == pytest.approx(1 / 61)
     assert out[40][0] == pytest.approx(1 / 62)
     assert set(out) == {10, 20, 30, 40}
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    """Scale contract: corpus scans once (doc_id+text only), stats ride
+    a 1-row broadcast, top-k is TakeOrderedAndProject — no corpus-sized
+    hash-partition shuffle anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, ["vector", "window", "merge"], k=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "ReadSchema" not in plan or "text" in plan
