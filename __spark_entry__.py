@@ -54,6 +54,8 @@ _RECHECK_PRIORITY = [
     "customers_bloom_membership",  # r7: portable md5 family -> exact oracle
     "documents_bm25_topk",  # r7: new (hash-exact BM25 scores)
     "documents_hybrid_rrf",  # r7: new (hash-exact RRF fusion)
+    "embeddings_knn_join",  # r7: new (all-pairs KNN join)
+    "documents_hashed_knn",  # r7: new (hashed text->vector search)
 ]
 
 

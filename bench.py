@@ -114,9 +114,12 @@ HEADLINE = [
     "multimodal_phash_dedup",
     "orders_gdpr_delete",
     "orders_mv_routed_rollup",
-    # round 7: hash-exact ranked retrieval (map-side BM25 + RRF fusion)
+    # round 7: hash-exact ranked retrieval (map-side BM25 + RRF fusion),
+    # blocked all-pairs KNN join, and the hashed text->vector bridge
     "documents_bm25_topk",
     "documents_hybrid_rrf",
+    "embeddings_knn_join",
+    "documents_hashed_knn",
 ]
 
 

@@ -123,3 +123,40 @@ def rrf_fuse(
         .limit(k)
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def hashed_tf_embedding(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Feature-hashed term-frequency vectors (r7): text -> a dense
+    ``dim``-component INTEGER count vector via the portable md5-prefix
+    bucket hash (the ops/filestats.py / ops/invindex.py family) — the
+    deterministic text->vector bridge that makes a full
+    text -> embed -> similarity-search pipeline exactly oracle-able
+    (hashing-trick of Weinberger et al.; integer counts, so downstream
+    cosine is a ratio of integer-derived doubles, bit-stable across
+    engines).
+
+    Scale shape: entirely map-side — one md5 per token
+    (F.transform), then ``dim`` array-count passes per row; no explode,
+    no shuffle. Output: (id, vec array<int>)."""
+    tokens = F.split(F.col(text_col), " ")
+    bucket = lambda x: (  # noqa: E731
+        F.conv(F.substring(F.md5(x.cast("binary")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % dim
+    )
+    bucketed = F.transform(tokens, bucket)
+
+    def count_of(i: int):
+        # single-arg lambda: a 2-arg lambda would bind the second
+        # parameter to the ARRAY INDEX, not the captured bucket id
+        return F.size(F.filter(bucketed, lambda b: b == F.lit(i)))
+
+    vec = F.array(*[count_of(i) for i in range(dim)])
+    return docs.select(id_col, *keep_cols, vec.alias("vec"))

@@ -556,6 +556,47 @@ def ivf_build_index(
     write_partitioned(cells, path, ["cluster"])
 
 
+def knn_join_blocked(
+    emb: DataFrame,
+    k: int = 3,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs top-k similarity JOIN (r7): for EVERY vector, its k
+    nearest cosine neighbors within its block — the similarity-join
+    operator class (SemDeDup neighborhoods, near-dup candidate mining,
+    kNN-graph construction) as opposed to the query-batch search the
+    `*_topk_*` family answers.
+
+    Scale shape: a block-keyed self-equi-join — O(sum of block^2), never
+    the n^2 cartesian — followed by a per-source window. ``block_col``
+    is the blocking key: the fixed label column here (deterministic,
+    exactly oracle-able), a trained k-means cell at scale (the IVF
+    posture: cluster sizes bounded by the codebook, same as
+    semantic_dedup_flags). Output: (src, dst, sim, rank)."""
+    from pyspark.sql import Window
+
+    a = emb.select(
+        F.col(block_col).alias("_b"),
+        F.col(id_col).alias("src"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = emb.select(
+        F.col(block_col).alias("_b"),
+        F.col(id_col).alias("dst"),
+        F.col(vec_col).alias("_vb"),
+    )
+    pairs = a.join(b, "_b").filter(F.col("src") != F.col("dst"))
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.col("dst"))
+    return (
+        pairs.select("src", "dst", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_index_append(
     emb_new: DataFrame,
     centroids: list,

@@ -2313,3 +2313,119 @@ def documents_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("doc_id"), "rank")
     )
     return rrf_fuse(bm, ann, k=10).select("doc_id", "rrf_score", "rank")
+
+
+@query(
+    "embeddings_knn_join",
+    oracle="""
+    SELECT src, dst, sim, rank FROM (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(list_cosine_similarity(
+               a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY ROUND(list_cosine_similarity(
+                 a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+                 b.vec_id
+             ) AS rank
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ) WHERE rank <= 3
+    """,
+    tags=("llm", "similarity", "knn-join"),
+)
+def embeddings_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs top-3 cosine KNN JOIN blocked by label (r7): every
+    vector gets its neighbors — the kNN-graph / SemDeDup-neighborhood
+    operator, O(sum block^2) not O(n^2). Blocking key is the fixed
+    label column (exactly oracle-able); at scale it is a trained
+    k-means cell (see knn_join_blocked docstring)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_join_blocked(emb, k=3, block_col="label")
+
+
+def _hashed_knn_oracle(dim: int = 64) -> str:
+    comps = ",\n         ".join(
+        f"len(list_filter(bk, b -> b = {i}))" for i in range(dim)
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             list_value({comps}) AS vec
+      FROM (
+        SELECT doc_id, lang,
+               list_transform(
+                 string_split(text, ' '),
+                 x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % {dim}
+               ) AS bk
+        FROM documents
+      )
+    )
+    SELECT src, dst, sim, rank FROM (
+      SELECT a.doc_id AS src, b.doc_id AS dst,
+             ROUND(list_cosine_similarity(
+               a.vec::DOUBLE[], b.vec::DOUBLE[]), 6) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.doc_id
+               ORDER BY ROUND(list_cosine_similarity(
+                 a.vec::DOUBLE[], b.vec::DOUBLE[]), 6) DESC, b.doc_id
+             ) AS rank
+      FROM h a JOIN h b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+      WHERE a.doc_id < 40
+    ) WHERE rank <= 3
+    """
+
+
+@query(
+    "documents_hashed_knn",
+    oracle=_hashed_knn_oracle(),
+    tags=("llm", "retrieval", "embedding", "knn-join"),
+)
+def documents_hashed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text -> vector -> similarity search, fully hash-exact
+    (r7): feature-hashed 64-dim INTEGER tf vectors (portable md5 bucket
+    hash, llmops/retrieval.py::hashed_tf_embedding) for every document,
+    then top-3 cosine neighbors within the same language for the first
+    40 docs — the deterministic miniature of embed-and-search whose
+    SCORES cross-engine hash-match (integer-count cosines)."""
+    from ..llmops.retrieval import hashed_tf_embedding
+    from ..llmops.similarity import cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    # ONE hash projection, persisted: both join sides reuse it instead
+    # of re-hashing the corpus (the a-side is then a 40-doc broadcast).
+    vecs = (
+        hashed_tf_embedding(
+            docs.select("doc_id", "lang", "text"),
+            dim=64,
+            keep_cols=("lang",),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.transform(F.col("vec"), lambda x: x.cast("double")).alias(
+                "vec"
+            ),
+        )
+        .persist()
+    )
+    a = vecs.filter(F.col("doc_id") < 40).select(
+        F.col("lang").alias("_b"),
+        F.col("doc_id").alias("src"),
+        F.col("vec").alias("_va"),
+    )
+    b = vecs.select(
+        F.col("lang").alias("_b"),
+        F.col("doc_id").alias("dst"),
+        F.col("vec").alias("_vb"),
+    )
+    from pyspark.sql import Window
+
+    pairs = b.join(F.broadcast(a), "_b").filter(F.col("src") != F.col("dst"))
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.col("dst"))
+    return (
+        pairs.select("src", "dst", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )

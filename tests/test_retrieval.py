@@ -73,3 +73,33 @@ def test_bm25_plan_shape(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "hashpartitioning" not in plan, plan[:2000]
     assert "ReadSchema" not in plan or "text" in plan
+
+
+def test_hashed_tf_embedding_counts(spark):
+    from dbt_omnata_push_spark.llmops.retrieval import hashed_tf_embedding
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["vec"] for r in hashed_tf_embedding(docs, dim=8).collect()}
+    assert sum(out[1]) == 3  # every token lands in exactly one bucket
+    assert len(out[1]) == 8
+    # 'a' twice -> one bucket holds 2
+    assert max(out[1]) == 2
+    assert sum(out[2]) == 1  # split('') yields one empty-string token
+
+
+def test_knn_join_blocked_shape(spark, sf_dir):
+    from dbt_omnata_push_spark.llmops.similarity import knn_join_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_join_blocked(emb, k=3, block_col="label")
+    rows = out.collect()
+    n = emb.count()
+    assert len(rows) == n * 3  # every vector has >= 3 same-label peers
+    per_src = {}
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in rows:
+        per_src.setdefault(r["src"], []).append(r)
+        assert labels[r["src"]] == labels[r["dst"]]  # never crosses blocks
+    assert all(sorted(x["rank"] for x in v) == [1, 2, 3] for v in per_src.values())
