@@ -94,9 +94,19 @@ class Engine:
         sql = model.compile_sql(ctx)
         if model.config.get("dialect") == "snowflake":
             # Reference-dialect model SQL runs near-verbatim (sqlfront).
-            from .sqlfront import GLOBAL_ROWNUM_MARKER, resolve_global_rownum, transpile
+            from .sqlfront import (
+                GLOBAL_ROWNUM_MARKER,
+                _AT_RE,
+                resolve_global_rownum,
+                resolve_time_travel,
+                transpile,
+            )
 
             sql = transpile(sql)
+            if _AT_RE.search(sql):
+                # Snowflake AT(VERSION/TIMESTAMP/OFFSET => ...) reads a
+                # historical store version through a temp view (r7).
+                sql = resolve_time_travel(self.spark, self.store, sql)
             if GLOBAL_ROWNUM_MARKER in sql:
                 # Global row numbering routes through with_global_index
                 # (no single-partition Window in the plan).

@@ -396,3 +396,67 @@ def resolve_global_rownum(spark, sql: str) -> str:
         sql = sql[:fs] + replacement + sql[fe:]
         sql = sql.replace(GLOBAL_ROWNUM_MARKER, _GID_COL, 1)
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Snowflake time travel: ``FROM t AT(VERSION => 3)`` /
+# ``AT(TIMESTAMP => '...')`` / ``AT(OFFSET => -3600)``  (r7).
+# Snowflake documents AT/BEFORE on any table; our store's immutable
+# version directories provide the same semantics (engine/store.py::
+# read_version). Resolution mirrors resolve_global_rownum: the FROM
+# target swaps for a temp view registered from the historical read, so
+# the query itself stays pure Spark SQL.
+# ---------------------------------------------------------------------------
+_AT_RE = re.compile(
+    r"\b([A-Za-z_][\w.]*)\s+at\s*\(\s*(version|timestamp|offset)\s*=>\s*"
+    r"('[^']*'|-?\d+(?:\.\d+)?)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def resolve_time_travel(spark, store, sql: str) -> str:
+    """Rewrite ``<table> AT(...)`` clauses to temp views over the
+    store's historical versions.
+
+    - ``VERSION => n``: read version n directly (raises if vacuumed —
+      never silently reads the wrong data, same contract as
+      read_version).
+    - ``TIMESTAMP => 'ts'`` (UTC): the latest version whose commit time
+      (operation log) is <= ts.
+    - ``OFFSET => -secs``: TIMESTAMP semantics at now+offset (offset
+      must be <= 0, as in Snowflake).
+    """
+    import datetime as _dt
+
+    def pick_version_at(name: str, cutoff_epoch: float) -> int:
+        rows = store.history(spark, name).collect()
+        eligible = [r["version"] for r in rows if r["ts_unix"] <= cutoff_epoch]
+        if not eligible:
+            raise ValueError(
+                f"time travel: no committed version of '{name}' at or "
+                f"before the requested time"
+            )
+        return max(eligible)
+
+    def sub(m: re.Match) -> str:
+        ident, kind, raw = m.group(1), m.group(2).lower(), m.group(3)
+        if kind == "version":
+            v = int(raw)
+        elif kind == "timestamp":
+            ts = _dt.datetime.fromisoformat(raw.strip("'"))
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            v = pick_version_at(ident, ts.timestamp())
+        else:  # offset
+            off = float(raw)
+            if off > 0:
+                raise ValueError("time travel OFFSET must be <= 0 seconds")
+            now = _dt.datetime.now(tz=_dt.timezone.utc).timestamp()
+            v = pick_version_at(ident, now + off)
+        alias = f"{ident.replace('.', '_')}__at_v{v}"
+        store.read_version(spark, ident, v).createOrReplaceTempView(alias)
+        # re-alias back to the bare table name so existing qualified
+        # references (t.x) keep resolving
+        return f"{alias} AS {ident.rsplit('.', 1)[-1]}"
+
+    return _AT_RE.sub(sub, sql)

@@ -213,3 +213,91 @@ def test_qualify_in_subquery_raises():
             "SELECT * FROM (SELECT k FROM t QUALIFY row_number() "
             "OVER (ORDER BY k) = 1)"
         )
+
+
+class TestTimeTravel:
+    """Snowflake AT(VERSION/TIMESTAMP/OFFSET => ...) (r7)."""
+
+    def _store_with_history(self, spark, tmp_path):
+        from dbt_omnata_push_spark.engine.store import TableStore
+
+        store = TableStore(str(tmp_path / "tt"))
+        store.create(
+            spark, "t", spark.createDataFrame([(1, "v0")], "id long, s string")
+        )
+        store.overwrite(
+            spark,
+            "t",
+            spark.createDataFrame([(1, "v1"), (2, "v1")], "id long, s string"),
+        )
+        return store
+
+    def test_at_version(self, spark, tmp_path):
+        from dbt_omnata_push_spark.engine.sqlfront import resolve_time_travel
+
+        store = self._store_with_history(spark, tmp_path)
+        sql = resolve_time_travel(
+            spark, store, "select t.s from t at(version => 0) where t.id = 1"
+        )
+        assert "t__at_v0" in sql
+        assert [r["s"] for r in spark.sql(sql).collect()] == ["v0"]
+        # current read unaffected
+        assert store.read(spark, "t").count() == 2
+
+    def test_at_timestamp_picks_latest_commit_before(self, spark, tmp_path):
+        import datetime as dt
+
+        from dbt_omnata_push_spark.engine.sqlfront import resolve_time_travel
+
+        store = self._store_with_history(spark, tmp_path)
+        future = (
+            dt.datetime.now(tz=dt.timezone.utc) + dt.timedelta(hours=1)
+        ).isoformat()
+        sql = resolve_time_travel(
+            spark, store, f"select count(*) as n from t at(timestamp => '{future}')"
+        )
+        assert spark.sql(sql).collect()[0]["n"] == 2  # latest version
+        # a cutoff before any commit raises
+        import pytest
+
+        with pytest.raises(ValueError, match="no committed version"):
+            resolve_time_travel(
+                spark, store,
+                "select * from t at(timestamp => '2000-01-01T00:00:00')",
+            )
+
+    def test_at_offset_validation(self, spark, tmp_path):
+        import pytest
+
+        from dbt_omnata_push_spark.engine.sqlfront import resolve_time_travel
+
+        store = self._store_with_history(spark, tmp_path)
+        with pytest.raises(ValueError, match="OFFSET must be <= 0"):
+            resolve_time_travel(spark, store, "select * from t at(offset => 60)")
+        sql = resolve_time_travel(
+            spark, store, "select * from t at(offset => -0)"
+        )
+        assert spark.sql(sql).count() == 2
+
+    def test_engine_model_with_at_clause(self, spark, tmp_path):
+        from dbt_omnata_push_spark.engine.dag import Engine, Model
+        from dbt_omnata_push_spark.engine.store import TableStore
+
+        store = TableStore(str(tmp_path / "store"))
+        engine = Engine(spark, store)
+        store.create(
+            spark, "src", spark.createDataFrame([(10,)], "x long")
+        )
+        store.overwrite(
+            spark, "src", spark.createDataFrame([(10,), (20,)], "x long")
+        )
+        engine.register(
+            Model(
+                "hist",
+                sql="select sum(x) as total from src at(version => 0)",
+                config={"materialized": "table", "dialect": "snowflake"},
+                depends_on=["src"],
+            )
+        )
+        engine.run(["hist"])
+        assert store.read(spark, "hist").collect()[0]["total"] == 10
