@@ -113,8 +113,20 @@ class Engine:
                 sql = resolve_global_rownum(self.spark, sql)
         return self.spark.sql(sql)
 
-    def run(self, select: list[str] | None = None) -> dict[str, RunResult]:
-        """Execute models in topological order (dbt run)."""
+    def run(
+        self,
+        select: list[str] | None = None,
+        fail_fast: bool = False,
+    ) -> dict[str, RunResult]:
+        """Execute models in topological order (dbt run).
+
+        Error isolation matches dbt (r7): a failing model records an
+        ``error`` RunResult and every transitive dependent records
+        ``skipped`` (never executed — a dependent reading a missing/
+        stale upstream would silently produce wrong data); independent
+        subgraphs still run. ``fail_fast=True`` re-raises the first
+        failure instead (dbt's --fail-fast).
+        """
         from ..materializations import materialize
 
         names = select or list(self.models)
@@ -124,13 +136,32 @@ class Engine:
         }
         order = list(TopologicalSorter(graph).static_order())
         results: dict[str, RunResult] = {}
+        failed: set[str] = set()
         for name in order:
             if name not in names:
                 continue
             model = self.models[name]
+            bad_deps = [r for r in model.refs if r in failed]
+            if bad_deps:
+                failed.add(name)  # transitive: skipped counts as failed
+                results[name] = RunResult(
+                    name,
+                    "skipped",
+                    message=f"depends on failed/skipped: {sorted(bad_deps)}",
+                )
+                continue
             for hook in self.pre_hooks:
                 hook(model)
-            result = materialize(self, model)
+            try:
+                result = materialize(self, model)
+            except Exception as e:  # noqa: BLE001 — dbt records, not crashes
+                if fail_fast:
+                    raise
+                result = RunResult(
+                    name, "error", message=f"{type(e).__name__}: {e}"
+                )
+            if result.status == "error":
+                failed.add(name)
             for hook in self.post_hooks:
                 hook(model, result)
             results[name] = result

@@ -122,3 +122,54 @@ def test_failed_records_are_repushed_next_run(spark, tmp_path):
         .collect()
     }
     assert repushed == {f"co-{i}" for i in range(1, 20, 2)}
+
+
+def test_run_isolates_failures_and_skips_dependents(spark, tmp_path):
+    """dbt error isolation (r7): an erroring model yields an 'error'
+    result, its transitive dependents 'skipped', and INDEPENDENT models
+    still run to success; fail_fast=True re-raises instead."""
+    import pytest
+
+    from dbt_omnata_push_spark.engine.dag import Engine, Model
+    from dbt_omnata_push_spark.engine.store import TableStore
+
+    engine = Engine(spark, TableStore(str(tmp_path / "s")))
+
+    def boom(ctx):
+        raise RuntimeError("builder exploded")
+
+    engine.register(Model("bad", builder=boom, config={"materialized": "table"}))
+    engine.register(
+        Model(
+            "child",
+            builder=lambda ctx: ctx.ref("bad"),
+            config={"materialized": "table"},
+            depends_on=["bad"],
+        )
+    )
+    engine.register(
+        Model(
+            "grandchild",
+            builder=lambda ctx: ctx.ref("child"),
+            config={"materialized": "table"},
+            depends_on=["child"],
+        )
+    )
+    engine.register(
+        Model(
+            "independent",
+            builder=lambda ctx: spark.createDataFrame([(1,)], "x long"),
+            config={"materialized": "table"},
+        )
+    )
+    results = engine.run()
+    assert results["bad"].status == "error"
+    assert "builder exploded" in results["bad"].message
+    assert results["child"].status == "skipped"
+    assert results["grandchild"].status == "skipped"  # transitive
+    assert results["independent"].status == "success"
+    assert engine.store.exists("independent")
+    assert not engine.store.exists("child")  # never executed
+
+    with pytest.raises(RuntimeError, match="builder exploded"):
+        engine.run(["bad"], fail_fast=True)
