@@ -40,6 +40,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+import threading as _threading
+
+# Re-entrancy registry for TableStore._write_lock: flock blocks when the
+# SAME process re-locks a file through a second descriptor, so nested
+# public calls (overwrite -> create) must recognize a lock they already
+# hold. Thread-local: two driver threads must still exclude each other.
+_HELD_LOCKS = _threading.local()
+
+
+
+def _locked_write(fn):
+    """Wrap a public mutating TableStore method (self, spark, name, ...)
+    in the per-table writer lock (see _write_lock)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, spark, name, *args, **kwargs):
+        with self._write_lock(name):
+            return fn(self, spark, name, *args, **kwargs)
+
+    return wrapper
+
 
 class TableStore:
     """``link_mode`` (judge r5 #6) abstracts the filesystem primitives
@@ -68,6 +90,40 @@ class TableStore:
         self.root = root
         self.link_mode = link_mode
         os.makedirs(root, exist_ok=True)
+
+    # -- writer serialization (r7) ----------------------------------------
+    # Concurrent version-bumping writes on ONE table are a lost-update
+    # hazard: two writers both read version v, both assemble v+1, and
+    # the second clobbers the first's committed directory before the
+    # pointer swap. Every public mutating method therefore holds an
+    # exclusive per-table flock for its whole read-modify-commit span —
+    # writers on the SAME table serialize (the second sees the first's
+    # commit and merges on top of it), different tables proceed in
+    # parallel, and readers never lock (version directories are
+    # immutable, so reads are snapshot-isolated already). flock scopes
+    # this to one host — exactly Delta's own posture on filesystems
+    # without atomic-rename coordination (S3 needs a LogStore service);
+    # a multi-driver deployment swaps this seam for a lock service.
+    from contextlib import contextmanager as _contextmanager
+
+    @_contextmanager
+    def _write_lock(self, name: str):
+        import fcntl
+
+        if getattr(_HELD_LOCKS, "keys", None) is None:
+            _HELD_LOCKS.keys = set()
+        key = (self.root, name)
+        if key in _HELD_LOCKS.keys:  # reentrant (overwrite -> create etc.)
+            yield
+            return
+        os.makedirs(self._dir(name), exist_ok=True)
+        with open(os.path.join(self._dir(name), "_LOCK"), "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            _HELD_LOCKS.keys.add(key)
+            try:
+                yield
+            finally:
+                _HELD_LOCKS.keys.discard(key)
 
     # -- filesystem seam ---------------------------------------------------
     def _retain_file(self, src: str, dst: str) -> None:
@@ -229,6 +285,7 @@ class TableStore:
             .drop("_dv_rel", "_dv_idx")
         )
 
+    @_locked_write
     def delete_where(self, spark: SparkSession, name: str, predicate) -> int:
         """Targeted row deletion via DELETION VECTORS (the Delta/Iceberg
         merge-on-read DELETE): matching row positions are recorded in a
@@ -352,6 +409,7 @@ class TableStore:
         path = os.path.join(self._dir(name), f"v={version}")
         return self._apply_dv(spark, reader.parquet(path), path)
 
+    @_locked_write
     def create(
         self,
         spark: SparkSession,
@@ -371,6 +429,7 @@ class TableStore:
         self._set_meta(name, partition_by, df.schema)
         self._set_version(name, v, op="create")
 
+    @_locked_write
     def append(self, spark: SparkSession, name: str, df: DataFrame) -> None:
         """insert into ... select (salesforce_bulk_load.sql:35-47)."""
         if not self.exists(name):
@@ -382,6 +441,7 @@ class TableStore:
             writer = writer.partitionBy(pcol)
         writer.parquet(self.data_path(name))
 
+    @_locked_write
     def merge_upsert(
         self, spark: SparkSession, name: str, src: DataFrame, unique_key: str
     ) -> None:
@@ -517,6 +577,7 @@ class TableStore:
         self._set_meta(name, pcol, merged.schema)
         self._set_version(name, v + 1, op="merge")
 
+    @_locked_write
     def scd2_commit(
         self,
         spark: SparkSession,
@@ -592,6 +653,7 @@ class TableStore:
         self._set_meta(name, pcol, merged.schema)
         self._set_version(name, v + 1, op="scd2_commit")
 
+    @_locked_write
     def update_from(
         self,
         spark: SparkSession,
@@ -624,6 +686,7 @@ class TableStore:
         )
         self.merge_upsert(spark, name, patched, unique_key)
 
+    @_locked_write
     def overwrite(
         self,
         spark: SparkSession,
@@ -642,6 +705,7 @@ class TableStore:
     def drop(self, name: str) -> None:
         shutil.rmtree(self._dir(name), ignore_errors=True)
 
+    @_locked_write
     def purge(self, spark: SparkSession, name: str) -> None:
         """Physically erase deleted/superseded rows (GDPR erasure).
 

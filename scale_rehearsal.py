@@ -74,6 +74,12 @@ QUERIES = [
     "events_kmv_distinct_users",
     "corpus_term_redaction",
     "orders_gdpr_delete",
+    # round 7: retrieval + KNN-join family (embeddings_knn_join blocks
+    # on the FIXED label column -> expected superlinear like fixed-k
+    # SemDeDup; the scaled-blocks posture is measured separately below)
+    "documents_bm25_topk",
+    "documents_hashed_knn",
+    "embeddings_knn_join",
 ]
 
 TABLES = ["documents", "embeddings", "customer", "events", "orders"]
@@ -256,6 +262,34 @@ def main() -> None:
         print(f"# semdedup {sf_dir} k={k}: {dt}s ({n} rows)", file=sys.stderr)
         return dt
 
+    # KNN-join with blocks scaled with n (the documented 100 TB posture:
+    # blocking key = trained k-means cell, cluster sizes bounded by the
+    # codebook — knn_join_blocked docstring) vs the registry query's
+    # fixed 10-label blocking measured above.
+    run_knn = "embeddings_knn_join" in selected
+
+    def knn_scaled_secs(sf_dir: str, k_cells: int) -> float:
+        from dbt_omnata_push_spark.llmops import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.perf_counter()
+        cents = S.kmeans_fit(emb, k=k_cells, max_iter=4, arrow_assign=True)
+        assigned = S.assign_clusters(emb, cents)
+        n = S.knn_join_blocked(assigned, k=3, block_col="cluster").count()
+        dt = round(time.perf_counter() - t0, 2)
+        print(f"# knn-join {sf_dir} k={k_cells}: {dt}s ({n} rows)", file=sys.stderr)
+        return dt
+
+    knn_scaled = None
+    if run_knn:
+        knn_scaled = {
+            "base_k8_sec": knn_scaled_secs(x1_dir, 8),
+            "scaled_k_sec": knn_scaled_secs(xn_dir, 8 * args.factor),
+        }
+        knn_scaled["time_ratio_scaled_k"] = round(
+            knn_scaled["scaled_k_sec"] / knn_scaled["base_k8_sec"], 2
+        )
+
     semdedup = None
     if run_semdedup:
         semdedup = {
@@ -271,6 +305,7 @@ def main() -> None:
         "base_dir": x1_dir,
         "factor": args.factor,
         "semdedup_scaled_k": semdedup,
+        "knn_join_scaled_k": knn_scaled,
         "queries": {
             q: {
                 "base_sec": base[q],
