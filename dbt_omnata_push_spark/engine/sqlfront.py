@@ -408,8 +408,8 @@ def resolve_global_rownum(spark, sql: str) -> str:
 # the query itself stays pure Spark SQL.
 # ---------------------------------------------------------------------------
 _AT_RE = re.compile(
-    r"\b([A-Za-z_][\w.]*)\s+at\s*\(\s*(version|timestamp|offset)\s*=>\s*"
-    r"('[^']*'|-?\d+(?:\.\d+)?)\s*\)",
+    r"\b([A-Za-z_][\w.]*)\s+(at|before)\s*\(\s*(version|timestamp|offset)"
+    r"\s*=>\s*('[^']*'|-?\d+(?:\.\d+)?)\s*\)",
     re.IGNORECASE,
 )
 
@@ -439,7 +439,12 @@ def resolve_time_travel(spark, store, sql: str) -> str:
         return max(eligible)
 
     def sub(m: re.Match) -> str:
-        ident, kind, raw = m.group(1), m.group(2).lower(), m.group(3)
+        ident, mode, kind, raw = (
+            m.group(1),
+            m.group(2).lower(),
+            m.group(3).lower(),
+            m.group(4),
+        )
         if kind == "version":
             v = int(raw)
         elif kind == "timestamp":
@@ -453,6 +458,15 @@ def resolve_time_travel(spark, store, sql: str) -> str:
                 raise ValueError("time travel OFFSET must be <= 0 seconds")
             now = _dt.datetime.now(tz=_dt.timezone.utc).timestamp()
             v = pick_version_at(ident, now + off)
+        if mode == "before":
+            # Snowflake BEFORE: state strictly prior to the reference
+            # point — one version earlier than the AT resolution.
+            v -= 1
+            if v < 0:
+                raise ValueError(
+                    f"time travel: no version of '{ident}' exists before "
+                    "the requested point"
+                )
         alias = f"{ident.replace('.', '_')}__at_v{v}"
         store.read_version(spark, ident, v).createOrReplaceTempView(alias)
         # re-alias back to the bare table name so existing qualified

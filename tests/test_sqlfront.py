@@ -301,3 +301,18 @@ class TestTimeTravel:
         )
         engine.run(["hist"])
         assert store.read(spark, "hist").collect()[0]["total"] == 10
+
+    def test_before_version(self, spark, tmp_path):
+        import pytest
+
+        from dbt_omnata_push_spark.engine.sqlfront import resolve_time_travel
+
+        store = self._store_with_history(spark, tmp_path)
+        sql = resolve_time_travel(
+            spark, store, "select count(*) as n from t before(version => 1)"
+        )
+        assert spark.sql(sql).collect()[0]["n"] == 1  # v0 state
+        with pytest.raises(ValueError, match="before"):
+            resolve_time_travel(
+                spark, store, "select * from t before(version => 0)"
+            )
