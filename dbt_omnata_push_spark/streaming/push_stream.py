@@ -84,3 +84,54 @@ def push_stream_salesforce(
         .awaitTermination()
     )
     return results
+
+
+def push_stream_marketing_cloud(
+    spark: SparkSession,
+    record_stream: DataFrame,
+    engine,
+    load_task_name: str,
+    config: dict,
+    key_path: str,
+    checkpoint_dir: str | None = None,
+) -> list:
+    """SFMC data-extension analogue of ``push_stream_salesforce``: one
+    import per non-empty micro-batch, with the same layered exactly-once
+    (source checkpoint + per-batch anti-join against successful SFMC
+    log rows + per-job deterministic log ids)."""
+    from ..materializations import tracking
+    from ..materializations.push import _marketing_cloud_upload, _records_json
+
+    model = Model(
+        name=load_task_name,
+        builder=lambda ctx: None,
+        config=dict(config),
+    )
+    results: list = []
+
+    def _push(bdf: DataFrame, bid: int) -> None:
+        records = _records_json(bdf)
+        logs_tbl = tracking.resolve(engine, tracking.SFMC_LOAD_TASK_LOGS)
+        if engine.store.exists(logs_tbl):
+            logs = engine.store.read(spark, logs_tbl)
+            loaded = logs.filter(
+                (F.get_json_object("result", "$.success") == "true")
+                & (F.col("load_task_name") == load_task_name)
+            ).select(F.get_json_object("record", key_path).alias("_loaded"))
+            records = records.join(
+                loaded,
+                F.get_json_object(F.col("record"), key_path)
+                == F.col("_loaded"),
+                "left_anti",
+            )
+        results.append(_marketing_cloud_upload(engine, model, records))
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="sg_push_stream_mc_")
+    (
+        record_stream.writeStream.foreachBatch(_push)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return results

@@ -122,3 +122,53 @@ def test_stream_push_new_data_after_replay_still_flows(spark, env):
     assert [r.status for r in results] == ["success"]
     assert _tally(conn.call_log) == 15
     assert engine.store.read(spark, tracking.SFDC_LOAD_TASK_LOGS).count() == 15
+
+
+def test_stream_push_marketing_cloud_exactly_once(spark, tmp_path):
+    from dbt_omnata_push_spark.connectors import MockMarketingCloudConnector
+    from dbt_omnata_push_spark.streaming.push_stream import (
+        push_stream_marketing_cloud,
+    )
+
+    conn = MockMarketingCloudConnector(call_log=str(tmp_path / "mc.log"))
+    engine = Engine(spark, TableStore(str(tmp_path / "store")))
+    cfg = {
+        "app": "marketing_cloud",
+        "operation": "data_extension_upload",
+        "data_extension_name": "Contacts DE",
+        "connector": conn,
+    }
+    landing = str(tmp_path / "landing")
+    for i in range(2):
+        rows = [
+            (f'{{"ContactID": "{i * 30 + j}", "EmailAddress": "u{i}-{j}@x"}}',)
+            for j in range(30)
+        ]
+        spark.createDataFrame(rows, "record string").coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    def stream():
+        return (
+            spark.readStream.schema("record string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+        )
+
+    r1 = push_stream_marketing_cloud(
+        spark, stream(), engine, "contacts_stream", cfg, "$.ContactID",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    assert [r.status for r in r1] == ["success", "success"]
+    logs = engine.store.read(spark, tracking.SFMC_LOAD_TASK_LOGS)
+    assert logs.count() == 60
+    tasks = engine.store.read(spark, tracking.SFMC_LOAD_TASKS)
+    assert tasks.count() == 2  # one import per batch
+
+    # fresh checkpoint -> full replay -> anti-join drops everything
+    r2 = push_stream_marketing_cloud(
+        spark, stream(), engine, "contacts_stream", cfg, "$.ContactID",
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    assert [r.status for r in r2] == ["skipped", "skipped"]
+    assert engine.store.read(spark, tracking.SFMC_LOAD_TASK_LOGS).count() == 60
