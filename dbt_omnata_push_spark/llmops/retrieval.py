@@ -143,7 +143,14 @@ def hashed_tf_embedding(
 
     Scale shape: entirely map-side — one md5 per token
     (F.transform), then ``dim`` array-count passes per row; no explode,
-    no shuffle. Output: (id, vec array<int>)."""
+    no shuffle. Output: (id, vec array<int>).
+
+    The bucket array is materialized through a SEPARATE projection
+    before the ``dim`` count expressions reference it: inlining it into
+    each count (one select) re-evaluates the md5 transform ``dim``
+    times per row — measured 16s vs ~2s at sf0.1/dim=64. Catalyst's
+    CollapseProject keeps the barrier because the column is referenced
+    ``dim`` times by non-trivial expressions."""
     tokens = F.split(F.col(text_col), " ")
     bucket = lambda x: (  # noqa: E731
         F.conv(F.substring(F.md5(x.cast("binary")), 1, 15), 16, 10).cast(
@@ -151,12 +158,14 @@ def hashed_tf_embedding(
         )
         % dim
     )
-    bucketed = F.transform(tokens, bucket)
+    staged = docs.select(
+        id_col, *keep_cols, F.transform(tokens, bucket).alias("_bk")
+    )
 
     def count_of(i: int):
         # single-arg lambda: a 2-arg lambda would bind the second
         # parameter to the ARRAY INDEX, not the captured bucket id
-        return F.size(F.filter(bucketed, lambda b: b == F.lit(i)))
+        return F.size(F.filter(F.col("_bk"), lambda b: b == F.lit(i)))
 
     vec = F.array(*[count_of(i) for i in range(dim)])
-    return docs.select(id_col, *keep_cols, vec.alias("vec"))
+    return staged.select(id_col, *keep_cols, vec.alias("vec"))

@@ -577,18 +577,31 @@ def knn_join_blocked(
     semantic_dedup_flags). Output: (src, dst, sim, rank)."""
     from pyspark.sql import Window
 
-    a = emb.select(
+    # Norms hoist to one computation per VECTOR before the join, so the
+    # O(sum block^2) pair loop pays only the dot product (1/3 of the
+    # HOF work; bit-identical — same ops in the same order as cosine()).
+    with_norm = emb.select(
         F.col(block_col).alias("_b"),
-        F.col(id_col).alias("src"),
-        F.col(vec_col).alias("_va"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
     )
-    b = emb.select(
-        F.col(block_col).alias("_b"),
-        F.col(id_col).alias("dst"),
-        F.col(vec_col).alias("_vb"),
+    a = with_norm.select(
+        F.col("_b"),
+        F.col("_id").alias("src"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = with_norm.select(
+        F.col("_b"),
+        F.col("_id").alias("dst"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     pairs = a.join(b, "_b").filter(F.col("src") != F.col("dst"))
-    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    sim = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+    )
     w = Window.partitionBy("src").orderBy(F.desc("sim"), F.col("dst"))
     return (
         pairs.select("src", "dst", sim.alias("sim"))
