@@ -56,6 +56,7 @@ _RECHECK_PRIORITY = [
     "documents_hybrid_rrf",  # r7: new (hash-exact RRF fusion)
     "embeddings_knn_join",  # r7: new (all-pairs KNN join)
     "documents_hashed_knn",  # r7: new (hashed text->vector search)
+    "orders_cdc_relay",  # r7: new (CDC relay convergence)
 ]
 
 

@@ -1547,3 +1547,58 @@ def customers_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entity_id",
         F.count(F.lit(1)).over(w).alias("entity_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC relay (r7): a downstream store table follows an upstream table by
+# consuming its change feed version-by-version (the Snowflake STREAM
+# consumer / Delta-CDF pipeline shape, ops/cdcrelay.py). The source
+# walks three commits (create -> merge with updates+inserts ->
+# delete_where); the relayed destination must equal the source's final
+# state exactly — the oracle reproduces that final state in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_cdc_relay",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 4 = 0 THEN 'U' ELSE o_orderstatus END
+             AS o_orderstatus,
+           o_totalprice
+    FROM orders
+    WHERE (o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0)
+      AND o_orderkey % 5 <> 0
+    """,
+    tags=("store", "cdc", "relay", "incremental"),
+)
+def orders_cdc_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relay three upstream commits through the CDC feed into a
+    downstream store: baseline (keys % 3 != 0), merged batch
+    (keys % 2 == 0, status 'U' on % 4 == 0), then DELETE of % 5 == 0.
+    The destination converges to the source's current state from
+    changes alone; progress rides in the destination table, so a
+    second relay run applies 0 versions (idempotency pytest)."""
+    import tempfile
+
+    from ..engine.store import TableStore
+    from ..ops.cdcrelay import relay_changes, relay_state
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="sg-relay-")
+    src = TableStore(root + "/src")
+    dst = TableStore(root + "/dst")
+    src.create(
+        spark, "dim_orders", orders.filter(F.col("o_orderkey") % 3 != 0)
+    )
+    relay_changes(spark, src, "dim_orders", dst, "dim_follow", "o_orderkey")
+    batch = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("U")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    src.merge_upsert(spark, "dim_orders", batch, unique_key="o_orderkey")
+    src.delete_where(spark, "dim_orders", F.col("o_orderkey") % 5 == 0)
+    relay_changes(spark, src, "dim_orders", dst, "dim_follow", "o_orderkey")
+    return relay_state(spark, dst, "dim_follow")
