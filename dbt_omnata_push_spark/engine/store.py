@@ -215,8 +215,22 @@ class TableStore:
         except OSError:
             pass  # commit already durable; the log row is best-effort
 
-    def vacuum(self, name: str | None = None, keep: int = 1) -> None:
+    def vacuum(
+        self,
+        name: str | None = None,
+        keep: int = 1,
+        retain_hours: float | None = None,
+    ) -> None:
         """Delete superseded version directories.
+
+        Two retention policies, matching Delta's VACUUM surface (r7):
+        - ``keep``: count-based — superseded versions older than the
+          newest ``keep`` are removed (default: current only).
+        - ``retain_hours``: time-based — a superseded version also
+          survives while its COMMIT time (operation log) is within the
+          retention window, so time travel keeps working for the
+          agreed horizon even across bursts of commits. The current
+          version always survives both policies.
 
         NEVER called implicitly: Spark DataFrames bind to concrete file
         listings at plan time, so a live DataFrame handed out by an
@@ -224,20 +238,46 @@ class TableStore:
         when no plans from prior versions remain (end of a run), like
         Delta's VACUUM retention contract.
         """
+        import time as _time
+
         names = [name] if name else [
             n for n in os.listdir(self.root)
             if os.path.isdir(os.path.join(self.root, n))
         ]
         for n in names:
-            cur = self.current_version(n.replace("__", "."))
+            logical = n.replace("__", ".")
+            cur = self.current_version(logical)
             if cur is None:
                 continue
+            retained_by_time: set[int] = set()
+            if retain_hours is not None:
+                cutoff = _time.time() - retain_hours * 3600.0
+                log = os.path.join(self.root, n, "_LOG")
+                try:
+                    with open(log) as f:
+                        for line in f:
+                            if not line.strip():
+                                continue
+                            try:
+                                rec = json.loads(line)
+                            except ValueError:
+                                continue
+                            if rec.get("ts_unix", 0) >= cutoff:
+                                retained_by_time.add(int(rec["version"]))
+                    # no log (older tables): conservatively retain all
+                except OSError:
+                    continue
             d = os.path.join(self.root, n)
             for entry in os.listdir(d):
-                if entry.startswith("v=") and int(entry[2:]) <= cur - keep:
-                    shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
-                elif entry.startswith("dv_v=") and int(entry[5:]) <= cur - keep:
-                    shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+                if entry.startswith("v="):
+                    v = int(entry[2:])
+                elif entry.startswith("dv_v="):
+                    v = int(entry[5:])
+                else:
+                    continue
+                if v > cur - keep or v in retained_by_time:
+                    continue
+                shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
 
     # -- deletion vectors ---------------------------------------------------
     @staticmethod

@@ -397,3 +397,34 @@ def test_kmv_sketch_uses_window_group_limit(spark, sf_dir):
     )
     # bottom-k per group must push the rank filter below the sort
     assert "WindowGroupLimit" in plan
+
+
+def test_knn_join_plan_no_cartesian(spark, sf_dir):
+    """r7: the blocked KNN self-join must be a block-keyed equi-join,
+    never a cartesian/nested-loop over the corpus."""
+    from dbt_omnata_push_spark.engine.catalog import load_table
+    from dbt_omnata_push_spark.llmops.similarity import knn_join_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (
+        knn_join_blocked(emb, k=3, block_col="label")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hybrid_rrf_plan_is_bounded(spark, sf_dir):
+    """r7: the fusion input lists are k-bounded (TakeOrdered /
+    WindowGroupLimit retrieval), so the full-outer fuse join touches at
+    most 2k rows — no corpus-sized shuffle above the retrieval stages."""
+    import re
+
+    from dbt_omnata_push_spark.queries import load_all
+
+    df = load_all()["documents_hybrid_rrf"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

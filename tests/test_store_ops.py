@@ -532,3 +532,32 @@ def test_write_lock_is_reentrant_for_nested_calls(spark, tmp_path):
     store.overwrite(spark, "t", df)  # overwrite -> create under one lock
     store.overwrite(spark, "t", df)  # overwrite -> _rewrite
     assert store.read(spark, "t").count() == 1
+
+
+def test_vacuum_time_retention(spark, tmp_path):
+    """r7 Delta VACUUM RETAIN parity: a superseded version committed
+    inside the retention window survives a count-based sweep; aging it
+    out (log timestamp rewrite) lets the same sweep remove it."""
+    import json
+    import os
+    import time
+
+    store = TableStore(str(tmp_path / "vt"))
+    df = spark.createDataFrame([(1,)], "k long")
+    store.create(spark, "t", df)
+    store.overwrite(spark, "t", df)
+    store.overwrite(spark, "t", df)  # versions 0,1,2
+    store.vacuum("t", keep=1, retain_hours=1.0)
+    assert store.versions("t") == [0, 1, 2]  # all commits are recent
+
+    # age v0/v1 beyond the window by rewriting their log timestamps
+    log = os.path.join(store.root, "t", "_LOG")
+    recs = [json.loads(x) for x in open(log) if x.strip()]
+    for r in recs:
+        if r["version"] < 2:
+            r["ts_unix"] = time.time() - 7200
+    with open(log, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    store.vacuum("t", keep=1, retain_hours=1.0)
+    assert store.versions("t") == [2]
