@@ -746,6 +746,52 @@ class TableStore:
         shutil.rmtree(self._dir(name), ignore_errors=True)
 
     @_locked_write
+    def clone(self, src_name: str, dst_name: str) -> None:
+        """SHALLOW CLONE (r7, Delta parity): a new table whose v=0
+        carries the source's CURRENT data files by hard link — an
+        O(metadata) copy regardless of table size. Versions are
+        immutable, so the clone and the source can evolve independently
+        afterwards: a write to either creates fresh version directories
+        and never touches the shared bytes (inode-shared until either
+        side's vacuum drops its own references — exactly the Delta
+        shallow-clone lifetime contract). DV sidecars are carried too,
+        so a clone of a table with pending merge-on-read deletes reads
+        identically."""
+        if self.exists(dst_name):
+            raise FileExistsError(f"clone target exists: {dst_name}")
+        src_dir = self.data_path(src_name)  # raises if missing
+        with self._write_lock(dst_name):
+            dst_v0 = os.path.join(self._dir(dst_name), "v=0")
+            shutil.rmtree(dst_v0, ignore_errors=True)
+            for root, _dirs, files in os.walk(src_dir):
+                rel = os.path.relpath(root, src_dir)
+                dst_root = (
+                    dst_v0 if rel == "." else os.path.join(dst_v0, rel)
+                )
+                os.makedirs(dst_root, exist_ok=True)
+                for fname in files:
+                    self._retain_file(
+                        os.path.join(root, fname),
+                        os.path.join(dst_root, fname),
+                    )
+            # DV sidecar is a SIBLING of the version dir (dv_v=N) —
+            # carry it so pending merge-on-read deletes read identically
+            src_dv = self._dv_dir(src_dir)
+            if os.path.isdir(src_dv):
+                dst_dv = self._dv_dir(dst_v0)
+                os.makedirs(os.path.dirname(dst_dv), exist_ok=True)
+                shutil.copytree(
+                    src_dv, dst_dv, copy_function=self._retain_file
+                )
+            meta = self.meta(src_name)
+            if meta.get("schema"):
+                self._set_meta(
+                    dst_name,
+                    meta.get("partition_by"),
+                    StructType.fromJson(meta["schema"]),
+                )
+            self._set_version(dst_name, 0, op="clone")
+
     def purge(self, spark: SparkSession, name: str) -> None:
         """Physically erase deleted/superseded rows (GDPR erasure).
 

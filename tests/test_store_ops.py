@@ -561,3 +561,42 @@ def test_vacuum_time_retention(spark, tmp_path):
             f.write(json.dumps(r) + "\n")
     store.vacuum("t", keep=1, retain_hours=1.0)
     assert store.versions("t") == [2]
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
+    """r7 Delta SHALLOW CLONE parity: clone shares inodes (O(metadata)),
+    carries pending DV deletes, and diverges independently afterwards."""
+    import os
+
+    store = TableStore(str(tmp_path / "cl"))
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    store.create(spark, "src", df)
+    store.delete_where(spark, "src", F.col("k") >= 40)  # pending DV
+    store.clone("src", "dup")
+
+    # identical reads, including the merge-on-read deletes
+    assert store.read(spark, "dup").count() == store.read(spark, "src").count() == 40
+
+    def inodes(table):
+        out = set()
+        for root, _d, files in os.walk(store.data_path(table)):
+            for e in files:
+                if e.endswith(".parquet"):
+                    out.add(os.stat(os.path.join(root, e)).st_ino)
+        return out
+
+    assert inodes("dup") == inodes("src")  # zero-copy
+
+    # divergence: writes to the clone never touch the source
+    store.merge_upsert(
+        spark, "dup", spark.createDataFrame([(0, 999)], "k long, v long"), "k"
+    )
+    assert store.read(spark, "src").filter(F.col("k") == 0).collect()[0]["v"] == 0
+    assert store.read(spark, "dup").filter(F.col("k") == 0).collect()[0]["v"] == 999
+
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        store.clone("src", "dup")
