@@ -170,12 +170,61 @@ class TableStore:
         return self.meta(name).get("partition_by")
 
     def _set_meta(self, name: str, partition_by: str | None, schema: StructType):
+        doc = {"partition_by": partition_by, "schema": schema.jsonValue()}
+        # table-level CHECK constraints survive every rewrite/merge
+        constraints = self.meta(name).get("constraints")
+        if constraints:
+            doc["constraints"] = constraints
         tmp = self._meta_file(name) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(
-                {"partition_by": partition_by, "schema": schema.jsonValue()}, f
-            )
+            json.dump(doc, f)
         os.replace(tmp, self._meta_file(name))
+
+    # -- CHECK constraints (r7, Delta `ALTER TABLE ADD CONSTRAINT` parity)
+    def add_check_constraint(self, name: str, cname: str, expr_sql: str):
+        """Register a CHECK constraint (SQL boolean expression over the
+        table's columns), enforced on every subsequent write. SQL
+        semantics: a row violates only when the predicate evaluates to
+        FALSE — UNKNOWN (null) passes, as in standard CHECK."""
+        meta = self.meta(name)
+        if not meta:
+            raise FileNotFoundError(f"table not found: {name}")
+        cons = dict(meta.get("constraints") or {})
+        cons[cname] = expr_sql
+        meta["constraints"] = cons
+        tmp = self._meta_file(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_file(name))
+
+    def drop_check_constraint(self, name: str, cname: str):
+        meta = self.meta(name)
+        cons = dict(meta.get("constraints") or {})
+        cons.pop(cname, None)
+        meta["constraints"] = cons
+        tmp = self._meta_file(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_file(name))
+
+    def _enforced(self, df: DataFrame, name: str) -> DataFrame:
+        """Wrap ``df`` so any CHECK-violating row fails the WRITE (a
+        map-side raise_error filter — no extra scan, and the version
+        pointer never swaps on failure, so a rejected write leaves the
+        table exactly as it was)."""
+        cons = self.meta(name).get("constraints") or {}
+        for cname, sql in cons.items():
+            cond = F.expr(sql)
+            df = df.filter(
+                F.when(cond.isNull() | cond, F.lit(True)).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            f"CHECK constraint '{cname}' violated: {sql}"
+                        )
+                    ).cast("boolean")
+                )
+            )
+        return df
 
     def current_version(self, name: str) -> int | None:
         try:
@@ -461,6 +510,7 @@ class TableStore:
         os.makedirs(self._dir(name), exist_ok=True)
         if partition_by is None:
             partition_by = self.partition_by(name)  # keep spec on rebuilds
+        df = self._enforced(df, name)  # CHECK constraints (rebuild path)
         v = (self.current_version(name) or -1) + 1
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -475,6 +525,7 @@ class TableStore:
         if not self.exists(name):
             self.create(spark, name, df)
             return
+        df = self._enforced(df, name)  # CHECK constraints
         pcol = self.partition_by(name)
         writer = df.write.mode("append")
         if pcol:
@@ -500,6 +551,7 @@ class TableStore:
         if not self.exists(name):
             self.create(spark, name, src)
             return
+        src = self._enforced(src, name)  # CHECK constraints on new rows
         pcol = self.partition_by(name)
         if pcol and pcol in src.columns:
             self._partition_scoped_merge(spark, name, src, unique_key, pcol)

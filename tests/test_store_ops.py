@@ -600,3 +600,47 @@ def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
 
     with pytest.raises(FileExistsError):
         store.clone("src", "dup")
+
+
+def test_check_constraints_enforced_on_writes(spark, tmp_path):
+    """r7 CHECK constraints (Delta ADD CONSTRAINT parity): violating
+    writes fail and commit NOTHING; UNKNOWN (null predicate) passes per
+    SQL semantics; constraints survive rewrites and can be dropped."""
+    import pytest
+
+    store = TableStore(str(tmp_path / "ck"))
+    store.create(
+        spark, "t", spark.createDataFrame([(1, 10)], "k long, qty long")
+    )
+    store.add_check_constraint("t", "qty_positive", "qty > 0")
+
+    v = store.current_version("t")
+    with pytest.raises(Exception, match="qty_positive"):
+        store.append(
+            spark, "t", spark.createDataFrame([(2, -5)], "k long, qty long")
+        )
+    assert store.current_version("t") == v  # nothing committed
+
+    with pytest.raises(Exception, match="qty_positive"):
+        store.merge_upsert(
+            spark, "t",
+            spark.createDataFrame([(3, 0)], "k long, qty long"),
+            "k",
+        )
+    assert store.read(spark, "t").count() == 1
+
+    # valid rows pass; NULL predicate (UNKNOWN) passes per SQL CHECK
+    store.merge_upsert(
+        spark, "t",
+        spark.createDataFrame([(4, 7), (5, None)], "k long, qty long"),
+        "k",
+    )
+    assert store.read(spark, "t").count() == 3
+    # the constraint survived the merge's _set_meta rewrite
+    assert "qty_positive" in (store.meta("t").get("constraints") or {})
+
+    store.drop_check_constraint("t", "qty_positive")
+    store.append(
+        spark, "t", spark.createDataFrame([(6, -1)], "k long, qty long")
+    )
+    assert store.read(spark, "t").count() == 4
