@@ -844,6 +844,48 @@ class TableStore:
                 )
             self._set_version(dst_name, 0, op="clone")
 
+    def restore(self, name: str, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION (r7, Delta parity): roll the
+        table back to a prior version AS A NEW COMMIT — the restored
+        state gets version current+1 (files hard-linked, O(metadata)),
+        history is preserved, and the botched intermediate versions
+        remain time-travelable until vacuumed. Raises if the requested
+        version was already vacuumed (never silently restores the
+        wrong data). Returns the new version number."""
+        with self._write_lock(name):
+            cur = self.current_version(name)
+            if cur is None:
+                raise FileNotFoundError(f"table not found: {name}")
+            src_dir = os.path.join(self._dir(name), f"v={version}")
+            if not os.path.isdir(src_dir):
+                raise FileNotFoundError(
+                    f"version {version} of '{name}' not on disk "
+                    "(vacuumed?); cannot restore"
+                )
+            new_v = cur + 1
+            dst_dir = os.path.join(self._dir(name), f"v={new_v}")
+            shutil.rmtree(dst_dir, ignore_errors=True)
+            for root, _dirs, files in os.walk(src_dir):
+                rel = os.path.relpath(root, src_dir)
+                dst_root = (
+                    dst_dir if rel == "." else os.path.join(dst_dir, rel)
+                )
+                os.makedirs(dst_root, exist_ok=True)
+                for fname in files:
+                    self._retain_file(
+                        os.path.join(root, fname),
+                        os.path.join(dst_root, fname),
+                    )
+            src_dv = self._dv_dir(src_dir)
+            if os.path.isdir(src_dv):
+                shutil.copytree(
+                    src_dv,
+                    self._dv_dir(dst_dir),
+                    copy_function=self._retain_file,
+                )
+            self._set_version(name, new_v, op=f"restore(v{version})")
+            return new_v
+
     def purge(self, spark: SparkSession, name: str) -> None:
         """Physically erase deleted/superseded rows (GDPR erasure).
 

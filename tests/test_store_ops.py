@@ -644,3 +644,24 @@ def test_check_constraints_enforced_on_writes(spark, tmp_path):
         spark, "t", spark.createDataFrame([(6, -1)], "k long, qty long")
     )
     assert store.read(spark, "t").count() == 4
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """r7 Delta RESTORE parity: restore(v) commits the old state as a
+    NEW version — history preserved, O(metadata) links, vacuumed
+    targets raise."""
+    import pytest
+
+    store = TableStore(str(tmp_path / "rs"))
+    store.create(spark, "t", spark.createDataFrame([(1, "good")], "k long, s string"))
+    store.overwrite(spark, "t", spark.createDataFrame([(1, "bad"), (2, "bad")], "k long, s string"))
+    new_v = store.restore("t", 0)
+    assert new_v == 2
+    assert [r["s"] for r in store.read(spark, "t").collect()] == ["good"]
+    # the botched version is still time-travelable
+    assert store.read_version(spark, "t", 1).count() == 2
+    ops = [r["op"] for r in store.history(spark, "t").collect()]
+    assert ops[0] == "restore(v0)"
+    store.vacuum("t", keep=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        store.restore("t", 0)
