@@ -41,6 +41,11 @@ def relay_changes(
     cur_src = src.current_version(src_table)
     if cur_src is None:
         raise FileNotFoundError(f"source table not found: {src_table}")
+    if PROGRESS_COL in src.read(spark, src_table).columns:
+        raise ValueError(
+            f"source table carries reserved column {PROGRESS_COL!r}; "
+            "relay progress could not be distinguished from data"
+        )
 
     if dst.exists(dst_table):
         applied = (

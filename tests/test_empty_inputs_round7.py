@@ -75,3 +75,29 @@ def test_query_luts_empty_queries(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     assert PQ.query_luts(no_q, books).count() == 0
+
+
+def test_hashed_tf_null_text_is_empty_doc(spark):
+    from dbt_omnata_push_spark.llmops.retrieval import hashed_tf_embedding
+
+    docs = spark.createDataFrame([(1, None), (2, "a")], "doc_id long, text string")
+    out = {r["doc_id"]: list(r["vec"]) for r in hashed_tf_embedding(docs, dim=4).collect()}
+    # split('') -> one empty-string token: deterministic, never null
+    assert sum(out[1]) == 1 and all(v is not None for v in out[1])
+    assert sum(out[2]) == 1
+
+
+def test_relay_rejects_reserved_progress_column(spark, tmp_path):
+    import pytest
+
+    from dbt_omnata_push_spark.engine.store import TableStore
+    from dbt_omnata_push_spark.ops.cdcrelay import relay_changes
+
+    src = TableStore(str(tmp_path / "src"))
+    dst = TableStore(str(tmp_path / "dst"))
+    src.create(
+        spark, "t",
+        spark.createDataFrame([(1, 0)], "k long, _src_version long"),
+    )
+    with pytest.raises(ValueError, match="reserved column"):
+        relay_changes(spark, src, "t", dst, "f", "k")
