@@ -57,6 +57,7 @@ _RECHECK_PRIORITY = [
     "embeddings_knn_join",  # r7: new (all-pairs KNN join)
     "documents_hashed_knn",  # r7: new (hashed text->vector search)
     "orders_cdc_relay",  # r7: new (CDC relay convergence)
+    "orders_ivm_minmax_status",  # r7: new (MIN/MAX IVM)
 ]
 
 

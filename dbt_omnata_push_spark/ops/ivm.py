@@ -118,3 +118,120 @@ def apply_cdc(
         *[_nn(c).alias(f"nn_{c}") for c in sum_cols],
     )
     return maintained.filter(F.col("n_rows") > 0)
+
+
+def build_minmax(
+    df: DataFrame, keys: list[str], mm_cols: list[str]
+) -> DataFrame:
+    """Maintained MIN/MAX shape: per-key COUNT(*) + MIN/MAX per
+    measure (NULLs ignored, as in SQL)."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[F.min(c).alias(f"min_{c}") for c in mm_cols],
+        *[F.max(c).alias(f"max_{c}") for c in mm_cols],
+    )
+
+
+def apply_cdc_minmax(
+    agg: DataFrame,
+    changes: DataFrame,
+    base_new: DataFrame,
+    keys: list[str],
+    mm_cols: list[str],
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Maintain per-key MIN/MAX under a CDC feed (r7).
+
+    MIN/MAX are NOT self-maintainable: deleting a group's current
+    extreme needs the remaining rows to find the next one. The
+    production algorithm is therefore two-tier, and this implements it:
+
+    - inserts/postimages fold ALGEBRAICALLY (least/greatest against
+      the stored extreme) — no base access;
+    - ONLY groups where a deleted/preimage value TIES OR PASSES the
+      stored extreme are recomputed, via a keyed semi-join against the
+      post-change base — O(affected groups' rows), and the base scan
+      prunes by partition/bucket layout when the table is laid out on
+      the group key. Every other group never touches the base.
+
+    Equality with a full rebuild is the contract (pytest + hypothesis:
+    extreme deletes, ties, NULL measures, group births/deaths).
+    ``base_new`` is the base table AFTER the changes (what
+    read_version(to_version) returns).
+    """
+    sign = F.when(
+        F.col(change_col).isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    ch = changes.withColumn("_sign", sign)
+    deltas = ch.groupBy(*keys).agg(
+        F.sum("_sign").cast("long").alias("_d_n"),
+        *[
+            F.min(F.when(F.col("_sign") == 1, F.col(c))).alias(f"_ins_min_{c}")
+            for c in mm_cols
+        ],
+        *[
+            F.max(F.when(F.col("_sign") == 1, F.col(c))).alias(f"_ins_max_{c}")
+            for c in mm_cols
+        ],
+        *[
+            F.min(F.when(F.col("_sign") == -1, F.col(c))).alias(f"_del_min_{c}")
+            for c in mm_cols
+        ],
+        *[
+            F.max(F.when(F.col("_sign") == -1, F.col(c))).alias(f"_del_max_{c}")
+            for c in mm_cols
+        ],
+    )
+    a, d = agg.alias("a"), deltas.alias("d")
+    cond = None
+    for k in keys:
+        c = F.col(f"a.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = c if cond is None else cond & c
+    joined = a.join(d, cond, "full_outer")
+    key_cols = [
+        F.coalesce(F.col(f"a.{k}"), F.col(f"d.{k}")).alias(k) for k in keys
+    ]
+    n_new = (
+        F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("_d_n"), F.lit(0))
+    ).alias("n_rows")
+
+    # A delete only endangers an extreme when it ties or passes it; a
+    # group with no stored row (born this batch) folds from inserts.
+    touched = F.lit(False)
+    for c in mm_cols:
+        touched = touched | (
+            F.col(f"_del_min_{c}").isNotNull()
+            & F.col(f"min_{c}").isNotNull()
+            & (F.col(f"_del_min_{c}") <= F.col(f"min_{c}"))
+        ) | (
+            F.col(f"_del_max_{c}").isNotNull()
+            & F.col(f"max_{c}").isNotNull()
+            & (F.col(f"_del_max_{c}") >= F.col(f"max_{c}"))
+        )
+    staged = joined.select(
+        *key_cols,
+        n_new,
+        touched.alias("_touched"),
+        *[
+            F.least(F.col(f"min_{c}"), F.col(f"_ins_min_{c}")).alias(f"min_{c}")
+            for c in mm_cols
+        ],
+        *[
+            F.greatest(F.col(f"max_{c}"), F.col(f"_ins_max_{c}")).alias(
+                f"max_{c}"
+            )
+            for c in mm_cols
+        ],
+    ).filter(F.col("n_rows") > 0)
+
+    untouched = staged.filter(~F.col("_touched")).drop("_touched")
+    affected_keys = staged.filter(F.col("_touched")).select(*keys)
+    b, k2 = base_new.alias("b"), affected_keys.alias("k2")
+    sj = None
+    for k in keys:
+        c = F.col(f"b.{k}").eqNullSafe(F.col(f"k2.{k}"))
+        sj = c if sj is None else sj & c
+    recomputed = build_minmax(
+        b.join(k2, sj, "left_semi"), keys, mm_cols
+    )
+    return untouched.unionByName(recomputed)

@@ -1602,3 +1602,88 @@ def orders_cdc_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.delete_where(spark, "dim_orders", F.col("o_orderkey") % 5 == 0)
     relay_changes(spark, src, "dim_orders", dst, "dim_follow", "o_orderkey")
     return relay_state(spark, dst, "dim_follow")
+
+
+# ---------------------------------------------------------------------------
+# MIN/MAX IVM (r7): the classical non-self-maintainable aggregate,
+# maintained with algebraic insert folding + targeted recompute of only
+# the groups whose stored extreme a delete tied/passed (ops/ivm.py::
+# apply_cdc_minmax). The CDC sequence deliberately deletes extremes
+# (every key % 5 == 0 row — including some group minima/maxima) so the
+# recompute tier is actually exercised; oracle = full rebuild of the
+# final state.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_ivm_minmax_status",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), v1 AS (
+      SELECT * FROM b
+      UNION ALL
+      SELECT a.* FROM a LEFT JOIN b ON a.o_orderkey = b.o_orderkey
+      WHERE b.o_orderkey IS NULL
+    ), v2 AS (
+      SELECT * FROM v1 WHERE o_orderkey % 5 <> 0
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(cents) AS min_cents,
+           MAX(cents) AS max_cents
+    FROM v2
+    GROUP BY o_orderstatus
+    """,
+    tags=("store", "cdc", "ivm", "minmax", "incremental"),
+)
+def orders_ivm_minmax_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status MIN/MAX maintained through TWO CDC rounds (merge,
+    then a delete wave that removes extremes) without ever rescanning
+    the base beyond the affected-group semi-join."""
+    import tempfile
+
+    from ..engine.store import TableStore
+    from ..ops.ivm import apply_cdc_minmax, build_minmax
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    batch = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("U")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    store = TableStore(tempfile.mkdtemp(prefix="sg-ivm-mm-"))
+    store.create(spark, "dim_orders", base)
+    store.merge_upsert(spark, "dim_orders", batch, unique_key="o_orderkey")
+    store.delete_where(spark, "dim_orders", F.col("o_orderkey") % 5 == 0)
+    agg = build_minmax(
+        store.read_version(spark, "dim_orders", 0),
+        ["o_orderstatus"],
+        ["cents"],
+    )
+    for v in (1, 2):
+        agg = apply_cdc_minmax(
+            agg,
+            store.read_changes(spark, "dim_orders", v - 1, v, "o_orderkey"),
+            store.read_version(spark, "dim_orders", v),
+            ["o_orderstatus"],
+            ["cents"],
+        )
+    return agg.select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("min_cents").cast("long").alias("min_cents"),
+        F.col("max_cents").cast("long").alias("max_cents"),
+    )
