@@ -80,6 +80,10 @@ QUERIES = [
     "documents_bm25_topk",
     "documents_hashed_knn",
     "embeddings_knn_join",
+    # round 7b: store-machinery pipelines (multi-version commits, CDC
+    # walk, targeted-recompute IVM) — measure the commit path's scaling
+    "orders_cdc_relay",
+    "orders_ivm_minmax_status",
 ]
 
 TABLES = ["documents", "embeddings", "customer", "events", "orders"]
