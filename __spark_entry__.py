@@ -58,6 +58,7 @@ _RECHECK_PRIORITY = [
     "documents_hashed_knn",  # r7: new (hashed text->vector search)
     "orders_cdc_relay",  # r7: new (CDC relay convergence)
     "orders_ivm_minmax_status",  # r7: new (MIN/MAX IVM)
+    "orders_ivm_variance_status",  # r7: new (second-moment IVM)
 ]
 
 

@@ -1687,3 +1687,89 @@ def orders_ivm_minmax_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_cents").cast("long").alias("min_cents"),
         F.col("max_cents").cast("long").alias("max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Second-moment IVM (r7): count/sum/sum-of-squares maintained under the
+# CDC feed (decimal(38,0) — integer-exact, overflow-safe), AVG/VAR_POP
+# derived at read with an identical op sequence in both engines so the
+# floats hash-match. Completes the maintained-aggregate family:
+# count/sum (r5), min/max with targeted recompute (r7), moments (r7).
+# ---------------------------------------------------------------------------
+@query(
+    "orders_ivm_variance_status",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), v1 AS (
+      SELECT * FROM b
+      UNION ALL
+      SELECT a.* FROM a LEFT JOIN b ON a.o_orderkey = b.o_orderkey
+      WHERE b.o_orderkey IS NULL
+    ), m AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS sumsq_d
+      FROM v1 GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n_rows, sum_cents,
+           (sumsq_d - CAST(sum_cents AS DOUBLE) * sum_cents / n_rows)
+             / n_rows AS var_pop_cents
+    FROM m
+    """,
+    tags=("store", "cdc", "ivm", "moments", "incremental"),
+)
+def orders_ivm_variance_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status variance from CDC-maintained second moments: the
+    (n, sum, sumsq) triple folds through the v0->v1 change feed —
+    deletes included, no base rescan — and VAR_POP derives at read
+    with the identical float op order in Spark and DuckDB."""
+    import tempfile
+
+    from ..engine.store import TableStore
+    from ..ops.ivm import apply_cdc_moments, build_agg2
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    batch = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("U")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    store = TableStore(tempfile.mkdtemp(prefix="sg-ivm-var-"))
+    store.create(spark, "dim_orders", base)
+    store.merge_upsert(spark, "dim_orders", batch, unique_key="o_orderkey")
+    agg = build_agg2(
+        store.read_version(spark, "dim_orders", 0), ["o_orderstatus"], ["cents"]
+    )
+    maintained = apply_cdc_moments(
+        agg,
+        store.read_changes(spark, "dim_orders", 0, 1, "o_orderkey"),
+        ["o_orderstatus"],
+        ["cents"],
+    )
+    n = F.col("n_rows")
+    sum_d = F.col("sum_cents").cast("double")
+    sumsq_d = F.col("sumsq_cents").cast("double")
+    return maintained.select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        ((sumsq_d - sum_d * F.col("sum_cents").cast("long") / n) / n).alias(
+            "var_pop_cents"
+        ),
+    )

@@ -90,3 +90,57 @@ _ROW = st.tuples(
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_minmax_property_equals_rebuild(spark, base, deletes, inserts, updates):
     _apply(spark, base, deletes, inserts, updates)
+
+
+# -- second moments (avg/var family) ----------------------------------------
+
+
+def _apply_moments(spark, base_rows, deletes, inserts, updates):
+    from dbt_omnata_push_spark.ops.ivm import apply_cdc_moments, build_agg2
+
+    base = {r[0]: r for r in base_rows}
+    changes = []
+    for k in deletes:
+        if k in base:
+            changes.append((*base[k], "delete"))
+            del base[k]
+    for row in inserts:
+        if row[0] not in base:
+            base[row[0]] = row
+            changes.append((*row, "insert"))
+    for row in updates:
+        if row[0] in base and base[row[0]] != row:
+            changes.append((*base[row[0]], "update_preimage"))
+            changes.append((*row, "update_postimage"))
+            base[row[0]] = row
+    agg0 = build_agg2(_df(spark, base_rows), ["g"], ["v"])
+    ch = (
+        spark.createDataFrame(changes, SCHEMA + ", change_type string")
+        if changes
+        else spark.createDataFrame([], SCHEMA + ", change_type string")
+    )
+    got = apply_cdc_moments(agg0, ch, ["g"], ["v"])
+    want = build_agg2(_df(spark, list(base.values())), ["g"], ["v"])
+    key = lambda df: {  # noqa: E731
+        (r["g"], r["n_rows"], r["sum_v"], r["sumsq_v"], r["nn_v"])
+        for r in df.collect()
+    }
+    assert key(got) == key(want)
+
+
+def test_moments_delete_maintains_exactly(spark):
+    base = [(1, "a", 10), (2, "a", -5), (3, "b", 7)]
+    _apply_moments(spark, base, deletes=[1], inserts=[(4, "a", 2)], updates=[(2, "a", 6)])
+    _apply_moments(spark, base, deletes=[3], inserts=[], updates=[])  # group death
+    _apply_moments(spark, [(1, "a", None)], deletes=[], inserts=[(2, "a", 3)], updates=[])
+
+
+@given(
+    st.lists(_ROW, min_size=0, max_size=6, unique_by=lambda r: r[0]),
+    st.lists(st.integers(0, 9), max_size=4, unique=True),
+    st.lists(_ROW, min_size=0, max_size=3, unique_by=lambda r: r[0]),
+    st.lists(_ROW, min_size=0, max_size=3, unique_by=lambda r: r[0]),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_moments_property_equals_rebuild(spark, base, deletes, inserts, updates):
+    _apply_moments(spark, base, deletes, inserts, updates)
