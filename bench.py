@@ -120,6 +120,11 @@ HEADLINE = [
     "documents_hybrid_rrf",
     "embeddings_knn_join",
     "documents_hashed_knn",
+    # round 7b: store-machinery pipelines — CDC relay (multi-version
+    # walk), MIN/MAX IVM (targeted recompute), second-moment IVM
+    "orders_cdc_relay",
+    "orders_ivm_minmax_status",
+    "orders_ivm_variance_status",
 ]
 
 
