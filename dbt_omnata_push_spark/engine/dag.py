@@ -7,6 +7,7 @@ hooks (omnata_push_materialization.sql:2,17) and per-model run results.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from graphlib import TopologicalSorter
@@ -77,6 +78,40 @@ class Engine:
     def _publish(self, name: str, df: DataFrame) -> None:
         self._view_cache[name] = df
         df.createOrReplaceTempView(self.view_name(name))
+
+    def query(self, sql: str, dialect: str = "snowflake") -> DataFrame:
+        """One-off ad-hoc query over the engine's tables (r7): every
+        store table and seed registers as a temp view under its own
+        name, then the statement runs through the full reference-
+        dialect surface — sqlfront transpile, AT/BEFORE time travel,
+        global-rownum routing. ``dialect='spark'`` skips transpilation.
+        This is the interactive analogue of a dbt model: a user of the
+        reference can paste their Snowflake-dialect SELECT directly."""
+        for name in list(self.seeds):
+            self.seeds[name].createOrReplaceTempView(name)
+        if os.path.isdir(self.store.root):
+            for entry in os.listdir(self.store.root):
+                logical = entry.replace("__", ".")
+                if self.store.exists(logical):
+                    view = logical.rsplit(".", 1)[-1]
+                    self.store.read(self.spark, logical).createOrReplaceTempView(
+                        view
+                    )
+        if dialect == "snowflake":
+            from .sqlfront import (
+                GLOBAL_ROWNUM_MARKER,
+                _AT_RE,
+                resolve_global_rownum,
+                resolve_time_travel,
+                transpile,
+            )
+
+            sql = transpile(sql)
+            if _AT_RE.search(sql):
+                sql = resolve_time_travel(self.spark, self.store, sql)
+            if GLOBAL_ROWNUM_MARKER in sql:
+                sql = resolve_global_rownum(self.spark, sql)
+        return self.spark.sql(sql)
 
     # -- execution --------------------------------------------------------
     def build_df(self, model: Model) -> DataFrame:

@@ -316,3 +316,51 @@ class TestTimeTravel:
             resolve_time_travel(
                 spark, store, "select * from t before(version => 0)"
             )
+
+
+class TestEngineQuery:
+    """Ad-hoc engine.query() (r7): full reference-dialect surface over
+    the engine's tables without declaring a model."""
+
+    def test_query_over_store_and_seeds(self, spark, tmp_path):
+        from dbt_omnata_push_spark.engine.dag import Engine
+        from dbt_omnata_push_spark.engine.store import TableStore
+
+        engine = Engine(spark, TableStore(str(tmp_path / "s")))
+        engine.seed("dim", spark.createDataFrame([(1, "x")], "k long, nm string"))
+        engine.store.create(
+            spark, "facts",
+            spark.createDataFrame([(1, 5), (1, 7), (2, 9)], "k long, amt long"),
+        )
+        out = engine.query(
+            "select d.nm, sum(f.amt)::bigint as total "
+            "from facts f join dim d on f.k = d.k group by d.nm"
+        )
+        assert [(r["nm"], r["total"]) for r in out.collect()] == [("x", 12)]
+
+    def test_query_with_time_travel_and_variant_path(self, spark, tmp_path):
+        import json
+
+        from dbt_omnata_push_spark.engine.dag import Engine
+        from dbt_omnata_push_spark.engine.store import TableStore
+
+        engine = Engine(spark, TableStore(str(tmp_path / "s")))
+        engine.store.create(
+            spark, "ev",
+            spark.createDataFrame(
+                [(1, json.dumps({"kind": "a"}))], "k long, props string"
+            ),
+        )
+        engine.store.overwrite(
+            spark, "ev",
+            spark.createDataFrame(
+                [(1, json.dumps({"kind": "b"})), (2, json.dumps({"kind": "c"}))],
+                "k long, props string",
+            ),
+        )
+        out = engine.query(
+            'select k, props:"kind"::varchar as kind '
+            "from ev at(version => 0)"
+        )
+        assert [(r["k"], r["kind"]) for r in out.collect()] == [(1, "a")]
+        assert engine.query("select count(*) as n from ev").collect()[0]["n"] == 2
