@@ -59,6 +59,7 @@ _RECHECK_PRIORITY = [
     "orders_cdc_relay",  # r7: new (CDC relay convergence)
     "orders_ivm_minmax_status",  # r7: new (MIN/MAX IVM)
     "orders_ivm_variance_status",  # r7: new (second-moment IVM)
+    "stream_events_minmax_rollup",  # r7: new (streaming MIN/MAX IVM)
 ]
 
 

@@ -324,3 +324,50 @@ def stream_events_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=os.path.join(root, "ckpt"),
     )
     return store.read(spark, "events_type_rollup").drop(BATCH_COL, RUN_COL)
+
+
+@query(
+    "stream_events_minmax_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(CAST(FLOOR(value * 100) AS BIGINT)) AS min_value_cents,
+           MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS max_value_cents
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "ivm", "minmax"),
+)
+def stream_events_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained per-type MIN/MAX (r7): each micro-batch
+    folds algebraically into the stored extremes (insert-only feed —
+    the delete-recompute tier never fires; streaming/ivm_stream.py::
+    fold_batch_minmax). Maintenance == full refresh, hash-exact."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..engine.store import TableStore
+    from ..streaming.ivm_stream import BATCH_COL, RUN_COL, ivm_minmax_stream
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivmmm_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    store = TableStore(os.path.join(root, "store"))
+    ivm_minmax_stream(
+        spark, sf_dir, store, checkpoint_dir=os.path.join(root, "ckpt")
+    )
+    return (
+        store.read(spark, "events_type_minmax")
+        .drop(BATCH_COL, RUN_COL)
+        .select(
+            "event_type",
+            "n_rows",
+            F.col("min_value_cents").cast("long").alias("min_value_cents"),
+            F.col("max_value_cents").cast("long").alias("max_value_cents"),
+        )
+    )

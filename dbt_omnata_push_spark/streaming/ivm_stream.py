@@ -143,3 +143,90 @@ def ivm_maintained_stream(
         .start()
         .awaitTermination()
     )
+
+
+def fold_batch_minmax(
+    spark: SparkSession,
+    store: TableStore,
+    table: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    keys: list[str],
+    mm_cols: list[str],
+    run_id: str = "default",
+) -> str:
+    """MIN/MAX companion to fold_batch (r7): an INSERT-ONLY stream
+    makes min/max algebraically self-maintainable (least/greatest fold
+    — the targeted-recompute tier in ops/ivm.apply_cdc_minmax exists
+    only for deletes, which a micro-batch append feed never emits).
+    Same run-scoped replay guard, same atomic data+progress commit."""
+    from ..ops.ivm import apply_cdc_minmax, build_minmax
+
+    changes = batch_df.withColumn("change_type", F.lit("insert"))
+    if store.exists(table):
+        cur = store.read(spark, table)
+        head = cur.select(F.max(BATCH_COL), F.any_value(RUN_COL)).collect()[0]
+        last, stored_run = head[0], head[1]
+        if last is not None and stored_run == run_id and batch_id <= last:
+            return "replayed"
+        # insert-only: the recompute tier never fires, so base_new is
+        # only consulted for groups a DELETE endangered — pass an empty
+        # frame shaped like the batch to make that invariant explicit
+        # (a delete appearing here would recompute against nothing and
+        # fail loudly rather than silently corrupt).
+        new = apply_cdc_minmax(
+            cur.drop(BATCH_COL, RUN_COL),
+            changes,
+            batch_df.limit(0),
+            keys,
+            mm_cols,
+        )
+        status = "applied"
+    else:
+        new = build_minmax(batch_df, keys, mm_cols)
+        status = "created"
+    store.overwrite(
+        spark,
+        table,
+        new.withColumn(BATCH_COL, F.lit(batch_id)).withColumn(
+            RUN_COL, F.lit(run_id)
+        ),
+    )
+    return status
+
+
+def ivm_minmax_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    store: TableStore,
+    table: str = "events_type_minmax",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Continuously-maintained per-event-type (count, min, max) of the
+    fixed-point cents value over the events stream."""
+    stream = _events_stream(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="sg_ivm_mm_stream_")
+    run_id = checkpoint_run_id(ckpt)
+
+    def _fold(bdf: DataFrame, bid: int) -> None:
+        fold_batch_minmax(
+            spark,
+            store,
+            table,
+            bdf,
+            bid,
+            ["event_type"],
+            ["value_cents"],
+            run_id=run_id,
+        )
+
+    (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

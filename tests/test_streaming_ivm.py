@@ -126,3 +126,48 @@ def test_checkpoint_run_id_stable_across_restarts(tmp_path):
 
     p = str(tmp_path / "ck")
     assert checkpoint_run_id(p) == checkpoint_run_id(p)
+
+
+def test_minmax_stream_equals_batch_and_replay_safe(spark, tmp_path):
+    from dbt_omnata_push_spark.streaming.ivm_stream import (
+        checkpoint_run_id,
+        fold_batch_minmax,
+        ivm_minmax_stream,
+    )
+
+    store = TableStore(str(tmp_path / "mm"))
+    ivm_minmax_stream(
+        spark, SF_SMOKE, store, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    got = {
+        r["event_type"]: (r["n_rows"], r["min_value_cents"], r["max_value_cents"])
+        for r in store.read(spark, "events_type_minmax").collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    want = {
+        r["event_type"]: (r["n"], r["mn"], r["mx"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value_cents").alias("mn"),
+            F.max("value_cents").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # replay guard: same run + same batch id -> skipped
+    run = checkpoint_run_id(str(tmp_path / "ckpt"))
+    b = spark.createDataFrame(
+        [("click", 1)], "event_type string, value_cents long"
+    )
+    assert (
+        fold_batch_minmax(
+            spark, store, "events_type_minmax", b, 0,
+            ["event_type"], ["value_cents"], run_id=run,
+        )
+        == "replayed"
+    )
