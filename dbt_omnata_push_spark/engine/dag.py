@@ -79,14 +79,9 @@ class Engine:
         self._view_cache[name] = df
         df.createOrReplaceTempView(self.view_name(name))
 
-    def query(self, sql: str, dialect: str = "snowflake") -> DataFrame:
-        """One-off ad-hoc query over the engine's tables (r7): every
-        store table and seed registers as a temp view under its own
-        name, then the statement runs through the full reference-
-        dialect surface — sqlfront transpile, AT/BEFORE time travel,
-        global-rownum routing. ``dialect='spark'`` skips transpilation.
-        This is the interactive analogue of a dbt model: a user of the
-        reference can paste their Snowflake-dialect SELECT directly."""
+    def _register_views(self) -> None:
+        """Register every seed and store table as a temp view under its
+        own (unqualified) name, for ad-hoc SQL."""
         for name in list(self.seeds):
             self.seeds[name].createOrReplaceTempView(name)
         if os.path.isdir(self.store.root):
@@ -97,6 +92,29 @@ class Engine:
                     self.store.read(self.spark, logical).createOrReplaceTempView(
                         view
                     )
+
+    def query(self, sql: str, dialect: str = "snowflake") -> DataFrame:
+        """One-off ad-hoc statement over the engine's tables (r7): every
+        store table and seed registers as a temp view under its own
+        name, then the statement runs through the full reference-
+        dialect surface — sqlfront transpile, AT/BEFORE time travel,
+        global-rownum routing. ``dialect='spark'`` skips transpilation.
+        This is the interactive analogue of a dbt model: a user of the
+        reference can paste their Snowflake-dialect SELECT directly.
+
+        DML statements (the reference macros' own surface — INSERT /
+        INSERT ALL / UPDATE..FROM / DELETE / MERGE / CTAS / TRUNCATE)
+        are routed to the versioned store via engine.dml and return a
+        Snowflake-style summary frame (rows_inserted/updated/deleted).
+        """
+        if dialect == "snowflake":
+            from . import dml
+
+            kind = dml.statement_kind(sql)
+            if kind is not None:
+                self._register_views()
+                return dml.execute(self, sql, kind)
+        self._register_views()
         if dialect == "snowflake":
             from .sqlfront import (
                 GLOBAL_ROWNUM_MARKER,
@@ -112,6 +130,17 @@ class Engine:
             if GLOBAL_ROWNUM_MARKER in sql:
                 sql = resolve_global_rownum(self.spark, sql)
         return self.spark.sql(sql)
+
+    def execute_script(self, script: str, dialect: str = "snowflake"):
+        """Run a multi-statement script (top-level ``;`` separated) one
+        statement at a time — the reference macros' `statement()` blocks
+        back-to-back. Returns one result DataFrame per statement."""
+        from . import dml
+
+        return [
+            self.query(stmt, dialect=dialect)
+            for stmt in dml._split_statements(script)
+        ]
 
     # -- execution --------------------------------------------------------
     def build_df(self, model: Model) -> DataFrame:

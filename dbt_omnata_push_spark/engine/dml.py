@@ -1,0 +1,752 @@
+"""Snowflake-dialect DML statements over the versioned store.
+
+The reference's operational macros are DML, not SELECTs: column-list
+``INSERT .. SELECT`` (/root/reference/macros/apps/operations/
+salesforce_bulk_load.sql:22-31,35-47), ``UPDATE .. SET .. FROM ..
+WHERE`` (salesforce_bulk_load.sql:52-55; load_task_materialization
+.sql:70-73), and Snowflake's multi-table conditional ``INSERT ALL``
+(marketing_cloud_data_extension_upload.sql:37-43).  This module gives
+``Engine.query()`` those statement forms plus the statements any user
+of the reference runs around them (CTAS, MERGE, DELETE, TRUNCATE),
+parsed at the STATEMENT level only — every expression fragment is
+handed verbatim to Spark SQL after ``sqlfront.transpile``, so the full
+reference expression surface (``::`` casts, variant paths,
+OBJECT_CONSTRUCT, UUID_STRING, ...) works inside DML too.
+
+Routing to the store's commit machinery:
+
+- ``INSERT``            -> ``store.append`` (source localCheckpoint'ed
+                           first so nondeterministic expressions like
+                           UUID_STRING are evaluated exactly once —
+                           the same persisted-DF discipline as
+                           materializations/push.py's INSERT ALL);
+- ``DELETE .. WHERE``   -> ``store.delete_where`` (the deletion-vector
+                           merge-on-read path: O(matched) commit, data
+                           files carried unrewritten);
+- ``UPDATE`` / ``MERGE``-> versioned rewrite (Snowflake itself rewrites
+                           matched micro-partitions; row identity is a
+                           checkpointed monotonically_increasing_id so
+                           matched rows patch deterministically within
+                           the statement);
+- ``CREATE TABLE AS``   -> ``store.create`` / ``overwrite``;
+- ``TRUNCATE``          -> empty-frame overwrite (history retained).
+
+Results mirror Snowflake's statement output: a 1-row summary DataFrame
+(``rows_inserted`` / ``rows_updated`` / ``rows_deleted``), or one row
+per target table for ``INSERT ALL``.
+
+Scale notes: UPDATE/MERGE counts and row-ids ride one localCheckpoint
+of the target (a single materialization, partition-parallel); nothing
+here collects data rows to the driver.  Multi-match UPDATE..FROM picks
+one arbitrary source row per target row (Snowflake's default
+ERROR_ON_NONDETERMINISTIC_MERGE=false behavior).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from .sqlfront import _split_top_level_args, transpile
+
+# ---------------------------------------------------------------------------
+# statement-level scanning (quote/paren aware)
+# ---------------------------------------------------------------------------
+
+_LINE_COMMENT_RE = re.compile(r"--[^\n]*")
+
+
+def _strip_comments(sql: str) -> str:
+    out, i, n, quote = [], 0, len(sql), None
+    while i < n:
+        c = sql[i]
+        if quote:
+            out.append(c)
+            if c == quote:
+                quote = None
+            i += 1
+        elif c in "'\"":
+            quote = c
+            out.append(c)
+            i += 1
+        elif c == "-" and sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j < 0 else j
+        elif c == "/" and sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _scan_top(sql: str, pattern: str, start: int = 0) -> re.Match | None:
+    """First top-level (outside parens/quotes) regex match at/after start."""
+    rx = re.compile(pattern, re.IGNORECASE)
+    depth, i, n, quote = 0, 0, len(sql), None
+    while i < n:
+        c = sql[i]
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and i >= start:
+            m = rx.match(sql, i)
+            if m:
+                return m
+        i += 1
+    return None
+
+
+def _split_statements(script: str) -> list[str]:
+    """Split a multi-statement script on top-level semicolons."""
+    parts, depth, start, quote = [], 0, 0, None
+    for i, c in enumerate(script):
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == ";" and depth == 0:
+            parts.append(script[start:i])
+            start = i + 1
+    parts.append(script[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+_KIND_RE = re.compile(
+    r"(?is)^\s*(insert\s+all\b|insert\s+first\b|insert\b|update\b|"
+    r"delete\b|merge\b|truncate\b|"
+    r"create\s+(?:or\s+replace\s+)?(?:temporary\s+|transient\s+)?table\b)"
+)
+
+
+def statement_kind(sql: str) -> str | None:
+    """'insert'|'insert_multi'|'update'|'delete'|'merge'|'ctas'|'truncate',
+    or None for plain queries (SELECT/WITH/VALUES/...)."""
+    s = _strip_comments(sql).strip()
+    m = _KIND_RE.match(s)
+    if not m:
+        return None
+    kw = re.sub(r"\s+", " ", m.group(1).lower())
+    if kw.startswith("create"):
+        return "ctas"
+    if kw in ("insert all", "insert first"):
+        return "insert_multi"
+    return kw.split()[0]
+
+
+# ---------------------------------------------------------------------------
+# identifier helpers
+# ---------------------------------------------------------------------------
+
+_IDENT = r'(?:"[^"]+"|[A-Za-z_][\w$]*)'
+_TABLE = rf"{_IDENT}(?:\s*\.\s*{_IDENT})*"
+
+
+def _clean_ident(raw: str) -> str:
+    parts = re.split(r"\s*\.\s*", raw.strip())
+    return ".".join(p.strip('"') for p in parts)
+
+
+def _resolve_table(engine, raw: str) -> str:
+    """Map a (possibly db.schema-qualified) identifier to a store name."""
+    full = _clean_ident(raw)
+    if engine.store.exists(full):
+        return full
+    tail = full.rsplit(".", 1)[-1]
+    if engine.store.exists(tail):
+        return tail
+    return full  # new table (CTAS) / error surfaced by the store
+
+
+_RID = "__dml_rid__"
+
+
+def _with_rid(engine, table: str) -> DataFrame:
+    """Target with a per-statement-stable synthetic row id (checkpointed
+    so two scans see identical ids)."""
+    df = engine.store.read(engine.spark, table)
+    return df.withColumn(_RID, F.monotonically_increasing_id()).localCheckpoint()
+
+
+def _summary(engine, **counts) -> DataFrame:
+    cols = ", ".join(f"{k} long" for k in counts)
+    return engine.spark.createDataFrame([tuple(counts.values())], cols)
+
+
+def _run_select(engine, body: str) -> DataFrame:
+    body = body.strip()
+    if re.match(r"(?is)^values\b", body):
+        return engine.spark.sql(body)
+    return engine.query(body)
+
+
+def _aligned_for_insert(
+    engine, table: str, df: DataFrame, cols: list[str] | None
+) -> DataFrame:
+    """Rename positionally to the column list (or target order), add
+    missing target columns as typed NULLs, cast to target types."""
+    target_schema = engine.store.read(engine.spark, table).schema
+    names = cols if cols is not None else [f.name for f in target_schema]
+    if len(df.columns) != len(names):
+        raise ValueError(
+            f"INSERT into {table}: {len(names)} columns declared but the "
+            f"source produces {len(df.columns)}"
+        )
+    renamed = df.toDF(*names)
+    by_name = {f.name.lower(): f for f in target_schema}
+    unknown = [n for n in names if n.lower() not in by_name]
+    if unknown:
+        raise ValueError(f"INSERT into {table}: unknown columns {unknown}")
+    provided = {n.lower(): n for n in names}
+    out = []
+    for f in target_schema:
+        if f.name.lower() in provided:
+            out.append(
+                F.col(provided[f.name.lower()]).cast(f.dataType).alias(f.name)
+            )
+        else:
+            out.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return renamed.select(*out)
+
+
+# ---------------------------------------------------------------------------
+# INSERT INTO t [(cols)] <select|values>
+# ---------------------------------------------------------------------------
+
+_INSERT_RE = re.compile(
+    rf"(?is)^\s*insert\s+into\s+({_TABLE})\s*(\([^)]*\))?\s*(.*)$"
+)
+
+
+def _insert(engine, sql: str) -> DataFrame:
+    m = _INSERT_RE.match(sql)
+    if not m:
+        raise ValueError(f"unparsable INSERT statement: {sql[:120]}")
+    table = _resolve_table(engine, m.group(1))
+    cols = (
+        [c.strip().strip('"') for c in _split_top_level_args(m.group(2)[1:-1])]
+        if m.group(2)
+        else None
+    )
+    body = m.group(3).strip().rstrip(";")
+    src = _run_select(engine, body).localCheckpoint()  # exactly-once exprs
+    aligned = _aligned_for_insert(engine, table, src, cols)
+    n = aligned.count()
+    engine.store.append(engine.spark, table, aligned)
+    return _summary(engine, rows_inserted=n)
+
+
+# ---------------------------------------------------------------------------
+# INSERT ALL|FIRST [when .. then] into t (cols) values (exprs) .. <select>
+# ---------------------------------------------------------------------------
+
+_INTO_RE = re.compile(
+    rf"(?is)\binto\s+({_TABLE})\s*(\([^)]*\))?\s*(values\s*\()?"
+)
+
+
+def _parse_into_items(clause: str) -> list[dict]:
+    """Parse a run of `into t (cols) values (exprs)` items."""
+    items, pos = [], 0
+    while True:
+        m = _INTO_RE.search(clause, pos)
+        if not m:
+            break
+        cols = (
+            [c.strip().strip('"') for c in _split_top_level_args(m.group(2)[1:-1])]
+            if m.group(2)
+            else None
+        )
+        vals = None
+        pos = m.end()
+        if m.group(3):
+            depth, i = 1, m.end()
+            while i < len(clause) and depth:
+                if clause[i] == "(":
+                    depth += 1
+                elif clause[i] == ")":
+                    depth -= 1
+                i += 1
+            vals = _split_top_level_args(clause[m.end() : i - 1])
+            pos = i
+        items.append({"table": m.group(1), "cols": cols, "values": vals})
+    return items
+
+
+def _insert_multi(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    head = re.match(r"(?is)^\s*insert\s+(all|first)\b", s)
+    mode = head.group(1).lower()
+    rest = s[head.end() :]
+    # The select body starts at the first top-level SELECT/WITH.
+    bm = _scan_top(rest, r"(?:select|with)\b")
+    if not bm:
+        raise ValueError("INSERT ALL requires a trailing SELECT/WITH body")
+    clause_text, body = rest[: bm.start()], rest[bm.start() :]
+
+    # Split the clause text into WHEN/ELSE groups.
+    groups: list[dict] = []  # {'cond': str|None, 'else': bool, 'items': [...]}
+    bounds = []
+    for m in re.finditer(r"(?is)\b(when|else)\b", clause_text):
+        t = _scan_top(clause_text, r"(?:when|else)\b", m.start())
+        if t is not None and t.start() == m.start():  # top-level only
+            bounds.append((m.start(), m.group(1).lower()))
+    if not bounds:
+        groups.append(
+            {"cond": None, "else": False, "items": _parse_into_items(clause_text)}
+        )
+    else:
+        for idx, (pos, kw) in enumerate(bounds):
+            end = bounds[idx + 1][0] if idx + 1 < len(bounds) else len(clause_text)
+            seg = clause_text[pos:end]
+            if kw == "when":
+                wm = re.match(r"(?is)^when\s+(.*?)\bthen\b", seg)
+                if not wm:
+                    raise ValueError(f"unparsable WHEN clause: {seg[:80]}")
+                groups.append(
+                    {
+                        "cond": wm.group(1).strip(),
+                        "else": False,
+                        "items": _parse_into_items(seg[wm.end() :]),
+                    }
+                )
+            else:
+                groups.append(
+                    {
+                        "cond": None,
+                        "else": True,
+                        "items": _parse_into_items(seg[len("else") :]),
+                    }
+                )
+
+    src = engine.query(body).localCheckpoint()  # evaluated exactly once
+    matched_any = F.lit(False)
+    first_claimed = F.lit(False)
+    results: dict[str, int] = {}
+    for g in groups:
+        if g["else"]:
+            rows = src.filter(~matched_any)
+        elif g["cond"] is None:
+            rows = src
+        else:
+            cond = F.expr(transpile(g["cond"]))
+            if mode == "first":
+                rows = src.filter(cond & ~first_claimed)
+                first_claimed = first_claimed | cond
+            else:
+                rows = src.filter(cond)
+            matched_any = matched_any | cond
+        for item in g["items"]:
+            table = _resolve_table(engine, item["table"])
+            if item["values"] is not None:
+                names = item["cols"] or [
+                    f"col{i+1}" for i in range(len(item["values"]))
+                ]
+                proj = rows.select(
+                    *[
+                        F.expr(transpile(v)).alias(n)
+                        for v, n in zip(item["values"], names)
+                    ]
+                )
+            else:
+                proj = rows
+            aligned = _aligned_for_insert(engine, table, proj, item["cols"])
+            n = aligned.count()
+            engine.store.append(engine.spark, table, aligned)
+            results[table] = results.get(table, 0) + n
+    return engine.spark.createDataFrame(
+        sorted(results.items()), "table string, rows_inserted long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# UPDATE t [alias] SET .. [FROM src] [WHERE cond]
+# ---------------------------------------------------------------------------
+
+_UPDATE_RE = re.compile(
+    rf"(?is)^\s*update\s+({_TABLE})(?:\s+(?!set\b)({_IDENT}))?\s+set\s+"
+)
+
+
+def _register_df(engine, df: DataFrame, *names: str) -> None:
+    for n in names:
+        if n:
+            df.createOrReplaceTempView(n.strip('"').rsplit(".", 1)[-1])
+
+
+def _update(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _UPDATE_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable UPDATE statement: {s[:120]}")
+    table = _resolve_table(engine, m.group(1))
+    alias = (m.group(2) or m.group(1)).strip('"').rsplit(".", 1)[-1]
+    rest = s[m.end() :]
+    fm = _scan_top(rest, r"from\b")
+    wm = _scan_top(rest, r"where\b")
+    set_end = min(x.start() for x in (fm, wm) if x) if (fm or wm) else len(rest)
+    set_text = rest[:set_end]
+    src_text = rest[fm.end() : wm.start() if wm else len(rest)] if fm else None
+    cond = rest[wm.end() :].strip() if wm else None
+
+    assignments = []
+    for part in _split_top_level_args(set_text):
+        cm = re.match(rf"(?is)^\s*({_IDENT})\s*=\s*(.+)$", part.strip())
+        if not cm:
+            raise ValueError(f"unparsable SET assignment: {part[:80]}")
+        assignments.append((cm.group(1).strip('"'), cm.group(2).strip()))
+
+    engine._register_views()
+    tgt = _with_rid(engine, table)
+    _register_df(engine, tgt, alias, m.group(1))
+    set_select = ", ".join(
+        f"({transpile(e)}) AS __set_{i}" for i, (_, e) in enumerate(assignments)
+    )
+    from_clause = f"{alias}" + (
+        f", {transpile(src_text.strip())}" if src_text else ""
+    )
+    match_sql = (
+        f"SELECT {alias}.{_RID} AS {_RID}, true AS __dml_hit__, {set_select} "
+        f"FROM {from_clause}"
+        + (f" WHERE {transpile(cond)}" if cond else "")
+    )
+    matches = engine.spark.sql(match_sql).dropDuplicates([_RID]).localCheckpoint()
+    n = matches.count()
+    joined = tgt.join(matches, _RID, "left")
+    out_cols = []
+    set_names = {c.lower(): i for i, (c, _) in enumerate(assignments)}
+    for fld in engine.store.read(engine.spark, table).schema:
+        if fld.name.lower() in set_names:
+            i = set_names[fld.name.lower()]
+            out_cols.append(
+                F.when(F.col("__dml_hit__"), F.col(f"__set_{i}"))
+                .otherwise(F.col(fld.name))
+                .cast(fld.dataType)
+                .alias(fld.name)
+            )
+        else:
+            out_cols.append(F.col(fld.name))
+    engine.store.overwrite(engine.spark, table, joined.select(*out_cols))
+    return _summary(engine, rows_updated=n)
+
+
+# ---------------------------------------------------------------------------
+# DELETE FROM t [alias] [USING src] [WHERE cond]
+# ---------------------------------------------------------------------------
+
+_DELETE_RE = re.compile(
+    rf"(?is)^\s*delete\s+from\s+({_TABLE})(?:\s+(?!using\b|where\b)({_IDENT}))?\s*(.*)$"
+)
+
+
+def _strip_alias_prefix(cond: str, alias: str) -> str:
+    """Drop `alias.` qualifications outside quoted strings."""
+    rx = re.compile(rf"(?i)\b{re.escape(alias)}\s*\.\s*")
+    out, i, n, quote = [], 0, len(cond), None
+    while i < n:
+        c = cond[i]
+        if quote:
+            out.append(c)
+            if c == quote:
+                quote = None
+            i += 1
+        elif c in "'\"":
+            quote = c
+            out.append(c)
+            i += 1
+        else:
+            m = rx.match(cond, i)
+            if m:
+                i = m.end()
+            else:
+                out.append(c)
+                i += 1
+    return "".join(out)
+
+
+def _delete(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _DELETE_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable DELETE statement: {s[:120]}")
+    table = _resolve_table(engine, m.group(1))
+    alias = (m.group(2) or m.group(1)).strip('"').rsplit(".", 1)[-1]
+    rest = m.group(3) or ""
+    um = _scan_top(rest, r"using\b")
+    wm = _scan_top(rest, r"where\b")
+    cond = rest[wm.end() :].strip() if wm else None
+
+    if um is None:
+        # Predicate delete -> deletion-vector merge-on-read fast path.
+        pred = (
+            F.expr(_strip_alias_prefix(transpile(cond), alias))
+            if cond
+            else F.lit(True)
+        )
+        n = engine.store.delete_where(engine.spark, table, pred)
+        return _summary(engine, rows_deleted=n)
+
+    src_text = rest[um.end() : wm.start() if wm else len(rest)].strip()
+    engine._register_views()
+    tgt = _with_rid(engine, table)
+    _register_df(engine, tgt, alias, m.group(1))
+    match_sql = (
+        f"SELECT {alias}.{_RID} AS {_RID} FROM {alias}, {src_text}"
+        + (f" WHERE {transpile(cond)}" if cond else "")
+    )
+    ids = engine.spark.sql(match_sql).dropDuplicates([_RID]).localCheckpoint()
+    n = ids.count()
+    kept = tgt.join(ids, _RID, "left_anti").drop(_RID)
+    engine.store.overwrite(engine.spark, table, kept)
+    return _summary(engine, rows_deleted=n)
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO t USING src ON cond WHEN ...
+# ---------------------------------------------------------------------------
+
+_MERGE_RE = re.compile(
+    rf"(?is)^\s*merge\s+into\s+({_TABLE})(?:\s+(?!using\b)({_IDENT}))?\s+using\s+"
+)
+
+
+def _merge(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _MERGE_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable MERGE statement: {s[:120]}")
+    table = _resolve_table(engine, m.group(1))
+    alias = (m.group(2) or m.group(1)).strip('"').rsplit(".", 1)[-1]
+    rest = s[m.end() :]
+    om = _scan_top(rest, r"on\b")
+    if not om:
+        raise ValueError("MERGE requires an ON clause")
+    src_part = rest[: om.start()].strip()
+    after_on = rest[om.end() :]
+    w1 = _scan_top(after_on, r"when\b")
+    if not w1:
+        raise ValueError("MERGE requires at least one WHEN clause")
+    on_cond = after_on[: w1.start()].strip()
+    when_text = after_on[w1.start() :]
+
+    # src: bare table (with optional alias) or (subquery) alias
+    sm = re.match(rf"(?is)^\(\s*(.*)\s*\)\s*({_IDENT})?\s*$", src_part)
+    if sm:
+        src_df = engine.query(sm.group(1)).localCheckpoint()
+        src_alias = (sm.group(2) or "__dml_src__").strip('"')
+    else:
+        tm = re.match(rf"(?is)^({_TABLE})(?:\s+({_IDENT}))?\s*$", src_part)
+        if not tm:
+            raise ValueError(f"unparsable MERGE source: {src_part[:80]}")
+        src_df = engine.store.read(
+            engine.spark, _resolve_table(engine, tm.group(1))
+        ).localCheckpoint()
+        src_alias = (tm.group(2) or tm.group(1)).strip('"').rsplit(".", 1)[-1]
+
+    header_re = re.compile(
+        r"(?is)\bwhen\s+(not\s+matched|matched)\s*(?:and\s+(.*?))?\s*then\s+"
+        r"(update\s+set\s+|delete\b|insert\b)"
+    )
+    headers = list(header_re.finditer(when_text))
+    clauses = []
+    for idx, cm in enumerate(headers):
+        kind = "not_matched" if "not" in cm.group(1).lower() else "matched"
+        action = cm.group(3).lower().split()[0]
+        end = headers[idx + 1].start() if idx + 1 < len(headers) else len(when_text)
+        clauses.append(
+            {
+                "kind": kind,
+                "extra": (cm.group(2) or "").strip() or None,
+                "action": action,
+                "body": when_text[cm.end() : end].strip(),
+            }
+        )
+
+    upd = next(
+        (c for c in clauses if c["kind"] == "matched" and c["action"] == "update"),
+        None,
+    )
+    dele = next(
+        (c for c in clauses if c["kind"] == "matched" and c["action"] == "delete"),
+        None,
+    )
+    ins = next((c for c in clauses if c["kind"] == "not_matched"), None)
+
+    engine._register_views()
+    tgt = _with_rid(engine, table)
+    _register_df(engine, tgt, alias, m.group(1))
+    _register_df(engine, src_df, src_alias)
+    schema = engine.store.read(engine.spark, table).schema
+
+    n_upd = n_del = n_ins = 0
+    patched = tgt
+    del_ids = None
+    on_sql = transpile(on_cond)
+
+    # Matching (matched / not-matched / extra conditions) is evaluated
+    # against the target AS OF statement start (Snowflake semantics):
+    # the `alias` view stays the original target throughout; the delete
+    # branch only decides which target rows survive into the new
+    # version. When a target row satisfies both DELETE and UPDATE with
+    # no disambiguating AND conditions, DELETE wins (documented
+    # simplification of Snowflake's clause-order rule).
+    if dele is not None:
+        extra = f" AND ({transpile(dele['extra'])})" if dele["extra"] else ""
+        del_ids = (
+            engine.spark.sql(
+                f"SELECT {alias}.{_RID} AS {_RID} FROM {alias}, {src_alias} "
+                f"WHERE ({on_sql}){extra}"
+            )
+            .dropDuplicates([_RID])
+            .localCheckpoint()
+        )
+        n_del = del_ids.count()
+        patched = patched.join(del_ids, _RID, "left_anti")
+
+    if upd is not None:
+        assignments = []
+        for part in _split_top_level_args(upd["body"]):
+            cm2 = re.match(rf"(?is)^\s*({_IDENT})\s*=\s*(.+)$", part.strip())
+            if not cm2:
+                raise ValueError(f"unparsable MERGE SET: {part[:80]}")
+            lhs = cm2.group(1).strip('"')
+            assignments.append((lhs.rsplit(".", 1)[-1], cm2.group(2).strip()))
+        extra = f" AND ({transpile(upd['extra'])})" if upd["extra"] else ""
+        set_select = ", ".join(
+            f"({transpile(e)}) AS __set_{i}" for i, (_, e) in enumerate(assignments)
+        )
+        matches = engine.spark.sql(
+            f"SELECT {alias}.{_RID} AS {_RID}, true AS __dml_hit__, "
+            f"{set_select} FROM {alias}, {src_alias} WHERE ({on_sql}){extra}"
+        ).dropDuplicates([_RID])
+        if del_ids is not None:
+            matches = matches.join(del_ids, _RID, "left_anti")
+        matches = matches.localCheckpoint()
+        n_upd = matches.count()
+        joined = patched.join(matches, _RID, "left")
+        set_names = {c.lower(): i for i, (c, _) in enumerate(assignments)}
+        out_cols = []
+        for fld in schema:
+            if fld.name.lower() in set_names:
+                i = set_names[fld.name.lower()]
+                out_cols.append(
+                    F.when(F.col("__dml_hit__"), F.col(f"__set_{i}"))
+                    .otherwise(F.col(fld.name))
+                    .cast(fld.dataType)
+                    .alias(fld.name)
+                )
+            else:
+                out_cols.append(F.col(fld.name))
+        patched = joined.select(*out_cols, F.col(_RID))
+
+    final = patched.drop(_RID, "__dml_hit__")
+
+    if ins is not None:
+        im = re.match(
+            r"(?is)^(?:\(([^)]*)\)\s*)?values\s*\((.*)\)\s*$", ins["body"]
+        )
+        if not im:
+            raise ValueError(f"unparsable MERGE INSERT: {ins['body'][:80]}")
+        cols = (
+            [c.strip().strip('"').rsplit(".", 1)[-1]
+             for c in _split_top_level_args(im.group(1))]
+            if im.group(1)
+            else [f.name for f in schema]
+        )
+        vals = _split_top_level_args(im.group(2))
+        # Anti-join (not SQL NOT EXISTS): a correlated subquery would
+        # mis-resolve source refs against same-named output aliases.
+        anti = src_df.alias(src_alias).join(
+            tgt.alias(alias), F.expr(on_sql), "left_anti"
+        )
+        if ins["extra"]:
+            anti = anti.filter(F.expr(transpile(ins["extra"])))
+        new_rows = anti.select(
+            *[F.expr(transpile(v)).alias(c) for v, c in zip(vals, cols)]
+        ).localCheckpoint()
+        n_ins = new_rows.count()
+        aligned = _aligned_for_insert(engine, table, new_rows, cols)
+        final = final.unionByName(aligned)
+
+    engine.store.overwrite(engine.spark, table, final)
+    return _summary(
+        engine, rows_inserted=n_ins, rows_updated=n_upd, rows_deleted=n_del
+    )
+
+
+# ---------------------------------------------------------------------------
+# CREATE [OR REPLACE] TABLE t AS <select> / TRUNCATE [TABLE] t
+# ---------------------------------------------------------------------------
+
+_CTAS_RE = re.compile(
+    rf"(?is)^\s*create\s+(or\s+replace\s+)?(?:temporary\s+|transient\s+)?"
+    rf"table\s+({_TABLE})\s+as\s+(.*)$"
+)
+
+
+def _ctas(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _CTAS_RE.match(s)
+    if not m:
+        raise ValueError(
+            "only CREATE [OR REPLACE] TABLE .. AS SELECT is supported "
+            f"(got: {s[:100]})"
+        )
+    replace = bool(m.group(1))
+    table = _clean_ident(m.group(2))
+    if engine.store.exists(table.rsplit(".", 1)[-1]) and not engine.store.exists(
+        table
+    ):
+        table = table.rsplit(".", 1)[-1]
+    df = engine.query(m.group(3)).localCheckpoint()
+    n = df.count()
+    if engine.store.exists(table):
+        if not replace:
+            raise ValueError(f"table already exists: {table}")
+        engine.store.overwrite(engine.spark, table, df)
+    else:
+        engine.store.create(engine.spark, table, df)
+    return _summary(engine, rows_inserted=n)
+
+
+_TRUNCATE_RE = re.compile(rf"(?is)^\s*truncate\s+(?:table\s+)?({_TABLE})\s*$")
+
+
+def _truncate(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _TRUNCATE_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable TRUNCATE statement: {s[:120]}")
+    table = _resolve_table(engine, m.group(1))
+    cur = engine.store.read(engine.spark, table)
+    n = cur.count()
+    engine.store.overwrite(engine.spark, table, cur.limit(0))
+    return _summary(engine, rows_deleted=n)
+
+
+_DISPATCH = {
+    "insert": _insert,
+    "insert_multi": _insert_multi,
+    "update": _update,
+    "delete": _delete,
+    "merge": _merge,
+    "ctas": _ctas,
+    "truncate": _truncate,
+}
+
+
+def execute(engine, sql: str, kind: str) -> DataFrame:
+    return _DISPATCH[kind](engine, sql)
