@@ -60,6 +60,8 @@ _RECHECK_PRIORITY = [
     "orders_ivm_minmax_status",  # r7: new (MIN/MAX IVM)
     "orders_ivm_variance_status",  # r7: new (second-moment IVM)
     "stream_events_minmax_rollup",  # r7: new (streaming MIN/MAX IVM)
+    "events_theta_set_ops",  # r7: new (theta-sketch set operations)
+    "orders_dml_lifecycle",  # r7: new (Snowflake DML statement surface)
 ]
 
 

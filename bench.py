@@ -125,6 +125,12 @@ HEADLINE = [
     "orders_cdc_relay",
     "orders_ivm_minmax_status",
     "orders_ivm_variance_status",
+    # round 7c: theta-sketch audience set-ops (O(k) over sketch rows)
+    # and the Snowflake-DML statement surface driven end-to-end (CTAS
+    # -> UPDATE -> DV DELETE -> MERGE -> INSERT, five store commits —
+    # the honest price of benching the statement engine)
+    "events_theta_set_ops",
+    "orders_dml_lifecycle",
 ]
 
 

@@ -379,3 +379,82 @@ def kmv_merge(sketches: DataFrame, k: int = KMV_K) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def _hash_frac(col) -> "F.Column":
+    """Uniform [0,1) fraction of an md5 digest (first 15 hex chars —
+    the same rendering KMV's estimator uses, so sketches compose)."""
+    return (
+        F.conv(F.substring(col, 1, 15), 16, 10).cast("double")
+        / F.lit(_HEX15_SPAN)
+    )
+
+
+def theta_set_ops(
+    sketch: DataFrame, group_a: str, group_b: str, k: int = KMV_K
+) -> DataFrame:
+    """Distinct-set UNION / INTERSECT / DIFFERENCE estimates between two
+    groups' KMV sketch rows — the theta-sketch algebra (Dasgupta et
+    al., the Apache DataSketches theta framework), computed from sketch
+    rows alone, never from raw data.
+
+    theta = min(theta_A, theta_B), where theta_g = frac(k-th smallest
+    hash) for a saturated group and 1.0 otherwise; S = sketch hashes
+    with frac(h) < theta; then |S_inter|/theta, |S_union|/theta and
+    |S_diff|/theta estimate the true distinct cardinalities of the
+    corresponding sets. This is the operation a KMV union-merge cannot
+    provide (intersections/differences), and the reason warehouses ship
+    theta sketches for audience-overlap queries.
+
+    Determinism: every step is md5-derived integer arithmetic plus one
+    fixed-shape double division — bit-identical across engines, so the
+    ESTIMATES themselves are exactly oracle-checkable (like
+    kmv_estimate, unlike HLL). When neither group saturates (theta=1)
+    the outputs are EXACT set cardinalities.
+
+    Scale shape: inputs are k-row-per-group sketch tables; everything
+    here is O(k) — the 1-row theta frame is broadcast, never a
+    driver-side collect.
+
+    Output: (op, n, est) rows, op in {union, intersect, a_minus_b,
+    b_minus_a}; n is the raw surviving-hash count, est = n/theta.
+    """
+    pair = sketch.filter(F.col("g").isin([group_a, group_b]))
+    thetas = (
+        pair.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("mx"))
+        .select(
+            F.when(F.col("n") < k, F.lit(1.0))
+            .otherwise(_hash_frac(F.col("mx")))
+            .alias("theta_g")
+        )
+    )
+    theta = thetas.agg(F.min("theta_g").alias("theta"))
+    survivors = (
+        pair.select("g", "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(_hash_frac(F.col("h")) < F.col("theta"))
+    )
+    flags = survivors.groupBy("h").agg(
+        F.max("theta").alias("theta"),
+        F.max(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("in_b"),
+    )
+    agg = flags.groupBy().agg(
+        F.max("theta").alias("theta"),
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(F.expr("if(in_a = 1 and in_b = 1, 1, 0)")).alias("n_inter"),
+        F.sum(F.expr("if(in_a = 1 and in_b = 0, 1, 0)")).alias("n_a_only"),
+        F.sum(F.expr("if(in_b = 1 and in_a = 0, 1, 0)")).alias("n_b_only"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 'union', n_union, 'intersect', n_inter, "
+            "'a_minus_b', n_a_only, 'b_minus_a', n_b_only) AS (op, n)"
+        ),
+        "theta",
+    ).select(
+        "op",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.col("theta")).alias("est"),
+    )

@@ -1506,3 +1506,176 @@ def orders_mv_routed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("sum_price_cents"),
     )
+
+
+@query(
+    "events_theta_set_ops",
+    oracle="""
+    WITH hashes AS (
+      SELECT DISTINCT event_type AS g, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value > 100
+    ),
+    ranked AS (
+      SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rk
+      FROM hashes
+    ),
+    sk AS (SELECT g, h FROM ranked WHERE rk <= 64),
+    thetas AS (
+      SELECT CASE WHEN COUNT(*) < 64 THEN 1.0
+             ELSE CAST(CAST(('0x' || substr(MAX(h), 1, 15)) AS BIGINT)
+                    AS DOUBLE) / 1152921504606846976.0
+             END AS theta_g
+      FROM sk GROUP BY g
+    ),
+    th AS (SELECT MIN(theta_g) AS theta FROM thetas),
+    survivors AS (
+      SELECT sk.g, sk.h, th.theta FROM sk, th
+      WHERE CAST(CAST(('0x' || substr(sk.h, 1, 15)) AS BIGINT) AS DOUBLE)
+              / 1152921504606846976.0 < th.theta
+    ),
+    flags AS (
+      SELECT h, MAX(theta) AS theta,
+             MAX(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS in_b
+      FROM survivors GROUP BY h
+    ),
+    agg AS (
+      SELECT MAX(theta) AS theta,
+             COUNT(*) AS n_union,
+             SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_inter,
+             SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS n_a_only,
+             SUM(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END) AS n_b_only
+      FROM flags
+    )
+    SELECT op, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / theta AS est
+    FROM (
+      SELECT 'union' AS op, n_union AS n, theta FROM agg
+      UNION ALL SELECT 'intersect', n_inter, theta FROM agg
+      UNION ALL SELECT 'a_minus_b', n_a_only, theta FROM agg
+      UNION ALL SELECT 'b_minus_a', n_b_only, theta FROM agg
+    ) t
+    """,
+    tags=("sketch", "theta", "set-ops", "mergeable"),
+)
+def events_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET OPERATIONS (ops/sketches.py::theta_set_ops):
+    distinct-user union / intersection / difference estimates between
+    the high-value (value > 100) 'click' and 'purchase' audiences,
+    computed ONLY from each side's k=64 KMV sketch rows — the
+    audience-overlap query that a KMV union-merge alone cannot answer
+    (intersections/differences are the theta framework's contribution;
+    cf. Apache DataSketches).
+
+    Like events_kmv_distinct_users, the whole pipeline is md5-derived
+    integer arithmetic plus one fixed-shape division, so the ESTIMATES
+    hash-match the DuckDB oracle exactly; at sf0.01 the audiences
+    (131/120 users, overlap 104) both saturate k=64 and exercise the
+    true estimator path with non-trivial two-sided differences, while
+    sf0.001's tiny groups cover the exact (theta=1) mode. Scale:
+    sketches are k rows/group; every op here is O(k) with the 1-row
+    theta broadcast — audience overlap at 100 TB rides a few-KB
+    sketch table, never a raw-data rescan."""
+    from ..ops.sketches import kmv_sketch, theta_set_ops
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & (F.col("value") > 100)
+    )
+    sk = kmv_sketch(ev, "event_type", F.col("user_id"), k=64)
+    return theta_set_ops(sk, "click", "purchase", k=64)
+
+
+@query(
+    "orders_dml_lifecycle",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    upd AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice
+      FROM base
+    ),
+    del AS (SELECT * FROM upd WHERE o_orderkey % 5 <> 0),
+    src AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    merged AS (
+      SELECT d.o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                  ELSE d.o_orderstatus END AS o_orderstatus,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                  ELSE d.o_totalprice END AS o_totalprice
+      FROM del d LEFT JOIN src s ON d.o_orderkey = s.o_orderkey
+      UNION ALL
+      SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+      FROM src s LEFT JOIN del d ON s.o_orderkey = d.o_orderkey
+      WHERE d.o_orderkey IS NULL
+    ),
+    ins AS (
+      SELECT * FROM merged
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'X', o_totalprice
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM ins GROUP BY o_orderstatus
+    """,
+    tags=("engine", "dml", "store", "sqlfront"),
+)
+def orders_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's Snowflake-DML statement surface (engine/dml.py)
+    driven end-to-end: CTAS -> UPDATE (predicate) -> DELETE (the
+    deletion-vector merge-on-read path) -> MERGE (update + insert
+    clauses, subquery source) -> column-list INSERT..SELECT — the
+    statement forms the reference's macros emit (salesforce_bulk_load
+    .sql:22-55, marketing_cloud_data_extension_upload.sql:37-43) —
+    then the final table state aggregated. The oracle replays the
+    same lifecycle as pure SQL set algebra; a hash match certifies
+    every statement's semantics, not just the parser."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-dml-")))
+    engine.seed(
+        "orders_raw",
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+    )
+    engine.execute_script(
+        """
+        create table ord as
+            select o_orderkey, o_orderstatus, o_totalprice
+            from orders_raw where o_orderkey % 3 <> 0;
+        update ord set o_orderstatus = 'U' where o_orderkey % 4 = 0;
+        delete from ord where o_orderkey % 5 = 0;
+        merge into ord using (
+            select o_orderkey, o_orderstatus, o_totalprice
+            from orders_raw where o_orderkey % 7 = 0
+        ) s on ord.o_orderkey = s.o_orderkey
+        when matched then update set
+            o_orderstatus = s.o_orderstatus, o_totalprice = s.o_totalprice
+        when not matched then insert (o_orderkey, o_orderstatus, o_totalprice)
+            values (s.o_orderkey, s.o_orderstatus, s.o_totalprice);
+        insert into ord (o_orderkey, o_orderstatus, o_totalprice)
+            select o_orderkey + 10000000, 'X', o_totalprice
+            from orders_raw where o_orderkey % 11 = 0;
+        """
+    )
+    return engine.query(
+        "select o_orderstatus, count(*)::bigint as n_rows, "
+        "sum(floor(o_totalprice * 100)::bigint)::bigint as total_cents "
+        "from ord group by o_orderstatus"
+    )

@@ -165,3 +165,49 @@ def test_kmv_merge_equals_direct_union_sketch(spark):
     a = sorted(r["h"] for r in merged.collect())
     b = sorted(r["h"] for r in direct.collect())
     assert a == b  # merging per-group sketches == sketching the union
+
+
+def test_theta_set_ops_exact_below_k(spark):
+    """Unsaturated sketches (theta=1): set-op outputs ARE the true
+    distinct cardinalities."""
+    from dbt_omnata_push_spark.ops.sketches import kmv_sketch, theta_set_ops
+
+    rows = [("a", i) for i in range(40)] + [("b", i + 25) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, user_id long")
+    sk = kmv_sketch(df, "g", F.col("user_id"), k=256)
+    got = {r["op"]: (r["n"], r["est"]) for r in
+           theta_set_ops(sk, "a", "b", k=256).collect()}
+    assert got["union"] == (65, 65.0)
+    assert got["intersect"] == (15, 15.0)
+    assert got["a_minus_b"] == (25, 25.0)
+    assert got["b_minus_a"] == (25, 25.0)
+
+
+def test_theta_set_ops_saturated_accuracy(spark):
+    """Saturated sketches: each estimate within ~4x the theta-sketch
+    RSE (~1/sqrt(k)) of the true cardinality."""
+    from dbt_omnata_push_spark.ops.sketches import kmv_sketch, theta_set_ops
+
+    k = 256
+    rows = [("a", i) for i in range(6000)] + [
+        ("b", i + 4000) for i in range(6000)
+    ]
+    df = spark.createDataFrame(rows, "g string, user_id long")
+    sk = kmv_sketch(df, "g", F.col("user_id"), k=k)
+    got = {r["op"]: r["est"] for r in theta_set_ops(sk, "a", "b", k=k).collect()}
+    truth = {"union": 10000, "intersect": 2000,
+             "a_minus_b": 4000, "b_minus_a": 4000}
+    for op, true_n in truth.items():
+        rel = abs(got[op] - true_n) / true_n
+        assert rel < 4 / (k ** 0.5), (op, got[op], true_n, rel)
+
+
+def test_theta_set_ops_disjoint_and_empty_edge(spark):
+    from dbt_omnata_push_spark.ops.sketches import kmv_sketch, theta_set_ops
+
+    rows = [("a", i) for i in range(10)] + [("b", i + 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, user_id long")
+    sk = kmv_sketch(df, "g", F.col("user_id"), k=64)
+    got = {r["op"]: r["n"] for r in theta_set_ops(sk, "a", "b", k=64).collect()}
+    assert got["intersect"] == 0
+    assert got["union"] == 20
