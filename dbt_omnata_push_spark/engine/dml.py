@@ -381,6 +381,42 @@ _UPDATE_RE = re.compile(
 )
 
 
+def _update_fast_path(engine, table, alias, assignments, cond):
+    """FROM-less UPDATE: one scan + one versioned write (the matched
+    count rides an Observation on the same action — no row-id
+    checkpoint, no second job). Returns None when an expression needs
+    the general path (e.g. a scalar subquery the stripped-alias
+    rendering can't resolve)."""
+    from pyspark.sql import Observation
+
+    tgt = engine.store.read(engine.spark, table)
+
+    def strip(fragment: str):
+        return F.expr(_strip_alias_prefix(transpile(fragment), alias))
+
+    try:
+        pred = strip(cond) if cond else F.lit(True)
+        set_map = {c.lower(): strip(e) for c, e in assignments}
+        cols = [
+            F.when(pred, set_map[f.name.lower()])
+            .otherwise(F.col(f.name))
+            .cast(f.dataType)
+            .alias(f.name)
+            if f.name.lower() in set_map
+            else F.col(f.name)
+            for f in tgt.schema
+        ]
+        obs = Observation()
+        plan = tgt.observe(
+            obs,
+            F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("n_hit"),
+        ).select(*cols)
+    except Exception:
+        return None  # general (row-id) path handles it
+    engine.store.overwrite(engine.spark, table, plan)
+    return _summary(engine, rows_updated=obs.get["n_hit"] or 0)
+
+
 def _register_df(engine, df: DataFrame, *names: str) -> None:
     for n in names:
         if n:
@@ -408,6 +444,11 @@ def _update(engine, sql: str) -> DataFrame:
         if not cm:
             raise ValueError(f"unparsable SET assignment: {part[:80]}")
         assignments.append((cm.group(1).strip('"'), cm.group(2).strip()))
+
+    if src_text is None:
+        fast = _update_fast_path(engine, table, alias, assignments, cond)
+        if fast is not None:
+            return fast
 
     engine._register_views()
     tgt = _with_rid(engine, table)
@@ -711,14 +752,16 @@ def _ctas(engine, sql: str) -> DataFrame:
         table
     ):
         table = table.rsplit(".", 1)[-1]
-    df = engine.query(m.group(3)).localCheckpoint()
-    n = df.count()
+    df = engine.query(m.group(3))
     if engine.store.exists(table):
         if not replace:
             raise ValueError(f"table already exists: {table}")
         engine.store.overwrite(engine.spark, table, df)
     else:
         engine.store.create(engine.spark, table, df)
+    # One evaluation total: the write IS the only materialization; the
+    # row count reads back parquet footers (metadata-only).
+    n = engine.store.read(engine.spark, table).count()
     return _summary(engine, rows_inserted=n)
 
 
