@@ -32,12 +32,22 @@ def relay_changes(
     dst: TableStore,
     dst_table: str,
     unique_key: str,
+    step_versions: bool = False,
 ) -> int:
     """Apply all source versions not yet applied to the destination.
-    Returns the number of versions applied (0 = already caught up).
+    Returns the number of versions covered (0 = already caught up).
 
-    Idempotent: rerunning applies nothing; progress rides in the
-    destination table so a crash between versions resumes exactly."""
+    By default the whole pending span is consumed as ONE net change set
+    (``read_changes(applied, current)``) and committed with one state
+    rewrite — the Delta CDF ``startingVersion -> endingVersion`` batch
+    consumer: N pending versions cost one diff + one write instead of
+    N. ``step_versions=True`` walks version-by-version instead (the
+    strict stream-consumer shape, one commit per source version —
+    useful when the destination must expose every intermediate state).
+
+    Idempotent either way: rerunning applies nothing; progress rides in
+    the destination table so a crash mid-relay resumes exactly (in
+    batch mode nothing commits until the single version swap)."""
     cur_src = src.current_version(src_table)
     if cur_src is None:
         raise FileNotFoundError(f"source table not found: {src_table}")
@@ -62,9 +72,16 @@ def relay_changes(
         dst.overwrite(spark, dst_table, snap)
         return cur_src + 1
 
+    if int(applied) >= cur_src:
+        return 0
+    if not step_versions:
+        spans = [(int(applied), cur_src)]
+    else:
+        spans = [(v - 1, v) for v in range(int(applied) + 1, cur_src + 1)]
+
     n_applied = 0
-    for v in range(int(applied) + 1, cur_src + 1):
-        changes = src.read_changes(spark, src_table, v - 1, v, unique_key)
+    for lo, v in spans:
+        changes = src.read_changes(spark, src_table, lo, v, unique_key)
         upserts = changes.filter(
             F.col("change_type").isin("insert", "update_postimage")
         ).drop("change_type")
@@ -87,7 +104,7 @@ def relay_changes(
         dst.overwrite(
             spark, dst_table, new_state.withColumn(PROGRESS_COL, F.lit(v))
         )
-        n_applied += 1
+        n_applied += v - lo
     return n_applied
 
 

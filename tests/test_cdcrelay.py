@@ -67,3 +67,41 @@ def test_relay_resumes_mid_stream(spark, tmp_path):
     src.merge_upsert(spark, "t", spark.createDataFrame([(4, "d")], "k long, v string"), "k")
     assert relay_changes(spark, src, "t", dst, "f", "k") == 2  # v2+v3 only
     assert _rows(relay_state(spark, dst, "f")) == _rows(src.read(spark, "t"))
+
+
+def test_batched_span_equals_per_version_walk(spark, tmp_path):
+    """Default batch mode (one net diff + one commit for the whole
+    pending span) converges to the same state as step_versions=True,
+    with exactly ONE destination commit for N pending versions."""
+    def build_src(root):
+        src = TableStore(str(root))
+        src.create(
+            spark, "t",
+            spark.createDataFrame([(1, "a"), (2, "b"), (5, "e")], "k long, v string"),
+        )
+        return src
+
+    src = build_src(tmp_path / "src")
+    batch_dst = TableStore(str(tmp_path / "b"))
+    step_dst = TableStore(str(tmp_path / "s"))
+    relay_changes(spark, src, "t", batch_dst, "f", "k")
+    relay_changes(spark, src, "t", step_dst, "f", "k")
+    # three pending commits: update+insert, delete, another insert
+    src.merge_upsert(
+        spark, "t",
+        spark.createDataFrame([(1, "A"), (3, "c")], "k long, v string"), "k",
+    )
+    src.delete_where(spark, "t", F.col("k") == 5)
+    src.merge_upsert(
+        spark, "t", spark.createDataFrame([(9, "z")], "k long, v string"), "k"
+    )
+    v_before = batch_dst.current_version("f")
+    assert relay_changes(spark, src, "t", batch_dst, "f", "k") == 3
+    assert relay_changes(
+        spark, src, "t", step_dst, "f", "k", step_versions=True
+    ) == 3
+    assert batch_dst.current_version("f") == v_before + 1  # one commit
+    assert step_dst.current_version("f") == v_before + 3  # three commits
+    assert _rows(relay_state(spark, batch_dst, "f")) == _rows(
+        relay_state(spark, step_dst, "f")
+    ) == _rows(src.read(spark, "t"))
