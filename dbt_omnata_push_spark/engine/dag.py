@@ -108,8 +108,12 @@ class Engine:
         Snowflake-style summary frame (rows_inserted/updated/deleted).
         """
         if dialect == "snowflake":
+            from ..connectors.sqlbridge import ensure_ext_fns
             from . import dml
 
+            # External functions referenced by the statement register as
+            # connector-backed UDFs under their reference names.
+            ensure_ext_fns(self.spark, sql, self.vars)
             kind = dml.statement_kind(sql)
             if kind is not None:
                 self._register_views()
@@ -157,6 +161,9 @@ class Engine:
             return model.builder(ctx)
         sql = model.compile_sql(ctx)
         if model.config.get("dialect") == "snowflake":
+            from ..connectors.sqlbridge import ensure_ext_fns
+
+            ensure_ext_fns(self.spark, sql, self.vars)
             # Reference-dialect model SQL runs near-verbatim (sqlfront).
             from .sqlfront import (
                 GLOBAL_ROWNUM_MARKER,

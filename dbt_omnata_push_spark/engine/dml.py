@@ -128,7 +128,7 @@ def _split_statements(script: str) -> list[str]:
 _KIND_RE = re.compile(
     r"(?is)^\s*(insert\s+all\b|insert\s+first\b|insert\b|update\b|"
     r"delete\b|merge\b|truncate\b|"
-    r"create\s+(?:or\s+replace\s+)?(?:temporary\s+|transient\s+)?table\b)"
+    r"create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+|transient\s+)?table\b)"
 )
 
 
@@ -733,8 +733,8 @@ def _merge(engine, sql: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CTAS_RE = re.compile(
-    rf"(?is)^\s*create\s+(or\s+replace\s+)?(?:temporary\s+|transient\s+)?"
-    rf"table\s+({_TABLE})\s+as\s+(.*)$"
+    rf"(?is)^\s*create\s+(or\s+replace\s+)?(?:temp(?:orary)?\s+|transient\s+)?"
+    rf"table\s+({_TABLE})\s+as\s*(.*)$"
 )
 
 
@@ -752,7 +752,28 @@ def _ctas(engine, sql: str) -> DataFrame:
         table
     ):
         table = table.rsplit(".", 1)[-1]
-    df = engine.query(m.group(3))
+    body = m.group(3).strip()
+    # `create temp table t as ( select ... )` — the reference wraps the
+    # body in parens (salesforce_bulk_load.sql:14-16). Strip the pair
+    # only when the opening paren closes at the very end.
+    if body.startswith("(") and body.endswith(")"):
+        depth, quote, closes_at_end = 0, None, True
+        for i, c in enumerate(body):
+            if quote:
+                if c == quote:
+                    quote = None
+            elif c in "'\"":
+                quote = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i < len(body) - 1:
+                    closes_at_end = False
+                    break
+        if closes_at_end:
+            body = body[1:-1]
+    df = engine.query(body)
     if engine.store.exists(table):
         if not replace:
             raise ValueError(f"table already exists: {table}")

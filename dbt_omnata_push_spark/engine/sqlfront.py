@@ -183,7 +183,18 @@ def _rewrite_funcs(sql: str) -> str:
         sql, _FUNC_RES["OBJECT_CONSTRUCT"], lambda a: f"to_json(named_struct({a}))"
     )
     sql = replace_call(sql, _FUNC_RES["PARSE_JSON"], lambda a: a.strip())
-    sql = replace_call(sql, _FUNC_RES["ARRAY_CONSTRUCT"], lambda a: f"array({a})")
+    def array_construct(a: str) -> str:
+        # Snowflake's ARRAY_CONSTRUCT builds an ARRAY of VARIANTs — a
+        # bare Spark array(...) would instead coerce mixed arguments to
+        # one type (silently casting JSON payload strings to BIGINT when
+        # the first element is numeric). Render every element as its
+        # string/variant form, the same way variant values print.
+        if not a.strip():
+            return "array()"
+        parts = _split_top_level_args(a)
+        return "array(" + ", ".join(f"CAST({p} AS STRING)" for p in parts) + ")"
+
+    sql = replace_call(sql, _FUNC_RES["ARRAY_CONSTRUCT"], array_construct)
     sql = replace_call(sql, _FUNC_RES["ARRAY_AGG"], lambda a: f"collect_list({a})")
     sql = replace_call(sql, _FUNC_RES["IFF"], lambda a: f"if({a})")
 
@@ -216,7 +227,10 @@ def transpile(sql: str) -> str:
     raise ValueError — the faithful plan would be a single-partition
     Window, which is never acceptable at scale.
     """
-    out = _PATH_RE.sub(lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", sql)
+    from ..connectors.sqlbridge import strip_namespaces
+
+    out = strip_namespaces(sql)
+    out = _PATH_RE.sub(lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", out)
     out = _rewrite_casts(out)
     out = _rewrite_funcs(out)
     out = _rewrite_qualify(out)

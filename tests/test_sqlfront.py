@@ -36,7 +36,7 @@ def test_function_rewrites():
         == "to_json(named_struct('Name', n, 'Id', i))"
     )
     assert transpile("ARRAY_AGG(ARRAY_CONSTRUCT(rn, rec))") == (
-        "collect_list(array(rn, rec))"
+        "collect_list(array(CAST(rn AS STRING), CAST(rec AS STRING)))"
     )
     assert transpile("UUID_STRING()") == "uuid()"
     assert transpile("PARSE_JSON('{\"a\": 1}')") == "'{\"a\": 1}'"
