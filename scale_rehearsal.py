@@ -84,6 +84,11 @@ QUERIES = [
     # walk, targeted-recompute IVM) — measure the commit path's scaling
     "orders_cdc_relay",
     "orders_ivm_minmax_status",
+    # round 7c: the DML statement engine (5 versioned commits end to
+    # end) and the O(k) theta set-ops (expect flat-to-sublinear — only
+    # the sketch build scans data)
+    "orders_dml_lifecycle",
+    "events_theta_set_ops",
 ]
 
 TABLES = ["documents", "embeddings", "customer", "events", "orders"]

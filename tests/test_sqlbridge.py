@@ -207,3 +207,35 @@ class TestBridgeGuards:
             engine.query(
                 "select sum(x) over (partition by null order by null) from t"
             )
+
+
+class TestModelLevelBridge:
+    def test_snowflake_model_with_ext_fn_materializes(self, spark, engine):
+        """A registered snowflake-dialect MODEL whose SQL calls an
+        external function materializes through engine.run — the bridge
+        registers the UDF during build_df, so model text that embeds
+        `"db"."schema".FN(...)` runs unchanged."""
+        from dbt_omnata_push_spark.engine.model import Model
+
+        engine.seed(
+            "de_specs",
+            spark.createDataFrame(
+                [('{"name": "de_main", "extension_fields": ["Email"]}',)],
+                "spec string",
+            ),
+        )
+        engine.register(
+            Model(
+                "de_metadata",
+                sql=(
+                    'select "OMNATA"."FUNCTIONS".SFMC_DATA_EXTENSION_MANAGE('
+                    "PARSE_JSON(spec)) as metadata_creation_result "
+                    "from {{ ref('de_specs') }}"
+                ),
+                config={"materialized": "table", "dialect": "snowflake"},
+            )
+        )
+        res = engine.run(["de_metadata"])
+        assert res["de_metadata"].status == "success"
+        row = engine.query("select * from de_metadata").collect()[0]
+        assert json.loads(row["metadata_creation_result"])["success"] is True
