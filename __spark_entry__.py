@@ -62,6 +62,7 @@ _RECHECK_PRIORITY = [
     "stream_events_minmax_rollup",  # r7: new (streaming MIN/MAX IVM)
     "events_theta_set_ops",  # r7: new (theta-sketch set operations)
     "orders_dml_lifecycle",  # r7: new (Snowflake DML statement surface)
+    "orders_partition_overwrite",  # r7: new (dynamic-partition INSERT OVERWRITE)
 ]
 
 

@@ -569,9 +569,16 @@ class TableStore:
         spark: SparkSession,
         name: str,
         src: DataFrame,
-        unique_key: str,
+        unique_key: str | None,
         pcol: str,
+        wholesale: bool = False,
     ) -> None:
+        """Keyed partition-scoped MERGE (default), or — with
+        ``wholesale=True`` — dynamic-partition REPLACEMENT: every
+        partition present in ``src`` is swapped out in full with no key
+        matching (Hive/Spark ``INSERT OVERWRITE`` semantics, dbt's
+        ``incremental_strategy='insert_overwrite'``). Untouched
+        partitions hard-link either way."""
         # Touched partition values: one per job in practice (a handful per
         # run), so the driver-side collect is bounded by run size, not
         # table size.
@@ -586,12 +593,15 @@ class TableStore:
         touched_pred = F.col(pcol).isin(non_null)
         if len(non_null) < len(touched):
             touched_pred = touched_pred | F.col(pcol).isNull()
-        kept = target.filter(touched_pred).join(
-            src.select(F.col(unique_key).alias("_mk")).distinct(),
-            F.col(unique_key) == F.col("_mk"),
-            "left_anti",
-        )
-        merged = kept.unionByName(src, allowMissingColumns=True)
+        if wholesale:
+            merged = src
+        else:
+            kept = target.filter(touched_pred).join(
+                src.select(F.col(unique_key).alias("_mk")).distinct(),
+                F.col(unique_key) == F.col("_mk"),
+                "left_anti",
+            )
+            merged = kept.unionByName(src, allowMissingColumns=True)
 
         # Hard-linking untouched partitions is only sound when their old
         # parquet files still read under the merged schema. Spark 4 reads
@@ -606,14 +616,21 @@ class TableStore:
             old_types = {f.name: f.dataType for f in StructType.fromJson(old).fields}
             new_types = {f.name: f.dataType for f in merged.schema.fields}
             if old_types != new_types:
-                # full rewrite = anti-join over the WHOLE target (not just
+                # full rewrite = survivors over the WHOLE target (not just
                 # touched partitions) so untouched history is re-encoded
-                # under the widened schema too.
-                full_kept = target.join(
-                    src.select(F.col(unique_key).alias("_mk")).distinct(),
-                    F.col(unique_key) == F.col("_mk"),
-                    "left_anti",
-                )
+                # under the widened schema too. NULL-safe keep predicate:
+                # isin() is NULL on a NULL partition value, which must
+                # read as "not touched", never as "drop".
+                if wholesale:
+                    full_kept = target.filter(
+                        ~F.coalesce(touched_pred, F.lit(False))
+                    )
+                else:
+                    full_kept = target.join(
+                        src.select(F.col(unique_key).alias("_mk")).distinct(),
+                        F.col(unique_key) == F.col("_mk"),
+                        "left_anti",
+                    )
                 self._rewrite(
                     spark, name, full_kept.unionByName(src, allowMissingColumns=True)
                 )
@@ -667,7 +684,38 @@ class TableStore:
             self._promote_dir(dv_staging, self._dv_dir(new_dir))
         shutil.rmtree(staging, ignore_errors=True)
         self._set_meta(name, pcol, merged.schema)
-        self._set_version(name, v + 1, op="merge")
+        self._set_version(
+            name, v + 1, op="insert_overwrite" if wholesale else "merge"
+        )
+
+    @_locked_write
+    def insert_overwrite(self, spark: SparkSession, name: str, src: DataFrame):
+        """Dynamic-partition INSERT OVERWRITE (the Hive/Spark statement,
+        dbt's ``incremental_strategy='insert_overwrite'``): every
+        partition value present in ``src`` is replaced WHOLESALE — no
+        key matching, old rows of touched partitions are gone even when
+        ``src`` carries none of their keys — while untouched partitions
+        hard-link into the new version with their deletion vectors
+        carried. Cost is O(touched partitions), the reason this
+        strategy exists for large time-partitioned tables. The table
+        must already exist partitioned (first-run bootstrap is
+        ``overwrite(partition_by=...)``)."""
+        if not self.exists(name):
+            raise FileNotFoundError(f"table not found: {name}")
+        pcol = self.partition_by(name)
+        if not pcol:
+            raise ValueError(
+                f"insert_overwrite requires a partitioned table; {name!r} "
+                "has no partition column (use overwrite/merge instead)"
+            )
+        if pcol not in src.columns:
+            raise ValueError(
+                f"insert_overwrite source must carry partition column {pcol!r}"
+            )
+        src = self._enforced(src, name)
+        self._partition_scoped_merge(
+            spark, name, src, None, pcol, wholesale=True
+        )
 
     @_locked_write
     def scd2_commit(

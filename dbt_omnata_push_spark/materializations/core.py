@@ -24,15 +24,33 @@ def materialize_table(engine, model) -> RunResult:
 
 def materialize_incremental(engine, model) -> RunResult:
     """Stock dbt incremental (transactions_daily.sql:1-3):
-    first run CTAS; later runs insert rows passing the model's own
-    is_incremental() filter; with unique_key, upsert instead of append."""
+    first run CTAS; later runs apply the configured
+    ``incremental_strategy`` to rows passing the model's own
+    is_incremental() filter —
+
+    - ``merge`` (default with unique_key): keyed upsert; on this store
+      merge IS delete+insert (anti-join on keys + union), so dbt's
+      delete+insert strategy is the same commit;
+    - ``append`` (default without unique_key);
+    - ``insert_overwrite``: dynamic-partition replacement — partitions
+      present in the batch swap wholesale, untouched partitions
+      hard-link (the large time-partitioned-table strategy).
+    """
     ctx = Context(engine, model)
     df = engine.build_df(model)
+    strategy = model.config.get("incremental_strategy")
     if not ctx.is_incremental():
-        engine.store.overwrite(engine.spark, model.name, df)
+        engine.store.overwrite(
+            engine.spark, model.name, df,
+            partition_by=model.config.get("partition_by"),
+        )
+    elif strategy == "insert_overwrite":
+        engine.store.insert_overwrite(engine.spark, model.name, df)
     else:
         key = model.config.get("unique_key")
-        if key:
+        if strategy not in (None, "merge", "delete+insert", "append"):
+            raise ValueError(f"unknown incremental_strategy: {strategy}")
+        if key and strategy != "append":
             engine.store.merge_upsert(engine.spark, model.name, df, key)
         else:
             engine.store.append(engine.spark, model.name, df)

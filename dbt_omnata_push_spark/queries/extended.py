@@ -1679,3 +1679,62 @@ def orders_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum(floor(o_totalprice * 100)::bigint)::bigint as total_cents "
         "from ord group by o_orderstatus"
     )
+
+
+@query(
+    "orders_partition_overwrite",
+    oracle="""
+    WITH untouched AS (
+      SELECT o_orderstatus,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus <> 'O'
+    ),
+    replacement AS (
+      SELECT o_orderstatus,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 2 AS cents
+      FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0
+    ),
+    final AS (
+      SELECT * FROM untouched UNION ALL SELECT * FROM replacement
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM final GROUP BY o_orderstatus
+    """,
+    tags=("store", "insert-overwrite", "incremental", "partition"),
+)
+def orders_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-partition INSERT OVERWRITE (engine/store.py::
+    insert_overwrite — dbt's ``incremental_strategy='insert_overwrite'``
+    and Spark's ``INSERT OVERWRITE ... PARTITION`` statement): orders
+    land partitioned by status, then a restated batch for status 'O'
+    (half the keys, doubled cents) replaces that partition WHOLESALE —
+    no key matching, the other partitions hard-linked unrewritten
+    (inode-identity pytest). The oracle is untouched-statuses +
+    replacement-batch set algebra; a hash match certifies that touched
+    partitions lost ALL old rows and untouched partitions lost none —
+    the exact contract large time-partitioned restatements rely on."""
+    import tempfile
+
+    from ..engine.store import TableStore
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    store = TableStore(tempfile.mkdtemp(prefix="sg-iow-"))
+    store.create(spark, "fact_orders", orders, partition_by="o_orderstatus")
+    restated = orders.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 2 == 0)
+    ).withColumn("cents", F.col("cents") * 2)
+    store.insert_overwrite(spark, "fact_orders", restated)
+    return (
+        store.read(spark, "fact_orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )

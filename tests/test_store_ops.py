@@ -665,3 +665,108 @@ def test_restore_rolls_back_as_new_commit(spark, tmp_path):
     store.vacuum("t", keep=1)
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         store.restore("t", 0)
+
+
+class TestInsertOverwrite:
+    """Dynamic-partition INSERT OVERWRITE (r7c): wholesale partition
+    replacement — dbt incremental_strategy='insert_overwrite'."""
+
+    def test_touched_partitions_replaced_wholesale(self, spark, store):
+        import os
+
+        _make_partitioned(spark, store)  # j1/j2/j3 x 3 rows
+        v0 = store.data_path("logs")
+        inode_of = lambda d: {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+        j3_before = inode_of(os.path.join(v0, "job_id=j3"))
+
+        src = spark.createDataFrame(
+            [("j1", "j1-new", "ONLY"), ("j4", "j4-0", "FRESH")],
+            "job_id string, entry_id string, payload string",
+        )
+        store.insert_overwrite(spark, "logs", src)
+
+        rows = {
+            r["entry_id"]: r["payload"]
+            for r in store.read(spark, "logs").collect()
+        }
+        # j1's three old rows are GONE (no key matching), j4 added,
+        # j2/j3 untouched
+        assert rows == {
+            "j1-new": "ONLY",
+            "j4-0": "FRESH",
+            **{f"j{j}-{i}": f"v-j{j}-{i}" for j in (2, 3) for i in range(3)},
+        }
+        v1 = store.data_path("logs")
+        assert inode_of(os.path.join(v1, "job_id=j3")) == j3_before
+        hist = store.history(spark, "logs")
+        assert hist.filter("op = 'insert_overwrite'").count() == 1
+
+    def test_requires_partitioned_table_and_partition_column(
+        self, spark, store
+    ):
+        import pytest
+
+        store.create(
+            spark, "flat", spark.createDataFrame([(1,)], "k long")
+        )
+        with pytest.raises(ValueError, match="partitioned"):
+            store.insert_overwrite(
+                spark, "flat", spark.createDataFrame([(2,)], "k long")
+            )
+        _make_partitioned(spark, store)
+        with pytest.raises(ValueError, match="partition column"):
+            store.insert_overwrite(
+                spark,
+                "logs",
+                spark.createDataFrame([("x", "y")], "entry_id string, payload string"),
+            )
+
+    def test_schema_drift_falls_back_to_full_rewrite(self, spark, store):
+        _make_partitioned(spark, store)
+        src = spark.createDataFrame(
+            [("j1", "j1-w", "W", 5)],
+            "job_id string, entry_id string, payload string, extra long",
+        )
+        store.insert_overwrite(spark, "logs", src)
+        out = store.read(spark, "logs")
+        rows = {r["entry_id"]: (r["payload"], r["extra"]) for r in out.collect()}
+        assert rows["j1-w"] == ("W", 5)
+        assert rows["j2-0"] == ("v-j2-0", None)  # untouched, widened
+        assert len(rows) == 7
+
+    def test_incremental_model_insert_overwrite_strategy(self, spark, tmp_path):
+        from dbt_omnata_push_spark.engine.dag import Engine
+        from dbt_omnata_push_spark.engine.model import Model
+        from dbt_omnata_push_spark.engine.store import TableStore as TS
+
+        engine = Engine(spark, TS(str(tmp_path / "inc")))
+        batches = [
+            [("d1", 1, 10), ("d2", 2, 20)],
+            [("d2", 3, 99), ("d3", 4, 30)],  # d2 replaced, d1 untouched
+        ]
+        state = {"i": 0}
+        engine.register(
+            Model(
+                "daily",
+                builder=lambda ctx: spark.createDataFrame(
+                    batches[state["i"]], "day string, id long, amt long"
+                ),
+                config={
+                    "materialized": "incremental",
+                    "incremental_strategy": "insert_overwrite",
+                    "partition_by": "day",
+                },
+            )
+        )
+        engine.run(["daily"])
+        state["i"] = 1
+        engine.run(["daily"])
+        rows = sorted(
+            (r["day"], r["id"], r["amt"])
+            for r in engine.store.read(spark, "daily").collect()
+        )
+        assert rows == [("d1", 1, 10), ("d2", 3, 99), ("d3", 4, 30)]
