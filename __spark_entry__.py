@@ -63,6 +63,7 @@ _RECHECK_PRIORITY = [
     "events_theta_set_ops",  # r7: new (theta-sketch set operations)
     "orders_dml_lifecycle",  # r7: new (Snowflake DML statement surface)
     "orders_partition_overwrite",  # r7: new (dynamic-partition INSERT OVERWRITE)
+    "documents_proximity_search",  # r7: new (banded NEAR-operator range join)
 ]
 
 

@@ -104,3 +104,66 @@ def phrase_search_indexed(
         F.count(F.lit(1)).alias("n_hits"),
         F.min("pos").cast("long").alias("first_pos"),
     )
+
+
+def proximity_search_indexed(
+    spark: SparkSession,
+    store: TableStore,
+    table: str,
+    term_a: str,
+    term_b: str,
+    window: int = 8,
+    n_buckets: int = N_TERM_BUCKETS,
+) -> DataFrame:
+    """Documents where ``term_a`` and ``term_b`` occur within ``window``
+    words of each other (either order): qualifying pair count + closest
+    distance, reading only the two terms' index partitions — the NEAR
+    operator of classical IR, over the same materialized postings as
+    phrase search.
+
+    Scale shape (banded range join, never all-pairs-per-doc): side a
+    keys each posting by its position band floor(pos/window); side b
+    replicates each posting to its own band and both neighbors. Any
+    pair within ``window`` shares at least the band of ``pa``, and the
+    join key IS band(pa), so every qualifying pair matches exactly once
+    — no dedup pass — while side b's blowup is a constant 3x. The
+    equi-join shuffles on (doc_id, band); the |pa-pb| filter runs
+    map-side after it.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if term_a == term_b:
+        raise ValueError("proximity terms must differ")
+    postings = store.read(spark, table).filter(
+        F.col("term_bucket").isin(
+            sorted({term_bucket_py(t, n_buckets) for t in (term_a, term_b)})
+        )
+    )
+
+    def side(term: str, col: str) -> DataFrame:
+        return postings.filter(
+            (F.col("term_bucket") == term_bucket_py(term, n_buckets))
+            & (F.col("word") == term)
+        ).select("doc_id", F.col("pos").alias(col))
+
+    a = side(term_a, "pa").withColumn(
+        "band", F.floor(F.col("pa") / window)
+    )
+    b = side(term_b, "pb").select(
+        "doc_id",
+        "pb",
+        F.explode(
+            F.array(
+                F.floor(F.col("pb") / window) - 1,
+                F.floor(F.col("pb") / window),
+                F.floor(F.col("pb") / window) + 1,
+            )
+        ).alias("band"),
+    )
+    pairs = a.join(b, ["doc_id", "band"]).filter(
+        F.abs(F.col("pa") - F.col("pb")) <= window
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long").alias("min_dist"),
+    )

@@ -1773,3 +1773,70 @@ def orders_ivm_variance_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_pop_cents"
         ),
     )
+
+
+_PROX_A, _PROX_B, _PROX_W = "data", "table", 8
+
+
+@query(
+    "documents_proximity_search",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), a AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               generate_series(1, len(words)),
+               i -> words[i] = '{_PROX_A}'
+             )) AS pa
+      FROM w
+    ), b AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               generate_series(1, len(words)),
+               i -> words[i] = '{_PROX_B}'
+             )) AS pb
+      FROM w
+    ), pairs AS (
+      SELECT a.doc_id, pa, pb FROM a JOIN b USING (doc_id)
+      WHERE abs(pa - pb) <= {_PROX_W}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(ABS(pa - pb)) AS BIGINT) AS min_dist
+    FROM pairs GROUP BY doc_id
+    """,
+    tags=("text", "search", "index", "range-join"),
+)
+def documents_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-operator proximity search ('data' within 8 words of
+    'table', either order) over the SAME materialized term-partitioned
+    postings index phrase search reads (ops/invindex.py::
+    proximity_search_indexed): per doc, qualifying pair count and the
+    closest distance.
+
+    The position-band trick makes this a banded RANGE join: side a
+    keys by floor(pos/window), side b replicates to its band ± 1 (a
+    constant 3x), every qualifying pair meets on exactly one
+    (doc_id, band) key — no per-doc all-pairs, no dedup pass. Scan
+    cost stays bounded by the two terms' postings partitions
+    (PartitionFilters, as in phrase search); the oracle recomputes
+    the pair set with DuckDB list positions."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine.store import TableStore
+    from ..ops.invindex import build_postings_index, proximity_search_indexed
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_invprox_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    store = TableStore(root)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    build_postings_index(spark, store, "doc_postings", docs)
+    return proximity_search_indexed(
+        spark, store, "doc_postings", _PROX_A, _PROX_B, window=_PROX_W
+    )

@@ -118,3 +118,70 @@ class TestPhraseSearchIndexed:
             .collect()
         }
         assert indexed == plain and indexed
+
+
+def test_proximity_banded_equals_naive_and_counts_once(spark, tmp_path):
+    """Band-boundary pairs must count exactly once: compare the banded
+    range join against a naive per-doc all-pairs on positions chosen to
+    straddle band edges (window 4 -> bands of 4; pairs at distance
+    exactly 4 and 1 cross boundaries)."""
+    from dbt_omnata_push_spark.engine.store import TableStore
+    from dbt_omnata_push_spark.ops.invindex import (
+        build_postings_index,
+        proximity_search_indexed,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            # a at 1,4,8; b at 5,8? (terms differ; weave positions)
+            (1, "a x x a b x x b a x x x b"),
+            (2, "b x x x x x x x x x x x a"),  # distance 12 > window
+            (3, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    store = TableStore(str(tmp_path / "ix"))
+    build_postings_index(spark, store, "p", docs)
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["min_dist"])
+        for r in proximity_search_indexed(
+            spark, store, "p", "a", "b", window=4
+        ).collect()
+    }
+
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "w")
+    a = words.filter(F.col("w") == "a").select("doc_id", F.col("pos").alias("pa"))
+    b = words.filter(F.col("w") == "b").select("doc_id", F.col("pos").alias("pb"))
+    naive = (
+        a.join(b, "doc_id")
+        .filter(F.abs(F.col("pa") - F.col("pb")) <= 4)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long").alias("d"),
+        )
+    )
+    want = {r["doc_id"]: (r["n"], r["d"]) for r in naive.collect()}
+    assert got == want
+    assert 2 not in got  # beyond-window doc absent
+
+
+def test_proximity_guards(spark, tmp_path):
+    import pytest
+
+    from dbt_omnata_push_spark.engine.store import TableStore
+    from dbt_omnata_push_spark.ops.invindex import (
+        build_postings_index,
+        proximity_search_indexed,
+    )
+
+    store = TableStore(str(tmp_path / "ix2"))
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    build_postings_index(spark, store, "p", docs)
+    with pytest.raises(ValueError, match="window"):
+        proximity_search_indexed(spark, store, "p", "a", "b", window=0)
+    with pytest.raises(ValueError, match="differ"):
+        proximity_search_indexed(spark, store, "p", "a", "a")
