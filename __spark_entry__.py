@@ -64,6 +64,7 @@ _RECHECK_PRIORITY = [
     "orders_dml_lifecycle",  # r7: new (Snowflake DML statement surface)
     "orders_partition_overwrite",  # r7: new (dynamic-partition INSERT OVERWRITE)
     "documents_proximity_search",  # r7: new (banded NEAR-operator range join)
+    "embeddings_flatten_dims",  # r7: new (LATERAL FLATTEN through the dialect)
 ]
 
 

@@ -71,7 +71,20 @@ _FUNC_RES = {
     "DATEADD": re.compile(r"\bdateadd\s*\(", re.IGNORECASE),
     "LISTAGG": re.compile(r"\blistagg\s*\(", re.IGNORECASE),
     "TO_VARCHAR": re.compile(r"\bto_varchar\s*\(", re.IGNORECASE),
+    "DATEDIFF": re.compile(r"\bdatediff\s*\(", re.IGNORECASE),
+    "NVL": re.compile(r"\bnvl\s*\(", re.IGNORECASE),
+    "ZEROIFNULL": re.compile(r"\bzeroifnull\s*\(", re.IGNORECASE),
+    "NULLIFZERO": re.compile(r"\bnullifzero\s*\(", re.IGNORECASE),
+    "TRY_TO_NUMBER": re.compile(r"\btry_to_number\s*\(", re.IGNORECASE),
+    "ARRAY_SIZE": re.compile(r"\barray_size\s*\(", re.IGNORECASE),
 }
+# Snowflake `FROM t, LATERAL FLATTEN(input => expr) f` -> Spark
+# `FROM t LATERAL VIEW posexplode(expr) f AS index, value` (the alias
+# then serves f.value / f.index exactly as Snowflake's does).
+_FLATTEN_RE = re.compile(
+    r",\s*lateral\s+flatten\s*\(\s*(?:input\s*=>\s*)?",
+    re.IGNORECASE,
+)
 
 
 def _split_top_level_args(args: str) -> list[str]:
@@ -204,6 +217,23 @@ def _rewrite_funcs(sql: str) -> str:
 
     sql = replace_call(sql, _FUNC_RES["DATEADD"], dateadd)
 
+    def datediff(a: str) -> str:
+        part, start, end = _split_top_level_args(a)
+        return f"timestampdiff({part.strip(chr(39))}, {start}, {end})"
+
+    sql = replace_call(sql, _FUNC_RES["DATEDIFF"], datediff)
+    sql = replace_call(sql, _FUNC_RES["NVL"], lambda a: f"coalesce({a})")
+    sql = replace_call(
+        sql, _FUNC_RES["ZEROIFNULL"], lambda a: f"coalesce({a}, 0)"
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["NULLIFZERO"], lambda a: f"nullif({a}, 0)"
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["TRY_TO_NUMBER"], lambda a: f"try_cast({a} AS DOUBLE)"
+    )
+    sql = replace_call(sql, _FUNC_RES["ARRAY_SIZE"], lambda a: f"size({a})")
+
     def listagg(a: str) -> str:
         parts = _split_top_level_args(a)
         expr = parts[0]
@@ -214,7 +244,39 @@ def _rewrite_funcs(sql: str) -> str:
     sql = replace_call(
         sql, _FUNC_RES["TO_VARCHAR"], lambda a: f"CAST({a} AS STRING)"
     )
-    return sql
+    return _rewrite_flatten(sql)
+
+
+def _rewrite_flatten(sql: str) -> str:
+    """``, LATERAL FLATTEN(input => X) f`` ->
+    ``LATERAL VIEW posexplode(X) f AS index, value`` — Snowflake's
+    comma-join flatten idiom in Spark's LATERAL VIEW form; the alias
+    exposes ``f.value`` / ``f.index`` with identical meaning (0-based
+    index, one row per array element)."""
+    while True:
+        m = _FLATTEN_RE.search(sql)
+        if not m:
+            return sql
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        inner = sql[m.end() : i - 1]
+        am = re.match(r"\s*(?:as\s+)?([A-Za-z_]\w*)", sql[i:])
+        if not am:
+            raise ValueError(
+                "LATERAL FLATTEN requires an alias (e.g. `, lateral "
+                "flatten(input => col) f`)"
+            )
+        alias = am.group(1)
+        sql = (
+            sql[: m.start()]
+            + f" LATERAL VIEW posexplode({inner}) {alias} AS index, value"
+            + sql[i + am.end() :]
+        )
 
 
 def transpile(sql: str) -> str:

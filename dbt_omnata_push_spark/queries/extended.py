@@ -1738,3 +1738,49 @@ def orders_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("total_cents"),
         )
     )
+
+
+@query(
+    "embeddings_flatten_dims",
+    oracle="""
+    WITH ex AS (
+      SELECT unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS idx
+      FROM embeddings
+    )
+    SELECT CAST(idx - 1 AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+             AS BIGINT) AS min_millionths,
+           CAST(MAX(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+             AS BIGINT) AS max_millionths
+    FROM ex
+    WHERE idx <= 8
+    GROUP BY dim
+    """,
+    tags=("sqlfront", "flatten", "lateral", "variant"),
+)
+def embeddings_flatten_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake's ``LATERAL FLATTEN(input => ...)`` idiom through the
+    dialect front-end (engine/sqlfront.py::_rewrite_flatten): the
+    query text below is Snowflake-dialect, transpiled to Spark's
+    ``LATERAL VIEW posexplode`` — the alias serves ``f.index`` /
+    ``f.value`` with identical (0-based) meaning. Per-dimension stats
+    over the first 8 embedding components, integerized (floor of
+    millionths) so the float column hash-matches across engines."""
+    from ..engine.sqlfront import transpile
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings_sf"
+    )
+    return spark.sql(
+        transpile(
+            "select f.index::bigint as dim, count(*)::bigint as n, "
+            "min(floor(f.value::double * 1000000)::bigint)::bigint"
+            " as min_millionths, "
+            "max(floor(f.value::double * 1000000)::bigint)::bigint"
+            " as max_millionths "
+            "from embeddings_sf, lateral flatten(input => embedding) f "
+            "where f.index < 8 group by f.index"
+        )
+    )

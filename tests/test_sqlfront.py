@@ -364,3 +364,47 @@ class TestEngineQuery:
         )
         assert [(r["k"], r["kind"]) for r in out.collect()] == [(1, "a")]
         assert engine.query("select count(*) as n from ev").collect()[0]["n"] == 2
+
+
+def test_function_rewrites_round7c():
+    assert transpile("DATEDIFF('day', a, b)") == "timestampdiff(day, a, b)"
+    assert transpile("NVL(x, 0)") == "coalesce(x, 0)"
+    assert transpile("ZEROIFNULL(x)") == "coalesce(x, 0)"
+    assert transpile("NULLIFZERO(x)") == "nullif(x, 0)"
+    assert transpile("TRY_TO_NUMBER(s)") == "try_cast(s AS DOUBLE)"
+    assert transpile("ARRAY_SIZE(a)") == "size(a)"
+
+
+def test_lateral_flatten_rewrite(spark):
+    out = transpile(
+        "select f.value, f.index from t, lateral flatten(input => t.tags) f"
+    )
+    assert (
+        out
+        == "select f.value, f.index from t LATERAL VIEW posexplode(t.tags) f"
+        " AS index, value"
+    )
+    # optional `as` alias and bare input both accepted
+    assert "LATERAL VIEW posexplode(arr) v AS index, value" in transpile(
+        "select v.value from j, LATERAL FLATTEN(arr) as v"
+    )
+    spark.createDataFrame(
+        [(1, ["a", "b"])], "id long, tags array<string>"
+    ).createOrReplaceTempView("flat_t")
+    rows = spark.sql(
+        transpile(
+            "select id, f.index, f.value from flat_t, "
+            "lateral flatten(input => flat_t.tags) f"
+        )
+    ).collect()
+    assert sorted((r["id"], r["index"], r["value"]) for r in rows) == [
+        (1, 0, "a"),
+        (1, 1, "b"),
+    ]
+
+
+def test_lateral_flatten_requires_alias():
+    import pytest
+
+    with pytest.raises(ValueError, match="alias"):
+        transpile("select 1 from t, lateral flatten(input => x) ")
