@@ -127,7 +127,7 @@ def _split_statements(script: str) -> list[str]:
 
 _KIND_RE = re.compile(
     r"(?is)^\s*(insert\s+all\b|insert\s+first\b|insert\b|update\b|"
-    r"delete\b|merge\b|truncate\b|"
+    r"delete\b|merge\b|truncate\b|show\b|describe\b|desc\b|"
     r"create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+|transient\s+)?table\b)"
 )
 
@@ -144,6 +144,8 @@ def statement_kind(sql: str) -> str | None:
         return "ctas"
     if kw in ("insert all", "insert first"):
         return "insert_multi"
+    if kw in ("describe", "desc"):
+        return "describe"
     return kw.split()[0]
 
 
@@ -801,6 +803,67 @@ def _truncate(engine, sql: str) -> DataFrame:
     return _summary(engine, rows_deleted=n)
 
 
+# ---------------------------------------------------------------------------
+# metadata statements: SHOW TABLES / DESCRIBE [TABLE] t / DESCRIBE HISTORY t
+# ---------------------------------------------------------------------------
+
+_SHOW_RE = re.compile(r"(?is)^\s*show\s+tables\s*$")
+_DESC_RE = re.compile(
+    rf"(?is)^\s*(?:describe|desc)\s+(history\s+|table\s+)?({_TABLE})\s*$"
+)
+
+
+def _show(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    if not _SHOW_RE.match(s):
+        raise ValueError(f"unsupported SHOW statement: {s[:80]}")
+    import os
+
+    rows = []
+    root = engine.store.root
+    if os.path.isdir(root):
+        for entry in sorted(os.listdir(root)):
+            logical = entry.replace("__", ".")
+            if engine.store.exists(logical):
+                rows.append(
+                    (
+                        logical,
+                        "table",
+                        engine.store.partition_by(logical),
+                        engine.store.current_version(logical),
+                    )
+                )
+    for name in sorted(engine.seeds):
+        rows.append((name, "seed", None, None))
+    return engine.spark.createDataFrame(
+        rows, "name string, kind string, partition_by string, version long"
+    )
+
+
+def _describe(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _DESC_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable DESCRIBE statement: {s[:80]}")
+    table = _resolve_table(engine, m.group(2))
+    if (m.group(1) or "").strip().lower() == "history":
+        return engine.store.history(engine.spark, table)
+    pcol = engine.store.partition_by(table)
+    df = engine.store.read(engine.spark, table)
+    return engine.spark.createDataFrame(
+        [
+            (
+                f.name,
+                f.dataType.simpleString(),
+                f.nullable,
+                "partition" if f.name == pcol else None,
+            )
+            for f in df.schema
+        ],
+        "name string, type string, nullable boolean, special string",
+    )
+
+
 _DISPATCH = {
     "insert": _insert,
     "insert_multi": _insert_multi,
@@ -809,6 +872,8 @@ _DISPATCH = {
     "merge": _merge,
     "ctas": _ctas,
     "truncate": _truncate,
+    "show": _show,
+    "describe": _describe,
 }
 
 

@@ -336,3 +336,36 @@ class TestScriptAndErrors:
         engine.query("create table c2 as select 1 as k")
         with pytest.raises(ValueError, match="unknown columns"):
             engine.query("insert into c2 (nope) values (1)")
+
+
+class TestMetadataStatements:
+    def test_show_tables_and_describe(self, spark, engine):
+        engine.seed("s_meta", spark.createDataFrame([(1,)], "k long"))
+        engine.query("create table t_meta as select 1::bigint as k, 'x' as v")
+        engine.query("update t_meta set v = 'y' where k = 1")
+
+        tables = {
+            r["name"]: (r["kind"], r["version"])
+            for r in engine.query("show tables").collect()
+        }
+        assert tables["t_meta"] == ("table", 1)  # create + update commits
+        assert tables["s_meta"][0] == "seed"
+
+        cols = {
+            r["name"]: r["type"]
+            for r in engine.query("describe table t_meta").collect()
+        }
+        assert cols == {"k": "bigint", "v": "string"}
+
+        hist = engine.query("describe history t_meta").collect()
+        ops = [r["op"] for r in hist]
+        assert "create" in ops[0] or "commit" in ops[0] or len(ops) == 2
+
+    def test_describe_history_shows_store_ops(self, spark, engine):
+        engine.query("create table h1 as select 1 as k")
+        engine.query("delete from h1 where k = 1")
+        ops = [
+            r["op"]
+            for r in engine.query("describe history h1").collect()
+        ]
+        assert "delete" in ops
