@@ -128,6 +128,7 @@ def _split_statements(script: str) -> list[str]:
 _KIND_RE = re.compile(
     r"(?is)^\s*(insert\s+all\b|insert\s+first\b|insert\b|update\b|"
     r"delete\b|merge\b|truncate\b|show\b|describe\b|desc\b|"
+    r"optimize\b|vacuum\b|restore\b|"
     r"create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+|transient\s+)?table\b)"
 )
 
@@ -864,6 +865,65 @@ def _describe(engine, sql: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# maintenance statements: OPTIMIZE / VACUUM / RESTORE (Delta's surface,
+# routed to ops/compact and the store's retention/rollback machinery)
+# ---------------------------------------------------------------------------
+
+_OPTIMIZE_RE = re.compile(
+    rf"(?is)^\s*optimize\s+({_TABLE})(?:\s+zorder\s+by\s*\(([^)]*)\))?\s*$"
+)
+_VACUUM_RE = re.compile(
+    rf"(?is)^\s*vacuum\s+({_TABLE})(?:\s+retain\s+(\d+(?:\.\d+)?)\s+hours)?\s*$"
+)
+_RESTORE_RE = re.compile(
+    rf"(?is)^\s*restore\s+(?:table\s+)?({_TABLE})\s+to\s+version"
+    r"(?:\s+as\s+of)?\s+(\d+)\s*$"
+)
+
+
+def _optimize(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _OPTIMIZE_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable OPTIMIZE statement: {s[:80]}")
+    from ..ops.compact import compact
+
+    table = _resolve_table(engine, m.group(1))
+    zcols = (
+        [c.strip().strip('"') for c in _split_top_level_args(m.group(2))]
+        if m.group(2)
+        else None
+    )
+    n_files = compact(engine.spark, engine.store, table, zorder_by=zcols)
+    return engine.spark.createDataFrame([(n_files,)], "num_files long")
+
+
+def _vacuum(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _VACUUM_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable VACUUM statement: {s[:80]}")
+    table = _resolve_table(engine, m.group(1))
+    retain = float(m.group(2)) if m.group(2) else None
+    before = len(engine.store.versions(table))
+    engine.store.vacuum(table, retain_hours=retain)
+    after = len(engine.store.versions(table))
+    return engine.spark.createDataFrame(
+        [(before - after,)], "versions_removed long"
+    )
+
+
+def _restore(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _RESTORE_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable RESTORE statement: {s[:80]}")
+    table = _resolve_table(engine, m.group(1))
+    new_v = engine.store.restore(table, int(m.group(2)))
+    return engine.spark.createDataFrame([(new_v,)], "restored_as_version long")
+
+
 _DISPATCH = {
     "insert": _insert,
     "insert_multi": _insert_multi,
@@ -874,6 +934,9 @@ _DISPATCH = {
     "truncate": _truncate,
     "show": _show,
     "describe": _describe,
+    "optimize": _optimize,
+    "vacuum": _vacuum,
+    "restore": _restore,
 }
 
 

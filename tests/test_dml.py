@@ -369,3 +369,34 @@ class TestMetadataStatements:
             for r in engine.query("describe history h1").collect()
         ]
         assert "delete" in ops
+
+
+class TestMaintenanceStatements:
+    def test_optimize_vacuum_restore(self, spark, engine):
+        engine.query("create table mt as select explode(sequence(1, 100)) as k")
+        engine.query("update mt set k = k + 1000 where k <= 10")
+        engine.query("delete from mt where k > 1050")
+
+        n = engine.query("optimize mt").collect()[0]["num_files"]
+        assert n >= 1
+
+        restored = engine.query("restore table mt to version 1").collect()[0][
+            "restored_as_version"
+        ]
+        assert restored == engine.store.current_version("mt")
+        # v1 state: updated but nothing deleted yet
+        assert engine.query("select count(*) as n from mt").collect()[0]["n"] == 100
+
+        removed = engine.query("vacuum mt").collect()[0]["versions_removed"]
+        assert removed >= 1
+        assert len(engine.store.versions("mt")) == 1
+
+    def test_optimize_zorder_by(self, spark, engine):
+        engine.query(
+            "create table zt as select explode(sequence(1, 50)) as k"
+        )
+        n = engine.query("optimize zt zorder by (k)").collect()[0]["num_files"]
+        assert n >= 1
+        assert (
+            engine.query("select count(*) as n from zt").collect()[0]["n"] == 50
+        )
