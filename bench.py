@@ -131,6 +131,9 @@ HEADLINE = [
     # the honest price of benching the statement engine)
     "events_theta_set_ops",
     "orders_dml_lifecycle",
+    # banded NEAR-operator range join over the same postings index as
+    # phrase search (build amortizes in warmup; search is what medians)
+    "documents_proximity_search",
 ]
 
 

@@ -587,7 +587,9 @@ def _merge(engine, sql: str) -> DataFrame:
     when_text = after_on[w1.start() :]
 
     # src: bare table (with optional alias) or (subquery) alias
-    sm = re.match(rf"(?is)^\(\s*(.*)\s*\)\s*({_IDENT})?\s*$", src_part)
+    sm = re.match(
+        rf"(?is)^\(\s*(.*)\s*\)\s*(?:as\s+)?({_IDENT})?\s*$", src_part
+    )
     if sm:
         src_df = engine.query(sm.group(1)).localCheckpoint()
         src_alias = (sm.group(2) or "__dml_src__").strip('"')
@@ -820,24 +822,26 @@ def _show(engine, sql: str) -> DataFrame:
         raise ValueError(f"unsupported SHOW statement: {s[:80]}")
     import os
 
-    rows = []
+    by_name: dict[str, tuple] = {}
     root = engine.store.root
     if os.path.isdir(root):
         for entry in sorted(os.listdir(root)):
             logical = entry.replace("__", ".")
             if engine.store.exists(logical):
-                rows.append(
-                    (
-                        logical,
-                        "table",
-                        engine.store.partition_by(logical),
-                        engine.store.current_version(logical),
-                    )
+                by_name[logical] = (
+                    logical,
+                    "table",
+                    engine.store.partition_by(logical),
+                    engine.store.current_version(logical),
                 )
+    # Seeds write through to the store (engine.seed -> overwrite), so a
+    # seed would otherwise list twice; present it once, as a seed.
     for name in sorted(engine.seeds):
-        rows.append((name, "seed", None, None))
+        prior = by_name.get(name)
+        by_name[name] = (name, "seed", None, prior[3] if prior else None)
     return engine.spark.createDataFrame(
-        rows, "name string, kind string, partition_by string, version long"
+        sorted(by_name.values()),
+        "name string, kind string, partition_by string, version long",
     )
 
 
