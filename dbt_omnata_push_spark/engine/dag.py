@@ -188,6 +188,7 @@ class Engine:
         self,
         select: list[str] | None = None,
         fail_fast: bool = False,
+        threads: int = 1,
     ) -> dict[str, RunResult]:
         """Execute models in topological order (dbt run).
 
@@ -197,6 +198,13 @@ class Engine:
         stale upstream would silently produce wrong data); independent
         subgraphs still run. ``fail_fast=True`` re-raises the first
         failure instead (dbt's --fail-fast).
+
+        ``threads`` is dbt's --threads (r7c): models whose dependencies
+        are satisfied materialize CONCURRENTLY from a thread pool.
+        Spark's scheduler interleaves the submitted jobs (FAIR/FIFO per
+        session config); store commits stay safe because every write
+        serializes per table under the writer lock, and distinct models
+        write distinct tables. Hooks run on the scheduler thread.
         """
         from ..materializations import materialize
 
@@ -205,6 +213,8 @@ class Engine:
             n: [r for r in self.models[n].refs if r in self.models]
             for n in names
         }
+        if threads > 1:
+            return self._run_parallel(names, graph, fail_fast, threads)
         order = list(TopologicalSorter(graph).static_order())
         results: dict[str, RunResult] = {}
         failed: set[str] = set()
@@ -236,6 +246,78 @@ class Engine:
             for hook in self.post_hooks:
                 hook(model, result)
             results[name] = result
+        return results
+
+    def _run_parallel(
+        self,
+        names: list[str],
+        graph: dict[str, list[str]],
+        fail_fast: bool,
+        threads: int,
+    ) -> dict[str, RunResult]:
+        """Level-free DAG scheduling: a model starts the moment its last
+        dependency finishes (no barrier between topological levels)."""
+        from concurrent.futures import (
+            FIRST_COMPLETED,
+            ThreadPoolExecutor,
+            wait,
+        )
+
+        from ..materializations import materialize
+
+        ts = TopologicalSorter(graph)
+        ts.prepare()
+        results: dict[str, RunResult] = {}
+        failed: set[str] = set()
+
+        def guarded(model) -> tuple[RunResult, BaseException | None]:
+            try:
+                return materialize(self, model), None
+            except Exception as e:  # noqa: BLE001 — dbt records, not crashes
+                return (
+                    RunResult(
+                        model.name, "error", message=f"{type(e).__name__}: {e}"
+                    ),
+                    e,
+                )
+
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            pending: dict = {}
+            while ts.is_active() or pending:
+                for name in ts.get_ready():
+                    if name not in names or name not in self.models:
+                        ts.done(name)  # dep outside the selection
+                        continue
+                    model = self.models[name]
+                    bad_deps = [r for r in model.refs if r in failed]
+                    if bad_deps:
+                        failed.add(name)
+                        results[name] = RunResult(
+                            name,
+                            "skipped",
+                            message=(
+                                f"depends on failed/skipped: {sorted(bad_deps)}"
+                            ),
+                        )
+                        ts.done(name)
+                        continue
+                    for hook in self.pre_hooks:
+                        hook(model)
+                    pending[pool.submit(guarded, model)] = name
+                if not pending:
+                    continue
+                done, _ = wait(list(pending), return_when=FIRST_COMPLETED)
+                for fut in done:
+                    name = pending.pop(fut)
+                    result, exc = fut.result()
+                    if exc is not None and fail_fast:
+                        raise exc
+                    if result.status == "error":
+                        failed.add(name)
+                    for hook in self.post_hooks:
+                        hook(self.models[name], result)
+                    results[name] = result
+                    ts.done(name)
         return results
 
     def test(self, sql_or_df) -> None:
