@@ -65,6 +65,7 @@ _RECHECK_PRIORITY = [
     "orders_partition_overwrite",  # r7: new (dynamic-partition INSERT OVERWRITE)
     "documents_proximity_search",  # r7: new (banded NEAR-operator range join)
     "embeddings_flatten_dims",  # r7: new (LATERAL FLATTEN through the dialect)
+    "stream_events_kmv_distinct",  # r7: new (streaming KMV distinct maintenance)
 ]
 
 

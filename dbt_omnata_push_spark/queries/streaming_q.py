@@ -371,3 +371,53 @@ def stream_events_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_value_cents").cast("long").alias("max_value_cents"),
         )
     )
+
+
+@query(
+    "stream_events_kmv_distinct",
+    oracle="""
+    WITH hashes AS (
+      SELECT DISTINCT event_type AS g, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rk
+      FROM hashes
+    ),
+    sk AS (SELECT g, h FROM ranked WHERE rk <= 256)
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n_seen,
+           CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 255.0 / (CAST(CAST(('0x' || substr(MAX(h), 1, 15))
+                       AS BIGINT) AS DOUBLE) / 1152921504606846976.0)
+           END AS kmv_est
+    FROM sk GROUP BY g
+    """,
+    tags=("streaming", "ivm", "sketch", "kmv", "distinct"),
+)
+def stream_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained per-type DISTINCT-USER count via
+    mergeable KMV sketches (streaming/ivm_stream.py::fold_batch_kmv):
+    each micro-batch unions its distinct hashes into the stored
+    k-row-per-group sketch, state bounded at k rows/group forever.
+    The maintained estimate is DETERMINISTIC (md5 arithmetic), so
+    stream == batch rebuild == the DuckDB oracle, hash-exact — the
+    claim streaming HLL counters can only make within error bounds."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine.store import TableStore
+    from ..ops.sketches import kmv_estimate
+    from ..streaming.ivm_stream import BATCH_COL, RUN_COL, ivm_kmv_stream
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivmkmv_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    store = TableStore(os.path.join(root, "store"))
+    ivm_kmv_stream(
+        spark, sf_dir, store, checkpoint_dir=os.path.join(root, "ckpt")
+    )
+    sketch = store.read(spark, "events_type_kmv").drop(BATCH_COL, RUN_COL)
+    return kmv_estimate(sketch)

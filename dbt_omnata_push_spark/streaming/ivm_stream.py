@@ -230,3 +230,91 @@ def ivm_minmax_stream(
         .start()
         .awaitTermination()
     )
+
+
+def fold_batch_kmv(
+    spark: SparkSession,
+    store: TableStore,
+    table: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    key_col: str,
+    col,
+    k: int = 256,
+    run_id: str = "default",
+) -> str:
+    """Streaming DISTINCT-COUNT maintenance via mergeable KMV sketches
+    (r7c): each micro-batch's distinct (group, md5) hashes union into
+    the stored k-row-per-group sketch — re-rank, cut at k — so the
+    per-commit cost is O(batch + k x groups), never a rescan, and the
+    stored state is bounded at k rows/group regardless of how many
+    distinct values streamed past. Because the sketch and its
+    estimator are deterministic md5 arithmetic (ops/sketches.py), the
+    MAINTAINED estimate equals a from-scratch batch rebuild exactly —
+    the property HLL streaming counters can only claim within error
+    bounds. Same run-scoped replay guard and atomic data+progress
+    commit as fold_batch."""
+    from pyspark.sql import Window
+
+    from ..ops.sketches import kmv_sketch
+
+    batch_sketch = kmv_sketch(batch_df, key_col, col, k).select("g", "h")
+    if store.exists(table):
+        cur = store.read(spark, table)
+        head = cur.select(F.max(BATCH_COL), F.any_value(RUN_COL)).collect()[0]
+        last, stored_run = head[0], head[1]
+        if last is not None and stored_run == run_id and batch_id <= last:
+            return "replayed"
+        pool = cur.select("g", "h").unionByName(batch_sketch).distinct()
+        status = "applied"
+    else:
+        pool = batch_sketch
+        status = "created"
+    w = Window.partitionBy("g").orderBy("h")
+    merged = (
+        pool.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    )
+    store.overwrite(
+        spark,
+        table,
+        merged.withColumn(BATCH_COL, F.lit(batch_id)).withColumn(
+            RUN_COL, F.lit(run_id)
+        ),
+    )
+    return status
+
+
+def ivm_kmv_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    store: TableStore,
+    table: str = "events_type_kmv",
+    k: int = 256,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Continuously-maintained per-event-type distinct-user KMV sketch
+    over the events stream."""
+    stream = _events_stream(spark, sf_dir).select("event_type", "user_id")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="sg_ivm_kmv_stream_")
+    run_id = checkpoint_run_id(ckpt)
+
+    def _fold(bdf: DataFrame, bid: int) -> None:
+        fold_batch_kmv(
+            spark,
+            store,
+            table,
+            bdf,
+            bid,
+            "event_type",
+            F.col("user_id"),
+            k=k,
+            run_id=run_id,
+        )
+
+    (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -171,3 +171,48 @@ def test_minmax_stream_equals_batch_and_replay_safe(spark, tmp_path):
         )
         == "replayed"
     )
+
+
+def test_kmv_stream_equals_batch_and_replay_safe(spark, tmp_path):
+    """Maintained KMV sketch == from-scratch batch sketch (exact, not
+    just within error), replays skip, and state is bounded at k rows
+    per group no matter how many batches fold in."""
+    from dbt_omnata_push_spark.ops.sketches import kmv_estimate, kmv_sketch
+    from dbt_omnata_push_spark.streaming.ivm_stream import (
+        RUN_COL,
+        fold_batch_kmv,
+    )
+
+    store = TableStore(str(tmp_path / "s"))
+    k = 16
+    rows = [(f"g{i % 3}", i % 40) for i in range(400)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    # three micro-batches by slicing
+    thirds = [
+        spark.createDataFrame(rows[i::3], "event_type string, user_id long")
+        for i in range(3)
+    ]
+    for bid, batch in enumerate(thirds):
+        status = fold_batch_kmv(
+            spark, store, "t", batch, bid, "event_type", F.col("user_id"), k=k
+        )
+        assert status in ("created", "applied")
+    # replay of batch 1 must be skipped
+    assert (
+        fold_batch_kmv(
+            spark, store, "t", thirds[1], 1, "event_type", F.col("user_id"), k=k
+        )
+        == "replayed"
+    )
+    maintained = store.read(spark, "t").drop(BATCH_COL, RUN_COL)
+    direct = kmv_sketch(df, "event_type", F.col("user_id"), k=k)
+    got = sorted((r["g"], r["h"]) for r in maintained.collect())
+    want = sorted((r["g"], r["h"]) for r in direct.select("g", "h").collect())
+    assert got == want  # maintained sketch == batch rebuild, exactly
+    # state bound: never more than k rows per group
+    per_group = maintained.groupBy("g").count().collect()
+    assert all(r["count"] <= k for r in per_group)
+    # estimator agrees too
+    est_m = {r["g"]: r["kmv_est"] for r in kmv_estimate(maintained, k=k).collect()}
+    est_d = {r["g"]: r["kmv_est"] for r in kmv_estimate(direct, k=k).collect()}
+    assert est_m == est_d
