@@ -56,6 +56,59 @@ class Engine:
         self.seeds[name] = df
         self.store.overwrite(self.spark, name, df)
 
+    def seed_csv(
+        self, name: str, path: str, column_types: dict | None = None
+    ) -> DataFrame:
+        """dbt seed from a CSV FILE (the reference ships its seeds as
+        integration_tests/data/*.csv): header row + agate-style type
+        inference (Spark's inferSchema), optional dbt ``column_types``
+        overrides. A UTF-8 BOM on the first header cell is stripped —
+        the reference's own accounts.csv carries one."""
+        from pyspark.sql import functions as F
+
+        df = (
+            self.spark.read.option("header", True)
+            .option("inferSchema", True)
+            .option("quote", '"')
+            .option("escape", '"')
+            .csv(path)
+        )
+        first = df.columns[0]
+        if first.startswith("﻿"):
+            df = df.withColumnRenamed(first, first.lstrip("﻿"))
+        for c, t in (column_types or {}).items():
+            df = df.withColumn(c, F.col(c).cast(t))
+        self.seed(name, df)
+        return df
+
+    def source_freshness(
+        self,
+        name: str,
+        loaded_at_col: str,
+        warn_after_s: float,
+        error_after_s: float,
+        now_epoch: float | None = None,
+    ) -> dict:
+        """dbt source freshness: age of max(loaded_at) against the
+        warn/error ladder. Returns {max_loaded_at, age_s, status} with
+        status pass|warn|error; an empty source is an error (dbt's
+        "could not compute freshness" case)."""
+        import time
+
+        from pyspark.sql import functions as F
+
+        mx = self.ref(name).agg(F.max(loaded_at_col)).collect()[0][0]
+        if mx is None:
+            return {"max_loaded_at": None, "age_s": None, "status": "error"}
+        now = time.time() if now_epoch is None else now_epoch
+        age = now - mx.timestamp()
+        status = (
+            "pass"
+            if age <= warn_after_s
+            else ("warn" if age <= error_after_s else "error")
+        )
+        return {"max_loaded_at": mx, "age_s": age, "status": status}
+
     # -- name resolution --------------------------------------------------
     def view_name(self, name: str) -> str:
         return f"model__{name}"

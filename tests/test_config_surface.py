@@ -139,3 +139,80 @@ def test_get_connector_falls_back_to_default_namespace():
         "salesforce", vars={"omnata_functions_namespace": "nonexistent"}
     )
     assert isinstance(c, MockSalesforceConnector)
+
+
+class TestSeedCsvAndFreshness:
+    def test_seed_csv_reads_the_references_own_files(self, spark, tmp_path):
+        """The reference ships its seeds as CSV (integration_tests/
+        data/*.csv); engine.seed_csv loads those exact files — BOM on
+        accounts.csv's first header included."""
+        from dbt_omnata_push_spark.engine.dag import Engine
+        from dbt_omnata_push_spark.engine.store import TableStore
+
+        engine = Engine(spark, TableStore(str(tmp_path / "s")))
+        accounts = engine.seed_csv(
+            "accounts", "/root/reference/integration_tests/data/accounts.csv"
+        )
+        assert accounts.columns[0] == "NAME"  # BOM stripped
+        assert accounts.count() == 100
+        contacts = engine.seed_csv(
+            "contacts", "/root/reference/integration_tests/data/contacts.csv"
+        )
+        assert contacts.count() == 1000
+        # inferSchema: CONTACT_NUMBER is numeric, EMAIL is string
+        types = dict(contacts.dtypes)
+        assert types["CONTACT_NUMBER"] in ("int", "bigint")
+        assert types["EMAIL"] == "string"
+        # quoted field with embedded comma survives
+        assert engine.query(
+            "select count(*) as n from accounts "
+            "where NAME = 'Lopez, Buchanan and Jordan'"
+        ).collect()[0]["n"] == 1
+
+    def test_seed_csv_column_types_override(self, spark, tmp_path):
+        from dbt_omnata_push_spark.engine.dag import Engine
+        from dbt_omnata_push_spark.engine.store import TableStore
+
+        p = tmp_path / "x.csv"
+        p.write_text("id,amt\n1,2.5\n2,3.5\n")
+        engine = Engine(spark, TableStore(str(tmp_path / "s2")))
+        df = engine.seed_csv(
+            "x", str(p), column_types={"amt": "decimal(10,2)"}
+        )
+        assert dict(df.dtypes)["amt"] == "decimal(10,2)"
+
+    def test_source_freshness_ladder(self, spark, tmp_path):
+        import datetime as dt
+
+        from dbt_omnata_push_spark.engine.dag import Engine
+        from dbt_omnata_push_spark.engine.store import TableStore
+
+        engine = Engine(spark, TableStore(str(tmp_path / "s3")))
+        loaded = dt.datetime(2026, 1, 1, 12, 0, 0)
+        engine.seed(
+            "src",
+            spark.createDataFrame([(1, loaded)], "k long, loaded_at timestamp"),
+        )
+        now = loaded.timestamp() + 600  # 10 minutes later
+        fresh = engine.source_freshness(
+            "src", "loaded_at", warn_after_s=900, error_after_s=3600,
+            now_epoch=now,
+        )
+        assert fresh["status"] == "pass" and abs(fresh["age_s"] - 600) < 1
+        warn = engine.source_freshness(
+            "src", "loaded_at", warn_after_s=300, error_after_s=3600,
+            now_epoch=now,
+        )
+        assert warn["status"] == "warn"
+        err = engine.source_freshness(
+            "src", "loaded_at", warn_after_s=60, error_after_s=300,
+            now_epoch=now,
+        )
+        assert err["status"] == "error"
+        engine.seed("empty", spark.createDataFrame([], "k long, loaded_at timestamp"))
+        assert (
+            engine.source_freshness(
+                "empty", "loaded_at", 1, 2, now_epoch=now
+            )["status"]
+            == "error"
+        )
