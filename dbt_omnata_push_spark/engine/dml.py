@@ -128,7 +128,7 @@ def _split_statements(script: str) -> list[str]:
 _KIND_RE = re.compile(
     r"(?is)^\s*(insert\s+all\b|insert\s+first\b|insert\b|update\b|"
     r"delete\b|merge\b|truncate\b|show\b|describe\b|desc\b|"
-    r"optimize\b|vacuum\b|restore\b|"
+    r"optimize\b|vacuum\b|restore\b|copy\s+into\b|"
     r"create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+|transient\s+)?table\b)"
 )
 
@@ -147,6 +147,8 @@ def statement_kind(sql: str) -> str | None:
         return "insert_multi"
     if kw in ("describe", "desc"):
         return "describe"
+    if kw == "copy into":
+        return "copy"
     return kw.split()[0]
 
 
@@ -928,6 +930,64 @@ def _restore(engine, sql: str) -> DataFrame:
     return engine.spark.createDataFrame([(new_v,)], "restored_as_version long")
 
 
+# ---------------------------------------------------------------------------
+# COPY INTO: Snowflake's bulk load/unload statement.
+#   COPY INTO t FROM '/path' FILE_FORMAT = (TYPE = 'CSV' SKIP_HEADER = 1)
+#   COPY INTO '/path' FROM t FILE_FORMAT = (TYPE = 'PARQUET')
+# ---------------------------------------------------------------------------
+
+_COPY_RE = re.compile(
+    rf"(?is)^\s*copy\s+into\s+('[^']+'|{_TABLE})\s+from\s+('[^']+'|{_TABLE})"
+    r"(?:\s+file_format\s*=\s*\(([^)]*)\))?\s*$"
+)
+_FMT_OPT_RE = re.compile(r"(?is)\b(\w+)\s*=\s*('[^']*'|\S+)")
+
+
+def _parse_format(opts: str | None) -> dict:
+    out = {"type": "parquet"}
+    for m in _FMT_OPT_RE.finditer(opts or ""):
+        out[m.group(1).lower()] = m.group(2).strip("'").lower()
+    return out
+
+
+def _copy(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _COPY_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable COPY INTO statement: {s[:100]}")
+    target, source = m.group(1), m.group(2)
+    fmt = _parse_format(m.group(3))
+    ftype = fmt["type"]
+    if ftype not in ("csv", "parquet", "json"):
+        raise ValueError(f"unsupported FILE_FORMAT TYPE: {ftype}")
+
+    if target.startswith("'"):
+        # UNLOAD: table -> files (deterministic overwrite of the target
+        # directory; Snowflake's stage semantics are append-only, but a
+        # filesystem unload that silently mixes runs is a footgun).
+        table = _resolve_table(engine, source)
+        df = engine.store.read(engine.spark, table)
+        n = df.count()
+        writer = df.write.mode("overwrite")
+        if ftype == "csv":
+            writer = writer.option("header", True)
+        getattr(writer, ftype)(target.strip("'"))
+        return _summary(engine, rows_unloaded=n)
+
+    # LOAD: files -> table (append; COPY INTO's one-way door)
+    table = _resolve_table(engine, target)
+    reader = engine.spark.read
+    if ftype == "csv":
+        # SKIP_HEADER = 1 is Snowflake's header switch; COPY matches
+        # columns positionally either way, like we do below.
+        reader = reader.option("header", fmt.get("skip_header") == "1")
+    df = getattr(reader, ftype)(source.strip("'"))
+    aligned = _aligned_for_insert(engine, table, df, None)
+    n = aligned.count()
+    engine.store.append(engine.spark, table, aligned)
+    return _summary(engine, rows_loaded=n)
+
+
 _DISPATCH = {
     "insert": _insert,
     "insert_multi": _insert_multi,
@@ -941,6 +1001,7 @@ _DISPATCH = {
     "optimize": _optimize,
     "vacuum": _vacuum,
     "restore": _restore,
+    "copy": _copy,
 }
 
 

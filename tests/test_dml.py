@@ -400,3 +400,49 @@ class TestMaintenanceStatements:
         assert (
             engine.query("select count(*) as n from zt").collect()[0]["n"] == 50
         )
+
+
+class TestCopyInto:
+    def test_copy_load_csv_with_header(self, spark, engine, tmp_path):
+        src = tmp_path / "in.csv"
+        src.write_text("k,v\n1,a\n2,b\n")
+        engine.query("create table ct as select 0::bigint as k, '' as v where 1=0")
+        out = engine.query(
+            f"copy into ct from '{src}' "
+            "file_format = (type = 'csv' skip_header = 1)"
+        )
+        assert out.collect()[0]["rows_loaded"] == 2
+        assert _rows(engine.query("select * from ct"), "k", "v") == [
+            (1, "a"),
+            (2, "b"),
+        ]
+
+    def test_copy_unload_then_reload_parquet_roundtrip(
+        self, spark, engine, tmp_path
+    ):
+        engine.query(
+            "create table src_t as select explode(sequence(1, 25)) as k"
+        )
+        out_dir = tmp_path / "unloaded"
+        n = engine.query(
+            f"copy into '{out_dir}' from src_t "
+            "file_format = (type = 'parquet')"
+        ).collect()[0]["rows_unloaded"]
+        assert n == 25
+        engine.query("create table dst_t as select * from src_t where 1=0")
+        loaded = engine.query(
+            f"copy into dst_t from '{out_dir}' "
+            "file_format = (type = 'parquet')"
+        ).collect()[0]["rows_loaded"]
+        assert loaded == 25
+        assert (
+            engine.query("select sum(k)::bigint as s from dst_t").collect()[0]["s"]
+            == 325
+        )
+
+    def test_copy_rejects_unknown_format(self, spark, engine, tmp_path):
+        engine.query("create table cf as select 1 as k")
+        with pytest.raises(ValueError, match="FILE_FORMAT"):
+            engine.query(
+                f"copy into cf from '{tmp_path}' file_format = (type = 'avro')"
+            )
