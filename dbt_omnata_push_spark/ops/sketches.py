@@ -440,12 +440,21 @@ def theta_set_ops(
         F.max(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("in_a"),
         F.max(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("in_b"),
     )
+    # Global agg on an EMPTY flags frame still emits one row (SQL
+    # semantics) — coalesce so the degenerate no-sketch case reads as
+    # exact zeros rather than NULLs.
     agg = flags.groupBy().agg(
-        F.max("theta").alias("theta"),
+        F.coalesce(F.max("theta"), F.lit(1.0)).alias("theta"),
         F.count(F.lit(1)).alias("n_union"),
-        F.sum(F.expr("if(in_a = 1 and in_b = 1, 1, 0)")).alias("n_inter"),
-        F.sum(F.expr("if(in_a = 1 and in_b = 0, 1, 0)")).alias("n_a_only"),
-        F.sum(F.expr("if(in_b = 1 and in_a = 0, 1, 0)")).alias("n_b_only"),
+        F.coalesce(
+            F.sum(F.expr("if(in_a = 1 and in_b = 1, 1, 0)")), F.lit(0)
+        ).alias("n_inter"),
+        F.coalesce(
+            F.sum(F.expr("if(in_a = 1 and in_b = 0, 1, 0)")), F.lit(0)
+        ).alias("n_a_only"),
+        F.coalesce(
+            F.sum(F.expr("if(in_b = 1 and in_a = 0, 1, 0)")), F.lit(0)
+        ).alias("n_b_only"),
     )
     return agg.select(
         F.expr(
