@@ -185,3 +185,21 @@ def test_proximity_guards(spark, tmp_path):
         proximity_search_indexed(spark, store, "p", "a", "b", window=0)
     with pytest.raises(ValueError, match="differ"):
         proximity_search_indexed(spark, store, "p", "a", "a")
+
+
+def test_proximity_scan_prunes_and_joins_hash(spark, indexed_store):
+    """The NEAR operator keeps phrase search's scan discipline: every
+    postings scan restricted to the two terms' buckets, the pair join a
+    hash equi-join on (doc_id, band) — never a nested-loop/cartesian."""
+    from dbt_omnata_push_spark.ops.invindex import proximity_search_indexed
+
+    df = proximity_search_indexed(
+        spark, indexed_store, "p", "table", "value", window=6
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PartitionFilters in plan:\n{plan}"
+    for filt in m:
+        assert "term_bucket" in filt, filt
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
