@@ -128,7 +128,7 @@ def _split_statements(script: str) -> list[str]:
 _KIND_RE = re.compile(
     r"(?is)^\s*(insert\s+all\b|insert\s+first\b|insert\b|update\b|"
     r"delete\b|merge\b|truncate\b|show\b|describe\b|desc\b|"
-    r"optimize\b|vacuum\b|restore\b|copy\s+into\b|"
+    r"optimize\b|vacuum\b|restore\b|copy\s+into\b|alter\s+table\b|"
     r"create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+|transient\s+)?table\b)"
 )
 
@@ -149,6 +149,8 @@ def statement_kind(sql: str) -> str | None:
         return "describe"
     if kw == "copy into":
         return "copy"
+    if kw == "alter table":
+        return "alter"
     return kw.split()[0]
 
 
@@ -743,15 +745,33 @@ _CTAS_RE = re.compile(
     rf"(?is)^\s*create\s+(or\s+replace\s+)?(?:temp(?:orary)?\s+|transient\s+)?"
     rf"table\s+({_TABLE})\s+as\s*(.*)$"
 )
+_LIKE_RE = re.compile(
+    rf"(?is)^\s*create\s+(or\s+replace\s+)?(?:temp(?:orary)?\s+|transient\s+)?"
+    rf"table\s+({_TABLE})\s+like\s+({_TABLE})\s*$"
+)
 
 
 def _ctas(engine, sql: str) -> DataFrame:
     s = _strip_comments(sql).strip().rstrip(";")
+    lm = _LIKE_RE.match(s)
+    if lm:
+        # CREATE TABLE .. LIKE: schema-only copy (Snowflake's empty
+        # clone of column definitions; no rows, no file sharing).
+        target = _clean_ident(lm.group(2))
+        src = _resolve_table(engine, lm.group(3))
+        if engine.store.exists(target) and not lm.group(1):
+            raise ValueError(f"table already exists: {target}")
+        template = engine.store.read(engine.spark, src).limit(0)
+        engine.store.overwrite(
+            engine.spark, target, template,
+            partition_by=engine.store.partition_by(src),
+        )
+        return _summary(engine, rows_inserted=0)
     m = _CTAS_RE.match(s)
     if not m:
         raise ValueError(
-            "only CREATE [OR REPLACE] TABLE .. AS SELECT is supported "
-            f"(got: {s[:100]})"
+            "only CREATE [OR REPLACE] TABLE .. AS SELECT / .. LIKE is "
+            f"supported (got: {s[:100]})"
         )
     replace = bool(m.group(1))
     table = _clean_ident(m.group(2))
@@ -988,6 +1008,48 @@ def _copy(engine, sql: str) -> DataFrame:
     return _summary(engine, rows_loaded=n)
 
 
+# ---------------------------------------------------------------------------
+# ALTER TABLE: ADD COLUMN (metadata-only) / RENAME TO
+# ---------------------------------------------------------------------------
+
+_ALTER_ADD_RE = re.compile(
+    rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+add\s+(?:column\s+)?"
+    rf"({_IDENT})\s+([A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*$"
+)
+_ALTER_RENAME_RE = re.compile(
+    rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+rename\s+to\s+({_TABLE})\s*$"
+)
+
+
+def _snowflake_type_to_spark(type_sql: str) -> str:
+    """Map a Snowflake type token (varchar(40), number(10,2), ...) to a
+    Spark type string by riding the cast rewriter."""
+    rendered = transpile(f"null::{type_sql.strip()}")
+    m = re.match(r"(?is)^CAST\(null AS (.+)\)$", rendered.strip())
+    return m.group(1) if m else type_sql.strip()
+
+
+def _alter(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _ALTER_ADD_RE.match(s)
+    if m:
+        table = _resolve_table(engine, m.group(1))
+        col = m.group(2).strip('"')
+        engine.store.add_column(
+            engine.spark, table, col, _snowflake_type_to_spark(m.group(3))
+        )
+        return _summary(engine, columns_added=1)
+    m = _ALTER_RENAME_RE.match(s)
+    if m:
+        old = _resolve_table(engine, m.group(1))
+        engine.store.rename_table(old, _clean_ident(m.group(2)))
+        return _summary(engine, tables_renamed=1)
+    raise ValueError(
+        "supported ALTER TABLE forms: ADD [COLUMN] <name> <type>, "
+        f"RENAME TO <name> (got: {s[:90]})"
+    )
+
+
 _DISPATCH = {
     "insert": _insert,
     "insert_multi": _insert_multi,
@@ -1002,6 +1064,7 @@ _DISPATCH = {
     "vacuum": _vacuum,
     "restore": _restore,
     "copy": _copy,
+    "alter": _alter,
 }
 
 

@@ -171,10 +171,13 @@ class TableStore:
 
     def _set_meta(self, name: str, partition_by: str | None, schema: StructType):
         doc = {"partition_by": partition_by, "schema": schema.jsonValue()}
-        # table-level CHECK constraints survive every rewrite/merge
-        constraints = self.meta(name).get("constraints")
-        if constraints:
-            doc["constraints"] = constraints
+        # table-level CHECK constraints and metadata-added columns
+        # survive every rewrite/merge
+        old = self.meta(name)
+        if old.get("constraints"):
+            doc["constraints"] = old["constraints"]
+        if old.get("added_columns"):
+            doc["added_columns"] = old["added_columns"]
         tmp = self._meta_file(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(doc, f)
@@ -444,7 +447,14 @@ class TableStore:
             # from directory names on non-empty reads.
             reader = reader.schema(StructType.fromJson(meta["schema"]))
         path = self.data_path(name)
-        return self._apply_dv(spark, reader.parquet(path), path)
+        df = self._apply_dv(spark, reader.parquet(path), path)
+        # Metadata-added columns (ALTER TABLE ADD COLUMN): surface as
+        # typed NULLs until some write materializes them into files —
+        # at which point the guard makes this a no-op.
+        for cname, ctype in meta.get("added_columns", []):
+            if cname not in df.columns:
+                df = df.withColumn(cname, F.lit(None).cast(ctype))
+        return df
 
     def history(self, spark: SparkSession, name: str) -> DataFrame:
         """DESCRIBE HISTORY analogue: one row per committed version
@@ -716,6 +726,48 @@ class TableStore:
         self._partition_scoped_merge(
             spark, name, src, None, pcol, wholesale=True
         )
+
+    @_locked_write
+    def add_column(
+        self, spark: SparkSession, name: str, col_name: str, type_sql: str
+    ) -> None:
+        """ALTER TABLE ADD COLUMN — METADATA-ONLY (Delta parity): no
+        data file is rewritten. The new version hard-links the current
+        files (deletion-vector sidecar carried), and the column
+        surfaces as typed NULLs at read until a later write fills it;
+        rewrites then materialize it into parquet naturally. Historical
+        ``read_version`` reads stay physical (the column appears from
+        the ALTER's own version onward only through ``read``)."""
+        v = self.current_version(name)
+        if v is None:
+            raise FileNotFoundError(f"table not found: {name}")
+        cur_cols = {c.lower() for c in self.read(spark, name).columns}
+        if col_name.lower() in cur_cols:
+            raise ValueError(f"column already exists: {col_name}")
+        # validate the type string before committing anything
+        F.lit(None).cast(type_sql)
+        old_dir = os.path.join(self._dir(name), f"v={v}")
+        new_dir = os.path.join(self._dir(name), f"v={v + 1}")
+        shutil.rmtree(new_dir, ignore_errors=True)
+        shutil.copytree(old_dir, new_dir, copy_function=self._retain_file)
+        meta = self.meta(name)
+        added = meta.get("added_columns", [])
+        added.append([col_name, type_sql])
+        meta["added_columns"] = added
+        tmp = self._meta_file(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_file(name))
+        self._set_version(name, v + 1, op="add_column")
+
+    def rename_table(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME TO: a directory move — O(1) metadata, all
+        versions/history/DVs travel with it."""
+        if not self.exists(old):
+            raise FileNotFoundError(f"table not found: {old}")
+        if self.exists(new):
+            raise ValueError(f"table already exists: {new}")
+        os.rename(self._dir(old), self._dir(new))
 
     @_locked_write
     def scd2_commit(

@@ -446,3 +446,76 @@ class TestCopyInto:
             engine.query(
                 f"copy into cf from '{tmp_path}' file_format = (type = 'avro')"
             )
+
+
+class TestAlterAndLike:
+    def test_add_column_metadata_only_then_writes_fill_it(self, spark, engine):
+        import os
+
+        engine.query("create table at1 as select explode(sequence(1, 50)) as k")
+        files_before = sorted(
+            os.listdir(engine.store.data_path("at1"))
+        )
+        inodes_before = {
+            f: os.stat(os.path.join(engine.store.data_path("at1"), f)).st_ino
+            for f in files_before
+            if f.endswith(".parquet")
+        }
+        out = engine.query("alter table at1 add column note varchar")
+        assert out.collect()[0]["columns_added"] == 1
+        # metadata-only: the new version's data files are the same inodes
+        inodes_after = {
+            f: os.stat(os.path.join(engine.store.data_path("at1"), f)).st_ino
+            for f in os.listdir(engine.store.data_path("at1"))
+            if f.endswith(".parquet")
+        }
+        assert inodes_after == inodes_before
+        # surfaces as typed NULLs
+        rows = engine.query("select k, note from at1 where k <= 2").collect()
+        assert all(r["note"] is None for r in rows)
+        # a write fills it; existing rows keep NULL
+        engine.query("update at1 set note = 'big' where k > 45")
+        got = {
+            r["k"]: r["note"]
+            for r in engine.query("select * from at1").collect()
+        }
+        assert got[50] == "big" and got[1] is None
+        # duplicate add refuses
+        with pytest.raises(ValueError, match="already exists"):
+            engine.query("alter table at1 add column note varchar")
+
+    def test_add_column_snowflake_type_mapping(self, spark, engine):
+        engine.query("create table at2 as select 1 as k")
+        engine.query("alter table at2 add column amt number(10,2)")
+        types = {
+            r["name"]: r["type"]
+            for r in engine.query("describe table at2").collect()
+        }
+        assert types["amt"] == "decimal(10,2)"
+
+    def test_rename_table_carries_history(self, spark, engine):
+        engine.query("create table rn1 as select 1 as k")
+        engine.query("delete from rn1 where k = 1")
+        engine.query("alter table rn1 rename to rn2")
+        assert not engine.store.exists("rn1")
+        ops = [r["op"] for r in engine.query("describe history rn2").collect()]
+        assert "delete" in ops
+        assert engine.query("select count(*) as n from rn2").collect()[0]["n"] == 0
+
+    def test_create_table_like(self, spark, engine):
+        engine.query(
+            "create table tpl as select 1::bigint as k, 'x' as s, 2.5 as f"
+        )
+        engine.query("create table cpy like tpl")
+        assert engine.query("select count(*) as n from cpy").collect()[0]["n"] == 0
+        t_tpl = {
+            r["name"]: r["type"]
+            for r in engine.query("describe table tpl").collect()
+        }
+        t_cpy = {
+            r["name"]: r["type"]
+            for r in engine.query("describe table cpy").collect()
+        }
+        assert t_tpl == t_cpy
+        with pytest.raises(ValueError, match="already exists"):
+            engine.query("create table cpy like tpl")
