@@ -66,6 +66,7 @@ _RECHECK_PRIORITY = [
     "documents_proximity_search",  # r7: new (banded NEAR-operator range join)
     "embeddings_flatten_dims",  # r7: new (LATERAL FLATTEN through the dialect)
     "stream_events_kmv_distinct",  # r7: new (streaming KMV distinct maintenance)
+    "events_audience_overlap",  # r7: new (theta-sketch overlap matrix)
 ]
 
 

@@ -467,3 +467,93 @@ def theta_set_ops(
         F.col("n").cast("long").alias("n"),
         (F.col("n").cast("double") / F.col("theta")).alias("est"),
     )
+
+
+def theta_overlap_matrix(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Pairwise audience-overlap matrix from KMV sketch rows alone: for
+    every unordered group pair (g1 < g2), the theta-sketch intersection
+    and union estimates plus their ratio (the Jaccard similarity of the
+    two audiences). The warehouse "overlap report" — N audiences cost
+    one k-row sketch each, every pairwise cell O(k), no raw-data
+    rescan, and (being md5 arithmetic end to end) every cell is exactly
+    oracle-checkable.
+
+    Shape: per-group thetas broadcast into a pair frame (G^2/2 rows —
+    audiences are few); intersections from a sketch self-join on the
+    hash (equi-join, h is high-cardinality so no skew); per-side
+    surviving counts from a sketch x pair-theta broadcast join. Zero
+    driver-side data movement.
+    """
+    thetas = (
+        sketch.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("mx"))
+        .select(
+            "g",
+            F.when(F.col("n") < k, F.lit(1.0))
+            .otherwise(_hash_frac(F.col("mx")))
+            .alias("theta_g"),
+        )
+    )
+    pairs = (
+        thetas.select(
+            F.col("g").alias("g1"), F.col("theta_g").alias("t1")
+        )
+        .join(
+            thetas.select(F.col("g").alias("g2"), F.col("theta_g").alias("t2")),
+            F.col("g1") < F.col("g2"),
+        )
+        .select("g1", "g2", F.least("t1", "t2").alias("theta"))
+    )
+    # per-pair, per-side surviving-hash counts
+    side = sketch.select("g", "h").withColumn("frac", _hash_frac(F.col("h")))
+    n1 = (
+        side.join(F.broadcast(pairs), side["g"] == pairs["g1"])
+        .filter(F.col("frac") < F.col("theta"))
+        .groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    n2 = (
+        side.join(F.broadcast(pairs), side["g"] == pairs["g2"])
+        .filter(F.col("frac") < F.col("theta"))
+        .groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    inter = (
+        side.select(F.col("g").alias("ga"), "h", "frac")
+        .join(side.select(F.col("g").alias("gb"), "h"), "h")
+        .filter(F.col("ga") < F.col("gb"))
+        .join(
+            F.broadcast(pairs),
+            (F.col("ga") == pairs["g1"]) & (F.col("gb") == pairs["g2"]),
+        )
+        .filter(F.col("frac") < F.col("theta"))
+        .groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        pairs.join(n1, ["g1", "g2"], "left")
+        .join(n2, ["g1", "g2"], "left")
+        .join(inter, ["g1", "g2"], "left")
+        .select(
+            "g1",
+            "g2",
+            F.coalesce("n_inter", F.lit(0)).cast("long").alias("n_inter"),
+            (
+                F.coalesce("n_inter", F.lit(0)).cast("double") / F.col("theta")
+            ).alias("est_inter"),
+            (
+                (
+                    F.coalesce("n_a", F.lit(0))
+                    + F.coalesce("n_b", F.lit(0))
+                    - F.coalesce("n_inter", F.lit(0))
+                ).cast("double")
+                / F.col("theta")
+            ).alias("est_union"),
+        )
+    )
+    return out.withColumn(
+        "jaccard",
+        F.when(
+            F.col("est_union") > 0.0, F.col("est_inter") / F.col("est_union")
+        ).otherwise(F.lit(0.0)),
+    )

@@ -1784,3 +1784,86 @@ def embeddings_flatten_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             "where f.index < 8 group by f.index"
         )
     )
+
+
+@query(
+    "events_audience_overlap",
+    oracle="""
+    WITH hashes AS (
+      SELECT DISTINCT event_type AS g, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events WHERE value > 100
+    ),
+    ranked AS (
+      SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rk
+      FROM hashes
+    ),
+    sk AS (SELECT g, h FROM ranked WHERE rk <= 64),
+    thetas AS (
+      SELECT g, CASE WHEN COUNT(*) < 64 THEN 1.0
+             ELSE CAST(CAST(('0x' || substr(MAX(h), 1, 15)) AS BIGINT)
+                    AS DOUBLE) / 1152921504606846976.0
+             END AS theta_g
+      FROM sk GROUP BY g
+    ),
+    pairs AS (
+      SELECT a.g AS g1, b.g AS g2,
+             CASE WHEN a.theta_g < b.theta_g THEN a.theta_g
+                  ELSE b.theta_g END AS theta
+      FROM thetas a JOIN thetas b ON a.g < b.g
+    ),
+    side AS (
+      SELECT g, h,
+             CAST(CAST(('0x' || substr(h, 1, 15)) AS BIGINT) AS DOUBLE)
+               / 1152921504606846976.0 AS frac
+      FROM sk
+    ),
+    n1 AS (
+      SELECT p.g1, p.g2, COUNT(*) AS n_a
+      FROM side s JOIN pairs p ON s.g = p.g1
+      WHERE s.frac < p.theta GROUP BY p.g1, p.g2
+    ),
+    n2 AS (
+      SELECT p.g1, p.g2, COUNT(*) AS n_b
+      FROM side s JOIN pairs p ON s.g = p.g2
+      WHERE s.frac < p.theta GROUP BY p.g1, p.g2
+    ),
+    inter AS (
+      SELECT p.g1, p.g2, COUNT(*) AS n_inter
+      FROM side sa
+      JOIN sk sb ON sa.h = sb.h AND sa.g < sb.g
+      JOIN pairs p ON sa.g = p.g1 AND sb.g = p.g2
+      WHERE sa.frac < p.theta
+      GROUP BY p.g1, p.g2
+    ),
+    cells AS (
+      SELECT p.g1, p.g2,
+             CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+             CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / p.theta AS est_inter,
+             CAST(COALESCE(n1.n_a, 0) + COALESCE(n2.n_b, 0)
+                  - COALESCE(i.n_inter, 0) AS DOUBLE) / p.theta AS est_union
+      FROM pairs p
+      LEFT JOIN n1 ON p.g1 = n1.g1 AND p.g2 = n1.g2
+      LEFT JOIN n2 ON p.g1 = n2.g1 AND p.g2 = n2.g2
+      LEFT JOIN inter i ON p.g1 = i.g1 AND p.g2 = i.g2
+    )
+    SELECT g1, g2, n_inter, est_inter, est_union,
+           CASE WHEN est_union > 0 THEN est_inter / est_union
+                ELSE 0.0 END AS jaccard
+    FROM cells
+    """,
+    tags=("sketch", "theta", "set-ops", "matrix", "mergeable"),
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audience-overlap MATRIX (ops/sketches.py::
+    theta_overlap_matrix): every unordered pair of high-value (value >
+    100) event-type audiences gets a theta-sketch intersection
+    estimate, union estimate, and Jaccard similarity — computed from
+    each audience's k=64 sketch rows alone. This is the report
+    warehouses ship theta sketches for (N audiences -> N(N-1)/2
+    overlap cells without N^2 raw-data passes); every cell is md5
+    arithmetic end to end and hash-matches the DuckDB oracle exactly."""
+    from ..ops.sketches import kmv_sketch, theta_overlap_matrix
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 100)
+    sk = kmv_sketch(ev, "event_type", F.col("user_id"), k=64)
+    return theta_overlap_matrix(sk, k=64)

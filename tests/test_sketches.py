@@ -211,3 +211,41 @@ def test_theta_set_ops_disjoint_and_empty_edge(spark):
     got = {r["op"]: r["n"] for r in theta_set_ops(sk, "a", "b", k=64).collect()}
     assert got["intersect"] == 0
     assert got["union"] == 20
+
+
+def test_theta_overlap_matrix_exact_below_k_and_accuracy(spark):
+    from dbt_omnata_push_spark.ops.sketches import (
+        kmv_sketch,
+        theta_overlap_matrix,
+    )
+
+    # exact mode: three small audiences with known overlaps
+    rows = (
+        [("a", i) for i in range(30)]
+        + [("b", i + 20) for i in range(30)]  # |a∩b| = 10
+        + [("c", i + 100) for i in range(10)]  # disjoint from both
+    )
+    df = spark.createDataFrame(rows, "g string, user_id long")
+    sk = kmv_sketch(df, "g", F.col("user_id"), k=256)
+    cells = {
+        (r["g1"], r["g2"]): r
+        for r in theta_overlap_matrix(sk, k=256).collect()
+    }
+    assert len(cells) == 3
+    ab = cells[("a", "b")]
+    assert (ab["n_inter"], ab["est_inter"], ab["est_union"]) == (10, 10.0, 50.0)
+    assert ab["jaccard"] == 10.0 / 50.0
+    ac = cells[("a", "c")]
+    assert ac["n_inter"] == 0 and ac["jaccard"] == 0.0
+
+    # saturated mode: estimates within ~4x RSE
+    k = 256
+    big = spark.createDataFrame(
+        [("x", i) for i in range(6000)] + [("y", i + 3000) for i in range(6000)],
+        "g string, user_id long",
+    )
+    cell = theta_overlap_matrix(
+        kmv_sketch(big, "g", F.col("user_id"), k=k), k=k
+    ).collect()[0]
+    assert abs(cell["est_inter"] - 3000) / 3000 < 4 / (k ** 0.5)
+    assert abs(cell["est_union"] - 9000) / 9000 < 4 / (k ** 0.5)
