@@ -531,16 +531,32 @@ class TableStore:
 
     @_locked_write
     def append(self, spark: SparkSession, name: str, df: DataFrame) -> None:
-        """insert into ... select (salesforce_bulk_load.sql:35-47)."""
+        """insert into ... select (salesforce_bulk_load.sql:35-47).
+
+        Commits a NEW version: existing data files hard-link into
+        ``v+1`` (deletion-vector sidecar carried) and only the appended
+        rows write fresh parquet — O(new rows + #files metadata), like
+        Delta's append commit. Until r7c this appended into the current
+        version directory in place, which silently broke version
+        immutability: concurrent readers of v could see rows appear
+        mid-read, and ``AT(VERSION => v)`` time travel could not
+        reconstruct the pre-append state. Now every INSERT is a
+        versioned, time-travelable, CDC-visible commit."""
         if not self.exists(name):
             self.create(spark, name, df)
             return
         df = self._enforced(df, name)  # CHECK constraints
         pcol = self.partition_by(name)
+        v = self.current_version(name)
+        old_dir = os.path.join(self._dir(name), f"v={v}")
+        new_dir = os.path.join(self._dir(name), f"v={v + 1}")
+        shutil.rmtree(new_dir, ignore_errors=True)
+        shutil.copytree(old_dir, new_dir, copy_function=self._retain_file)
         writer = df.write.mode("append")
         if pcol:
             writer = writer.partitionBy(pcol)
-        writer.parquet(self.data_path(name))
+        writer.parquet(new_dir)
+        self._set_version(name, v + 1, op="append")
 
     @_locked_write
     def merge_upsert(

@@ -770,3 +770,30 @@ class TestInsertOverwrite:
             for r in engine.store.read(spark, "daily").collect()
         )
         assert rows == [("d1", 1, 10), ("d2", 3, 99), ("d3", 4, 30)]
+
+
+def test_append_commits_a_new_immutable_version(spark, store):
+    """INSERT is a versioned commit (r7c): the pre-append state stays
+    readable via time travel, existing files carry as hard links, and
+    CDC between the two versions shows exactly the appended rows."""
+    import os
+
+    store.create(spark, "ap", spark.createDataFrame([(1,), (2,)], "k long"))
+    v0_dir = store.data_path("ap")
+    inodes_v0 = {
+        f: os.stat(os.path.join(v0_dir, f)).st_ino
+        for f in os.listdir(v0_dir)
+        if f.endswith(".parquet")
+    }
+    store.append(spark, "ap", spark.createDataFrame([(3,)], "k long"))
+    assert store.current_version("ap") == 1
+    # pre-append state intact
+    assert store.read_version(spark, "ap", 0).count() == 2
+    assert store.read(spark, "ap").count() == 3
+    # old files are hard-linked, not rewritten
+    v1_dir = store.data_path("ap")
+    for f, ino in inodes_v0.items():
+        assert os.stat(os.path.join(v1_dir, f)).st_ino == ino
+    # CDC sees exactly the appended row
+    ch = store.read_changes(spark, "ap", 0, 1, "k").collect()
+    assert [(r["k"], r["change_type"]) for r in ch] == [(3, "insert")]
