@@ -67,6 +67,7 @@ _RECHECK_PRIORITY = [
     "embeddings_flatten_dims",  # r7: new (LATERAL FLATTEN through the dialect)
     "stream_events_kmv_distinct",  # r7: new (streaming KMV distinct maintenance)
     "events_audience_overlap",  # r7: new (theta-sketch overlap matrix)
+    "events_salted_dim_join",  # r7: new (hot-key salted join, oracle-exact)
 ]
 
 

@@ -1867,3 +1867,53 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 100)
     sk = kmv_sketch(ev, "event_type", F.col("user_id"), k=64)
     return theta_overlap_matrix(sk, k=64)
+
+
+@query(
+    "events_salted_dim_join",
+    oracle="""
+    SELECT CASE WHEN e.event_type IN ('click', 'view') THEN 'engagement'
+                WHEN e.event_type IN ('purchase', 'signup') THEN 'conversion'
+                ELSE 'ops' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events e GROUP BY tier
+    """,
+    tags=("skew", "salting", "join"),
+)
+def events_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-keyed fact x small-dim join through the SALTED join
+    (ops/skew.py::salted_join): events carry only five event_type
+    values, so a plain shuffle join lands each whole key on one task —
+    the canonical skew pathology. Salting splits every hot key over 16
+    salt buckets (big side salted randomly, dim side exploded 16x, join
+    key (event_type, salt)) with row multiplicity provably unchanged:
+    the oracle is the plain-join aggregate, and the salt column's
+    randomness cancels out of the hash-exact result. AQE's skew-join
+    handles sort-merge cases automatically; this operator is the
+    explicit fallback for the broadcast-ineligible hot-key shape."""
+    from ..ops.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "ops"),
+        ],
+        "event_type string, tier string",
+    )
+    return (
+        salted_join(ev, dim, on="event_type")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
