@@ -134,6 +134,10 @@ HEADLINE = [
     # banded NEAR-operator range join over the same postings index as
     # phrase search (build amortizes in warmup; search is what medians)
     "documents_proximity_search",
+    # round 7c additions: pairwise theta overlap matrix (O(k) cells)
+    # and the hot-key salted join
+    "events_audience_overlap",
+    "events_salted_dim_join",
 ]
 
 
