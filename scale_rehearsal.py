@@ -89,6 +89,11 @@ QUERIES = [
     # the sketch build scans data)
     "orders_dml_lifecycle",
     "events_theta_set_ops",
+    # round 7c additions: banded NEAR range join (index build + search),
+    # pairwise overlap matrix (O(k) cells), hot-key salted join
+    "documents_proximity_search",
+    "events_audience_overlap",
+    "events_salted_dim_join",
 ]
 
 TABLES = ["documents", "embeddings", "customer", "events", "orders"]
