@@ -188,16 +188,62 @@ class Engine:
                 sql = resolve_global_rownum(self.spark, sql)
         return self.spark.sql(sql)
 
-    def execute_script(self, script: str, dialect: str = "snowflake"):
+    def execute_script(
+        self,
+        script: str,
+        dialect: str = "snowflake",
+        transaction: bool = False,
+    ):
         """Run a multi-statement script (top-level ``;`` separated) one
         statement at a time — the reference macros' `statement()` blocks
-        back-to-back. Returns one result DataFrame per statement."""
+        back-to-back. Returns one result DataFrame per statement.
+
+        ``transaction=True`` makes the script all-or-nothing (r7c): the
+        current version of every store table is snapshotted first; if
+        any statement raises, tables the script CREATED are dropped and
+        tables it CHANGED are ``store.restore``d to their pre-script
+        content (the rollback itself is a new, history-visible commit —
+        the version store's analogue of BEGIN/ROLLBACK). Single-writer
+        scope: concurrent writers on the same tables are not fenced
+        across statements (per-statement writer locks only), and a
+        table RENAMED mid-script rolls back as drop-new-name only.
+        """
+        import os as _os
+
         from . import dml
 
-        return [
-            self.query(stmt, dialect=dialect)
-            for stmt in dml._split_statements(script)
-        ]
+        statements = dml._split_statements(script)
+        if not transaction:
+            return [self.query(stmt, dialect=dialect) for stmt in statements]
+
+        def _store_tables() -> set[str]:
+            if not _os.path.isdir(self.store.root):
+                return set()
+            return {
+                e.replace("__", ".")
+                for e in _os.listdir(self.store.root)
+                if self.store.exists(e.replace("__", "."))
+            }
+
+        before = {t: self.store.current_version(t) for t in _store_tables()}
+        results = []
+        try:
+            for stmt in statements:
+                results.append(self.query(stmt, dialect=dialect))
+        except Exception:
+            for t in _store_tables() - set(before):
+                self.store.drop(t)  # created by the failed script
+                self.seeds.pop(t, None)
+            for t, v in before.items():
+                if self.store.exists(t) and self.store.current_version(t) != v:
+                    try:
+                        self.store.restore(t, v)
+                    except ValueError:
+                        # pre-script version vacuumed mid-script: surface
+                        # the original failure, not the rollback's.
+                        pass
+            raise
+        return results
 
     # -- execution --------------------------------------------------------
     def build_df(self, model: Model) -> DataFrame:

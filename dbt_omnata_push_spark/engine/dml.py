@@ -129,6 +129,7 @@ _KIND_RE = re.compile(
     r"(?is)^\s*(insert\s+all\b|insert\s+first\b|insert\b|update\b|"
     r"delete\b|merge\b|truncate\b|show\b|describe\b|desc\b|"
     r"optimize\b|vacuum\b|restore\b|copy\s+into\b|alter\s+table\b|"
+    r"drop\s+table\b|"
     r"create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+|transient\s+)?table\b)"
 )
 
@@ -151,6 +152,8 @@ def statement_kind(sql: str) -> str | None:
         return "copy"
     if kw == "alter table":
         return "alter"
+    if kw == "drop table":
+        return "drop"
     return kw.split()[0]
 
 
@@ -1050,6 +1053,26 @@ def _alter(engine, sql: str) -> DataFrame:
     )
 
 
+_DROP_RE = re.compile(
+    rf"(?is)^\s*drop\s+table\s+(if\s+exists\s+)?({_TABLE})\s*$"
+)
+
+
+def _drop(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _DROP_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable DROP TABLE statement: {s[:90]}")
+    table = _resolve_table(engine, m.group(2))
+    if not engine.store.exists(table):
+        if m.group(1):
+            return _summary(engine, tables_dropped=0)
+        raise FileNotFoundError(f"table not found: {table}")
+    engine.store.drop(table)
+    engine.seeds.pop(table, None)
+    return _summary(engine, tables_dropped=1)
+
+
 _DISPATCH = {
     "insert": _insert,
     "insert_multi": _insert_multi,
@@ -1065,6 +1088,7 @@ _DISPATCH = {
     "restore": _restore,
     "copy": _copy,
     "alter": _alter,
+    "drop": _drop,
 }
 
 

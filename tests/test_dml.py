@@ -519,3 +519,49 @@ class TestAlterAndLike:
         assert t_tpl == t_cpy
         with pytest.raises(ValueError, match="already exists"):
             engine.query("create table cpy like tpl")
+
+
+class TestDropAndTransactions:
+    def test_drop_table_and_if_exists(self, spark, engine):
+        engine.query("create table dr as select 1 as k")
+        assert engine.query("drop table dr").collect()[0]["tables_dropped"] == 1
+        assert not engine.store.exists("dr")
+        assert (
+            engine.query("drop table if exists dr").collect()[0][
+                "tables_dropped"
+            ]
+            == 0
+        )
+        with pytest.raises(FileNotFoundError):
+            engine.query("drop table dr")
+
+    def test_transactional_script_rolls_back_on_failure(self, spark, engine):
+        engine.query("create table base as select 10 as k")
+        with pytest.raises(Exception):
+            engine.execute_script(
+                """
+                create table scratch as select 1 as k;
+                update base set k = 99;
+                insert into base (k) select not_a_column from base;
+                """,
+                transaction=True,
+            )
+        # created table dropped, changed table restored to pre-script state
+        assert not engine.store.exists("scratch")
+        assert engine.query("select k from base").collect()[0]["k"] == 10
+        # the rollback is history-visible (restore commit)
+        ops = [r["op"] for r in engine.query("describe history base").collect()]
+        assert any(op.startswith("restore") for op in ops)
+
+    def test_transactional_script_commits_on_success(self, spark, engine):
+        engine.query("create table okb as select 1 as k")
+        results = engine.execute_script(
+            """
+            update okb set k = 2;
+            create table okc as select 3 as k;
+            """,
+            transaction=True,
+        )
+        assert len(results) == 2
+        assert engine.query("select k from okb").collect()[0]["k"] == 2
+        assert engine.store.exists("okc")
