@@ -68,6 +68,7 @@ _RECHECK_PRIORITY = [
     "stream_events_kmv_distinct",  # r7: new (streaming KMV distinct maintenance)
     "events_audience_overlap",  # r7: new (theta-sketch overlap matrix)
     "events_salted_dim_join",  # r7: new (hot-key salted join, oracle-exact)
+    "events_cascading_rollup",  # r7: new (hypertable cascade, daily from hourly)
 ]
 
 

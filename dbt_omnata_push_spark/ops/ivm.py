@@ -195,18 +195,25 @@ def apply_cdc_minmax(
         F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("_d_n"), F.lit(0))
     ).alias("n_rows")
 
-    # A delete only endangers an extreme when it ties or passes it; a
-    # group with no stored row (born this batch) folds from inserts.
+    # A delete only endangers an extreme when it ties or passes the
+    # POST-FOLD extreme (stored value folded with this batch's
+    # inserts): comparing against the stored extreme alone misses a
+    # same-batch insert+delete pair — e.g. a group born this batch
+    # whose only non-null value is inserted and then update-deleted in
+    # the same CDC window folds min=0 from the insert and never
+    # recomputes, leaving a stale extreme (hypothesis-found, r7c). A
+    # delete with NO post-fold extreme to compare against (all-NULL
+    # fold) recomputes too. Insert-only batches still never touch base.
     touched = F.lit(False)
     for c in mm_cols:
+        folded_min = F.least(F.col(f"min_{c}"), F.col(f"_ins_min_{c}"))
+        folded_max = F.greatest(F.col(f"max_{c}"), F.col(f"_ins_max_{c}"))
         touched = touched | (
             F.col(f"_del_min_{c}").isNotNull()
-            & F.col(f"min_{c}").isNotNull()
-            & (F.col(f"_del_min_{c}") <= F.col(f"min_{c}"))
+            & (folded_min.isNull() | (F.col(f"_del_min_{c}") <= folded_min))
         ) | (
             F.col(f"_del_max_{c}").isNotNull()
-            & F.col(f"max_{c}").isNotNull()
-            & (F.col(f"_del_max_{c}") >= F.col(f"max_{c}"))
+            & (folded_max.isNull() | (F.col(f"_del_max_{c}") >= folded_max))
         )
     staged = joined.select(
         *key_cols,
@@ -347,3 +354,28 @@ def apply_cdc_moments(
         *[_nn(c).alias(f"nn_{c}") for c in cols],
     )
     return out.filter(F.col("n_rows") > 0)
+
+
+def rollup_from_finer(
+    fine: DataFrame,
+    coarse_keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Derive a coarser maintained aggregate FROM A FINER ONE — the
+    hypertable / continuous-aggregate cascade (raw -> hourly -> daily):
+    counts sum, sums sum, and the per-measure non-null counts sum, so
+    the coarse level preserves exact SUM-NULL semantics without ever
+    touching raw data. At 100 TB the daily rollup reads 24 hourly rows
+    per group-day instead of the day's raw events; a maintenance pass
+    that folded a batch into the hourly level makes every coarser level
+    rebuildable from it at hourly-row cost."""
+    return fine.groupBy(*coarse_keys).agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        *[
+            F.when(F.sum(f"nn_{c}") > 0, F.sum(f"sum_{c}"))
+            .otherwise(F.lit(None))
+            .alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+        *[F.sum(f"nn_{c}").cast("long").alias(f"nn_{c}") for c in sum_cols],
+    )

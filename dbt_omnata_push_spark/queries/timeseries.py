@@ -291,3 +291,60 @@ def events_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return counter_rate(ev, ["event_type"], "ts", "value", "event_id")
+
+
+@query(
+    "events_cascading_rollup",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    GROUP BY event_type, day
+    """,
+    tags=("timeseries", "rollup", "hypertable", "ivm", "cascade"),
+)
+def events_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERTABLE-style cascading rollup (TimescaleDB continuous
+    aggregates): raw events -> maintained HOURLY aggregate -> DAILY
+    aggregate derived FROM THE HOURLY LEVEL ALONE (ops/ivm.py::
+    rollup_from_finer — counts sum, sums sum, per-measure non-null
+    counts sum, so SUM-NULL semantics survive the cascade exactly).
+
+    The maintenance path is exercised honestly: the hourly level is
+    built from the first ~70% of the time range, then the remaining
+    events fold in as an insert batch through apply_cdc — the daily
+    output must equal a direct raw-data daily aggregate (the oracle),
+    proving maintained-hourly -> derived-daily == full refresh. At
+    100 TB the daily read costs 24 hourly rows per group-day, never
+    the day's raw events, and each new batch folds at O(batch +
+    touched hours)."""
+    from ..ops.ivm import apply_cdc, build_agg, rollup_from_finer
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cutoff = ev.agg(
+        F.expr("percentile_approx(unix_timestamp(hour), 0.7)")
+    ).collect()[0][0]
+    base = ev.filter(F.unix_timestamp("hour") <= cutoff)
+    batch = ev.filter(F.unix_timestamp("hour") > cutoff).withColumn(
+        "change_type", F.lit("insert")
+    )
+    hourly = build_agg(base, ["event_type", "hour"], ["cents"])
+    hourly = apply_cdc(hourly, batch, ["event_type", "hour"], ["cents"])
+    daily = rollup_from_finer(
+        hourly.withColumn("day", F.date_format("hour", "yyyy-MM-dd")),
+        ["event_type", "day"],
+        ["cents"],
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_rows",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )

@@ -144,3 +144,58 @@ def test_moments_delete_maintains_exactly(spark):
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_moments_property_equals_rebuild(spark, base, deletes, inserts, updates):
     _apply_moments(spark, base, deletes, inserts, updates)
+
+
+def test_rollup_from_finer_preserves_sum_null_semantics(spark):
+    """Daily derived from hourly must equal daily built from raw —
+    including the SUM-NULL edge (a day whose every measure is NULL)."""
+    from dbt_omnata_push_spark.ops.ivm import build_agg, rollup_from_finer
+
+    rows = [
+        ("a", "d1h1", 5), ("a", "d1h2", None), ("a", "d1h2", 7),
+        ("b", "d1h1", None), ("b", "d1h2", None),  # all-NULL day for b
+        ("a", "d2h1", 3),
+    ]
+    df = spark.createDataFrame(rows, "g string, hour string, v long")
+    df = df.withColumn("day", F.substring("hour", 1, 2))
+    hourly = build_agg(df, ["g", "hour"], ["v"]).withColumn(
+        "day", F.substring("hour", 1, 2)
+    )
+    daily = rollup_from_finer(hourly, ["g", "day"], ["v"])
+    direct = build_agg(df, ["g", "day"], ["v"])
+    got = sorted(
+        (r["g"], r["day"], r["n_rows"], r["sum_v"], r["nn_v"])
+        for r in daily.collect()
+    )
+    want = sorted(
+        (r["g"], r["day"], r["n_rows"], r["sum_v"], r["nn_v"])
+        for r in direct.collect()
+    )
+    assert got == want
+    by = {(g, d): s for g, d, _, s, _ in got}
+    assert by[("b", "d1")] is None  # all-NULL day stays NULL, not 0
+    assert by[("a", "d1")] == 12
+
+
+def test_same_batch_insert_then_null_update_recomputes(spark):
+    """Regression (hypothesis-found): a group born in the batch whose
+    only non-null value is inserted and immediately update-deleted in
+    the SAME CDC window must recompute to NULL extremes, not keep the
+    folded insert value."""
+    from dbt_omnata_push_spark.ops.ivm import apply_cdc_minmax, build_minmax
+
+    empty = spark.createDataFrame([], "k long, g string, v long")
+    agg = build_minmax(empty, ["g"], ["v"])
+    changes = spark.createDataFrame(
+        [
+            (0, "a", 0, "insert"),
+            (0, "a", 0, "update_preimage"),
+            (0, "a", None, "update_postimage"),
+        ],
+        "k long, g string, v long, change_type string",
+    )
+    base_new = spark.createDataFrame([(0, "a", None)], "k long, g string, v long")
+    got = apply_cdc_minmax(agg, changes, base_new, ["g"], ["v"]).collect()
+    assert [(r["g"], r["n_rows"], r["min_v"], r["max_v"]) for r in got] == [
+        ("a", 1, None, None)
+    ]
