@@ -10,12 +10,11 @@ minimal transactional-pointer format:
     <root>/<table>/_VERSION                 current version pointer
     <root>/<table>/_META                    partition spec + schema JSON
 
-Reads resolve the pointer; rewrites (merge/overwrite) write v=N+1 and
-atomically swap the pointer, so a reader never observes a half-written
-merge. Appends add files to the current version directory (single-writer
-engine; the reference likewise assumes one dbt run at a time — its
-random temp-table suffixes, macros/random.sql:1-3, exist for the same
-reason).
+Reads resolve the pointer; every write — rewrites (merge/overwrite)
+AND appends (r7c) — commits v=N+1 and atomically swaps the pointer, so
+a reader never observes a half-written commit and every prior state
+stays time-travelable. Appends hard-link the previous version's files
+(deletion-vector sidecar included) and write only the new rows.
 
 Partitioned tables make MERGE O(touched partitions) instead of O(table):
 only partitions present in the merge source are anti-joined and
@@ -331,6 +330,20 @@ class TableStore:
                     continue
                 shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
 
+    def _link_version(self, old_dir: str, new_dir: str) -> None:
+        """Carry a whole version into a new version directory by
+        links/copies — INCLUDING the deletion-vector sidecar, which
+        lives as a SIBLING (dv_v=N), not inside v=N: a bare copytree of
+        the version dir silently drops it and resurrects deleted rows
+        (hypothesis-found on insert -> DV-delete -> insert, r7c)."""
+        shutil.rmtree(new_dir, ignore_errors=True)
+        shutil.copytree(old_dir, new_dir, copy_function=self._retain_file)
+        old_dv = self._dv_dir(old_dir)
+        if os.path.isdir(old_dv):
+            new_dv = self._dv_dir(new_dir)
+            shutil.rmtree(new_dv, ignore_errors=True)
+            shutil.copytree(old_dv, new_dv, copy_function=self._retain_file)
+
     # -- deletion vectors ---------------------------------------------------
     @staticmethod
     def _dv_dir(version_dir: str) -> str:
@@ -550,8 +563,7 @@ class TableStore:
         v = self.current_version(name)
         old_dir = os.path.join(self._dir(name), f"v={v}")
         new_dir = os.path.join(self._dir(name), f"v={v + 1}")
-        shutil.rmtree(new_dir, ignore_errors=True)
-        shutil.copytree(old_dir, new_dir, copy_function=self._retain_file)
+        self._link_version(old_dir, new_dir)
         writer = df.write.mode("append")
         if pcol:
             writer = writer.partitionBy(pcol)
@@ -764,8 +776,7 @@ class TableStore:
         F.lit(None).cast(type_sql)
         old_dir = os.path.join(self._dir(name), f"v={v}")
         new_dir = os.path.join(self._dir(name), f"v={v + 1}")
-        shutil.rmtree(new_dir, ignore_errors=True)
-        shutil.copytree(old_dir, new_dir, copy_function=self._retain_file)
+        self._link_version(old_dir, new_dir)
         meta = self.meta(name)
         added = meta.get("added_columns", [])
         added.append([col_name, type_sql])

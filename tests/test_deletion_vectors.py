@@ -119,3 +119,23 @@ def test_delete_on_partition_column_prunes_and_deletes(spark, tmp_path):
     assert n == len([i for i in range(10) if i % 2])
     got = {r["id"] for r in store.read(spark, "t").collect()}
     assert got == {i for i in range(40) if not (i % 2 and i < 10)}
+
+
+def test_append_after_dv_delete_keeps_rows_deleted(spark, tmp_path):
+    """Regression (hypothesis-found): the DV sidecar is a SIBLING of
+    the version dir, so a link-commit that copies only v=N would drop
+    it and resurrect deleted rows on the next append (or metadata-only
+    ADD COLUMN)."""
+    from dbt_omnata_push_spark.engine.store import TableStore
+
+    store = TableStore(str(tmp_path / "s"))
+    store.create(spark, "t", spark.createDataFrame([(0,), (1,)], "k long"))
+    store.delete_where(spark, "t", F.col("k") == 0)
+    assert store.read(spark, "t").count() == 1
+    store.append(spark, "t", spark.createDataFrame([(2,)], "k long"))
+    got = sorted(r["k"] for r in store.read(spark, "t").collect())
+    assert got == [1, 2]  # k=0 must STAY deleted through the append
+    # same carry through metadata-only ADD COLUMN
+    store.add_column(spark, "t", "note", "string")
+    got2 = sorted(r["k"] for r in store.read(spark, "t").collect())
+    assert got2 == [1, 2]
