@@ -69,6 +69,7 @@ _RECHECK_PRIORITY = [
     "events_audience_overlap",  # r7: new (theta-sketch overlap matrix)
     "events_salted_dim_join",  # r7: new (hot-key salted join, oracle-exact)
     "events_cascading_rollup",  # r7: new (hypertable cascade, daily from hourly)
+    "corpus_weighted_reservoir",  # r7: new (A-ES weighted reservoir sample)
 ]
 
 

@@ -205,3 +205,59 @@ def systematic_weighted_resample(
         )
         .filter(F.col("n_copies") > 0)
     )
+
+
+def weighted_reservoir_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str,
+    seed: str = "res",
+) -> DataFrame:
+    """A-ES weighted reservoir sample (Efraimidis & Spirakis 2006):
+    ``k`` rows WITHOUT replacement with inclusion probability scaling
+    with weight. Each row draws a deterministic uniform
+    ``u = (h + 1) / 2^60`` from a seeded md5 hash-permutation of its
+    id (no RNG state — the sample is re-derivable from the data alone,
+    same posture as stratified_sample_deterministic) and the global
+    top-k by the A-ES key ``u^(1/w)`` — compared in the equivalent,
+    overflow-free log domain ``ln(u)/w`` — is the sample.
+
+    Complements systematic_weighted_resample: that one draws WITH
+    multiplicity (resampling, integer weights); this one draws distinct
+    rows (subset selection, any positive weight).
+
+    Scale shape: the key is a map-side expression; selection is ONE
+    global top-k (TakeOrderedAndProject — per-partition heaps of k,
+    no corpus shuffle, no global sort). The rank window after the
+    limit touches k rows only.
+
+    Float caveat: ln() is not correctly rounded, so the last-ulp key
+    values differ across engines — but selection depends only on the
+    ORDER of keys, and with hash-random uniforms the minimum key gap
+    concentrates at ~1/n^2 relative, ~7 orders above ulp noise; the
+    cross-engine hash-equality test pins it.
+
+    Output: ``id_col``, ``weight`` (bigint), ``sel_rank`` (1..k in
+    descending key order). Rows with weight <= 0 are never selected.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("long")
+    keyed = (
+        df.filter(w > 0)
+        .select(F.col(id_col), w.alias("weight"), (F.log(u) / w).alias("_key"))
+        .orderBy(F.col("_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+    rk = Window.orderBy(F.col("_key").desc(), F.col(id_col))
+    return (
+        keyed.withColumn("sel_rank", F.row_number().over(rk).cast("long"))
+        .drop("_key")
+    )

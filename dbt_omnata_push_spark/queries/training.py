@@ -287,3 +287,43 @@ def corpus_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return systematic_weighted_resample(docs, 200, "n_chars", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# A-ES weighted reservoir selection (ops/sampling.py): distinct-row
+# weighted subset selection, the without-replacement counterpart of
+# corpus_weighted_resample.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_weighted_reservoir",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             (CAST(('0x' || substr(md5('res:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) + 1) / 1152921504606846976.0 AS u
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, weight,
+             row_number() OVER (ORDER BY ln(u) / weight DESC, doc_id)
+               AS sel_rank
+      FROM base
+    )
+    SELECT doc_id, weight, CAST(sel_rank AS BIGINT) AS sel_rank
+    FROM ranked WHERE sel_rank <= 100
+    """,
+    tags=("llm", "sampling", "reservoir"),
+)
+def corpus_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100-doc A-ES weighted reservoir sample of the corpus, inclusion
+    probability scaling with n_chars
+    (ops/sampling.py::weighted_reservoir_topk). Deterministic seeded-md5
+    uniforms, log-domain A-ES keys, ONE global top-k
+    (TakeOrderedAndProject — per-partition heaps, no corpus shuffle);
+    the without-replacement counterpart of corpus_weighted_resample.
+    Reference analogue: the push package samples nothing — this is part
+    of the training-data curation extension surface."""
+    from ..ops.sampling import weighted_reservoir_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_reservoir_topk(docs, 100, "n_chars", "doc_id")

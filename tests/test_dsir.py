@@ -145,3 +145,54 @@ def test_resample_rejects_negative_and_fractional_weights(spark):
     )
     out = systematic_weighted_resample(ok, 4, "w", "doc_id").collect()
     assert sum(r["n_copies"] for r in out) == 4
+
+
+# ------------------------------------------------- A-ES weighted reservoir
+
+
+def test_weighted_reservoir_matches_python_replay(spark):
+    """The Spark top-k by ln(u)/w must equal a pure-Python replay of
+    the same seeded-md5 A-ES keys (selection AND rank order)."""
+    import hashlib
+    import math
+
+    from dbt_omnata_push_spark.ops.sampling import weighted_reservoir_topk
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [
+        (r["doc_id"], r["weight"], r["sel_rank"])
+        for r in weighted_reservoir_topk(df, 25, "w", "doc_id").collect()
+    ]
+
+    def key(i, w):
+        h = int(hashlib.md5(f"res:{i}".encode()).hexdigest()[:15], 16)
+        return math.log((h + 1) / float(1 << 60)) / w
+
+    ranked = sorted(rows, key=lambda t: (-key(*t), t[0]))[:25]
+    want = [(i, w, rk + 1) for rk, (i, w) in enumerate(ranked)]
+    assert sorted(got, key=lambda t: t[2]) == want
+
+
+def test_weighted_reservoir_heavy_rows_overrepresented(spark):
+    from dbt_omnata_push_spark.ops.sampling import weighted_reservoir_topk
+
+    # 50 heavy rows (w=500) vs 450 light (w=1): heavies carry ~98% of
+    # the mass, so a 40-draw A-ES sample is dominated by them.
+    df = spark.createDataFrame(
+        [(i, 500 if i < 50 else 1) for i in range(500)], "doc_id long, w long"
+    )
+    out = weighted_reservoir_topk(df, 40, "w", "doc_id").collect()
+    assert len(out) == 40
+    assert len({r["doc_id"] for r in out}) == 40  # without replacement
+    assert sum(1 for r in out if r["weight"] == 500) >= 30
+
+
+def test_weighted_reservoir_nonpositive_never_selected(spark):
+    from dbt_omnata_push_spark.ops.sampling import weighted_reservoir_topk
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 7), (3, -4), (4, 7)], "doc_id long, w long"
+    )
+    out = weighted_reservoir_topk(df, 10, "w", "doc_id").collect()
+    assert {r["doc_id"] for r in out} == {2, 4}
