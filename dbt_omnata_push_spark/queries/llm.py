@@ -2429,3 +2429,110 @@ def documents_hashed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified selection (llmops/mmr.py): greedy
+# relevance-vs-redundancy re-rank over per-query candidate pools. The
+# oracle unrolls the k greedy steps as chained CTEs — an iterative
+# algorithm held to an EXACT cross-engine check (same discipline as
+# customers_entity_resolution / connected components).
+# ---------------------------------------------------------------------------
+def _mmr_oracle(n_probes: int = 5, p: int = 40, k: int = 8) -> str:
+    head = f"""
+    WITH probes AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < {n_probes}
+    ),
+    cand AS (
+      SELECT p.query_id, e.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(p.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS rel,
+             e.embedding AS ev
+      FROM probes p JOIN embeddings e ON e.vec_id <> p.query_id
+    ),
+    pool AS MATERIALIZED (
+      SELECT query_id, doc_id, rel, ev FROM (
+        SELECT cand.*, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn
+        FROM cand) WHERE rn <= {p}
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.query_id, a.doc_id AS a_id, b.doc_id AS b_id,
+             ROUND(list_cosine_similarity(a.ev::DOUBLE[], b.ev::DOUBLE[]), 6) AS sim
+      FROM pool a JOIN pool b
+        ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+    ),
+    s1 AS (
+      SELECT query_id, doc_id, rel, 1 AS mmr_rank FROM (
+        SELECT query_id, doc_id, rel, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn
+        FROM pool) WHERE rn = 1
+    ),
+    sel1 AS MATERIALIZED (SELECT query_id, doc_id, rel, mmr_rank FROM s1)"""
+    steps = [head]
+    for i in range(2, k + 1):
+        steps.append(f""",
+    s{i} AS (
+      SELECT query_id, doc_id, rel, {i} AS mmr_rank FROM (
+        SELECT p.query_id, p.doc_id, p.rel,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY 0.5 * p.rel - 0.5 * ms.maxsim DESC, p.doc_id) AS rn
+        FROM pool p
+        JOIN (SELECT si.query_id, sm.a_id, MAX(sm.sim) AS maxsim
+              FROM sel{i - 1} si JOIN sims sm
+                ON sm.query_id = si.query_id AND sm.b_id = si.doc_id
+              GROUP BY si.query_id, sm.a_id) ms
+          ON ms.query_id = p.query_id AND ms.a_id = p.doc_id
+        LEFT JOIN sel{i - 1} dup
+          ON dup.query_id = p.query_id AND dup.doc_id = p.doc_id
+        WHERE dup.doc_id IS NULL
+      ) WHERE rn = 1
+    ),
+    sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i})""")
+    steps.append(f"""
+    SELECT query_id, doc_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, rel
+    FROM sel{k}""")
+    return "".join(steps)
+
+
+@query(
+    "similarity_mmr_diverse_topk",
+    oracle=_mmr_oracle(),
+    tags=("llm", "similarity", "mmr", "rerank"),
+)
+def similarity_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-8 (lambda=0.5) for 5 probe vectors over a
+    40-candidate exact-retrieval pool (llmops/mmr.py::mmr_select):
+    greedy relevance-vs-redundancy selection, parallel across queries
+    via cogrouped applyInPandas, every rel/sim a 6dp-rounded cosine so
+    the unrolled-SQL oracle matches bit-exactly. At scale the pool
+    stage swaps for ANN retrieval (ivf/lsh/pq_refined) — the re-rank
+    cost is O(Q * p^2), independent of corpus size."""
+    from pyspark.sql import Window
+
+    from ..llmops.mmr import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(S.cosine(F.col("qv"), F.col("embedding")), 6).alias("rel"),
+            "embedding",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.col("doc_id"))
+    pool = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 40
+    ).drop("rn")
+    return mmr_select(pool, k=8, lam=0.5)
