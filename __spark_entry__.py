@@ -71,6 +71,7 @@ _RECHECK_PRIORITY = [
     "events_cascading_rollup",  # r7: new (hypertable cascade, daily from hourly)
     "corpus_weighted_reservoir",  # r7: new (A-ES weighted reservoir sample)
     "similarity_mmr_diverse_topk",  # r7: new (MMR diversified re-rank)
+    "stream_error_click_left_join",  # r7: new (outer stream-stream join)
 ]
 
 

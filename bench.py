@@ -138,6 +138,11 @@ HEADLINE = [
     # and the hot-key salted join
     "events_audience_overlap",
     "events_salted_dim_join",
+    # round 7d: A-ES weighted reservoir (map-side keys + ONE global
+    # top-k) and MMR diversified re-rank (pool-bounded cogrouped greedy
+    # — O(Q * p^2), independent of corpus size)
+    "corpus_weighted_reservoir",
+    "similarity_mmr_diverse_topk",
 ]
 
 

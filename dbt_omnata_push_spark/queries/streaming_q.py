@@ -421,3 +421,49 @@ def stream_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketch = store.read(spark, "events_type_kmv").drop(BATCH_COL, RUN_COL)
     return kmv_estimate(sketch)
+
+
+@query(
+    "stream_error_click_left_join",
+    oracle="""
+    WITH mx AS (
+      SELECT date_trunc('second', min(m)) - INTERVAL 12600 SECOND AS cutoff
+      FROM (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events
+            WHERE event_type IN ('error', 'click') GROUP BY event_type)
+    ),
+    e AS (
+      SELECT event_id AS e_id, user_id, CAST(ts AS TIMESTAMP) AS e_ts
+      FROM events, mx
+      WHERE event_type = 'error' AND CAST(ts AS TIMESTAMP) <= cutoff
+    ),
+    c AS (
+      SELECT user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT e_id, CAST(COUNT(c_ts) AS BIGINT) AS n_prior_clicks
+    FROM e LEFT JOIN c ON e.user_id = c.c_user
+      AND c.c_ts >= e.e_ts - INTERVAL 30 MINUTE AND c.c_ts < e.e_ts
+    GROUP BY e_id
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def stream_error_click_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: EVERY error (older than
+    the eviction horizon) emits — matched errors with their prior-click
+    count, unmatched ones flushed as NULL rows by watermark state
+    eviction (the no-data final micro-batch), aggregating to
+    n_prior_clicks = 0. The outer-emission path is what the inner join
+    (stream_error_prior_clicks) never exercises; the batch oracle is
+    the same LEFT JOIN with the same driver-computed cutoff."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.events import error_click_left_join_stream
+
+    pairs = run_stream_once(
+        error_click_left_join_stream(spark, sf_dir, lookback="30 minutes"),
+        name="stream_error_click_left_join_out",
+        mode="append",
+    )
+    return pairs.groupBy("e_id").agg(
+        F.count("c_ts").alias("n_prior_clicks")
+    )

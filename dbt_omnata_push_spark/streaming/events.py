@@ -319,3 +319,82 @@ def category_rollup_stream(
             "value_millis",
         )
     )
+
+
+def error_click_left_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+    **source_opts,
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every error event emits,
+    matched to the same user's clicks in the preceding ``lookback`` —
+    or with NULLs once the watermark proves no click can still arrive.
+    The outer row is the part the inner join can't express: it is
+    produced by STATE EVICTION (the error waits in the join state until
+    the joint watermark passes its horizon, then flushes unmatched), so
+    this exercises Spark's no-data final micro-batch machinery on top
+    of the bounded-state join.
+
+    End-of-stream determinism: the joint watermark is the MIN across
+    both sides' watermark operators, and each side's clock only
+    advances with ITS OWN max event time — on a sparse error stream
+    the last error can sit below the joint watermark forever (its NULL
+    row provably unflushed at the end of the availableNow run). The
+    error side is therefore cut off at ``min(max error ts, max click
+    ts) - (watermark + lookback + 1h margin)`` — computed once,
+    driver-side, from a static per-type max (an O(scan) aggregate; at
+    production scale, footer stats). The batch oracle applies the same
+    cutoff.
+    """
+    source_opts.setdefault(
+        "ts_precision",
+        _sniff_ts_precision(spark, sf_dir, source_opts.get("glob", "events.parquet")),
+    )
+    # Driver-side static cutoff (one max() over the parquet, no stream
+    # state involved): errors this old are guaranteed evictable.
+    static_max = (
+        spark.read.parquet(f"{sf_dir}/{source_opts.get('glob', 'events.parquet')}")
+        .filter(F.col("event_type").isin("error", "click"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(F.min("m").alias("m"))
+        .collect()[0]["m"]
+    )
+    clicks = (
+        _events_stream(spark, sf_dir, **source_opts)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark)
+    )
+    errors = (
+        _events_stream(spark, sf_dir, **source_opts)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    # The static read yields the file's own flavor: a raw ns long under
+    # the nanosAsLong conf, else a datetime. Normalize to epoch seconds.
+    if isinstance(static_max, int):
+        max_s = static_max // 1_000_000_000
+    else:
+        import calendar
+
+        max_s = calendar.timegm(static_max.timetuple())
+    cutoff_s = max_s - 3 * 3600 - 1800
+    errors = errors.filter(
+        F.col("e_ts") <= F.timestamp_seconds(F.lit(cutoff_s))
+    )
+    return errors.join(
+        clicks,
+        F.expr(
+            f"e_user = c_user AND c_ts >= e_ts - INTERVAL {lookback} "
+            "AND c_ts < e_ts"
+        ),
+        "left_outer",
+    )

@@ -94,6 +94,11 @@ QUERIES = [
     "documents_proximity_search",
     "events_audience_overlap",
     "events_salted_dim_join",
+    # round 7d: A-ES reservoir (map-side keys + one top-k -> expect
+    # ~linear scan time) and MMR re-rank (pool stage scans the corpus;
+    # the greedy itself is pool-bounded and flat)
+    "corpus_weighted_reservoir",
+    "similarity_mmr_diverse_topk",
 ]
 
 TABLES = ["documents", "embeddings", "customer", "events", "orders"]

@@ -240,3 +240,74 @@ def test_category_rollup_keeps_unknown_event_types(spark, tmp_path):
     )
     cats = {r["category"]: r["n_events"] for r in out.collect()}
     assert cats == {"interaction": 1, "other": 1}
+
+
+def test_left_outer_join_stream_multibatch_matches_batch(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream join across 4 micro-batches: eviction
+    happens incrementally as the watermark advances batch-over-batch,
+    and the union of matched + NULL-flushed rows must equal the batch
+    LEFT JOIN (same cutoff) exactly."""
+    from pyspark.sql import functions as F
+
+    from dbt_omnata_push_spark.streaming.events import (
+        error_click_left_join_stream,
+        run_stream_once,
+    )
+
+    src = _multi_file_events(spark, sf_dir, tmp_path)
+    pairs = run_stream_once(
+        error_click_left_join_stream(
+            spark, src, glob="*.parquet", max_files_per_trigger=1
+        ),
+        name="lo_multi",
+        mode="append",
+    )
+    got = {
+        (r["e_id"], r["n"])
+        for r in pairs.groupBy("e_id")
+        .agg(F.count("c_ts").alias("n"))
+        .collect()
+    }
+
+    ev = spark.read.option("mergeSchema", "true").parquet(src)
+    mx = (
+        ev.filter(F.col("event_type").isin("error", "click"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(F.min("m").alias("m"))
+        .collect()[0]["m"]
+    )
+    if isinstance(mx, int):
+        cutoff = (mx // 1_000_000_000 - 12600) * 1_000_000_000
+        ts_col = F.col("ts")
+    else:
+        import calendar
+        import datetime
+
+        cutoff = datetime.datetime.utcfromtimestamp(
+            calendar.timegm(mx.timetuple()) - 12600
+        )
+        ts_col = F.col("ts")
+    e = ev.filter((F.col("event_type") == "error") & (ts_col <= F.lit(cutoff))).select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("e_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("c_ts")
+    )
+    want = {
+        (r["e_id"], r["n"])
+        for r in e.join(
+            c,
+            (e["u"] == c["u"])
+            & (c["c_ts"] >= F.expr("e_ts - INTERVAL 30 MINUTE"))
+            & (c["c_ts"] < F.col("e_ts")),
+            "left_outer",
+        )
+        .groupBy("e_id")
+        .agg(F.count("c_ts").alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert any(n == 0 for _, n in got)  # the outer path actually fired
