@@ -72,6 +72,7 @@ _RECHECK_PRIORITY = [
     "corpus_weighted_reservoir",  # r7: new (A-ES weighted reservoir sample)
     "similarity_mmr_diverse_topk",  # r7: new (MMR diversified re-rank)
     "stream_error_click_left_join",  # r7: new (outer stream-stream join)
+    "dedup_cdc_chunks",  # r7: new (content-defined chunking dedup)
 ]
 
 

@@ -851,3 +851,93 @@ def bloom_gated_new_rows(
     suspected = routed.filter(F.col("maybe_present")).drop("maybe_present")
     survivors = suspected.join(corpus_keys, key_col, "left_anti")
     return definitely_new.unionByName(survivors).unionByName(null_rows)
+
+
+def cdc_chunk_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    base: int = 131,
+    mask: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC family): cut after
+    every position whose ``window``-char polynomial rolling hash is
+    divisible by ``mask`` (expected chunk length = mask chars).
+    Because boundaries depend only on local CONTENT, a run of text
+    shared by two documents chunks identically in both regardless of
+    its byte offset — the property fixed-size blocking lacks and the
+    reason storage dedup uses CDC.
+
+    All-integer, engine-portable arithmetic: H(i) = sum of
+    ascii(char) * base^k over the window, no modular reduction needed
+    (255 * 131^7 * 8 < 2^63), so a SQL oracle reproduces boundaries
+    bit-for-bit. Everything is map-side array math inside whole-stage
+    codegen (sequence -> filter -> zip_with -> explode): O(window) per
+    character, zero shuffles, zero Python.
+
+    Returns one row per chunk: (id, chunk_start 0-based, chunk).
+    Documents shorter than ``window`` yield one whole-doc chunk.
+    """
+    n = F.char_length(F.col(text_col))
+    terms = " + ".join(
+        f"CAST(ascii(substr({text_col}, i - {window - 1 - k}, 1)) AS BIGINT)"
+        f" * {base ** (window - 1 - k)}"
+        for k in range(window)
+    )
+    cuts = F.when(
+        n >= window,
+        F.expr(
+            f"filter(sequence({window}, char_length({text_col})),"
+            f" i -> ({terms}) % {mask} = 0)"
+        ),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    starts = F.concat(F.array(F.lit(0)), F.col("_cuts"))
+    ends = F.concat(F.col("_cuts"), F.array(n))
+    spans = F.arrays_zip(starts.alias("s"), ends.alias("e"))
+    return (
+        df.select(F.col(id_col), F.col(text_col), cuts.alias("_cuts"))
+        .select(
+            id_col,
+            F.explode(
+                F.filter(spans, lambda p: p["e"] > p["s"])
+            ).alias("_span"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            F.col("_span.s").alias("chunk_start"),
+            F.expr(
+                f"substr({text_col}, _span.s + 1, _span.e - _span.s)"
+            ).alias("chunk"),
+        )
+    )
+
+
+def cdc_duplicate_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **chunk_opts,
+) -> DataFrame:
+    """Chunk-level dedup over CDC chunks: which content chunks recur,
+    how often, and across how many documents. The group-by carries
+    (md5, length) — never the chunk text — so the shuffle is O(32
+    bytes/chunk) at any corpus size.
+
+    Returns (chunk_hash, chunk_len, n_occur, n_docs), n_occur > 1.
+    """
+    chunks = cdc_chunk_spans(df, text_col, id_col, **chunk_opts)
+    return (
+        chunks.select(
+            F.md5(F.col("chunk")).alias("chunk_hash"),
+            F.char_length(F.col("chunk")).alias("chunk_len"),
+            F.col(id_col),
+        )
+        .groupBy("chunk_hash", "chunk_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_occur"),
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+        )
+        .filter(F.col("n_occur") > 1)
+    )

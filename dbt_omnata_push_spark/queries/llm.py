@@ -2536,3 +2536,61 @@ def similarity_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn") <= 40
     ).drop("rn")
     return mmr_select(pool, k=8, lam=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (llmops/dedup.py::cdc_chunk_spans): Rabin-
+# family rolling-hash boundaries -> chunk-level dedup. All-integer
+# hash arithmetic makes the boundary set (and therefore every chunk)
+# bit-reproducible in plain SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_cdc_chunks",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(list_prepend(0, list_filter(range(8, n + 1),
+          i -> (CAST(ascii(substr(text, i - 7, 1)) AS BIGINT) * 662062621900811 + CAST(ascii(substr(text, i - 6, 1)) AS BIGINT) * 5053913144281 + CAST(ascii(substr(text, i - 5, 1)) AS BIGINT) * 38579489651 + CAST(ascii(substr(text, i - 4, 1)) AS BIGINT) * 294499921 + CAST(ascii(substr(text, i - 3, 1)) AS BIGINT) * 2248091 + CAST(ascii(substr(text, i - 2, 1)) AS BIGINT) * 17161 + CAST(ascii(substr(text, i - 1, 1)) AS BIGINT) * 131 + CAST(ascii(substr(text, i - 0, 1)) AS BIGINT) * 1) % 64 = 0))) AS p
+      FROM d
+    ),
+    spans AS (
+      SELECT doc_id, p AS s,
+             lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS e
+      FROM pos
+    ),
+    chunks AS (
+      SELECT spans.doc_id,
+             substr(d.text, s + 1, COALESCE(e, d.n) - s) AS chunk
+      FROM spans JOIN d ON d.doc_id = spans.doc_id
+      WHERE COALESCE(e, d.n) > s
+    )
+    SELECT md5(chunk) AS chunk_hash,
+           CAST(length(chunk) AS INT) AS chunk_len,
+           CAST(COUNT(*) AS BIGINT) AS n_occur,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM chunks
+    GROUP BY 1, 2
+    HAVING COUNT(*) > 1
+    """,
+    tags=("llm", "dedup", "cdc", "chunking"),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated content-defined chunks across the corpus
+    (llmops/dedup.py::cdc_duplicate_chunks): 8-char polynomial rolling
+    hash, cut where H % 64 == 0, so shared text runs chunk identically
+    at any byte offset (the CDC property fixed blocking lacks).
+    Boundary math is map-side integer array expressions inside
+    whole-stage codegen; the dedup group-by shuffles (md5, len) only.
+    Reference analogue: none — training-data curation extension
+    (storage-dedup technique applied at corpus scale, Lee et al. 2022
+    substring dedup's cheaper cousin)."""
+    from ..llmops.dedup import cdc_duplicate_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = cdc_duplicate_chunks(docs)
+    return out.select(
+        "chunk_hash",
+        F.col("chunk_len").cast("int").alias("chunk_len"),
+        "n_occur",
+        "n_docs",
+    )

@@ -304,3 +304,72 @@ def test_top_terms_deterministic_tiebreak(spark):
         [(1, "b a"), (2, "a b"), (3, "c")], "doc_id long, text string"
     )
     assert top_terms(df, 2) == ["a", "b"]  # equal counts -> lexicographic
+
+
+# ------------------------------------------------- CDC chunking
+
+
+def test_cdc_chunks_reassemble_to_document(spark):
+    """Chunks partition the document: concatenating them in
+    chunk_start order reproduces the text exactly."""
+    from pyspark.sql import functions as F
+
+    from dbt_omnata_push_spark.llmops.dedup import cdc_chunk_spans
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog " * 5),
+            (2, "short"), (3, "x" * 200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        cdc_chunk_spans(df)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("chunk_start", "chunk")))
+                .getField("chunk")
+            ).alias("rebuilt")
+        )
+        .collect()
+    )
+    want = dict(rows)
+    assert {r["doc_id"]: r["rebuilt"] for r in got} == want
+
+
+def test_cdc_offset_invariance(spark):
+    """The CDC property: a shared run chunks identically regardless of
+    its byte offset in the container — interior chunks of the shared
+    run are byte-equal across both documents."""
+    from dbt_omnata_push_spark.llmops.dedup import cdc_chunk_spans
+
+    # phrase pre-checked to contain interior cut positions (a given
+    # phrase has no cuts with prob (1-1/64)^len — pick one that does)
+    shared = 'kilo echo mike uniform bravo charlie 12345 romeo delta lima sierra bravo quebec golf bravo charlie november november charlie hotel charlie romeo november bravo 12345 sierra delta hotel uniform uniform sierra bravo sierra sierra mike bravo hotel bravo romeo 9876 echo juliet november echo romeo delta sierra juliet romeo 12345 victor foxtrot delta sierra sierra uniform golf lima delta romeo'
+    rows = [(1, "AAAA " + shared + " tail one"),
+            (2, "a completely different and longer prefix!! " + shared + " other tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cdc_chunk_spans(df).collect()
+    by_doc = {1: set(), 2: set()}
+    for r in out:
+        by_doc[r["doc_id"]].add(r["chunk"])
+    common = by_doc[1] & by_doc[2]
+    # interior chunks of `shared` must coincide despite different offsets
+    assert sum(len(c) for c in common) > len(shared) // 2
+
+
+def test_cdc_short_doc_single_chunk(spark):
+    from dbt_omnata_push_spark.llmops.dedup import cdc_chunk_spans
+
+    df = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+    out = cdc_chunk_spans(df).collect()
+    assert [(r["chunk_start"], r["chunk"]) for r in out] == [(0, "tiny")]
+
+
+def test_cdc_duplicate_chunks_counts(spark):
+    from dbt_omnata_push_spark.llmops.dedup import cdc_duplicate_chunks
+
+    base = "one two three four five six seven eight nine ten " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "nothing in common here at all")],
+        "doc_id long, text string",
+    )
+    out = cdc_duplicate_chunks(df).collect()
+    assert out and all(r["n_occur"] >= 2 and r["n_docs"] == 2 for r in out)
