@@ -73,6 +73,7 @@ _RECHECK_PRIORITY = [
     "similarity_mmr_diverse_topk",  # r7: new (MMR diversified re-rank)
     "stream_error_click_left_join",  # r7: new (outer stream-stream join)
     "dedup_cdc_chunks",  # r7: new (content-defined chunking dedup)
+    "embeddings_orc_roundtrip",  # r7: new (ORC nested-column roundtrip)
 ]
 
 

@@ -143,6 +143,9 @@ HEADLINE = [
     # — O(Q * p^2), independent of corpus size)
     "corpus_weighted_reservoir",
     "similarity_mmr_diverse_topk",
+    # content-defined chunking dedup: map-side integer array math in
+    # codegen, (md5, len)-only shuffle
+    "dedup_cdc_chunks",
 ]
 
 

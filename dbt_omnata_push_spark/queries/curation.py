@@ -1840,3 +1840,60 @@ def documents_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proximity_search_indexed(
         spark, store, "doc_postings", _PROX_A, _PROX_B, window=_PROX_W
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC ingest round-trip (sources/files.py): the columnar interchange
+# sibling of documents_jsonl_roundtrip, exercised on the one table with
+# a nested (array) column. The checksum integer-izes every embedding
+# component (floor(x * 1e6) as bigint, order-free bigint sums), so a
+# single flipped float anywhere in the round-trip breaks the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "embeddings_orc_roundtrip",
+    oracle="""
+    WITH el AS (
+      SELECT label, vec_id,
+             CAST(floor(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings, unnest(embedding) AS u(x)
+    )
+    SELECT label,
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+           MIN(vec_id) AS min_vec,
+           MAX(vec_id) AS max_vec,
+           CAST(COUNT(*) AS BIGINT) AS total_dims,
+           CAST(SUM(q) AS BIGINT) AS checksum
+    FROM el
+    GROUP BY label
+    """,
+    tags=("source", "orc", "llm"),
+)
+def embeddings_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings -> ORC sink -> ORC source -> per-label aggregate with
+    a component-level integer checksum; exactness vs the parquet
+    original proves the nested-column columnar path loses nothing."""
+    import tempfile
+
+    from ..sources import read_source, write_sink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="sg-orc-") + "/emb"
+    write_sink(emb, path, fmt="orc")
+    back = read_source(spark, path, fmt="orc", schema=emb.schema)
+    qsum = F.expr(
+        "aggregate(embedding, 0L,"
+        " (a, x) -> a + CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+    return (
+        back.select(
+            "label", "vec_id", F.size("embedding").alias("dims"), qsum.alias("qsum")
+        )
+        .groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").alias("n_vecs"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+            F.sum("dims").cast("long").alias("total_dims"),
+            F.sum("qsum").cast("long").alias("checksum"),
+        )
+    )

@@ -99,6 +99,9 @@ QUERIES = [
     # the greedy itself is pool-bounded and flat)
     "corpus_weighted_reservoir",
     "similarity_mmr_diverse_topk",
+    # CDC chunk dedup: O(window) per character map work + a hash-keyed
+    # group-by -> expect ~linear
+    "dedup_cdc_chunks",
 ]
 
 TABLES = ["documents", "embeddings", "customer", "events", "orders"]

@@ -96,3 +96,26 @@ def test_python_datasource_partitioned_read(spark):
     import hashlib
 
     assert rows[7] == hashlib.md5(b"doc:7").hexdigest()
+
+
+def test_orc_roundtrip_nested_array_bitexact(spark, tmp_path):
+    """ORC sink -> source preserves an array<double> column bit-exactly
+    (the column shape the embeddings table ships)."""
+    from dbt_omnata_push_spark.sources import read_source, write_sink
+
+    rows = [(1, [0.25, -1.5, 3.141592653589793], "a"),
+            (2, [1e-300, 1e300, -0.0], "b")]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    path = str(tmp_path / "orc_emb")
+    write_sink(df, path, fmt="orc")
+    back = read_source(spark, path, fmt="orc", schema=df.schema)
+    got = {r["vec_id"]: (r["embedding"], r["label"]) for r in back.collect()}
+    import math
+
+    for vid, vec, lab in rows:
+        bvec, blab = got[vid]
+        assert blab == lab
+        assert all(
+            math.copysign(1, x) == math.copysign(1, y) and x == y
+            for x, y in zip(vec, bvec)
+        )
