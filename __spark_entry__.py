@@ -74,6 +74,8 @@ _RECHECK_PRIORITY = [
     "stream_error_click_left_join",  # r7: new (outer stream-stream join)
     "dedup_cdc_chunks",  # r7: new (content-defined chunking dedup)
     "embeddings_orc_roundtrip",  # r7: new (ORC nested-column roundtrip)
+    "dedup_chunk_containment",  # r7: new (CDC Broder containment pairs)
+    "corpus_reservoir_per_source",  # r7: new (per-group weighted reservoir)
 ]
 
 

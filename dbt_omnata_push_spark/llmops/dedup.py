@@ -941,3 +941,60 @@ def cdc_duplicate_chunks(
         )
         .filter(F.col("n_occur") > 1)
     )
+
+
+def cdc_chunk_containment(
+    df: DataFrame,
+    min_chunks: int = 3,
+    min_containment_pct: int = 80,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **chunk_opts,
+) -> DataFrame:
+    """Containment detection over CDC chunks: ordered pairs (a, b)
+    where at least ``min_containment_pct``% of a's DISTINCT chunks also
+    occur in b — catching documents quoted or embedded inside other
+    documents, which symmetric near-dup measures (Jaccard over the
+    union) score low precisely when the containing doc is large.
+    Broder's containment coefficient |A ∩ B| / |A| computed exactly,
+    with CDC chunks as the feature set so embedded runs align at any
+    offset.
+
+    Scale shape: the pair join is keyed by chunk HASH (only docs
+    sharing a chunk ever meet — the same blocking posture as the LSH
+    band join), counts ride (a, b) id pairs, and the per-doc distinct
+    chunk counts broadcast back via a keyed join. Ubiquitous chunks
+    widen the blocks; cap them upstream the way lsh bands cap bucket
+    width if a corpus develops boilerplate (or strip boilerplate first
+    — boilerplate_block_removal exists for exactly that).
+
+    Output: (a, b, n_common, n_chunks_a, containment_pct), a != b,
+    containment_pct = 100 * n_common // n_chunks_a (integer floor).
+    """
+    chunks = cdc_chunk_spans(df, text_col, id_col, **chunk_opts).select(
+        F.col(id_col), F.md5(F.col("chunk")).alias("h")
+    ).distinct()
+    counts = chunks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    a = chunks.select(F.col(id_col).alias("a"), "h")
+    b = chunks.select(F.col(id_col).alias("b"), "h")
+    common = (
+        a.join(b, "h")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            counts.select(
+                F.col(id_col).alias("a"), F.col("n_chunks").alias("n_chunks_a")
+            ),
+            "a",
+        )
+        .filter(F.col("n_chunks_a") >= min_chunks)
+        .withColumn(
+            "containment_pct",
+            F.expr("100 * n_common div n_chunks_a"),
+        )
+        .filter(F.col("containment_pct") >= min_containment_pct)
+        .select("a", "b", "n_common", "n_chunks_a", "containment_pct")
+    )

@@ -261,3 +261,50 @@ def weighted_reservoir_topk(
         keyed.withColumn("sel_rank", F.row_number().over(rk).cast("long"))
         .drop("_key")
     )
+
+
+def weighted_reservoir_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    weight_col: str,
+    id_col: str,
+    seed: str = "gres",
+) -> DataFrame:
+    """Per-group A-ES weighted reservoir: ``k`` rows per group, without
+    replacement, inclusion scaling with weight — per-source quota
+    selection where each source's winners are weight-sampled rather
+    than top-scored (contrast llmops/budget.py's percentile gates).
+
+    Same key construction as weighted_reservoir_topk; selection swaps
+    the global top-k for a per-group rank window, so each group is
+    ranked inside its own partition (WindowGroupLimit pushes the
+    rank <= k filter below the sort; skewed groups are AQE's problem,
+    not a single-partition bottleneck).
+
+    Output: group cols, ``id_col``, weight, ``sel_rank`` (1..k within
+    the group).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("long")
+    keyed = df.filter(w > 0).select(
+        *group_cols,
+        F.col(id_col),
+        w.alias("weight"),
+        (F.log(u) / w).alias("_key"),
+    )
+    rk = Window.partitionBy(*group_cols).orderBy(
+        F.col("_key").desc(), F.col(id_col)
+    )
+    return (
+        keyed.withColumn("sel_rank", F.row_number().over(rk).cast("long"))
+        .filter(F.col("sel_rank") <= k)
+        .drop("_key")
+    )

@@ -2594,3 +2594,57 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_occur",
         "n_docs",
     )
+
+
+@query(
+    "dedup_chunk_containment",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(list_prepend(0, list_filter(range(8, n + 1),
+          i -> (CAST(ascii(substr(text, i - 7, 1)) AS BIGINT) * 662062621900811 + CAST(ascii(substr(text, i - 6, 1)) AS BIGINT) * 5053913144281 + CAST(ascii(substr(text, i - 5, 1)) AS BIGINT) * 38579489651 + CAST(ascii(substr(text, i - 4, 1)) AS BIGINT) * 294499921 + CAST(ascii(substr(text, i - 3, 1)) AS BIGINT) * 2248091 + CAST(ascii(substr(text, i - 2, 1)) AS BIGINT) * 17161 + CAST(ascii(substr(text, i - 1, 1)) AS BIGINT) * 131 + CAST(ascii(substr(text, i - 0, 1)) AS BIGINT) * 1) % 64 = 0))) AS p
+      FROM d
+    ),
+    spans AS (
+      SELECT doc_id, p AS s,
+             lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS e
+      FROM pos
+    ),
+    chunks AS MATERIALIZED (
+      SELECT DISTINCT spans.doc_id,
+             md5(substr(d.text, s + 1, COALESCE(e, d.n) - s)) AS h
+      FROM spans JOIN d ON d.doc_id = spans.doc_id
+      WHERE COALESCE(e, d.n) > s
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM chunks GROUP BY doc_id),
+    common AS (
+      SELECT ca.doc_id AS a, cb.doc_id AS b, COUNT(*) AS n_common
+      FROM chunks ca JOIN chunks cb
+        ON ca.h = cb.h AND ca.doc_id <> cb.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(counts.n AS BIGINT) AS n_chunks_a,
+           CAST(100 * n_common // counts.n AS BIGINT) AS containment_pct
+    FROM common JOIN counts ON counts.doc_id = a
+    WHERE counts.n >= 3 AND 100 * n_common // counts.n >= 80
+    """,
+    tags=("llm", "dedup", "cdc", "containment"),
+)
+def dedup_chunk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs over CDC chunks
+    (llmops/dedup.py::cdc_chunk_containment): ordered (a, b) where
+    >= 80%% of a's distinct chunks recur in b — the quoted/embedded-doc
+    detector symmetric Jaccard underscores. Blocked by chunk hash
+    (only docs sharing a chunk ever meet); exact Broder containment
+    coefficient in integer arithmetic."""
+    from ..llmops.dedup import cdc_chunk_containment
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = cdc_chunk_containment(docs)
+    return out.select(
+        "a", "b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_chunks_a").cast("long").alias("n_chunks_a"),
+        F.col("containment_pct").cast("long").alias("containment_pct"),
+    )

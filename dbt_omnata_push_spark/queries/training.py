@@ -327,3 +327,39 @@ def corpus_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return weighted_reservoir_topk(docs, 100, "n_chars", "doc_id")
+
+
+@query(
+    "corpus_reservoir_per_source",
+    oracle="""
+    WITH base AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+             (CAST(('0x' || substr(md5('gres:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) + 1) / 1152921504606846976.0 AS u
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT source, doc_id, weight,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY ln(u) / weight DESC, doc_id)
+               AS sel_rank
+      FROM base
+    )
+    SELECT source, doc_id, weight, CAST(sel_rank AS BIGINT) AS sel_rank
+    FROM ranked WHERE sel_rank <= 20
+    """,
+    tags=("llm", "sampling", "reservoir"),
+)
+def corpus_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-doc A-ES weighted reservoir PER SOURCE
+    (ops/sampling.py::weighted_reservoir_per_group): per-source quota
+    selection where winners are weight-sampled (n_chars), not
+    top-scored — each group ranks inside its own partition
+    (WindowGroupLimit), the grouped counterpart of
+    corpus_weighted_reservoir."""
+    from ..ops.sampling import weighted_reservoir_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_reservoir_per_group(
+        docs, ["source"], 20, "n_chars", "doc_id"
+    )

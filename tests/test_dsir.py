@@ -196,3 +196,32 @@ def test_weighted_reservoir_nonpositive_never_selected(spark):
     )
     out = weighted_reservoir_topk(df, 10, "w", "doc_id").collect()
     assert {r["doc_id"] for r in out} == {2, 4}
+
+
+def test_grouped_reservoir_k_per_group_and_replay(spark):
+    """Per-group A-ES: k rows per group, ranks match a pure-Python
+    replay of the same seeded keys within each group."""
+    import hashlib
+    import math
+
+    from dbt_omnata_push_spark.ops.sampling import weighted_reservoir_per_group
+
+    rows = [(f"s{i % 3}", i, (i * 13) % 50 + 1) for i in range(90)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, w long")
+    got = sorted(
+        (r["src"], r["doc_id"], r["sel_rank"])
+        for r in weighted_reservoir_per_group(
+            df, ["src"], 7, "w", "doc_id", seed="gres"
+        ).collect()
+    )
+
+    def key(i, w):
+        h = int(hashlib.md5(f"gres:{i}".encode()).hexdigest()[:15], 16)
+        return math.log((h + 1) / float(1 << 60)) / w
+
+    want = []
+    for g in ("s0", "s1", "s2"):
+        members = [(i, w) for s, i, w in rows if s == g]
+        ranked = sorted(members, key=lambda t: (-key(*t), t[0]))[:7]
+        want += [(g, i, rk + 1) for rk, (i, _) in enumerate(ranked)]
+    assert got == sorted(want)

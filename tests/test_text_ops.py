@@ -373,3 +373,31 @@ def test_cdc_duplicate_chunks_counts(spark):
     )
     out = cdc_duplicate_chunks(df).collect()
     assert out and all(r["n_occur"] >= 2 and r["n_docs"] == 2 for r in out)
+
+
+def test_chunk_containment_detects_embedded_doc(spark):
+    """A document embedded verbatim inside a larger one scores >= 80%
+    containment (a in b), while the reverse direction does not."""
+    from dbt_omnata_push_spark.llmops.dedup import cdc_chunk_containment
+
+    # varied (non-repeating) tokens so distinct chunks scale with
+    # length; pure-Python CDC replay of this fixture: inner 22 distinct
+    # chunks, 20 shared with outer -> 90% forward / 48% reverse
+    inner = " ".join(
+        f"tok{i:03d} item{(i * 7) % 13} val{i * i % 97}" for i in range(60)
+    ) + " "
+    outer = (
+        " ".join(f"pre{i:03d} head{(i * 5) % 11}" for i in range(40)) + " "
+        + inner
+        + " ".join(f"post{i:03d} tail{(i * 3) % 17}" for i in range(40)) + " "
+    )
+    df = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, "unrelated text with nothing shared")],
+        "doc_id long, text string",
+    )
+    out = {(r["a"], r["b"]): r["containment_pct"]
+           for r in cdc_chunk_containment(df).collect()}
+    assert any(k == (1, 2) for k in out), out
+    assert out[(1, 2)] >= 80
+    assert (2, 1) not in out  # outer is NOT contained in inner
+    assert not any(3 in k for k in out)
