@@ -467,3 +467,66 @@ def stream_error_click_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("e_id").agg(
         F.count("c_ts").alias("n_prior_clicks")
     )
+
+
+def _lsh_dedup_oracle() -> str:
+    from .llm import _BANDS_PAIRS_SQL, _MINHASH_ORACLE_BASE, _mh_cols
+
+    return (
+        _MINHASH_ORACLE_BASE.format(mh_cols=_mh_cols(8))
+        + _BANDS_PAIRS_SQL
+        + """
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_b FROM verified)
+"""
+    )
+
+
+@query(
+    "stream_docs_lsh_dedup",
+    oracle=_lsh_dedup_oracle(),
+    tags=("streaming", "llm", "dedup", "lsh"),
+)
+def stream_docs_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup dedup with a MinHash-LSH index maintained
+    across micro-batches (streaming/dedup_stream.py): documents arrive
+    in doc_id-ordered batches (one file per trigger); each batch is
+    checked within itself AND against the persisted signature index of
+    everything seen so far; survivors append to the curated output,
+    every batch doc's signature appends to the index. First-wins over
+    ingest order has the closed form "d survives iff no e < d
+    band-collides at Jaccard >= 0.3" — batch-split invariant, so the
+    EXACT oracle is the batch LSH-pairs SQL with survivors =
+    documents minus later-of-pair docs."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine.catalog import load_table
+    from ..streaming.dedup_stream import (
+        run_docs_lsh_dedup_stream,
+        stage_ordered_batches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_lshdedup_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    landing = os.path.join(root, "landing")
+    stage_ordered_batches(docs, landing, n_batches=4)
+    run_docs_lsh_dedup_stream(
+        spark,
+        landing,
+        index_dir=os.path.join(root, "index"),
+        out_dir=os.path.join(root, "out"),
+        schema=docs.schema,
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(os.path.join(root, "out")).select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )

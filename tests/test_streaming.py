@@ -311,3 +311,50 @@ def test_left_outer_join_stream_multibatch_matches_batch(spark, sf_dir, tmp_path
     }
     assert got == want
     assert any(n == 0 for _, n in got)  # the outer path actually fired
+
+
+def test_lsh_dedup_stream_cross_batch_state(spark, tmp_path):
+    """A near-duplicate arriving in a LATER micro-batch than its
+    original is dropped by the maintained index (cross-batch state),
+    and the survivor set equals the closed-form batch computation."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dbt_omnata_push_spark.llmops.dedup import near_duplicate_pairs
+    from dbt_omnata_push_spark.streaming.dedup_stream import (
+        run_docs_lsh_dedup_stream,
+        stage_ordered_batches,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    rows = [
+        # batch 1 (ids 1-2): original + an unrelated doc
+        (1, base * 3),
+        (2, "completely different content " + "unique tokens here " * 5),
+        # batch 2 (ids 3-4): near-dup of doc 1 (later batch!) + novel
+        (3, base * 3 + "tiny tail change"),
+        (4, "another novel document " + "with its own words " * 5),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    landing = str(tmp_path / "landing")
+    stage_ordered_batches(docs, landing, n_batches=2)
+    out_dir, idx_dir = str(tmp_path / "out"), str(tmp_path / "index")
+    run_docs_lsh_dedup_stream(
+        spark, landing, idx_dir, out_dir, docs.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    # closed form: drop doc_b of every verified pair
+    dropped = {
+        r["doc_b"]
+        for r in near_duplicate_pairs(docs, threshold=0.3).collect()
+    }
+    assert 3 in dropped  # the cross-batch near-dup was really dropped
+    assert got == sorted({1, 2, 3, 4} - dropped)
+    # the index holds ALL seen docs (rejects too — they block later dups)
+    assert spark.read.parquet(idx_dir).count() == 4
+    # two micro-batches actually ran (one file per trigger)
+    assert len([e for e in os.listdir(landing) if e.endswith(".parquet")]) == 2
