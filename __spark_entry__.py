@@ -76,6 +76,7 @@ _RECHECK_PRIORITY = [
     "embeddings_orc_roundtrip",  # r7: new (ORC nested-column roundtrip)
     "dedup_chunk_containment",  # r7: new (CDC Broder containment pairs)
     "corpus_reservoir_per_source",  # r7: new (per-group weighted reservoir)
+    "stream_docs_lsh_dedup",  # r7: new (streaming LSH dedup index, exact oracle)
 ]
 
 

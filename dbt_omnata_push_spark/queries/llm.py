@@ -2648,3 +2648,56 @@ def dedup_chunk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chunks_a").cast("long").alias("n_chunks_a"),
         F.col("containment_pct").cast("long").alias("containment_pct"),
     )
+
+
+@query(
+    "embeddings_contrastive_pairs",
+    oracle="""
+    WITH pos AS (
+      SELECT a.vec_id AS anchor, b.vec_id AS cand, 'pos' AS role,
+             ROUND(list_cosine_similarity(
+               a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY ROUND(list_cosine_similarity(
+                 a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+                 b.vec_id
+             ) AS rank
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    pool AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      ORDER BY md5('cneg:' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 64
+    ),
+    neg AS (
+      SELECT a.vec_id AS anchor, p.vec_id AS cand, 'neg' AS role,
+             ROUND(list_cosine_similarity(
+               a.embedding::DOUBLE[], p.embedding::DOUBLE[]), 6) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY md5('cneg:' || CAST(a.vec_id AS VARCHAR) || ':'
+                            || CAST(p.vec_id AS VARCHAR)), p.vec_id
+             ) AS rank
+      FROM embeddings a JOIN pool p ON a.label <> p.label
+    )
+    SELECT anchor, cand, role, sim, CAST(rank AS BIGINT) AS rank
+    FROM pos WHERE rank <= 2
+    UNION ALL
+    SELECT anchor, cand, role, sim, CAST(rank AS BIGINT) AS rank
+    FROM neg WHERE rank <= 3
+    """,
+    tags=("llm", "similarity", "contrastive", "training"),
+)
+def embeddings_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training tuples (llmops/contrastive.py): per anchor,
+    2 hardest same-label positives (label-blocked top-k cosine — never
+    O(n^2)) + 3 seeded pseudo-random different-label negatives drawn
+    from a broadcast 64-vector shared pool (negative mining O(n*pool),
+    linear in the corpus). Seeded-md5 draws and 6dp-rounded cosines
+    with id tiebreaks make the tuple set bit-exact reproducible."""
+    from ..llmops.contrastive import contrastive_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return contrastive_pairs(emb, k_pos=2, k_neg=3, pool_size=64)
