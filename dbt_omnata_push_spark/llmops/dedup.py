@@ -880,27 +880,52 @@ def cdc_chunk_spans(
     Documents shorter than ``window`` yield one whole-doc chunk.
     """
     n = F.char_length(F.col(text_col))
-    terms = " + ".join(
-        f"CAST(ascii(substr({text_col}, i - {window - 1 - k}, 1)) AS BIGINT)"
-        f" * {base ** (window - 1 - k)}"
-        for k in range(window)
-    )
-    cuts = F.when(
-        n >= window,
-        F.expr(
-            f"filter(sequence({window}, char_length({text_col})),"
-            f" i -> ({terms}) % {mask} = 0)"
-        ),
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    starts = F.concat(F.array(F.lit(0)), F.col("_cuts"))
-    ends = F.concat(F.col("_cuts"), F.array(n))
-    spans = F.arrays_zip(starts.alias("s"), ends.alias("e"))
+
+    # Per-position char access must be O(1): substr(text, i, 1) is an
+    # O(i) UTF-8 scan, which makes the position sweep O(n^2) per doc
+    # (measured ~12s at sf0.1; ~3s with the codes array). The ascii
+    # codes bind as LAMBDA VARIABLES (transform over a one-element
+    # array — the word_ngrams trick) so CollapseProject can never
+    # inline the split back into the 8 per-position references.
+    codes = F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c))
+
+    def rolling_hash(cv, i):
+        h = None
+        for k in range(window):
+            term = F.element_at(cv, i - F.lit(window - 1 - k)).cast(
+                "bigint"
+            ) * F.lit(base ** (window - 1 - k))
+            h = term if h is None else h + term
+        return h
+
+    def spans_of(cv):
+        cuts = F.when(
+            n >= window,
+            F.filter(
+                F.sequence(F.lit(window), n),
+                lambda i: rolling_hash(cv, i) % mask == 0,
+            ),
+        ).otherwise(F.expr("array()").cast("array<int>"))
+        # bind the cut array once too: it feeds both starts and ends
+        return F.element_at(
+            F.transform(
+                F.array(cuts),
+                lambda cutsv: F.zip_with(
+                    F.concat(F.array(F.lit(0)), cutsv),
+                    F.concat(cutsv, F.array(n)),
+                    lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+                ),
+            ),
+            1,
+        )
+
+    spans = F.element_at(F.transform(F.array(codes), spans_of), 1)
     return (
-        df.select(F.col(id_col), F.col(text_col), cuts.alias("_cuts"))
+        df.select(F.col(id_col), F.col(text_col), spans.alias("_spans"))
         .select(
             id_col,
             F.explode(
-                F.filter(spans, lambda p: p["e"] > p["s"])
+                F.filter(F.col("_spans"), lambda p: p["e"] > p["s"])
             ).alias("_span"),
             F.col(text_col),
         )
