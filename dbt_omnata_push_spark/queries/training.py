@@ -363,3 +363,61 @@ def corpus_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_reservoir_per_group(
         docs, ["source"], 20, "n_chars", "doc_id"
     )
+
+
+@query(
+    "corpus_vocab_growth",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    first AS (SELECT tok, MIN(doc_id) AS doc_id FROM toks GROUP BY tok),
+    hist AS (SELECT doc_id, COUNT(*) AS new_terms FROM first GROUP BY doc_id)
+    SELECT doc_id, CAST(new_terms AS BIGINT) AS new_terms,
+           CAST(SUM(new_terms) OVER (ORDER BY doc_id) AS BIGINT) AS vocab_size
+    FROM hist
+    """,
+    tags=("llm", "analytics", "vocab"),
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical Heaps-law curve (llmops/vocab.py::vocab_growth):
+    distinct-vocabulary size after each document, from each token's
+    first-seen document. Token-keyed shuffles only; the running total
+    is the two-pass distributed prefix sum (ops/prefix.py), not a
+    single-partition window."""
+    from ..llmops.vocab import vocab_growth
+
+    return vocab_growth(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_source_vocab_overlap",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT source AS src, tok FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+      )
+    ),
+    sizes AS (SELECT src, COUNT(*) AS n FROM vocab GROUP BY src),
+    common AS (
+      SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_common
+      FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.src = source_a
+    JOIN sizes sb ON sb.src = source_b
+    """,
+    tags=("llm", "analytics", "vocab"),
+)
+def corpus_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources
+    (llmops/vocab.py::source_vocab_overlap): token-keyed self-join of
+    the distinct (source, token) table — detects near-duplicate crawls
+    and lexically disjoint sources; sizes broadcast back."""
+    from ..llmops.vocab import source_vocab_overlap
+
+    return source_vocab_overlap(load_table(spark, sf_dir, "documents"))
