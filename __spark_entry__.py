@@ -49,34 +49,11 @@ _STALE_PRIORITY = ["dedup_embedding_cosine", "dedup_embedding_lsh"]
 # Prune when the next CORRECTNESS record lands (judge r6 #9: the r6
 # list was pruned once CORRECTNESS_r06 recorded every entry green).
 _RECHECK_PRIORITY = [
-    "stream_events_dedup",  # r7: gained an exact DuckDB oracle
-    "orders_gdpr_delete",  # r7: purge (rewrite+vacuum) appended
-    "customers_bloom_membership",  # r7: portable md5 family -> exact oracle
-    "documents_bm25_topk",  # r7: new (hash-exact BM25 scores)
-    "documents_hybrid_rrf",  # r7: new (hash-exact RRF fusion)
-    "embeddings_knn_join",  # r7: new (all-pairs KNN join)
-    "documents_hashed_knn",  # r7: new (hashed text->vector search)
-    "orders_cdc_relay",  # r7: new (CDC relay convergence)
-    "orders_ivm_minmax_status",  # r7: new (MIN/MAX IVM)
-    "orders_ivm_variance_status",  # r7: new (second-moment IVM)
-    "stream_events_minmax_rollup",  # r7: new (streaming MIN/MAX IVM)
-    "events_theta_set_ops",  # r7: new (theta-sketch set operations)
-    "orders_dml_lifecycle",  # r7: new (Snowflake DML statement surface)
-    "orders_partition_overwrite",  # r7: new (dynamic-partition INSERT OVERWRITE)
-    "documents_proximity_search",  # r7: new (banded NEAR-operator range join)
-    "embeddings_flatten_dims",  # r7: new (LATERAL FLATTEN through the dialect)
-    "stream_events_kmv_distinct",  # r7: new (streaming KMV distinct maintenance)
-    "events_audience_overlap",  # r7: new (theta-sketch overlap matrix)
-    "events_salted_dim_join",  # r7: new (hot-key salted join, oracle-exact)
-    "events_cascading_rollup",  # r7: new (hypertable cascade, daily from hourly)
-    "corpus_weighted_reservoir",  # r7: new (A-ES weighted reservoir sample)
-    "similarity_mmr_diverse_topk",  # r7: new (MMR diversified re-rank)
-    "stream_error_click_left_join",  # r7: new (outer stream-stream join)
-    "dedup_cdc_chunks",  # r7: new (content-defined chunking dedup)
-    "embeddings_orc_roundtrip",  # r7: new (ORC nested-column roundtrip)
-    "dedup_chunk_containment",  # r7: new (CDC Broder containment pairs)
-    "corpus_reservoir_per_source",  # r7: new (per-group weighted reservoir)
-    "stream_docs_lsh_dedup",  # r7: new (streaming LSH dedup index, exact oracle)
+    # r8: the CDC rolling hash clamps codes mod 256 (non-ASCII overflow
+    # fix, ADVICE r7 #5) — Spark AND oracle changed in lockstep, so the
+    # hash rows must re-verify.
+    "dedup_cdc_chunks",
+    "dedup_chunk_containment",
 ]
 
 

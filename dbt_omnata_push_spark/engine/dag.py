@@ -200,13 +200,15 @@ class Engine:
 
         ``transaction=True`` makes the script all-or-nothing (r7c): the
         current version of every store table is snapshotted first; if
-        any statement raises, tables the script CREATED are dropped and
-        tables it CHANGED are ``store.restore``d to their pre-script
-        content (the rollback itself is a new, history-visible commit —
-        the version store's analogue of BEGIN/ROLLBACK). Single-writer
-        scope: concurrent writers on the same tables are not fenced
-        across statements (per-statement writer locks only), and a
-        table RENAMED mid-script rolls back as drop-new-name only.
+        any statement raises, tables the script DROPPED are restored
+        from a trash area (drops are deferred until commit), tables it
+        CREATED are dropped, and tables it CHANGED are
+        ``store.restore``d to their pre-script content (the rollback
+        itself is a new, history-visible commit — the version store's
+        analogue of BEGIN/ROLLBACK). Single-writer scope: concurrent
+        writers on the same tables are not fenced across statements
+        (per-statement writer locks only), and a table RENAMED
+        mid-script rolls back as drop-new-name only.
         """
         import os as _os
 
@@ -227,10 +229,19 @@ class Engine:
 
         before = {t: self.store.current_version(t) for t in _store_tables()}
         results = []
+        # DROP TABLE inside the transaction trashes instead of deleting,
+        # so a later statement failure can restore the dropped table
+        # (previously a mid-script drop was permanent — ADVICE r7 #2).
+        self.store.defer_drops()
         try:
             for stmt in statements:
                 results.append(self.query(stmt, dialect=dialect))
         except Exception:
+            # Trashed tables come back FIRST (replacing any same-named
+            # re-creation), then script-created tables are dropped for
+            # real, then changed tables rewind to their pre-script
+            # version.
+            self.store.rollback_deferred_drops()
             for t in _store_tables() - set(before):
                 self.store.drop(t)  # created by the failed script
                 self.seeds.pop(t, None)
@@ -243,6 +254,7 @@ class Engine:
                         # the original failure, not the rollback's.
                         pass
             raise
+        self.store.commit_deferred_drops()
         return results
 
     # -- execution --------------------------------------------------------

@@ -106,21 +106,41 @@ def _scan_top(sql: str, pattern: str, start: int = 0) -> re.Match | None:
 
 
 def _split_statements(script: str) -> list[str]:
-    """Split a multi-statement script on top-level semicolons."""
+    """Split a multi-statement script on top-level semicolons.
+
+    Quote- AND comment-aware (ADVICE r7 #3): a ``;`` inside a ``--``
+    line comment or a ``/* */`` block comment must not split the
+    script mid-comment — the comment text stays in its statement (the
+    per-statement handlers strip it later)."""
     parts, depth, start, quote = [], 0, 0, None
-    for i, c in enumerate(script):
+    i, n = 0, len(script)
+    while i < n:
+        c = script[i]
         if quote:
             if c == quote:
                 quote = None
+            i += 1
         elif c in "'\"":
             quote = c
+            i += 1
+        elif c == "-" and script.startswith("--", i):
+            j = script.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif c == "/" and script.startswith("/*", i):
+            j = script.find("*/", i + 2)
+            i = n if j < 0 else j + 2
         elif c == "(":
             depth += 1
+            i += 1
         elif c == ")":
             depth -= 1
+            i += 1
         elif c == ";" and depth == 0:
             parts.append(script[start:i])
             start = i + 1
+            i += 1
+        else:
+            i += 1
     parts.append(script[start:])
     return [p.strip() for p in parts if p.strip()]
 
@@ -236,22 +256,52 @@ def _aligned_for_insert(
 # INSERT INTO t [(cols)] <select|values>
 # ---------------------------------------------------------------------------
 
-_INSERT_RE = re.compile(
-    rf"(?is)^\s*insert\s+into\s+({_TABLE})\s*(\([^)]*\))?\s*(.*)$"
-)
+_INSERT_HEAD_RE = re.compile(rf"(?is)^\s*insert\s+into\s+({_TABLE})\s*")
+
+
+def _paren_group_end(s: str, start: int) -> int:
+    """Index just past the ``)`` closing the ``(`` at ``s[start]`` —
+    quote-aware paren-depth scan, so a quoted column name containing
+    ``)`` does not truncate the group (ADVICE r7 #4)."""
+    depth, i, n, quote = 0, start, len(s), None
+    while i < n:
+        c = s[i]
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError(f"unbalanced parentheses in INSERT: {s[:120]}")
 
 
 def _insert(engine, sql: str) -> DataFrame:
-    m = _INSERT_RE.match(sql)
+    # Strip comments like every other handler: statement_kind classifies
+    # a `-- comment\ninsert ...` as 'insert', so the parse here must see
+    # the same comment-free text (ADVICE r7 #4).
+    s = _strip_comments(sql).strip()
+    m = _INSERT_HEAD_RE.match(s)
     if not m:
         raise ValueError(f"unparsable INSERT statement: {sql[:120]}")
     table = _resolve_table(engine, m.group(1))
-    cols = (
-        [c.strip().strip('"') for c in _split_top_level_args(m.group(2)[1:-1])]
-        if m.group(2)
-        else None
-    )
-    body = m.group(3).strip().rstrip(";")
+    rest, cols = s[m.end():].lstrip(), None
+    if rest.startswith("("):
+        end = _paren_group_end(rest, 0)
+        inner = rest[1:end - 1]
+        # `insert into t (select ...)` parenthesizes the BODY, not a
+        # column list — only a non-query group is the column list.
+        if not re.match(r"(?is)^\s*(select|with|values)\b", inner):
+            cols = [
+                c.strip().strip('"') for c in _split_top_level_args(inner)
+            ]
+            rest = rest[end:]
+    body = rest.strip().rstrip(";")
     src = _run_select(engine, body).localCheckpoint()  # exactly-once exprs
     aligned = _aligned_for_insert(engine, table, src, cols)
     n = aligned.count()

@@ -88,6 +88,9 @@ class TableStore:
             raise ValueError(f"link_mode must be auto|link|copy: {link_mode}")
         self.root = root
         self.link_mode = link_mode
+        # When set (transactional scripts), drop() trashes instead of
+        # deleting — see defer_drops/commit_deferred_drops.
+        self._drop_trash: str | None = None
         os.makedirs(root, exist_ok=True)
 
     # -- writer serialization (r7) ----------------------------------------
@@ -568,6 +571,37 @@ class TableStore:
         if pcol:
             writer = writer.partitionBy(pcol)
         writer.parquet(new_dir)
+        # Schema evolution on INSERT: when the appended frame carries
+        # columns beyond the pinned _META schema (a metadata-added
+        # column being materialized, or mergeSchema-style widening),
+        # refresh _META with the union schema. Without this, the
+        # partitioned-table read path — which pins reader.schema from
+        # _META — would silently DROP the new column's values and
+        # re-surface it as typed NULLs via the added_columns loop.
+        meta = self.meta(name)
+        if meta.get("schema"):
+            pinned = StructType.fromJson(meta["schema"])
+            pinned_names = {f.name.lower() for f in pinned.fields}
+            extra = [
+                f for f in df.schema.fields
+                if f.name.lower() not in pinned_names
+            ]
+            if extra:
+                extra_names = {f.name.lower() for f in extra}
+                meta["schema"] = StructType(
+                    list(pinned.fields) + extra
+                ).jsonValue()
+                # Entries now materialized into files must leave
+                # added_columns, or read() keeps them pinned to the
+                # ALTER's type instead of the written one.
+                meta["added_columns"] = [
+                    e for e in meta.get("added_columns", [])
+                    if e[0].lower() not in extra_names
+                ]
+                tmp = self._meta_file(name) + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(meta, f)
+                os.replace(tmp, self._meta_file(name))
         self._set_version(name, v + 1, op="append")
 
     @_locked_write
@@ -922,7 +956,51 @@ class TableStore:
             self.create(spark, name, df, partition_by=partition_by)
 
     def drop(self, name: str) -> None:
+        if self._drop_trash:
+            # Deferred-drop mode (transactional scripts): move the table
+            # directory into the trash area instead of deleting, so a
+            # later statement failure can restore it. First trash of a
+            # name wins — that copy IS the pre-script state; a re-created
+            # then re-dropped table just deletes its mid-script bytes.
+            d = self._dir(name)
+            if not os.path.isdir(d):
+                return
+            dst = os.path.join(self._drop_trash, os.path.basename(d))
+            if os.path.exists(dst):
+                shutil.rmtree(d, ignore_errors=True)
+            else:
+                os.rename(d, dst)
+            return
         shutil.rmtree(self._dir(name), ignore_errors=True)
+
+    # -- deferred drops (transactional scripts, ADVICE r7 #2) -------------
+    def defer_drops(self) -> None:
+        """Until commit/rollback, drop() moves table dirs to a trash
+        area instead of rmtree'ing them, making DROP TABLE reversible
+        inside an all-or-nothing script."""
+        trash = os.path.join(self.root, "_tx_trash")
+        shutil.rmtree(trash, ignore_errors=True)
+        os.makedirs(trash, exist_ok=True)
+        self._drop_trash = trash
+
+    def commit_deferred_drops(self) -> None:
+        trash = self._drop_trash
+        self._drop_trash = None
+        if trash:
+            shutil.rmtree(trash, ignore_errors=True)
+
+    def rollback_deferred_drops(self) -> None:
+        """Restore every trashed table directory, replacing any
+        same-named table the script re-created after its drop."""
+        trash = self._drop_trash
+        self._drop_trash = None
+        if not trash or not os.path.isdir(trash):
+            return
+        for e in os.listdir(trash):
+            dst = os.path.join(self.root, e)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(os.path.join(trash, e), dst)
+        shutil.rmtree(trash, ignore_errors=True)
 
     @_locked_write
     def clone(self, src_name: str, dst_name: str) -> None:

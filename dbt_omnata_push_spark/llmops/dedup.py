@@ -870,9 +870,12 @@ def cdc_chunk_spans(
     reason storage dedup uses CDC.
 
     All-integer, engine-portable arithmetic: H(i) = sum of
-    ascii(char) * base^k over the window, no modular reduction needed
-    (255 * 131^7 * 8 < 2^63), so a SQL oracle reproduces boundaries
-    bit-for-bit. Everything is map-side array math inside whole-stage
+    (ascii(char) % 256) * base^k over the window — codes clamp to one
+    byte because ascii() returns the full Unicode CODEPOINT (up to
+    1,114,111) for non-ASCII chars, which would overflow BIGINT in the
+    high-power terms (Spark wraps silently, DuckDB raises — ADVICE r7
+    #5); clamped, 255 * 131^7 * 8 < 2^63 holds for any input and a SQL
+    oracle reproduces boundaries bit-for-bit. Everything is map-side array math inside whole-stage
     codegen (sequence -> filter -> zip_with -> explode): O(window) per
     character, zero shuffles, zero Python.
 
@@ -887,7 +890,9 @@ def cdc_chunk_spans(
     # codes bind as LAMBDA VARIABLES (transform over a one-element
     # array — the word_ngrams trick) so CollapseProject can never
     # inline the split back into the 8 per-position references.
-    codes = F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c))
+    codes = F.transform(
+        F.split(F.col(text_col), ""), lambda c: F.pmod(F.ascii(c), F.lit(256))
+    )
 
     def rolling_hash(cv, i):
         h = None

@@ -2550,7 +2550,7 @@ def similarity_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
     pos AS (
       SELECT doc_id, unnest(list_prepend(0, list_filter(range(8, n + 1),
-          i -> (CAST(ascii(substr(text, i - 7, 1)) AS BIGINT) * 662062621900811 + CAST(ascii(substr(text, i - 6, 1)) AS BIGINT) * 5053913144281 + CAST(ascii(substr(text, i - 5, 1)) AS BIGINT) * 38579489651 + CAST(ascii(substr(text, i - 4, 1)) AS BIGINT) * 294499921 + CAST(ascii(substr(text, i - 3, 1)) AS BIGINT) * 2248091 + CAST(ascii(substr(text, i - 2, 1)) AS BIGINT) * 17161 + CAST(ascii(substr(text, i - 1, 1)) AS BIGINT) * 131 + CAST(ascii(substr(text, i - 0, 1)) AS BIGINT) * 1) % 64 = 0))) AS p
+          i -> ((CAST(ascii(substr(text, i - 7, 1)) AS BIGINT) % 256) * 662062621900811 + (CAST(ascii(substr(text, i - 6, 1)) AS BIGINT) % 256) * 5053913144281 + (CAST(ascii(substr(text, i - 5, 1)) AS BIGINT) % 256) * 38579489651 + (CAST(ascii(substr(text, i - 4, 1)) AS BIGINT) % 256) * 294499921 + (CAST(ascii(substr(text, i - 3, 1)) AS BIGINT) % 256) * 2248091 + (CAST(ascii(substr(text, i - 2, 1)) AS BIGINT) % 256) * 17161 + (CAST(ascii(substr(text, i - 1, 1)) AS BIGINT) % 256) * 131 + (CAST(ascii(substr(text, i - 0, 1)) AS BIGINT) % 256) * 1) % 64 = 0))) AS p
       FROM d
     ),
     spans AS (
@@ -2602,7 +2602,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
     pos AS (
       SELECT doc_id, unnest(list_prepend(0, list_filter(range(8, n + 1),
-          i -> (CAST(ascii(substr(text, i - 7, 1)) AS BIGINT) * 662062621900811 + CAST(ascii(substr(text, i - 6, 1)) AS BIGINT) * 5053913144281 + CAST(ascii(substr(text, i - 5, 1)) AS BIGINT) * 38579489651 + CAST(ascii(substr(text, i - 4, 1)) AS BIGINT) * 294499921 + CAST(ascii(substr(text, i - 3, 1)) AS BIGINT) * 2248091 + CAST(ascii(substr(text, i - 2, 1)) AS BIGINT) * 17161 + CAST(ascii(substr(text, i - 1, 1)) AS BIGINT) * 131 + CAST(ascii(substr(text, i - 0, 1)) AS BIGINT) * 1) % 64 = 0))) AS p
+          i -> ((CAST(ascii(substr(text, i - 7, 1)) AS BIGINT) % 256) * 662062621900811 + (CAST(ascii(substr(text, i - 6, 1)) AS BIGINT) % 256) * 5053913144281 + (CAST(ascii(substr(text, i - 5, 1)) AS BIGINT) % 256) * 38579489651 + (CAST(ascii(substr(text, i - 4, 1)) AS BIGINT) % 256) * 294499921 + (CAST(ascii(substr(text, i - 3, 1)) AS BIGINT) % 256) * 2248091 + (CAST(ascii(substr(text, i - 2, 1)) AS BIGINT) % 256) * 17161 + (CAST(ascii(substr(text, i - 1, 1)) AS BIGINT) % 256) * 131 + (CAST(ascii(substr(text, i - 0, 1)) AS BIGINT) % 256) * 1) % 64 = 0))) AS p
       FROM d
     ),
     spans AS (

@@ -553,6 +553,66 @@ class TestDropAndTransactions:
         ops = [r["op"] for r in engine.query("describe history base").collect()]
         assert any(op.startswith("restore") for op in ops)
 
+    def test_transactional_script_rolls_back_drop_table(self, spark, engine):
+        """ADVICE r7 #2: a DROP TABLE mid-script must come back on
+        rollback (drops are deferred to a trash area until commit)."""
+        engine.query("create table keepme as select 7 as k")
+        with pytest.raises(Exception):
+            engine.execute_script(
+                """
+                drop table keepme;
+                select not_a_column from nowhere;
+                """,
+                transaction=True,
+            )
+        assert engine.store.exists("keepme")
+        assert engine.query("select k from keepme").collect()[0]["k"] == 7
+
+    def test_transactional_drop_then_recreate_rolls_back_to_original(
+        self, spark, engine
+    ):
+        engine.query("create table swapd as select 1 as k")
+        with pytest.raises(Exception):
+            engine.execute_script(
+                """
+                drop table swapd;
+                create table swapd as select 2 as k;
+                select boom from nowhere;
+                """,
+                transaction=True,
+            )
+        # the ORIGINAL content is back, not the mid-script re-creation
+        assert engine.query("select k from swapd").collect()[0]["k"] == 1
+
+    def test_transactional_drop_commits_for_real(self, spark, engine):
+        engine.query("create table goner as select 1 as k")
+        engine.execute_script(
+            "drop table goner; create table stays as select 2 as k;",
+            transaction=True,
+        )
+        assert not engine.store.exists("goner")
+        assert engine.store.exists("stays")
+        # trash area cleaned up on commit
+        import os
+
+        assert not os.path.isdir(os.path.join(engine.store.root, "_tx_trash"))
+
+    def test_transactional_create_drop_same_table_rolls_back_clean(
+        self, spark, engine
+    ):
+        """A table CREATED then DROPPED inside the failing script must
+        stay gone after rollback (trash restore + created-set drop)."""
+        with pytest.raises(Exception):
+            engine.execute_script(
+                """
+                create table ephem as select 1 as k;
+                drop table ephem;
+                select boom from nowhere;
+                """,
+                transaction=True,
+            )
+        assert not engine.store.exists("ephem")
+
     def test_transactional_script_commits_on_success(self, spark, engine):
         engine.query("create table okb as select 1 as k")
         results = engine.execute_script(

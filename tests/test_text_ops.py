@@ -355,6 +355,58 @@ def test_cdc_offset_invariance(spark):
     assert sum(len(c) for c in common) > len(shared) // 2
 
 
+def test_cdc_non_ascii_matches_duckdb(spark):
+    """ADVICE r7 #5: ascii() returns the full Unicode codepoint for
+    non-ASCII chars, which overflowed the high-power rolling-hash
+    terms (Spark wrapped silently; DuckDB raised). With codes clamped
+    mod 256, both engines produce the SAME boundaries on non-ASCII
+    text, overflow-free."""
+    import duckdb
+    import pandas as pd
+
+    from dbt_omnata_push_spark.llmops.dedup import cdc_chunk_spans
+
+    rows = [
+        ("d1", "héllo wörld — über naïve façade; 日本語のテキストです。" * 6),
+        ("d2", "ASCII prefix then ελληνικά and кириллица mixed in " * 4),
+        ("d3", "😀😀 emoji αβγδε ζηθικ λμνξο " * 8),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["doc_id"], r["chunk_start"], r["chunk"])
+        for r in cdc_chunk_spans(sdf).collect()
+    }
+    term = " + ".join(
+        f"((CAST(ascii(substr(text, i - {k}, 1)) AS BIGINT) % 256) "
+        f"* {131 ** k})"
+        for k in range(8)
+    )
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])  # noqa: F841
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"""
+            WITH d AS (SELECT doc_id, text, length(text) AS n FROM pdf),
+            pos AS (
+              SELECT doc_id, unnest(list_prepend(0,
+                list_filter(range(8, n + 1), i -> ({term}) % 64 = 0))) AS p
+              FROM d
+            ),
+            spans AS (
+              SELECT doc_id, p AS s,
+                     lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS e
+              FROM pos
+            )
+            SELECT spans.doc_id, s AS chunk_start,
+                   substr(d.text, s + 1, COALESCE(e, d.n) - s) AS chunk
+            FROM spans JOIN d ON d.doc_id = spans.doc_id
+            WHERE COALESCE(e, d.n) > s
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 3
+
+
 def test_cdc_short_doc_single_chunk(spark):
     from dbt_omnata_push_spark.llmops.dedup import cdc_chunk_spans
 
