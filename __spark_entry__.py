@@ -54,6 +54,7 @@ _RECHECK_PRIORITY = [
     # hash rows must re-verify.
     "dedup_cdc_chunks",
     "dedup_chunk_containment",
+    "corpus_leakage_safe_split",  # r8: new (cluster-aware split)
 ]
 
 

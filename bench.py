@@ -146,6 +146,9 @@ HEADLINE = [
     # content-defined chunking dedup: map-side integer array math in
     # codegen, (md5, len)-only shuffle
     "dedup_cdc_chunks",
+    # round 8: leakage-safe split — LSH pairs -> components -> split on
+    # the group representative (one composed iterative pipeline)
+    "corpus_leakage_safe_split",
 ]
 
 

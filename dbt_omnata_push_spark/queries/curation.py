@@ -735,6 +735,84 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Leakage-SAFE split (the fix split_leakage_check detects the need
+# for): near-duplicate clusters must land wholly inside one split, or
+# train/eval contamination is built into the benchmark. Assignment
+# hashes the GROUP representative (the connected component over
+# verified MinHash-LSH near-dup pairs), not the document id — every
+# member of a near-dup cluster shares its group's split.
+# ---------------------------------------------------------------------------
+def _leakage_safe_split_oracle() -> str:
+    from .llm import _BANDS_PAIRS_SQL, _MINHASH_ORACLE_BASE, _mh_cols
+
+    return (
+        _MINHASH_ORACLE_BASE.format(mh_cols=_mh_cols(8)).replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        )
+        + _BANDS_PAIRS_SQL
+        + f""",
+undirected AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION ALL SELECT doc_b AS a, doc_a AS b FROM verified
+),
+reach(node, comp) AS (
+  SELECT DISTINCT a AS node, a AS comp FROM undirected
+  UNION
+  SELECT u.b AS node, r.comp AS comp
+  FROM reach r JOIN undirected u ON u.a = r.node
+),
+comp AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node),
+rep AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, group_id,
+       CASE WHEN substr(h, 1, 2) < 'cc' THEN 'train'
+            WHEN substr(h, 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, group_id,
+             md5('{_SEED}:' || CAST(group_id AS VARCHAR)) AS h
+      FROM rep)"""
+    )
+
+
+@query(
+    "corpus_leakage_safe_split",
+    oracle=_leakage_safe_split_oracle(),
+    tags=("llm", "training", "curation", "dedup", "split"),
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test assignment: MinHash-LSH verified
+    near-dup pairs -> connected components -> seeded hash split on the
+    GROUP representative, so no near-dup cluster straddles splits
+    (the leak split_leakage_check measures cannot occur between
+    near-dups by construction).
+
+    Scale shape: the pair mining and label propagation are the shipped
+    banded/blocked paths (no all-pairs); the split itself is a pure
+    map stage on the group id — the whole composition adds ONE keyed
+    join over the dedup output. Oracle: recursive-CTE reachability +
+    the same md5 bucketing in DuckDB — an exact cross-engine check of
+    the composed iterative pipeline."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = D.near_duplicate_pairs(docs, threshold=0.3).select(
+        "doc_a", "doc_b"
+    )
+    comp = D.connected_components(pairs)
+    rep = (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("group_id"),
+        )
+    )
+    return shuffle_split(rep, "group_id", seed=_SEED).select(
+        "doc_id", "group_id", "split"
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE tokenizer training: the top-8 learned merges over the corpus
 # word-frequency table. Iterative (one pair-count + argmax job pair per
 # round) with an unrolled-CTE oracle, like dedup_graph_pagerank.
