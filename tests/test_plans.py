@@ -428,3 +428,57 @@ def test_hybrid_rrf_plan_is_bounded(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_store_partitioned_read_prunes_partitions(spark, tmp_path):
+    """r8: a filter on the partition column of a store table must reach
+    the scan as a PartitionFilter (directory pruning — at 100 TB the
+    difference between reading one partition and reading the table)."""
+    from pyspark.sql import functions as F
+
+    from dbt_omnata_push_spark.engine.store import TableStore
+
+    store = TableStore(str(tmp_path / "s"))
+    df = spark.range(1000).select(
+        "id", (F.col("id") % 10).cast("string").alias("p")
+    )
+    store.create(spark, "fact", df, partition_by="p")
+    read = store.read(spark, "fact").filter(F.col("p") == "3")
+    plan = _formatted_plan(read)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "p" in m.group(1), f"no partition filter pushed:\n{plan}"
+    # and the partition column filter is NOT a post-scan residual read
+    # of all partitions: scanned files come from one directory
+    assert read.count() == 100
+
+
+def test_store_partitioned_join_uses_dynamic_pruning(spark, tmp_path):
+    """r8: joining a partitioned store fact to a filtered dim must plan
+    dynamic partition pruning (the runtime analogue of static pruning —
+    on a cluster this skips whole partition directories based on the
+    dim's build side)."""
+    from pyspark.sql import functions as F
+
+    from dbt_omnata_push_spark.engine.store import TableStore
+
+    store = TableStore(str(tmp_path / "s2"))
+    fact = spark.range(2000).select(
+        "id", (F.col("id") % 20).cast("string").alias("p")
+    )
+    store.create(spark, "fact2", fact, partition_by="p")
+    dim = spark.range(20).select(
+        F.col("id").cast("string").alias("p"),
+        (F.col("id") % 4).alias("grp"),
+    )
+    joined = (
+        store.read(spark, "fact2")
+        .join(dim.filter(F.col("grp") == 1), "p")
+        .groupBy("p")
+        .count()
+    )
+    plan = _formatted_plan(joined)
+    assert (
+        "dynamicpruning" in plan.lower() or "DynamicPruning" in plan
+    ), f"no dynamic partition pruning in plan:\n{plan}"
