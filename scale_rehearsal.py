@@ -102,6 +102,10 @@ QUERIES = [
     # CDC chunk dedup: O(window) per character map work + a hash-keyed
     # group-by -> expect ~linear
     "dedup_cdc_chunks",
+    # round 8: leakage-safe split — banded pair mining + label
+    # propagation + map-side split; replicas are near-dup-disjoint so
+    # component structure scales linearly -> expect ~linear
+    "corpus_leakage_safe_split",
 ]
 
 TABLES = ["documents", "embeddings", "customer", "events", "orders"]
