@@ -55,6 +55,7 @@ _RECHECK_PRIORITY = [
     "dedup_cdc_chunks",
     "dedup_chunk_containment",
     "corpus_leakage_safe_split",  # r8: new (cluster-aware split)
+    "customers_masked_read",  # r8: new (masking-policy governance surface)
 ]
 
 

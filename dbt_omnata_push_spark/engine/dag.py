@@ -19,6 +19,39 @@ from .model import Context, Model
 from .store import TableStore
 
 
+def _sub_ident_outside_quotes(sql: str, ident: str, replacement: str) -> str:
+    """Replace whole-word occurrences of ``ident`` with ``replacement``,
+    skipping single-quoted string literals (a masking-policy body like
+    ``'value hidden'`` must not have an embedded parameter name
+    rewritten)."""
+    import re as _re
+
+    rx = _re.compile(rf"(?i)\b{_re.escape(ident)}\b")
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":  # escaped ''
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        else:
+            m = rx.match(sql, i)
+            if m:
+                out.append(replacement)
+                i = m.end()
+            else:
+                out.append(c)
+                i += 1
+    return "".join(out)
+
+
 @dataclass
 class RunResult:
     model: str
@@ -123,10 +156,47 @@ class Engine:
         if name in self._view_cache:
             return self._view_cache[name]
         if self.store.exists(name):
-            return self.store.read(self.spark, name)
+            return self._policy_masked(name, self.store.read(self.spark, name))
         if name in self.seeds:
             return self.seeds[name]
         raise KeyError(f"unresolvable ref: {name}")
+
+    def _policy_masked(self, name: str, df: DataFrame) -> DataFrame:
+        """Apply the table's column masking policies (r8, Snowflake
+        governance parity) for the SESSION role (``vars['role']``,
+        default PUBLIC). Enforcement lives at the engine's read
+        surface — ad-hoc SQL views and model refs — while the storage
+        layer stays raw, like Snowflake's micro-partitions vs. query
+        results. DML internals (UPDATE/MERGE row matching) read
+        storage directly, a documented divergence: Snowflake masks
+        those reads per-role too, but rewriting matched rows through a
+        mask would corrupt the store."""
+        mask = self.store.masking_for(name)
+        if not mask:
+            return df
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from .sqlfront import transpile
+
+        pols = self.store.policies()
+        role = str(self.vars.get("role", "PUBLIC"))
+        for col, pname in mask.items():
+            pol = pols.get(pname)
+            if pol is None or col not in df.columns:
+                continue
+            expr = transpile(pol["body"])
+            expr = _re.sub(
+                r"(?i)\bcurrent_role\s*\(\s*\)",
+                "'" + role.replace("'", "''") + "'",
+                expr,
+            )
+            expr = _sub_ident_outside_quotes(expr, pol["param"], f"`{col}`")
+            df = df.withColumn(
+                col, F.expr(expr).cast(df.schema[col].dataType)
+            )
+        return df
 
     def _publish(self, name: str, df: DataFrame) -> None:
         self._view_cache[name] = df
@@ -142,9 +212,9 @@ class Engine:
                 logical = entry.replace("__", ".")
                 if self.store.exists(logical):
                     view = logical.rsplit(".", 1)[-1]
-                    self.store.read(self.spark, logical).createOrReplaceTempView(
-                        view
-                    )
+                    self._policy_masked(
+                        logical, self.store.read(self.spark, logical)
+                    ).createOrReplaceTempView(view)
 
     def query(self, sql: str, dialect: str = "snowflake") -> DataFrame:
         """One-off ad-hoc statement over the engine's tables (r7): every

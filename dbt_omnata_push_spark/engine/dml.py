@@ -150,6 +150,8 @@ _KIND_RE = re.compile(
     r"delete\b|merge\b|truncate\b|show\b|describe\b|desc\b|"
     r"optimize\b|vacuum\b|restore\b|copy\s+into\b|alter\s+table\b|"
     r"drop\s+table\b|"
+    r"create\s+(?:or\s+replace\s+)?masking\s+policy\b|"
+    r"drop\s+masking\s+policy\b|"
     r"create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+|transient\s+)?table\b)"
 )
 
@@ -162,6 +164,8 @@ def statement_kind(sql: str) -> str | None:
     if not m:
         return None
     kw = re.sub(r"\s+", " ", m.group(1).lower())
+    if "masking policy" in kw:
+        return "create_policy" if kw.startswith("create") else "drop_policy"
     if kw.startswith("create"):
         return "ctas"
     if kw in ("insert all", "insert first"):
@@ -886,6 +890,7 @@ def _truncate(engine, sql: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SHOW_RE = re.compile(r"(?is)^\s*show\s+tables\s*$")
+_SHOW_POLICIES_RE = re.compile(r"(?is)^\s*show\s+masking\s+policies\s*$")
 _DESC_RE = re.compile(
     rf"(?is)^\s*(?:describe|desc)\s+(history\s+|table\s+)?({_TABLE})\s*$"
 )
@@ -893,6 +898,14 @@ _DESC_RE = re.compile(
 
 def _show(engine, sql: str) -> DataFrame:
     s = _strip_comments(sql).strip().rstrip(";")
+    if _SHOW_POLICIES_RE.match(s):
+        rows = sorted(
+            (n, p["param"], p["returns"], p["body"])
+            for n, p in engine.store.policies().items()
+        )
+        return engine.spark.createDataFrame(
+            rows, "name string, param string, returns string, body string"
+        )
     if not _SHOW_RE.match(s):
         raise ValueError(f"unsupported SHOW statement: {s[:80]}")
     import os
@@ -1072,6 +1085,14 @@ _ALTER_ADD_RE = re.compile(
 _ALTER_RENAME_RE = re.compile(
     rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+rename\s+to\s+({_TABLE})\s*$"
 )
+_ALTER_SET_MASK_RE = re.compile(
+    rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+modify\s+(?:column\s+)?"
+    rf"({_IDENT})\s+set\s+masking\s+policy\s+({_IDENT})\s*$"
+)
+_ALTER_UNSET_MASK_RE = re.compile(
+    rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+modify\s+(?:column\s+)?"
+    rf"({_IDENT})\s+unset\s+masking\s+policy\s*$"
+)
 
 
 def _snowflake_type_to_spark(type_sql: str) -> str:
@@ -1097,10 +1118,85 @@ def _alter(engine, sql: str) -> DataFrame:
         old = _resolve_table(engine, m.group(1))
         engine.store.rename_table(old, _clean_ident(m.group(2)))
         return _summary(engine, tables_renamed=1)
+    m = _ALTER_SET_MASK_RE.match(s)
+    if m:
+        table = _resolve_table(engine, m.group(1))
+        engine.store.set_column_masking(
+            table, m.group(2).strip('"'), m.group(3).strip('"')
+        )
+        return _summary(engine, masking_policies_set=1)
+    m = _ALTER_UNSET_MASK_RE.match(s)
+    if m:
+        table = _resolve_table(engine, m.group(1))
+        engine.store.unset_column_masking(table, m.group(2).strip('"'))
+        return _summary(engine, masking_policies_unset=1)
     raise ValueError(
         "supported ALTER TABLE forms: ADD [COLUMN] <name> <type>, "
-        f"RENAME TO <name> (got: {s[:90]})"
+        "RENAME TO <name>, MODIFY [COLUMN] <name> SET/UNSET MASKING "
+        f"POLICY (got: {s[:90]})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Masking policies (r8, Snowflake governance parity): the policy object
+# is a named SQL lambda (val <type>) -> expr; attachment binds it to a
+# table column; enforcement happens at the engine's read surface
+# (Engine._policy_masked). current_role() resolves from engine.vars.
+# ---------------------------------------------------------------------------
+
+_TYPE_TOKEN = r"[A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+_CREATE_POLICY_RE = re.compile(
+    rf"(?is)^\s*create\s+(or\s+replace\s+)?masking\s+policy\s+({_IDENT})"
+    rf"\s+as\s*\(\s*({_IDENT})\s+({_TYPE_TOKEN})\s*\)"
+    rf"\s*returns\s+({_TYPE_TOKEN})\s*->\s*(.+)$"
+)
+_DROP_POLICY_RE = re.compile(
+    rf"(?is)^\s*drop\s+masking\s+policy\s+({_IDENT})\s*$"
+)
+
+
+def _create_policy(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _CREATE_POLICY_RE.match(s)
+    if not m:
+        raise ValueError(
+            "unparsable CREATE MASKING POLICY (expected: CREATE [OR "
+            "REPLACE] MASKING POLICY <name> AS (<param> <type>) RETURNS "
+            f"<type> -> <expr>): {s[:120]}"
+        )
+    replace, name, param, ptype, _rtype, body = (
+        bool(m.group(1)),
+        m.group(2).strip('"'),
+        m.group(3).strip('"'),
+        m.group(4),
+        m.group(5),
+        m.group(6).strip(),
+    )
+    # Validate the body NOW (typed-null parameter, PUBLIC role): a
+    # broken policy must fail at CREATE, not at first read.
+    from .dag import _sub_ident_outside_quotes
+
+    probe = transpile(body)
+    probe = re.sub(r"(?i)\bcurrent_role\s*\(\s*\)", "'PUBLIC'", probe)
+    probe = _sub_ident_outside_quotes(
+        probe, param, f"CAST(NULL AS {_snowflake_type_to_spark(ptype)})"
+    )
+    # F.expr is lazy — force parse+analysis via a schema probe so an
+    # unparsable body raises HERE, not at first read.
+    engine.spark.range(1).select(F.expr(probe)).schema
+    engine.store.create_masking_policy(
+        name, param, _rtype, body, replace=replace
+    )
+    return _summary(engine, policies_created=1)
+
+
+def _drop_policy(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _DROP_POLICY_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable DROP MASKING POLICY: {s[:90]}")
+    engine.store.drop_masking_policy(m.group(1).strip('"'))
+    return _summary(engine, policies_dropped=1)
 
 
 _DROP_RE = re.compile(
@@ -1139,6 +1235,8 @@ _DISPATCH = {
     "copy": _copy,
     "alter": _alter,
     "drop": _drop,
+    "create_policy": _create_policy,
+    "drop_policy": _drop_policy,
 }
 
 

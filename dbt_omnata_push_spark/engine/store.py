@@ -180,6 +180,8 @@ class TableStore:
             doc["constraints"] = old["constraints"]
         if old.get("added_columns"):
             doc["added_columns"] = old["added_columns"]
+        if old.get("masking"):
+            doc["masking"] = old["masking"]
         tmp = self._meta_file(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(doc, f)
@@ -235,7 +237,9 @@ class TableStore:
         try:
             with open(self._version_file(name)) as f:
                 return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
+        except (FileNotFoundError, NotADirectoryError, ValueError):
+            # NotADirectoryError: root-level metadata FILES (_POLICIES)
+            # show up in directory listings next to table dirs.
             return None
 
     def data_path(self, name: str) -> str:
@@ -972,6 +976,97 @@ class TableStore:
                 os.rename(d, dst)
             return
         shutil.rmtree(self._dir(name), ignore_errors=True)
+
+    # -- masking policies (r8, Snowflake governance parity) ----------------
+    # Policy OBJECTS are store-level (they outlive any one table, like
+    # Snowflake schema-level policies); ATTACHMENTS live in each
+    # table's _META under "masking" {column: policy_name}. Enforcement
+    # happens at the ENGINE's read surface (ad-hoc SQL views + model
+    # refs) — the storage layer always holds raw data, exactly like
+    # Snowflake's micro-partitions.
+    def _policies_file(self) -> str:
+        return os.path.join(self.root, "_POLICIES")
+
+    def policies(self) -> dict:
+        try:
+            with open(self._policies_file()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def _write_policies(self, pols: dict) -> None:
+        tmp = self._policies_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(pols, f)
+        os.replace(tmp, self._policies_file())
+
+    def create_masking_policy(
+        self,
+        name: str,
+        param: str,
+        returns: str,
+        body: str,
+        replace: bool = False,
+    ) -> None:
+        pols = self.policies()
+        key = name.lower()
+        if key in pols and not replace:
+            raise ValueError(f"masking policy already exists: {name}")
+        pols[key] = {"param": param, "returns": returns, "body": body}
+        self._write_policies(pols)
+
+    def drop_masking_policy(self, name: str) -> None:
+        """Refuses while attached anywhere (Snowflake parity: a policy
+        in use cannot be dropped)."""
+        pols = self.policies()
+        key = name.lower()
+        if key not in pols:
+            raise ValueError(f"masking policy not found: {name}")
+        attached = []
+        for entry in os.listdir(self.root):
+            logical = entry.replace("__", ".")
+            if not self.exists(logical):
+                continue
+            for col, pname in self.masking_for(logical).items():
+                if pname == key:
+                    attached.append(f"{logical}.{col}")
+        if attached:
+            raise ValueError(
+                f"masking policy {name} is attached to: "
+                f"{', '.join(sorted(attached))} — UNSET it first"
+            )
+        pols.pop(key)
+        self._write_policies(pols)
+
+    def masking_for(self, name: str) -> dict:
+        return self.meta(name).get("masking", {})
+
+    def set_column_masking(
+        self, name: str, column: str, policy_name: str
+    ) -> None:
+        meta = self.meta(name)
+        if not meta:
+            raise FileNotFoundError(f"table not found: {name}")
+        key = policy_name.lower()
+        if key not in self.policies():
+            raise ValueError(f"masking policy not found: {policy_name}")
+        mask = dict(meta.get("masking", {}))
+        mask[column] = key
+        meta["masking"] = mask
+        tmp = self._meta_file(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_file(name))
+
+    def unset_column_masking(self, name: str, column: str) -> None:
+        meta = self.meta(name)
+        mask = dict(meta.get("masking", {}))
+        mask.pop(column, None)
+        meta["masking"] = mask
+        tmp = self._meta_file(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_file(name))
 
     # -- deferred drops (transactional scripts, ADVICE r7 #2) -------------
     def defer_drops(self) -> None:

@@ -1917,3 +1917,68 @@ def events_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Masking policies (r8): the Snowflake governance surface driven end to
+# end — CREATE MASKING POLICY, attach to columns, read under the
+# default (non-exempt) role. Snowflake masking policies are metadata
+# the reference package's target tables can carry; here the engine
+# enforces them at its read surface while storage stays raw.
+# ---------------------------------------------------------------------------
+@query(
+    "customers_masked_read",
+    oracle="""
+    SELECT c_custkey,
+           substr(c_name, 1, 9) || '****' AS c_name,
+           CAST(-1 AS DOUBLE) AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    """,
+    tags=("engine", "governance", "masking", "dml"),
+)
+def customers_masked_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column masking enforced by the engine (engine/dag.py::
+    _policy_masked + engine/dml.py policy statements): a partial-mask
+    policy on c_name (keep the 'Customer#' prefix) and a
+    sentinel policy on c_acctbal (FINANCE-only; the NULL-mask variant
+    is pytest-covered — an all-NULL double column is not hash-portable
+    through pandas), both attached via
+    ALTER TABLE MODIFY COLUMN, then read under the default PUBLIC
+    role. The oracle applies the same expressions inline — a hash
+    match certifies the policy parser, the attachment metadata, the
+    role resolution, AND the read-surface rewrite."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-mask-")))
+    engine.seed(
+        "customer_raw",
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        ),
+    )
+    engine.query(
+        "create table cust_pii as "
+        "select c_custkey, c_name, c_acctbal, c_mktsegment from customer_raw"
+    )
+    engine.query(
+        "create masking policy name_mask as (val string) returns string -> "
+        "case when current_role() in ('ANALYST') then val "
+        "else substr(val, 1, 9) || '****' end"
+    )
+    engine.query(
+        "create masking policy bal_mask as (val double) returns double -> "
+        "case when current_role() = 'FINANCE' then val else -1 end"
+    )
+    engine.query(
+        "alter table cust_pii modify column c_name set masking policy name_mask"
+    )
+    engine.query(
+        "alter table cust_pii modify column c_acctbal set masking policy bal_mask"
+    )
+    return engine.query(
+        "select c_custkey, c_name, c_acctbal, c_mktsegment from cust_pii"
+    )
