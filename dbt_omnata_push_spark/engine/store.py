@@ -1012,16 +1012,35 @@ class TableStore:
         key = name.lower()
         if key in pols and not replace:
             raise ValueError(f"masking policy already exists: {name}")
-        pols[key] = {"param": param, "returns": returns, "body": body}
+        pols[key] = {
+            "kind": "masking",
+            "param": param,
+            "returns": returns,
+            "body": body,
+        }
         self._write_policies(pols)
 
-    def drop_masking_policy(self, name: str) -> None:
-        """Refuses while attached anywhere (Snowflake parity: a policy
-        in use cannot be dropped)."""
+    def create_row_access_policy(
+        self,
+        name: str,
+        params: list,
+        body: str,
+        replace: bool = False,
+    ) -> None:
+        """``params`` is [(param_name, type_sql), ...] — row access
+        policies are multi-parameter (one per bound column)."""
         pols = self.policies()
         key = name.lower()
-        if key not in pols:
-            raise ValueError(f"masking policy not found: {name}")
+        if key in pols and not replace:
+            raise ValueError(f"row access policy already exists: {name}")
+        pols[key] = {
+            "kind": "row_access",
+            "params": [list(p) for p in params],
+            "body": body,
+        }
+        self._write_policies(pols)
+
+    def _policy_attachments(self, key: str) -> list[str]:
         attached = []
         for entry in os.listdir(self.root):
             logical = entry.replace("__", ".")
@@ -1030,16 +1049,68 @@ class TableStore:
             for col, pname in self.masking_for(logical).items():
                 if pname == key:
                     attached.append(f"{logical}.{col}")
+            ra = self.row_access_for(logical)
+            if ra and ra.get("policy") == key:
+                attached.append(logical)
+        return attached
+
+    def drop_masking_policy(self, name: str) -> None:
+        """Drop a policy OBJECT of either kind. Refuses while attached
+        anywhere (Snowflake parity: a policy in use cannot be
+        dropped)."""
+        pols = self.policies()
+        key = name.lower()
+        if key not in pols:
+            raise ValueError(f"masking policy not found: {name}")
+        attached = self._policy_attachments(key)
         if attached:
             raise ValueError(
-                f"masking policy {name} is attached to: "
-                f"{', '.join(sorted(attached))} — UNSET it first"
+                f"policy {name} is attached to: "
+                f"{', '.join(sorted(attached))} — UNSET/DROP it first"
             )
         pols.pop(key)
         self._write_policies(pols)
 
     def masking_for(self, name: str) -> dict:
         return self.meta(name).get("masking", {})
+
+    def row_access_for(self, name: str) -> dict | None:
+        return self.meta(name).get("row_access")
+
+    def add_row_access_policy(
+        self, name: str, policy_name: str, columns: list[str]
+    ) -> None:
+        """One row access policy per table (Snowflake's own limit)."""
+        meta = self.meta(name)
+        if not meta:
+            raise FileNotFoundError(f"table not found: {name}")
+        key = policy_name.lower()
+        pol = self.policies().get(key)
+        if pol is None or pol.get("kind") != "row_access":
+            raise ValueError(f"row access policy not found: {policy_name}")
+        if meta.get("row_access"):
+            raise ValueError(
+                f"table {name} already has a row access policy "
+                f"({meta['row_access']['policy']}) — DROP it first"
+            )
+        if len(columns) != len(pol["params"]):
+            raise ValueError(
+                f"row access policy {policy_name} takes "
+                f"{len(pol['params'])} column(s), got {len(columns)}"
+            )
+        meta["row_access"] = {"policy": key, "columns": list(columns)}
+        tmp = self._meta_file(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_file(name))
+
+    def drop_row_access_policy(self, name: str) -> None:
+        meta = self.meta(name)
+        meta.pop("row_access", None)
+        tmp = self._meta_file(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_file(name))
 
     def set_column_masking(
         self, name: str, column: str, policy_name: str
