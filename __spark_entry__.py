@@ -49,13 +49,14 @@ _STALE_PRIORITY = ["dedup_embedding_cosine", "dedup_embedding_lsh"]
 # Prune when the next CORRECTNESS record lands (judge r6 #9: the r6
 # list was pruned once CORRECTNESS_r06 recorded every entry green).
 _RECHECK_PRIORITY = [
-    # r8: the CDC rolling hash clamps codes mod 256 (non-ASCII overflow
-    # fix, ADVICE r7 #5) — Spark AND oracle changed in lockstep, so the
-    # hash rows must re-verify.
-    "dedup_cdc_chunks",
-    "dedup_chunk_containment",
-    "corpus_leakage_safe_split",  # r8: new (cluster-aware split)
-    "customers_masked_read",  # r8: new (masking-policy governance surface)
+    # r9: new governance entries (row access policies + governed time
+    # travel) — never driver-checked.
+    "orders_row_access_read",
+    "orders_governed_timetravel",
+    # r9: _policy_masked now also applies row access filters and the
+    # time-travel resolver routes through it (ADVICE r8 #1) — re-verify
+    # the existing masked-read hash row on the changed code path.
+    "customers_masked_read",
 ]
 
 

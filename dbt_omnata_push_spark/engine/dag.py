@@ -170,9 +170,15 @@ class Engine:
         results. DML internals (UPDATE/MERGE row matching) read
         storage directly, a documented divergence: Snowflake masks
         those reads per-role too, but rewriting matched rows through a
-        mask would corrupt the store."""
+        mask would corrupt the store.
+
+        Row access policies (r9) apply FIRST, as in Snowflake: the
+        row filter decides visibility on RAW column values, then
+        column masks rewrite what survives — so a policy keyed on a
+        masked column still sees the true value."""
+        ra = self.store.row_access_for(name)
         mask = self.store.masking_for(name)
-        if not mask:
+        if not ra and not mask:
             return df
         import re as _re
 
@@ -182,6 +188,26 @@ class Engine:
 
         pols = self.store.policies()
         role = str(self.vars.get("role", "PUBLIC"))
+        if ra:
+            pol = pols.get(ra["policy"])
+            if pol is not None:
+                expr = transpile(pol["body"])
+                expr = _re.sub(
+                    r"(?i)\bcurrent_role\s*\(\s*\)",
+                    "'" + role.replace("'", "''") + "'",
+                    expr,
+                )
+                # two-phase substitution: a later parameter's name may
+                # appear inside an earlier parameter's bound column
+                for i, (pname, _ptype) in enumerate(pol["params"]):
+                    expr = _sub_ident_outside_quotes(
+                        expr, pname, f"__RA_P{i}__"
+                    )
+                for i, col in enumerate(ra["columns"]):
+                    expr = expr.replace(f"__RA_P{i}__", f"`{col}`")
+                # rows are visible only when the policy returns TRUE
+                # (FALSE and NULL both hide, SQL filter semantics)
+                df = df.filter(F.expr(expr))
         for col, pname in mask.items():
             pol = pols.get(pname)
             if pol is None or col not in df.columns:
@@ -197,6 +223,26 @@ class Engine:
                 col, F.expr(expr).cast(df.schema[col].dataType)
             )
         return df
+
+    def table_changes(
+        self,
+        name: str,
+        from_version: int,
+        to_version: int,
+        unique_key: str,
+    ) -> DataFrame:
+        """Policy-enforced CDC read (VERDICT r8 #4): the engine
+        analogue of Delta's ``table_changes()``. ``store.read_changes``
+        is a storage-level API (raw bytes, privileged access); this
+        surface applies the table's row access policy and column masks
+        to the change rows, so a non-exempt role's CDC consumer never
+        sees raw PII in pre- or post-images."""
+        return self._policy_masked(
+            name,
+            self.store.read_changes(
+                self.spark, name, from_version, to_version, unique_key
+            ),
+        )
 
     def _publish(self, name: str, df: DataFrame) -> None:
         self._view_cache[name] = df
@@ -253,7 +299,10 @@ class Engine:
 
             sql = transpile(sql)
             if _AT_RE.search(sql):
-                sql = resolve_time_travel(self.spark, self.store, sql)
+                sql = resolve_time_travel(
+                    self.spark, self.store, sql,
+                    mask_fn=self._policy_masked,
+                )
             if GLOBAL_ROWNUM_MARKER in sql:
                 sql = resolve_global_rownum(self.spark, sql)
         return self.spark.sql(sql)
@@ -288,6 +337,21 @@ class Engine:
         if not transaction:
             return [self.query(stmt, dialect=dialect) for stmt in statements]
 
+        # VACUUM destroys historical version directories — the very
+        # restore targets the rollback depends on — and OPTIMIZE
+        # rewrites files the trash area may alias. Refuse them up front
+        # (before any statement runs) rather than discovering a
+        # broken rollback after a later failure (VERDICT r8 #7).
+        for stmt in statements:
+            kind = dml.statement_kind(stmt)
+            if kind in ("vacuum", "optimize"):
+                raise ValueError(
+                    f"{kind.upper()} is not allowed inside a "
+                    "transactional script: it can destroy the version "
+                    "snapshots rollback restores from — run it after "
+                    "the transaction commits"
+                )
+
         def _store_tables() -> set[str]:
             if not _os.path.isdir(self.store.root):
                 return set()
@@ -304,27 +368,39 @@ class Engine:
         # (previously a mid-script drop was permanent — ADVICE r7 #2).
         self.store.defer_drops()
         try:
-            for stmt in statements:
-                results.append(self.query(stmt, dialect=dialect))
-        except Exception:
-            # Trashed tables come back FIRST (replacing any same-named
-            # re-creation), then script-created tables are dropped for
-            # real, then changed tables rewind to their pre-script
-            # version.
-            self.store.rollback_deferred_drops()
-            for t in _store_tables() - set(before):
-                self.store.drop(t)  # created by the failed script
-                self.seeds.pop(t, None)
-            for t, v in before.items():
-                if self.store.exists(t) and self.store.current_version(t) != v:
-                    try:
-                        self.store.restore(t, v)
-                    except ValueError:
-                        # pre-script version vacuumed mid-script: surface
-                        # the original failure, not the rollback's.
-                        pass
-            raise
-        self.store.commit_deferred_drops()
+            try:
+                for stmt in statements:
+                    results.append(self.query(stmt, dialect=dialect))
+            except Exception:
+                # Trashed tables come back FIRST (replacing any
+                # same-named re-creation), then script-created tables
+                # are dropped for real, then changed tables rewind to
+                # their pre-script version.
+                self.store.rollback_deferred_drops()
+                for t in _store_tables() - set(before):
+                    self.store.drop(t)  # created by the failed script
+                    self.seeds.pop(t, None)
+                for t, v in before.items():
+                    if (
+                        self.store.exists(t)
+                        and self.store.current_version(t) != v
+                    ):
+                        try:
+                            self.store.restore(t, v)
+                        except ValueError:
+                            # pre-script version vacuumed mid-script:
+                            # surface the original failure, not the
+                            # rollback's.
+                            pass
+                raise
+            self.store.commit_deferred_drops()
+        finally:
+            # Whatever path we leave on (including an exception inside
+            # the rollback itself), the deferred-drop state must not
+            # stay armed — a later plain drop() on this store would
+            # otherwise trash instead of delete (ADVICE r8 #4).
+            if self.store._drop_trash is not None:
+                self.store.commit_deferred_drops()
         return results
 
     # -- execution --------------------------------------------------------
@@ -358,7 +434,10 @@ class Engine:
             if _AT_RE.search(sql):
                 # Snowflake AT(VERSION/TIMESTAMP/OFFSET => ...) reads a
                 # historical store version through a temp view (r7).
-                sql = resolve_time_travel(self.spark, self.store, sql)
+                sql = resolve_time_travel(
+                    self.spark, self.store, sql,
+                    mask_fn=self._policy_masked,
+                )
             if GLOBAL_ROWNUM_MARKER in sql:
                 # Global row numbering routes through with_global_index
                 # (no single-partition Window in the plan).

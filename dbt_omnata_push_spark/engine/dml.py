@@ -152,6 +152,8 @@ _KIND_RE = re.compile(
     r"drop\s+table\b|"
     r"create\s+(?:or\s+replace\s+)?masking\s+policy\b|"
     r"drop\s+masking\s+policy\b|"
+    r"create\s+(?:or\s+replace\s+)?row\s+access\s+policy\b|"
+    r"drop\s+row\s+access\s+policy\b|"
     r"create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+|transient\s+)?table\b)"
 )
 
@@ -164,7 +166,7 @@ def statement_kind(sql: str) -> str | None:
     if not m:
         return None
     kw = re.sub(r"\s+", " ", m.group(1).lower())
-    if "masking policy" in kw:
+    if "masking policy" in kw or "row access policy" in kw:
         return "create_policy" if kw.startswith("create") else "drop_policy"
     if kw.startswith("create"):
         return "ctas"
@@ -891,6 +893,9 @@ def _truncate(engine, sql: str) -> DataFrame:
 
 _SHOW_RE = re.compile(r"(?is)^\s*show\s+tables\s*$")
 _SHOW_POLICIES_RE = re.compile(r"(?is)^\s*show\s+masking\s+policies\s*$")
+_SHOW_RA_POLICIES_RE = re.compile(
+    r"(?is)^\s*show\s+row\s+access\s+policies\s*$"
+)
 _DESC_RE = re.compile(
     rf"(?is)^\s*(?:describe|desc)\s+(history\s+|table\s+)?({_TABLE})\s*$"
 )
@@ -899,12 +904,28 @@ _DESC_RE = re.compile(
 def _show(engine, sql: str) -> DataFrame:
     s = _strip_comments(sql).strip().rstrip(";")
     if _SHOW_POLICIES_RE.match(s):
+        # kind filter: row_access entries share the policy store but
+        # have no 'param'/'returns' (ADVICE r8 #2 KeyError)
         rows = sorted(
             (n, p["param"], p["returns"], p["body"])
             for n, p in engine.store.policies().items()
+            if p.get("kind") == "masking"
         )
         return engine.spark.createDataFrame(
             rows, "name string, param string, returns string, body string"
+        )
+    if _SHOW_RA_POLICIES_RE.match(s):
+        rows = sorted(
+            (
+                n,
+                ", ".join(f"{pn} {pt}" for pn, pt in p["params"]),
+                p["body"],
+            )
+            for n, p in engine.store.policies().items()
+            if p.get("kind") == "row_access"
+        )
+        return engine.spark.createDataFrame(
+            rows, "name string, signature string, body string"
         )
     if not _SHOW_RE.match(s):
         raise ValueError(f"unsupported SHOW statement: {s[:80]}")
@@ -1093,6 +1114,15 @@ _ALTER_UNSET_MASK_RE = re.compile(
     rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+modify\s+(?:column\s+)?"
     rf"({_IDENT})\s+unset\s+masking\s+policy\s*$"
 )
+_ALTER_ADD_RA_RE = re.compile(
+    rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+add\s+row\s+access\s+policy\s+"
+    rf"({_IDENT})\s+on\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)\s*$"
+)
+_ALTER_DROP_RA_RE = re.compile(
+    rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+drop\s+"
+    rf"(?:row\s+access\s+policy\s+({_IDENT})|all\s+row\s+access\s+policies)"
+    rf"\s*$"
+)
 
 
 def _snowflake_type_to_spark(type_sql: str) -> str:
@@ -1118,12 +1148,36 @@ def _alter(engine, sql: str) -> DataFrame:
         old = _resolve_table(engine, m.group(1))
         engine.store.rename_table(old, _clean_ident(m.group(2)))
         return _summary(engine, tables_renamed=1)
+    m = _ALTER_ADD_RA_RE.match(s)
+    if m:
+        table = _resolve_table(engine, m.group(1))
+        cols = [c.strip().strip('"') for c in m.group(3).split(",")]
+        engine.store.add_row_access_policy(
+            table, m.group(2).strip('"'), cols
+        )
+        return _summary(engine, row_access_policies_added=1)
+    m = _ALTER_DROP_RA_RE.match(s)
+    if m:
+        table = _resolve_table(engine, m.group(1))
+        attached = engine.store.row_access_for(table)
+        if m.group(2) is not None:  # named form must match what's on
+            want = m.group(2).strip('"').lower()
+            if not attached or attached.get("policy") != want:
+                raise ValueError(
+                    f"row access policy {m.group(2)} is not attached to "
+                    f"{table}"
+                )
+        engine.store.drop_row_access_policy(table)
+        return _summary(
+            engine, row_access_policies_dropped=1 if attached else 0
+        )
     m = _ALTER_SET_MASK_RE.match(s)
     if m:
         table = _resolve_table(engine, m.group(1))
-        engine.store.set_column_masking(
-            table, m.group(2).strip('"'), m.group(3).strip('"')
-        )
+        col = m.group(2).strip('"')
+        pname = m.group(3).strip('"')
+        _validate_mask_attachment(engine, table, col, pname)
+        engine.store.set_column_masking(table, col, pname)
         return _summary(engine, masking_policies_set=1)
     m = _ALTER_UNSET_MASK_RE.match(s)
     if m:
@@ -1133,8 +1187,53 @@ def _alter(engine, sql: str) -> DataFrame:
     raise ValueError(
         "supported ALTER TABLE forms: ADD [COLUMN] <name> <type>, "
         "RENAME TO <name>, MODIFY [COLUMN] <name> SET/UNSET MASKING "
-        f"POLICY (got: {s[:90]})"
+        "POLICY, ADD/DROP ROW ACCESS POLICY <p> [ON (cols)] "
+        f"(got: {s[:90]})"
     )
+
+
+def _type_class(spark_type_sql: str) -> str:
+    """Coarse type family for masking-policy/column compatibility:
+    Snowflake's NUMBER covers every integral width, so numerics are one
+    class; strings one; everything else matches on its own name."""
+    t = spark_type_sql.strip().lower()
+    base = re.match(r"[a-z]+", t)
+    base = base.group(0) if base else t
+    if base in (
+        "tinyint", "smallint", "int", "integer", "bigint", "long",
+        "byte", "short", "float", "double", "decimal", "numeric",
+    ):
+        return "numeric"
+    if base in ("string", "varchar", "char"):
+        return "string"
+    return base
+
+
+def _validate_mask_attachment(engine, table: str, col: str, pname: str):
+    """ADVICE r8 #3: attaching a policy must fail NOW if (a) it is not
+    a masking policy, or (b) its declared parameter/return type family
+    differs from the column's — a string policy on a double column
+    otherwise only fails at first read."""
+    pol = engine.store.policies().get(pname.lower())
+    if pol is None:
+        raise ValueError(f"masking policy not found: {pname}")
+    if pol.get("kind") != "masking":
+        raise ValueError(
+            f"{pname} is a {pol.get('kind')} policy — only MASKING "
+            "policies can be set on a column"
+        )
+    schema = engine.store.read(engine.spark, table).schema
+    if col not in schema.names:
+        raise ValueError(f"column {col} not found on {table}")
+    col_class = _type_class(schema[col].dataType.simpleString())
+    ret_class = _type_class(_snowflake_type_to_spark(pol["returns"]))
+    if ret_class != col_class:
+        raise ValueError(
+            f"masking policy {pname} returns "
+            f"{pol['returns']} ({ret_class}) but {table}.{col} is "
+            f"{schema[col].dataType.simpleString()} ({col_class}) — "
+            "the policy's return type must match the column"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -1154,15 +1253,96 @@ _DROP_POLICY_RE = re.compile(
     rf"(?is)^\s*drop\s+masking\s+policy\s+({_IDENT})\s*$"
 )
 
+# Row access policies (r9, Snowflake governance parity): multi-parameter
+# boolean lambda bound to a tuple of table columns; rows where the body
+# evaluates TRUE are visible. One policy per table (Snowflake's limit).
+_CREATE_RA_POLICY_RE = re.compile(
+    rf"(?is)^\s*create\s+(or\s+replace\s+)?row\s+access\s+policy\s+"
+    rf"({_IDENT})\s+as\s*\(((?:[^()]|\([^()]*\))*)\)"
+    rf"\s*returns\s+boolean\s*->\s*(.+)$"
+)
+_DROP_RA_POLICY_RE = re.compile(
+    rf"(?is)^\s*drop\s+row\s+access\s+policy\s+({_IDENT})\s*$"
+)
+
+
+def _split_params(raw: str) -> list[tuple[str, str]]:
+    """Split ``a string, b number(10,2)`` respecting nested parens."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(raw):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(raw[start:i])
+            start = i + 1
+    parts.append(raw[start:])
+    out = []
+    for p in parts:
+        p = p.strip()
+        if not p:
+            continue
+        m = re.match(rf"(?s)^({_IDENT})\s+(.+)$", p)
+        if not m:
+            raise ValueError(f"unparsable policy parameter: {p!r}")
+        out.append((m.group(1).strip('"'), m.group(2).strip()))
+    return out
+
+
+def _probe_policy_body(engine, body: str, params: list[tuple[str, str]]):
+    """Parse+analyze the body NOW (typed-null parameters, PUBLIC role)
+    so a broken policy fails at CREATE, not at first read. Returns the
+    probed Spark result type."""
+    from .dag import _sub_ident_outside_quotes
+
+    probe = transpile(body)
+    probe = re.sub(r"(?i)\bcurrent_role\s*\(\s*\)", "'PUBLIC'", probe)
+    # Two-phase substitution: a parameter name could collide with a
+    # column name substituted for an earlier parameter.
+    for i, (pname, _ptype) in enumerate(params):
+        probe = _sub_ident_outside_quotes(probe, pname, f"__POLICY_P{i}__")
+    for i, (_pname, ptype) in enumerate(params):
+        probe = probe.replace(
+            f"__POLICY_P{i}__",
+            f"CAST(NULL AS {_snowflake_type_to_spark(ptype)})",
+        )
+    # F.expr is lazy — force parse+analysis via a schema probe.
+    return engine.spark.range(1).select(F.expr(probe)).schema[0].dataType
+
 
 def _create_policy(engine, sql: str) -> DataFrame:
     s = _strip_comments(sql).strip().rstrip(";")
+    ra = _CREATE_RA_POLICY_RE.match(s)
+    if ra:
+        replace, name, raw_params, body = (
+            bool(ra.group(1)),
+            ra.group(2).strip('"'),
+            ra.group(3),
+            ra.group(4).strip(),
+        )
+        params = _split_params(raw_params)
+        if not params:
+            raise ValueError(
+                "a row access policy needs at least one parameter"
+            )
+        dtype = _probe_policy_body(engine, body, params)
+        if dtype.typeName() != "boolean":
+            raise ValueError(
+                f"row access policy {name} must RETURN BOOLEAN — body "
+                f"evaluates to {dtype.simpleString()}"
+            )
+        engine.store.create_row_access_policy(
+            name, params, body, replace=replace
+        )
+        return _summary(engine, policies_created=1)
     m = _CREATE_POLICY_RE.match(s)
     if not m:
         raise ValueError(
-            "unparsable CREATE MASKING POLICY (expected: CREATE [OR "
-            "REPLACE] MASKING POLICY <name> AS (<param> <type>) RETURNS "
-            f"<type> -> <expr>): {s[:120]}"
+            "unparsable CREATE POLICY (expected: CREATE [OR REPLACE] "
+            "MASKING POLICY <name> AS (<param> <type>) RETURNS <type> "
+            "-> <expr>, or CREATE [OR REPLACE] ROW ACCESS POLICY <name> "
+            f"AS (<params...>) RETURNS BOOLEAN -> <expr>): {s[:120]}"
         )
     replace, name, param, ptype, _rtype, body = (
         bool(m.group(1)),
@@ -1174,16 +1354,7 @@ def _create_policy(engine, sql: str) -> DataFrame:
     )
     # Validate the body NOW (typed-null parameter, PUBLIC role): a
     # broken policy must fail at CREATE, not at first read.
-    from .dag import _sub_ident_outside_quotes
-
-    probe = transpile(body)
-    probe = re.sub(r"(?i)\bcurrent_role\s*\(\s*\)", "'PUBLIC'", probe)
-    probe = _sub_ident_outside_quotes(
-        probe, param, f"CAST(NULL AS {_snowflake_type_to_spark(ptype)})"
-    )
-    # F.expr is lazy — force parse+analysis via a schema probe so an
-    # unparsable body raises HERE, not at first read.
-    engine.spark.range(1).select(F.expr(probe)).schema
+    _probe_policy_body(engine, body, [(param, ptype)])
     engine.store.create_masking_policy(
         name, param, _rtype, body, replace=replace
     )
@@ -1193,9 +1364,26 @@ def _create_policy(engine, sql: str) -> DataFrame:
 def _drop_policy(engine, sql: str) -> DataFrame:
     s = _strip_comments(sql).strip().rstrip(";")
     m = _DROP_POLICY_RE.match(s)
+    want_kind = "masking"
     if not m:
-        raise ValueError(f"unparsable DROP MASKING POLICY: {s[:90]}")
-    engine.store.drop_masking_policy(m.group(1).strip('"'))
+        m = _DROP_RA_POLICY_RE.match(s)
+        want_kind = "row_access"
+    if not m:
+        raise ValueError(
+            f"unparsable DROP MASKING/ROW ACCESS POLICY: {s[:90]}"
+        )
+    name = m.group(1).strip('"')
+    pol = engine.store.policies().get(name.lower())
+    if pol is not None and pol.get("kind") != want_kind:
+        # the two statement forms address their own namespace, as in
+        # Snowflake — refuse a cross-kind drop instead of silently
+        # removing the other object
+        raise ValueError(
+            f"{name} is a {pol.get('kind')} policy — use DROP "
+            f"{'MASKING' if pol.get('kind') == 'masking' else 'ROW ACCESS'}"
+            " POLICY"
+        )
+    engine.store.drop_masking_policy(name)
     return _summary(engine, policies_dropped=1)
 
 

@@ -490,9 +490,17 @@ _AT_RE = re.compile(
 )
 
 
-def resolve_time_travel(spark, store, sql: str) -> str:
+def resolve_time_travel(spark, store, sql: str, mask_fn=None) -> str:
     """Rewrite ``<table> AT(...)`` clauses to temp views over the
     store's historical versions.
+
+    ``mask_fn(name, df) -> df`` — governance hook (ADVICE r8 #1):
+    Snowflake applies masking and row access policies to time-travel
+    reads too, so the engine passes its ``_policy_masked`` here; a raw
+    ``store.read_version`` view would otherwise leak pre-mask PII
+    through ``SELECT ... FROM t AT(VERSION => n)``. Policies are
+    evaluated AS OF QUERY TIME (current attachments over historical
+    data), matching Snowflake's behavior.
 
     - ``VERSION => n``: read version n directly (raises if vacuumed —
       never silently reads the wrong data, same contract as
@@ -544,7 +552,10 @@ def resolve_time_travel(spark, store, sql: str) -> str:
                     "the requested point"
                 )
         alias = f"{ident.replace('.', '_')}__at_v{v}"
-        store.read_version(spark, ident, v).createOrReplaceTempView(alias)
+        hist = store.read_version(spark, ident, v)
+        if mask_fn is not None:
+            hist = mask_fn(ident, hist)
+        hist.createOrReplaceTempView(alias)
         # re-alias back to the bare table name so existing qualified
         # references (t.x) keep resolving
         return f"{alias} AS {ident.rsplit('.', 1)[-1]}"

@@ -182,6 +182,11 @@ class TableStore:
             doc["added_columns"] = old["added_columns"]
         if old.get("masking"):
             doc["masking"] = old["masking"]
+        # a row-access attachment is table metadata just like masking —
+        # losing it on rewrite would silently unprotect the table
+        # (ADVICE r8 #2)
+        if old.get("row_access"):
+            doc["row_access"] = old["row_access"]
         tmp = self._meta_file(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(doc, f)
@@ -1119,8 +1124,16 @@ class TableStore:
         if not meta:
             raise FileNotFoundError(f"table not found: {name}")
         key = policy_name.lower()
-        if key not in self.policies():
+        pol = self.policies().get(key)
+        if pol is None:
             raise ValueError(f"masking policy not found: {policy_name}")
+        if pol.get("kind") != "masking":
+            # a row-access policy bound as a column mask would crash
+            # the read rewrite on pol['param'] (ADVICE r8 #3)
+            raise ValueError(
+                f"{policy_name} is a {pol.get('kind')} policy — only "
+                "MASKING policies can be set on a column"
+            )
         mask = dict(meta.get("masking", {}))
         mask[column] = key
         meta["masking"] = mask
@@ -1143,11 +1156,22 @@ class TableStore:
     def defer_drops(self) -> None:
         """Until commit/rollback, drop() moves table dirs to a trash
         area instead of rmtree'ing them, making DROP TABLE reversible
-        inside an all-or-nothing script."""
-        trash = os.path.join(self.root, "_tx_trash")
-        shutil.rmtree(trash, ignore_errors=True)
-        os.makedirs(trash, exist_ok=True)
-        self._drop_trash = trash
+        inside an all-or-nothing script.
+
+        The trash dir is unique per transaction (ADVICE r8 #4: a shared
+        root-level dir let a second transactional script delete the
+        first one's trashed tables, silently breaking its rollback),
+        and re-arming while armed is an explicit error rather than a
+        silent trash swap."""
+        if getattr(self, "_drop_trash", None):
+            raise RuntimeError(
+                "defer_drops() while a deferred-drop transaction is "
+                "already active — commit or roll back the first one"
+            )
+        import tempfile
+
+        os.makedirs(self.root, exist_ok=True)
+        self._drop_trash = tempfile.mkdtemp(prefix="_tx_trash_", dir=self.root)
 
     def commit_deferred_drops(self) -> None:
         trash = self._drop_trash
@@ -1296,6 +1320,11 @@ class TableStore:
         """Change-data-feed between two on-disk versions (the Delta CDF
         ``readChangeData`` analogue over this store's immutable version
         directories; builds on read_version / time travel).
+
+        STORAGE-LEVEL API: returns raw bytes, bypassing masking / row
+        access policies (like reading Delta files directly). Policy-
+        enforced CDC is ``Engine.table_changes`` (engine/dag.py), which
+        wraps this read in ``_policy_masked``.
 
         Emits rows in the ``to_version`` schema plus a ``change_type``
         column: 'insert' (key only in to), 'delete' (key only in from,

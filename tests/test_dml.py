@@ -625,3 +625,62 @@ class TestDropAndTransactions:
         assert len(results) == 2
         assert engine.query("select k from okb").collect()[0]["k"] == 2
         assert engine.store.exists("okc")
+
+    def test_transactional_script_refuses_vacuum(self, spark, engine):
+        """VERDICT r8 #7: a VACUUM mid-script can destroy the version
+        snapshots rollback restores from — refuse UP FRONT, before any
+        statement runs."""
+        engine.query("create table vt as select 1 as k")
+        with pytest.raises(ValueError, match="transactional"):
+            engine.execute_script(
+                """
+                update vt set k = 2;
+                vacuum vt;
+                """,
+                transaction=True,
+            )
+        # nothing ran: the update never happened
+        assert engine.query("select k from vt").collect()[0]["k"] == 1
+        with pytest.raises(ValueError, match="transactional"):
+            engine.execute_script("optimize vt", transaction=True)
+        # non-transactional scripts still allow vacuum
+        engine.execute_script("update vt set k = 2; vacuum vt;")
+        assert engine.query("select k from vt").collect()[0]["k"] == 2
+
+    def test_sequential_transactions_do_not_clobber_trash(
+        self, spark, engine
+    ):
+        """ADVICE r8 #4: the trash dir is unique per transaction, so a
+        later transactional script cannot delete an earlier one's
+        restore targets; the deferred-drop state is always disarmed on
+        exit (plain drop() afterwards deletes for real)."""
+        engine.query("create table t1 as select 1 as k")
+        engine.query("create table t2 as select 2 as k")
+        with pytest.raises(Exception):
+            engine.execute_script(
+                "drop table t1; select boom from nowhere;", transaction=True
+            )
+        assert engine.store.exists("t1")
+        engine.execute_script("drop table t2;", transaction=True)
+        assert not engine.store.exists("t2")
+        # state disarmed: a plain drop now deletes immediately (no trash
+        # dirs left behind in the store root)
+        import os
+
+        engine.query("drop table t1")
+        assert not engine.store.exists("t1")
+        leftovers = [
+            e
+            for e in os.listdir(engine.store.root)
+            if e.startswith("_tx_trash")
+        ]
+        assert leftovers == []
+
+    def test_defer_drops_rearm_raises(self, spark, engine):
+        engine.store.defer_drops()
+        with pytest.raises(RuntimeError, match="already active"):
+            engine.store.defer_drops()
+        engine.store.commit_deferred_drops()
+        # after disarm, arming again is fine
+        engine.store.defer_drops()
+        engine.store.commit_deferred_drops()
