@@ -49,10 +49,16 @@ _STALE_PRIORITY = ["dedup_embedding_cosine", "dedup_embedding_lsh"]
 # Prune when the next CORRECTNESS record lands (judge r6 #9: the r6
 # list was pruned once CORRECTNESS_r06 recorded every entry green).
 _RECHECK_PRIORITY = [
-    # r9: new governance entries (row access policies + governed time
-    # travel) — never driver-checked.
+    # r9: new governance/CDC entries (row access policies, governed
+    # time travel, CHANGES clause) — never driver-checked.
     "orders_row_access_read",
     "orders_governed_timetravel",
+    "orders_changes_scan",
+    "orders_stream_incremental",
+    # r9: chunk containment gained a df<=100 boilerplate cap (Spark AND
+    # oracle changed in lockstep — the sf1 rehearsal caught an O(df^2)
+    # hot block) — the hash row must re-verify.
+    "dedup_chunk_containment",
     # r9: _policy_masked now also applies row access filters and the
     # time-travel resolver routes through it (ADVICE r8 #1) — re-verify
     # the existing masked-read hash row on the changed code path.

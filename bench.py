@@ -149,6 +149,14 @@ HEADLINE = [
     # round 8: leakage-safe split — LSH pairs -> components -> split on
     # the group representative (one composed iterative pipeline)
     "corpus_leakage_safe_split",
+    # round 9: governance + change tracking — row-access/mask plan-time
+    # rewrites over seeded store tables, governed time travel (one
+    # UPDATE commit), the CHANGES clause (three commits + key-hash CDC
+    # joins), and STREAM consumption (two windows, offset bookkeeping)
+    "orders_row_access_read",
+    "orders_governed_timetravel",
+    "orders_changes_scan",
+    "orders_stream_incremental",
 ]
 
 

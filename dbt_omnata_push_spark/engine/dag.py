@@ -78,6 +78,9 @@ class Engine:
         self.pre_hooks: list[Callable[[Model], None]] = []
         self.post_hooks: list[Callable[[Model, RunResult], None]] = []
         self._view_cache: dict[str, DataFrame] = {}
+        # stream-name -> version read, pending advancement on the
+        # consuming model's successful materialization (r9)
+        self._stream_ref_reads: dict[str, int] = {}
 
     # -- registration -----------------------------------------------------
     def register(self, model: Model) -> Model:
@@ -152,13 +155,23 @@ class Engine:
         return None
 
     def ref(self, name: str) -> DataFrame:
-        """Resolve a ref: materialized output > seed > registered view."""
+        """Resolve a ref: materialized output > seed > stream >
+        registered view. A STREAM ref (r9) is the dbt-on-Snowflake
+        incremental idiom — ``ref('my_stream')`` yields the
+        unconsumed CDC delta; when the referencing model materializes
+        successfully, the offset advances (run() calls
+        _advance_streams_for), so each delta is processed exactly
+        once across runs."""
         if name in self._view_cache:
             return self._view_cache[name]
         if self.store.exists(name):
             return self._policy_masked(name, self.store.read(self.spark, name))
         if name in self.seeds:
             return self.seeds[name]
+        if name.lower() in self.store.streams():
+            df, read_v = self.stream_frame(name)
+            self._stream_ref_reads[name.lower()] = read_v
+            return df
         raise KeyError(f"unresolvable ref: {name}")
 
     def _policy_masked(self, name: str, df: DataFrame) -> DataFrame:
@@ -244,13 +257,66 @@ class Engine:
             ),
         )
 
+    def stream_frame(self, name: str) -> tuple[DataFrame, int]:
+        """The current contents of a Snowflake-style STREAM (r9): the
+        net CDC delta from the stream's offset to the tracked table's
+        current version, rendered with METADATA$ACTION /
+        METADATA$ISUPDATE and policy-governed like every engine read.
+        Returns (frame, read_version) — the version a consuming DML
+        must advance the offset to."""
+        st = self.store.streams().get(name.lower())
+        if st is None:
+            raise KeyError(f"stream not found: {name}")
+        from .sqlfront import snowflake_change_columns
+
+        table = st["table"]
+        cur = self.store.current_version(table)
+        pk = self.store.primary_key(table)
+        if not pk or len(pk.get("columns", [])) != 1:
+            raise ValueError(
+                f"stream {name}: table '{table}' lost its single-column "
+                "primary key"
+            )
+        raw = self.store.read_changes(
+            self.spark, table, st["offset"], cur, pk["columns"][0]
+        )
+        return (
+            snowflake_change_columns(self._policy_masked(table, raw)),
+            cur,
+        )
+
+    def _advance_consumed_streams(self, sql: str, kind: str) -> None:
+        """Snowflake stream semantics: a DML statement that reads a
+        stream advances its offset when it commits (a plain SELECT
+        does not). Streams referenced by name in a successful writing
+        statement advance to the version their registered view read."""
+        if kind not in (
+            "insert",
+            "insert_multi",
+            "ctas",
+            "merge",
+            "update",
+            "delete",
+            "copy",
+        ):
+            return
+        import re as _re
+
+        for sname, read_v in list(
+            getattr(self, "_stream_read_versions", {}).items()
+        ):
+            if _re.search(rf"\b{_re.escape(sname)}\b", sql, _re.IGNORECASE):
+                self.store.advance_stream(sname, read_v)
+
     def _publish(self, name: str, df: DataFrame) -> None:
         self._view_cache[name] = df
         df.createOrReplaceTempView(self.view_name(name))
 
     def _register_views(self) -> None:
         """Register every seed and store table as a temp view under its
-        own (unqualified) name, for ad-hoc SQL."""
+        own (unqualified) name, for ad-hoc SQL. Streams register too
+        (r9), tracking the version each view read so a consuming DML
+        can advance the offset."""
         for name in list(self.seeds):
             self.seeds[name].createOrReplaceTempView(name)
         if os.path.isdir(self.store.root):
@@ -261,6 +327,11 @@ class Engine:
                     self._policy_masked(
                         logical, self.store.read(self.spark, logical)
                     ).createOrReplaceTempView(view)
+        self._stream_read_versions: dict[str, int] = {}
+        for sname in self.store.streams():
+            df, read_v = self.stream_frame(sname)
+            df.createOrReplaceTempView(sname)
+            self._stream_read_versions[sname] = read_v
 
     def query(self, sql: str, dialect: str = "snowflake") -> DataFrame:
         """One-off ad-hoc statement over the engine's tables (r7): every
@@ -286,18 +357,32 @@ class Engine:
             kind = dml.statement_kind(sql)
             if kind is not None:
                 self._register_views()
-                return dml.execute(self, sql, kind)
+                res = dml.execute(self, sql, kind)
+                # Snowflake stream semantics: a consuming DML advances
+                # the offsets of streams it read (r9).
+                self._advance_consumed_streams(sql, kind)
+                return res
         self._register_views()
         if dialect == "snowflake":
             from .sqlfront import (
                 GLOBAL_ROWNUM_MARKER,
                 _AT_RE,
+                _CHANGES_RE,
+                resolve_changes,
                 resolve_global_rownum,
                 resolve_time_travel,
                 transpile,
             )
 
             sql = transpile(sql)
+            if _CHANGES_RE.search(sql):
+                # Snowflake CHANGES clause: CDC between two versions,
+                # policy-governed (r9); must resolve before time travel
+                # claims its AT(...).
+                sql = resolve_changes(
+                    self.spark, self.store, sql,
+                    mask_fn=self._policy_masked,
+                )
             if _AT_RE.search(sql):
                 sql = resolve_time_travel(
                     self.spark, self.store, sql,
@@ -414,6 +499,11 @@ class Engine:
                     self._publish(r, self.ref(r))
                 except KeyError:
                     pass
+            elif r.lower() in self.store.streams():
+                # stream refs register UNCACHED: the delta (and the
+                # recorded read version) must be fresh every run, not
+                # pinned by _view_cache
+                self.ref(r).createOrReplaceTempView(self.view_name(r))
         if model.builder is not None:
             return model.builder(ctx)
         sql = model.compile_sql(ctx)
@@ -425,12 +515,22 @@ class Engine:
             from .sqlfront import (
                 GLOBAL_ROWNUM_MARKER,
                 _AT_RE,
+                _CHANGES_RE,
+                resolve_changes,
                 resolve_global_rownum,
                 resolve_time_travel,
                 transpile,
             )
 
             sql = transpile(sql)
+            if _CHANGES_RE.search(sql):
+                # Snowflake CHANGES clause: CDC between two versions,
+                # policy-governed (r9); must resolve before time travel
+                # claims its AT(...).
+                sql = resolve_changes(
+                    self.spark, self.store, sql,
+                    mask_fn=self._policy_masked,
+                )
             if _AT_RE.search(sql):
                 # Snowflake AT(VERSION/TIMESTAMP/OFFSET => ...) reads a
                 # historical store version through a temp view (r7).
@@ -503,10 +603,26 @@ class Engine:
                 )
             if result.status == "error":
                 failed.add(name)
+            elif result.status == "success":
+                self._advance_streams_for(model)
             for hook in self.post_hooks:
                 hook(model, result)
             results[name] = result
         return results
+
+    def _advance_streams_for(self, model: Model) -> None:
+        """A model that consumed stream refs and materialized
+        SUCCESSFULLY advances those streams' offsets to the versions
+        its build read — Snowflake's consume-on-commit, per model run.
+        Error/skipped runs leave offsets untouched, so the delta is
+        re-delivered next run (at-least-once, exactly-once on
+        success)."""
+        for r in model.refs:
+            key = r.lower()
+            if key in self.store.streams() and key in self._stream_ref_reads:
+                self.store.advance_stream(
+                    key, self._stream_ref_reads.pop(key)
+                )
 
     def _run_parallel(
         self,
@@ -574,6 +690,8 @@ class Engine:
                         raise exc
                     if result.status == "error":
                         failed.add(name)
+                    elif result.status == "success":
+                        self._advance_streams_for(self.models[name])
                     for hook in self.post_hooks:
                         hook(self.models[name], result)
                     results[name] = result

@@ -154,6 +154,8 @@ _KIND_RE = re.compile(
     r"drop\s+masking\s+policy\b|"
     r"create\s+(?:or\s+replace\s+)?row\s+access\s+policy\b|"
     r"drop\s+row\s+access\s+policy\b|"
+    r"create\s+(?:or\s+replace\s+)?stream\b|"
+    r"drop\s+stream\b|"
     r"create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+|transient\s+)?table\b)"
 )
 
@@ -168,6 +170,8 @@ def statement_kind(sql: str) -> str | None:
     kw = re.sub(r"\s+", " ", m.group(1).lower())
     if "masking policy" in kw or "row access policy" in kw:
         return "create_policy" if kw.startswith("create") else "drop_policy"
+    if "stream" in kw:
+        return "create_stream" if kw.startswith("create") else "drop_stream"
     if kw.startswith("create"):
         return "ctas"
     if kw in ("insert all", "insert first"):
@@ -896,6 +900,7 @@ _SHOW_POLICIES_RE = re.compile(r"(?is)^\s*show\s+masking\s+policies\s*$")
 _SHOW_RA_POLICIES_RE = re.compile(
     r"(?is)^\s*show\s+row\s+access\s+policies\s*$"
 )
+_SHOW_PK_RE = re.compile(r"(?is)^\s*show\s+primary\s+keys\s*$")
 _DESC_RE = re.compile(
     rf"(?is)^\s*(?:describe|desc)\s+(history\s+|table\s+)?({_TABLE})\s*$"
 )
@@ -926,6 +931,32 @@ def _show(engine, sql: str) -> DataFrame:
         )
         return engine.spark.createDataFrame(
             rows, "name string, signature string, body string"
+        )
+    if _SHOW_STREAMS_RE.match(s):
+        rows = sorted(
+            (n, st["table"], st["offset"])
+            for n, st in engine.store.streams().items()
+        )
+        return engine.spark.createDataFrame(
+            rows, "name string, table_name string, offset long"
+        )
+    if _SHOW_PK_RE.match(s):
+        import os as _os
+
+        rows = []
+        root = engine.store.root
+        if _os.path.isdir(root):
+            for entry in sorted(_os.listdir(root)):
+                logical = entry.replace("__", ".")
+                if not engine.store.exists(logical):
+                    continue
+                pk = engine.store.primary_key(logical)
+                if pk:
+                    rows.append(
+                        (logical, pk["name"], ", ".join(pk["columns"]))
+                    )
+        return engine.spark.createDataFrame(
+            rows, "table_name string, constraint_name string, columns string"
         )
     if not _SHOW_RE.match(s):
         raise ValueError(f"unsupported SHOW statement: {s[:80]}")
@@ -1114,6 +1145,22 @@ _ALTER_UNSET_MASK_RE = re.compile(
     rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+modify\s+(?:column\s+)?"
     rf"({_IDENT})\s+unset\s+masking\s+policy\s*$"
 )
+_ALTER_ADD_PK_RE = re.compile(
+    rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+add\s+"
+    rf"(?:constraint\s+({_IDENT})\s+)?primary\s+key\s*"
+    rf"\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)\s*$"
+)
+_ALTER_DROP_PK_RE = re.compile(
+    rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+drop\s+primary\s+key\s*$"
+)
+_ALTER_ADD_CHECK_RE = re.compile(
+    rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+add\s+constraint\s+"
+    rf"({_IDENT})\s+check\s*\((.+)\)\s*$"
+)
+_ALTER_DROP_CHECK_RE = re.compile(
+    rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+drop\s+constraint\s+"
+    rf"({_IDENT})\s*$"
+)
 _ALTER_ADD_RA_RE = re.compile(
     rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+add\s+row\s+access\s+policy\s+"
     rf"({_IDENT})\s+on\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)\s*$"
@@ -1148,6 +1195,37 @@ def _alter(engine, sql: str) -> DataFrame:
         old = _resolve_table(engine, m.group(1))
         engine.store.rename_table(old, _clean_ident(m.group(2)))
         return _summary(engine, tables_renamed=1)
+    m = _ALTER_ADD_PK_RE.match(s)
+    if m:
+        table = _resolve_table(engine, m.group(1))
+        cname = (m.group(2) or "pk").strip('"')
+        cols = [c.strip().strip('"') for c in m.group(3).split(",")]
+        engine.store.set_primary_key(table, cname, cols)
+        return _summary(engine, primary_keys_added=1)
+    m = _ALTER_DROP_PK_RE.match(s)
+    if m:
+        table = _resolve_table(engine, m.group(1))
+        had = engine.store.primary_key(table) is not None
+        engine.store.drop_primary_key(table)
+        return _summary(engine, primary_keys_dropped=1 if had else 0)
+    m = _ALTER_ADD_CHECK_RE.match(s)
+    if m:
+        table = _resolve_table(engine, m.group(1))
+        expr = transpile(m.group(3).strip())
+        # probe-analyze against the table NOW so a broken predicate
+        # fails the ALTER, not the next write
+        engine.store.read(engine.spark, table).limit(0).filter(
+            F.expr(expr)
+        ).schema
+        engine.store.add_check_constraint(
+            table, m.group(2).strip('"'), expr
+        )
+        return _summary(engine, constraints_added=1)
+    m = _ALTER_DROP_CHECK_RE.match(s)
+    if m:
+        table = _resolve_table(engine, m.group(1))
+        engine.store.drop_check_constraint(table, m.group(2).strip('"'))
+        return _summary(engine, constraints_dropped=1)
     m = _ALTER_ADD_RA_RE.match(s)
     if m:
         table = _resolve_table(engine, m.group(1))
@@ -1187,7 +1265,9 @@ def _alter(engine, sql: str) -> DataFrame:
     raise ValueError(
         "supported ALTER TABLE forms: ADD [COLUMN] <name> <type>, "
         "RENAME TO <name>, MODIFY [COLUMN] <name> SET/UNSET MASKING "
-        "POLICY, ADD/DROP ROW ACCESS POLICY <p> [ON (cols)] "
+        "POLICY, ADD/DROP ROW ACCESS POLICY <p> [ON (cols)], "
+        "ADD [CONSTRAINT <n>] PRIMARY KEY (cols), DROP PRIMARY KEY, "
+        "ADD CONSTRAINT <n> CHECK (<expr>), DROP CONSTRAINT <n> "
         f"(got: {s[:90]})"
     )
 
@@ -1387,6 +1467,48 @@ def _drop_policy(engine, sql: str) -> DataFrame:
     return _summary(engine, policies_dropped=1)
 
 
+# Snowflake STREAM objects (r9): offset-tracked CDC over the versioned
+# store, consumed by DML (Engine advances the offset after a consuming
+# statement succeeds).
+_CREATE_STREAM_RE = re.compile(
+    rf"(?is)^\s*create\s+(or\s+replace\s+)?stream\s+({_IDENT})\s+"
+    rf"on\s+table\s+({_TABLE})"
+    rf"(?:\s+at\s*\(\s*version\s*=>\s*(\d+)\s*\))?\s*$"
+)
+_DROP_STREAM_RE = re.compile(
+    rf"(?is)^\s*drop\s+stream\s+({_IDENT})\s*$"
+)
+_SHOW_STREAMS_RE = re.compile(r"(?is)^\s*show\s+streams\s*$")
+
+
+def _create_stream(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _CREATE_STREAM_RE.match(s)
+    if not m:
+        raise ValueError(
+            "unparsable CREATE STREAM (expected: CREATE [OR REPLACE] "
+            "STREAM <name> ON TABLE <t> [AT(VERSION => n)]): "
+            f"{s[:120]}"
+        )
+    table = _resolve_table(engine, m.group(3))
+    engine.store.create_stream(
+        m.group(2).strip('"'),
+        table,
+        offset=int(m.group(4)) if m.group(4) is not None else None,
+        replace=bool(m.group(1)),
+    )
+    return _summary(engine, streams_created=1)
+
+
+def _drop_stream(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _DROP_STREAM_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable DROP STREAM: {s[:90]}")
+    engine.store.drop_stream(m.group(1).strip('"'))
+    return _summary(engine, streams_dropped=1)
+
+
 _DROP_RE = re.compile(
     rf"(?is)^\s*drop\s+table\s+(if\s+exists\s+)?({_TABLE})\s*$"
 )
@@ -1425,6 +1547,8 @@ _DISPATCH = {
     "drop": _drop,
     "create_policy": _create_policy,
     "drop_policy": _drop_policy,
+    "create_stream": _create_stream,
+    "drop_stream": _drop_stream,
 }
 
 

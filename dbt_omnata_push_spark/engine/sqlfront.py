@@ -489,6 +489,117 @@ _AT_RE = re.compile(
     re.IGNORECASE,
 )
 
+# Snowflake change tracking: ``FROM t CHANGES(INFORMATION => DEFAULT |
+# APPEND_ONLY) AT(VERSION => n) [END(VERSION => m)]`` (r9). Resolution
+# mirrors resolve_time_travel: the FROM target swaps for a temp view
+# over the store's version-diff CDC read (store.read_changes), rendered
+# with Snowflake's metadata columns. Must run BEFORE resolve_time_travel
+# (its own AT(...) belongs to the CHANGES clause, not to time travel).
+_CHANGES_RE = re.compile(
+    r"\b([A-Za-z_][\w.]*)\s+changes\s*\(\s*information\s*=>\s*"
+    r"(default|append_only)\s*\)"
+    r"\s*at\s*\(\s*version\s*=>\s*(\d+)\s*\)"
+    r"(?:\s*end\s*\(\s*version\s*=>\s*(\d+)\s*\))?",
+    re.IGNORECASE,
+)
+
+
+def snowflake_change_columns(df):
+    """Render a store.read_changes frame with Snowflake's change-
+    tracking metadata columns: METADATA$ACTION ('INSERT'|'DELETE') and
+    METADATA$ISUPDATE (update pre/post images), dropping the internal
+    change_type. Shared by the CHANGES clause and STREAM reads."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.withColumn(
+            "METADATA$ACTION",
+            F.when(
+                F.col("change_type").isin("insert", "update_postimage"),
+                F.lit("INSERT"),
+            ).otherwise(F.lit("DELETE")),
+        )
+        .withColumn(
+            "METADATA$ISUPDATE",
+            F.col("change_type").startswith("update"),
+        )
+        .drop("change_type")
+    )
+
+
+def resolve_changes(spark, store, sql: str, mask_fn=None) -> str:
+    """Rewrite ``<table> CHANGES(INFORMATION => ...) AT(VERSION => n)
+    [END(VERSION => m)]`` to temp views over the store's CDC diff.
+
+    Snowflake semantics (net delta between the two points, reference:
+    Snowflake CHANGES clause on change-tracked tables):
+    - ``DEFAULT``: inserts as (METADATA$ACTION='INSERT',
+      METADATA$ISUPDATE=false), deletes as ('DELETE', false), updated
+      rows as a pre-image ('DELETE', true) + post-image ('INSERT',
+      true) pair. Unchanged rows emit nothing.
+    - ``APPEND_ONLY``: only appended rows (inserts; update images and
+      deletes excluded).
+    - END defaults to the table's current version. Start point is
+      VERSION only (Snowflake also allows TIMESTAMP/OFFSET there; use
+      AT time travel to resolve a timestamp to a version first).
+    - Row identity is the table's informational PRIMARY KEY
+      (``ALTER TABLE t ADD [CONSTRAINT n] PRIMARY KEY (col)``) — the
+      engine analogue of Snowflake's change-tracking requirement
+      (CHANGE_TRACKING = TRUE): CHANGES on a table without a PK raises.
+    - ``mask_fn``: governance hook — masking and row access policies
+      apply to change rows exactly as on time-travel reads.
+    In Spark SQL, quote the metadata columns with backticks
+    (`` `METADATA$ACTION` ``); Snowflake's unquoted form is not valid
+    Spark identifier syntax.
+    """
+    from pyspark.sql import functions as F
+
+    def sub(m: re.Match) -> str:
+        ident, info, v_from = m.group(1), m.group(2).lower(), int(m.group(3))
+        pk = store.primary_key(ident)
+        if not pk:
+            raise ValueError(
+                f"CHANGES requires a PRIMARY KEY on '{ident}' for row "
+                "identity — ALTER TABLE ... ADD PRIMARY KEY (col) first "
+                "(the engine analogue of CHANGE_TRACKING = TRUE)"
+            )
+        if len(pk["columns"]) != 1:
+            raise ValueError(
+                "CHANGES currently supports single-column primary keys "
+                f"(got {pk['columns']} on '{ident}')"
+            )
+        v_end = (
+            int(m.group(4))
+            if m.group(4) is not None
+            else store.current_version(ident)
+        )
+        raw = store.read_changes(
+            spark, ident, v_from, v_end, pk["columns"][0]
+        )
+        if info == "append_only":
+            raw = raw.filter(F.col("change_type") == "insert")
+        if mask_fn is not None:
+            raw = mask_fn(ident, raw)
+        df = (
+            raw.withColumn(
+                "METADATA$ACTION",
+                F.when(
+                    F.col("change_type").isin("insert", "update_postimage"),
+                    F.lit("INSERT"),
+                ).otherwise(F.lit("DELETE")),
+            )
+            .withColumn(
+                "METADATA$ISUPDATE",
+                F.col("change_type").startswith("update"),
+            )
+            .drop("change_type")
+        )
+        alias = f"{ident.replace('.', '_')}__changes_v{v_from}_{v_end}"
+        df.createOrReplaceTempView(alias)
+        return f"{alias} AS {ident.rsplit('.', 1)[-1]}"
+
+    return _CHANGES_RE.sub(sub, sql)
+
 
 def resolve_time_travel(spark, store, sql: str, mask_fn=None) -> str:
     """Rewrite ``<table> AT(...)`` clauses to temp views over the

@@ -187,6 +187,8 @@ class TableStore:
         # (ADVICE r8 #2)
         if old.get("row_access"):
             doc["row_access"] = old["row_access"]
+        if old.get("primary_key"):
+            doc["primary_key"] = old["primary_key"]
         tmp = self._meta_file(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(doc, f)
@@ -204,6 +206,43 @@ class TableStore:
         cons = dict(meta.get("constraints") or {})
         cons[cname] = expr_sql
         meta["constraints"] = cons
+        tmp = self._meta_file(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_file(name))
+
+    def set_primary_key(self, name: str, cname: str, columns: list[str]):
+        """Informational PRIMARY KEY (r9, Snowflake parity: Snowflake
+        records but does not enforce PK constraints). Used as the row
+        identity for the CHANGES() clause (read_changes key). One PK
+        per table; survives rewrites via _set_meta."""
+        meta = self.meta(name)
+        if not meta:
+            raise FileNotFoundError(f"table not found: {name}")
+        schema = StructType.fromJson(meta["schema"]) if meta.get("schema") else None
+        if schema is not None:
+            missing = [c for c in columns if c not in schema.names]
+            if missing:
+                raise ValueError(
+                    f"primary key column(s) not on {name}: {missing}"
+                )
+        if meta.get("primary_key"):
+            raise ValueError(
+                f"table {name} already has a primary key "
+                f"({meta['primary_key']['name']}) — drop it first"
+            )
+        meta["primary_key"] = {"name": cname, "columns": list(columns)}
+        tmp = self._meta_file(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_file(name))
+
+    def primary_key(self, name: str) -> dict | None:
+        return self.meta(name).get("primary_key")
+
+    def drop_primary_key(self, name: str):
+        meta = self.meta(name)
+        meta.pop("primary_key", None)
         tmp = self._meta_file(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -1058,6 +1097,77 @@ class TableStore:
             if ra and ra.get("policy") == key:
                 attached.append(logical)
         return attached
+
+    # -- streams (r9, Snowflake STREAM objects) ---------------------------
+    def _streams_file(self) -> str:
+        return os.path.join(self.root, "_streams.json")
+
+    def streams(self) -> dict:
+        try:
+            with open(self._streams_file()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def _write_streams(self, streams: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._streams_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(streams, f)
+        os.replace(tmp, self._streams_file())
+
+    def create_stream(
+        self,
+        name: str,
+        table: str,
+        offset: int | None = None,
+        replace: bool = False,
+    ) -> None:
+        """Snowflake CREATE STREAM s ON TABLE t: records a CDC offset
+        (a committed version of t); reading the stream yields the net
+        delta offset -> current, and a consuming DML advances the
+        offset (Engine handles both). Requires a single-column
+        informational PRIMARY KEY on t for row identity — the engine
+        analogue of CHANGE_TRACKING = TRUE. Offset defaults to t's
+        CURRENT version (a fresh stream is empty, as in Snowflake)."""
+        streams = self.streams()
+        key = name.lower()
+        if key in streams and not replace:
+            raise ValueError(f"stream already exists: {name}")
+        cur = self.current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"table not found: {table}")
+        pk = self.primary_key(table)
+        if not pk or len(pk.get("columns", [])) != 1:
+            raise ValueError(
+                f"CREATE STREAM requires a single-column PRIMARY KEY on "
+                f"'{table}' for row identity — ALTER TABLE ... ADD "
+                "PRIMARY KEY (col) first"
+            )
+        if offset is None:
+            offset = cur
+        elif offset > cur:
+            raise ValueError(
+                f"stream offset {offset} is beyond '{table}' current "
+                f"version {cur}"
+            )
+        streams[key] = {"table": table, "offset": int(offset)}
+        self._write_streams(streams)
+
+    def drop_stream(self, name: str) -> None:
+        streams = self.streams()
+        key = name.lower()
+        if key not in streams:
+            raise ValueError(f"stream not found: {name}")
+        streams.pop(key)
+        self._write_streams(streams)
+
+    def advance_stream(self, name: str, version: int) -> None:
+        streams = self.streams()
+        key = name.lower()
+        if key in streams:
+            streams[key]["offset"] = int(version)
+            self._write_streams(streams)
 
     def drop_masking_policy(self, name: str) -> None:
         """Drop a policy OBJECT of either kind. Refuses while attached

@@ -979,6 +979,7 @@ def cdc_chunk_containment(
     min_containment_pct: int = 80,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_chunk_df: int | None = None,
     **chunk_opts,
 ) -> DataFrame:
     """Containment detection over CDC chunks: ordered pairs (a, b)
@@ -993,17 +994,46 @@ def cdc_chunk_containment(
     Scale shape: the pair join is keyed by chunk HASH (only docs
     sharing a chunk ever meet — the same blocking posture as the LSH
     band join), counts ride (a, b) id pairs, and the per-doc distinct
-    chunk counts broadcast back via a keyed join. Ubiquitous chunks
-    widen the blocks; cap them upstream the way lsh bands cap bucket
-    width if a corpus develops boilerplate (or strip boilerplate first
-    — boilerplate_block_removal exists for exactly that).
+    chunk counts broadcast back via a keyed join. The (id, hash) chunk
+    frame is persisted once (40 bytes/chunk, spillable) — it feeds the
+    block join twice plus the denominator count, and recomputing the
+    CDC chunking expression three times dominated the r9 rehearsal.
+
+    ``max_chunk_df`` (r9, the 100 TB knob): a chunk present in more
+    than this many documents is BOILERPLATE — its block contributes
+    O(df^2) pairs, and the r9 sf1 rehearsal measured exactly that
+    (one 825-doc block grew to 7074 docs at 10x data, turning the
+    linear-by-design join 13.6x superlinear). With the cap, such
+    chunks are excluded from both the numerator blocks AND each doc's
+    denominator (containment is then "over non-ubiquitous chunks" —
+    Broder's coefficient on the informative feature set), bounding
+    every block at max_chunk_df and the total pair work at
+    O(n_chunks * max_chunk_df). None preserves the exact unfiltered
+    semantics.
 
     Output: (a, b, n_common, n_chunks_a, containment_pct), a != b,
     containment_pct = 100 * n_common // n_chunks_a (integer floor).
     """
-    chunks = cdc_chunk_spans(df, text_col, id_col, **chunk_opts).select(
-        F.col(id_col), F.md5(F.col("chunk")).alias("h")
-    ).distinct()
+    from pyspark import StorageLevel
+
+    # Persist BEFORE the df-cap join so the expensive chunking
+    # expression runs once; the cap filter and every consumer below
+    # read the persisted (id, hash) frame.
+    chunks = (
+        cdc_chunk_spans(df, text_col, id_col, **chunk_opts)
+        .select(F.col(id_col), F.md5(F.col("chunk")).alias("h"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if max_chunk_df is not None:
+        dfreq = chunks.groupBy("h").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        chunks = (
+            chunks.join(
+                dfreq.filter(F.col("_df") <= max_chunk_df), "h"
+            ).drop("_df")
+        )
     counts = chunks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
     a = chunks.select(F.col(id_col).alias("a"), "h")
     b = chunks.select(F.col(id_col).alias("b"), "h")

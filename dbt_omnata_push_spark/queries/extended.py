@@ -2116,3 +2116,142 @@ def orders_governed_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "select o_orderkey, o_orderstatus, o_totalprice "
         "from ord_tt at(version => 0)"
     )
+
+
+@query(
+    "orders_changes_scan",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           'DELETE' AS action, FALSE AS isupdate
+    FROM base WHERE o_orderstatus = 'P'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           'DELETE' AS action, TRUE AS isupdate
+    FROM base WHERE o_orderstatus <> 'P' AND o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice + 1,
+           'INSERT' AS action, TRUE AS isupdate
+    FROM base WHERE o_orderstatus <> 'P' AND o_orderkey % 10 = 0
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), 'O', CAST(0.0 AS DOUBLE),
+           'INSERT' AS action, FALSE AS isupdate
+    """,
+    tags=("engine", "cdc", "time_travel", "dml"),
+)
+def orders_changes_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake CHANGES clause end-to-end (r9): informational PRIMARY
+    KEY (ALTER TABLE ADD CONSTRAINT ... PRIMARY KEY — the engine
+    analogue of CHANGE_TRACKING = TRUE), three mutation commits
+    (UPDATE a deterministic slice, DELETE a status class, INSERT a
+    sentinel row), then one declarative scan of the net delta:
+    ``FROM t CHANGES(INFORMATION => DEFAULT) AT(VERSION => 0)``
+    (engine/sqlfront.py::resolve_changes over store.read_changes).
+    Updated rows emit a pre-image (DELETE, ISUPDATE=true) + post-image
+    (INSERT, true) pair, deletes (DELETE, false), inserts (INSERT,
+    false) — the oracle reconstructs the identical delta inline from
+    the base table, so a hash match certifies the PK plumbing, the
+    version-diff CDC, the metadata-column rendering, AND that
+    unchanged rows are CDC-silent. Scale shape: three key-hash joins,
+    O(changed) output regardless of table size."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-ch-")))
+    engine.seed(
+        "ord_ch",
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+    )
+    engine.query(
+        "alter table ord_ch add constraint ord_pk primary key (o_orderkey)"
+    )
+    engine.query(
+        "update ord_ch set o_totalprice = o_totalprice + 1 "
+        "where o_orderstatus <> 'P' and o_orderkey % 10 = 0"
+    )
+    engine.query("delete from ord_ch where o_orderstatus = 'P'")
+    engine.query(
+        "insert into ord_ch "
+        "select cast(-1 as bigint), 'O', cast(0.0 as double)"
+    )
+    return engine.query(
+        "select o_orderkey, o_orderstatus, o_totalprice, "
+        "`METADATA$ACTION` as action, `METADATA$ISUPDATE` as isupdate "
+        "from ord_ch changes(information => default) at(version => 0)"
+    )
+
+
+@query(
+    "orders_stream_incremental",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           'DELETE' AS action, TRUE AS isupdate, CAST(1 AS INT) AS win
+    FROM base WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice + 1,
+           'INSERT' AS action, TRUE AS isupdate, CAST(1 AS INT) AS win
+    FROM base WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus,
+           o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END,
+           'DELETE' AS action, FALSE AS isupdate, CAST(2 AS INT) AS win
+    FROM base WHERE o_orderstatus = 'P'
+    """,
+    tags=("engine", "cdc", "stream", "dml"),
+)
+def orders_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake STREAM consumption end-to-end (r9): CREATE STREAM on a
+    PK-tracked table, mutate (window 1: UPDATE a key slice), CONSUME
+    the stream via CTAS — which advances the offset, Snowflake's
+    defining stream semantic — then mutate again (window 2: DELETE a
+    status class) and read the stream a second time. The result unions
+    both windows: window 1 is the consumed delta (update pre/post
+    pairs), window 2 is ONLY the post-consumption delta — any overlap
+    between the windows, or any missed advance, breaks the hash. The
+    window-2 delete pre-images must show the WINDOW-1-UPDATED prices
+    (CDC reads compose across commits), which the oracle reconstructs
+    with an inline CASE. Certifies: stream offset bookkeeping,
+    consuming-DML advancement (engine/dag.py::_advance_consumed_streams),
+    non-advancing plain SELECT, and version-diff CDC stacking."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-st-")))
+    engine.seed(
+        "ord_si",
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+    )
+    engine.query("alter table ord_si add primary key (o_orderkey)")
+    engine.query("create stream st_ord on table ord_si")
+    engine.query(
+        "update ord_si set o_totalprice = o_totalprice + 1 "
+        "where o_orderkey % 5 = 0"
+    )
+    engine.query(
+        "create table delta1 as "
+        "select o_orderkey, o_orderstatus, o_totalprice, "
+        "`METADATA$ACTION` as action, `METADATA$ISUPDATE` as isupdate "
+        "from st_ord"
+    )
+    engine.query("delete from ord_si where o_orderstatus = 'P'")
+    return engine.query(
+        "select o_orderkey, o_orderstatus, o_totalprice, action, "
+        "isupdate, cast(1 as int) as win from delta1 "
+        "union all "
+        "select o_orderkey, o_orderstatus, o_totalprice, "
+        "`METADATA$ACTION` as action, `METADATA$ISUPDATE` as isupdate, "
+        "cast(2 as int) as win from st_ord"
+    )

@@ -2610,11 +2610,17 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
              lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS e
       FROM pos
     ),
-    chunks AS MATERIALIZED (
+    allchunks AS MATERIALIZED (
       SELECT DISTINCT spans.doc_id,
              md5(substr(d.text, s + 1, COALESCE(e, d.n) - s)) AS h
       FROM spans JOIN d ON d.doc_id = spans.doc_id
       WHERE COALESCE(e, d.n) > s
+    ),
+    dfreq AS (SELECT h, COUNT(*) AS df FROM allchunks GROUP BY h),
+    chunks AS MATERIALIZED (
+      SELECT allchunks.doc_id, allchunks.h
+      FROM allchunks JOIN dfreq ON allchunks.h = dfreq.h
+      WHERE dfreq.df <= 100
     ),
     counts AS (SELECT doc_id, COUNT(*) AS n FROM chunks GROUP BY doc_id),
     common AS (
@@ -2637,11 +2643,16 @@ def dedup_chunk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 80%% of a's distinct chunks recur in b — the quoted/embedded-doc
     detector symmetric Jaccard underscores. Blocked by chunk hash
     (only docs sharing a chunk ever meet); exact Broder containment
-    coefficient in integer arithmetic."""
+    coefficient in integer arithmetic. r9: ubiquitous chunks (document
+    frequency > 100 — boilerplate) are excluded from blocks AND
+    denominators, mirrored in the oracle's dfreq CTE — the r9 sf1
+    rehearsal measured one hot block going 825 -> 7074 docs at 10x
+    data (O(df^2) pairs, 13.6x superlinear); the cap bounds every
+    block, restoring linear pair work."""
     from ..llmops.dedup import cdc_chunk_containment
 
     docs = load_table(spark, sf_dir, "documents")
-    out = cdc_chunk_containment(docs)
+    out = cdc_chunk_containment(docs, max_chunk_df=100)
     return out.select(
         "a", "b",
         F.col("n_common").cast("long").alias("n_common"),

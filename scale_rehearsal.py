@@ -106,6 +106,18 @@ QUERIES = [
     # propagation + map-side split; replicas are near-dup-disjoint so
     # component structure scales linearly -> expect ~linear
     "corpus_leakage_safe_split",
+    # round 9 (VERDICT r8 #6): masked read — expression substitution is
+    # plan-time, so expect ~linear scan cost; chunk containment pairs
+    # CDC chunk hashes via equi-join -> expect ~linear (replica
+    # vocabularies are disjoint, no cross-replica containment edges)
+    "customers_masked_read",
+    "dedup_chunk_containment",
+    # round 9: governance reads — row-access filter + mask are a
+    # plan-time rewrite over a seeded store table; the UPDATE commit in
+    # the time-travel query is the only versioned write -> expect the
+    # commit path's ~linear write cost to dominate
+    "orders_row_access_read",
+    "orders_governed_timetravel",
 ]
 
 TABLES = ["documents", "embeddings", "customer", "events", "orders"]
