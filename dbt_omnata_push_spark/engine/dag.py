@@ -272,13 +272,12 @@ class Engine:
         table = st["table"]
         cur = self.store.current_version(table)
         pk = self.store.primary_key(table)
-        if not pk or len(pk.get("columns", [])) != 1:
+        if not pk:
             raise ValueError(
-                f"stream {name}: table '{table}' lost its single-column "
-                "primary key"
+                f"stream {name}: table '{table}' lost its primary key"
             )
         raw = self.store.read_changes(
-            self.spark, table, st["offset"], cur, pk["columns"][0]
+            self.spark, table, st["offset"], cur, pk["columns"]
         )
         return (
             snowflake_change_columns(self._policy_masked(table, raw)),
@@ -447,6 +446,12 @@ class Engine:
             }
 
         before = {t: self.store.current_version(t) for t in _store_tables()}
+        # stream offsets are transactional state too (r9): a stream
+        # consumed (or created/dropped) by a failing script must roll
+        # back with the tables, or the delta it read is silently lost.
+        streams_before = {
+            k: dict(v) for k, v in self.store.streams().items()
+        }
         results = []
         # DROP TABLE inside the transaction trashes instead of deleting,
         # so a later statement failure can restore the dropped table
@@ -462,6 +467,7 @@ class Engine:
                 # are dropped for real, then changed tables rewind to
                 # their pre-script version.
                 self.store.rollback_deferred_drops()
+                self.store._write_streams(streams_before)
                 for t in _store_tables() - set(before):
                     self.store.drop(t)  # created by the failed script
                     self.seeds.pop(t, None)

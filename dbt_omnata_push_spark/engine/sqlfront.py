@@ -563,18 +563,13 @@ def resolve_changes(spark, store, sql: str, mask_fn=None) -> str:
                 "identity — ALTER TABLE ... ADD PRIMARY KEY (col) first "
                 "(the engine analogue of CHANGE_TRACKING = TRUE)"
             )
-        if len(pk["columns"]) != 1:
-            raise ValueError(
-                "CHANGES currently supports single-column primary keys "
-                f"(got {pk['columns']} on '{ident}')"
-            )
         v_end = (
             int(m.group(4))
             if m.group(4) is not None
             else store.current_version(ident)
         )
         raw = store.read_changes(
-            spark, ident, v_from, v_end, pk["columns"][0]
+            spark, ident, v_from, v_end, pk["columns"]
         )
         if info == "append_only":
             raw = raw.filter(F.col("change_type") == "insert")

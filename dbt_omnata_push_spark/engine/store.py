@@ -1126,8 +1126,8 @@ class TableStore:
         """Snowflake CREATE STREAM s ON TABLE t: records a CDC offset
         (a committed version of t); reading the stream yields the net
         delta offset -> current, and a consuming DML advances the
-        offset (Engine handles both). Requires a single-column
-        informational PRIMARY KEY on t for row identity — the engine
+        offset (Engine handles both). Requires an informational PRIMARY
+        KEY on t (single or composite) for row identity — the engine
         analogue of CHANGE_TRACKING = TRUE. Offset defaults to t's
         CURRENT version (a fresh stream is empty, as in Snowflake)."""
         streams = self.streams()
@@ -1138,11 +1138,11 @@ class TableStore:
         if cur is None:
             raise FileNotFoundError(f"table not found: {table}")
         pk = self.primary_key(table)
-        if not pk or len(pk.get("columns", [])) != 1:
+        if not pk:
             raise ValueError(
-                f"CREATE STREAM requires a single-column PRIMARY KEY on "
-                f"'{table}' for row identity — ALTER TABLE ... ADD "
-                "PRIMARY KEY (col) first"
+                f"CREATE STREAM requires a PRIMARY KEY on '{table}' for "
+                "row identity — ALTER TABLE ... ADD PRIMARY KEY (cols) "
+                "first"
             )
         if offset is None:
             offset = cur
@@ -1425,7 +1425,7 @@ class TableStore:
         name: str,
         from_version: int,
         to_version: int,
-        unique_key: str,
+        unique_key: str | list[str],
     ) -> DataFrame:
         """Change-data-feed between two on-disk versions (the Delta CDF
         ``readChangeData`` analogue over this store's immutable version
@@ -1448,8 +1448,13 @@ class TableStore:
         plain hash shuffle on the key — never a full-row comparison
         shuffle (the digest is computed map-side). Downstream
         incremental consumers get O(changed) rows regardless of table
-        size.
+        size. ``unique_key`` may be a single column or a composite key
+        (list) — the joins fold null-safe equality over every part
+        (r9).
         """
+        keys = (
+            [unique_key] if isinstance(unique_key, str) else list(unique_key)
+        )
         old = self.read_version(spark, name, from_version)
         new = self.read_version(spark, name, to_version)
         # Render the old version in the new (possibly widened) schema:
@@ -1457,7 +1462,7 @@ class TableStore:
         old_w = old.unionByName(new.limit(0), allowMissingColumns=True).select(
             new.columns
         )
-        payload = [c for c in new.columns if c != unique_key]
+        payload = [c for c in new.columns if c not in keys]
 
         def digest(df: DataFrame) -> DataFrame:
             return df.withColumn(
@@ -1469,7 +1474,9 @@ class TableStore:
         # identically in both versions is "unchanged" and must emit
         # nothing — plain = would mis-emit it as an insert+delete pair.
         # Mirrors ops/ivm.py's eqNullSafe key fold.
-        key_eq = F.col(f"o.{unique_key}").eqNullSafe(F.col(f"n.{unique_key}"))
+        key_eq = F.lit(True)
+        for k in keys:
+            key_eq = key_eq & F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
         inserts = (
             n.join(o, key_eq, "left_anti")
             .drop("_digest")

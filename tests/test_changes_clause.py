@@ -139,15 +139,26 @@ class TestChangesClause:
                 "at(version => 0)"
             )
 
-    def test_multi_column_pk_clear_error(self, spark, engine):
-        engine.query("create table mpk as select 1 as a, 2 as b")
+    def test_composite_pk_changes(self, spark, engine):
+        """r9: composite primary keys fold null-safe equality over
+        every part — an update to a NON-key column on a two-part key
+        emits exactly one pre/post pair."""
+        engine.query(
+            "create table mpk as "
+            "select 1 as a, 10 as b, 'x' as payload "
+            "union all select 1, 20, 'y' "
+            "union all select 2, 10, 'z'"
+        )
         engine.query("alter table mpk add primary key (a, b)")
-        engine.query("update mpk set b = 3")
-        with pytest.raises(ValueError, match="single-column"):
-            engine.query(
-                "select * from mpk changes(information => default) "
-                "at(version => 0)"
-            )
+        engine.query("update mpk set payload = 'Y2' where a = 1 and b = 20")
+        rows = engine.query(
+            "select a, b, payload, `METADATA$ACTION` as action, "
+            "`METADATA$ISUPDATE` as isupdate "
+            "from mpk changes(information => default) at(version => 0)"
+        ).collect()
+        got = sorted((r["a"], r["b"], r["payload"], r["action"]) for r in rows)
+        assert got == [(1, 20, "Y2", "INSERT"), (1, 20, "y", "DELETE")]
+        assert all(r["isupdate"] for r in rows)
 
     def test_changes_are_policy_governed(self, spark, engine):
         """Masks and row access filters apply to change rows, like

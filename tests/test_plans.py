@@ -482,3 +482,28 @@ def test_store_partitioned_join_uses_dynamic_pruning(spark, tmp_path):
     assert (
         "dynamicpruning" in plan.lower() or "DynamicPruning" in plan
     ), f"no dynamic partition pruning in plan:\n{plan}"
+
+
+def test_cdc_changes_plan_key_hash_joins_no_cartesian(spark, tmp_path):
+    """The version-diff CDC read (store.read_changes, backing the
+    CHANGES clause and STREAM reads) must plan as key-hash joins — two
+    anti-joins + one inner on the PK with the map-side digest — never
+    a cartesian, and never a full-row comparison join."""
+    from dbt_omnata_push_spark.engine.dag import Engine
+    from dbt_omnata_push_spark.engine.store import TableStore
+
+    engine = Engine(spark, TableStore(str(tmp_path / "s")))
+    engine.query(
+        "create table c as select 1 as k, 10 as v union all select 2, 20"
+    )
+    engine.query("alter table c add primary key (k)")
+    engine.query("update c set v = v + 1 where k = 1")
+    plan = _formatted_plan(
+        engine.store.read_changes(spark, "c", 0, 1, ["k"])
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the three joins are all keyed (hash or sort-merge family)
+    assert plan.count("Join") >= 3
+    for frag in ("LeftAnti", "Inner"):
+        assert frag in plan, f"missing {frag} join in CDC plan:\n{plan[:800]}"

@@ -202,6 +202,34 @@ class TestStreamLifecycle:
         # the failed run did NOT advance: the delta arrived on retry
         assert [r["id"] for r in engine.ref("flaky").collect()] == [4]
 
+    def test_transactional_script_rolls_back_stream_offset(
+        self, spark, engine
+    ):
+        """A failing transactional script must not keep a consumed
+        stream's advanced offset — the delta would be silently lost."""
+        _mk(engine)
+        engine.query("insert into src select 4, 'd', 40")
+        with pytest.raises(Exception):
+            engine.execute_script(
+                """
+                create table consumed as select id, val from st;
+                select boom from nowhere;
+                """,
+                transaction=True,
+            )
+        # offset rolled back with the tables: the delta is still there
+        assert engine.query("select * from st").count() == 1
+        # and a stream CREATED by the failed script is gone
+        with pytest.raises(Exception):
+            engine.execute_script(
+                """
+                create stream st2 on table src;
+                select boom from nowhere;
+                """,
+                transaction=True,
+            )
+        assert "st2" not in engine.store.streams()
+
     def test_stream_reads_are_policy_governed(self, spark, engine):
         _mk(engine)
         engine.query(
