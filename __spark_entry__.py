@@ -55,6 +55,8 @@ _RECHECK_PRIORITY = [
     "orders_governed_timetravel",
     "orders_changes_scan",
     "orders_stream_incremental",
+    "orders_pivot_unpivot_roundtrip",  # r9: new (PIVOT/UNPIVOT surface)
+    "orders_rollup_totals",  # r9: new (GROUP BY ROLLUP surface)
     # r9: chunk containment gained a df<=100 boilerplate cap (Spark AND
     # oracle changed in lockstep — the sf1 rehearsal caught an O(df^2)
     # hot block) — the hash row must re-verify.

@@ -301,10 +301,15 @@ class Engine:
             return
         import re as _re
 
+        # blank out string literals first: a statement whose LITERAL
+        # happens to contain a stream's name did not consume it
+        stripped = _re.sub(r"'(?:[^']|'')*'", "''", sql)
         for sname, read_v in list(
             getattr(self, "_stream_read_versions", {}).items()
         ):
-            if _re.search(rf"\b{_re.escape(sname)}\b", sql, _re.IGNORECASE):
+            if _re.search(
+                rf"\b{_re.escape(sname)}\b", stripped, _re.IGNORECASE
+            ):
                 self.store.advance_stream(sname, read_v)
 
     def _publish(self, name: str, df: DataFrame) -> None:

@@ -1224,7 +1224,16 @@ def _alter(engine, sql: str) -> DataFrame:
     m = _ALTER_DROP_CHECK_RE.match(s)
     if m:
         table = _resolve_table(engine, m.group(1))
-        engine.store.drop_check_constraint(table, m.group(2).strip('"'))
+        cname = m.group(2).strip('"')
+        cons = engine.store.meta(table).get("constraints") or {}
+        if cname not in cons:
+            # Snowflake errors on dropping a nonexistent constraint;
+            # a silent no-op would mask typos in governance scripts
+            raise ValueError(
+                f"constraint {cname} not found on {table} "
+                f"(have: {sorted(cons) or 'none'})"
+            )
+        engine.store.drop_check_constraint(table, cname)
         return _summary(engine, constraints_dropped=1)
     m = _ALTER_ADD_RA_RE.match(s)
     if m:

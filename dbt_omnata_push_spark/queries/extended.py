@@ -2255,3 +2255,96 @@ def orders_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "`METADATA$ACTION` as action, `METADATA$ISUPDATE` as isupdate, "
         "cast(2 as int) as win from st_ord"
     )
+
+
+@query(
+    "orders_pivot_unpivot_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderstatus AS status,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+    tags=("engine", "sqlfront", "pivot"),
+)
+def orders_pivot_unpivot_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snowflake PIVOT + UNPIVOT through the engine's ad-hoc SQL
+    surface (r9): the status dimension pivots to columns
+    (sum-of-cents cells — integer arithmetic, so the aggregate is
+    cross-engine exact) and immediately unpivots back; the oracle is
+    the plain GROUP BY the round trip must reproduce, because UNPIVOT
+    drops the NULL cells PIVOT minted for absent (priority, status)
+    combinations — in both Snowflake and Spark. Certifies that the
+    reference dialect's PIVOT (aggregate FOR col IN (...)) and UNPIVOT
+    (value FOR name IN (...)) forms run verbatim on the Spark SQL
+    parser through engine.query."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-pv-")))
+    engine.seed(
+        "ord_pv",
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        ),
+    )
+    return engine.query(
+        "select o_orderpriority, status, cents from ("
+        "  select * from ord_pv "
+        "  pivot (sum(cents) for o_orderstatus in ('F', 'O', 'P'))"
+        ") unpivot (cents for status in (F, O, P))"
+    )
+
+
+@query(
+    "orders_rollup_totals",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("engine", "sqlfront", "rollup"),
+)
+def orders_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP through the engine's SQL surface (r9):
+    Snowflake's subtotal hierarchy (status x priority, per-status,
+    grand total) runs verbatim on Spark's native ROLLUP — one
+    partial-aggregate expand, no self-union of scans. Integer cents
+    keep every subtotal cross-engine exact; NULL group markers align
+    between engines by ANSI definition."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-ru-")))
+    engine.seed(
+        "ord_ru",
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        ),
+    )
+    return engine.query(
+        "select o_orderstatus, o_orderpriority, "
+        "cast(sum(cents) as bigint) as cents, "
+        "cast(count(*) as bigint) as n "
+        "from ord_ru group by rollup (o_orderstatus, o_orderpriority)"
+    )

@@ -77,6 +77,11 @@ class TestCheckConstraintSql:
         engine.query("insert into acct select 4, 'dave', -5")
         assert engine.query("select count(*) as n from acct").collect()[0]["n"] == 4
 
+    def test_drop_missing_constraint_errors(self, spark, engine):
+        _mk(engine)
+        with pytest.raises(ValueError, match="not found"):
+            engine.query("alter table acct drop constraint nope")
+
     def test_broken_predicate_fails_at_alter(self, spark, engine):
         _mk(engine)
         with pytest.raises(Exception):

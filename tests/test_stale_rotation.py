@@ -1,7 +1,7 @@
 """Driver-rotation staleness floor (VERDICT r8 #8).
 
 The driver hash-checks 50 of the registry's queries per round, so with
-215 entries the stalest cohort's latest DRIVER verification can be ~4
+~220 entries the stalest cohort's latest DRIVER verification can be ~4
 rounds old. The full local parity gate (test_oracle_parity.py) runs
 every oracle at sf0.001; this test additionally re-verifies the 20
 entries whose latest driver check is OLDEST at the driver's own scale

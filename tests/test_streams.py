@@ -96,6 +96,15 @@ class TestStreamLifecycle:
         engine.query("create table unrelated as select 1 as x")
         assert engine.query("select * from st").count() == 1
 
+    def test_stream_name_inside_string_literal_does_not_advance(
+        self, spark, engine
+    ):
+        _mk(engine)
+        engine.query("insert into src select 4, 'd', 40")
+        # the literal 'st' is data, not a stream reference
+        engine.query("create table tagged as select 'st' as label")
+        assert engine.query("select * from st").count() == 1
+
     def test_show_create_replace_drop(self, spark, engine):
         _mk(engine)
         rows = engine.query("show streams").collect()
