@@ -57,6 +57,10 @@ _RECHECK_PRIORITY = [
     "orders_stream_incremental",
     "orders_pivot_unpivot_roundtrip",  # r9: new (PIVOT/UNPIVOT surface)
     "orders_rollup_totals",  # r9: new (GROUP BY ROLLUP surface)
+    "orders_cube_grouping",  # r9: new (CUBE + GROUPING() surface)
+    "orders_grouping_sets_mix",  # r9: new (GROUPING SETS surface)
+    "events_conditional_true_event",  # r9: new (CTE/RATIO_TO_REPORT)
+    "events_conditional_change_event",  # r9: new (CCE DataFrame op)
     # r9: chunk containment gained a df<=100 boilerplate cap (Spark AND
     # oracle changed in lockstep — the sf1 rehearsal caught an O(df^2)
     # hot block) — the hash row must re-verify.

@@ -279,6 +279,83 @@ def _rewrite_flatten(sql: str) -> str:
         )
 
 
+_RATIO_TO_REPORT_RE = re.compile(r"\bratio_to_report\s*\(", re.IGNORECASE)
+_COND_TRUE_RE = re.compile(r"\bconditional_true_event\s*\(", re.IGNORECASE)
+_COND_CHANGE_RE = re.compile(
+    r"\bconditional_change_event\s*\(", re.IGNORECASE
+)
+_OVER_RE = re.compile(r"\s*over\s*\(", re.IGNORECASE)
+
+
+def _rewrite_window_funcs(sql: str) -> str:
+    """Snowflake window functions OSS Spark lacks, as inline rewrites.
+
+    ``RATIO_TO_REPORT(x) OVER (w)`` -> ``(CAST(x AS DOUBLE) /
+    sum(x) OVER (w))`` (the value's share of its partition's total;
+    integer inputs divide as exact IEEE doubles, cross-engine stable).
+
+    ``CONDITIONAL_TRUE_EVENT(pred) OVER (w)`` -> running
+    ``sum(CASE WHEN pred ...)`` with an explicit
+    UNBOUNDED PRECEDING..CURRENT ROW frame (Snowflake's running count
+    of rows where the predicate held, current row included).
+
+    ``CONDITIONAL_CHANGE_EVENT`` cannot inline — the change flag needs
+    LAG inside a running SUM, nested window functions — so it raises
+    with a pointer to ``ops.condevents.conditional_change_event``.
+    """
+
+    def consume_call(s: str, open_end: int) -> tuple[str, int]:
+        depth, i = 1, open_end
+        while i < len(s) and depth:
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+            i += 1
+        return s[open_end : i - 1], i
+
+    def rewrite(pattern: re.Pattern, build) -> None:
+        nonlocal sql
+        while True:
+            m = pattern.search(sql)
+            if not m:
+                return
+            args, call_end = consume_call(sql, m.end())
+            om = _OVER_RE.match(sql[call_end:])
+            if not om:
+                raise ValueError(
+                    f"{sql[m.start():call_end]} requires an OVER clause"
+                )
+            spec, over_end = consume_call(sql, call_end + om.end())
+            sql = (
+                sql[: m.start()]
+                + build(args.strip(), spec.strip())
+                + sql[over_end:]
+            )
+
+    if _COND_CHANGE_RE.search(sql):
+        raise ValueError(
+            "CONDITIONAL_CHANGE_EVENT needs LAG inside a running SUM — "
+            "nested window functions, inexpressible in one SQL pass. "
+            "Use ops.condevents.conditional_change_event (two Window "
+            "operators over one shuffle)."
+        )
+    rewrite(
+        _RATIO_TO_REPORT_RE,
+        lambda args, spec: (
+            f"(CAST({args} AS DOUBLE) / sum({args}) OVER ({spec}))"
+        ),
+    )
+    rewrite(
+        _COND_TRUE_RE,
+        lambda args, spec: (
+            f"sum(CASE WHEN ({args}) THEN 1 ELSE 0 END) OVER ({spec} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+    )
+    return sql
+
+
 def transpile(sql: str) -> str:
     """Rewrite Snowflake-dialect SQL (the reference's surface) to Spark SQL.
 
@@ -295,6 +372,7 @@ def transpile(sql: str) -> str:
     out = _PATH_RE.sub(lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", out)
     out = _rewrite_casts(out)
     out = _rewrite_funcs(out)
+    out = _rewrite_window_funcs(out)
     out = _rewrite_qualify(out)
     out = _GLOBAL_ROWNUM_RE.sub(GLOBAL_ROWNUM_MARKER, out)
     leftover = _GLOBAL_WINDOW_RE.search(out)

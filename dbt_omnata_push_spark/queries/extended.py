@@ -2348,3 +2348,96 @@ def orders_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(count(*) as bigint) as n "
         "from ord_ru group by rollup (o_orderstatus, o_orderpriority)"
     )
+
+
+@query(
+    "orders_cube_grouping",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("engine", "sqlfront", "cube"),
+)
+def orders_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE + GROUPING() through the engine's SQL surface
+    (r9): the full 2^2 subtotal lattice plus the GROUPING() marker that
+    disambiguates a rolled-up NULL from a NULL group value — both run
+    verbatim on Spark's native parser, one expand + one aggregate, no
+    scan self-union. GROUPING() is cast to INT in both engines (Spark
+    yields TINYINT, DuckDB BIGINT)."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-cb-")))
+    engine.seed(
+        "ord_cb",
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        ),
+    )
+    return engine.query(
+        "select o_orderstatus, o_orderpriority, "
+        "cast(grouping(o_orderstatus) as int) as g_status, "
+        "cast(grouping(o_orderpriority) as int) as g_prio, "
+        "cast(sum(cents) as bigint) as cents, "
+        "cast(count(*) as bigint) as n "
+        "from ord_cb group by cube (o_orderstatus, o_orderpriority)"
+    )
+
+
+@query(
+    "orders_grouping_sets_mix",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderpriority), ())
+    """,
+    tags=("engine", "sqlfront", "grouping-sets"),
+)
+def orders_grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS through the engine's SQL surface (r9): an
+    explicit irregular lattice — (status, priority), (priority), grand
+    total — the shape neither ROLLUP nor CUBE expresses. Runs verbatim
+    on Spark's native parser as one expand; integer cents keep every
+    subtotal cross-engine exact."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-gs-")))
+    engine.seed(
+        "ord_gs",
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        ),
+    )
+    return engine.query(
+        "select o_orderstatus, o_orderpriority, "
+        "cast(sum(cents) as bigint) as cents, "
+        "cast(count(*) as bigint) as n "
+        "from ord_gs group by grouping sets "
+        "((o_orderstatus, o_orderpriority), (o_orderpriority), ())"
+    )

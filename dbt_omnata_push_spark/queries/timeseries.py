@@ -348,3 +348,98 @@ def events_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("sum_cents").cast("long").alias("sum_cents"),
     )
+
+
+@query(
+    "events_conditional_true_event",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS errors_so_far,
+           CAST(CAST(FLOOR(value * 100) AS BIGINT) AS DOUBLE)
+               / SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                 OVER (PARTITION BY user_id) AS value_share
+    FROM events
+    """,
+    tags=("engine", "sqlfront", "window"),
+)
+def events_conditional_true_event(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snowflake CONDITIONAL_TRUE_EVENT + RATIO_TO_REPORT through the
+    engine's SQL surface (r9): both are transpile rewrites
+    (engine/sqlfront.py::_rewrite_window_funcs) — the running
+    error-count becomes one framed SUM, the per-user value share one
+    partition-total division. One shuffle on user_id serves both
+    windows; integer cents make the share an exact IEEE division in
+    both engines."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-cte-")))
+    engine.seed(
+        "ev_cte",
+        load_table(spark, sf_dir, "events").select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        ),
+    )
+    return engine.query(
+        "select user_id, event_id, "
+        "cast(conditional_true_event(event_type = 'error') "
+        "  over (partition by user_id order by event_id) as bigint) "
+        "  as errors_so_far, "
+        "ratio_to_report(cents) over (partition by user_id) "
+        "  as value_share "
+        "from ev_cte"
+    )
+
+
+@query(
+    "events_conditional_change_event",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS event
+    FROM (
+        SELECT user_id, event_id,
+               CASE WHEN ROW_NUMBER() OVER w = 1 THEN 0
+                    WHEN event_type IS DISTINCT FROM
+                         LAG(event_type) OVER w THEN 1
+                    ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    )
+    """,
+    tags=("ops", "window"),
+)
+def events_conditional_change_event(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snowflake CONDITIONAL_CHANGE_EVENT as the two-pass DataFrame op
+    (ops/condevents.py — LAG inside a running SUM is a nested window
+    function, inexpressible in one SQL pass; the transpiler refuses it
+    with a pointer here). Flag window and running-sum window share the
+    (user_id, event_id) key: one exchange, two back-to-back Window
+    operators. First row of each user = event 0; IS DISTINCT FROM
+    change semantics, mirrored exactly in the oracle."""
+    from ..ops.condevents import conditional_change_event
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    out = conditional_change_event(
+        ev, F.col("event_type"), ["user_id"], ["event_id"], out="event"
+    )
+    return out.select(
+        "user_id", "event_id", F.col("event").cast("long").alias("event")
+    )

@@ -408,3 +408,107 @@ def test_lateral_flatten_requires_alias():
 
     with pytest.raises(ValueError, match="alias"):
         transpile("select 1 from t, lateral flatten(input => x) ")
+
+
+def test_ratio_to_report_rewrite():
+    out = transpile(
+        "select ratio_to_report(cents) over (partition by u) as share "
+        "from t"
+    )
+    assert (
+        "(CAST(cents AS DOUBLE) / sum(cents) OVER (partition by u))" in out
+    )
+
+
+def test_conditional_true_event_rewrite():
+    out = transpile(
+        "select conditional_true_event(kind = 'err') "
+        "over (partition by u order by ts) as e from t"
+    )
+    assert "sum(CASE WHEN (kind = 'err') THEN 1 ELSE 0 END)" in out
+    assert (
+        "OVER (partition by u order by ts ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW)" in out
+    )
+
+
+def test_conditional_change_event_raises_with_pointer():
+    import pytest
+
+    with pytest.raises(ValueError, match="condevents"):
+        transpile(
+            "select conditional_change_event(k) over "
+            "(partition by u order by ts) from t"
+        )
+
+
+def test_window_func_requires_over():
+    import pytest
+
+    with pytest.raises(ValueError, match="OVER"):
+        transpile("select ratio_to_report(x) from t")
+
+
+def test_window_rewrites_execute(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10, "a"), (1, 2, 30, "a"), (1, 3, 60, "b"), (2, 4, 5, "c")],
+        "u int, seq int, v int, k string",
+    )
+    df.createOrReplaceTempView("wf_t")
+    rows = spark.sql(
+        transpile(
+            "select u, seq, "
+            "ratio_to_report(v) over (partition by u) as share, "
+            "conditional_true_event(v >= 30) "
+            "over (partition by u order by seq) as big "
+            "from wf_t"
+        )
+    ).collect()
+    got = {(r["u"], r["seq"]): (r["share"], r["big"]) for r in rows}
+    assert got[(1, 1)] == (0.1, 0)
+    assert got[(1, 2)] == (0.3, 1)
+    assert got[(1, 3)] == (0.6, 2)
+    assert got[(2, 4)] == (1.0, 0)
+
+
+def test_conditional_change_event_op(spark):
+    from pyspark.sql import functions as F
+
+    from dbt_omnata_push_spark.ops.condevents import (
+        conditional_change_event,
+        conditional_true_event,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a"),
+            (1, 2, "a"),
+            (1, 3, None),
+            (1, 4, None),
+            (1, 5, "b"),
+            (2, 6, "x"),
+        ],
+        "u int, seq int, k string",
+    )
+    out = conditional_change_event(df, F.col("k"), ["u"], ["seq"])
+    got = {(r["u"], r["seq"]): r["event"] for r in out.collect()}
+    # first row 0; a->a no change; a->NULL change; NULL->NULL no
+    # change; NULL->b change; new partition restarts at 0
+    assert got == {
+        (1, 1): 0,
+        (1, 2): 0,
+        (1, 3): 1,
+        (1, 4): 1,
+        (1, 5): 2,
+        (2, 6): 0,
+    }
+    t = conditional_true_event(df, F.col("k").isNull(), ["u"], ["seq"])
+    got_t = {(r["u"], r["seq"]): r["event"] for r in t.collect()}
+    assert got_t == {
+        (1, 1): 0,
+        (1, 2): 0,
+        (1, 3): 1,
+        (1, 4): 2,
+        (1, 5): 2,
+        (2, 6): 0,
+    }
