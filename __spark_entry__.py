@@ -61,6 +61,7 @@ _RECHECK_PRIORITY = [
     "orders_grouping_sets_mix",  # r9: new (GROUPING SETS surface)
     "events_conditional_true_event",  # r9: new (CTE/RATIO_TO_REPORT)
     "events_conditional_change_event",  # r9: new (CCE DataFrame op)
+    "orders_sequence_blocks",  # r9: new (SEQUENCE objects)
     # r9: chunk containment gained a df<=100 boilerplate cap (Spark AND
     # oracle changed in lockstep — the sf1 rehearsal caught an O(df^2)
     # hot block) — the hash row must re-verify.

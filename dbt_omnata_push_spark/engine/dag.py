@@ -78,6 +78,7 @@ class Engine:
         self.pre_hooks: list[Callable[[Model], None]] = []
         self.post_hooks: list[Callable[[Model, RunResult], None]] = []
         self._view_cache: dict[str, DataFrame] = {}
+        self._sequence_draws: set[str] = set()
         # stream-name -> version read, pending advancement on the
         # consuming model's successful materialization (r9)
         self._stream_ref_reads: dict[str, int] = {}
@@ -337,6 +338,99 @@ class Engine:
             df.createOrReplaceTempView(sname)
             self._stream_read_versions[sname] = read_v
 
+    def _rewrite_nextval(
+        self, sql: str
+    ) -> tuple[str, list[tuple[str, str]]]:
+        """Snowflake ``seq.NEXTVAL`` (r9): each select item
+        ``seq.nextval [AS alias]`` is swapped for a typed NULL
+        placeholder, and after the query runs the result frame's
+        placeholder columns are filled with ``counter + increment * k``
+        over the RESULT's global row index (_fill_sequence_values —
+        two narrow jobs via ops.rownum, never a single-partition
+        Window). Draws therefore happen per RESULT row — a WHERE
+        filter neither burns values nor creates collisions — and the
+        consuming-DML advance (rows_inserted) equals exactly the
+        values handed out. Snowflake semantics preserved: unique,
+        block-allocated values; WHICH row gets which value is
+        arbitrary (as in Snowflake). The counter advances only when a
+        consuming DML succeeds — a plain SELECT re-reads the same
+        block (documented divergence: Snowflake burns values on any
+        evaluation; the engine's model matches its STREAM offsets).
+        NEXTVAL must be a top-level select item (``seq.nextval`` or
+        ``seq.nextval AS alias``), not nested inside an expression.
+        """
+        seqs = self.store.sequences()
+        if not seqs:
+            return sql, []
+        import re as _re
+
+        # literal-blind reference check (same idiom as stream advance):
+        # 'seq.nextval' inside a string is data, not a draw
+        def blank(s: str) -> str:
+            return _re.sub(r"'(?:[^']|'')*'", "''", s)
+
+        pat = _re.compile(
+            r"\b([A-Za-z_]\w*)\s*\.\s*nextval\b(?:\s+as\s+([A-Za-z_]\w*))?",
+            _re.IGNORECASE,
+        )
+        if not any(
+            m.group(1).lower() in seqs for m in pat.finditer(blank(sql))
+        ):
+            return sql, []
+        fills: list[tuple[str, str]] = []
+
+        def repl(m: _re.Match) -> str:
+            name = m.group(1).lower()
+            if name not in seqs:
+                return m.group(0)
+            alias = m.group(2) or "nextval"
+            fills.append((alias, name))
+            return f"CAST(NULL AS BIGINT) AS {alias}"
+
+        new_sql = pat.sub(repl, sql)
+        for alias, name in fills:
+            self._sequence_draws.add(name)
+        return new_sql, fills
+
+    def _fill_sequence_values(
+        self, df: DataFrame, fills: list[tuple[str, str]]
+    ) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from ..ops.rownum import with_global_index
+
+        seqs = self.store.sequences()
+        gid = "__seq_gid__"
+        out = with_global_index(df, gid, one_based=True)
+        for alias, name in fills:
+            sq = seqs[name]
+            out = out.withColumn(
+                alias,
+                (
+                    F.lit(sq["counter"])
+                    + F.lit(sq["increment"]) * (F.col(gid) - 1)
+                ).cast("long"),
+            )
+        return out.drop(gid)
+
+    def _advance_used_sequences(self, res: DataFrame, kind: str) -> None:
+        """A consuming DML that drew from sequences (its body's nested
+        query() recorded them) advances each counter by the rows it
+        inserted, so the next statement mints a disjoint block."""
+        if not self._sequence_draws:
+            return
+        if kind not in ("insert", "insert_multi", "ctas", "copy"):
+            self._sequence_draws.clear()
+            return
+        try:
+            row = res.collect()[0].asDict()
+            n = int(row.get("rows_inserted") or 0)
+        except Exception:
+            n = 0
+        for name in list(self._sequence_draws):
+            self.store.advance_sequence(name, n)
+        self._sequence_draws.clear()
+
     def query(self, sql: str, dialect: str = "snowflake") -> DataFrame:
         """One-off ad-hoc statement over the engine's tables (r7): every
         store table and seed registers as a temp view under its own
@@ -361,10 +455,15 @@ class Engine:
             kind = dml.statement_kind(sql)
             if kind is not None:
                 self._register_views()
+                # Clear stale draws from prior plain SELECTs so only
+                # sequences this statement's body actually references
+                # (set by the nested query() that builds it) advance.
+                self._sequence_draws.clear()
                 res = dml.execute(self, sql, kind)
                 # Snowflake stream semantics: a consuming DML advances
                 # the offsets of streams it read (r9).
                 self._advance_consumed_streams(sql, kind)
+                self._advance_used_sequences(res, kind)
                 return res
         self._register_views()
         if dialect == "snowflake":
@@ -378,6 +477,7 @@ class Engine:
                 transpile,
             )
 
+            sql, seq_fills = self._rewrite_nextval(sql)
             sql = transpile(sql)
             if _CHANGES_RE.search(sql):
                 # Snowflake CHANGES clause: CDC between two versions,
@@ -394,6 +494,10 @@ class Engine:
                 )
             if GLOBAL_ROWNUM_MARKER in sql:
                 sql = resolve_global_rownum(self.spark, sql)
+            if seq_fills:
+                return self._fill_sequence_values(
+                    self.spark.sql(sql), seq_fills
+                )
         return self.spark.sql(sql)
 
     def execute_script(

@@ -156,6 +156,8 @@ _KIND_RE = re.compile(
     r"drop\s+row\s+access\s+policy\b|"
     r"create\s+(?:or\s+replace\s+)?stream\b|"
     r"drop\s+stream\b|"
+    r"create\s+(?:or\s+replace\s+)?sequence\b|"
+    r"drop\s+sequence\b|"
     r"create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+|transient\s+)?table\b)"
 )
 
@@ -172,6 +174,10 @@ def statement_kind(sql: str) -> str | None:
         return "create_policy" if kw.startswith("create") else "drop_policy"
     if "stream" in kw:
         return "create_stream" if kw.startswith("create") else "drop_stream"
+    if "sequence" in kw:
+        return (
+            "create_sequence" if kw.startswith("create") else "drop_sequence"
+        )
     if kw.startswith("create"):
         return "ctas"
     if kw in ("insert all", "insert first"):
@@ -940,6 +946,15 @@ def _show(engine, sql: str) -> DataFrame:
         return engine.spark.createDataFrame(
             rows, "name string, table_name string, offset long"
         )
+    if _SHOW_SEQUENCES_RE.match(s):
+        rows = sorted(
+            (n, sq["start"], sq["increment"], sq["counter"])
+            for n, sq in engine.store.sequences().items()
+        )
+        return engine.spark.createDataFrame(
+            rows,
+            "name string, start long, increment long, next_value long",
+        )
     if _SHOW_PK_RE.match(s):
         import os as _os
 
@@ -1518,6 +1533,42 @@ def _drop_stream(engine, sql: str) -> DataFrame:
     return _summary(engine, streams_dropped=1)
 
 
+_CREATE_SEQ_RE = re.compile(
+    rf"(?is)^\s*create\s+(or\s+replace\s+)?sequence\s+({_IDENT})"
+    r"(?:\s+start(?:\s+with)?\s*(?:=\s*)?(-?\d+))?"
+    r"(?:\s+increment(?:\s+by)?\s*(?:=\s*)?(-?\d+))?\s*$"
+)
+_DROP_SEQ_RE = re.compile(rf"(?is)^\s*drop\s+sequence\s+({_IDENT})\s*$")
+_SHOW_SEQUENCES_RE = re.compile(r"(?is)^\s*show\s+sequences\s*$")
+
+
+def _create_sequence(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _CREATE_SEQ_RE.match(s)
+    if not m:
+        raise ValueError(
+            "unparsable CREATE SEQUENCE (expected: CREATE [OR REPLACE] "
+            "SEQUENCE <name> [START [WITH] n] [INCREMENT [BY] m]): "
+            f"{s[:120]}"
+        )
+    engine.store.create_sequence(
+        m.group(2).strip('"'),
+        start=int(m.group(3)) if m.group(3) is not None else 1,
+        increment=int(m.group(4)) if m.group(4) is not None else 1,
+        replace=bool(m.group(1)),
+    )
+    return _summary(engine, sequences_created=1)
+
+
+def _drop_sequence(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _DROP_SEQ_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable DROP SEQUENCE: {s[:90]}")
+    engine.store.drop_sequence(m.group(1).strip('"'))
+    return _summary(engine, sequences_dropped=1)
+
+
 _DROP_RE = re.compile(
     rf"(?is)^\s*drop\s+table\s+(if\s+exists\s+)?({_TABLE})\s*$"
 )
@@ -1558,6 +1609,8 @@ _DISPATCH = {
     "drop_policy": _drop_policy,
     "create_stream": _create_stream,
     "drop_stream": _drop_stream,
+    "create_sequence": _create_sequence,
+    "drop_sequence": _drop_sequence,
 }
 
 

@@ -1169,6 +1169,64 @@ class TableStore:
             streams[key]["offset"] = int(version)
             self._write_streams(streams)
 
+    # -- sequences (r9, Snowflake CREATE SEQUENCE / NEXTVAL) --------------
+    def _sequences_file(self) -> str:
+        return os.path.join(self.root, "_sequences.json")
+
+    def sequences(self) -> dict:
+        try:
+            with open(self._sequences_file()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def _write_sequences(self, seqs: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._sequences_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(seqs, f)
+        os.replace(tmp, self._sequences_file())
+
+    def create_sequence(
+        self,
+        name: str,
+        start: int = 1,
+        increment: int = 1,
+        replace: bool = False,
+    ) -> None:
+        """Snowflake CREATE SEQUENCE: a named counter handing out
+        ``counter + k * increment`` blocks. ``counter`` is the next
+        value the sequence will mint; a consuming statement advances it
+        by (rows x increment) — Engine._advance_used_sequences."""
+        if increment == 0:
+            raise ValueError("sequence increment must be nonzero")
+        seqs = self.sequences()
+        key = name.lower()
+        if key in seqs and not replace:
+            raise ValueError(f"sequence already exists: {name}")
+        seqs[key] = {
+            "start": int(start),
+            "increment": int(increment),
+            "counter": int(start),
+        }
+        self._write_sequences(seqs)
+
+    def drop_sequence(self, name: str) -> None:
+        seqs = self.sequences()
+        key = name.lower()
+        if key not in seqs:
+            raise ValueError(f"sequence not found: {name}")
+        seqs.pop(key)
+        self._write_sequences(seqs)
+
+    def advance_sequence(self, name: str, n_values: int) -> None:
+        """Consume ``n_values`` draws: counter += n_values * increment."""
+        seqs = self.sequences()
+        key = name.lower()
+        if key in seqs and n_values:
+            seqs[key]["counter"] += int(n_values) * seqs[key]["increment"]
+            self._write_sequences(seqs)
+
     def drop_masking_policy(self, name: str) -> None:
         """Drop a policy OBJECT of either kind. Refuses while attached
         anywhere (Snowflake parity: a policy in use cannot be

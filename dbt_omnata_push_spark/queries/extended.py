@@ -2441,3 +2441,47 @@ def orders_grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from ord_gs group by grouping sets "
         "((o_orderstatus, o_orderpriority), (o_orderpriority), ())"
     )
+
+
+@query(
+    "orders_sequence_blocks",
+    oracle="""
+    SELECT CAST(5000 + 3 * (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1)
+           AS BIGINT) AS id
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+    """,
+    tags=("engine", "dml", "sequence"),
+)
+def orders_sequence_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake SEQUENCE objects end-to-end (r9): CREATE SEQUENCE,
+    NEXTVAL in a CTAS and a follow-up INSERT, counters advancing per
+    consuming statement. NEXTVAL resolves through the global-rownum
+    machinery (two narrow jobs — never a single-partition Window), so
+    minting ids over a billion rows stays distributed. Snowflake
+    guarantees uniqueness, not assignment order, so the oracle checks
+    the exact VALUE SET the two blocks must mint: 5000 + 3k over the
+    combined row count — any collision, gap, or wrong counter advance
+    breaks the hash."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-sq-")))
+    engine.seed(
+        "ord_sq",
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        ),
+    )
+    engine.query("create sequence ord_seq start with 5000 increment by 3")
+    engine.query(
+        "create table ord_ids as select ord_seq.nextval as id, o_orderkey "
+        "from ord_sq where o_orderstatus = 'F'"
+    )
+    engine.query(
+        "insert into ord_ids select ord_seq.nextval, o_orderkey "
+        "from ord_sq where o_orderstatus = 'O'"
+    )
+    return engine.query("select cast(id as bigint) as id from ord_ids")
