@@ -62,6 +62,7 @@ _RECHECK_PRIORITY = [
     "events_conditional_true_event",  # r9: new (CTE/RATIO_TO_REPORT)
     "events_conditional_change_event",  # r9: new (CCE DataFrame op)
     "orders_sequence_blocks",  # r9: new (SEQUENCE objects)
+    "orders_task_dag",  # r9: new (TASK objects)
     # r9: chunk containment gained a df<=100 boilerplate cap (Spark AND
     # oracle changed in lockstep — the sf1 rehearsal caught an O(df^2)
     # hot block) — the hash row must re-verify.

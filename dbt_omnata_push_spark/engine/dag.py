@@ -431,6 +431,46 @@ class Engine:
             self.store.advance_sequence(name, n)
         self._sequence_draws.clear()
 
+    def execute_task(self, name: str) -> DataFrame:
+        """Snowflake EXECUTE TASK (r9): manually trigger a task and run
+        its resumed descendants in topological order (AFTER edges form
+        the DAG). The NAMED task runs regardless of its own state —
+        Snowflake's manual trigger — but a SUSPENDED child is skipped
+        along with its entire subtree, as in Snowflake where only
+        started child tasks fire. Each task's SQL runs through
+        ``Engine.query`` (full dialect surface, sequential on the
+        driver: orchestration is metadata-scale, the DATA work inside
+        each statement is what distributes). Returns one row per task
+        run, in execution order."""
+        tasks = self.store.tasks()
+        key = name.lower()
+        if key not in tasks:
+            raise ValueError(f"task not found: {name}")
+        children: dict[str, list[str]] = {}
+        for n, t in tasks.items():
+            for p in t.get("after", []):
+                children.setdefault(p, []).append(n)
+        selected = {key}
+        frontier = [key]
+        while frontier:
+            cur = frontier.pop()
+            for ch in sorted(children.get(cur, [])):
+                if ch in selected or tasks[ch]["state"] != "started":
+                    continue
+                selected.add(ch)
+                frontier.append(ch)
+        ts = TopologicalSorter()
+        for n in selected:
+            ts.add(n, *[p for p in tasks[n]["after"] if p in selected])
+        order = list(ts.static_order())
+        rows = []
+        for i, n in enumerate(order):
+            self.query(tasks[n]["sql"])
+            rows.append((i, n, "success"))
+        return self.spark.createDataFrame(
+            rows, "run_order int, task_name string, status string"
+        )
+
     def query(self, sql: str, dialect: str = "snowflake") -> DataFrame:
         """One-off ad-hoc statement over the engine's tables (r7): every
         store table and seed registers as a temp view under its own

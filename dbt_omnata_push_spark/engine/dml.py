@@ -158,6 +158,10 @@ _KIND_RE = re.compile(
     r"drop\s+stream\b|"
     r"create\s+(?:or\s+replace\s+)?sequence\b|"
     r"drop\s+sequence\b|"
+    r"create\s+(?:or\s+replace\s+)?task\b|"
+    r"drop\s+task\b|"
+    r"alter\s+task\b|"
+    r"execute\s+task\b|"
     r"create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+|transient\s+)?table\b)"
 )
 
@@ -178,6 +182,14 @@ def statement_kind(sql: str) -> str | None:
         return (
             "create_sequence" if kw.startswith("create") else "drop_sequence"
         )
+    if "task" in kw:
+        if kw.startswith("create"):
+            return "create_task"
+        if kw.startswith("drop"):
+            return "drop_task"
+        if kw.startswith("alter"):
+            return "alter_task"
+        return "execute_task"
     if kw.startswith("create"):
         return "ctas"
     if kw in ("insert all", "insert first"):
@@ -946,6 +958,22 @@ def _show(engine, sql: str) -> DataFrame:
         return engine.spark.createDataFrame(
             rows, "name string, table_name string, offset long"
         )
+    if _SHOW_TASKS_RE.match(s):
+        rows = sorted(
+            (
+                n,
+                t["state"],
+                ", ".join(t.get("after", [])),
+                t.get("schedule"),
+                t["sql"],
+            )
+            for n, t in engine.store.tasks().items()
+        )
+        return engine.spark.createDataFrame(
+            rows,
+            "name string, state string, after string, schedule string, "
+            "definition string",
+        )
     if _SHOW_SEQUENCES_RE.match(s):
         rows = sorted(
             (n, sq["start"], sq["increment"], sq["counter"])
@@ -1569,6 +1597,77 @@ def _drop_sequence(engine, sql: str) -> DataFrame:
     return _summary(engine, sequences_dropped=1)
 
 
+_CREATE_TASK_RE = re.compile(
+    rf"(?is)^\s*create\s+(or\s+replace\s+)?task\s+({_IDENT})"
+    r"(?:\s+schedule\s*=\s*'([^']*)')?"
+    rf"(?:\s+after\s+({_IDENT}(?:\s*,\s*{_IDENT})*))?"
+    r"\s+as\s+(.+)$"
+)
+_DROP_TASK_RE = re.compile(rf"(?is)^\s*drop\s+task\s+({_IDENT})\s*$")
+_ALTER_TASK_RE = re.compile(
+    rf"(?is)^\s*alter\s+task\s+({_IDENT})\s+(resume|suspend)\s*$"
+)
+_EXECUTE_TASK_RE = re.compile(
+    rf"(?is)^\s*execute\s+task\s+({_IDENT})\s*$"
+)
+_SHOW_TASKS_RE = re.compile(r"(?is)^\s*show\s+tasks\s*$")
+
+
+def _create_task(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _CREATE_TASK_RE.match(s)
+    if not m:
+        raise ValueError(
+            "unparsable CREATE TASK (expected: CREATE [OR REPLACE] TASK "
+            "<name> [SCHEDULE = '...'] [AFTER t1[, t2...]] AS "
+            f"<statement>): {s[:120]}"
+        )
+    after = (
+        [a.strip().strip('"') for a in m.group(4).split(",")]
+        if m.group(4)
+        else []
+    )
+    engine.store.create_task(
+        m.group(2).strip('"'),
+        m.group(5).strip(),
+        after=after,
+        schedule=m.group(3),
+        replace=bool(m.group(1)),
+    )
+    return _summary(engine, tasks_created=1)
+
+
+def _drop_task(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _DROP_TASK_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable DROP TASK: {s[:90]}")
+    engine.store.drop_task(m.group(1).strip('"'))
+    return _summary(engine, tasks_dropped=1)
+
+
+def _alter_task(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _ALTER_TASK_RE.match(s)
+    if not m:
+        raise ValueError(
+            f"unparsable ALTER TASK (expected RESUME|SUSPEND): {s[:90]}"
+        )
+    state = (
+        "started" if m.group(2).lower() == "resume" else "suspended"
+    )
+    engine.store.set_task_state(m.group(1).strip('"'), state)
+    return _summary(engine, tasks_altered=1)
+
+
+def _execute_task(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _EXECUTE_TASK_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable EXECUTE TASK: {s[:90]}")
+    return engine.execute_task(m.group(1).strip('"'))
+
+
 _DROP_RE = re.compile(
     rf"(?is)^\s*drop\s+table\s+(if\s+exists\s+)?({_TABLE})\s*$"
 )
@@ -1611,6 +1710,10 @@ _DISPATCH = {
     "drop_stream": _drop_stream,
     "create_sequence": _create_sequence,
     "drop_sequence": _drop_sequence,
+    "create_task": _create_task,
+    "drop_task": _drop_task,
+    "alter_task": _alter_task,
+    "execute_task": _execute_task,
 }
 
 

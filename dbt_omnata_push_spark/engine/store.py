@@ -1227,6 +1227,97 @@ class TableStore:
             seqs[key]["counter"] += int(n_values) * seqs[key]["increment"]
             self._write_sequences(seqs)
 
+    # -- tasks (r9, Snowflake TASK objects: a DAG of SQL statements) ------
+    def _tasks_file(self) -> str:
+        return os.path.join(self.root, "_tasks.json")
+
+    def tasks(self) -> dict:
+        try:
+            with open(self._tasks_file()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def _write_tasks(self, tasks: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._tasks_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(tasks, f)
+        os.replace(tmp, self._tasks_file())
+
+    def create_task(
+        self,
+        name: str,
+        sql: str,
+        after: list[str] | None = None,
+        schedule: str | None = None,
+        replace: bool = False,
+    ) -> None:
+        """Snowflake CREATE TASK: a named SQL statement, optionally a
+        child of other tasks (AFTER edges form the run DAG). Created
+        SUSPENDED, like Snowflake; Engine.execute_task runs the named
+        task and its resumed descendants in topological order. The
+        SCHEDULE string is recorded only — there is no scheduler in a
+        batch engine; EXECUTE TASK is the trigger."""
+        tasks = self.tasks()
+        key = name.lower()
+        if key in tasks and not replace:
+            raise ValueError(f"task already exists: {name}")
+        after = [a.lower() for a in (after or [])]
+        for parent in after:
+            if parent not in tasks:
+                raise ValueError(
+                    f"CREATE TASK {name}: predecessor task not found: "
+                    f"{parent}"
+                )
+            if parent == key:
+                raise ValueError(f"task {name} cannot run AFTER itself")
+            # OR REPLACE could otherwise close a cycle through an
+            # existing ancestor chain — refuse at create time.
+            stack, seen = [parent], set()
+            while stack:
+                cur = stack.pop()
+                if cur == key:
+                    raise ValueError(
+                        f"CREATE TASK {name}: AFTER {parent} would form "
+                        "a cycle"
+                    )
+                if cur in seen or cur not in tasks:
+                    continue
+                seen.add(cur)
+                stack.extend(tasks[cur].get("after", []))
+        tasks[key] = {
+            "sql": sql,
+            "after": after,
+            "schedule": schedule,
+            "state": "suspended",
+        }
+        self._write_tasks(tasks)
+
+    def drop_task(self, name: str) -> None:
+        tasks = self.tasks()
+        key = name.lower()
+        if key not in tasks:
+            raise ValueError(f"task not found: {name}")
+        children = sorted(
+            n for n, t in tasks.items() if key in t.get("after", [])
+        )
+        if children:
+            raise ValueError(
+                f"task {name} has child tasks ({', '.join(children)}) — "
+                "drop them first"
+            )
+        tasks.pop(key)
+        self._write_tasks(tasks)
+
+    def set_task_state(self, name: str, state: str) -> None:
+        tasks = self.tasks()
+        key = name.lower()
+        if key not in tasks:
+            raise ValueError(f"task not found: {name}")
+        tasks[key]["state"] = state
+        self._write_tasks(tasks)
+
     def drop_masking_policy(self, name: str) -> None:
         """Drop a policy OBJECT of either kind. Refuses while attached
         anywhere (Snowflake parity: a policy in use cannot be

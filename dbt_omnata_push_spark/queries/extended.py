@@ -2485,3 +2485,58 @@ def orders_sequence_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from ord_sq where o_orderstatus = 'O'"
     )
     return engine.query("select cast(id as bigint) as id from ord_ids")
+
+
+@query(
+    "orders_task_dag",
+    oracle="""
+    WITH t_sum AS (
+        SELECT o_orderstatus AS st,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT st, cents,
+           CAST(cents AS DOUBLE)
+               / (SELECT SUM(cents) FROM t_sum) AS share
+    FROM t_sum
+    """,
+    tags=("engine", "dml", "task"),
+)
+def orders_task_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake TASK objects end-to-end (r9): a two-node DAG — a root
+    task aggregating orders into a summary table, a child task (AFTER
+    root) enriching it with each status's share of the total — is
+    created suspended, the child resumed, and EXECUTE TASK on the root
+    runs both in topological order. The oracle inlines the same
+    two-step pipeline; integer cents make the aggregate exact and the
+    share an exact IEEE division. Orchestration is driver-side
+    metadata; each task's statement is a full distributed Spark job."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-tk-")))
+    engine.seed(
+        "ord_tk",
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        ),
+    )
+    engine.query(
+        "create task t_sum as create or replace table status_cents as "
+        "select o_orderstatus as st, cast(sum(cents) as bigint) as cents "
+        "from ord_tk group by o_orderstatus"
+    )
+    engine.query(
+        "create task t_share after t_sum as create or replace table "
+        "status_share as select st, cents, cast(cents as double) / "
+        "(select sum(cents) from status_cents) as share from status_cents"
+    )
+    engine.query("alter task t_share resume")
+    engine.query("execute task t_sum")
+    return engine.query("select st, cents, share from status_share")
