@@ -63,6 +63,7 @@ _RECHECK_PRIORITY = [
     "events_conditional_change_event",  # r9: new (CCE DataFrame op)
     "orders_sequence_blocks",  # r9: new (SEQUENCE objects)
     "orders_task_dag",  # r9: new (TASK objects)
+    "orders_top_price",  # r9: new (SELECT TOP n rewrite)
     # r9: chunk containment gained a df<=100 boilerplate cap (Spark AND
     # oracle changed in lockstep — the sf1 rehearsal caught an O(df^2)
     # hot block) — the hash row must re-verify.

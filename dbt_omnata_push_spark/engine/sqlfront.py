@@ -20,6 +20,11 @@ transpiler and not a Catalyst extension.
 | ``LISTAGG(x, d)``                    | ``array_join(collect_list(x), d)``|
 | ``TO_VARCHAR(x)``                    | ``CAST(x AS STRING)``             |
 | ``row_number() over (partition by null order by null)`` | GLOBAL_ROWNUM_MARKER -> ``with_global_index`` |
+| ``RATIO_TO_REPORT(x) OVER (w)``      | ``x / sum(x) OVER (w)``           |
+| ``CONDITIONAL_TRUE_EVENT(p) OVER w`` | framed running ``sum(CASE ...)``  |
+| ``TABLE(GENERATOR(ROWCOUNT => n))``  | ``range(n)`` (+ SEQ4/SEQ8 -> id)  |
+| ``, LATERAL SPLIT_TO_TABLE(x, d) f`` | FLATTEN form -> LATERAL VIEW      |
+| ``SELECT TOP n`` (outermost)         | ``... LIMIT n``                   |
 
 (IFF/DATEADD/LISTAGG/TO_VARCHAR exceed the reference's own surface —
 they are the most common Snowflake idioms in user model SQL that would
@@ -244,6 +249,14 @@ def _rewrite_funcs(sql: str) -> str:
     sql = replace_call(
         sql, _FUNC_RES["TO_VARCHAR"], lambda a: f"CAST({a} AS STRING)"
     )
+    if _GENERATOR_RE.search(sql):
+        sql = _GENERATOR_RE.sub(lambda m: f"range({m.group(1)})", sql)
+        sql = _SEQN_RE.sub("id", sql)
+    sql = replace_call(
+        sql,
+        _SPLIT_TO_TABLE_RE,
+        lambda a: f"flatten(input => split({a}))",
+    )
     return _rewrite_flatten(sql)
 
 
@@ -279,6 +292,27 @@ def _rewrite_flatten(sql: str) -> str:
         )
 
 
+# Snowflake row generator: `TABLE(GENERATOR(ROWCOUNT => n))` -> Spark's
+# native `range(n)` (one narrow partition-parallel source, no data
+# scan). SEQ4()/SEQ8() inside such a query become the range's `id`
+# column — valid only over a single generator source, like Snowflake's
+# own within-generator use.
+_GENERATOR_RE = re.compile(
+    r"\btable\s*\(\s*generator\s*\(\s*rowcount\s*=>\s*(\d+)\s*\)\s*\)",
+    re.IGNORECASE,
+)
+_SEQN_RE = re.compile(r"\bseq[48]\s*\(\s*\)", re.IGNORECASE)
+# Snowflake `, LATERAL SPLIT_TO_TABLE(x, d) f` == FLATTEN over
+# split(x, d): normalize to the FLATTEN form and let _rewrite_flatten
+# handle it (f.value / f.index, index 0-based like the FLATTEN path).
+_SPLIT_TO_TABLE_RE = re.compile(
+    r"\bsplit_to_table\s*\(", re.IGNORECASE
+)
+# Snowflake `SELECT TOP n <list> ...` -> `SELECT <list> ... LIMIT n`
+# (outermost statement only — TOP in a subquery is rare and would need
+# full paren tracking to place the LIMIT; raise instead of mis-placing).
+_TOP_RE = re.compile(r"^(\s*select)\s+top\s+(\d+)\b", re.IGNORECASE)
+_TOP_ANY_RE = re.compile(r"\bselect\s+top\s+\d+\b", re.IGNORECASE)
 _RATIO_TO_REPORT_RE = re.compile(r"\bratio_to_report\s*\(", re.IGNORECASE)
 _COND_TRUE_RE = re.compile(r"\bconditional_true_event\s*\(", re.IGNORECASE)
 _COND_CHANGE_RE = re.compile(
@@ -369,6 +403,19 @@ def transpile(sql: str) -> str:
     from ..connectors.sqlbridge import strip_namespaces
 
     out = strip_namespaces(sql)
+    m = _TOP_RE.match(out)
+    if m:
+        out = (
+            out[: m.start(0)]
+            + m.group(1)
+            + out[m.end(0) :].rstrip().rstrip(";")
+            + f" LIMIT {m.group(2)}"
+        )
+    elif _TOP_ANY_RE.search(out):
+        raise ValueError(
+            "SELECT TOP n is only supported on the outermost statement; "
+            "rewrite inner TOPs as LIMIT"
+        )
     out = _PATH_RE.sub(lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", out)
     out = _rewrite_casts(out)
     out = _rewrite_funcs(out)

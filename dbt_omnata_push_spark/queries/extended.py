@@ -2540,3 +2540,41 @@ def orders_task_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine.query("alter task t_share resume")
     engine.query("execute task t_sum")
     return engine.query("select st, cents, share from status_share")
+
+
+@query(
+    "orders_top_price",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    ORDER BY cents DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("engine", "sqlfront", "top"),
+)
+def orders_top_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake ``SELECT TOP n`` through the engine's SQL surface
+    (r9): transpiled to LIMIT (engine/sqlfront.py), which Spark plans
+    as a TakeOrderedAndProject — per-partition top-n then a k-row merge
+    on the driver, never a global sort of all rows. Unique-key
+    tiebreak makes the row set deterministic cross-engine."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-tp-")))
+    engine.seed(
+        "ord_tp",
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        ),
+    )
+    return engine.query(
+        "select top 10 o_orderkey, cents from ord_tp "
+        "order by cents desc, o_orderkey"
+    )

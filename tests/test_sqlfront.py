@@ -512,3 +512,54 @@ def test_conditional_change_event_op(spark):
         (1, 5): 2,
         (2, 6): 0,
     }
+
+
+def test_generator_rewrite(spark):
+    rows = spark.sql(
+        transpile(
+            "select seq4() as n from table(generator(rowcount => 4))"
+        )
+    ).collect()
+    assert sorted(r["n"] for r in rows) == [0, 1, 2, 3]
+
+
+def test_seq_not_rewritten_without_generator():
+    # seq4() outside a generator context is left alone (fails loudly
+    # downstream instead of silently capturing a column named id)
+    assert "seq4" in transpile("select seq4() from t")
+
+
+def test_split_to_table_rewrite(spark):
+    df = spark.createDataFrame([("a,b,c",), ("x",)], "s string")
+    df.createOrReplaceTempView("stt_t")
+    rows = spark.sql(
+        transpile(
+            "select s, f.index, f.value from stt_t, "
+            "lateral split_to_table(s, ',') f"
+        )
+    ).collect()
+    got = sorted((r["s"], r["index"], r["value"]) for r in rows)
+    assert got == [
+        ("a,b,c", 0, "a"),
+        ("a,b,c", 1, "b"),
+        ("a,b,c", 2, "c"),
+        ("x", 0, "x"),
+    ]
+
+
+def test_top_n_rewrite(spark):
+    df = spark.createDataFrame(
+        [(i, 100 - i) for i in range(10)], "k int, v int"
+    )
+    df.createOrReplaceTempView("top_t")
+    out = transpile("select top 3 k, v from top_t order by v desc")
+    assert out.strip().lower().endswith("limit 3")
+    rows = spark.sql(out).collect()
+    assert [r["k"] for r in rows] == [0, 1, 2]
+
+
+def test_top_in_subquery_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="outermost"):
+        transpile("select * from (select top 3 x from t)")
