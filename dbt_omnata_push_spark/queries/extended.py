@@ -2578,3 +2578,138 @@ def orders_top_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "select top 10 o_orderkey, cents from ord_tp "
         "order by cents desc, o_orderkey"
     )
+
+
+@query(
+    "events_error_bursts",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS rn
+        FROM events
+    ),
+    err AS (
+        SELECT user_id, event_id, rn,
+               rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
+                   AS grp
+        FROM flagged WHERE event_type = 'error'
+    )
+    SELECT user_id,
+           CAST(MIN(event_id) AS BIGINT) AS start_id,
+           CAST(MAX(event_id) AS BIGINT) AS end_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM err
+    GROUP BY user_id, grp
+    """,
+    tags=("ops", "matchrec"),
+)
+def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite, pattern ``E+`` (r9, ops/matchrec.py):
+    maximal runs of CONSECUTIVE error events in each user's event
+    sequence — Snowflake's row-pattern matching as an applyInPandas
+    operator (partitions distribute; the per-group matcher is a regex
+    over the row-symbol string, Arrow-batched, so a million-row user
+    costs one vectorized predicate pass + one C-regex scan). The
+    oracle is the classic gaps-and-islands rewrite of the same runs."""
+    from ..ops.matchrec import match_recognize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    out = match_recognize(
+        ev,
+        ["user_id"],
+        ["event_id"],
+        defines={"E": "event_type == 'error'"},
+        pattern="E+",
+        measures={
+            "start_id": "first(event_id)",
+            "end_id": "last(event_id)",
+            "n_events": "count()",
+        },
+    )
+    return out.select(
+        "user_id",
+        F.col("start_id").cast("long").alias("start_id"),
+        F.col("end_id").cast("long").alias("end_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "events_value_vshape",
+    oracle="""
+    WITH dirs AS (
+        SELECT user_id, event_id,
+               CASE WHEN value < LAG(value) OVER w THEN 'D'
+                    WHEN value > LAG(value) OVER w THEN 'U'
+                    ELSE NULL END AS dir,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    isl AS (
+        SELECT user_id, dir, rn, event_id,
+               rn - ROW_NUMBER() OVER (PARTITION BY user_id, dir
+                                       ORDER BY rn) AS grp
+        FROM dirs WHERE dir IS NOT NULL
+    ),
+    runs AS (
+        SELECT user_id, dir,
+               MIN(rn) AS srn, MAX(rn) AS ern,
+               MIN(event_id) AS sid, MAX(event_id) AS eid,
+               COUNT(*) AS n
+        FROM isl GROUP BY user_id, dir, grp
+    )
+    SELECT d.user_id,
+           CAST(d.sid AS BIGINT) AS start_id,
+           CAST(u.eid AS BIGINT) AS end_id,
+           CAST(d.n AS BIGINT) AS n_down,
+           CAST(u.n AS BIGINT) AS n_up
+    FROM runs d
+    JOIN runs u
+      ON u.user_id = d.user_id
+     AND d.dir = 'D' AND u.dir = 'U'
+     AND u.srn = d.ern + 1
+    """,
+    tags=("ops", "matchrec"),
+)
+def events_value_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite, pattern ``D+ U+`` (r9): V-shapes in each
+    user's value series — a maximal falling run immediately followed by
+    a rising run (Snowflake's canonical MATCH_RECOGNIZE example). The
+    greedy regex consumes whole runs, so matches correspond exactly to
+    adjacent (D-island, U-island) pairs — which is what the oracle
+    reconstructs with two windows and a self-join. Comparisons on
+    parquet-identical doubles are cross-engine exact; ties (equal
+    consecutive values) classify as neither D nor U in both engines and
+    break runs identically."""
+    from ..ops.matchrec import match_recognize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    out = match_recognize(
+        ev,
+        ["user_id"],
+        ["event_id"],
+        defines={
+            "D": "value < prev_value",
+            "U": "value > prev_value",
+        },
+        pattern="D+ U+",
+        measures={
+            "start_id": "first(event_id)",
+            "end_id": "last(event_id)",
+            "n_down": "count(D)",
+            "n_up": "count(U)",
+        },
+    )
+    return out.select(
+        "user_id",
+        F.col("start_id").cast("long").alias("start_id"),
+        F.col("end_id").cast("long").alias("end_id"),
+        F.col("n_down").cast("long").alias("n_down"),
+        F.col("n_up").cast("long").alias("n_up"),
+    )

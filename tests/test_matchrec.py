@@ -1,0 +1,144 @@
+"""MATCH_RECOGNIZE-lite (round 9, ops/matchrec.py): row-pattern
+matching as a distributed applyInPandas operator. Snowflake semantics
+for the supported subset: ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST
+ROW (non-overlapping leftmost-greedy), mutually-exclusive DEFINE
+symbols, measures first/last/count/count(SYM)/match_number."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_omnata_push_spark.ops.matchrec import match_recognize
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 1, 10.0, "a"),
+            (1, 2, 8.0, "b"),
+            (1, 3, 6.0, "a"),
+            (1, 4, 9.0, "b"),
+            (1, 5, 12.0, "a"),
+            (1, 6, 11.0, "a"),
+            (1, 7, 13.0, "b"),
+            (2, 1, 5.0, "a"),
+            (2, 2, 4.0, "a"),
+            (2, 3, 6.0, "b"),
+        ],
+        "g int, seq int, price double, tag string",
+    )
+
+
+class TestMatchRecognize:
+    def test_vshape_matches(self, spark):
+        out = match_recognize(
+            _df(spark),
+            ["g"],
+            ["seq"],
+            defines={"D": "price < prev_price", "U": "price > prev_price"},
+            pattern="D+ U+",
+            measures={
+                "s": "first(seq)",
+                "e": "last(seq)",
+                "n": "count()",
+                "nd": "count(D)",
+                "mn": "match_number()",
+            },
+        )
+        got = sorted(
+            (r["g"], r["s"], r["e"], r["n"], r["nd"], r["mn"])
+            for r in out.collect()
+        )
+        assert got == [
+            (1, 2, 5, 4, 2, 1),
+            (1, 6, 7, 2, 1, 2),
+            (2, 2, 3, 2, 1, 1),
+        ]
+
+    def test_single_symbol_runs(self, spark):
+        out = match_recognize(
+            _df(spark),
+            ["g"],
+            ["seq"],
+            defines={"A": "tag == 'a'"},
+            pattern="A+",
+            measures={"s": "first(seq)", "n": "count()"},
+        )
+        got = sorted((r["g"], r["s"], r["n"]) for r in out.collect())
+        assert got == [(1, 1, 1), (1, 3, 1), (1, 5, 2), (2, 1, 2)]
+
+    def test_alternation_and_optional(self, spark):
+        # H = run head (no prior row or rising); pattern H U? finds a
+        # head optionally followed by one rising row
+        out = match_recognize(
+            _df(spark),
+            ["g"],
+            ["seq"],
+            defines={
+                "H": "prev_price.isnull()",
+                "U": "price > prev_price",
+            },
+            pattern="H U?",
+            measures={"n": "count()"},
+        )
+        got = sorted((r["g"], r["n"]) for r in out.collect())
+        assert got == [(1, 1), (2, 1)]  # both heads followed by a fall
+
+    def test_next_columns_available(self, spark):
+        out = match_recognize(
+            _df(spark),
+            ["g"],
+            ["seq"],
+            defines={"P": "next_price > price"},
+            pattern="P",
+            measures={"s": "first(seq)"},
+        )
+        # rows whose NEXT value rises (peaks-to-be): per group
+        got = sorted((r["g"], r["s"]) for r in out.collect())
+        assert got == [(1, 3), (1, 4), (1, 6), (2, 2)]
+
+    def test_overlapping_defines_raise(self, spark):
+        out = match_recognize(
+            _df(spark),
+            ["g"],
+            ["seq"],
+            defines={"A": "price > 0", "B": "tag == 'a'"},
+            pattern="A B",
+            measures={"n": "count()"},
+        )
+        with pytest.raises(Exception, match="mutually exclusive"):
+            out.collect()
+
+    def test_undefined_symbol_raises(self, spark):
+        with pytest.raises(ValueError, match="undefined symbol"):
+            match_recognize(
+                _df(spark),
+                ["g"],
+                ["seq"],
+                defines={"A": "price > 0"},
+                pattern="A X",
+                measures={"n": "count()"},
+            )
+
+    def test_unsupported_measure_raises(self, spark):
+        with pytest.raises(ValueError, match="MEASURE"):
+            match_recognize(
+                _df(spark),
+                ["g"],
+                ["seq"],
+                defines={"A": "price > 0"},
+                pattern="A",
+                measures={"n": "sum(price)"},
+            )
+
+    def test_no_matches_yields_empty_frame(self, spark):
+        out = match_recognize(
+            _df(spark),
+            ["g"],
+            ["seq"],
+            defines={"Z": "price > 1000"},
+            pattern="Z+",
+            measures={"n": "count()"},
+        )
+        assert out.count() == 0
+        assert out.columns == ["g", "n"]
