@@ -321,6 +321,59 @@ _COND_CHANGE_RE = re.compile(
 _OVER_RE = re.compile(r"\s*over\s*\(", re.IGNORECASE)
 
 
+_CONNECT_BY_RE = re.compile(
+    r"(?is)^\s*select\s+(?P<list>.+?)\s+from\s+(?P<table>[A-Za-z_][\w.]*)"
+    r"(?:\s+where\s+(?P<where>.+?))?"
+    r"\s+start\s+with\s+(?P<start>.+?)"
+    r"\s+connect\s+by\s+(?P<conn>.+?)\s*;?\s*$"
+)
+_PRIOR_LHS_RE = re.compile(
+    r"(?is)^\s*prior\s+([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*$"
+)
+_PRIOR_RHS_RE = re.compile(
+    r"(?is)^\s*([A-Za-z_]\w*)\s*=\s*prior\s+([A-Za-z_]\w*)\s*$"
+)
+
+
+def _rewrite_connect_by(sql: str) -> str:
+    """Snowflake/Oracle ``START WITH .. CONNECT BY PRIOR`` -> Spark 4's
+    native ``WITH RECURSIVE`` (SPARK-24497). Each recursion round is
+    one equi-join of the frontier against the table — the same scale
+    posture as the engine's recursive-CTE hierarchy queries (depth
+    rounds of hash joins, never row-count iterations). ``LEVEL`` is
+    exposed as a regular ``level`` column (1 at the roots). Supported
+    shape: a single-table SELECT with optional WHERE (applied AFTER
+    the hierarchy, as in Snowflake) and one ``PRIOR a = b`` /
+    ``b = PRIOR a`` condition; anything else is left untouched (and a
+    CONNECT BY the regex cannot shape raises downstream as unparsed
+    SQL rather than being silently mis-run)."""
+    m = _CONNECT_BY_RE.match(sql)
+    if not m:
+        return sql
+    pm = _PRIOR_LHS_RE.match(m.group("conn"))
+    if pm:
+        p_col, c_col = pm.group(1), pm.group(2)
+    else:
+        pm = _PRIOR_RHS_RE.match(m.group("conn"))
+        if not pm:
+            raise ValueError(
+                "CONNECT BY supports a single `PRIOR a = b` (or "
+                f"`b = PRIOR a`) condition, got: {m.group('conn')!r}"
+            )
+        c_col, p_col = pm.group(1), pm.group(2)
+    t = m.group("table")
+    where = f" WHERE {m.group('where')}" if m.group("where") else ""
+    return (
+        f"WITH RECURSIVE __cb AS ("
+        f"SELECT __r.*, 1 AS level FROM {t} __r "
+        f"WHERE {m.group('start')} "
+        f"UNION ALL "
+        f"SELECT __c.*, __p.level + 1 AS level FROM __cb __p "
+        f"JOIN {t} __c ON __p.{p_col} = __c.{c_col}"
+        f") SELECT {m.group('list')} FROM __cb{where}"
+    )
+
+
 def _rewrite_window_funcs(sql: str) -> str:
     """Snowflake window functions OSS Spark lacks, as inline rewrites.
 
@@ -416,6 +469,7 @@ def transpile(sql: str) -> str:
             "SELECT TOP n is only supported on the outermost statement; "
             "rewrite inner TOPs as LIMIT"
         )
+    out = _rewrite_connect_by(out)
     out = _PATH_RE.sub(lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", out)
     out = _rewrite_casts(out)
     out = _rewrite_funcs(out)

@@ -2713,3 +2713,55 @@ def events_value_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_down").cast("long").alias("n_down"),
         F.col("n_up").cast("long").alias("n_up"),
     )
+
+
+@query(
+    "customers_connect_by_roots",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT c_custkey AS id,
+               CAST(FLOOR(c_custkey / 10) AS BIGINT) AS parent
+        FROM customer
+    ),
+    cb AS (
+        SELECT id, parent, 1 AS level FROM base
+        WHERE id BETWEEN 1 AND 9
+        UNION ALL
+        SELECT c.id, c.parent, p.level + 1 AS level
+        FROM cb p JOIN base c ON p.id = c.parent
+    )
+    SELECT id, CAST(level AS INT) AS level FROM cb
+    """,
+    tags=("engine", "sqlfront", "connect-by"),
+)
+def customers_connect_by_roots(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snowflake/Oracle START WITH .. CONNECT BY PRIOR through the
+    engine's SQL surface (r9): transpiled to Spark 4's native WITH
+    RECURSIVE (engine/sqlfront.py::_rewrite_connect_by) — every
+    customer under a nonzero single-digit root via the div-10 parent
+    chain (custkey 0 is its own parent — a self-loop that must stay
+    outside the frontier; a cycle that does enter one fails loudly with
+    Spark's recursion-limit error, the analogue of CONNECT_BY_LOOP),
+    LEVEL exposed as a column. Depth is log10(max key), so each round
+    is one hash join of the frontier against the dimension-sized edge
+    set — ~7 rounds at 100 TB, never row-count iterations. The oracle
+    is the same recursion under DuckDB's evaluator."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-cbq-")))
+    engine.seed(
+        "cust_cb",
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("id"),
+            F.floor(F.col("c_custkey") / 10).cast("long").alias("parent"),
+        ),
+    )
+    return engine.query(
+        "select id, cast(level as int) as level from cust_cb "
+        "start with id between 1 and 9 connect by prior id = parent"
+    )

@@ -563,3 +563,77 @@ def test_top_in_subquery_raises():
 
     with pytest.raises(ValueError, match="outermost"):
         transpile("select * from (select top 3 x from t)")
+
+
+def test_connect_by_rewrite(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 1), (4, 2), (5, 99)],
+        "id int, parent_id int",
+    )
+    df.createOrReplaceTempView("cb_t")
+    out = transpile(
+        "select id, level from cb_t start with parent_id is null "
+        "connect by prior id = parent_id"
+    )
+    assert out.lower().startswith("with recursive")
+    rows = spark.sql(out).collect()
+    got = sorted((r["id"], r["level"]) for r in rows)
+    # node 5's parent (99) is outside the tree -> excluded
+    assert got == [(1, 1), (2, 2), (3, 2), (4, 3)]
+
+
+def test_connect_by_where_applies_after_hierarchy(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 1), (4, 2)], "id int, parent_id int"
+    )
+    df.createOrReplaceTempView("cb_t2")
+    rows = spark.sql(
+        transpile(
+            "select id, level from cb_t2 where level >= 2 "
+            "start with parent_id is null "
+            "connect by prior id = parent_id"
+        )
+    ).collect()
+    assert sorted((r["id"], r["level"]) for r in rows) == [(2, 2), (4, 3)]
+
+
+def test_connect_by_reversed_prior(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 1)], "id int, parent_id int"
+    )
+    df.createOrReplaceTempView("cb_t3")
+    rows = spark.sql(
+        transpile(
+            "select id, level from cb_t3 start with id = 1 "
+            "connect by parent_id = prior id"
+        )
+    ).collect()
+    assert sorted((r["id"], r["level"]) for r in rows) == [(1, 1), (2, 2)]
+
+
+def test_connect_by_unsupported_condition_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="CONNECT BY"):
+        transpile(
+            "select id from t start with x = 1 "
+            "connect by prior a = b and prior c = d"
+        )
+
+
+def test_connect_by_cycle_fails_loudly(spark):
+    # a self-loop (id 0, parent 0) inside the frontier must hit Spark's
+    # recursion limit — the analogue of Oracle/Snowflake's
+    # CONNECT_BY_LOOP — not silently truncate
+    import pytest
+
+    df = spark.createDataFrame([(0, 0), (1, 0)], "id int, parent_id int")
+    df.createOrReplaceTempView("cb_cyc")
+    out = spark.sql(
+        transpile(
+            "select id, level from cb_cyc start with id = 0 "
+            "connect by prior id = parent_id"
+        )
+    )
+    with pytest.raises(Exception, match="RECURSION"):
+        out.collect()
