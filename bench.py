@@ -157,6 +157,18 @@ HEADLINE = [
     "orders_governed_timetravel",
     "orders_changes_scan",
     "orders_stream_incremental",
+    # round 9b: the dialect/orchestration wave — sequence minting (two
+    # narrow global-index jobs + two commits), the task DAG (driver
+    # orchestration, two aggregate jobs), MATCH_RECOGNIZE runs
+    # (vectorized predicate + C-regex per group via applyInPandas),
+    # conditional change events (one keyed shuffle, two Windows), and
+    # CONNECT BY (log-depth frontier joins on the native recursive CTE)
+    "orders_sequence_blocks",
+    "orders_task_dag",
+    "events_error_bursts",
+    "events_value_vshape",
+    "events_conditional_change_event",
+    "customers_connect_by_roots",
 ]
 
 

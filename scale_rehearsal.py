@@ -118,6 +118,22 @@ QUERIES = [
     # commit path's ~linear write cost to dominate
     "orders_row_access_read",
     "orders_governed_timetravel",
+    # round 9b: CDC/stream machinery (three-to-five versioned commits +
+    # key-hash diff joins -> expect the ~linear commit/scan cost),
+    # sequence minting (two narrow global-index jobs + commits),
+    # task DAG (driver-side orchestration + two aggregate jobs),
+    # conditional change events (one keyed shuffle, two Windows),
+    # MATCH_RECOGNIZE runs (vectorized predicate + C-regex per group),
+    # CONNECT BY (log-depth frontier joins; depth grows only with key
+    # RANGE, so 10x rows at the same key range -> same rounds)
+    "orders_changes_scan",
+    "orders_stream_incremental",
+    "orders_sequence_blocks",
+    "orders_task_dag",
+    "events_conditional_change_event",
+    "events_error_bursts",
+    "events_value_vshape",
+    "customers_connect_by_roots",
 ]
 
 TABLES = ["documents", "embeddings", "customer", "events", "orders"]
