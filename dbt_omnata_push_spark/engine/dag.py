@@ -337,6 +337,30 @@ class Engine:
             df, read_v = self.stream_frame(sname)
             df.createOrReplaceTempView(sname)
             self._stream_read_versions[sname] = read_v
+        # Stored (non-materialized) views re-resolve on every read, so
+        # they always reflect base tables' current versions and inherit
+        # governance (their FROMs hit the masked/filtered temp views
+        # registered above, never raw storage). Views may reference
+        # other views: iterate to a fixpoint, registering whatever
+        # resolves each pass; anything still unresolved (broken base)
+        # surfaces as an unresolved-relation error at use.
+        from .sqlfront import transpile as _transpile
+
+        pending = dict(self.store.views())
+        for _ in range(len(pending) + 1):
+            if not pending:
+                break
+            progressed = False
+            for vname, v in list(pending.items()):
+                try:
+                    df = self.spark.sql(_transpile(v["sql"]))
+                except Exception:
+                    continue
+                df.createOrReplaceTempView(vname)
+                pending.pop(vname)
+                progressed = True
+            if not progressed:
+                break
 
     def _rewrite_nextval(
         self, sql: str

@@ -158,6 +158,8 @@ _KIND_RE = re.compile(
     r"drop\s+stream\b|"
     r"create\s+(?:or\s+replace\s+)?sequence\b|"
     r"drop\s+sequence\b|"
+    r"create\s+(?:or\s+replace\s+)?view\b|"
+    r"drop\s+view\b|"
     r"create\s+(?:or\s+replace\s+)?task\b|"
     r"drop\s+task\b|"
     r"alter\s+task\b|"
@@ -182,6 +184,8 @@ def statement_kind(sql: str) -> str | None:
         return (
             "create_sequence" if kw.startswith("create") else "drop_sequence"
         )
+    if "view" in kw:
+        return "create_view" if kw.startswith("create") else "drop_view"
     if "task" in kw:
         if kw.startswith("create"):
             return "create_task"
@@ -958,6 +962,13 @@ def _show(engine, sql: str) -> DataFrame:
         return engine.spark.createDataFrame(
             rows, "name string, table_name string, offset long"
         )
+    if _SHOW_VIEWS_RE.match(s):
+        rows = sorted(
+            (n, v["sql"]) for n, v in engine.store.views().items()
+        )
+        return engine.spark.createDataFrame(
+            rows, "name string, definition string"
+        )
     if _SHOW_TASKS_RE.match(s):
         rows = sorted(
             (
@@ -1597,6 +1608,47 @@ def _drop_sequence(engine, sql: str) -> DataFrame:
     return _summary(engine, sequences_dropped=1)
 
 
+_CREATE_VIEW_RE = re.compile(
+    rf"(?is)^\s*create\s+(or\s+replace\s+)?view\s+({_IDENT})\s+as\s+(.+)$"
+)
+_DROP_VIEW_RE = re.compile(rf"(?is)^\s*drop\s+view\s+({_IDENT})\s*$")
+_SHOW_VIEWS_RE = re.compile(r"(?is)^\s*show\s+views\s*$")
+
+
+def _create_view(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _CREATE_VIEW_RE.match(s)
+    if not m:
+        raise ValueError(
+            "unparsable CREATE VIEW (expected: CREATE [OR REPLACE] VIEW "
+            f"<name> AS <select>): {s[:120]}"
+        )
+    name, body = m.group(2).strip('"'), m.group(3).strip()
+    engine.store.create_view(name, body, replace=bool(m.group(1)))
+    # validate the body resolves NOW (Snowflake errors at create on a
+    # broken definition) -- analyze the transpiled body directly so the
+    # user sees the real unresolved relation, and drop the registration
+    # if analysis fails
+    from .sqlfront import transpile as _transpile
+
+    try:
+        engine._register_views()
+        engine.spark.sql(_transpile(body))
+    except Exception:
+        engine.store.drop_view(name)
+        raise
+    return _summary(engine, views_created=1)
+
+
+def _drop_view(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _DROP_VIEW_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable DROP VIEW: {s[:90]}")
+    engine.store.drop_view(m.group(1).strip('"'))
+    return _summary(engine, views_dropped=1)
+
+
 _CREATE_TASK_RE = re.compile(
     rf"(?is)^\s*create\s+(or\s+replace\s+)?task\s+({_IDENT})"
     r"(?:\s+schedule\s*=\s*'([^']*)')?"
@@ -1710,6 +1762,8 @@ _DISPATCH = {
     "drop_stream": _drop_stream,
     "create_sequence": _create_sequence,
     "drop_sequence": _drop_sequence,
+    "create_view": _create_view,
+    "drop_view": _drop_view,
     "create_task": _create_task,
     "drop_task": _drop_task,
     "alter_task": _alter_task,

@@ -1227,6 +1227,49 @@ class TableStore:
             seqs[key]["counter"] += int(n_values) * seqs[key]["increment"]
             self._write_sequences(seqs)
 
+    # -- views (r9, Snowflake non-materialized views) ----------------------
+    def _views_file(self) -> str:
+        return os.path.join(self.root, "_views.json")
+
+    def views(self) -> dict:
+        try:
+            with open(self._views_file()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def _write_views(self, views: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._views_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(views, f)
+        os.replace(tmp, self._views_file())
+
+    def create_view(self, name: str, sql: str, replace: bool = False) -> None:
+        """Snowflake CREATE VIEW: a stored SELECT, re-resolved at every
+        read — so it always reflects the base tables' CURRENT versions,
+        and reads stay policy-governed (the body references the
+        engine's masked/filtered table views, never raw storage)."""
+        key = name.lower()
+        if self.exists(name) or self.exists(key):
+            raise ValueError(
+                f"cannot create view {name}: a table with that name "
+                "exists"
+            )
+        views = self.views()
+        if key in views and not replace:
+            raise ValueError(f"view already exists: {name}")
+        views[key] = {"sql": sql}
+        self._write_views(views)
+
+    def drop_view(self, name: str) -> None:
+        views = self.views()
+        key = name.lower()
+        if key not in views:
+            raise ValueError(f"view not found: {name}")
+        views.pop(key)
+        self._write_views(views)
+
     # -- tasks (r9, Snowflake TASK objects: a DAG of SQL statements) ------
     def _tasks_file(self) -> str:
         return os.path.join(self.root, "_tasks.json")

@@ -2765,3 +2765,55 @@ def customers_connect_by_roots(
         "select id, cast(level as int) as level from cust_cb "
         "start with id between 1 and 9 connect by prior id = parent"
     )
+
+
+@query(
+    "orders_view_chain",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderstatus AS st,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT st, cents,
+           CAST(cents AS DOUBLE)
+               / (SELECT SUM(cents) FROM v1) AS share
+    FROM v1
+    """,
+    tags=("engine", "dml", "view"),
+)
+def orders_view_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake non-materialized VIEWs end-to-end (r9): a view
+    aggregating orders, a second view over the first computing each
+    status's share of the total, read through the engine's SQL
+    surface. Views are stored SELECTs re-resolved per read — the plan
+    Catalyst sees is exactly the inlined query (one aggregate + one
+    broadcast of the 3-row total), identical to what the oracle's CTEs
+    compute; nothing is materialized, nothing goes stale."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-vw-")))
+    engine.seed(
+        "ord_vw",
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        ),
+    )
+    engine.query(
+        "create view vw_cents as select o_orderstatus as st, "
+        "cast(sum(cents) as bigint) as cents from ord_vw "
+        "group by o_orderstatus"
+    )
+    engine.query(
+        "create view vw_share as select st, cents, "
+        "cast(cents as double) / (select sum(cents) from vw_cents) "
+        "as share from vw_cents"
+    )
+    return engine.query("select st, cents, share from vw_share")
