@@ -68,6 +68,7 @@ _RECHECK_PRIORITY = [
     "events_value_vshape",  # r9: new (MATCH_RECOGNIZE-lite D+ U+)
     "customers_connect_by_roots",  # r9: new (CONNECT BY rewrite)
     "orders_view_chain",  # r9: new (VIEW objects)
+    "orders_session_var_filter",  # r9: new (session variables)
     # r9: chunk containment gained a df<=100 boilerplate cap (Spark AND
     # oracle changed in lockstep — the sf1 rehearsal caught an O(df^2)
     # hot block) — the hash row must re-verify.

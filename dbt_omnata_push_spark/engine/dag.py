@@ -79,6 +79,9 @@ class Engine:
         self.post_hooks: list[Callable[[Model, RunResult], None]] = []
         self._view_cache: dict[str, DataFrame] = {}
         self._sequence_draws: set[str] = set()
+        # Snowflake session variables (r9): SET x = expr stores the
+        # VALUE; $x references substitute outside string literals
+        self.session_vars: dict[str, Any] = {}
         # stream-name -> version read, pending advancement on the
         # consuming model's successful materialization (r9)
         self._stream_ref_reads: dict[str, int] = {}
@@ -362,6 +365,57 @@ class Engine:
             if not progressed:
                 break
 
+    def _substitute_session_vars(self, sql: str) -> str:
+        """``$name`` -> the stored value as a SQL literal, skipping
+        string literals and ``METADATA$ACTION``-style identifiers (the
+        ``$`` must not follow a word character). An unbound reference
+        raises, as in Snowflake."""
+        import re as _re
+
+        ref = _re.compile(r"(?<![\w$])\$([A-Za-z_]\w*)")
+        if not ref.search(sql):
+            return sql
+
+        def render(v) -> str:
+            if v is None:
+                return "NULL"
+            if isinstance(v, bool):
+                return "TRUE" if v else "FALSE"
+            if isinstance(v, (int, float)):
+                return repr(v)
+            s = str(v).replace("'", "''")
+            return f"'{s}'"
+
+        out, i, n = [], 0, len(sql)
+        while i < n:
+            c = sql[i]
+            if c == "'":
+                j = i + 1
+                while j < n:
+                    if sql[j] == "'":
+                        if j + 1 < n and sql[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                out.append(sql[i : j + 1])
+                i = j + 1
+                continue
+            m = ref.match(sql, i)
+            if m:
+                name = m.group(1).lower()
+                if name not in self.session_vars:
+                    raise ValueError(
+                        f"session variable not set: ${m.group(1)} "
+                        "(SET it first)"
+                    )
+                out.append(render(self.session_vars[name]))
+                i = m.end()
+            else:
+                out.append(c)
+                i += 1
+        return "".join(out)
+
     def _rewrite_nextval(
         self, sql: str
     ) -> tuple[str, list[tuple[str, str]]]:
@@ -512,6 +566,8 @@ class Engine:
         if dialect == "snowflake":
             from ..connectors.sqlbridge import ensure_ext_fns
             from . import dml
+
+            sql = self._substitute_session_vars(sql)
 
             # External functions referenced by the statement register as
             # connector-backed UDFs under their reference names.

@@ -158,6 +158,8 @@ _KIND_RE = re.compile(
     r"drop\s+stream\b|"
     r"create\s+(?:or\s+replace\s+)?sequence\b|"
     r"drop\s+sequence\b|"
+    r"set\s+[A-Za-z_]\w*\s*=|"
+    r"unset\s+[A-Za-z_]\w*|"
     r"create\s+(?:or\s+replace\s+)?view\b|"
     r"drop\s+view\b|"
     r"create\s+(?:or\s+replace\s+)?task\b|"
@@ -186,6 +188,10 @@ def statement_kind(sql: str) -> str | None:
         )
     if "view" in kw:
         return "create_view" if kw.startswith("create") else "drop_view"
+    if kw.startswith("set"):
+        return "set_var"
+    if kw.startswith("unset"):
+        return "unset_var"
     if "task" in kw:
         if kw.startswith("create"):
             return "create_task"
@@ -962,6 +968,14 @@ def _show(engine, sql: str) -> DataFrame:
         return engine.spark.createDataFrame(
             rows, "name string, table_name string, offset long"
         )
+    if _SHOW_VARIABLES_RE.match(s):
+        rows = sorted(
+            (n, str(v), type(v).__name__)
+            for n, v in engine.session_vars.items()
+        )
+        return engine.spark.createDataFrame(
+            rows, "name string, value string, type string"
+        )
     if _SHOW_VIEWS_RE.match(s):
         rows = sorted(
             (n, v["sql"]) for n, v in engine.store.views().items()
@@ -1608,6 +1622,41 @@ def _drop_sequence(engine, sql: str) -> DataFrame:
     return _summary(engine, sequences_dropped=1)
 
 
+_SET_VAR_RE = re.compile(
+    r"(?is)^\s*set\s+([A-Za-z_]\w*)\s*=\s*(.+?)\s*;?\s*$"
+)
+_UNSET_VAR_RE = re.compile(r"(?is)^\s*unset\s+([A-Za-z_]\w*)\s*;?\s*$")
+_SHOW_VARIABLES_RE = re.compile(r"(?is)^\s*show\s+variables\s*$")
+
+
+def _set_var(engine, sql: str) -> DataFrame:
+    """Snowflake session variables: SET x = <scalar expr>; referenced
+    as $x (Engine substitutes outside string literals). The expression
+    evaluates NOW against the session (constant folding on the driver
+    for literals/arithmetic), and the VALUE is stored — Snowflake
+    semantics, not a lazy macro."""
+    s = _strip_comments(sql).strip()
+    m = _SET_VAR_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable SET statement: {s[:90]}")
+    name = m.group(1).lower()
+    val = engine.spark.sql(f"select {m.group(2)} as v").collect()[0]["v"]
+    engine.session_vars[name] = val
+    return _summary(engine, variables_set=1)
+
+
+def _unset_var(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip()
+    m = _UNSET_VAR_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable UNSET statement: {s[:90]}")
+    name = m.group(1).lower()
+    if name not in engine.session_vars:
+        raise ValueError(f"session variable not set: ${name}")
+    engine.session_vars.pop(name)
+    return _summary(engine, variables_unset=1)
+
+
 _CREATE_VIEW_RE = re.compile(
     rf"(?is)^\s*create\s+(or\s+replace\s+)?view\s+({_IDENT})\s+as\s+(.+)$"
 )
@@ -1762,6 +1811,8 @@ _DISPATCH = {
     "drop_stream": _drop_stream,
     "create_sequence": _create_sequence,
     "drop_sequence": _drop_sequence,
+    "set_var": _set_var,
+    "unset_var": _unset_var,
     "create_view": _create_view,
     "drop_view": _drop_view,
     "create_task": _create_task,

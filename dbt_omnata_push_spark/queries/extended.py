@@ -2817,3 +2817,50 @@ def orders_view_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "as share from vw_cents"
     )
     return engine.query("select st, cents, share from vw_share")
+
+
+@query(
+    "orders_session_var_filter",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND CAST(FLOOR(o_totalprice * 100) AS BIGINT) >= 5000000
+    GROUP BY o_orderpriority
+    """,
+    tags=("engine", "dml", "session-vars"),
+)
+def orders_session_var_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake session variables end-to-end (r9): SET evaluates a
+    scalar expression once (50000 * 100 — Snowflake stores the VALUE,
+    not the text) and two $var references parameterize a filter — one
+    string, one numeric — substituted as typed literals OUTSIDE string
+    literals, so they reach Catalyst as constants and push down to the
+    scan like any hand-written predicate."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-sv-")))
+    engine.seed(
+        "ord_sv",
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        ),
+    )
+    engine.query("set want_status = 'F'")
+    engine.query("set min_cents = 50000 * 100")
+    return engine.query(
+        "select o_orderpriority, cast(count(*) as bigint) as n, "
+        "cast(sum(cents) as bigint) as cents from ord_sv "
+        "where o_orderstatus = $want_status and cents >= $min_cents "
+        "group by o_orderpriority"
+    )
