@@ -640,7 +640,11 @@ class Engine:
         analogue of BEGIN/ROLLBACK). Single-writer scope: concurrent
         writers on the same tables are not fenced across statements
         (per-statement writer locks only), and a table RENAMED
-        mid-script rolls back as drop-new-name only.
+        mid-script rolls back as drop-new-name only. Schema objects
+        (views, tasks, sequences, policies) follow Snowflake's rule
+        that DDL auto-commits: a view created or a sequence block
+        consumed inside a failing script STAYS — only table DATA rolls
+        back (tests assert both behaviors).
         """
         import os as _os
 

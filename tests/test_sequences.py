@@ -162,3 +162,29 @@ class TestNextval:
             for r in engine.query("show sequences").collect()
         }
         assert nv == {"sq": 1010, "other": 55}
+
+
+class TestSequenceTransactions:
+    def test_failed_transaction_does_not_refund_draws(self, spark, engine):
+        """Snowflake parity: sequence values consumed inside a
+        rolled-back transaction are NOT returned — the counter never
+        rolls back, only table data does."""
+        _mk(engine)
+        with pytest.raises(Exception):
+            engine.execute_script(
+                """
+                create table t1 as select sq.nextval as v from src;
+                select not_a_column from nowhere;
+                """,
+                transaction=True,
+            )
+        # table rolled back, counter did not
+        assert not engine.store.exists("t1")
+        assert (
+            engine.query("show sequences").collect()[0]["next_value"]
+            == 1010
+        )
+        # the next consumer mints a disjoint block
+        engine.query("create table t2 as select sq.nextval as v from src")
+        vals = sorted(r["v"] for r in engine.query("select v from t2").collect())
+        assert vals == [1010 + 2 * k for k in range(5)]

@@ -105,3 +105,21 @@ class TestViews:
             engine.query("select name from pv").collect()[0]["name"]
             == "alice"
         )
+
+
+class TestViewTransactions:
+    def test_ddl_auto_commits_in_failed_transaction(self, spark, engine):
+        """Snowflake parity: DDL is never transactional — a view
+        created inside a script that later fails STAYS created (only
+        table DATA rolls back)."""
+        _mk(engine)
+        with pytest.raises(Exception):
+            engine.execute_script(
+                """
+                create view vtx as select count(*) as n from src;
+                select not_a_column from nowhere;
+                """,
+                transaction=True,
+            )
+        names = [r["name"] for r in engine.query("show views").collect()]
+        assert "vtx" in names
