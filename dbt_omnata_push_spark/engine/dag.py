@@ -78,7 +78,8 @@ class Engine:
         self.pre_hooks: list[Callable[[Model], None]] = []
         self.post_hooks: list[Callable[[Model, RunResult], None]] = []
         self._view_cache: dict[str, DataFrame] = {}
-        self._sequence_draws: set[str] = set()
+        # seq name -> ("per_row", refs_per_row) | ("static", total_sites)
+        self._sequence_draws: dict[str, tuple[str, int]] = {}
         # Snowflake session variables (r9): SET x = expr stores the
         # VALUE; $x references substitute outside string literals
         self.session_vars: dict[str, Any] = {}
@@ -207,28 +208,45 @@ class Engine:
         role = str(self.vars.get("role", "PUBLIC"))
         if ra:
             pol = pols.get(ra["policy"])
-            if pol is not None:
-                expr = transpile(pol["body"])
-                expr = _re.sub(
-                    r"(?i)\bcurrent_role\s*\(\s*\)",
-                    "'" + role.replace("'", "''") + "'",
-                    expr,
+            if pol is None:
+                # Fail CLOSED: the table's metadata says it is
+                # row-access protected, but the policy body cannot be
+                # loaded (corrupt/missing policy store). Returning raw
+                # rows here would silently bypass governance.
+                raise RuntimeError(
+                    f"table '{name}' is protected by row access policy "
+                    f"'{ra['policy']}' which cannot be loaded from the "
+                    "policy store; refusing to serve unfiltered rows"
                 )
-                # two-phase substitution: a later parameter's name may
-                # appear inside an earlier parameter's bound column
-                for i, (pname, _ptype) in enumerate(pol["params"]):
-                    expr = _sub_ident_outside_quotes(
-                        expr, pname, f"__RA_P{i}__"
-                    )
-                for i, col in enumerate(ra["columns"]):
-                    expr = expr.replace(f"__RA_P{i}__", f"`{col}`")
-                # rows are visible only when the policy returns TRUE
-                # (FALSE and NULL both hide, SQL filter semantics)
-                df = df.filter(F.expr(expr))
+            expr = transpile(pol["body"])
+            expr = _re.sub(
+                r"(?i)\bcurrent_role\s*\(\s*\)",
+                "'" + role.replace("'", "''") + "'",
+                expr,
+            )
+            # two-phase substitution: a later parameter's name may
+            # appear inside an earlier parameter's bound column
+            for i, (pname, _ptype) in enumerate(pol["params"]):
+                expr = _sub_ident_outside_quotes(
+                    expr, pname, f"__RA_P{i}__"
+                )
+            for i, col in enumerate(ra["columns"]):
+                expr = expr.replace(f"__RA_P{i}__", f"`{col}`")
+            # rows are visible only when the policy returns TRUE
+            # (FALSE and NULL both hide, SQL filter semantics)
+            df = df.filter(F.expr(expr))
         for col, pname in mask.items():
-            pol = pols.get(pname)
-            if pol is None or col not in df.columns:
+            if col not in df.columns:
                 continue
+            pol = pols.get(pname)
+            if pol is None:
+                # Same fail-closed rule for column masks: a protected
+                # column must never fall through to raw values.
+                raise RuntimeError(
+                    f"column '{name}.{col}' is protected by masking "
+                    f"policy '{pname}' which cannot be loaded from the "
+                    "policy store; refusing to serve unmasked values"
+                )
             expr = transpile(pol["body"])
             expr = _re.sub(
                 r"(?i)\bcurrent_role\s*\(\s*\)",
@@ -305,14 +323,27 @@ class Engine:
             return
         import re as _re
 
-        # blank out string literals first: a statement whose LITERAL
-        # happens to contain a stream's name did not consume it
-        stripped = _re.sub(r"'(?:[^']|'')*'", "''", sql)
+        from .dml import _strip_comments
+
+        # Strip comments, then blank string literals and quoted
+        # identifiers: a stream name inside a `-- comment`, a '...'
+        # literal, or a "quoted ident" did not consume the stream.
+        stripped = _strip_comments(sql)
+        stripped = _re.sub(r"'(?:[^']|'')*'", "''", stripped)
+        stripped = _re.sub(r'"(?:[^"]|"")*"', '""', stripped)
         for sname, read_v in list(
             getattr(self, "_stream_read_versions", {}).items()
         ):
+            # Consumption means READING the stream as a relation, so
+            # the name must sit in table position — immediately after
+            # FROM / JOIN / USING (MERGE) — not anywhere a same-named
+            # column or alias could appear. Missing an exotic reference
+            # (comma-join) leaves the offset put: the delta re-delivers
+            # (at-least-once), never silently discards.
             if _re.search(
-                rf"\b{_re.escape(sname)}\b", stripped, _re.IGNORECASE
+                rf"(?i)\b(?:from|join|using)\s*\(?\s*"
+                rf"{_re.escape(sname)}\b(?!\s*\.)",
+                stripped,
             ):
                 self.store.advance_stream(sname, read_v)
 
@@ -416,85 +447,250 @@ class Engine:
                 i += 1
         return "".join(out)
 
-    def _rewrite_nextval(
-        self, sql: str
-    ) -> tuple[str, list[tuple[str, str]]]:
-        """Snowflake ``seq.NEXTVAL`` (r9): each select item
-        ``seq.nextval [AS alias]`` is swapped for a typed NULL
-        placeholder, and after the query runs the result frame's
-        placeholder columns are filled with ``counter + increment * k``
-        over the RESULT's global row index (_fill_sequence_values —
-        two narrow jobs via ops.rownum, never a single-partition
-        Window). Draws therefore happen per RESULT row — a WHERE
-        filter neither burns values nor creates collisions — and the
-        consuming-DML advance (rows_inserted) equals exactly the
-        values handed out. Snowflake semantics preserved: unique,
-        block-allocated values; WHICH row gets which value is
-        arbitrary (as in Snowflake). The counter advances only when a
+    @staticmethod
+    def _blank_quoted_keep_len(s: str) -> str:
+        """Replace the CONTENTS of '...' literals and "..." quoted
+        identifiers with spaces, preserving every character position so
+        match offsets computed on the blanked text index the original."""
+        import re as _re
+
+        def pad(m: _re.Match) -> str:
+            q = m.group(0)[0]
+            return q + " " * (len(m.group(0)) - 2) + q
+
+        s = _re.sub(r"'(?:[^']|'')*'", pad, s)
+        return _re.sub(r'"(?:[^"]|"")*"', pad, s)
+
+    def _rewrite_nextval(self, sql: str) -> tuple[str, dict | None]:
+        """Snowflake ``seq.NEXTVAL`` (r9; r10 redesign for expression
+        contexts + multi-reference draws). Two forms:
+
+        * ``VALUES (...)`` bodies: every reference site is replaced
+          driver-side with the literal value it draws (sites are
+          statically enumerable in a VALUES list) — site k of a
+          sequence mints ``counter + increment*k``, and the statement
+          records a STATIC draw count so the consuming DML advances by
+          exactly the sites evaluated.
+        * SELECT bodies: each top-level select item CONTAINING a
+          nextval reference (bare, aliased, or nested inside an
+          arithmetic/scalar expression — VERDICT r9 #5) is swapped for
+          a typed NULL placeholder; after the query runs,
+          _fill_sequence_values computes the item's expression over
+          the RESULT's global row index (two narrow jobs via
+          ops.rownum, never a single-partition Window). Distinct
+          references to the SAME sequence in one statement mint
+          DISJOINT values (ADVICE r9): with n references, row i's
+          reference j draws ``counter + increment*(i*n + j)``, and the
+          consuming DML advances by rows_inserted * n.
+
+        Draws happen per RESULT row — a WHERE filter neither burns
+        values nor creates collisions. Which row gets which value is
+        arbitrary, as in Snowflake. The counter advances only when a
         consuming DML succeeds — a plain SELECT re-reads the same
         block (documented divergence: Snowflake burns values on any
         evaluation; the engine's model matches its STREAM offsets).
-        NEXTVAL must be a top-level select item (``seq.nextval`` or
-        ``seq.nextval AS alias``), not nested inside an expression.
-        """
+        NEXTVAL outside the top-level select list / VALUES (WHERE,
+        CTE, subquery) raises rather than silently mangling."""
         seqs = self.store.sequences()
         if not seqs:
-            return sql, []
+            return sql, None
         import re as _re
 
-        # literal-blind reference check (same idiom as stream advance):
-        # 'seq.nextval' inside a string is data, not a draw
-        def blank(s: str) -> str:
-            return _re.sub(r"'(?:[^']|'')*'", "''", s)
-
-        pat = _re.compile(
-            r"\b([A-Za-z_]\w*)\s*\.\s*nextval\b(?:\s+as\s+([A-Za-z_]\w*))?",
-            _re.IGNORECASE,
+        site_pat = _re.compile(
+            r"\b([A-Za-z_]\w*)\s*\.\s*nextval\b", _re.IGNORECASE
         )
-        if not any(
-            m.group(1).lower() in seqs for m in pat.finditer(blank(sql))
+        blanked = self._blank_quoted_keep_len(sql)
+        hits = [
+            m
+            for m in site_pat.finditer(blanked)
+            if m.group(1).lower() in seqs
+        ]
+        if not hits:
+            return sql, None
+
+        if _re.match(r"(?is)^\s*values\b", sql):
+            # Static path: substitute literals in text order.
+            draws: dict[str, int] = {}
+            out, last = [], 0
+            for m in hits:
+                name = m.group(1).lower()
+                sq = seqs[name]
+                k = draws.get(name, 0)
+                draws[name] = k + 1
+                val = sq["counter"] + sq["increment"] * k
+                out.append(sql[last : m.start()])
+                out.append(f"CAST({val} AS BIGINT)")
+                last = m.end()
+            out.append(sql[last:])
+            for name, n in draws.items():
+                self._sequence_draws[name] = ("static", n)
+            return "".join(out), None
+
+        # SELECT path: locate the top-level select list [start, end).
+        depth, sel_start, sel_end = 0, None, None
+        for m in _re.finditer(
+            r"[()]|\bselect\b|\bfrom\b", blanked, _re.IGNORECASE
         ):
-            return sql, []
-        fills: list[tuple[str, str]] = []
+            t = m.group(0)
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and t.lower() == "select" and sel_start is None:
+                sel_start = m.end()
+            elif depth == 0 and t.lower() == "from" and sel_start is not None:
+                sel_end = m.start()
+                break
+        if sel_start is None:
+            raise ValueError(
+                "NEXTVAL is supported in the top-level select list or a "
+                f"VALUES clause, not here: {sql[:80]}"
+            )
+        if sel_end is None:
+            sel_end = len(sql)
+        if any(
+            not (sel_start <= m.start() < sel_end) for m in hits
+        ):
+            raise ValueError(
+                "NEXTVAL outside the top-level select list (WHERE / CTE "
+                "/ subquery) is not supported; draw it in the select "
+                "list and filter/join on the result column instead"
+            )
 
-        def repl(m: _re.Match) -> str:
-            name = m.group(1).lower()
-            if name not in seqs:
-                return m.group(0)
-            alias = m.group(2) or "nextval"
-            fills.append((alias, name))
-            return f"CAST(NULL AS BIGINT) AS {alias}"
+        list_text = sql[sel_start:sel_end]
+        pfx = _re.match(r"(?is)^\s*(distinct|all)\b", list_text)
+        prefix = list_text[: pfx.end()] if pfx else ""
+        body_text = list_text[len(prefix):]
+        from .sqlfront import _split_top_level_args
 
-        new_sql = pat.sub(repl, sql)
-        for alias, name in fills:
-            self._sequence_draws.add(name)
-        return new_sql, fills
+        items = _split_top_level_args(body_text)
 
-    def _fill_sequence_values(
-        self, df: DataFrame, fills: list[tuple[str, str]]
-    ) -> DataFrame:
+        site_n: dict[str, int] = {}  # seq -> total reference count
+        parsed = []  # (item_text, [(marker, seq, ordinal)], alias|None)
+        marker_id = 0
+        alias_re = _re.compile(
+            r'(?is)^(.*\S)\s+as\s+([A-Za-z_]\w*|"[^"]+")\s*$'
+        )
+        for item in items:
+            ib = self._blank_quoted_keep_len(item)
+            msites = [
+                m
+                for m in site_pat.finditer(ib)
+                if m.group(1).lower() in seqs
+            ]
+            if not msites:
+                parsed.append((item, [], None))
+                continue
+            am = alias_re.match(item)
+            expr_text, alias = (
+                (am.group(1), am.group(2)) if am else (item, None)
+            )
+            # an alias match that chopped a site off means the " as x"
+            # belonged to something else (defensive: recheck positions)
+            if am and any(m.end() > len(am.group(1)) for m in msites):
+                expr_text, alias = item, None
+            sites, out, last = [], [], 0
+            for m in [
+                m
+                for m in site_pat.finditer(
+                    self._blank_quoted_keep_len(expr_text)
+                )
+                if m.group(1).lower() in seqs
+            ]:
+                name = m.group(1).lower()
+                j = site_n.get(name, 0)
+                site_n[name] = j + 1
+                marker = f"__SEQ_SITE_{marker_id}__"
+                marker_id += 1
+                sites.append((marker, name, j))
+                out.append(expr_text[last : m.start()])
+                out.append(marker)
+                last = m.end()
+            out.append(expr_text[last:])
+            parsed.append(("".join(out), sites, alias))
+
+        # assign output aliases: explicit ones kept (duplicates among
+        # fills rejected — silently renaming a user alias would change
+        # the schema), bare/expression items auto-named and uniquified
+        used: set[str] = set()
+        fills: list[tuple[str, str]] = []  # (alias, template)
+        new_items: list[str] = []
+        for template, sites, alias in parsed:
+            if not sites:
+                new_items.append(template)
+                continue
+            if alias is not None:
+                a = alias.strip('"')
+                if a.lower() in used:
+                    raise ValueError(
+                        f"duplicate NEXTVAL output alias '{a}'; alias "
+                        "each reference distinctly"
+                    )
+            else:
+                a, k = "nextval", 2
+                while a.lower() in used:
+                    a = f"nextval_{k}"
+                    k += 1
+            used.add(a.lower())
+            ident = (
+                a if _re.match(r"^[A-Za-z_]\w*$", a) else f"`{a}`"
+            )
+            new_items.append(f"CAST(NULL AS BIGINT) AS {ident}")
+            fills.append((a, template))
+
+        site_meta = {}
+        for template, sites, _alias in parsed:
+            for marker, name, j in sites:
+                site_meta[marker] = (name, j)
+        new_sql = (
+            sql[:sel_start]
+            + prefix
+            + " "
+            + ", ".join(new_items)
+            + " "
+            + sql[sel_end:]
+        )
+        for name, n in site_n.items():
+            self._sequence_draws[name] = ("per_row", n)
+        return new_sql, {
+            "items": fills,
+            "sites": site_meta,
+            "n_refs": dict(site_n),
+        }
+
+    def _fill_sequence_values(self, df: DataFrame, fills: dict) -> DataFrame:
         from pyspark.sql import functions as F
 
         from ..ops.rownum import with_global_index
+        from .sqlfront import transpile as _transpile
 
         seqs = self.store.sequences()
         gid = "__seq_gid__"
         out = with_global_index(df, gid, one_based=True)
-        for alias, name in fills:
-            sq = seqs[name]
-            out = out.withColumn(
-                alias,
-                (
-                    F.lit(sq["counter"])
-                    + F.lit(sq["increment"]) * (F.col(gid) - 1)
-                ).cast("long"),
-            )
+        for alias, template in fills["items"]:
+            expr_sql = template
+            bare = template in fills["sites"]
+            for marker, (name, j) in fills["sites"].items():
+                if marker not in expr_sql:
+                    continue
+                sq = seqs[name]
+                n = fills["n_refs"][name]
+                val = (
+                    f"({sq['counter']} + {sq['increment']} * "
+                    f"(({gid} - 1) * {n} + {j}))"
+                )
+                expr_sql = expr_sql.replace(marker, val)
+            col = F.expr(_transpile(expr_sql))
+            out = out.withColumn(alias, col.cast("long") if bare else col)
         return out.drop(gid)
 
     def _advance_used_sequences(self, res: DataFrame, kind: str) -> None:
         """A consuming DML that drew from sequences (its body's nested
-        query() recorded them) advances each counter by the rows it
-        inserted, so the next statement mints a disjoint block."""
+        query() recorded them) advances each counter past every value
+        minted: rows_inserted * refs-per-row for SELECT draws, the
+        static site count for VALUES draws — so the next statement
+        mints a disjoint block even with multiple references to one
+        sequence in a single statement (ADVICE r9)."""
         if not self._sequence_draws:
             return
         if kind not in ("insert", "insert_multi", "ctas", "copy"):
@@ -505,8 +701,10 @@ class Engine:
             n = int(row.get("rows_inserted") or 0)
         except Exception:
             n = 0
-        for name in list(self._sequence_draws):
-            self.store.advance_sequence(name, n)
+        for name, (mode, k) in list(self._sequence_draws.items()):
+            self.store.advance_sequence(
+                name, k if mode == "static" else n * k
+            )
         self._sequence_draws.clear()
 
     def execute_task(self, name: str) -> DataFrame:

@@ -178,27 +178,36 @@ def statement_kind(sql: str) -> str | None:
     if not m:
         return None
     kw = re.sub(r"\s+", " ", m.group(1).lower())
+# Session-variable statements must be classified before the object-DDL
+    # substring checks: `SET downstream = 5` contains "stream" but is a
+    # SET, not a DROP STREAM (would otherwise misroute and raise).
+    if kw.startswith("set "):
+        return "set_var"
+    if kw.startswith("unset "):
+        return "unset_var"
+    # Object DDL: match the exact verb+object prefix, never a bare substring
+    # (identifiers like `preview`/`sequence_no` must not trigger these).
     if "masking policy" in kw or "row access policy" in kw:
         return "create_policy" if kw.startswith("create") else "drop_policy"
-    if "stream" in kw:
-        return "create_stream" if kw.startswith("create") else "drop_stream"
-    if "sequence" in kw:
-        return (
-            "create_sequence" if kw.startswith("create") else "drop_sequence"
-        )
-    if "view" in kw:
-        return "create_view" if kw.startswith("create") else "drop_view"
-    if kw.startswith("set"):
-        return "set_var"
-    if kw.startswith("unset"):
-        return "unset_var"
-    if "task" in kw:
-        if kw.startswith("create"):
-            return "create_task"
-        if kw.startswith("drop"):
-            return "drop_task"
-        if kw.startswith("alter"):
-            return "alter_task"
+    if kw.startswith(("create stream", "create or replace stream")):
+        return "create_stream"
+    if kw.startswith("drop stream"):
+        return "drop_stream"
+    if kw.startswith(("create sequence", "create or replace sequence")):
+        return "create_sequence"
+    if kw.startswith("drop sequence"):
+        return "drop_sequence"
+    if kw.startswith(("create view", "create or replace view")):
+        return "create_view"
+    if kw.startswith("drop view"):
+        return "drop_view"
+    if kw.startswith(("create task", "create or replace task")):
+        return "create_task"
+    if kw.startswith("drop task"):
+        return "drop_task"
+    if kw.startswith("alter task"):
+        return "alter_task"
+    if kw.startswith("execute task"):
         return "execute_task"
     if kw.startswith("create"):
         return "ctas"
@@ -257,6 +266,11 @@ def _summary(engine, **counts) -> DataFrame:
 def _run_select(engine, body: str) -> DataFrame:
     body = body.strip()
     if re.match(r"(?is)^values\b", body):
+        # VALUES with sequence draws routes through the engine so
+        # _rewrite_nextval can substitute literal values (r10); plain
+        # literal VALUES goes straight to Spark.
+        if re.search(r"(?i)\.\s*nextval\b", body) and engine.store.sequences():
+            return engine.query(body)
         return engine.spark.sql(body)
     return engine.query(body)
 

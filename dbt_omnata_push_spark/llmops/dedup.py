@@ -1018,13 +1018,17 @@ def cdc_chunk_containment(
 
     # Persist BEFORE the df-cap join so the expensive chunking
     # expression runs once; the cap filter and every consumer below
-    # read the persisted (id, hash) frame.
-    chunks = (
+    # read the persisted (id, hash) frame. The cache is released
+    # before returning (ADVICE r9): the result is eagerly
+    # checkpointed below, so repeated calls in a long-lived session
+    # don't accumulate cached chunk partitions.
+    cached = (
         cdc_chunk_spans(df, text_col, id_col, **chunk_opts)
         .select(F.col(id_col), F.md5(F.col("chunk")).alias("h"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    chunks = cached
     if max_chunk_df is not None:
         dfreq = chunks.groupBy("h").agg(
             F.count(F.lit(1)).alias("_df")
@@ -1043,7 +1047,7 @@ def cdc_chunk_containment(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
+    result = (
         common.join(
             counts.select(
                 F.col(id_col).alias("a"), F.col("n_chunks").alias("n_chunks_a")
@@ -1057,4 +1061,10 @@ def cdc_chunk_containment(
         )
         .filter(F.col("containment_pct") >= min_containment_pct)
         .select("a", "b", "n_common", "n_chunks_a", "containment_pct")
+        # eager: the filtered pair set (orders of magnitude smaller
+        # than the chunk frame) materializes once, severing lineage so
+        # the chunk cache can be released immediately
+        .localCheckpoint(eager=True)
     )
+    cached.unpersist()
+    return result
