@@ -298,9 +298,24 @@ class Engine:
             raise ValueError(
                 f"stream {name}: table '{table}' lost its primary key"
             )
-        raw = self.store.read_changes(
-            self.spark, table, st["offset"], cur, pk["columns"]
-        )
+        try:
+            raw = self.store.read_changes(
+                self.spark, table, st["offset"], cur, pk["columns"]
+            )
+        except ValueError as e:
+            # Snowflake's "stream is stale" diagnosis (r10): the offset
+            # version was vacuumed AND no manifest chain covers the
+            # window, so the delta is unrecoverable — name the remedy
+            # instead of surfacing read_version's generic raise.
+            if st["offset"] not in self.store.versions(table):
+                raise ValueError(
+                    f"stream '{name}' is stale: its offset version "
+                    f"{st['offset']} of '{table}' was vacuumed and no "
+                    "change manifests cover the window; recreate the "
+                    "stream (CREATE OR REPLACE STREAM ...) to resume "
+                    "from the current version"
+                ) from e
+            raise
         return (
             snowflake_change_columns(self._policy_masked(table, raw)),
             cur,

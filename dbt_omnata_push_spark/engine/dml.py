@@ -523,9 +523,33 @@ def _update_fast_path(engine, table, alias, assignments, cond):
             obs,
             F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("n_hit"),
         ).select(*cols)
+        # Change manifest (r10): pre/post of matched rows where any
+        # value actually changed — a pushed-down filtered scan, O(hit)
+        # output. Raw events; the reader's key/digest semantics apply
+        # at CDC composition time (store._compose_changes).
+        post_cols = [
+            set_map[f.name.lower()].cast(f.dataType).alias(f.name)
+            if f.name.lower() in set_map
+            else F.col(f.name)
+            for f in tgt.schema
+        ]
+        names = [f.name for f in tgt.schema]
+        paired = tgt.filter(pred).select(
+            F.struct(*[F.col(c) for c in names]).alias("_pre"),
+            F.struct(*post_cols).alias("_post"),
+        ).filter(~F.col("_pre").eqNullSafe(F.col("_post")))
+        events = (
+            paired.select("_pre.*")
+            .withColumn("change_type", F.lit("update_preimage"))
+            .unionByName(
+                paired.select("_post.*").withColumn(
+                    "change_type", F.lit("update_postimage")
+                )
+            )
+        )
     except Exception:
         return None  # general (row-id) path handles it
-    engine.store.overwrite(engine.spark, table, plan)
+    engine.store.overwrite(engine.spark, table, plan, cdc_events=events)
     return _summary(engine, rows_updated=obs.get["n_hit"] or 0)
 
 
@@ -581,7 +605,8 @@ def _update(engine, sql: str) -> DataFrame:
     joined = tgt.join(matches, _RID, "left")
     out_cols = []
     set_names = {c.lower(): i for i, (c, _) in enumerate(assignments)}
-    for fld in engine.store.read(engine.spark, table).schema:
+    schema = engine.store.read(engine.spark, table).schema
+    for fld in schema:
         if fld.name.lower() in set_names:
             i = set_names[fld.name.lower()]
             out_cols.append(
@@ -592,8 +617,44 @@ def _update(engine, sql: str) -> DataFrame:
             )
         else:
             out_cols.append(F.col(fld.name))
-    engine.store.overwrite(engine.spark, table, joined.select(*out_cols))
+    engine.store.overwrite(
+        engine.spark,
+        table,
+        joined.select(*out_cols),
+        cdc_events=_update_events(engine, tgt, matches, assignments, schema),
+    )
     return _summary(engine, rows_updated=n)
+
+
+def _update_events(engine, tgt, matches, assignments, schema) -> DataFrame:
+    """Change manifest for the general UPDATE path (r10): hit rows from
+    the checkpointed target inner-joined with the (small, checkpointed)
+    match frame — pre = original columns, post = SET expressions cast
+    to target types; full-row-identical pairs dropped."""
+    set_names = {c.lower(): i for i, (c, _) in enumerate(assignments)}
+    inner = tgt.join(matches, _RID, "inner")
+    names = [f.name for f in schema]
+    post_cols = [
+        F.col(f"__set_{set_names[f.name.lower()]}")
+        .cast(f.dataType)
+        .alias(f.name)
+        if f.name.lower() in set_names
+        else F.col(f.name)
+        for f in schema
+    ]
+    paired = inner.select(
+        F.struct(*[F.col(c) for c in names]).alias("_pre"),
+        F.struct(*post_cols).alias("_post"),
+    ).filter(~F.col("_pre").eqNullSafe(F.col("_post")))
+    return (
+        paired.select("_pre.*")
+        .withColumn("change_type", F.lit("update_preimage"))
+        .unionByName(
+            paired.select("_post.*").withColumn(
+                "change_type", F.lit("update_postimage")
+            )
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -663,7 +724,12 @@ def _delete(engine, sql: str) -> DataFrame:
     ids = engine.spark.sql(match_sql).dropDuplicates([_RID]).localCheckpoint()
     n = ids.count()
     kept = tgt.join(ids, _RID, "left_anti").drop(_RID)
-    engine.store.overwrite(engine.spark, table, kept)
+    events = (
+        tgt.join(ids, _RID, "left_semi")
+        .drop(_RID)
+        .withColumn("change_type", F.lit("delete"))
+    )
+    engine.store.overwrite(engine.spark, table, kept, cdc_events=events)
     return _summary(engine, rows_deleted=n)
 
 
@@ -750,6 +816,8 @@ def _merge(engine, sql: str) -> DataFrame:
     patched = tgt
     del_ids = None
     on_sql = transpile(on_cond)
+    schema_names = [f.name for f in schema]
+    cdc_parts: list[DataFrame] = []  # r10 change manifest accumulators
 
     # Matching (matched / not-matched / extra conditions) is evaluated
     # against the target AS OF statement start (Snowflake semantics):
@@ -770,6 +838,11 @@ def _merge(engine, sql: str) -> DataFrame:
         )
         n_del = del_ids.count()
         patched = patched.join(del_ids, _RID, "left_anti")
+        cdc_parts.append(
+            tgt.join(del_ids, _RID, "left_semi")
+            .select(*schema_names)
+            .withColumn("change_type", F.lit("delete"))
+        )
 
     if upd is not None:
         assignments = []
@@ -791,6 +864,9 @@ def _merge(engine, sql: str) -> DataFrame:
             matches = matches.join(del_ids, _RID, "left_anti")
         matches = matches.localCheckpoint()
         n_upd = matches.count()
+        cdc_parts.append(
+            _update_events(engine, tgt, matches, assignments, schema)
+        )
         joined = patched.join(matches, _RID, "left")
         set_names = {c.lower(): i for i, (c, _) in enumerate(assignments)}
         out_cols = []
@@ -835,8 +911,16 @@ def _merge(engine, sql: str) -> DataFrame:
         n_ins = new_rows.count()
         aligned = _aligned_for_insert(engine, table, new_rows, cols)
         final = final.unionByName(aligned)
+        cdc_parts.append(
+            aligned.withColumn("change_type", F.lit("insert"))
+        )
 
-    engine.store.overwrite(engine.spark, table, final)
+    cdc = None
+    if cdc_parts:
+        cdc = cdc_parts[0]
+        for p in cdc_parts[1:]:
+            cdc = cdc.unionByName(p)
+    engine.store.overwrite(engine.spark, table, final, cdc_events=cdc)
     return _summary(
         engine, rows_inserted=n_ins, rows_updated=n_upd, rows_deleted=n_del
     )

@@ -375,11 +375,21 @@ class TableStore:
                     v = int(entry[2:])
                 elif entry.startswith("dv_v="):
                     v = int(entry[5:])
+                elif entry.startswith("cdc_v="):
+                    # change manifests (r10) vacuum with their version
+                    v = int(entry[6:].split(".", 1)[0])
                 else:
                     continue
                 if v > cur - keep or v in retained_by_time:
                     continue
-                shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+                target = os.path.join(d, entry)
+                if os.path.isdir(target):
+                    shutil.rmtree(target, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(target)
+                    except OSError:
+                        pass
 
     def _link_version(self, old_dir: str, new_dir: str) -> None:
         """Carry a whole version into a new version directory by
@@ -461,24 +471,30 @@ class TableStore:
         meta = self.meta(name)
         if meta.get("partition_by") and meta.get("schema"):
             raw = raw.schema(StructType.fromJson(meta["schema"]))
-        hits = (
-            raw.parquet(old_dir)
-            .filter(predicate)
-            .select(
-                self._relpath_expr(old_dir).alias("relpath"),
-                F.col("_metadata.row_index").alias("row_index"),
-            )
+        base = raw.parquet(old_dir)
+        data_cols = base.columns
+        matched = base.filter(predicate).select(
+            *data_cols,
+            self._relpath_expr(old_dir).alias("relpath"),
+            F.col("_metadata.row_index").alias("row_index"),
         )
         old_dv_dir = self._dv_dir(old_dir)
         if os.path.isdir(old_dv_dir):
             old_dv = spark.read.parquet(old_dv_dir)
-            n_new = hits.join(
+            # rows already deleted by a prior DV are not deleted again
+            new_hits = matched.join(
                 old_dv, ["relpath", "row_index"], "left_anti"
-            ).count()
-            merged_dv = hits.unionByName(old_dv).distinct()
+            ).localCheckpoint()
+            n_new = new_hits.count()
+            merged_dv = (
+                new_hits.select("relpath", "row_index")
+                .unionByName(old_dv)
+                .distinct()
+            )
         else:
-            n_new = hits.count()
-            merged_dv = hits.distinct()
+            new_hits = matched.localCheckpoint()
+            n_new = new_hits.count()
+            merged_dv = new_hits.select("relpath", "row_index").distinct()
 
         new_dir = os.path.join(self._dir(name), f"v={v + 1}")
         shutil.rmtree(new_dir, ignore_errors=True)
@@ -497,6 +513,16 @@ class TableStore:
         shutil.rmtree(staging, ignore_errors=True)
         merged_dv.coalesce(1).write.mode("overwrite").parquet(staging)
         self._promote_dir(staging, self._dv_dir(new_dir))
+        # Change manifest (r10): the newly deleted rows, from the same
+        # checkpointed frame the DV was derived from — O(deleted).
+        self.write_cdc_events(
+            spark,
+            name,
+            v + 1,
+            new_hits.select(*data_cols).withColumn(
+                "change_type", F.lit("delete")
+            ),
+        )
         self._set_version(name, v + 1, op="delete")
         return n_new
 
@@ -615,10 +641,27 @@ class TableStore:
         old_dir = os.path.join(self._dir(name), f"v={v}")
         new_dir = os.path.join(self._dir(name), f"v={v + 1}")
         self._link_version(old_dir, new_dir)
+
+        def _data_files(d: str) -> set[str]:
+            out = set()
+            for root, _dirs, files in os.walk(d):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        out.add(
+                            os.path.relpath(os.path.join(root, fn), d)
+                        )
+            return out
+
+        linked = _data_files(new_dir)
         writer = df.write.mode("append")
         if pcol:
             writer = writer.partitionBy(pcol)
         writer.parquet(new_dir)
+        # Change manifest (r10): the appended files ARE the delta —
+        # everything in the new version that wasn't hard-linked in.
+        self.write_cdc_files(
+            name, v + 1, sorted(_data_files(new_dir) - linked)
+        )
         # Schema evolution on INSERT: when the appended frame carries
         # columns beyond the pinned _META schema (a metadata-added
         # column being materialized, or mergeSchema-style widening),
@@ -676,13 +719,84 @@ class TableStore:
         if pcol and pcol in src.columns:
             self._partition_scoped_merge(spark, name, src, unique_key, pcol)
             return
+        src = src.localCheckpoint()  # reused: keys, union, CDC events
         target = self.read(spark, name)
         keys = src.select(F.col(unique_key).alias("_mk")).distinct()
         kept = target.join(
             keys, target[unique_key] == keys["_mk"], "left_anti"
         )
         merged = kept.unionByName(src, allowMissingColumns=True)
-        self._rewrite(spark, name, merged)
+        events = self._keyed_merge_events(
+            spark, target, src, unique_key, merged.limit(0)
+        )
+        self._rewrite(spark, name, merged, cdc_events=events)
+
+    def _keyed_merge_events(
+        self,
+        spark: SparkSession,
+        scope: DataFrame,
+        src: DataFrame,
+        unique_key: str,
+        template: DataFrame,
+    ) -> DataFrame | None:
+        """Raw change events for a keyed merge — update pre/post pairs
+        for matched keys (full-row-identical pairs dropped: silent for
+        ANY reader key choice) plus inserts for new keys. Returns None
+        when the key assumptions don't hold (null or duplicate keys on
+        either side); the caller then skips the manifest and CDC reads
+        fall back to the version diff. Cost: one semi-join scan of
+        ``scope`` (partition-pruned by the caller where possible) and
+        O(delta) joins/aggregations on top."""
+        k = unique_key
+        if k not in src.columns or k not in scope.columns:
+            return None
+        bad_src = (
+            src.groupBy(k)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter((F.col("_n") > 1) | F.col(k).isNull())
+            .limit(1)
+            .count()
+        )
+        if bad_src:
+            return None
+        pre = scope.join(
+            src.select(k).distinct(), k, "left_semi"
+        ).localCheckpoint()
+        bad_pre = (
+            pre.groupBy(k)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if bad_pre:
+            return None
+        cols = template.columns
+        pre_w = template.unionByName(
+            pre, allowMissingColumns=True
+        ).select(cols)
+        src_w = template.unionByName(
+            src, allowMissingColumns=True
+        ).select(cols)
+        o, n = pre_w.alias("o"), src_w.alias("n")
+        o_row = F.struct(*[F.col(f"o.{c}") for c in cols])
+        n_row = F.struct(*[F.col(f"n.{c}") for c in cols])
+        pairs = o.join(n, F.col(f"o.{k}") == F.col(f"n.{k}")).filter(
+            ~o_row.eqNullSafe(n_row)
+        )
+        ups = (
+            pairs.select("o.*")
+            .withColumn("change_type", F.lit("update_preimage"))
+            .unionByName(
+                pairs.select("n.*").withColumn(
+                    "change_type", F.lit("update_postimage")
+                )
+            )
+        )
+        inserts = src_w.join(
+            pre_w.select(k), k, "left_anti"
+        ).withColumn("change_type", F.lit("insert"))
+        return ups.unionByName(inserts)
 
     def _partition_scoped_merge(
         self,
@@ -702,6 +816,7 @@ class TableStore:
         # Touched partition values: one per job in practice (a handful per
         # run), so the driver-side collect is bounded by run size, not
         # table size.
+        src = src.localCheckpoint()  # reused: touched, staging, CDC events
         touched = [r[0] for r in src.select(pcol).distinct().collect()]
         target = self.read(spark, name)
         # isin on the partition column prunes to touched directories at
@@ -804,6 +919,20 @@ class TableStore:
             self._promote_dir(dv_staging, self._dv_dir(new_dir))
         shutil.rmtree(staging, ignore_errors=True)
         self._set_meta(name, pcol, merged.schema)
+        if not wholesale:
+            # Change manifest (r10): pre rows come from the TOUCHED
+            # partitions only (pruned scan) — merge semantics already
+            # scope key matching to them. Wholesale replacement has no
+            # key contract, so it falls back to the version diff.
+            events = self._keyed_merge_events(
+                spark,
+                target.filter(touched_pred),
+                src,
+                unique_key,
+                merged.limit(0),
+            )
+            if events is not None:
+                self.write_cdc_events(spark, name, v + 1, events)
         self._set_version(
             name, v + 1, op="insert_overwrite" if wholesale else "merge"
         )
@@ -867,6 +996,8 @@ class TableStore:
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self._meta_file(name))
+        # metadata-only commit: the delta is empty (r10 manifest)
+        self.write_cdc_files(name, v + 1, [])
         self._set_version(name, v + 1, op="add_column")
 
     def rename_table(self, old: str, new: str) -> None:
@@ -994,12 +1125,16 @@ class TableStore:
         name: str,
         df: DataFrame,
         partition_by: str | None = None,
+        cdc_events: DataFrame | None = None,
     ) -> None:
         """Forced rebuild (the reference's rename-to-backup/CTAS/drop dance,
         tracking_table_materialization.sql:19-27 — the version pointer swap
-        makes the backup choreography unnecessary)."""
+        makes the backup choreography unnecessary). ``cdc_events`` (r10):
+        callers that know their delta (the DML engine's UPDATE/DELETE/
+        MERGE handlers) pass the raw change events for the commit's
+        manifest, keeping stream/CHANGES reads O(changed)."""
         if self.exists(name):
-            self._rewrite(spark, name, df)
+            self._rewrite(spark, name, df, cdc_events=cdc_events)
         else:
             self.create(spark, name, df, partition_by=partition_by)
 
@@ -1600,7 +1735,13 @@ class TableStore:
         self._rewrite(spark, name, current)
         self.vacuum(name, keep=1)
 
-    def _rewrite(self, spark: SparkSession, name: str, df: DataFrame) -> None:
+    def _rewrite(
+        self,
+        spark: SparkSession,
+        name: str,
+        df: DataFrame,
+        cdc_events: DataFrame | None = None,
+    ) -> None:
         v = self.current_version(name)
         new_v = v + 1
         pcol = self.partition_by(name)
@@ -1609,7 +1750,213 @@ class TableStore:
             writer = writer.partitionBy(pcol)
         writer.parquet(os.path.join(self._dir(name), f"v={new_v}"))
         self._set_meta(name, pcol if pcol in df.columns else None, df.schema)
+        if cdc_events is not None:
+            # Manifest BEFORE the pointer swap: visible atomically with
+            # the version. The events frame still reads the old version
+            # files (they stay on disk until an explicit vacuum).
+            self.write_cdc_events(spark, name, new_v, cdc_events)
         self._set_version(name, new_v, op="rewrite")
+
+    # -- per-commit change manifests (r10, VERDICT r9 #1) -------------------
+    # Every stream read / CHANGES scan used to pay an O(table)
+    # two-version join per window. Commits that KNOW their delta now
+    # persist it as a sidecar next to the version dir (the Delta CDF
+    # "change data files" idea):
+    #   cdc_v=N            parquet of raw change events (payload in that
+    #                      commit's schema + change_type: insert/delete/
+    #                      update_preimage/update_postimage)
+    #   cdc_v=N.files.json append commits: the NEW (non-hard-linked)
+    #                      data files — the delta IS those files, no row
+    #                      copies needed.
+    # read_changes composes a window from manifests when every commit
+    # in it has one (O(changed), one key shuffle — or ZERO shuffles for
+    # an append-only window), falling back to the two-version join
+    # otherwise. Manifests are an optimization: they hold RAW per-row
+    # events with no key assumptions; the reader's unique_key + digest
+    # semantics apply at composition time, so results are identical to
+    # the fallback. Sidecars vacuum with their version.
+
+    def _cdc_rows_dir(self, name: str, version: int) -> str:
+        return os.path.join(self._dir(name), f"cdc_v={version}")
+
+    def _cdc_files_file(self, name: str, version: int) -> str:
+        return os.path.join(self._dir(name), f"cdc_v={version}.files.json")
+
+    def write_cdc_events(
+        self, spark: SparkSession, name: str, version: int, events: DataFrame
+    ) -> None:
+        """Persist a commit's raw change events. Best-effort: a failure
+        here leaves no manifest (reads fall back to the version diff),
+        never a broken commit."""
+        staging = os.path.join(self._dir(name), "_cdc_staging")
+        try:
+            shutil.rmtree(staging, ignore_errors=True)
+            events.write.mode("overwrite").parquet(staging)
+            self._promote_dir(staging, self._cdc_rows_dir(name, version))
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(
+                self._cdc_rows_dir(name, version), ignore_errors=True
+            )
+
+    def write_cdc_files(
+        self, name: str, version: int, relpaths: list[str]
+    ) -> None:
+        """Persist an append commit's manifest: the new data files,
+        relative to the version directory."""
+        tmp = self._cdc_files_file(name, version) + ".tmp"
+        try:
+            with open(tmp, "w") as f:
+                json.dump({"files": sorted(relpaths)}, f)
+            os.replace(tmp, self._cdc_files_file(name, version))
+        except OSError:
+            pass
+
+    def _cdc_manifest(
+        self, spark: SparkSession, name: str, version: int
+    ) -> tuple[str, DataFrame] | None:
+        """(kind, events) for a commit's manifest, or None. kind is
+        'files' (insert-only, reads ONLY the appended files) or 'rows'."""
+        rows_dir = self._cdc_rows_dir(name, version)
+        if os.path.isdir(rows_dir):
+            return "rows", spark.read.option("mergeSchema", "true").parquet(
+                rows_dir
+            )
+        ff = self._cdc_files_file(name, version)
+        if os.path.isfile(ff):
+            try:
+                with open(ff) as f:
+                    rels = json.load(f)["files"]
+            except (OSError, ValueError, KeyError):
+                return None
+            vdir = os.path.join(self._dir(name), f"v={version}")
+            if not rels:
+                return "files", (
+                    self.read_version(spark, name, version)
+                    .limit(0)
+                    .withColumn("change_type", F.lit("insert"))
+                )
+            reader = spark.read.option("basePath", vdir).option(
+                "mergeSchema", "true"
+            )
+            meta = self.meta(name)
+            if meta.get("partition_by") and meta.get("schema"):
+                # pin partition-column types like read() does
+                reader = reader.schema(StructType.fromJson(meta["schema"]))
+            df = reader.parquet(*[os.path.join(vdir, r) for r in rels])
+            # New files carry no deletion-vector rows at their own
+            # commit (a delete creates a LATER version), so no DV apply.
+            return "files", df.withColumn("change_type", F.lit("insert"))
+        return None
+
+    def _compose_changes(
+        self,
+        spark: SparkSession,
+        name: str,
+        manifests: list[tuple[int, str, DataFrame]],
+        to_version: int,
+        keys: list[str],
+    ) -> DataFrame:
+        """Net delta over a manifest-covered window: identical
+        semantics to the two-version join, O(changed) work.
+
+        Append-only windows (all 'files' manifests) short-circuit to a
+        union — zero shuffles, and the scan reads ONLY the appended
+        files. Mixed windows reduce per key: the net change is
+        (initial state before the key's FIRST event) vs (final state
+        after its LAST event) — absent->present = insert,
+        present->absent = delete, present->present = update iff the
+        payload digest changed (same md5(to_json(payload)) expression
+        as the fallback, so a rewrite of identical bytes stays
+        CDC-silent). A key whose events cancel (insert then delete)
+        emits nothing. Key-mutating updates fall out naturally: the
+        pre-image groups under the old key (-> delete) and the
+        post-image under the new key (-> insert), exactly like the
+        fallback's key diff."""
+        template = self.read_version(spark, name, to_version).limit(0)
+        cols = template.columns
+        ev = template.withColumn("change_type", F.lit("")).withColumn(
+            "_v", F.lit(0).cast("long")
+        )
+        for v, _kind, df in manifests:
+            ev = ev.unionByName(
+                df.withColumn("_v", F.lit(v).cast("long")),
+                allowMissingColumns=True,
+            )
+        ev = ev.select(*cols, "change_type", "_v")
+
+        if all(kind == "files" for _v, kind, _df in manifests):
+            return ev.drop("_v")
+
+        payload = [c for c in cols if c not in keys]
+        dig = F.md5(F.to_json(F.struct(*[F.col(c) for c in payload])))
+        is_pre = F.col("change_type").isin("delete", "update_preimage")
+        is_post = F.col("change_type").isin("insert", "update_postimage")
+        row_struct = F.struct(*[F.col(c) for c in cols], dig.alias("_dig"))
+        big = F.lit(1 << 60).cast("long")
+        ev = ev.withColumn("_pre", is_pre).withColumn("_post", is_post)
+        agg = ev.groupBy(*[F.col(k) for k in keys]).agg(
+            F.min("_v").alias("_min_all"),
+            F.max("_v").alias("_max_all"),
+            F.min(F.when(F.col("_pre"), F.col("_v"))).alias("_min_pre"),
+            F.max(F.when(F.col("_post"), F.col("_v"))).alias("_max_post"),
+            F.min_by(
+                F.when(F.col("_pre"), row_struct),
+                F.when(F.col("_pre"), F.col("_v")).otherwise(big),
+            ).alias("_init"),
+            F.max_by(
+                F.when(F.col("_post"), row_struct),
+                F.when(F.col("_post"), F.col("_v")).otherwise(F.lit(-1)),
+            ).alias("_fin"),
+        )
+        init_here = F.col("_min_pre").isNotNull() & (
+            F.col("_min_pre") == F.col("_min_all")
+        )
+        fin_here = F.col("_max_post").isNotNull() & (
+            F.col("_max_post") == F.col("_max_all")
+        )
+        pair = agg.select(
+            F.when(
+                ~init_here & fin_here,
+                F.array(
+                    F.struct(
+                        F.lit("insert").alias("ct"), F.col("_fin").alias("row")
+                    )
+                ),
+            )
+            .when(
+                init_here & ~fin_here,
+                F.array(
+                    F.struct(
+                        F.lit("delete").alias("ct"),
+                        F.col("_init").alias("row"),
+                    )
+                ),
+            )
+            .when(
+                init_here
+                & fin_here
+                & (F.col("_init._dig") != F.col("_fin._dig")),
+                F.array(
+                    F.struct(
+                        F.lit("update_preimage").alias("ct"),
+                        F.col("_init").alias("row"),
+                    ),
+                    F.struct(
+                        F.lit("update_postimage").alias("ct"),
+                        F.col("_fin").alias("row"),
+                    ),
+                ),
+            )
+            .alias("_evs")
+        )
+        out = pair.filter(F.col("_evs").isNotNull()).select(
+            F.explode(F.col("_evs")).alias("_e")
+        )
+        return out.select(
+            *[F.col(f"_e.row.{c}").alias(c) for c in cols],
+            F.col("_e.ct").alias("change_type"),
+        )
 
     def read_changes(
         self,
@@ -1647,6 +1994,21 @@ class TableStore:
         keys = (
             [unique_key] if isinstance(unique_key, str) else list(unique_key)
         )
+        # Manifest path (r10): when every commit in (from, to] persisted
+        # its delta, compose the window from O(changed) events instead
+        # of diffing two full versions — the append-only case reads
+        # ONLY the appended files with zero shuffles.
+        if to_version > from_version:
+            manifests: list[tuple[int, str, DataFrame]] = []
+            for v in range(from_version + 1, to_version + 1):
+                m = self._cdc_manifest(spark, name, v)
+                if m is None:
+                    break
+                manifests.append((v, m[0], m[1]))
+            else:
+                return self._compose_changes(
+                    spark, name, manifests, to_version, keys
+                )
         old = self.read_version(spark, name, from_version)
         new = self.read_version(spark, name, to_version)
         # Render the old version in the new (possibly widened) schema:

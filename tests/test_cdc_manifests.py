@@ -1,0 +1,280 @@
+"""Per-commit change manifests (round 10, VERDICT r9 #1).
+
+Every commit that knows its delta persists it as a sidecar
+(``cdc_v=N`` parquet of raw events, or ``cdc_v=N.files.json`` listing
+an append's new files). ``read_changes`` composes a window from
+manifests when every commit in it has one — O(changed) instead of the
+O(table) two-version join — and the append-only window reads ONLY the
+appended files (proven here at the inputFiles level). Semantics must
+be IDENTICAL to the fallback: these tests run the same DML sequences
+and compare composed output against the join path (manifests
+stripped) row for row.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_omnata_push_spark.engine.dag import Engine
+from dbt_omnata_push_spark.engine.store import TableStore
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, TableStore(str(tmp_path / "store")))
+
+
+def _strip_manifests(store: TableStore, name: str) -> None:
+    d = store._dir(name)
+    for e in os.listdir(d):
+        if e.startswith("cdc_v="):
+            p = os.path.join(d, e)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            else:
+                os.remove(p)
+
+
+def _changes(engine, name, lo, hi, key="pk"):
+    df = engine.store.read_changes(engine.spark, name, lo, hi, key)
+    return sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def _mk(engine, n=20):
+    engine.query(
+        f"create table t as select id as pk, id * 10 as v, "
+        f"cast(id % 3 as int) as grp from range({n})"
+    )
+
+
+class TestManifestProduction:
+    def test_append_writes_files_manifest(self, spark, engine):
+        _mk(engine)
+        engine.query("insert into t select 100, 1000, 0")
+        v = engine.store.current_version("t")
+        assert os.path.isfile(engine.store._cdc_files_file("t", v))
+
+    def test_update_writes_rows_manifest(self, spark, engine):
+        _mk(engine)
+        engine.query("update t set v = v + 1 where pk < 5")
+        v = engine.store.current_version("t")
+        assert os.path.isdir(engine.store._cdc_rows_dir("t", v))
+
+    def test_delete_writes_rows_manifest(self, spark, engine):
+        _mk(engine)
+        engine.query("delete from t where pk >= 15")
+        v = engine.store.current_version("t")
+        assert os.path.isdir(engine.store._cdc_rows_dir("t", v))
+
+    def test_merge_writes_rows_manifest(self, spark, engine):
+        _mk(engine)
+        engine.query(
+            "create table s as select id as pk, id * 100 as v, "
+            "cast(0 as int) as grp from range(15, 25)"
+        )
+        engine.query(
+            "merge into t using s on t.pk = s.pk "
+            "when matched then update set v = s.v "
+            "when not matched then insert values (s.pk, s.v, s.grp)"
+        )
+        v = engine.store.current_version("t")
+        assert os.path.isdir(engine.store._cdc_rows_dir("t", v))
+
+    def test_merge_upsert_store_api_writes_manifest(self, spark, engine):
+        _mk(engine)
+        src = spark.createDataFrame(
+            [(5, 555, 0), (100, 1, 1)], "pk long, v long, grp int"
+        )
+        engine.store.merge_upsert(spark, "t", src, "pk")
+        v = engine.store.current_version("t")
+        assert os.path.isdir(engine.store._cdc_rows_dir("t", v))
+
+    def test_ctas_rebuild_has_no_manifest(self, spark, engine):
+        _mk(engine)
+        engine.query(
+            "create or replace table t as select id as pk, id as v, "
+            "cast(0 as int) as grp from range(3)"
+        )
+        v = engine.store.current_version("t")
+        assert not os.path.isdir(engine.store._cdc_rows_dir("t", v))
+        assert not os.path.isfile(engine.store._cdc_files_file("t", v))
+
+
+class TestComposedEqualsFallback:
+    """The gate: identical output with and without manifests."""
+
+    def _assert_windows_match(self, engine, name="t", key="pk"):
+        cur = engine.store.current_version(name)
+        windows = [
+            (lo, hi)
+            for lo in range(0, cur)
+            for hi in range(lo + 1, cur + 1)
+        ]
+        composed = {
+            w: _changes(engine, name, w[0], w[1], key) for w in windows
+        }
+        _strip_manifests(engine.store, name)
+        for w in windows:
+            fallback = _changes(engine, name, w[0], w[1], key)
+            assert composed[w] == fallback, f"window {w} diverged"
+
+    def test_mixed_dml_sequence(self, spark, engine):
+        _mk(engine)
+        engine.query("insert into t select 100, 1000, 0")       # v1 append
+        engine.query("update t set v = v + 7 where pk % 4 = 0")  # v2 update
+        engine.query("delete from t where grp = 2")              # v3 delete
+        engine.query(
+            "insert into t select id + 200, id, 1 from range(3)"
+        )                                                        # v4 append
+        engine.query("update t set v = v where pk = 1")          # v5 no-op
+        self._assert_windows_match(engine)
+
+    def test_merge_sequence(self, spark, engine):
+        _mk(engine, n=10)
+        engine.query(
+            "create table s as select id as pk, id * 100 as v, "
+            "cast(1 as int) as grp from range(5, 15)"
+        )
+        engine.query(
+            "merge into t using s on t.pk = s.pk "
+            "when matched and s.pk < 8 then update set v = s.v "
+            "when matched and s.pk >= 8 then delete "
+            "when not matched then insert values (s.pk, s.v, s.grp)"
+        )
+        self._assert_windows_match(engine)
+
+    def test_key_mutating_update(self, spark, engine):
+        _mk(engine, n=6)
+        engine.query("update t set pk = pk + 1000 where pk < 2")
+        self._assert_windows_match(engine)
+
+    def test_insert_then_delete_cancels(self, spark, engine):
+        _mk(engine, n=5)
+        engine.query("insert into t select 100, 1, 0")
+        engine.query("delete from t where pk = 100")
+        assert _changes(engine, "t", 0, 2) == []
+        self._assert_windows_match(engine)
+
+    def test_composite_key(self, spark, engine):
+        _mk(engine, n=12)
+        engine.query("update t set v = v + 1 where pk % 3 = 0")
+        engine.query("delete from t where pk >= 9")
+        cur = engine.store.current_version("t")
+        composed = _changes(engine, "t", 0, cur, key=["pk", "grp"])
+        _strip_manifests(engine.store, "t")
+        assert composed == _changes(engine, "t", 0, cur, key=["pk", "grp"])
+
+    def test_schema_evolution_window(self, spark, engine):
+        _mk(engine, n=5)
+        engine.query("alter table t add column note string")
+        engine.query("insert into t select 50, 5, 0, 'x'")
+        self._assert_windows_match(engine)
+
+    def test_randomized_sequences(self, spark, engine):
+        import random
+
+        rng = random.Random(1007)
+        _mk(engine, n=30)
+        stmts = []
+        for _ in range(6):
+            op = rng.choice(["ins", "upd", "del"])
+            if op == "ins":
+                base = rng.randint(200, 900)
+                stmts.append(
+                    f"insert into t select id + {base}, id, 2 from range(3)"
+                )
+            elif op == "upd":
+                m = rng.randint(2, 6)
+                stmts.append(
+                    f"update t set v = v + {rng.randint(1, 9)} "
+                    f"where pk % {m} = 0"
+                )
+            else:
+                m = rng.randint(5, 9)
+                stmts.append(f"delete from t where pk % {m} = 1")
+        for s in stmts:
+            engine.query(s)
+        self._assert_windows_match(engine)
+
+
+class TestAppendOnlyWindowIO:
+    def test_reads_only_appended_files(self, spark, engine):
+        """The scale contract: an append-only window's CDC scan touches
+        ONLY the appended files — never the table's history."""
+        _mk(engine, n=1000)
+        v0 = engine.store.current_version("t")
+        engine.query("insert into t select id + 5000, id, 0 from range(10)")
+        engine.query("insert into t select id + 6000, id, 1 from range(10)")
+        cur = engine.store.current_version("t")
+        df = engine.store.read_changes(spark, "t", v0, cur, "pk")
+        table_dir = os.path.realpath(engine.store._dir("t"))
+        allowed = set()
+        for v in (v0 + 1, v0 + 2):
+            with open(engine.store._cdc_files_file("t", v)) as f:
+                import json
+
+                rels = json.load(f)["files"]
+            vdir = os.path.join(table_dir, f"v={v}")
+            allowed |= {os.path.join(vdir, r) for r in rels}
+        scanned = {
+            os.path.realpath(p.replace("file://", ""))
+            for p in df.inputFiles()
+        }
+        assert scanned, "expected a non-empty scan"
+        assert scanned <= allowed, (
+            f"CDC scan read beyond the appended files: "
+            f"{sorted(scanned - allowed)[:3]}"
+        )
+        assert df.count() == 20
+
+    def test_append_only_plan_has_no_shuffle(self, spark, engine):
+        _mk(engine, n=100)
+        v0 = engine.store.current_version("t")
+        engine.query("insert into t select id + 5000, id, 0 from range(5)")
+        cur = engine.store.current_version("t")
+        df = engine.store.read_changes(spark, "t", v0, cur, "pk")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
+class TestManifestLifecycle:
+    def test_vacuum_removes_manifests_with_versions(self, spark, engine):
+        _mk(engine, n=5)
+        engine.query("insert into t select 50, 5, 0")   # v1 files manifest
+        engine.query("update t set v = 1 where pk = 0")  # v2 rows manifest
+        engine.store.vacuum("t", keep=1)
+        d = engine.store._dir("t")
+        left = [e for e in os.listdir(d) if e.startswith("cdc_v=")]
+        assert left == ["cdc_v=2"], left
+
+    def test_stale_stream_diagnosis(self, spark, engine):
+        _mk(engine, n=5)
+        engine.store.set_primary_key("t", "t_pk", ["pk"])
+        engine.query("create stream st on table t")
+        # a manifest-less commit (CTAS rebuild), then vacuum the offset
+        engine.query(
+            "create or replace table t as "
+            "select id as pk, id as v, cast(0 as int) as grp from range(9)"
+        )
+        engine.store.vacuum("t", keep=1)
+        with pytest.raises(ValueError, match="stale"):
+            engine.stream_frame("st")
+
+    def test_stream_survives_vacuum_when_manifests_cover(
+        self, spark, engine
+    ):
+        """Better than Snowflake: manifests are self-contained, so a
+        vacuumed offset version with full manifest coverage still
+        serves the delta."""
+        _mk(engine, n=5)
+        engine.store.set_primary_key("t", "t_pk", ["pk"])
+        engine.query("create stream st on table t")
+        engine.query("insert into t select 50, 5, 0")
+        engine.store.vacuum("t", keep=1)
+        df, _v = engine.stream_frame("st")
+        assert df.count() == 1
