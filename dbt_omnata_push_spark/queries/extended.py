@@ -2716,6 +2716,94 @@ def events_value_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_error_context",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER w AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_rows,
+               LEAD(event_id) OVER w AS next_id
+        FROM events
+        WHERE user_id % 10 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    err AS (
+        SELECT user_id, event_id, rn, n_rows, next_id,
+               rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
+                   AS grp
+        FROM ordered WHERE event_type = 'error'
+    ),
+    isl AS (
+        SELECT user_id,
+               MIN(event_id) AS first_err,
+               MAX(event_id) AS last_err,
+               COUNT(*) AS len,
+               MAX(rn) AS end_rn,
+               ANY_VALUE(n_rows) AS n_rows,
+               ARG_MAX(next_id, rn) AS next_id
+        FROM err GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(first_err AS BIGINT) AS start_id,
+           CAST(CASE WHEN end_rn < n_rows THEN next_id
+                     ELSE last_err END AS BIGINT) AS end_id,
+           CAST(CASE WHEN end_rn < n_rows THEN len
+                     ELSE len - 1 END AS BIGINT) AS n_err,
+           'W' AS cls
+    FROM isl
+    WHERE end_rn < n_rows OR len >= 2
+    """,
+    tags=("ops", "matchrec"),
+)
+def events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with OVERLAPPING defines (r10, VERDICT r9 #2):
+    ``E`` = error event, ``W`` = ANY event (every error row satisfies
+    both), pattern ``E+ W`` — a maximal error burst plus its first
+    follow-up event, the 'error context' shape. The pattern automaton
+    (not a mutual-exclusivity precondition) decides each row's symbol:
+    greedy ``E+`` consumes the whole burst and ``W`` takes the next
+    row; at a partition end the regex backtracks one error so the
+    burst's last row classifies as W — exactly the give-back the
+    oracle reconstructs per island (len-1 errors when no follow-up row
+    exists; single trailing errors match nothing). CLASSIFIER() rides
+    along as the ONE-ROW-PER-MATCH last-row symbol. Certifies
+    overlapping-define resolution, quantifier give-back at sequence
+    end, count(SYM) via classification replay, and CLASSIFIER()."""
+    from ..ops.matchrec import match_recognize
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)  # cohort slice: the
+        # certification is per-match semantics, not volume; the filter
+        # is partition-pruned/pushed down on both engines
+        .select("user_id", "event_id", "event_type")
+    )
+    out = match_recognize(
+        ev,
+        ["user_id"],
+        ["event_id"],
+        defines={
+            "E": "event_type == 'error'",
+            "W": "event_id == event_id",  # any row (ids are non-null)
+        },
+        pattern="E+ W",
+        measures={
+            "start_id": "first(event_id)",
+            "end_id": "last(event_id)",
+            "n_err": "count(E)",
+            "cls": "classifier()",
+        },
+    )
+    return out.select(
+        "user_id",
+        F.col("start_id").cast("long").alias("start_id"),
+        F.col("end_id").cast("long").alias("end_id"),
+        F.col("n_err").cast("long").alias("n_err"),
+        F.col("cls").alias("cls"),
+    )
+
+
+@query(
     "customers_connect_by_roots",
     oracle="""
     WITH RECURSIVE base AS (

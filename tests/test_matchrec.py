@@ -97,17 +97,95 @@ class TestMatchRecognize:
         got = sorted((r["g"], r["s"]) for r in out.collect())
         assert got == [(1, 3), (1, 4), (1, 6), (2, 2)]
 
-    def test_overlapping_defines_raise(self, spark):
+    def test_overlapping_defines_match_like_snowflake(self, spark):
+        """r10: DEFINEs may overlap — the pattern automaton decides the
+        per-row symbol, not a mutual-exclusivity precondition. A = any
+        row, B = a-tagged row: 'A B' is any row followed by an a-row,
+        leftmost non-overlapping."""
         out = match_recognize(
             _df(spark),
             ["g"],
             ["seq"],
             defines={"A": "price > 0", "B": "tag == 'a'"},
             pattern="A B",
-            measures={"n": "count()"},
+            measures={"s": "first(seq)", "e": "last(seq)"},
         )
-        with pytest.raises(Exception, match="mutually exclusive"):
-            out.collect()
+        got = sorted((r["g"], r["s"], r["e"]) for r in out.collect())
+        assert got == [(1, 2, 3), (1, 4, 5), (2, 1, 2)]
+
+    def test_classifier_and_symbol_counts_with_overlap(self, spark):
+        """B anchors on an a-row, greedy A* (any row) consumes the rest;
+        CLASSIFIER() under ONE ROW PER MATCH is the last row's symbol."""
+        out = match_recognize(
+            _df(spark),
+            ["g"],
+            ["seq"],
+            defines={"A": "price > 0", "B": "tag == 'a'"},
+            pattern="B A*",
+            measures={
+                "s": "first(seq)",
+                "e": "last(seq)",
+                "na": "count(A)",
+                "nb": "count(B)",
+                "cls": "classifier()",
+            },
+        )
+        got = sorted(
+            (r["g"], r["s"], r["e"], r["na"], r["nb"], r["cls"])
+            for r in out.collect()
+        )
+        assert got == [(1, 1, 7, 6, 1, "A"), (2, 1, 3, 2, 1, "A")]
+
+    def test_all_rows_per_match_with_classifier(self, spark):
+        out = match_recognize(
+            _df(spark),
+            ["g"],
+            ["seq"],
+            defines={"D": "price < prev_price", "U": "price > prev_price"},
+            pattern="D+ U+",
+            measures={"mn": "match_number()", "cls": "classifier()"},
+            rows_per_match="all",
+        )
+        got = sorted(
+            (r["g"], r["seq"], r["mn"], r["cls"]) for r in out.collect()
+        )
+        assert got == [
+            (1, 2, 1, "D"),
+            (1, 3, 1, "D"),
+            (1, 4, 1, "U"),
+            (1, 5, 1, "U"),
+            (1, 6, 2, "D"),
+            (1, 7, 2, "U"),
+            (2, 2, 1, "D"),
+            (2, 3, 1, "U"),
+        ]
+        # original columns survive in all-rows mode
+        cols = out.columns
+        assert {"g", "seq", "price", "tag"} <= set(cols)
+
+    def test_bounded_quantifier(self, spark):
+        out = match_recognize(
+            _df(spark),
+            ["g"],
+            ["seq"],
+            defines={"D": "price < prev_price", "U": "price > prev_price"},
+            pattern="D{2} U+",
+            measures={"s": "first(seq)", "e": "last(seq)"},
+        )
+        got = sorted((r["g"], r["s"], r["e"]) for r in out.collect())
+        assert got == [(1, 2, 5)]
+
+    def test_at_least_quantifier(self, spark):
+        out = match_recognize(
+            _df(spark),
+            ["g"],
+            ["seq"],
+            defines={"D": "price < prev_price", "U": "price > prev_price"},
+            pattern="D{1,} U{1,1}",
+            measures={"s": "first(seq)", "e": "last(seq)", "n": "count()"},
+        )
+        got = sorted((r["g"], r["s"], r["e"], r["n"]) for r in out.collect())
+        assert got == [(1, 2, 4, 3), (1, 6, 7, 2), (2, 2, 3, 2)]
 
     def test_undefined_symbol_raises(self, spark):
         with pytest.raises(ValueError, match="undefined symbol"):
