@@ -52,6 +52,11 @@ _RECHECK_PRIORITY = [
     # r10: new entry — MATCH_RECOGNIZE with OVERLAPPING defines,
     # CLASSIFIER(), count(SYM) via classification replay.
     "events_error_context",
+    # r10: new entry — CONNECT_BY_ROOT + SYS_CONNECT_BY_PATH carries.
+    "customers_connect_by_paths",
+    # r10: CONNECT BY rewrite gained the visited-array cycle guard —
+    # re-verify the existing hierarchy row on the changed SQL shape.
+    "customers_connect_by_roots",
     # r10: CDC reads now compose per-commit change manifests
     # (store._compose_changes) instead of the two-version join —
     # re-verify every CDC-consuming hash row on the new path.

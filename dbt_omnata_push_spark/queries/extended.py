@@ -2856,6 +2856,60 @@ def customers_connect_by_roots(
 
 
 @query(
+    "customers_connect_by_paths",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT c_custkey AS id,
+               CAST(FLOOR(c_custkey / 10) AS BIGINT) AS parent
+        FROM customer
+    ),
+    cb AS (
+        SELECT id, parent, 1 AS lvl, id AS root_id,
+               '/' || CAST(id AS VARCHAR) AS path
+        FROM base WHERE id BETWEEN 1 AND 9
+        UNION ALL
+        SELECT c.id, c.parent, p.lvl + 1, p.root_id,
+               p.path || '/' || CAST(c.id AS VARCHAR)
+        FROM cb p JOIN base c ON p.id = c.parent
+    )
+    SELECT id, CAST(lvl AS INT) AS lvl, root_id, path FROM cb
+    """,
+    tags=("engine", "sqlfront", "connect-by"),
+)
+def customers_connect_by_paths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONNECT_BY_ROOT + SYS_CONNECT_BY_PATH (r10, VERDICT r9 #3):
+    the div-10 customer hierarchy again, now carrying each row's
+    anchor key and the full '/'-separated key path — both implemented
+    as carried columns in the recursive arm (engine/sqlfront.py::
+    _rewrite_connect_by), the same O(depth)-per-row cost the cycle
+    guard's visited array pays. The oracle re-derives root and path in
+    DuckDB's recursive evaluator; integer-to-string casts render
+    identically in both engines, so the hash certifies the carry
+    wiring exactly."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-cbp-")))
+    engine.seed(
+        "cust_cbp",
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("id"),
+            F.floor(F.col("c_custkey") / 10).cast("long").alias("parent"),
+        ),
+    )
+    return engine.query(
+        "select id, cast(level as int) as lvl, "
+        "connect_by_root id as root_id, "
+        "sys_connect_by_path(id, '/') as path from cust_cbp "
+        "start with id between 1 and 9 connect by prior id = parent"
+    )
+
+
+@query(
     "orders_view_chain",
     oracle="""
     WITH v1 AS (

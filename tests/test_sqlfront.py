@@ -621,10 +621,11 @@ def test_connect_by_unsupported_condition_raises():
         )
 
 
-def test_connect_by_cycle_fails_loudly(spark):
-    # a self-loop (id 0, parent 0) inside the frontier must hit Spark's
-    # recursion limit — the analogue of Oracle/Snowflake's
-    # CONNECT_BY_LOOP — not silently truncate
+def test_connect_by_cycle_raises_loop_error(spark):
+    # r10: cyclic data raises Snowflake's CONNECT_BY_LOOP analogue at
+    # the row closing the cycle (visited-key carry + assert_true) —
+    # not Spark's generic recursion-limit error after 100 join rounds,
+    # and never a silent truncation.
     import pytest
 
     df = spark.createDataFrame([(0, 0), (1, 0)], "id int, parent_id int")
@@ -635,5 +636,72 @@ def test_connect_by_cycle_fails_loudly(spark):
             "connect by prior id = parent_id"
         )
     )
-    with pytest.raises(Exception, match="RECURSION"):
+    with pytest.raises(Exception, match="loop detected"):
         out.collect()
+
+
+def test_connect_by_two_node_cycle_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2), (2, 1)], "id int, parent_id int")
+    df.createOrReplaceTempView("cb_cyc2")
+    out = spark.sql(
+        transpile(
+            "select id, level from cb_cyc2 start with id = 1 "
+            "connect by prior id = parent_id"
+        )
+    )
+    with pytest.raises(Exception, match="loop detected"):
+        out.collect()
+
+
+def test_connect_by_root_and_path(spark):
+    df = spark.createDataFrame(
+        [(1, None, "ceo"), (2, 1, "vp1"), (3, 1, "vp2"), (4, 2, "mgr")],
+        "id int, parent_id int, title string",
+    )
+    df.createOrReplaceTempView("cb_rp")
+    rows = spark.sql(
+        transpile(
+            "select id, connect_by_root title as root_title, "
+            "sys_connect_by_path(title, '/') as pth, level from cb_rp "
+            "start with parent_id is null "
+            "connect by prior id = parent_id"
+        )
+    ).collect()
+    got = sorted((r["id"], r["root_title"], r["pth"]) for r in rows)
+    assert got == [
+        (1, "ceo", "/ceo"),
+        (2, "ceo", "/ceo/vp1"),
+        (3, "ceo", "/ceo/vp2"),
+        (4, "ceo", "/ceo/vp1/mgr"),
+    ]
+
+
+def test_connect_by_root_in_where(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 1), (7, None), (8, 7)], "id int, parent_id int"
+    )
+    df.createOrReplaceTempView("cb_rw")
+    rows = spark.sql(
+        transpile(
+            "select id, connect_by_root id as r from cb_rw "
+            "where connect_by_root id = 7 "
+            "start with parent_id is null "
+            "connect by prior id = parent_id"
+        )
+    ).collect()
+    assert sorted((r["id"], r["r"]) for r in rows) == [(7, 7), (8, 7)]
+
+
+def test_connect_by_star_does_not_leak_internals(spark):
+    df = spark.createDataFrame([(1, None), (2, 1)], "id int, parent_id int")
+    df.createOrReplaceTempView("cb_star")
+    out = spark.sql(
+        transpile(
+            "select * from cb_star start with parent_id is null "
+            "connect by prior id = parent_id"
+        )
+    )
+    assert set(out.columns) == {"id", "parent_id", "level"}
+    assert out.count() == 2
