@@ -755,7 +755,34 @@ class Engine:
             ts.add(n, *[p for p in tasks[n]["after"] if p in selected])
         order = list(ts.static_order())
         rows = []
+        skipped: set[str] = set()
         for i, n in enumerate(order):
+            # A skipped predecessor skips the whole subtree, as in
+            # Snowflake where dependents only fire after a successful
+            # predecessor run.
+            if any(
+                p in skipped
+                for p in tasks[n]["after"]
+                if p in selected
+            ):
+                skipped.add(n)
+                rows.append((i, n, "skipped_upstream"))
+                continue
+            # WHEN gate (r10): evaluated at run time through the full
+            # dialect surface; FALSE/NULL skips (Snowflake conditional
+            # tasks).
+            when = tasks[n].get("when")
+            if when:
+                from .sqlfront import transpile as _transpile
+
+                self._register_views()
+                ok = self.spark.sql(
+                    f"SELECT CAST(({_transpile(when)}) AS BOOLEAN) AS ok"
+                ).collect()[0]["ok"]
+                if not ok:
+                    skipped.add(n)
+                    rows.append((i, n, "skipped_when"))
+                    continue
             self.query(tasks[n]["sql"])
             rows.append((i, n, "success"))
         return self.spark.createDataFrame(

@@ -1088,6 +1088,7 @@ def _show(engine, sql: str) -> DataFrame:
                 t["state"],
                 ", ".join(t.get("after", [])),
                 t.get("schedule"),
+                t.get("when"),
                 t["sql"],
             )
             for n, t in engine.store.tasks().items()
@@ -1095,7 +1096,7 @@ def _show(engine, sql: str) -> DataFrame:
         return engine.spark.createDataFrame(
             rows,
             "name string, state string, after string, schedule string, "
-            "definition string",
+            "condition string, definition string",
         )
     if _SHOW_SEQUENCES_RE.match(s):
         rows = sorted(
@@ -1800,7 +1801,7 @@ _CREATE_TASK_RE = re.compile(
     rf"(?is)^\s*create\s+(or\s+replace\s+)?task\s+({_IDENT})"
     r"(?:\s+schedule\s*=\s*'([^']*)')?"
     rf"(?:\s+after\s+({_IDENT}(?:\s*,\s*{_IDENT})*))?"
-    r"\s+as\s+(.+)$"
+    r"\s+(?=when\b|as\b)(.+)$"
 )
 _DROP_TASK_RE = re.compile(rf"(?is)^\s*drop\s+task\s+({_IDENT})\s*$")
 _ALTER_TASK_RE = re.compile(
@@ -1818,20 +1819,38 @@ def _create_task(engine, sql: str) -> DataFrame:
     if not m:
         raise ValueError(
             "unparsable CREATE TASK (expected: CREATE [OR REPLACE] TASK "
-            "<name> [SCHEDULE = '...'] [AFTER t1[, t2...]] AS "
-            f"<statement>): {s[:120]}"
+            "<name> [SCHEDULE = '...'] [AFTER t1[, t2...]] "
+            f"[WHEN <bool expr>] AS <statement>): {s[:120]}"
         )
     after = (
         [a.strip().strip('"') for a in m.group(4).split(",")]
         if m.group(4)
         else []
     )
+    # WHEN <expr> AS <body>: the boundary is the first TOP-LEVEL `as`
+    # (paren-aware, so CAST(x AS INT) inside the condition survives).
+    tail = m.group(5)
+    when = None
+    wm = re.match(r"(?is)^when\s+", tail)
+    if wm:
+        rest = tail[wm.end():]
+        am = _scan_top(rest, r"as\b")
+        if not am:
+            raise ValueError(
+                f"CREATE TASK: WHEN clause without AS <statement>: "
+                f"{s[:120]}"
+            )
+        when = rest[: am.start()].strip()
+        body = rest[am.end():].strip()
+    else:
+        body = re.sub(r"(?is)^as\s+", "", tail).strip()
     engine.store.create_task(
         m.group(2).strip('"'),
-        m.group(5).strip(),
+        body,
         after=after,
         schedule=m.group(3),
         replace=bool(m.group(1)),
+        when=when,
     )
     return _summary(engine, tasks_created=1)
 

@@ -1430,13 +1430,17 @@ class TableStore:
         after: list[str] | None = None,
         schedule: str | None = None,
         replace: bool = False,
+        when: str | None = None,
     ) -> None:
         """Snowflake CREATE TASK: a named SQL statement, optionally a
-        child of other tasks (AFTER edges form the run DAG). Created
-        SUSPENDED, like Snowflake; Engine.execute_task runs the named
-        task and its resumed descendants in topological order. The
-        SCHEDULE string is recorded only — there is no scheduler in a
-        batch engine; EXECUTE TASK is the trigger."""
+        child of other tasks (AFTER edges form the run DAG), optionally
+        gated by a WHEN boolean expression (r10): evaluated at run
+        time; FALSE skips the task AND its subtree, like Snowflake's
+        conditional tasks. Created SUSPENDED, like Snowflake;
+        Engine.execute_task runs the named task and its resumed
+        descendants in topological order. The SCHEDULE string is
+        recorded only — there is no scheduler in a batch engine;
+        EXECUTE TASK is the trigger."""
         tasks = self.tasks()
         key = name.lower()
         if key in tasks and not replace:
@@ -1469,6 +1473,7 @@ class TableStore:
             "after": after,
             "schedule": schedule,
             "state": "suspended",
+            "when": when,
         }
         self._write_tasks(tasks)
 

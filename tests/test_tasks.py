@@ -150,3 +150,62 @@ class TestExecuteTask:
     def test_execute_missing_errors(self, spark, engine):
         with pytest.raises(ValueError, match="not found"):
             engine.query("execute task nope")
+
+
+class TestTaskWhenClause:
+    """r10 (VERDICT r9 #6): WHEN <bool expr> gates a task at run time —
+    FALSE skips the task AND its subtree, like Snowflake's conditional
+    tasks; the condition surfaces in SHOW TASKS."""
+
+    def test_when_false_skips_task_and_subtree(self, spark, engine):
+        engine.query("create table src as select id from range(5)")
+        engine.query(
+            "create task t_gate when 1 = 2 as "
+            "create or replace table never as select 1 as x"
+        )
+        engine.query(
+            "create task t_child after t_gate as "
+            "create or replace table also_never as select 2 as x"
+        )
+        engine.query("alter task t_child resume")
+        rows = {
+            r["task_name"]: r["status"]
+            for r in engine.query("execute task t_gate").collect()
+        }
+        assert rows == {
+            "t_gate": "skipped_when",
+            "t_child": "skipped_upstream",
+        }
+        assert not engine.store.exists("never")
+        assert not engine.store.exists("also_never")
+
+    def test_when_true_runs(self, spark, engine):
+        engine.query("create table src as select id from range(5)")
+        engine.query(
+            "create task t_go when (select count(*) from src) > 3 as "
+            "create or replace table made as select count(*) as n from src"
+        )
+        rows = engine.query("execute task t_go").collect()
+        assert [(r["task_name"], r["status"]) for r in rows] == [
+            ("t_go", "success")
+        ]
+        assert engine.store.exists("made")
+
+    def test_when_with_cast_as_inside_condition(self, spark, engine):
+        # the WHEN/AS boundary must be the first TOP-LEVEL `as`
+        engine.query(
+            "create task t_cast when cast(1 as int) = 1 as "
+            "create or replace table made2 as select 1 as x"
+        )
+        rows = engine.query("execute task t_cast").collect()
+        assert rows[0]["status"] == "success"
+        assert engine.store.exists("made2")
+
+    def test_show_tasks_surfaces_condition_and_after(self, spark, engine):
+        engine.query("create task t_a when 1 = 1 as select 1")
+        engine.query("create task t_b after t_a as select 2")
+        rows = {
+            r["name"]: (r["condition"], r["after"])
+            for r in engine.query("show tasks").collect()
+        }
+        assert rows == {"t_a": ("1 = 1", ""), "t_b": (None, "t_a")}
