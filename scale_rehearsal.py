@@ -134,6 +134,16 @@ QUERIES = [
     "events_error_bursts",
     "events_value_vshape",
     "customers_connect_by_roots",
+    # round 10: manifest-served CDC (orders_changes_scan /
+    # orders_stream_incremental above now compose per-commit manifests
+    # — expect the READ side flat-to-sublinear, commits ~linear),
+    # MATCH_RECOGNIZE with overlapping defines (classification replay
+    # on ambiguous spans — replay cost is O(span) per match, matches
+    # scale with cohort rows), CONNECT BY root/path carries (the
+    # visited/path arrays grow with DEPTH, which is key-range-bound,
+    # not row-bound)
+    "events_error_context",
+    "customers_connect_by_paths",
 ]
 
 TABLES = ["documents", "embeddings", "customer", "events", "orders"]
