@@ -542,9 +542,15 @@ class Engine:
             return "".join(out), None
 
         # SELECT path: locate the top-level select list [start, end).
+        # The list is bounded by FROM — or, in a FROM-less body, by a
+        # top-level ORDER BY / LIMIT (ADVICE r10: `SELECT sq.nextval
+        # ORDER BY 1` must not absorb the trailing clause into the item
+        # template and then fail at fill time).
         depth, sel_start, sel_end = 0, None, None
         for m in _re.finditer(
-            r"[()]|\bselect\b|\bfrom\b", blanked, _re.IGNORECASE
+            r"[()]|\bselect\b|\bfrom\b|\border\s+by\b|\blimit\b",
+            blanked,
+            _re.IGNORECASE,
         ):
             t = m.group(0)
             if t == "(":
@@ -553,7 +559,7 @@ class Engine:
                 depth -= 1
             elif depth == 0 and t.lower() == "select" and sel_start is None:
                 sel_start = m.end()
-            elif depth == 0 and t.lower() == "from" and sel_start is not None:
+            elif depth == 0 and sel_start is not None:
                 sel_end = m.start()
                 break
         if sel_start is None:

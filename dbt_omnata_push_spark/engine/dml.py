@@ -178,7 +178,7 @@ def statement_kind(sql: str) -> str | None:
     if not m:
         return None
     kw = re.sub(r"\s+", " ", m.group(1).lower())
-# Session-variable statements must be classified before the object-DDL
+    # Session-variable statements must be classified before the object-DDL
     # substring checks: `SET downstream = 5` contains "stream" but is a
     # SET, not a DROP STREAM (would otherwise misroute and raise).
     if kw.startswith("set "):
@@ -1337,6 +1337,10 @@ _ALTER_DROP_RA_RE = re.compile(
     rf"(?:row\s+access\s+policy\s+({_IDENT})|all\s+row\s+access\s+policies)"
     rf"\s*$"
 )
+_ALTER_CHANGE_TRACKING_RE = re.compile(
+    rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+set\s+change_tracking\s*=\s*"
+    rf"(true|false)\s*$"
+)
 
 
 def _snowflake_type_to_spark(type_sql: str) -> str:
@@ -1425,6 +1429,16 @@ def _alter(engine, sql: str) -> DataFrame:
         return _summary(
             engine, row_access_policies_dropped=1 if attached else 0
         )
+    m = _ALTER_CHANGE_TRACKING_RE.match(s)
+    if m:
+        # Snowflake ALTER TABLE t SET CHANGE_TRACKING = TRUE: gates the
+        # per-commit row-manifest cost (store.change_tracking). CREATE
+        # STREAM sets it implicitly, as in Snowflake.
+        table = _resolve_table(engine, m.group(1))
+        engine.store.set_change_tracking(
+            table, m.group(2).lower() == "true"
+        )
+        return _summary(engine, change_tracking_set=1)
     m = _ALTER_SET_MASK_RE.match(s)
     if m:
         table = _resolve_table(engine, m.group(1))
@@ -1443,6 +1457,7 @@ def _alter(engine, sql: str) -> DataFrame:
         "RENAME TO <name>, MODIFY [COLUMN] <name> SET/UNSET MASKING "
         "POLICY, ADD/DROP ROW ACCESS POLICY <p> [ON (cols)], "
         "ADD [CONSTRAINT <n>] PRIMARY KEY (cols), DROP PRIMARY KEY, "
+        "SET CHANGE_TRACKING = TRUE|FALSE, "
         "ADD CONSTRAINT <n> CHECK (<expr>), DROP CONSTRAINT <n> "
         f"(got: {s[:90]})"
     )

@@ -399,6 +399,15 @@ def _rewrite_connect_by(sql: str) -> str:
         where_text = _CB_PATH_RE.sub(sub_path, where_text)
         where_text = _CB_ROOT_RE.sub(sub_root, where_text)
     where = f" WHERE {where_text}" if where_text else ""
+    # ADVICE r10: carried helper columns referenced only by the
+    # post-hierarchy WHERE (or by nothing, under SELECT *) must not
+    # leak into the output. The WHERE runs INSIDE the subquery (it is
+    # evaluated before the projection, so EXCEPT'd columns remain
+    # visible to it) and the EXCEPT drops every carried alias the
+    # select list does not itself reference.
+    drop = ["__visited"] + [
+        a for a in carries if not re.search(rf"\b{a}\b", sel_list)
+    ]
 
     # Cycle safety (r10): every path carries its visited PRIOR-key
     # array; a child already among its own ancestors raises 'CONNECT
@@ -426,7 +435,7 @@ def _rewrite_connect_by(sql: str) -> str:
         f"SELECT __c.*, __p.level + 1 AS level{rec_extra} "
         f"FROM __cb __p JOIN {t} __c ON __p.{p_col} = __c.{c_col}"
         f") SELECT {sel_list} FROM "
-        f"(SELECT * EXCEPT (__visited) FROM __cb) __cb{where}"
+        f"(SELECT * EXCEPT ({', '.join(drop)}) FROM __cb{where}) __cb"
     )
 
 

@@ -171,6 +171,32 @@ class TableStore:
     def partition_by(self, name: str) -> str | None:
         return self.meta(name).get("partition_by")
 
+    # -- change tracking property (r11, VERDICT r10 #2) --------------------
+    # Snowflake's CHANGE_TRACKING = TRUE / Delta's
+    # delta.enableChangeDataFeed: per-ROW change manifests on keyed
+    # merges/updates/deletes are paid ONLY when a consumer exists.
+    # Auto-enabled by CREATE STREAM; settable via
+    # ALTER TABLE ... SET CHANGE_TRACKING = TRUE. Default OFF — a
+    # merge on an untracked table plans no manifest job, and CDC reads
+    # over untracked windows fall back to the two-version join.
+    # Append files.json manifests are ~free metadata and stay
+    # unconditional.
+    def change_tracking(self, name: str) -> bool:
+        return bool(self.meta(name).get("change_tracking"))
+
+    def set_change_tracking(self, name: str, enabled: bool) -> None:
+        if not self.exists(name):
+            raise FileNotFoundError(f"table not found: {name}")
+        meta = self.meta(name)
+        if enabled:
+            meta["change_tracking"] = True
+        else:
+            meta.pop("change_tracking", None)
+        tmp = self._meta_file(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_file(name))
+
     def _set_meta(self, name: str, partition_by: str | None, schema: StructType):
         doc = {"partition_by": partition_by, "schema": schema.jsonValue()}
         # table-level CHECK constraints and metadata-added columns
@@ -189,6 +215,8 @@ class TableStore:
             doc["row_access"] = old["row_access"]
         if old.get("primary_key"):
             doc["primary_key"] = old["primary_key"]
+        if old.get("change_tracking"):
+            doc["change_tracking"] = True
         tmp = self._meta_file(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(doc, f)
@@ -466,6 +494,7 @@ class TableStore:
         v = self.current_version(name)
         if v is None:
             raise FileNotFoundError(f"table not found: {name}")
+        self._clear_cdc_sidecars(name, v + 1)
         old_dir = os.path.join(self._dir(name), f"v={v}")
         raw = spark.read.option("mergeSchema", "true")
         meta = self.meta(name)
@@ -515,14 +544,16 @@ class TableStore:
         self._promote_dir(staging, self._dv_dir(new_dir))
         # Change manifest (r10): the newly deleted rows, from the same
         # checkpointed frame the DV was derived from — O(deleted).
-        self.write_cdc_events(
-            spark,
-            name,
-            v + 1,
-            new_hits.select(*data_cols).withColumn(
-                "change_type", F.lit("delete")
-            ),
-        )
+        # Gated (r11): no CDC consumer -> no sidecar job.
+        if self.change_tracking(name):
+            self.write_cdc_events(
+                spark,
+                name,
+                v + 1,
+                new_hits.select(*data_cols).withColumn(
+                    "change_type", F.lit("delete")
+                ),
+            )
         self._set_version(name, v + 1, op="delete")
         return n_new
 
@@ -612,6 +643,7 @@ class TableStore:
             partition_by = self.partition_by(name)  # keep spec on rebuilds
         df = self._enforced(df, name)  # CHECK constraints (rebuild path)
         v = (self.current_version(name) or -1) + 1
+        self._clear_cdc_sidecars(name, v)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(partition_by)
@@ -638,6 +670,7 @@ class TableStore:
         df = self._enforced(df, name)  # CHECK constraints
         pcol = self.partition_by(name)
         v = self.current_version(name)
+        self._clear_cdc_sidecars(name, v + 1)
         old_dir = os.path.join(self._dir(name), f"v={v}")
         new_dir = os.path.join(self._dir(name), f"v={v + 1}")
         self._link_version(old_dir, new_dir)
@@ -726,8 +759,14 @@ class TableStore:
             keys, target[unique_key] == keys["_mk"], "left_anti"
         )
         merged = kept.unionByName(src, allowMissingColumns=True)
-        events = self._keyed_merge_events(
-            spark, target, src, unique_key, merged.limit(0)
+        # Gated (r11): the event derivation costs a target semi-join
+        # scan + dup probes — only pay it when a consumer exists.
+        events = (
+            self._keyed_merge_events(
+                spark, target, src, unique_key, merged.limit(0)
+            )
+            if self.change_tracking(name)
+            else None
         )
         self._rewrite(spark, name, merged, cdc_events=events)
 
@@ -873,6 +912,7 @@ class TableStore:
 
         table_dir = self._dir(name)
         v = self.current_version(name)
+        self._clear_cdc_sidecars(name, v + 1)
         staging = os.path.join(table_dir, "_staging")
         shutil.rmtree(staging, ignore_errors=True)
         merged.write.mode("overwrite").partitionBy(pcol).parquet(staging)
@@ -919,11 +959,12 @@ class TableStore:
             self._promote_dir(dv_staging, self._dv_dir(new_dir))
         shutil.rmtree(staging, ignore_errors=True)
         self._set_meta(name, pcol, merged.schema)
-        if not wholesale:
+        if not wholesale and self.change_tracking(name):
             # Change manifest (r10): pre rows come from the TOUCHED
             # partitions only (pruned scan) — merge semantics already
             # scope key matching to them. Wholesale replacement has no
             # key contract, so it falls back to the version diff.
+            # Gated (r11) on the table's change_tracking property.
             events = self._keyed_merge_events(
                 spark,
                 target.filter(touched_pred),
@@ -985,6 +1026,7 @@ class TableStore:
             raise ValueError(f"column already exists: {col_name}")
         # validate the type string before committing anything
         F.lit(None).cast(type_sql)
+        self._clear_cdc_sidecars(name, v + 1)
         old_dir = os.path.join(self._dir(name), f"v={v}")
         new_dir = os.path.join(self._dir(name), f"v={v + 1}")
         self._link_version(old_dir, new_dir)
@@ -1044,6 +1086,7 @@ class TableStore:
 
         table_dir = self._dir(name)
         v = self.current_version(name)
+        self._clear_cdc_sidecars(name, v + 1)
         staging = os.path.join(table_dir, "_staging")
         shutil.rmtree(staging, ignore_errors=True)
         merged.write.mode("overwrite").partitionBy(pcol).parquet(staging)
@@ -1288,6 +1331,13 @@ class TableStore:
             )
         streams[key] = {"table": table, "offset": int(offset)}
         self._write_streams(streams)
+        # CREATE STREAM implies CHANGE_TRACKING = TRUE on the source
+        # (Snowflake does exactly this): subsequent commits persist
+        # O(delta) row manifests so stream reads never pay the
+        # two-version join. Commits BEFORE the stream existed fall
+        # back — correct, since a fresh stream starts at the current
+        # version anyway.
+        self.set_change_tracking(table, True)
 
     def drop_stream(self, name: str) -> None:
         streams = self.streams()
@@ -1749,16 +1799,20 @@ class TableStore:
     ) -> None:
         v = self.current_version(name)
         new_v = v + 1
+        self._clear_cdc_sidecars(name, new_v)
         pcol = self.partition_by(name)
         writer = df.write.mode("overwrite")
         if pcol and pcol in df.columns:
             writer = writer.partitionBy(pcol)
         writer.parquet(os.path.join(self._dir(name), f"v={new_v}"))
         self._set_meta(name, pcol if pcol in df.columns else None, df.schema)
-        if cdc_events is not None:
+        if cdc_events is not None and self.change_tracking(name):
             # Manifest BEFORE the pointer swap: visible atomically with
             # the version. The events frame still reads the old version
             # files (they stay on disk until an explicit vacuum).
+            # Gated (r11): callers pass events LAZILY (built from
+            # frames they checkpointed anyway); skipping the write here
+            # means the event lineage is never evaluated.
             self.write_cdc_events(spark, name, new_v, cdc_events)
         self._set_version(name, new_v, op="rewrite")
 
@@ -1778,14 +1832,44 @@ class TableStore:
     # an append-only window), falling back to the two-version join
     # otherwise. Manifests are an optimization: they hold RAW per-row
     # events with no key assumptions; the reader's unique_key + digest
-    # semantics apply at composition time, so results are identical to
-    # the fallback. Sidecars vacuum with their version.
+    # semantics apply at composition time, so results match the
+    # fallback — with ONE documented divergence (ADVICE r10): an INSERT
+    # whose unique_key already exists in the table. The files manifest
+    # emits 'insert' (Snowflake-faithful: an INSERT is an insert
+    # regardless of key collisions — Snowflake streams track row
+    # operations, not key reconciliation), while the two-version join,
+    # which can only diff states, renders it as update_preimage/
+    # postimage (or silence when the payload is byte-identical).
+    # Consumers must not rely on a window being manifest-availability-
+    # independent under duplicate-key appends; keyed tables written via
+    # MERGE (the supported contract for streams) never hit this.
+    #
+    # ROW manifests are GATED on the table's change_tracking property
+    # (r11): without a consumer, keyed merges/deletes skip the event
+    # computation and sidecar write entirely. FILES manifests (appends,
+    # metadata-only commits) are ~free and stay unconditional.
+    # Sidecars vacuum with their version.
 
     def _cdc_rows_dir(self, name: str, version: int) -> str:
         return os.path.join(self._dir(name), f"cdc_v={version}")
 
     def _cdc_files_file(self, name: str, version: int) -> str:
         return os.path.join(self._dir(name), f"cdc_v={version}.files.json")
+
+    def _clear_cdc_sidecars(self, name: str, version: int) -> None:
+        """Remove any sidecar left at ``version`` by an ABORTED earlier
+        commit (ADVICE r10, medium): manifests are written before the
+        _set_version pointer swap, so a crash between the two leaves a
+        cdc_v=<v> for a version that never committed. Every commit path
+        calls this for its target version BEFORE writing data — a
+        commit that writes no manifest of its own must still not let a
+        stale one (checked rows-dir-first by _cdc_manifest) serve an
+        aborted commit's delta to read_changes/streams."""
+        shutil.rmtree(self._cdc_rows_dir(name, version), ignore_errors=True)
+        try:
+            os.remove(self._cdc_files_file(name, version))
+        except OSError:
+            pass
 
     def write_cdc_events(
         self, spark: SparkSession, name: str, version: int, events: DataFrame

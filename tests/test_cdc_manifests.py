@@ -50,6 +50,9 @@ def _mk(engine, n=20):
         f"create table t as select id as pk, id * 10 as v, "
         f"cast(id % 3 as int) as grp from range({n})"
     )
+    # r11: row manifests are gated on the change_tracking property
+    # (default OFF); these tests exercise the manifest machinery.
+    engine.query("alter table t set change_tracking = true")
 
 
 class TestManifestProduction:

@@ -484,11 +484,7 @@ def test_store_partitioned_join_uses_dynamic_pruning(spark, tmp_path):
     ), f"no dynamic partition pruning in plan:\n{plan}"
 
 
-def test_cdc_changes_plan_key_hash_joins_no_cartesian(spark, tmp_path):
-    """The version-diff CDC read (store.read_changes, backing the
-    CHANGES clause and STREAM reads) must plan as key-hash joins — two
-    anti-joins + one inner on the PK with the map-side digest — never
-    a cartesian, and never a full-row comparison join."""
+def _cdc_engine_with_update(spark, tmp_path):
     from dbt_omnata_push_spark.engine.dag import Engine
     from dbt_omnata_push_spark.engine.store import TableStore
 
@@ -497,7 +493,42 @@ def test_cdc_changes_plan_key_hash_joins_no_cartesian(spark, tmp_path):
         "create table c as select 1 as k, 10 as v union all select 2, 20"
     )
     engine.query("alter table c add primary key (k)")
+    # r11: row manifests are gated — enable tracking so the UPDATE
+    # below records one (the fallback test strips it again).
+    engine.query("alter table c set change_tracking = true")
     engine.query("update c set v = v + 1 where k = 1")
+    return engine
+
+
+def test_cdc_changes_manifest_path_plans_no_joins(spark, tmp_path):
+    """r10+ manifests: when every commit in the window wrote a change
+    manifest (the UPDATE above records row events), read_changes composes
+    the window from the manifests alone — no version-diff joins at all."""
+    engine = _cdc_engine_with_update(spark, tmp_path)
+    plan = _formatted_plan(
+        engine.store.read_changes(spark, "c", 0, 1, ["k"])
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Join") == 0, (
+        f"manifest-covered window should not join versions:\n{plan[:800]}"
+    )
+
+
+def test_cdc_changes_fallback_plan_key_hash_joins_no_cartesian(
+    spark, tmp_path
+):
+    """With the cdc_v=* sidecars removed (e.g. a pre-r10 table), the
+    two-version fallback must plan as key-hash joins — two anti-joins +
+    one inner on the PK with the map-side digest — never a cartesian,
+    never a full-row comparison join."""
+    import glob
+    import os
+    import shutil
+
+    engine = _cdc_engine_with_update(spark, tmp_path)
+    for p in glob.glob(str(tmp_path / "s" / "c" / "cdc_v=*")):
+        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
     plan = _formatted_plan(
         engine.store.read_changes(spark, "c", 0, 1, ["k"])
     )

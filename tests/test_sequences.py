@@ -188,3 +188,29 @@ class TestSequenceTransactions:
         engine.query("create table t2 as select sq.nextval as v from src")
         vals = sorted(r["v"] for r in engine.query("select v from t2").collect())
         assert vals == [1010 + 2 * k for k in range(5)]
+
+
+class TestFromlessTrailingClauses:
+    """ADVICE r10: a FROM-less `SELECT seq.nextval ORDER BY 1` must keep
+    its trailing clause (the select-list scan bounds at top-level
+    ORDER BY / LIMIT, not just FROM)."""
+
+    def test_fromless_order_by(self, spark, engine):
+        engine.query("create sequence fsq start with 5 increment by 1")
+        df = engine.query("select fsq.nextval order by 1")
+        assert [r["nextval"] for r in df.collect()] == [5]
+
+    def test_fromless_limit(self, spark, engine):
+        engine.query("create sequence fsq2 start with 1 increment by 1")
+        df = engine.query("select fsq2.nextval limit 1")
+        assert [r["nextval"] for r in df.collect()] == [1]
+
+    def test_order_by_after_from_still_works(self, spark, engine):
+        engine.query("create sequence fsq3 start with 0 increment by 10")
+        engine.query("create table fsq_t as select id from range(3)")
+        df = engine.query(
+            "select id, fsq3.nextval as n from fsq_t order by id limit 2"
+        )
+        rows = df.collect()
+        assert len(rows) == 2
+        assert {r["n"] for r in rows} <= {0, 10, 20}

@@ -705,3 +705,42 @@ def test_connect_by_star_does_not_leak_internals(spark):
     )
     assert set(out.columns) == {"id", "parent_id", "level"}
     assert out.count() == 2
+
+
+def test_connect_by_star_with_where_only_helpers_do_not_leak(spark):
+    """ADVICE r10: CONNECT_BY_ROOT / SYS_CONNECT_BY_PATH used ONLY in
+    the post-hierarchy WHERE must not surface their carried helper
+    columns under SELECT *."""
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, 1, "b"), (7, None, "x"), (8, 7, "y")],
+        "id int, parent_id int, title string",
+    )
+    df.createOrReplaceTempView("cb_leak")
+    out = spark.sql(
+        transpile(
+            "select * from cb_leak "
+            "where connect_by_root id = 7 "
+            "and sys_connect_by_path(title, '/') like '/x%' "
+            "start with parent_id is null "
+            "connect by prior id = parent_id"
+        )
+    )
+    assert set(out.columns) == {"id", "parent_id", "title", "level"}
+    assert sorted(r["id"] for r in out.collect()) == [7, 8]
+
+
+def test_connect_by_explicit_helper_in_select_still_surfaces(spark):
+    """The EXCEPT must keep carried aliases the select list references."""
+    df = spark.createDataFrame(
+        [(1, None), (2, 1)], "id int, parent_id int"
+    )
+    df.createOrReplaceTempView("cb_keep")
+    rows = spark.sql(
+        transpile(
+            "select id, connect_by_root id as r from cb_keep "
+            "where connect_by_root id = 1 "
+            "start with parent_id is null "
+            "connect by prior id = parent_id"
+        )
+    ).collect()
+    assert sorted((r["id"], r["r"]) for r in rows) == [(1, 1), (2, 1)]
