@@ -1090,13 +1090,14 @@ def _show(engine, sql: str) -> DataFrame:
                 t.get("schedule"),
                 t.get("when"),
                 t["sql"],
+                t.get("last_run"),
             )
             for n, t in engine.store.tasks().items()
         )
         return engine.spark.createDataFrame(
             rows,
             "name string, state string, after string, schedule string, "
-            "condition string, definition string",
+            "condition string, definition string, last_run string",
         )
     if _SHOW_SEQUENCES_RE.match(s):
         rows = sorted(

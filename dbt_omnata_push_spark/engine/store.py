@@ -1489,13 +1489,26 @@ class TableStore:
         conditional tasks. Created SUSPENDED, like Snowflake;
         Engine.execute_task runs the named task and its resumed
         descendants in topological order. The SCHEDULE string is
-        recorded only — there is no scheduler in a batch engine;
-        EXECUTE TASK is the trigger."""
+        validated here and interpreted by ``Engine.run_due(now)``
+        (r11) — an explicit tick with an injectable clock, since a
+        batch engine has no background thread; EXECUTE TASK remains
+        the manual trigger."""
         tasks = self.tasks()
         key = name.lower()
         if key in tasks and not replace:
             raise ValueError(f"task already exists: {name}")
         after = [a.lower() for a in (after or [])]
+        if schedule is not None:
+            if after:
+                # Snowflake: SCHEDULE and AFTER are mutually exclusive —
+                # only root tasks carry schedules.
+                raise ValueError(
+                    f"CREATE TASK {name}: SCHEDULE and AFTER are "
+                    "mutually exclusive (only root tasks are scheduled)"
+                )
+            from .schedule import parse_schedule
+
+            parse_schedule(schedule)  # broken spec fails CREATE, not tick
         for parent in after:
             if parent not in tasks:
                 raise ValueError(
@@ -1549,6 +1562,16 @@ class TableStore:
         if key not in tasks:
             raise ValueError(f"task not found: {name}")
         tasks[key]["state"] = state
+        self._write_tasks(tasks)
+
+    def record_task_run(self, name: str, fired_at: str) -> None:
+        """Stamp a scheduled fire (ISO timestamp) — the anchor
+        ``Engine.run_due`` measures the next due time from."""
+        tasks = self.tasks()
+        key = name.lower()
+        if key not in tasks:
+            raise ValueError(f"task not found: {name}")
+        tasks[key]["last_run"] = fired_at
         self._write_tasks(tasks)
 
     def drop_masking_policy(self, name: str) -> None:
