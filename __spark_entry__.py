@@ -49,36 +49,36 @@ _STALE_PRIORITY = ["dedup_embedding_cosine", "dedup_embedding_lsh"]
 # Prune when the next CORRECTNESS record lands (judge r6 #9: the r6
 # list was pruned once CORRECTNESS_r06 recorded every entry green).
 _RECHECK_PRIORITY = [
-    # r10: new entry — MATCH_RECOGNIZE with OVERLAPPING defines,
-    # CLASSIFIER(), count(SYM) via classification replay.
-    "events_error_context",
-    # r10: new entry — CONNECT_BY_ROOT + SYS_CONNECT_BY_PATH carries.
-    "customers_connect_by_paths",
-    # r10: CONNECT BY rewrite gained the visited-array cycle guard —
-    # re-verify the existing hierarchy row on the changed SQL shape.
-    "customers_connect_by_roots",
-    # r10: CDC reads now compose per-commit change manifests
-    # (store._compose_changes) instead of the two-version join —
-    # re-verify every CDC-consuming hash row on the new path.
-    "orders_changes_scan",
-    "orders_stream_incremental",
-    "orders_governed_timetravel",
-    "orders_dml_lifecycle",
-    # r10: matchrec rewritten (bitmask char-class alphabet, vectorized
-    # symbol string, classification replay) — re-verify both r9 rows.
+    # (r10 list pruned: CORRECTNESS_r10 recorded every entry green.)
+    # r11: new entry — MATCH_RECOGNIZE AFTER MATCH SKIP TO NEXT ROW +
+    # RUNNING measures under ALL ROWS PER MATCH.
+    "events_error_pairs_overlap",
+    # r11: matchrec scan loop rewritten (manual search with skip
+    # policies, vectorized ALL-ROWS output, running/final prefixes) —
+    # re-verify all three existing rows on the new engine.
     "events_error_bursts",
     "events_value_vshape",
-    # r10: NEXTVAL redesign (expression contexts, multi-ref draws,
-    # VALUES) — re-verify the sequence hash row on the new fill path.
+    "events_error_context",
+    # r11: CDC row manifests now GATED on change_tracking (write-side
+    # switch; streams auto-enable) + aborted-commit sidecar clearing —
+    # re-verify every CDC/commit-heavy hash row on the gated paths.
+    "orders_changes_scan",
+    "orders_stream_incremental",
+    "orders_dml_lifecycle",
+    "orders_cdc_relay",
+    "orders_cdc_diff",
+    "orders_governed_timetravel",
+    "orders_ivm_minmax_status",
+    "orders_ivm_variance_status",
+    # r11: CONNECT BY rewrite moved the post-hierarchy WHERE inside the
+    # projection subquery (helper-column leak fix).
+    "customers_connect_by_roots",
+    "customers_connect_by_paths",
+    # r11: NEXTVAL select-list bounding gained ORDER BY/LIMIT
+    # terminators; task surface gained SCHEDULE interpretation and a
+    # SHOW TASKS last_run column.
     "orders_sequence_blocks",
-    # r10: statement_kind prefix routing + comment-aware stream
-    # consumption detection — re-verify session-var and view rows that
-    # route through it.
-    "orders_session_var_filter",
-    "orders_view_chain",
-    # r10: cdc_chunk_containment now eagerly checkpoints + releases its
-    # cache — re-verify the hash row on the changed materialization.
-    "dedup_chunk_containment",
+    "orders_task_dag",
 ]
 
 

@@ -30,20 +30,28 @@ Supported subset (everything else raises):
 - ``PATTERN`` — concatenation, ``+`` ``*`` ``?`` ``|`` ``{n}``
   ``{n,}`` ``{n,m}`` and parentheses (e.g. ``"D+ U{2,}"``).
 - ``ONE ROW PER MATCH`` (default) or ``ALL ROWS PER MATCH``
-  (``rows_per_match="all"``), both with
-  ``AFTER MATCH SKIP PAST LAST ROW`` (``re.finditer`` semantics:
-  non-overlapping, leftmost, greedy).
+  (``rows_per_match="all"``).
+- ``AFTER MATCH SKIP`` (r11, VERDICT r10 #4): ``skip="past_last"``
+  (default; non-overlapping, leftmost, greedy), ``skip="next_row"``
+  (resume one row after the match start — overlapping matches), or
+  ``skip=("first"|"last", SYM)`` (resume AT the first/last row the
+  match mapped to SYM; skipping to the match's own first row raises,
+  as in Snowflake, since it could never terminate; a match with no
+  SYM row raises too).
 - ``MEASURES`` — ``first(col)``, ``last(col)``, ``count()``,
-  ``count(SYM)``, ``match_number()``, ``classifier()`` (the last
-  row's symbol under ONE ROW PER MATCH, the row's own symbol under
-  ALL ROWS PER MATCH — Snowflake's running CLASSIFIER).
-  Divergence, documented: under ALL ROWS PER MATCH the other measures
-  are FINAL semantics (evaluated over the whole match), not
-  Snowflake's default RUNNING semantics.
+  ``count(SYM)``, ``match_number()``, ``classifier()``, each with an
+  optional ``running``/``final`` prefix (``"running count()"``,
+  ``"final last(col)"``). Snowflake defaults apply (r11): under
+  ALL ROWS PER MATCH measures are RUNNING (evaluated over the rows
+  up to and including the current row) unless prefixed ``final``;
+  under ONE ROW PER MATCH running and final coincide (the point of
+  evaluation is the last row).
 
 Output: ONE ROW PER MATCH -> partition keys + one column per measure,
 one row per match. ALL ROWS PER MATCH -> every input column + one
-column per measure, one row per matched input row.
+column per measure, one row per matched input row (built per match as
+a vectorized pandas slice + column assignments, never a per-row
+Python loop — r11, VERDICT r10 #5).
 """
 
 from __future__ import annotations
@@ -56,7 +64,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _MEASURE_RE = re.compile(
-    r"^\s*(first|last|count|match_number|classifier)\s*"
+    r"^\s*(?:(running|final)\s+)?"
+    r"(first|last|count|match_number|classifier)\s*"
     r"\(\s*([A-Za-z_]\w*)?\s*\)\s*$",
     re.IGNORECASE,
 )
@@ -261,6 +270,7 @@ def match_recognize(
     pattern: str,
     measures: dict[str, str],
     rows_per_match: str = "one",
+    skip: str | tuple[str, str] = "past_last",
 ) -> DataFrame:
     """See module docstring for the supported subset."""
     if rows_per_match not in ("one", "all"):
@@ -270,34 +280,61 @@ def match_recognize(
         raise ValueError(
             f"at most {_MAX_SYMBOLS} pattern symbols supported"
         )
+    if isinstance(skip, tuple):
+        if (
+            len(skip) != 2
+            or skip[0] not in ("first", "last")
+            or skip[1] not in defines
+        ):
+            raise ValueError(
+                "skip must be 'past_last', 'next_row', or "
+                f"('first'|'last', <defined symbol>); got {skip!r}"
+            )
+    elif skip not in ("past_last", "next_row"):
+        raise ValueError(
+            "skip must be 'past_last', 'next_row', or "
+            f"('first'|'last', <defined symbol>); got {skip!r}"
+        )
     bits = {s: i for i, s in enumerate(symbols)}
     ast, rx_text = _parse_pattern(pattern, bits)
     rx = re.compile(rx_text)
 
-    parsed: list[tuple[str, str, str | None]] = []
+    # (out_name, kind, arg, final) — `final` is the EFFECTIVE
+    # semantics: explicit prefix wins; otherwise Snowflake defaults
+    # (RUNNING under ALL ROWS, final-equivalent under ONE ROW).
+    parsed: list[tuple[str, str, str | None, bool]] = []
     for out_name, expr in measures.items():
         m = _MEASURE_RE.match(expr)
         if not m:
             raise ValueError(
-                f"unsupported MEASURE {expr!r} (first/last/count/"
-                "match_number/classifier only)"
+                f"unsupported MEASURE {expr!r} ([running|final] "
+                "first/last/count/match_number/classifier only)"
             )
-        kind, arg = m.group(1).lower(), m.group(2)
+        mode = (m.group(1) or "").lower()
+        kind, arg = m.group(2).lower(), m.group(3)
         if kind in ("first", "last") and (
             arg is None or arg not in df.columns
         ):
             raise ValueError(f"MEASURE {expr!r}: unknown column {arg}")
         if kind == "count" and arg is not None and arg not in defines:
             raise ValueError(f"MEASURE {expr!r}: unknown symbol {arg}")
-        parsed.append((out_name, kind, arg))
+        final = (
+            mode == "final"
+            or (mode == "" and rows_per_match == "one")
+        )
+        parsed.append((out_name, kind, arg, final))
 
-    need_classify = rows_per_match == "all" or any(
-        k == "classifier" or (k == "count" and a is not None)
-        for _n, k, a in parsed
+    need_classify = (
+        rows_per_match == "all"
+        or isinstance(skip, tuple)
+        or any(
+            k == "classifier" or (k == "count" and a is not None)
+            for _n, k, a, _f in parsed
+        )
     )
     measure_fields = [
         T.StructField(n, _measure_type(k, a, df.schema), True)
-        for n, k, a in parsed
+        for n, k, a, _f in parsed
     ]
     if rows_per_match == "one":
         out_fields = [df.schema[c] for c in partition_by] + measure_fields
@@ -326,16 +363,26 @@ def match_recognize(
         # vectorized symbol string: one codepoint per row (VERDICT r9,
         # replaces the per-row .iloc loop)
         seq = "".join(map(chr, (mask + _BASE).tolist()))
-        rows = []
+        one_rows = []  # ONE ROW PER MATCH: one dict per match
+        all_parts = []  # ALL ROWS PER MATCH: one sliced frame per match
         match_no = 0
-        for m in rx.finditer(seq):
-            if m.start() == m.end():
-                continue  # empty match (e.g. pure X*) is no match
+        # Manual scan instead of finditer (r11): the AFTER MATCH SKIP
+        # policy decides where the next search resumes, so matches may
+        # overlap under next_row / skip-to-symbol.
+        pos = 0
+        while pos <= len(seq):
+            m = rx.search(seq, pos)
+            if not m:
+                break
+            s, e = m.start(), m.end()
+            if s == e:
+                pos = s + 1  # empty match (e.g. pure X*) is no match
+                continue
             match_no += 1
-            span = pdf.iloc[m.start() : m.end()]
+            span = pdf.iloc[s:e]
             cls = None
             if need_classify:
-                span_masks = mask[m.start() : m.end()]
+                span_masks = mask[s:e]
                 if bool(
                     np.all((span_masks & (span_masks - 1)) == 0)
                 ):
@@ -348,7 +395,7 @@ def match_recognize(
                 else:
                     cls = _classify(ast, span_masks.tolist())
 
-            def mval(kind, arg, row_i=None):
+            def final_val(kind, arg):
                 if kind == "first":
                     return span[arg].iloc[0]
                 if kind == "last":
@@ -356,27 +403,77 @@ def match_recognize(
                 if kind == "match_number":
                     return match_no
                 if kind == "classifier":
-                    return cls[-1] if row_i is None else cls[row_i]
+                    return cls[-1]
                 if arg is None:  # count()
                     return len(span)
                 return cls.count(arg)  # count(SYM): classified rows
 
             if rows_per_match == "one":
-                row = {c: pdf[c].iloc[m.start()] for c in partition_by}
-                for n_, kind, arg in parsed:
-                    row[n_] = mval(kind, arg)
-                rows.append(row)
+                row = {c: pdf[c].iloc[s] for c in partition_by}
+                for n_, kind, arg, _f in parsed:
+                    row[n_] = final_val(kind, arg)
+                one_rows.append(row)
             else:
-                for j in range(len(span)):
-                    row = {c: span[c].iloc[j] for c in data_cols}
-                    for n_, kind, arg in parsed:
-                        row[n_] = mval(kind, arg, row_i=j)
-                    rows.append(row)
-        if not rows:
+                # Vectorized per-match output (r11, VERDICT r10 #5):
+                # slice once, assign each measure as a whole column —
+                # scalar for FINAL, an aligned array for RUNNING.
+                part = span.copy()
+                for n_, kind, arg, final in parsed:
+                    if final or kind in ("first", "match_number"):
+                        # RUNNING first()/match_number() are constant
+                        # over the match anyway
+                        part[n_] = final_val(kind, arg)
+                    elif kind == "last":
+                        # running last(col) at row j IS row j's value
+                        part[n_] = span[arg].to_numpy()
+                    elif kind == "classifier":
+                        part[n_] = cls
+                    elif arg is None:  # running count()
+                        part[n_] = np.arange(1, len(span) + 1)
+                    else:  # running count(SYM)
+                        hits = np.fromiter(
+                            (c == arg for c in cls),
+                            dtype=np.int64,
+                            count=len(cls),
+                        )
+                        part[n_] = np.cumsum(hits)
+                all_parts.append(part)
+
+            if skip == "past_last":
+                pos = e
+            elif skip == "next_row":
+                pos = s + 1
+            else:
+                which, sym_name = skip
+                idxs = [
+                    i for i, c in enumerate(cls) if c == sym_name
+                ]
+                if not idxs:
+                    raise ValueError(
+                        f"AFTER MATCH SKIP TO {sym_name}: no row of "
+                        "the match was mapped to the symbol"
+                    )
+                rel = idxs[0] if which == "first" else idxs[-1]
+                if rel == 0:
+                    raise ValueError(
+                        f"AFTER MATCH SKIP TO {which.upper()} "
+                        f"{sym_name} would resume at the match's own "
+                        "first row (the scan could never advance)"
+                    )
+                pos = s + rel
+
+        names = [f.name for f in out_fields]
+        if rows_per_match == "one":
+            if not one_rows:
+                return pd.DataFrame(
+                    {f.name: pd.Series(dtype=object) for f in out_fields}
+                )
+            return pd.DataFrame(one_rows, columns=names)
+        if not all_parts:
             return pd.DataFrame(
                 {f.name: pd.Series(dtype=object) for f in out_fields}
             )
-        return pd.DataFrame(rows, columns=[f.name for f in out_fields])
+        return pd.concat(all_parts, ignore_index=True)[names]
 
     return df.groupBy(*[F.col(c) for c in partition_by]).applyInPandas(
         run_group, schema=out_schema

@@ -2804,6 +2804,75 @@ def events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_error_pairs_overlap",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type,
+               LEAD(event_type) OVER w AS next_type,
+               LEAD(event_id) OVER w AS next_id
+        FROM events
+        WHERE user_id % 10 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    pairs AS (
+        SELECT user_id, event_id AS sid, next_id AS nid
+        FROM ordered
+        WHERE event_type = 'error' AND next_type = 'error'
+    )
+    SELECT user_id,
+           CAST(sid AS BIGINT) AS start_id,
+           CAST(sid AS BIGINT) AS event_id,
+           CAST(1 AS BIGINT) AS rc
+    FROM pairs
+    UNION ALL
+    SELECT user_id,
+           CAST(sid AS BIGINT) AS start_id,
+           CAST(nid AS BIGINT) AS event_id,
+           CAST(2 AS BIGINT) AS rc
+    FROM pairs
+    """,
+    tags=("ops", "matchrec"),
+)
+def events_error_pairs_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MATCH_RECOGNIZE with AFTER MATCH SKIP TO NEXT ROW + RUNNING
+    measures under ALL ROWS PER MATCH (r11, VERDICT r10 #4): pattern
+    ``E{2}`` over each user's event sequence with the scan resuming
+    one row after each match start, so a run of k consecutive errors
+    yields k-1 OVERLAPPING two-row matches (finditer's SKIP PAST LAST
+    ROW would yield floor(k/2) disjoint ones). ``count()`` defaults to
+    Snowflake's RUNNING semantics under ALL ROWS: 1 on the match's
+    first row, 2 on its second. The oracle enumerates the same
+    overlapping pairs with one LEAD window (a row and its successor
+    both errors) and emits each match's two rows via UNION ALL."""
+    from ..ops.matchrec import match_recognize
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)  # same cohort slice as
+        # events_error_context: per-match semantics, not volume
+        .select("user_id", "event_id", "event_type")
+    )
+    out = match_recognize(
+        ev,
+        ["user_id"],
+        ["event_id"],
+        defines={"E": "event_type == 'error'"},
+        pattern="E{2}",
+        measures={"start_id": "first(event_id)", "rc": "count()"},
+        rows_per_match="all",
+        skip="next_row",
+    )
+    return out.select(
+        "user_id",
+        F.col("start_id").cast("long").alias("start_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("rc").cast("long").alias("rc"),
+    )
+
+
+@query(
     "customers_connect_by_roots",
     oracle="""
     WITH RECURSIVE base AS (

@@ -281,3 +281,64 @@ class TestManifestLifecycle:
         engine.store.vacuum("t", keep=1)
         df, _v = engine.stream_frame("st")
         assert df.count() == 1
+
+
+class TestLongManifestChain:
+    """r11 (VERDICT r10 #6): a LONG manifest chain — 50+ commits mixing
+    all three manifest kinds (files from appends, rows from keyed DML,
+    metadata-empty from ALTER ADD COLUMN) — must compose every sampled
+    window identically to the two-version fallback, bit for bit."""
+
+    def test_50_commit_chain_composes_like_fallback(self, spark, engine):
+        import random
+
+        rng = random.Random(1107)
+        _mk(engine, n=40)  # v0 (+ change_tracking on)
+        next_key = 1000
+        extra_sel, extra_ins = "", ""
+        for i in range(52):
+            op = rng.choice(["ins", "upd", "del", "merge", "ins", "upd"])
+            if op == "ins":
+                engine.query(
+                    f"insert into t select id + {next_key}, id, 2"
+                    f"{extra_sel} from range(3)"
+                )
+                next_key += 10
+            elif op == "upd":
+                m, d = rng.randint(2, 7), rng.randint(1, 9)
+                engine.query(
+                    f"update t set v = v + {d} where pk % {m} = 0"
+                )
+            elif op == "del":
+                m = rng.randint(5, 11)
+                engine.query(f"delete from t where pk % {m} = 1")
+            else:
+                lo = rng.randint(0, 30)
+                engine.query(
+                    f"merge into t using (select id + {lo} as pk, "
+                    f"id * 7 as v, cast(2 as int) as grp from range(4)) s "
+                    "on t.pk = s.pk "
+                    "when matched then update set v = s.v "
+                    "when not matched then insert (pk, v, grp) "
+                    "values (s.pk, s.v, s.grp)"
+                )
+            if i == 25:
+                # metadata-only commit mid-chain (empty files manifest)
+                engine.query("alter table t add column note string")
+                extra_sel = ", cast(null as string)"
+        cur = engine.store.current_version("t")
+        assert cur >= 50
+        windows = [(0, cur), (cur - 1, cur), (0, 1)]
+        windows += [
+            tuple(sorted(rng.sample(range(0, cur + 1), 2)))
+            for _ in range(9)
+        ]
+        windows = sorted(set(w for w in windows if w[0] < w[1]))
+        composed = {
+            w: _changes(engine, "t", w[0], w[1]) for w in windows
+        }
+        _strip_manifests(engine.store, "t")
+        for w in windows:
+            assert composed[w] == _changes(engine, "t", w[0], w[1]), (
+                f"window {w} diverged from the fallback"
+            )

@@ -220,3 +220,141 @@ class TestMatchRecognize:
         )
         assert out.count() == 0
         assert out.columns == ["g", "n"]
+
+
+class TestRunningFinalSemantics:
+    """r11 (VERDICT r10 #4): under ALL ROWS PER MATCH, measures default
+    to Snowflake's RUNNING semantics; an explicit final prefix opts
+    out. Under ONE ROW PER MATCH both coincide."""
+
+    def test_all_rows_running_defaults(self, spark):
+        out = match_recognize(
+            _df(spark),
+            ["g"],
+            ["seq"],
+            defines={"D": "price < prev_price", "U": "price > prev_price"},
+            pattern="D+ U+",
+            measures={
+                "rc": "count()",           # running by default
+                "rl": "last(price)",       # running last = current row
+                "fc": "final count()",
+                "fl": "final last(price)",
+                "nd": "count(D)",          # running count(D)
+            },
+            rows_per_match="all",
+        )
+        rows = sorted(
+            (r["g"], r["seq"], r["rc"], r["rl"], r["fc"], r["fl"], r["nd"])
+            for r in out.collect()
+        )
+        # g=1 first V (greedy): prices 10>8>6<9<12 -> D on seq 2,3 and
+        # U on seq 4,5 -> span seq 2..5
+        g1 = [r for r in rows if r[0] == 1 and r[1] in (2, 3, 4, 5)]
+        assert g1 == [
+            (1, 2, 1, 8.0, 4, 12.0, 1),
+            (1, 3, 2, 6.0, 4, 12.0, 2),
+            (1, 4, 3, 9.0, 4, 12.0, 2),
+            (1, 5, 4, 12.0, 4, 12.0, 2),
+        ]
+
+    def test_one_row_running_equals_final(self, spark):
+        out = match_recognize(
+            _df(spark),
+            ["g"],
+            ["seq"],
+            defines={"D": "price < prev_price", "U": "price > prev_price"},
+            pattern="D+ U+",
+            measures={"rc": "running count()", "fc": "final count()"},
+        )
+        for r in out.collect():
+            assert r["rc"] == r["fc"]
+
+
+class TestAfterMatchSkip:
+    def _runs_df(self, spark):
+        # prices: 9 8 7 6 10 -> one long D-run then U
+        return spark.createDataFrame(
+            [(1, i + 1, p) for i, p in enumerate(
+                [9.0, 8.0, 7.0, 6.0, 10.0]
+            )],
+            "g int, seq int, price double",
+        )
+
+    def test_skip_next_row_overlapping(self, spark):
+        # D{2} with skip-to-next-row: D-runs at rows 2,3,4 give
+        # matches (2,3) and (3,4) — overlapping.
+        out = match_recognize(
+            self._runs_df(spark),
+            ["g"],
+            ["seq"],
+            defines={"D": "price < prev_price"},
+            pattern="D{2}",
+            measures={"s": "first(seq)", "e": "last(seq)"},
+            skip="next_row",
+        )
+        got = sorted((r["s"], r["e"]) for r in out.collect())
+        assert got == [(2, 3), (3, 4)]
+
+    def test_skip_past_last_non_overlapping(self, spark):
+        out = match_recognize(
+            self._runs_df(spark),
+            ["g"],
+            ["seq"],
+            defines={"D": "price < prev_price"},
+            pattern="D{2}",
+            measures={"s": "first(seq)", "e": "last(seq)"},
+            skip="past_last",
+        )
+        assert sorted((r["s"], r["e"]) for r in out.collect()) == [(2, 3)]
+
+    def test_skip_to_last_symbol(self, spark):
+        # W-shape: D+ U+ then D+ U+ again; skip to LAST U lets the
+        # second V start AT the first V's peak.
+        df = spark.createDataFrame(
+            [(1, i + 1, p) for i, p in enumerate(
+                [10.0, 7.0, 11.0, 8.0, 12.0]
+            )],
+            "g int, seq int, price double",
+        )
+        out = match_recognize(
+            df,
+            ["g"],
+            ["seq"],
+            defines={"D": "price < prev_price", "U": "price > prev_price"},
+            pattern="D+ U+",
+            measures={"s": "first(seq)", "e": "last(seq)"},
+            skip=("last", "U"),
+        )
+        # With past_last the second V (4,5) is unreachable: row 4 (D)
+        # needs prev row 3. With skip-to-last-U the scan resumes AT
+        # row 3... the V starting there is D(4) U(5).
+        got = sorted((r["s"], r["e"]) for r in out.collect())
+        assert got == [(2, 3), (4, 5)]
+
+    def test_skip_to_first_row_raises(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, 5.0), (1, 2, 4.0)], "g int, seq int, price double"
+        )
+        out = match_recognize(
+            df,
+            ["g"],
+            ["seq"],
+            defines={"D": "price < prev_price"},
+            pattern="D",
+            measures={"s": "first(seq)"},
+            skip=("first", "D"),
+        )
+        with pytest.raises(Exception, match="first row"):
+            out.collect()
+
+    def test_skip_symbol_not_defined_rejected(self, spark):
+        with pytest.raises(ValueError, match="skip"):
+            match_recognize(
+                _df(spark),
+                ["g"],
+                ["seq"],
+                defines={"D": "price < prev_price"},
+                pattern="D",
+                measures={"s": "first(seq)"},
+                skip=("last", "Z"),
+            )
