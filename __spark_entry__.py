@@ -53,6 +53,9 @@ _RECHECK_PRIORITY = [
     # r11: new entry — MATCH_RECOGNIZE AFTER MATCH SKIP TO NEXT ROW +
     # RUNNING measures under ALL ROWS PER MATCH.
     "events_error_pairs_overlap",
+    # r11: new entry — the SQL-surface MATCH_RECOGNIZE clause
+    # (engine/mrsql.py) over the same operator.
+    "events_vshape_sql",
     # r11: matchrec scan loop rewritten (manual search with skip
     # policies, vectorized ALL-ROWS output, running/final prefixes) —
     # re-verify all three existing rows on the new engine.

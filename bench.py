@@ -174,6 +174,11 @@ HEADLINE = [
     # carries (cycle-guard array rides the same recursion)
     "events_error_context",
     "customers_connect_by_paths",
+    # round 11: MATCH_RECOGNIZE overlapping matches — SKIP TO NEXT ROW
+    # + RUNNING measures under ALL ROWS PER MATCH (vectorized per-match
+    # slice output) — and the SQL-surface clause through Engine.query
+    "events_error_pairs_overlap",
+    "events_vshape_sql",
 ]
 
 # Growth policy (VERDICT r9 #7, documented in BASELINE.md): the suite
@@ -197,6 +202,9 @@ _POST_R8_ADDITIONS = {
     # r10
     "events_error_context",
     "customers_connect_by_paths",
+    # r11
+    "events_error_pairs_overlap",
+    "events_vshape_sql",
 }
 
 

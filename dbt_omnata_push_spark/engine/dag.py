@@ -8,6 +8,7 @@ hooks (omnata_push_materialization.sql:2,17) and per-model run results.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from graphlib import TopologicalSorter
@@ -887,6 +888,13 @@ class Engine:
             )
 
             sql, seq_fills = self._rewrite_nextval(sql)
+            if re.search(r"(?is)\bmatch_recognize\s*\(", sql):
+                # SQL-surface MATCH_RECOGNIZE (r11): resolved BEFORE
+                # transpile — the clause body is reference dialect and
+                # becomes a temp view over the distributed operator.
+                from .mrsql import resolve_match_recognize
+
+                sql = resolve_match_recognize(self, sql)
             sql = transpile(sql)
             if _CHANGES_RE.search(sql):
                 # Snowflake CHANGES clause: CDC between two versions,

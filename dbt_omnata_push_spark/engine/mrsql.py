@@ -1,0 +1,279 @@
+"""SQL-surface MATCH_RECOGNIZE (r11): a user of the reference dialect
+writes Snowflake's clause directly —
+
+    SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES FIRST(seq) AS s, FINAL COUNT(*) AS n
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (D+ U+)
+        DEFINE D AS price < PREV(price), U AS price > PREV(price)
+    )
+
+— and ``Engine.query`` rewrites it into a temp view over the
+distributed operator (``ops/matchrec.py``: applyInPandas per
+partition, vectorized DEFINE evaluation, C-regex pattern scan). The
+clause is resolved BEFORE sqlfront transpile, so the body is parsed in
+the reference dialect; the surrounding query (projections, WHERE,
+joins against the result) continues through the normal SQL path.
+Reads go through the engine's registered views, so masking and
+row-access policies compose exactly as for any other FROM.
+
+Translated subset, mirroring the operator's:
+- PARTITION BY / ORDER BY (ASC only) over plain columns.
+- MEASURES: [RUNNING|FINAL] FIRST(col) | LAST(col) | COUNT(*) |
+  COUNT(sym.*) | MATCH_NUMBER() | CLASSIFIER(), each AS alias.
+- ONE ROW PER MATCH (default) | ALL ROWS PER MATCH.
+- AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO [FIRST|LAST] sym.
+- PATTERN (...) — the operator's regex subset.
+- DEFINE sym AS <condition>: comparisons (= <> != < <= > >=),
+  arithmetic, PREV(col)/NEXT(col) (LAG/LEAD-1), AND/OR/NOT,
+  TRUE — translated to the operator's pandas-eval dialect.
+"""
+from __future__ import annotations
+
+import re
+
+_MR_FROM_RE = re.compile(
+    r"(?is)\bfrom\s+([A-Za-z_][\w.]*)\s+match_recognize\s*\("
+)
+_MEASURE_SQL_RE = re.compile(
+    r"(?is)^\s*(?:(running|final)\s+)?"
+    r"(first|last|count|match_number|classifier)\s*"
+    r"\(\s*(?:\*|([A-Za-z_]\w*)(?:\s*\.\s*\*)?)?\s*\)\s*"
+    r"(?:as\s+)?([A-Za-z_]\w*)\s*$"
+)
+_DEFINE_ITEM_RE = re.compile(
+    r"(?is)^\s*([A-Za-z_]\w*)\s+as\s+(.+?)\s*$"
+)
+
+
+def _scan_balanced(text: str, open_idx: int) -> int:
+    """Index just past the ')' closing the '(' at ``open_idx``
+    (quote-aware)."""
+    depth, i, in_str = 0, open_idx, False
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in MATCH_RECOGNIZE clause")
+
+
+def _split_top_commas(text: str) -> list[str]:
+    parts, depth, in_str, last = [], 0, False, 0
+    for i, ch in enumerate(text):
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[last:i])
+            last = i + 1
+    parts.append(text[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _split_top_keyword(text: str, word: str) -> list[str]:
+    """Split on a top-level (paren/quote-aware) boolean keyword."""
+    pat = re.compile(rf"(?is)\b{word}\b")
+    parts, depth, in_str, last, out = [], 0, False, 0, []
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(text, i)
+            if m and (i == 0 or not text[i - 1].isalnum()):
+                out.append(text[last:i])
+                last = m.end()
+                i = m.end()
+                continue
+        i += 1
+    out.append(text[last:])
+    return out
+
+
+def _cond_to_pandas(cond: str) -> str:
+    """Translate a DEFINE condition from the reference dialect to the
+    operator's pandas-eval dialect. Subset only — anything the
+    translation can't prove safe raises rather than mis-evaluating."""
+    s = cond.strip()
+    if re.fullmatch(r"(?is)true", s):
+        # Snowflake's "always matches" define; evaluate over a non-null
+        # anchor is unnecessary — pandas eval accepts True.
+        return "True"
+    s = re.sub(r"(?is)\bprev\s*\(\s*([A-Za-z_]\w*)\s*\)", r"prev_\1", s)
+    s = re.sub(r"(?is)\bnext\s*\(\s*([A-Za-z_]\w*)\s*\)", r"next_\1", s)
+    s = s.replace("<>", "!=")
+    # single = -> == (left alone when part of <=, >=, !=, ==)
+    s = re.sub(r"(?<![<>!=])=(?!=)", "==", s)
+
+    def bool_tree(t: str) -> str:
+        ors = _split_top_keyword(t, "or")
+        if len(ors) > 1:
+            return " | ".join(f"({bool_tree(p)})" for p in ors)
+        ands = _split_top_keyword(t, "and")
+        if len(ands) > 1:
+            return " & ".join(f"({bool_tree(p)})" for p in ands)
+        t = t.strip()
+        m = re.match(r"(?is)^not\b(.+)$", t)
+        if m:
+            return f"~({bool_tree(m.group(1))})"
+        # bare (possibly parenthesized) comparison/arithmetic term —
+        # reject residual SQL-isms the eval dialect would mis-read
+        if re.search(r"(?is)\b(select|case|in|like|between|is)\b", t):
+            raise ValueError(
+                f"unsupported DEFINE condition for MATCH_RECOGNIZE: "
+                f"{cond!r} (comparisons, arithmetic, PREV/NEXT, "
+                "AND/OR/NOT only)"
+            )
+        return t
+
+    return bool_tree(s)
+
+
+def _parse_body(body: str) -> dict:
+    def clause(pat):
+        return re.search(pat, body)
+
+    pb = clause(r"(?is)\bpartition\s+by\s+(.*?)\s*\border\s+by\b")
+    ob = clause(
+        r"(?is)\border\s+by\s+(.*?)\s*"
+        r"\b(?:measures|one\s+row|all\s+rows|after\s+match|pattern)\b"
+    )
+    if not pb or not ob:
+        raise ValueError(
+            "MATCH_RECOGNIZE requires PARTITION BY ... ORDER BY ... "
+            "(both, in that order)"
+        )
+    partition_by = [c.strip().strip('"') for c in pb.group(1).split(",")]
+    order_by = []
+    for c in ob.group(1).split(","):
+        c = re.sub(r"(?is)\s+asc\s*$", "", c.strip())
+        if re.search(r"(?is)\s+desc$", c):
+            raise ValueError(
+                "MATCH_RECOGNIZE ORDER BY ... DESC is not supported "
+                "(ascending order only)"
+            )
+        order_by.append(c.strip('"'))
+
+    meas = clause(
+        r"(?is)\bmeasures\s+(.*?)\s*"
+        r"\b(?:one\s+row\s+per\s+match|all\s+rows\s+per\s+match|"
+        r"after\s+match|pattern\s*\()"
+    )
+    measures: dict[str, str] = {}
+    if meas:
+        for item in _split_top_commas(meas.group(1)):
+            m = _MEASURE_SQL_RE.match(item)
+            if not m:
+                raise ValueError(
+                    f"unsupported MATCH_RECOGNIZE measure: {item!r}"
+                )
+            prefix = (m.group(1) or "").lower()
+            kind, arg, alias = (
+                m.group(2).lower(),
+                m.group(3),
+                m.group(4),
+            )
+            if kind in ("match_number", "classifier") and arg:
+                raise ValueError(
+                    f"{kind}() takes no argument: {item!r}"
+                )
+            expr = f"{kind}({arg or ''})"
+            measures[alias] = f"{prefix} {expr}".strip()
+
+    rows_per_match = (
+        "all"
+        if clause(r"(?is)\ball\s+rows\s+per\s+match\b")
+        else "one"
+    )
+
+    skip: str | tuple[str, str] = "past_last"
+    sk = clause(
+        r"(?is)\bafter\s+match\s+skip\s+"
+        r"(past\s+last\s+row|to\s+next\s+row|"
+        r"to\s+(?:(first|last)\s+)?([A-Za-z_]\w*))"
+    )
+    if sk:
+        head = re.sub(r"\s+", " ", sk.group(1).lower())
+        if head == "past last row":
+            skip = "past_last"
+        elif head == "to next row":
+            skip = "next_row"
+        else:
+            # SKIP TO sym defaults to LAST sym, as in Snowflake
+            skip = ((sk.group(2) or "last").lower(), sk.group(3))
+
+    pm = clause(r"(?is)\bpattern\s*\(")
+    if not pm:
+        raise ValueError("MATCH_RECOGNIZE requires PATTERN (...)")
+    p_end = _scan_balanced(body, pm.end() - 1)
+    pattern = body[pm.end() : p_end - 1].strip()
+
+    dm = clause(r"(?is)\bdefine\s+(.+)$")
+    if not dm:
+        raise ValueError("MATCH_RECOGNIZE requires DEFINE ...")
+    defines: dict[str, str] = {}
+    for item in _split_top_commas(dm.group(1)):
+        m = _DEFINE_ITEM_RE.match(item)
+        if not m:
+            raise ValueError(
+                f"unparsable MATCH_RECOGNIZE DEFINE item: {item!r}"
+            )
+        defines[m.group(1)] = _cond_to_pandas(m.group(2))
+
+    return dict(
+        partition_by=partition_by,
+        order_by=order_by,
+        defines=defines,
+        pattern=pattern,
+        measures=measures,
+        rows_per_match=rows_per_match,
+        skip=skip,
+    )
+
+
+def resolve_match_recognize(engine, sql: str) -> str:
+    """Rewrite every ``FROM <table> MATCH_RECOGNIZE (...)`` in ``sql``
+    into a reference to a temp view holding the operator's result."""
+    out = sql
+    for _ in range(10):  # bounded: >10 clauses in one statement is absurd
+        m = _MR_FROM_RE.search(out)
+        if not m:
+            return out
+        end = _scan_balanced(out, m.end() - 1)
+        body = out[m.end() : end - 1]
+        spec = _parse_body(body)
+        from ..ops.matchrec import match_recognize
+
+        engine._register_views()
+        df = engine.spark.table(m.group(1).rsplit(".", 1)[-1])
+        res = match_recognize(df, **spec)
+        view = f"__mr_{abs(hash((m.group(1), body))) % 10**8}"
+        res.createOrReplaceTempView(view)
+        out = out[: m.start()] + f"FROM {view}" + out[end:]
+    raise ValueError("too many MATCH_RECOGNIZE clauses in one statement")

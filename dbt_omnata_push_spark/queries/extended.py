@@ -2873,6 +2873,92 @@ def events_error_pairs_overlap(
 
 
 @query(
+    "events_vshape_sql",
+    oracle="""
+    WITH dirs AS (
+        SELECT user_id, event_id,
+               CASE WHEN value < LAG(value) OVER w THEN 'D'
+                    WHEN value > LAG(value) OVER w THEN 'U'
+                    ELSE NULL END AS dir,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WHERE user_id % 20 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    isl AS (
+        SELECT user_id, dir, rn, event_id,
+               rn - ROW_NUMBER() OVER (PARTITION BY user_id, dir
+                                       ORDER BY rn) AS grp
+        FROM dirs WHERE dir IS NOT NULL
+    ),
+    runs AS (
+        SELECT user_id, dir,
+               MIN(rn) AS srn, MAX(rn) AS ern,
+               MIN(event_id) AS sid, MAX(event_id) AS eid,
+               COUNT(*) AS n
+        FROM isl GROUP BY user_id, dir, grp
+    )
+    SELECT d.user_id,
+           CAST(d.sid AS BIGINT) AS start_id,
+           CAST(u.eid AS BIGINT) AS end_id,
+           CAST(d.n AS BIGINT) AS n_down,
+           CAST(u.n AS BIGINT) AS n_up
+    FROM runs d
+    JOIN runs u
+      ON u.user_id = d.user_id
+     AND d.dir = 'D' AND u.dir = 'U'
+     AND u.srn = d.ern + 1
+    """,
+    tags=("engine", "matchrec", "sqlfront"),
+)
+def events_vshape_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE through the SQL SURFACE (r11, engine/mrsql.py):
+    the Snowflake clause pasted verbatim into ``Engine.query`` —
+    PARTITION BY / ORDER BY / MEASURES with COUNT(sym.*) / PATTERN /
+    DEFINE with PREV() — rewrites to a temp view over the distributed
+    operator (``ops/matchrec.py``), certifying the clause parser, the
+    DEFINE-condition dialect translation, and the engine wiring on top
+    of the operator semantics already certified by
+    ``events_value_vshape``. Same V-shape pattern and gaps-and-islands
+    oracle, on a 1-in-20 user cohort."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-mr-")))
+    engine.seed(
+        "ev_mr",
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 0)
+        .select("user_id", "event_id", "value"),
+    )
+    out = engine.query(
+        """
+        select user_id, start_id, end_id, n_down, n_up
+        from ev_mr match_recognize (
+            partition by user_id
+            order by event_id
+            measures first(event_id) as start_id,
+                     last(event_id) as end_id,
+                     count(D.*) as n_down,
+                     count(U.*) as n_up
+            pattern (D+ U+)
+            define D as value < prev(value),
+                   U as value > prev(value)
+        )
+        """
+    )
+    return out.select(
+        "user_id",
+        F.col("start_id").cast("long").alias("start_id"),
+        F.col("end_id").cast("long").alias("end_id"),
+        F.col("n_down").cast("long").alias("n_down"),
+        F.col("n_up").cast("long").alias("n_up"),
+    )
+
+
+@query(
     "customers_connect_by_roots",
     oracle="""
     WITH RECURSIVE base AS (
