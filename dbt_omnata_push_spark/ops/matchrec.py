@@ -271,8 +271,12 @@ def match_recognize(
     measures: dict[str, str],
     rows_per_match: str = "one",
     skip: str | tuple[str, str] = "past_last",
+    buckets: int = 256,
 ) -> DataFrame:
-    """See module docstring for the supported subset."""
+    """See module docstring for the supported subset. ``buckets``
+    controls how many partition keys share one Arrow batch (r11):
+    the matcher buckets keys so per-key Arrow overhead amortizes;
+    results are key-deterministic regardless of the value."""
     if rows_per_match not in ("one", "all"):
         raise ValueError("rows_per_match must be 'one' or 'all'")
     symbols = list(defines)
@@ -343,16 +347,28 @@ def match_recognize(
     out_schema = T.StructType(out_fields)
     data_cols = df.columns
 
-    def run_group(pdf):
+    def run_bucket(pdf):
+        """One Arrow batch per BUCKET of partition keys (r11): DEFINE
+        predicates and LAG/LEAD columns evaluate vectorized across the
+        whole bucket (pandas groupby-shift keeps prev/next per-key),
+        and only the cheap per-key regex scan loops — cutting Arrow
+        round-trips from one per key to one per bucket (the dominant
+        cost when keys are many and small, e.g. per-user sequences)."""
         import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values(list(order_by), kind="mergesort")
-        pdf = pdf.reset_index(drop=True)
+        if not len(pdf):
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in out_fields}
+            )
+        pdf = pdf.sort_values(
+            list(partition_by) + list(order_by), kind="mergesort"
+        ).reset_index(drop=True)
+        gb = pdf.groupby(list(partition_by), sort=False, dropna=False)
         env = {c: pdf[c] for c in data_cols}
         for c in data_cols:
-            env[f"prev_{c}"] = pdf[c].shift(1)
-            env[f"next_{c}"] = pdf[c].shift(-1)
+            env[f"prev_{c}"] = gb[c].shift(1)
+            env[f"next_{c}"] = gb[c].shift(-1)
         mask = np.zeros(len(pdf), dtype=np.int64)
         for s, expr in defines.items():
             res = pd.eval(expr, local_dict=env)
@@ -360,107 +376,125 @@ def match_recognize(
                 pd.Series(res).fillna(False).astype(bool).to_numpy()
             )
             mask |= flags.astype(np.int64) << bits[s]
-        # vectorized symbol string: one codepoint per row (VERDICT r9,
-        # replaces the per-row .iloc loop)
-        seq = "".join(map(chr, (mask + _BASE).tolist()))
+        # per-key contiguous slices after the sort: a boundary wherever
+        # any partition column differs from the previous row (NaN keys
+        # compare equal to NaN so a null-key group stays one group)
+        keys = pdf[list(partition_by)]
+        prev_keys = keys.shift(1)
+        same = (
+            ((keys == prev_keys) | (keys.isna() & prev_keys.isna()))
+            .all(axis=1)
+            .to_numpy()
+        )
+        same[0] = False
+        starts = np.flatnonzero(~same)
+        ends = np.append(starts[1:], len(pdf))
+
         one_rows = []  # ONE ROW PER MATCH: one dict per match
         all_parts = []  # ALL ROWS PER MATCH: one sliced frame per match
-        match_no = 0
-        # Manual scan instead of finditer (r11): the AFTER MATCH SKIP
-        # policy decides where the next search resumes, so matches may
-        # overlap under next_row / skip-to-symbol.
-        pos = 0
-        while pos <= len(seq):
-            m = rx.search(seq, pos)
-            if not m:
-                break
-            s, e = m.start(), m.end()
-            if s == e:
-                pos = s + 1  # empty match (e.g. pure X*) is no match
-                continue
-            match_no += 1
-            span = pdf.iloc[s:e]
-            cls = None
-            if need_classify:
-                span_masks = mask[s:e]
-                if bool(
-                    np.all((span_masks & (span_masks - 1)) == 0)
-                ):
-                    # exclusive rows (exactly one bit each): the only
-                    # possible assignment — skip the pattern replay
-                    cls = [
-                        symbols[int(v).bit_length() - 1]
-                        for v in span_masks
-                    ]
+        for g0, g1 in zip(starts.tolist(), ends.tolist()):
+            # vectorized symbol string: one codepoint per row
+            seq = "".join(map(chr, (mask[g0:g1] + _BASE).tolist()))
+            match_no = 0
+            # Manual scan instead of finditer (r11): the AFTER MATCH
+            # SKIP policy decides where the next search resumes, so
+            # matches may overlap under next_row / skip-to-symbol.
+            pos = 0
+            while pos <= len(seq):
+                m = rx.search(seq, pos)
+                if not m:
+                    break
+                s, e = m.start(), m.end()
+                if s == e:
+                    pos = s + 1  # empty match (pure X*) is no match
+                    continue
+                match_no += 1
+                span = pdf.iloc[g0 + s : g0 + e]
+                cls = None
+                if need_classify:
+                    span_masks = mask[g0 + s : g0 + e]
+                    if bool(
+                        np.all((span_masks & (span_masks - 1)) == 0)
+                    ):
+                        # exclusive rows (exactly one bit each): the
+                        # only possible assignment — skip the replay
+                        cls = [
+                            symbols[int(v).bit_length() - 1]
+                            for v in span_masks
+                        ]
+                    else:
+                        cls = _classify(ast, span_masks.tolist())
+
+                def final_val(kind, arg):
+                    if kind == "first":
+                        return span[arg].iloc[0]
+                    if kind == "last":
+                        return span[arg].iloc[-1]
+                    if kind == "match_number":
+                        return match_no
+                    if kind == "classifier":
+                        return cls[-1]
+                    if arg is None:  # count()
+                        return len(span)
+                    return cls.count(arg)  # count(SYM)
+
+                if rows_per_match == "one":
+                    row = {
+                        c: pdf[c].iloc[g0 + s] for c in partition_by
+                    }
+                    for n_, kind, arg, _f in parsed:
+                        row[n_] = final_val(kind, arg)
+                    one_rows.append(row)
                 else:
-                    cls = _classify(ast, span_masks.tolist())
+                    # Vectorized per-match output (r11, VERDICT r10
+                    # #5): slice once, assign each measure as a whole
+                    # column — scalar for FINAL, aligned array for
+                    # RUNNING.
+                    part = span.copy()
+                    for n_, kind, arg, final in parsed:
+                        if final or kind in ("first", "match_number"):
+                            # RUNNING first()/match_number() are
+                            # constant over the match anyway
+                            part[n_] = final_val(kind, arg)
+                        elif kind == "last":
+                            # running last(col) at row j IS row j
+                            part[n_] = span[arg].to_numpy()
+                        elif kind == "classifier":
+                            part[n_] = cls
+                        elif arg is None:  # running count()
+                            part[n_] = np.arange(1, len(span) + 1)
+                        else:  # running count(SYM)
+                            hits = np.fromiter(
+                                (c == arg for c in cls),
+                                dtype=np.int64,
+                                count=len(cls),
+                            )
+                            part[n_] = np.cumsum(hits)
+                    all_parts.append(part)
 
-            def final_val(kind, arg):
-                if kind == "first":
-                    return span[arg].iloc[0]
-                if kind == "last":
-                    return span[arg].iloc[-1]
-                if kind == "match_number":
-                    return match_no
-                if kind == "classifier":
-                    return cls[-1]
-                if arg is None:  # count()
-                    return len(span)
-                return cls.count(arg)  # count(SYM): classified rows
-
-            if rows_per_match == "one":
-                row = {c: pdf[c].iloc[s] for c in partition_by}
-                for n_, kind, arg, _f in parsed:
-                    row[n_] = final_val(kind, arg)
-                one_rows.append(row)
-            else:
-                # Vectorized per-match output (r11, VERDICT r10 #5):
-                # slice once, assign each measure as a whole column —
-                # scalar for FINAL, an aligned array for RUNNING.
-                part = span.copy()
-                for n_, kind, arg, final in parsed:
-                    if final or kind in ("first", "match_number"):
-                        # RUNNING first()/match_number() are constant
-                        # over the match anyway
-                        part[n_] = final_val(kind, arg)
-                    elif kind == "last":
-                        # running last(col) at row j IS row j's value
-                        part[n_] = span[arg].to_numpy()
-                    elif kind == "classifier":
-                        part[n_] = cls
-                    elif arg is None:  # running count()
-                        part[n_] = np.arange(1, len(span) + 1)
-                    else:  # running count(SYM)
-                        hits = np.fromiter(
-                            (c == arg for c in cls),
-                            dtype=np.int64,
-                            count=len(cls),
+                if skip == "past_last":
+                    pos = e
+                elif skip == "next_row":
+                    pos = s + 1
+                else:
+                    which, sym_name = skip
+                    idxs = [
+                        i for i, c in enumerate(cls) if c == sym_name
+                    ]
+                    if not idxs:
+                        raise ValueError(
+                            f"AFTER MATCH SKIP TO {sym_name}: no row "
+                            "of the match was mapped to the symbol"
                         )
-                        part[n_] = np.cumsum(hits)
-                all_parts.append(part)
-
-            if skip == "past_last":
-                pos = e
-            elif skip == "next_row":
-                pos = s + 1
-            else:
-                which, sym_name = skip
-                idxs = [
-                    i for i, c in enumerate(cls) if c == sym_name
-                ]
-                if not idxs:
-                    raise ValueError(
-                        f"AFTER MATCH SKIP TO {sym_name}: no row of "
-                        "the match was mapped to the symbol"
-                    )
-                rel = idxs[0] if which == "first" else idxs[-1]
-                if rel == 0:
-                    raise ValueError(
-                        f"AFTER MATCH SKIP TO {which.upper()} "
-                        f"{sym_name} would resume at the match's own "
-                        "first row (the scan could never advance)"
-                    )
-                pos = s + rel
+                    rel = idxs[0] if which == "first" else idxs[-1]
+                    if rel == 0:
+                        raise ValueError(
+                            f"AFTER MATCH SKIP TO {which.upper()} "
+                            f"{sym_name} would resume at the match's "
+                            "own first row (the scan could never "
+                            "advance)"
+                        )
+                    pos = s + rel
 
         names = [f.name for f in out_fields]
         if rows_per_match == "one":
@@ -475,6 +509,14 @@ def match_recognize(
             )
         return pd.concat(all_parts, ignore_index=True)[names]
 
-    return df.groupBy(*[F.col(c) for c in partition_by]).applyInPandas(
-        run_group, schema=out_schema
+    # Bucket the partition keys (r11): one shuffle either way, but the
+    # pandas UDF now receives ~|keys|/buckets keys per Arrow batch
+    # instead of one — per-key Arrow serialization overhead was the #1
+    # cost in the bench's MATCH_RECOGNIZE entries. Keys stay whole
+    # within a bucket (hash on exactly the partition columns).
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in partition_by]), F.lit(buckets)
+    )
+    return df.groupBy(bucket.alias("__mr_bucket")).applyInPandas(
+        run_bucket, schema=out_schema
     )
