@@ -56,6 +56,9 @@ _RECHECK_PRIORITY = [
     # r11: new entry — the SQL-surface MATCH_RECOGNIZE clause
     # (engine/mrsql.py) over the same operator.
     "events_vshape_sql",
+    # r11: new entry — aggregate measures (SUM/AVG/MIN/MAX) over
+    # matched spans.
+    "events_error_burst_stats",
     # r11: matchrec scan loop rewritten (manual search with skip
     # policies, vectorized ALL-ROWS output, running/final prefixes) —
     # re-verify all three existing rows on the new engine.

@@ -179,6 +179,7 @@ HEADLINE = [
     # slice output) — and the SQL-surface clause through Engine.query
     "events_error_pairs_overlap",
     "events_vshape_sql",
+    "events_error_burst_stats",
 ]
 
 # Growth policy (VERDICT r9 #7, documented in BASELINE.md): the suite
@@ -205,6 +206,7 @@ _POST_R8_ADDITIONS = {
     # r11
     "events_error_pairs_overlap",
     "events_vshape_sql",
+    "events_error_burst_stats",
 }
 
 

@@ -22,7 +22,8 @@ row-access policies compose exactly as for any other FROM.
 Translated subset, mirroring the operator's:
 - PARTITION BY / ORDER BY (ASC only) over plain columns.
 - MEASURES: [RUNNING|FINAL] FIRST(col) | LAST(col) | COUNT(*) |
-  COUNT(sym.*) | MATCH_NUMBER() | CLASSIFIER(), each AS alias.
+  COUNT(sym.*) | MATCH_NUMBER() | CLASSIFIER() | SUM(col) | AVG(col) |
+  MIN(col) | MAX(col), each AS alias.
 - ONE ROW PER MATCH (default) | ALL ROWS PER MATCH.
 - AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO [FIRST|LAST] sym.
 - PATTERN (...) — the operator's regex subset.
@@ -39,7 +40,7 @@ _MR_FROM_RE = re.compile(
 )
 _MEASURE_SQL_RE = re.compile(
     r"(?is)^\s*(?:(running|final)\s+)?"
-    r"(first|last|count|match_number|classifier)\s*"
+    r"(first|last|count|match_number|classifier|sum|avg|min|max)\s*"
     r"\(\s*(?:\*|([A-Za-z_]\w*)(?:\s*\.\s*\*)?)?\s*\)\s*"
     r"(?:as\s+)?([A-Za-z_]\w*)\s*$"
 )

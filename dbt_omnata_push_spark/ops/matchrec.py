@@ -39,8 +39,10 @@ Supported subset (everything else raises):
   as in Snowflake, since it could never terminate; a match with no
   SYM row raises too).
 - ``MEASURES`` — ``first(col)``, ``last(col)``, ``count()``,
-  ``count(SYM)``, ``match_number()``, ``classifier()``, each with an
-  optional ``running``/``final`` prefix (``"running count()"``,
+  ``count(SYM)``, ``match_number()``, ``classifier()``, and the
+  aggregates ``sum(col)``/``avg(col)``/``min(col)``/``max(col)``
+  (NULL-skipping, like SQL aggregates), each with an optional
+  ``running``/``final`` prefix (``"running count()"``,
   ``"final last(col)"``). Snowflake defaults apply (r11): under
   ALL ROWS PER MATCH measures are RUNNING (evaluated over the rows
   up to and including the current row) unless prefixed ``final``;
@@ -65,7 +67,7 @@ from pyspark.sql import types as T
 
 _MEASURE_RE = re.compile(
     r"^\s*(?:(running|final)\s+)?"
-    r"(first|last|count|match_number|classifier)\s*"
+    r"(first|last|count|match_number|classifier|sum|avg|min|max)\s*"
     r"\(\s*([A-Za-z_]\w*)?\s*\)\s*$",
     re.IGNORECASE,
 )
@@ -80,12 +82,24 @@ _BASE = 0x4E00
 _MAX_SYMBOLS = 12
 
 
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
 def _measure_type(kind: str, arg: str | None, schema: T.StructType):
     if kind in ("count", "match_number"):
         return T.LongType()
     if kind == "classifier":
         return T.StringType()
-    # first/last carry the column's own type
+    if kind == "avg":
+        return T.DoubleType()
+    if kind == "sum":
+        # SQL sum widens: integral -> long, fractional -> double
+        return (
+            T.LongType()
+            if isinstance(schema[arg].dataType, _INTEGRAL)
+            else T.DoubleType()
+        )
+    # first/last/min/max carry the column's own type
     return schema[arg].dataType
 
 
@@ -316,7 +330,7 @@ def match_recognize(
             )
         mode = (m.group(1) or "").lower()
         kind, arg = m.group(2).lower(), m.group(3)
-        if kind in ("first", "last") and (
+        if kind in ("first", "last", "sum", "avg", "min", "max") and (
             arg is None or arg not in df.columns
         ):
             raise ValueError(f"MEASURE {expr!r}: unknown column {arg}")
@@ -434,6 +448,18 @@ def match_recognize(
                         return match_no
                     if kind == "classifier":
                         return cls[-1]
+                    if kind == "sum":
+                        v = span[arg].sum()
+                        return None if span[arg].isna().all() else v
+                    if kind == "avg":
+                        v = span[arg].mean()
+                        return None if pd.isna(v) else float(v)
+                    if kind == "min":
+                        v = span[arg].min()
+                        return None if pd.isna(v) else v
+                    if kind == "max":
+                        v = span[arg].max()
+                        return None if pd.isna(v) else v
                     if arg is None:  # count()
                         return len(span)
                     return cls.count(arg)  # count(SYM)
@@ -461,6 +487,24 @@ def match_recognize(
                             part[n_] = span[arg].to_numpy()
                         elif kind == "classifier":
                             part[n_] = cls
+                        elif kind in ("sum", "min", "max", "avg"):
+                            # cumulative aggregates, NULL-skipping like
+                            # SQL: pandas cum* leave NaN AT null rows
+                            # (the running value is unchanged there) —
+                            # ffill restores it; a prefix with no value
+                            # yet stays NaN, matching SQL's NULL.
+                            vals = span[arg]
+                            if kind == "avg":
+                                sums = vals.cumsum().ffill()
+                                cnts = vals.notna().cumsum()
+                                part[n_] = (sums / cnts).to_numpy()
+                            else:
+                                agg = getattr(
+                                    vals,
+                                    {"sum": "cumsum", "min": "cummin",
+                                     "max": "cummax"}[kind],
+                                )()
+                                part[n_] = agg.ffill().to_numpy()
                         elif arg is None:  # running count()
                             part[n_] = np.arange(1, len(span) + 1)
                         else:  # running count(SYM)

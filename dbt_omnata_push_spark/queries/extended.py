@@ -2804,6 +2804,74 @@ def events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_error_burst_stats",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS rn
+        FROM events
+        WHERE user_id % 10 = 0
+    ),
+    err AS (
+        SELECT user_id, event_id, value, rn,
+               rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
+                   AS grp
+        FROM flagged WHERE event_type = 'error'
+    )
+    SELECT user_id,
+           CAST(MIN(event_id) AS BIGINT) AS start_id,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(AVG(event_id) AS DOUBLE) AS id_avg,
+           MIN(value) AS v_lo,
+           MAX(value) AS v_hi
+    FROM err
+    GROUP BY user_id, grp
+    """,
+    tags=("ops", "matchrec"),
+)
+def events_error_burst_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE AGGREGATE measures (r11): SUM/AVG/MIN/MAX over
+    each matched span — Snowflake's aggregate-measure surface beyond
+    first/last/count. Pattern ``E+`` (maximal error bursts per user,
+    1-in-10 cohort); the oracle is the gaps-and-islands GROUP BY with
+    the same aggregates. Cross-engine exactness by construction:
+    SUM/AVG run over the integral event_id (exact integer sum; the
+    average is ONE division of identical operands), MIN/MAX over the
+    parquet-identical double value column (order-independent) — no
+    float summation-order hazard anywhere in the hash."""
+    from ..ops.matchrec import match_recognize
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+    out = match_recognize(
+        ev,
+        ["user_id"],
+        ["event_id"],
+        defines={"E": "event_type == 'error'"},
+        pattern="E+",
+        measures={
+            "start_id": "first(event_id)",
+            "id_sum": "sum(event_id)",
+            "id_avg": "avg(event_id)",
+            "v_lo": "min(value)",
+            "v_hi": "max(value)",
+        },
+    )
+    return out.select(
+        "user_id",
+        F.col("start_id").cast("long").alias("start_id"),
+        F.col("id_sum").cast("long").alias("id_sum"),
+        F.col("id_avg").cast("double").alias("id_avg"),
+        F.col("v_lo").cast("double").alias("v_lo"),
+        F.col("v_hi").cast("double").alias("v_hi"),
+    )
+
+
+@query(
     "events_error_pairs_overlap",
     oracle="""
     WITH ordered AS (

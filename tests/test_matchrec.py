@@ -199,6 +199,7 @@ class TestMatchRecognize:
             )
 
     def test_unsupported_measure_raises(self, spark):
+        # sum/avg/min/max became supported in r11; stddev stays out
         with pytest.raises(ValueError, match="MEASURE"):
             match_recognize(
                 _df(spark),
@@ -206,7 +207,7 @@ class TestMatchRecognize:
                 ["seq"],
                 defines={"A": "price > 0"},
                 pattern="A",
-                measures={"n": "sum(price)"},
+                measures={"n": "stddev(price)"},
             )
 
     def test_no_matches_yields_empty_frame(self, spark):
@@ -357,4 +358,104 @@ class TestAfterMatchSkip:
                 pattern="D",
                 measures={"s": "first(seq)"},
                 skip=("last", "Z"),
+            )
+
+
+class TestAggregateMeasures:
+    """r11: SUM/AVG/MIN/MAX over the matched rows, final and running,
+    NULL-skipping like SQL aggregates."""
+
+    def test_final_aggregates_one_row(self, spark):
+        out = match_recognize(
+            _df(spark),
+            ["g"],
+            ["seq"],
+            defines={"D": "price < prev_price", "U": "price > prev_price"},
+            pattern="D+ U+",
+            measures={
+                "tot": "sum(price)",
+                "mean": "avg(price)",
+                "lo": "min(price)",
+                "hi": "max(price)",
+            },
+        )
+        rows = {r["g"]: r for r in out.collect() if r["g"] == 2}
+        # g=2 match: prices 4.0 (D), 6.0 (U)
+        r = rows[2]
+        assert r["tot"] == 10.0 and r["mean"] == 5.0
+        assert r["lo"] == 4.0 and r["hi"] == 6.0
+
+    def test_running_aggregates_all_rows(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, 10.0), (1, 2, 7.0), (1, 3, 5.0), (1, 4, 9.0)],
+            "g int, seq int, price double",
+        )
+        out = match_recognize(
+            df,
+            ["g"],
+            ["seq"],
+            defines={"D": "price < prev_price", "U": "price > prev_price"},
+            pattern="D+ U+",
+            measures={
+                "rs": "sum(price)",
+                "ra": "avg(price)",
+                "rlo": "min(price)",
+                "rhi": "max(price)",
+                "fs": "final sum(price)",
+            },
+            rows_per_match="all",
+        )
+        got = sorted(
+            (r["seq"], r["rs"], r["ra"], r["rlo"], r["rhi"], r["fs"])
+            for r in out.collect()
+        )
+        # match spans seq 2..4 (D,D,U): prices 7, 5, 9
+        assert got == [
+            (2, 7.0, 7.0, 7.0, 7.0, 21.0),
+            (3, 12.0, 6.0, 5.0, 7.0, 21.0),
+            (4, 21.0, 7.0, 5.0, 9.0, 21.0),
+        ]
+
+    def test_running_skips_nulls(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, 1.0, 2.0), (1, 2, 1.0, None), (1, 3, 1.0, 4.0)],
+            "g int, seq int, flag double, x double",
+        )
+        out = match_recognize(
+            df,
+            ["g"],
+            ["seq"],
+            defines={"A": "flag == 1.0"},
+            pattern="A+",
+            measures={"rs": "sum(x)", "rlo": "min(x)"},
+            rows_per_match="all",
+        )
+        got = sorted((r["seq"], r["rs"], r["rlo"]) for r in out.collect())
+        # null x at seq 2 leaves the running values unchanged
+        assert got == [(1, 2.0, 2.0), (2, 2.0, 2.0), (3, 6.0, 2.0)]
+
+    def test_integral_sum_is_long(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, 5), (1, 2, 3)], "g int, seq int, qty int"
+        )
+        out = match_recognize(
+            df,
+            ["g"],
+            ["seq"],
+            defines={"A": "qty > 0"},
+            pattern="A+",
+            measures={"tot": "sum(qty)"},
+        )
+        assert dict(out.dtypes)["tot"] == "bigint"
+        assert out.collect()[0]["tot"] == 8
+
+    def test_aggregate_unknown_column_rejected(self, spark):
+        with pytest.raises(ValueError, match="unknown column"):
+            match_recognize(
+                _df(spark),
+                ["g"],
+                ["seq"],
+                defines={"D": "price < prev_price"},
+                pattern="D",
+                measures={"s": "sum(nope)"},
             )

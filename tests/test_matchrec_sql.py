@@ -178,3 +178,24 @@ class TestSqlClause:
                 )
                 """
             )
+
+
+class TestSqlAggregates:
+    def test_sum_min_max_avg_measures(self, spark, engine):
+        df = engine.query(
+            """
+            select g, tot, lo, hi, mean from ticks match_recognize (
+                partition by g
+                order by seq
+                measures sum(price) as tot, min(price) as lo,
+                         max(price) as hi, avg(price) as mean
+                pattern (D+ U+)
+                define D as price < prev(price),
+                       U as price > prev(price)
+            )
+            """
+        )
+        rows = {r["g"]: r for r in df.collect()}
+        # g=2 match: prices 4.0 (D), 6.0 (U)
+        assert rows[2]["tot"] == 10.0 and rows[2]["lo"] == 4.0
+        assert rows[2]["hi"] == 6.0 and rows[2]["mean"] == 5.0
