@@ -1823,6 +1823,10 @@ _DROP_TASK_RE = re.compile(rf"(?is)^\s*drop\s+task\s+({_IDENT})\s*$")
 _ALTER_TASK_RE = re.compile(
     rf"(?is)^\s*alter\s+task\s+({_IDENT})\s+(resume|suspend)\s*$"
 )
+_ALTER_TASK_SCHED_RE = re.compile(
+    rf"(?is)^\s*alter\s+task\s+({_IDENT})\s+"
+    r"(?:set\s+schedule\s*=\s*'([^']*)'|unset\s+schedule)\s*$"
+)
 _EXECUTE_TASK_RE = re.compile(
     rf"(?is)^\s*execute\s+task\s+({_IDENT})\s*$"
 )
@@ -1883,15 +1887,23 @@ def _drop_task(engine, sql: str) -> DataFrame:
 def _alter_task(engine, sql: str) -> DataFrame:
     s = _strip_comments(sql).strip().rstrip(";")
     m = _ALTER_TASK_RE.match(s)
-    if not m:
-        raise ValueError(
-            f"unparsable ALTER TASK (expected RESUME|SUSPEND): {s[:90]}"
+    if m:
+        state = (
+            "started" if m.group(2).lower() == "resume" else "suspended"
         )
-    state = (
-        "started" if m.group(2).lower() == "resume" else "suspended"
+        engine.store.set_task_state(m.group(1).strip('"'), state)
+        return _summary(engine, tasks_altered=1)
+    m = _ALTER_TASK_SCHED_RE.match(s)
+    if m:
+        # Snowflake ALTER TASK t SET SCHEDULE = '...' / UNSET SCHEDULE:
+        # validated like CREATE; clearing last_run so the new schedule
+        # anchors fresh at the next run_due tick.
+        engine.store.set_task_schedule(m.group(1).strip('"'), m.group(2))
+        return _summary(engine, tasks_altered=1)
+    raise ValueError(
+        "unparsable ALTER TASK (expected RESUME|SUSPEND|SET SCHEDULE = "
+        f"'...'|UNSET SCHEDULE): {s[:90]}"
     )
-    engine.store.set_task_state(m.group(1).strip('"'), state)
-    return _summary(engine, tasks_altered=1)
 
 
 def _execute_task(engine, sql: str) -> DataFrame:

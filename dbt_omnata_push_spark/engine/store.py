@@ -1564,6 +1564,28 @@ class TableStore:
         tasks[key]["state"] = state
         self._write_tasks(tasks)
 
+    def set_task_schedule(self, name: str, schedule: str | None) -> None:
+        """ALTER TASK SET SCHEDULE = '...' / UNSET SCHEDULE (r11):
+        validated like CREATE TASK; rejected on a child task (only
+        roots are scheduled, as in Snowflake); last_run clears so the
+        new schedule anchors fresh at the next run_due tick."""
+        tasks = self.tasks()
+        key = name.lower()
+        if key not in tasks:
+            raise ValueError(f"task not found: {name}")
+        if schedule is not None:
+            if tasks[key].get("after"):
+                raise ValueError(
+                    f"ALTER TASK {name}: SCHEDULE and AFTER are "
+                    "mutually exclusive (only root tasks are scheduled)"
+                )
+            from .schedule import parse_schedule
+
+            parse_schedule(schedule)
+        tasks[key]["schedule"] = schedule
+        tasks[key].pop("last_run", None)
+        self._write_tasks(tasks)
+
     def record_task_run(self, name: str, fired_at: str) -> None:
         """Stamp a scheduled fire (ISO timestamp) — the anchor
         ``Engine.run_due`` measures the next due time from."""

@@ -285,12 +285,16 @@ def match_recognize(
     measures: dict[str, str],
     rows_per_match: str = "one",
     skip: str | tuple[str, str] = "past_last",
-    buckets: int = 256,
+    buckets: int | None = None,
 ) -> DataFrame:
     """See module docstring for the supported subset. ``buckets``
     controls how many partition keys share one Arrow batch (r11):
     the matcher buckets keys so per-key Arrow overhead amortizes;
-    results are key-deterministic regardless of the value."""
+    results are key-deterministic regardless of the value. Default
+    scales with the session (``8 x spark.sql.shuffle.partitions``,
+    floor 256) so a bucket — which must fit one pandas frame in an
+    executor — shrinks as the cluster grows; at very large row counts
+    pass buckets ~ total_rows / 5e6 explicitly."""
     if rows_per_match not in ("one", "all"):
         raise ValueError("rows_per_match must be 'one' or 'all'")
     symbols = list(defines)
@@ -558,6 +562,11 @@ def match_recognize(
     # instead of one — per-key Arrow serialization overhead was the #1
     # cost in the bench's MATCH_RECOGNIZE entries. Keys stay whole
     # within a bucket (hash on exactly the partition columns).
+    if buckets is None:
+        shuffle_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        buckets = max(256, shuffle_parts * 8)
     bucket = F.pmod(
         F.xxhash64(*[F.col(c) for c in partition_by]), F.lit(buckets)
     )

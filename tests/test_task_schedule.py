@@ -202,3 +202,45 @@ class TestRunDue:
         engine.run_due(_dt("2026-01-01T00:00:00"))  # both due (never fired)
         rows = engine.run_due(_dt("2026-01-01T00:30:00")).collect()
         assert [r["root"] for r in rows] == ["a"]
+
+
+class TestAlterTaskSchedule:
+    def test_set_and_unset_schedule(self, spark, engine):
+        engine.query(
+            "create table log as select cast(id as bigint) as n from range(0)"
+        )
+        engine.query("create task t1 as insert into log select 1")
+        engine.query("alter task t1 set schedule = '5 minute'")
+        shown = {
+            r["name"]: r["schedule"]
+            for r in engine.query("show tasks").collect()
+        }
+        assert shown["t1"] == "5 minute"
+        engine.query("alter task t1 resume")
+        assert engine.run_due(_dt("2026-01-01T00:00:00")).count() == 1
+        engine.query("alter task t1 unset schedule")
+        assert engine.run_due(_dt("2026-01-01T01:00:00")).count() == 0
+
+    def test_set_schedule_revalidates(self, spark, engine):
+        engine.query("create task t2 as select 1")
+        with pytest.raises(ValueError, match="SCHEDULE"):
+            engine.query("alter task t2 set schedule = 'nope'")
+
+    def test_set_schedule_on_child_rejected(self, spark, engine):
+        engine.query("create task root as select 1")
+        engine.query("create task kid after root as select 1")
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            engine.query("alter task kid set schedule = '1 minute'")
+
+    def test_set_schedule_clears_last_run_anchor(self, spark, engine):
+        engine.query(
+            "create table log as select cast(id as bigint) as n from range(0)"
+        )
+        engine.query(
+            "create task t3 schedule = '60 minute' as insert into log select 1"
+        )
+        engine.query("alter task t3 resume")
+        engine.run_due(_dt("2026-01-01T00:00:00"))  # fires, stamps
+        engine.query("alter task t3 set schedule = '999 minute'")
+        # anchor cleared -> never-fired -> due at the next tick
+        assert engine.run_due(_dt("2026-01-01T00:01:00")).count() == 1
