@@ -180,6 +180,7 @@ HEADLINE = [
     "events_error_pairs_overlap",
     "events_vshape_sql",
     "events_error_burst_stats",
+    "orders_clone_lifecycle",
 ]
 
 # Growth policy (VERDICT r9 #7, documented in BASELINE.md): the suite
@@ -207,6 +208,7 @@ _POST_R8_ADDITIONS = {
     "events_error_pairs_overlap",
     "events_vshape_sql",
     "events_error_burst_stats",
+    "orders_clone_lifecycle",
 }
 
 

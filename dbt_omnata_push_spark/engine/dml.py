@@ -166,6 +166,7 @@ _KIND_RE = re.compile(
     r"drop\s+task\b|"
     r"alter\s+task\b|"
     r"execute\s+task\b|"
+    r"undrop\s+table\b|"
     r"create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+|transient\s+)?table\b)"
 )
 
@@ -221,6 +222,8 @@ def statement_kind(sql: str) -> str | None:
         return "alter"
     if kw == "drop table":
         return "drop"
+    if kw == "undrop table":
+        return "undrop"
     return kw.split()[0]
 
 
@@ -938,10 +941,31 @@ _LIKE_RE = re.compile(
     rf"(?is)^\s*create\s+(or\s+replace\s+)?(?:temp(?:orary)?\s+|transient\s+)?"
     rf"table\s+({_TABLE})\s+like\s+({_TABLE})\s*$"
 )
+_CLONE_RE = re.compile(
+    rf"(?is)^\s*create\s+(or\s+replace\s+)?(?:temp(?:orary)?\s+|transient\s+)?"
+    rf"table\s+({_TABLE})\s+clone\s+({_TABLE})"
+    r"(?:\s+at\s*\(\s*version\s*=>\s*(\d+)\s*\))?\s*$"
+)
+_UNDROP_RE = re.compile(rf"(?is)^\s*undrop\s+table\s+({_TABLE})\s*$")
 
 
 def _ctas(engine, sql: str) -> DataFrame:
     s = _strip_comments(sql).strip().rstrip(";")
+    cm = _CLONE_RE.match(s)
+    if cm:
+        # CREATE TABLE .. CLONE (r11): zero-copy — the store hard-links
+        # the source version's files; optional AT(VERSION => v) clones
+        # a historical version (time-travel clone).
+        target = _clean_ident(cm.group(2))
+        src = _resolve_table(engine, cm.group(3))
+        engine.store.clone_table(
+            engine.spark,
+            src,
+            target,
+            version=int(cm.group(4)) if cm.group(4) else None,
+            replace=bool(cm.group(1)),
+        )
+        return _summary(engine, tables_cloned=1)
     lm = _LIKE_RE.match(s)
     if lm:
         # CREATE TABLE .. LIKE: schema-only copy (Snowflake's empty
@@ -1342,6 +1366,9 @@ _ALTER_CHANGE_TRACKING_RE = re.compile(
     rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+set\s+change_tracking\s*=\s*"
     rf"(true|false)\s*$"
 )
+_ALTER_SWAP_RE = re.compile(
+    rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+swap\s+with\s+({_TABLE})\s*$"
+)
 
 
 def _snowflake_type_to_spark(type_sql: str) -> str:
@@ -1367,6 +1394,14 @@ def _alter(engine, sql: str) -> DataFrame:
         old = _resolve_table(engine, m.group(1))
         engine.store.rename_table(old, _clean_ident(m.group(2)))
         return _summary(engine, tables_renamed=1)
+    m = _ALTER_SWAP_RE.match(s)
+    if m:
+        # Snowflake ALTER TABLE a SWAP WITH b: the blue-green deploy
+        # idiom — atomic content exchange, O(1) directory renames.
+        a = _resolve_table(engine, m.group(1))
+        b = _resolve_table(engine, m.group(2))
+        engine.store.swap_tables(a, b)
+        return _summary(engine, tables_swapped=1)
     m = _ALTER_ADD_PK_RE.match(s)
     if m:
         table = _resolve_table(engine, m.group(1))
@@ -1934,6 +1969,15 @@ def _drop(engine, sql: str) -> DataFrame:
     return _summary(engine, tables_dropped=1)
 
 
+def _undrop(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _UNDROP_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable UNDROP TABLE statement: {s[:90]}")
+    engine.store.undrop_table(_clean_ident(m.group(1)))
+    return _summary(engine, tables_undropped=1)
+
+
 _DISPATCH = {
     "insert": _insert,
     "insert_multi": _insert_multi,
@@ -1950,6 +1994,7 @@ _DISPATCH = {
     "copy": _copy,
     "alter": _alter,
     "drop": _drop,
+    "undrop": _undrop,
     "create_policy": _create_policy,
     "drop_policy": _drop_policy,
     "create_stream": _create_stream,

@@ -1051,6 +1051,90 @@ class TableStore:
             raise ValueError(f"table already exists: {new}")
         os.rename(self._dir(old), self._dir(new))
 
+    def swap_tables(self, a: str, b: str) -> None:
+        """ALTER TABLE a SWAP WITH b (r11, Snowflake's atomic-rename
+        deploy idiom): three directory renames — versions, history,
+        DVs, manifests, and _META (constraints/policies/PK/tracking)
+        all travel with their directories. O(1) metadata at any table
+        size; this is why the idiom exists for blue-green table
+        deploys."""
+        if not self.exists(a):
+            raise FileNotFoundError(f"table not found: {a}")
+        if not self.exists(b):
+            raise FileNotFoundError(f"table not found: {b}")
+        tmp = os.path.join(self.root, "_swap_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.rename(self._dir(a), tmp)
+        os.rename(self._dir(b), self._dir(a))
+        os.rename(tmp, self._dir(b))
+
+    def clone_table(
+        self,
+        spark: SparkSession,
+        src: str,
+        dst: str,
+        version: int | None = None,
+        replace: bool = False,
+    ) -> None:
+        """CREATE TABLE dst CLONE src [AT(VERSION => v)] (r11): the
+        Snowflake zero-copy clone, mapped onto the store's hard-linked
+        layout — the clone's v=0 links every data file (and the
+        deletion-vector sidecar) of the source version; NO bytes are
+        copied, cost is O(#files) metadata at any table size (the same
+        property Snowflake gets from shared immutable micro-partitions
+        and Delta from shallow clones). Table metadata (partition spec,
+        schema, constraints, masking/row-access attachments, primary
+        key, change_tracking) copies with it; STREAMS do not (Snowflake
+        table clones never clone streams). Writes after the clone
+        diverge freely: each table commits its own new versions, and
+        the shared files stay immutable until vacuumed PER TABLE —
+        hard links keep bytes alive until the last referrer drops
+        them, so a source vacuum can never corrupt a clone."""
+        if not self.exists(src):
+            raise FileNotFoundError(f"table not found: {src}")
+        if self.exists(dst):
+            if not replace:
+                raise ValueError(f"table already exists: {dst}")
+            self.drop(dst)
+        v = self.current_version(src) if version is None else int(version)
+        src_vdir = os.path.join(self._dir(src), f"v={v}")
+        if not os.path.isdir(src_vdir):
+            raise ValueError(
+                f"CLONE {src} AT(VERSION => {v}): version not on disk "
+                "(vacuumed?)"
+            )
+        os.makedirs(self._dir(dst), exist_ok=True)
+        self._link_version(
+            src_vdir, os.path.join(self._dir(dst), "v=0")
+        )
+        meta = self.meta(src)
+        if meta:
+            tmp = self._meta_file(dst) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, self._meta_file(dst))
+        self._set_version(dst, 0, op=f"clone:{src}@v{v}")
+
+    def undrop_table(self, name: str) -> None:
+        """UNDROP TABLE (r11, Snowflake parity): restore the most
+        recently dropped copy of ``name`` from the trash area. DROP
+        parks the table directory under _trash/ (latest drop of a name
+        wins) instead of deleting — O(1) either way."""
+        if self.exists(name):
+            raise ValueError(
+                f"table already exists: {name} (rename or drop it "
+                "before UNDROP)"
+            )
+        t = self._trash_path(name)
+        if not os.path.isfile(os.path.join(t, "_VERSION")):
+            raise ValueError(f"no dropped table to undrop: {name}")
+        os.rename(t, self._dir(name))
+
+    def _trash_path(self, name: str) -> str:
+        return os.path.join(
+            self.root, "_trash", os.path.basename(self._dir(name))
+        )
+
     @_locked_write
     def scd2_commit(
         self,
@@ -1197,7 +1281,17 @@ class TableStore:
             else:
                 os.rename(d, dst)
             return
-        shutil.rmtree(self._dir(name), ignore_errors=True)
+        # UNDROP retention (r11): park the directory in _trash/ instead
+        # of deleting — O(1), latest drop of a name wins, UNDROP TABLE
+        # restores it. _trash/ holds no _VERSION at its top level so it
+        # can never read as a table (exists() is the universal filter).
+        d = self._dir(name)
+        if not os.path.isdir(d):
+            return
+        t = self._trash_path(name)
+        os.makedirs(os.path.dirname(t), exist_ok=True)
+        shutil.rmtree(t, ignore_errors=True)
+        os.rename(d, t)
 
     # -- masking policies (r8, Snowflake governance parity) ----------------
     # Policy OBJECTS are store-level (they outlive any one table, like

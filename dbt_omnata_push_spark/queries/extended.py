@@ -2804,6 +2804,85 @@ def events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_clone_lifecycle",
+    oracle="""
+    WITH base0 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    base1 AS (  -- after the pre-clone UPDATE (+10.00 on 1-in-7 keys)
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN cents + 1000
+                    ELSE cents END AS cents
+        FROM base0
+    ),
+    live AS (   -- the clone after its own divergent UPDATE
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'P' THEN 0 ELSE cents END AS cents
+        FROM base1
+    )
+    SELECT 'base' AS src, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
+    FROM base1
+    UNION ALL
+    SELECT 'snap', CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+    FROM base0
+    UNION ALL
+    SELECT 'live', CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+    FROM live
+    """,
+    tags=("engine", "dml", "clone", "time_travel"),
+)
+def orders_clone_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy CLONE end-to-end (r11): CTAS a store table from
+    orders, commit an UPDATE, then (a) ``CREATE TABLE snap CLONE base
+    AT(VERSION => 0)`` — a time-travel clone of the pre-update state —
+    and (b) ``CREATE TABLE live CLONE base`` followed by a divergent
+    UPDATE on the clone only. The hash certifies clone independence
+    (base unaffected by the clone's write), historical-version cloning,
+    and the metadata-only commit model (the clone's v=0 hard-links the
+    source files; ``tests/test_clone_undrop_swap.py`` proves the
+    zero-copy property at the inode level). Prices compare as integer
+    cents — no float summation-order hazard."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-cl-")))
+    engine.seed(
+        "ord_cl",
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        ),
+    )
+    engine.query("create table base as select * from ord_cl")
+    engine.query(
+        "update base set cents = cents + 1000 where o_orderkey % 7 = 0"
+    )
+    engine.query("create table snap clone base at (version => 0)")
+    engine.query("create table live clone base")
+    engine.query("update live set cents = 0 where o_orderstatus = 'P'")
+    return engine.query(
+        "select 'base' as src, count(*) as n, sum(cents) as cents_sum "
+        "from base "
+        "union all "
+        "select 'snap', count(*), sum(cents) from snap "
+        "union all "
+        "select 'live', count(*), sum(cents) from live"
+    ).select(
+        "src",
+        F.col("n").cast("long").alias("n"),
+        F.col("cents_sum").cast("long").alias("cents_sum"),
+    )
+
+
+@query(
     "events_error_burst_stats",
     oracle="""
     WITH flagged AS (

@@ -144,6 +144,14 @@ QUERIES = [
     # not row-bound)
     "events_error_context",
     "customers_connect_by_paths",
+    # round 11: overlapping-match scan (SKIP TO NEXT ROW emits ~1 match
+    # per qualifying row — linear in cohort rows) and the SQL-surface
+    # clause (same operator + a view hop); matcher now BUCKETS keys
+    # (8 x shuffle partitions) so per-key Arrow overhead amortizes —
+    # expect the ratio to hold or improve vs the per-key r10 shape
+    "events_error_pairs_overlap",
+    "events_vshape_sql",
+    "events_error_burst_stats",
 ]
 
 TABLES = ["documents", "embeddings", "customer", "events", "orders"]
