@@ -126,11 +126,27 @@ def _cond_to_pandas(cond: str) -> str:
         # Snowflake's "always matches" define; evaluate over a non-null
         # anchor is unnecessary — pandas eval accepts True.
         return "True"
-    s = re.sub(r"(?is)\bprev\s*\(\s*([A-Za-z_]\w*)\s*\)", r"prev_\1", s)
-    s = re.sub(r"(?is)\bnext\s*\(\s*([A-Za-z_]\w*)\s*\)", r"next_\1", s)
-    s = s.replace("<>", "!=")
-    # single = -> == (left alone when part of <=, >=, !=, ==)
-    s = re.sub(r"(?<![<>!=])=(?!=)", "==", s)
+
+    def _outside_quotes(text: str, fn) -> str:
+        # apply fn only to the unquoted segments — a literal like
+        # 'a=b' must pass through untouched
+        parts = re.split(r"('(?:[^']|'')*')", text)
+        return "".join(
+            p if i % 2 else fn(p) for i, p in enumerate(parts)
+        )
+
+    def _ops(t: str) -> str:
+        t = re.sub(
+            r"(?is)\bprev\s*\(\s*([A-Za-z_]\w*)\s*\)", r"prev_\1", t
+        )
+        t = re.sub(
+            r"(?is)\bnext\s*\(\s*([A-Za-z_]\w*)\s*\)", r"next_\1", t
+        )
+        t = t.replace("<>", "!=")
+        # single = -> == (left alone when part of <=, >=, !=, ==)
+        return re.sub(r"(?<![<>!=])=(?!=)", "==", t)
+
+    s = _outside_quotes(s, _ops)
 
     def bool_tree(t: str) -> str:
         ors = _split_top_keyword(t, "or")

@@ -1062,6 +1062,9 @@ class TableStore:
             raise FileNotFoundError(f"table not found: {a}")
         if not self.exists(b):
             raise FileNotFoundError(f"table not found: {b}")
+        if self._dir(a) == self._dir(b):
+            return  # self-swap is the identity (and must not hit the
+            # rename dance, which would strand the dir in _swap_tmp)
         tmp = os.path.join(self.root, "_swap_tmp")
         shutil.rmtree(tmp, ignore_errors=True)
         os.rename(self._dir(a), tmp)

@@ -199,3 +199,7 @@ class TestSqlAggregates:
         # g=2 match: prices 4.0 (D), 6.0 (U)
         assert rows[2]["tot"] == 10.0 and rows[2]["lo"] == 4.0
         assert rows[2]["hi"] == 6.0 and rows[2]["mean"] == 5.0
+
+    def test_string_literal_with_equals_untouched(self):
+        got = _cond_to_pandas("tag = 'a=b'")
+        assert got == "tag == 'a=b'"
