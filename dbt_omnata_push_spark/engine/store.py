@@ -1044,12 +1044,29 @@ class TableStore:
 
     def rename_table(self, old: str, new: str) -> None:
         """ALTER TABLE RENAME TO: a directory move — O(1) metadata, all
-        versions/history/DVs travel with it."""
+        versions/history/DVs travel with it. Streams follow the OBJECT
+        (r11): a stream on the old name retargets to the new one, as
+        in Snowflake where streams bind to the table, not its name."""
         if not self.exists(old):
             raise FileNotFoundError(f"table not found: {old}")
         if self.exists(new):
             raise ValueError(f"table already exists: {new}")
         os.rename(self._dir(old), self._dir(new))
+        self._retarget_streams({old.lower(): new})
+
+    def _retarget_streams(self, mapping: dict[str, str]) -> None:
+        """Rewrite stream->table bindings after a rename/swap (keys are
+        lowercased old names). Offsets stay valid: they index version
+        counters that travel with the table directory."""
+        streams = self.streams()
+        changed = False
+        for meta in streams.values():
+            tgt = mapping.get(meta["table"].lower())
+            if tgt is not None:
+                meta["table"] = tgt
+                changed = True
+        if changed:
+            self._write_streams(streams)
 
     def swap_tables(self, a: str, b: str) -> None:
         """ALTER TABLE a SWAP WITH b (r11, Snowflake's atomic-rename
@@ -1070,6 +1087,10 @@ class TableStore:
         os.rename(self._dir(a), tmp)
         os.rename(self._dir(b), self._dir(a))
         os.rename(tmp, self._dir(b))
+        # Streams follow their OBJECT through the swap (Snowflake
+        # binds streams to the table, not its name): a stream on `a`
+        # now reads the object named `b`, and vice versa.
+        self._retarget_streams({a.lower(): b, b.lower(): a})
 
     def clone_table(
         self,

@@ -141,3 +141,29 @@ class TestSwap:
         assert engine.store.current_version("src") == 1
         old = engine.store.read_version(spark, "src", 0)
         assert old.collect()[0]["v"] == 2
+
+
+class TestStreamsFollowObject:
+    """Snowflake binds streams to the table OBJECT: renames and swaps
+    retarget the stream; its offset stays valid because version
+    counters travel with the table directory."""
+
+    def test_stream_follows_rename(self, spark, engine):
+        engine.store.set_primary_key("src", "pk", ["k"])
+        engine.query("create stream st on table src")
+        engine.query("insert into src select 500, 1")
+        engine.query("alter table src rename to moved")
+        assert engine.store.streams()["st"]["table"] == "moved"
+        df, _v = engine.stream_frame("st")
+        assert df.count() == 1  # the pre-rename insert's delta
+
+    def test_stream_follows_swap(self, spark, engine):
+        engine.store.set_primary_key("src", "pk", ["k"])
+        engine.query("create stream st on table src")
+        engine.query("insert into src select 500, 1")  # delta on object
+        engine.query("create table other as select 1 as k, 2 as v")
+        engine.query("alter table src swap with other")
+        # the object the stream watched is now named `other`
+        assert engine.store.streams()["st"]["table"] == "other"
+        df, _v = engine.stream_frame("st")
+        assert df.count() == 1
