@@ -944,7 +944,7 @@ _LIKE_RE = re.compile(
 _CLONE_RE = re.compile(
     rf"(?is)^\s*create\s+(or\s+replace\s+)?(?:temp(?:orary)?\s+|transient\s+)?"
     rf"table\s+({_TABLE})\s+clone\s+({_TABLE})"
-    r"(?:\s+at\s*\(\s*version\s*=>\s*(\d+)\s*\))?\s*$"
+    r"(?:\s+at\s*\(\s*(version|timestamp)\s*=>\s*([^)]+?)\s*\))?\s*$"
 )
 _UNDROP_RE = re.compile(rf"(?is)^\s*undrop\s+table\s+({_TABLE})\s*$")
 
@@ -954,15 +954,43 @@ def _ctas(engine, sql: str) -> DataFrame:
     cm = _CLONE_RE.match(s)
     if cm:
         # CREATE TABLE .. CLONE (r11): zero-copy — the store hard-links
-        # the source version's files; optional AT(VERSION => v) clones
-        # a historical version (time-travel clone).
+        # the source version's files; optional AT(VERSION => v) /
+        # AT(TIMESTAMP => 'ts') clones a historical version
+        # (time-travel clone; the timestamp resolves to the latest
+        # version whose commit time is <= ts, same rule as the AT
+        # read clause).
         target = _clean_ident(cm.group(2))
         src = _resolve_table(engine, cm.group(3))
+        version = None
+        if cm.group(4):
+            kind, raw = cm.group(4).lower(), cm.group(5).strip()
+            if kind == "version":
+                version = int(raw)
+            else:
+                import datetime as _dt
+
+                ts = _dt.datetime.fromisoformat(raw.strip("'"))
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=_dt.timezone.utc)
+                cutoff = ts.timestamp()
+                eligible = [
+                    r["version"]
+                    for r in engine.store.history(
+                        engine.spark, src
+                    ).collect()
+                    if r["ts_unix"] <= cutoff
+                ]
+                if not eligible:
+                    raise ValueError(
+                        f"CLONE {src} AT(TIMESTAMP => {raw}): no "
+                        "committed version at or before that time"
+                    )
+                version = max(eligible)
         engine.store.clone_table(
             engine.spark,
             src,
             target,
-            version=int(cm.group(4)) if cm.group(4) else None,
+            version=version,
             replace=bool(cm.group(1)),
         )
         return _summary(engine, tables_cloned=1)

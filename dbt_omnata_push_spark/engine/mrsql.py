@@ -136,6 +136,17 @@ def _cond_to_pandas(cond: str) -> str:
         )
 
     def _ops(t: str) -> str:
+        # two-arg offsets first (Snowflake PREV(col, N) -> prevN_col)
+        t = re.sub(
+            r"(?is)\bprev\s*\(\s*([A-Za-z_]\w*)\s*,\s*(\d+)\s*\)",
+            r"prev\2_\1",
+            t,
+        )
+        t = re.sub(
+            r"(?is)\bnext\s*\(\s*([A-Za-z_]\w*)\s*,\s*(\d+)\s*\)",
+            r"next\2_\1",
+            t,
+        )
         t = re.sub(
             r"(?is)\bprev\s*\(\s*([A-Za-z_]\w*)\s*\)", r"prev_\1", t
         )

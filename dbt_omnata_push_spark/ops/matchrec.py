@@ -25,7 +25,10 @@ Supported subset (everything else raises):
 - ``PARTITION BY p ORDER BY o`` — one pandas group per partition key.
 - ``DEFINE sym AS <predicate>`` — a pandas ``DataFrame.eval`` boolean
   expression over the row's columns plus ``prev_<col>`` / ``next_<col>``
-  (LAG/LEAD-1 of every column, precomputed per group, vectorized).
+  (LAG/LEAD-1 of every column, precomputed per group, vectorized) and
+  ``prev<N>_<col>`` / ``next<N>_<col>`` for deeper offsets (r11 —
+  Snowflake's ``PREV(col, N)``; shifts computed only for the offsets
+  the defines actually reference).
   At most 12 symbols (the bitmask alphabet is 2^k codepoints).
 - ``PATTERN`` — concatenation, ``+`` ``*`` ``?`` ``|`` ``{n}``
   ``{n,}`` ``{n,m}`` and parentheses (e.g. ``"D+ U{2,}"``).
@@ -387,6 +390,16 @@ def match_recognize(
         for c in data_cols:
             env[f"prev_{c}"] = gb[c].shift(1)
             env[f"next_{c}"] = gb[c].shift(-1)
+        # deeper offsets (r11, Snowflake PREV(col, N)/NEXT(col, N)):
+        # only the shifts the defines reference are computed
+        for direction, sign in (("prev", 1), ("next", -1)):
+            for n_s, col in re.findall(
+                rf"\b{direction}(\d+)_([A-Za-z_]\w*)",
+                " ".join(defines.values()),
+            ):
+                key = f"{direction}{n_s}_{col}"
+                if key not in env and col in data_cols:
+                    env[key] = gb[col].shift(sign * int(n_s))
         mask = np.zeros(len(pdf), dtype=np.int64)
         for s, expr in defines.items():
             res = pd.eval(expr, local_dict=env)

@@ -167,3 +167,28 @@ class TestStreamsFollowObject:
         assert engine.store.streams()["st"]["table"] == "other"
         df, _v = engine.stream_frame("st")
         assert df.count() == 1
+
+
+class TestCloneAtTimestamp:
+    def test_clone_at_timestamp_resolves_version(self, spark, engine):
+        import time
+
+        engine.query("update src set v = -5 where k = 1")  # v1
+        time.sleep(0.05)
+        import datetime as dt
+
+        mid = dt.datetime.now(dt.timezone.utc).isoformat()
+        time.sleep(0.05)
+        engine.query("update src set v = -9 where k = 1")  # v2
+        engine.query(
+            f"create table snap clone src at (timestamp => '{mid}')"
+        )
+        got = engine.query("select v from snap where k = 1").collect()
+        assert got[0][0] == -5  # the v1 state, not v0 or v2
+
+    def test_clone_before_first_commit_raises(self, spark, engine):
+        with pytest.raises(ValueError, match="no committed version"):
+            engine.query(
+                "create table snap clone src "
+                "at (timestamp => '2000-01-01T00:00:00+00:00')"
+            )

@@ -459,3 +459,42 @@ class TestAggregateMeasures:
                 pattern="D",
                 measures={"s": "sum(nope)"},
             )
+
+
+class TestOffsetPrevNext:
+    def test_prev_n_offsets(self, spark):
+        # D2 = fell vs TWO rows back
+        df = spark.createDataFrame(
+            [(1, i + 1, p) for i, p in enumerate(
+                [10.0, 9.0, 8.0, 11.0, 7.0]
+            )],
+            "g int, seq int, price double",
+        )
+        out = match_recognize(
+            df,
+            ["g"],
+            ["seq"],
+            defines={"D2": "price < prev2_price"},
+            pattern="D2",
+            measures={"s": "first(seq)"},
+        )
+        # price[i] < price[i-2]: seq3 (8<10), seq5 (7<8)
+        assert sorted(r["s"] for r in out.collect()) == [3, 5]
+
+    def test_next_n_offsets(self, spark):
+        df = spark.createDataFrame(
+            [(1, i + 1, p) for i, p in enumerate(
+                [1.0, 5.0, 2.0, 9.0]
+            )],
+            "g int, seq int, price double",
+        )
+        out = match_recognize(
+            df,
+            ["g"],
+            ["seq"],
+            defines={"R2": "next2_price > price"},
+            pattern="R2",
+            measures={"s": "first(seq)"},
+        )
+        # price[i+2] > price[i]: seq1 (2>1), seq2 (9>5)
+        assert sorted(r["s"] for r in out.collect()) == [1, 2]

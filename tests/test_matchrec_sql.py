@@ -203,3 +203,12 @@ class TestSqlAggregates:
     def test_string_literal_with_equals_untouched(self):
         got = _cond_to_pandas("tag = 'a=b'")
         assert got == "tag == 'a=b'"
+
+    def test_prev_offset_translation(self):
+        assert (
+            _cond_to_pandas("price < PREV(price, 3)")
+            == "price < prev3_price"
+        )
+        assert (
+            _cond_to_pandas("NEXT(v, 2) = 1") == "next2_v == 1"
+        )
