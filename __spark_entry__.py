@@ -61,6 +61,8 @@ _RECHECK_PRIORITY = [
     "events_error_burst_stats",
     # r11: new entry — zero-copy CLONE (+ AT(VERSION)), divergence.
     "orders_clone_lifecycle",
+    # r11: new entry — Snowflake agg aliases + DIV0/EDITDISTANCE.
+    "orders_dialect_aggs",
     # r11: matchrec scan loop rewritten (manual search with skip
     # policies, vectorized ALL-ROWS output, running/final prefixes) —
     # re-verify all three existing rows on the new engine.

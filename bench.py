@@ -181,6 +181,7 @@ HEADLINE = [
     "events_vshape_sql",
     "events_error_burst_stats",
     "orders_clone_lifecycle",
+    "orders_dialect_aggs",
 ]
 
 # Growth policy (VERDICT r9 #7, documented in BASELINE.md): the suite
@@ -209,6 +210,7 @@ _POST_R8_ADDITIONS = {
     "events_vshape_sql",
     "events_error_burst_stats",
     "orders_clone_lifecycle",
+    "orders_dialect_aggs",
 }
 
 

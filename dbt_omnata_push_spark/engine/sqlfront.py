@@ -82,6 +82,20 @@ _FUNC_RES = {
     "NULLIFZERO": re.compile(r"\bnullifzero\s*\(", re.IGNORECASE),
     "TRY_TO_NUMBER": re.compile(r"\btry_to_number\s*\(", re.IGNORECASE),
     "ARRAY_SIZE": re.compile(r"\barray_size\s*\(", re.IGNORECASE),
+    # r11: Snowflake aggregate aliases + scalar fillers Spark lacks
+    "BOOLAND_AGG": re.compile(r"\bbooland_agg\s*\(", re.IGNORECASE),
+    "BOOLOR_AGG": re.compile(r"\bboolor_agg\s*\(", re.IGNORECASE),
+    "BOOLXOR_AGG": re.compile(r"\bboolxor_agg\s*\(", re.IGNORECASE),
+    "BITAND_AGG": re.compile(r"\bbitand_agg\s*\(", re.IGNORECASE),
+    "BITOR_AGG": re.compile(r"\bbitor_agg\s*\(", re.IGNORECASE),
+    "BITXOR_AGG": re.compile(r"\bbitxor_agg\s*\(", re.IGNORECASE),
+    "ARRAY_UNIQUE_AGG": re.compile(
+        r"\barray_unique_agg\s*\(", re.IGNORECASE
+    ),
+    "CHARINDEX": re.compile(r"\bcharindex\s*\(", re.IGNORECASE),
+    "DIV0": re.compile(r"\bdiv0\s*\(", re.IGNORECASE),
+    "DIV0NULL": re.compile(r"\bdiv0null\s*\(", re.IGNORECASE),
+    "EDITDISTANCE": re.compile(r"\beditdistance\s*\(", re.IGNORECASE),
 }
 # Snowflake `FROM t, LATERAL FLATTEN(input => expr) f` -> Spark
 # `FROM t LATERAL VIEW posexplode(expr) f AS index, value` (the alias
@@ -238,6 +252,54 @@ def _rewrite_funcs(sql: str) -> str:
         sql, _FUNC_RES["TRY_TO_NUMBER"], lambda a: f"try_cast({a} AS DOUBLE)"
     )
     sql = replace_call(sql, _FUNC_RES["ARRAY_SIZE"], lambda a: f"size({a})")
+    # r11: aggregate aliases map 1:1 onto Spark built-ins (JVM-side,
+    # window-compatible); BOOLXOR_AGG is Snowflake's "exactly one TRUE"
+    # (NOT an xor fold).
+    sql = replace_call(
+        sql, _FUNC_RES["BOOLAND_AGG"], lambda a: f"bool_and({a})"
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["BOOLOR_AGG"], lambda a: f"bool_or({a})"
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["BOOLXOR_AGG"], lambda a: f"(count_if({a}) = 1)"
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["BITAND_AGG"], lambda a: f"bit_and({a})"
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["BITOR_AGG"], lambda a: f"bit_or({a})"
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["BITXOR_AGG"], lambda a: f"bit_xor({a})"
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["ARRAY_UNIQUE_AGG"], lambda a: f"collect_set({a})"
+    )
+    # CHARINDEX(target, source[, pos]) == locate's argument order
+    sql = replace_call(
+        sql, _FUNC_RES["CHARINDEX"], lambda a: f"locate({a})"
+    )
+
+    def div0(a: str, null_too: bool) -> str:
+        parts = _split_top_level_args(a)
+        if len(parts) != 2:
+            raise ValueError(f"DIV0 takes 2 arguments, got: {a!r}")
+        num, den = parts
+        zero = (
+            f"(({den}) = 0 OR ({den}) IS NULL)"
+            if null_too
+            else f"(({den}) = 0)"
+        )
+        return f"(CASE WHEN {zero} THEN 0 ELSE ({num}) / ({den}) END)"
+
+    sql = replace_call(sql, _FUNC_RES["DIV0"], lambda a: div0(a, False))
+    sql = replace_call(
+        sql, _FUNC_RES["DIV0NULL"], lambda a: div0(a, True)
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["EDITDISTANCE"], lambda a: f"levenshtein({a})"
+    )
 
     def listagg(a: str) -> str:
         parts = _split_top_level_args(a)

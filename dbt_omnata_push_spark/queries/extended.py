@@ -2804,6 +2804,77 @@ def events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_dialect_aggs",
+    oracle="""
+    SELECT o_orderstatus,
+           BOOL_AND(o_totalprice > 0) AS all_pos,
+           BOOL_OR(o_orderkey % 97 = 0) AS any_97,
+           ((COUNT(*) FILTER (WHERE o_orderkey = 1)) = 1)
+               AS exactly_first,
+           CAST(BIT_AND(o_orderkey % 16) AS BIGINT) AS band,
+           CAST(BIT_OR(o_orderkey % 16) AS BIGINT) AS bor,
+           CAST(BIT_XOR(o_orderkey % 16) AS BIGINT) AS bxor,
+           CAST(SUM(o_orderkey % 16) AS BIGINT)
+               / CAST(COUNT(*) FILTER (WHERE o_orderkey % 16 = 0)
+                      AS BIGINT) AS ratio,
+           0.0 AS zero_div,
+           CAST(levenshtein(MIN(o_orderstatus) || 'K', 'OK') AS BIGINT)
+               AS ed
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("engine", "sqlfront", "dialect"),
+)
+def orders_dialect_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake aggregate aliases + scalar fillers through the engine
+    surface (r11, engine/sqlfront.py): BOOLAND/BOOLOR/BOOLXOR_AGG
+    (Snowflake's exactly-one-TRUE, not an xor fold),
+    BITAND/BITOR/BITXOR_AGG, DIV0 (both the live-division and the
+    forced zero-denominator branch), and EDITDISTANCE — transpiled to
+    Spark's JVM-side built-ins (bool_and/bit_xor/count_if/levenshtein),
+    never UDFs. Cross-engine exact: integer bit-folds, one division of
+    identical integer operands, and DIV0's zero branch is a literal."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-da-")))
+    engine.seed(
+        "ord_da",
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+    )
+    out = engine.query(
+        "select o_orderstatus, "
+        "booland_agg(o_totalprice > 0) as all_pos, "
+        "boolor_agg(o_orderkey % 97 = 0) as any_97, "
+        "boolxor_agg(o_orderkey = 1) as exactly_first, "
+        "bitand_agg(o_orderkey % 16) as band, "
+        "bitor_agg(o_orderkey % 16) as bor, "
+        "bitxor_agg(o_orderkey % 16) as bxor, "
+        "cast(sum(o_orderkey % 16) as bigint) "
+        "  / cast(count_if(o_orderkey % 16 = 0) as bigint) as ratio, "
+        "div0(1, count_if(o_orderkey < 0)) as zero_div, "
+        "editdistance(min(o_orderstatus) || 'K', 'OK') as ed "
+        "from ord_da group by o_orderstatus"
+    )
+    return out.select(
+        "o_orderstatus",
+        "all_pos",
+        "any_97",
+        "exactly_first",
+        F.col("band").cast("long").alias("band"),
+        F.col("bor").cast("long").alias("bor"),
+        F.col("bxor").cast("long").alias("bxor"),
+        F.col("ratio").cast("double").alias("ratio"),
+        F.col("zero_div").cast("double").alias("zero_div"),
+        F.col("ed").cast("long").alias("ed"),
+    )
+
+
+@query(
     "orders_clone_lifecycle",
     oracle="""
     WITH base0 AS (

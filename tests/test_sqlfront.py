@@ -744,3 +744,51 @@ def test_connect_by_explicit_helper_in_select_still_surfaces(spark):
         )
     ).collect()
     assert sorted((r["id"], r["r"]) for r in rows) == [(1, 1), (2, 1)]
+
+
+def test_snowflake_agg_aliases_and_scalar_fillers(spark):
+    """r11: BOOLAND/BOOLOR/BOOLXOR_AGG, BITAND/BITOR/BITXOR_AGG,
+    ARRAY_UNIQUE_AGG, CHARINDEX, DIV0/DIV0NULL, EDITDISTANCE."""
+    df = spark.createDataFrame(
+        [(1, 5, True), (1, 3, False), (2, 12, True)],
+        "g int, v int, b boolean",
+    )
+    df.createOrReplaceTempView("sf_aggs")
+    row = spark.sql(
+        transpile(
+            "select booland_agg(b) as ba, boolor_agg(b) as bo, "
+            "boolxor_agg(b) as bx, bitand_agg(v) as band, "
+            "bitor_agg(v) as bor, bitxor_agg(v) as bxor, "
+            "array_sort(array_unique_agg(g)) as uq "
+            "from sf_aggs"
+        )
+    ).collect()[0]
+    assert row["ba"] is False and row["bo"] is True
+    assert row["bx"] is False  # two TRUEs -> not exactly one
+    assert row["band"] == 5 & 3 & 12
+    assert row["bor"] == 5 | 3 | 12
+    assert row["bxor"] == 5 ^ 3 ^ 12
+    assert row["uq"] == [1, 2]
+
+    row = spark.sql(
+        transpile(
+            "select charindex('b', 'abc') as ci, "
+            "div0(10, 0) as dz, div0(10, 4) as dv, "
+            "div0null(10, cast(null as int)) as dn, "
+            "editdistance('kitten', 'sitting') as ed"
+        )
+    ).collect()[0]
+    assert row["ci"] == 2
+    assert row["dz"] == 0 and row["dv"] == 2.5
+    assert row["dn"] == 0
+    assert row["ed"] == 3
+
+
+def test_boolxor_agg_exactly_one(spark):
+    df = spark.createDataFrame([(True,), (False,), (False,)], "b boolean")
+    df.createOrReplaceTempView("sf_bx1")
+    assert (
+        spark.sql(transpile("select boolxor_agg(b) as x from sf_bx1"))
+        .collect()[0]["x"]
+        is True
+    )
