@@ -33,6 +33,7 @@ def relay_changes(
     dst_table: str,
     unique_key: str,
     step_versions: bool = False,
+    track_source: bool = False,
 ) -> int:
     """Apply all source versions not yet applied to the destination.
     Returns the number of versions covered (0 = already caught up).
@@ -45,12 +46,27 @@ def relay_changes(
     strict stream-consumer shape, one commit per source version —
     useful when the destination must expose every intermediate state).
 
+    ``track_source=True`` enables CHANGE_TRACKING on the source (r11):
+    the relay is exactly the consumer the store's gated row manifests
+    exist for, and source commits made after registration persist
+    O(delta) manifests so later relay reads never pay the two-version
+    join. It is an explicit OPT-IN because the trade depends on the
+    delta/table ratio the relay can't know: with small per-commit
+    deltas (the production CDC shape) manifests win outright; when a
+    commit rewrites a large fraction of the table, O(delta) ~= O(table)
+    and the manifest write cost buys nothing — measured at sf0.1 with
+    ~50% deltas, the tracked relay ran 6.2s vs 4.6s untracked, while
+    the cdc_rehearsal 1%-delta shape read 3.2x FASTER tracked. The
+    default (off) reads through the identical-results fallback.
+
     Idempotent either way: rerunning applies nothing; progress rides in
     the destination table so a crash mid-relay resumes exactly (in
     batch mode nothing commits until the single version swap)."""
     cur_src = src.current_version(src_table)
     if cur_src is None:
         raise FileNotFoundError(f"source table not found: {src_table}")
+    if track_source and not src.change_tracking(src_table):
+        src.set_change_tracking(src_table, True)
     if PROGRESS_COL in src.read(spark, src_table).columns:
         raise ValueError(
             f"source table carries reserved column {PROGRESS_COL!r}; "

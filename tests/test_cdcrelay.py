@@ -105,3 +105,38 @@ def test_batched_span_equals_per_version_walk(spark, tmp_path):
     assert _rows(relay_state(spark, batch_dst, "f")) == _rows(
         relay_state(spark, step_dst, "f")
     ) == _rows(src.read(spark, "t"))
+
+
+def test_track_source_registers_tracking_and_manifests(spark, tmp_path):
+    """track_source=True (r11): the relay enables CHANGE_TRACKING on
+    the source, so commits AFTER registration persist row manifests
+    and the next relay read composes them (no two-version join)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dbt_omnata_push_spark.engine.store import TableStore
+    from dbt_omnata_push_spark.ops.cdcrelay import relay_changes, relay_state
+
+    src = TableStore(str(tmp_path / "src"))
+    dst = TableStore(str(tmp_path / "dst"))
+    base = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    src.create(spark, "t", base)
+    assert not src.change_tracking("t")
+    relay_changes(spark, src, "t", dst, "f", "k", track_source=True)
+    assert src.change_tracking("t")
+    patch = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v")
+    )
+    src.merge_upsert(spark, "t", patch, "k")
+    v = src.current_version("t")
+    assert os.path.isdir(src._cdc_rows_dir("t", v))
+    relay_changes(spark, src, "t", dst, "f", "k")
+    got = sorted(
+        (r["k"], r["v"]) for r in relay_state(spark, dst, "f").collect()
+    )
+    assert got == sorted(
+        [(k, -1 if k < 3 else 2 * k) for k in range(20)]
+    )
