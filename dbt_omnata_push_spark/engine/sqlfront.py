@@ -96,6 +96,29 @@ _FUNC_RES = {
     "DIV0": re.compile(r"\bdiv0\s*\(", re.IGNORECASE),
     "DIV0NULL": re.compile(r"\bdiv0null\s*\(", re.IGNORECASE),
     "EDITDISTANCE": re.compile(r"\beditdistance\s*\(", re.IGNORECASE),
+    "STRTOK": re.compile(r"\bstrtok\s*\(", re.IGNORECASE),
+    "SQUARE": re.compile(r"\bsquare\s*\(", re.IGNORECASE),
+    "TO_DOUBLE": re.compile(r"\bto_double\s*\(", re.IGNORECASE),
+    "TRY_TO_DOUBLE": re.compile(r"\btry_to_double\s*\(", re.IGNORECASE),
+    "TO_BOOLEAN": re.compile(r"\bto_boolean\s*\(", re.IGNORECASE),
+    "TRY_TO_BOOLEAN": re.compile(
+        r"\btry_to_boolean\s*\(", re.IGNORECASE
+    ),
+    "ARRAY_CAT": re.compile(r"\barray_cat\s*\(", re.IGNORECASE),
+    "ARRAY_TO_STRING": re.compile(
+        r"\barray_to_string\s*\(", re.IGNORECASE
+    ),
+    "ARRAY_INTERSECTION": re.compile(
+        r"\barray_intersection\s*\(", re.IGNORECASE
+    ),
+    "BITSHIFTLEFT": re.compile(r"\bbitshiftleft\s*\(", re.IGNORECASE),
+    "BITSHIFTRIGHT": re.compile(r"\bbitshiftright\s*\(", re.IGNORECASE),
+    "GREATEST_IGNORE_NULLS": re.compile(
+        r"\bgreatest_ignore_nulls\s*\(", re.IGNORECASE
+    ),
+    "LEAST_IGNORE_NULLS": re.compile(
+        r"\bleast_ignore_nulls\s*\(", re.IGNORECASE
+    ),
 }
 # Snowflake `FROM t, LATERAL FLATTEN(input => expr) f` -> Spark
 # `FROM t LATERAL VIEW posexplode(expr) f AS index, value` (the alias
@@ -299,6 +322,60 @@ def _rewrite_funcs(sql: str) -> str:
     )
     sql = replace_call(
         sql, _FUNC_RES["EDITDISTANCE"], lambda a: f"levenshtein({a})"
+    )
+    # r11 scalar fillers (1:1 built-in mappings; all JVM-side).
+    # STRTOK maps to split_part — full-delimiter-string semantics;
+    # Snowflake treats a multi-char delimiter as a SET of single-char
+    # delimiters, a documented divergence (single-char delimiters,
+    # the common case, are identical).
+    sql = replace_call(
+        sql, _FUNC_RES["STRTOK"], lambda a: f"split_part({a})"
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["SQUARE"], lambda a: f"power({a}, 2)"
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["TO_DOUBLE"], lambda a: f"CAST({a} AS DOUBLE)"
+    )
+    sql = replace_call(
+        sql,
+        _FUNC_RES["TRY_TO_DOUBLE"],
+        lambda a: f"try_cast({a} AS DOUBLE)",
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["TO_BOOLEAN"], lambda a: f"CAST({a} AS BOOLEAN)"
+    )
+    sql = replace_call(
+        sql,
+        _FUNC_RES["TRY_TO_BOOLEAN"],
+        lambda a: f"try_cast({a} AS BOOLEAN)",
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["ARRAY_CAT"], lambda a: f"concat({a})"
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["ARRAY_TO_STRING"], lambda a: f"array_join({a})"
+    )
+    sql = replace_call(
+        sql,
+        _FUNC_RES["ARRAY_INTERSECTION"],
+        lambda a: f"array_intersect({a})",
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["BITSHIFTLEFT"], lambda a: f"shiftleft({a})"
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["BITSHIFTRIGHT"], lambda a: f"shiftright({a})"
+    )
+    # Spark's greatest/least already skip NULLs (return the extreme of
+    # the non-null inputs), which IS Snowflake's *_IGNORE_NULLS.
+    sql = replace_call(
+        sql,
+        _FUNC_RES["GREATEST_IGNORE_NULLS"],
+        lambda a: f"greatest({a})",
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["LEAST_IGNORE_NULLS"], lambda a: f"least({a})"
     )
 
     def listagg(a: str) -> str:

@@ -792,3 +792,34 @@ def test_boolxor_agg_exactly_one(spark):
         .collect()[0]["x"]
         is True
     )
+
+
+def test_snowflake_scalar_fillers_wave2(spark):
+    """r11: STRTOK/SQUARE/TO_DOUBLE/TRY_TO_*/ARRAY_CAT/ARRAY_TO_STRING/
+    ARRAY_INTERSECTION/BITSHIFT*/GREATEST_IGNORE_NULLS."""
+    row = spark.sql(
+        transpile(
+            "select strtok('a.b.c', '.', 2) as tok, "
+            "square(3) as sq, "
+            "to_double('1.5') as d, try_to_double('x') as dx, "
+            "to_boolean('true') as b, try_to_boolean('nope') as bx, "
+            "array_cat(array_construct(1), array_construct(2)) as ac, "
+            "array_to_string(array_construct(1, 2), '-') as ats, "
+            "array_intersection(array_construct(1, 2), "
+            "                   array_construct(2, 3)) as ai, "
+            "bitshiftleft(1, 4) as shl, bitshiftright(16, 2) as shr, "
+            "greatest_ignore_nulls(1, cast(null as int), 5) as g, "
+            "least_ignore_nulls(7, cast(null as int), 5) as l"
+        )
+    ).collect()[0]
+    assert row["tok"] == "b"
+    assert row["sq"] == 9.0
+    assert row["d"] == 1.5 and row["dx"] is None
+    assert row["b"] is True and row["bx"] is None
+    assert row["ats"] == "1-2"
+    assert row["shl"] == 16 and row["shr"] == 4
+    assert row["g"] == 5 and row["l"] == 5
+    assert row["ai"] == ["2"] or row["ai"] == [2]  # ARRAY_CONSTRUCT
+    # strings its elements (variant-array boundary); intersection keeps
+    # the common element either way
+    assert row["ac"] in (["1", "2"], [1, 2])
