@@ -92,6 +92,9 @@ class TableStore:
         # deleting — see defer_drops/commit_deferred_drops.
         self._drop_trash: str | None = None
         os.makedirs(root, exist_ok=True)
+        # Complete/roll back any swap a previous process died inside
+        # (r12 crash-safe SWAP; see swap_tables/_recover_swap).
+        self._recover_swap()
 
     # -- writer serialization (r7) ----------------------------------------
     # Concurrent version-bumping writes on ONE table are a lost-update
@@ -1074,7 +1077,20 @@ class TableStore:
         DVs, manifests, and _META (constraints/policies/PK/tracking)
         all travel with their directories. O(1) metadata at any table
         size; this is why the idiom exists for blue-green table
-        deploys."""
+        deploys.
+
+        Crash safety (r12, closes the r11 `weak`): a swap-intent
+        journal is written to the store root BEFORE the first rename,
+        recording both names, both directories' inodes (inodes survive
+        rename, so recovery can tell "never started" from "all three
+        renames done" even though both states show both dirs present
+        and no _swap_tmp), and the pre-swap stream bindings (so the
+        recovery retarget is an absolute assignment — idempotent no
+        matter where the crash landed). _recover_swap() runs at store
+        open and at swap entry: it rolls a half-done dance forward or
+        back, never deletes a directory, and refuses to touch an
+        orphan _swap_tmp it cannot attribute to a journal."""
+        self._recover_swap()
         if not self.exists(a):
             raise FileNotFoundError(f"table not found: {a}")
         if not self.exists(b):
@@ -1082,15 +1098,111 @@ class TableStore:
         if self._dir(a) == self._dir(b):
             return  # self-swap is the identity (and must not hit the
             # rename dance, which would strand the dir in _swap_tmp)
-        tmp = os.path.join(self.root, "_swap_tmp")
+        tmp = self._swap_tmp()
+        # _recover_swap() above cleared any journaled crash; a _swap_tmp
+        # that still holds a _VERSION here is an unattributable orphan
+        # (pre-journal era or foreign process) — refuse rather than
+        # delete table bytes.
+        if os.path.isfile(os.path.join(tmp, "_VERSION")):
+            raise RuntimeError(
+                "_swap_tmp holds a table directory with no swap journal; "
+                "refusing to overwrite it — inspect/restore it manually"
+            )
         shutil.rmtree(tmp, ignore_errors=True)
+        streams = self.streams()
+        journal = {
+            "a": a,
+            "b": b,
+            "a_ino": os.stat(self._dir(a)).st_ino,
+            "b_ino": os.stat(self._dir(b)).st_ino,
+            # Absolute post-swap stream bindings: streams follow their
+            # OBJECT (Snowflake binds streams to the table, not its
+            # name), so a stream on `a` must end up reading name `b`.
+            "stream_targets": {
+                sname: (b if meta["table"].lower() == a.lower() else a)
+                for sname, meta in streams.items()
+                if meta["table"].lower() in (a.lower(), b.lower())
+            },
+        }
+        jf = self._swap_journal_file()
+        jtmp = jf + ".tmp"
+        with open(jtmp, "w") as f:
+            json.dump(journal, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(jtmp, jf)
         os.rename(self._dir(a), tmp)
         os.rename(self._dir(b), self._dir(a))
         os.rename(tmp, self._dir(b))
-        # Streams follow their OBJECT through the swap (Snowflake
-        # binds streams to the table, not its name): a stream on `a`
-        # now reads the object named `b`, and vice versa.
-        self._retarget_streams({a.lower(): b, b.lower(): a})
+        self._apply_stream_targets(journal["stream_targets"])
+        os.remove(jf)
+
+    def _swap_tmp(self) -> str:
+        return os.path.join(self.root, "_swap_tmp")
+
+    def _swap_journal_file(self) -> str:
+        return os.path.join(self.root, "_swap_journal.json")
+
+    def _apply_stream_targets(self, targets: dict[str, str]) -> None:
+        """Set stream->table bindings to absolute values (idempotent,
+        unlike the mapping-based _retarget_streams — recovery may run
+        after the retarget already happened)."""
+        if not targets:
+            return
+        streams = self.streams()
+        changed = False
+        for sname, tgt in targets.items():
+            if sname in streams and streams[sname]["table"] != tgt:
+                streams[sname]["table"] = tgt
+                changed = True
+        if changed:
+            self._write_streams(streams)
+
+    def _recover_swap(self) -> None:
+        """Complete or roll back a swap interrupted by a crash (r12).
+
+        State machine, keyed off the journal + directory presence
+        (tmp = _swap_tmp; A/B = the journaled table dirs):
+
+        - no journal: nothing to recover (an orphan tmp WITHOUT a
+          journal is handled at swap entry — refused, never deleted).
+        - journal, tmp has _VERSION, A missing: crashed between
+          rename 1 and 2 → roll BACK (tmp→A); no rename happened to B,
+          streams untouched.
+        - journal, tmp has _VERSION, B missing: crashed between
+          rename 2 and 3 → roll FORWARD (tmp→B) and apply the journaled
+          stream bindings.
+        - journal, no tmp: either the dance never started or all three
+          renames completed — disambiguate by inode (A's dir now
+          holding B's old inode means the renames are done; apply the
+          journaled stream bindings, which is idempotent even if the
+          crash landed after the retarget).
+        """
+        jf = self._swap_journal_file()
+        if not os.path.isfile(jf):
+            return
+        with open(jf) as f:
+            j = json.load(f)
+        a_dir, b_dir = self._dir(j["a"]), self._dir(j["b"])
+        tmp = self._swap_tmp()
+        if os.path.isfile(os.path.join(tmp, "_VERSION")):
+            if not os.path.isdir(a_dir):
+                os.rename(tmp, a_dir)  # roll back: undo rename 1
+            elif not os.path.isdir(b_dir):
+                os.rename(tmp, b_dir)  # roll forward: finish rename 3
+                self._apply_stream_targets(j.get("stream_targets", {}))
+            else:
+                # tmp + both dirs present cannot arise from the dance;
+                # refuse to guess.
+                raise RuntimeError(
+                    "swap journal present with _swap_tmp AND both table "
+                    "directories — manual inspection required"
+                )
+        elif os.path.isdir(a_dir) and os.stat(a_dir).st_ino == j.get("b_ino"):
+            # All three renames completed (A's name now holds B's old
+            # directory); only the stream retarget may be outstanding.
+            self._apply_stream_targets(j.get("stream_targets", {}))
+        os.remove(jf)
 
     def clone_table(
         self,

@@ -192,3 +192,116 @@ class TestCloneAtTimestamp:
                 "create table snap clone src "
                 "at (timestamp => '2000-01-01T00:00:00+00:00')"
             )
+
+
+class TestSwapCrashSafety:
+    """r12: the swap dance is journaled — kill it between every pair of
+    renames (and after all renames but before the stream retarget),
+    reopen the store, and prove no window loses bytes, leaves a table
+    missing, or strands a stream on the wrong object (the r11 `weak`:
+    a crashed swap's directory in _swap_tmp was silently rmtree'd by
+    the NEXT swap)."""
+
+    def _setup(self, spark, tmp_path, tag):
+        store = TableStore(str(tmp_path / f"crash_{tag}"))
+        eng = Engine(spark, store)
+        eng.query("create table ta as select id as k, id * 10 as v from range(100)")
+        eng.query("create table tb as select id as k, -id as v from range(7)")
+        eng.store.set_primary_key("ta", "pk_a", ["k"])
+        eng.store.set_primary_key("tb", "pk_b", ["k"])
+        eng.query("create stream st_a on table ta")
+        eng.query("create stream st_b on table tb")
+        return eng, store
+
+    def _assert_consistent(self, spark, store, swapped):
+        """Both tables fully present with the expected contents, and
+        streams bound consistently with whether the swap completed."""
+        eng = Engine(spark, store)
+        a_rows = eng.query("select count(*) as c from ta").collect()[0][0]
+        b_rows = eng.query("select count(*) as c from tb").collect()[0][0]
+        if swapped:
+            assert (a_rows, b_rows) == (7, 100)
+            assert store.streams()["st_a"]["table"] == "tb"
+            assert store.streams()["st_b"]["table"] == "ta"
+        else:
+            assert (a_rows, b_rows) == (100, 7)
+            assert store.streams()["st_a"]["table"] == "ta"
+            assert store.streams()["st_b"]["table"] == "tb"
+        # no debris that the next swap could destroy
+        assert not os.path.isfile(
+            os.path.join(store._swap_tmp(), "_VERSION")
+        )
+        assert not os.path.isfile(store._swap_journal_file())
+        # and the next swap works end-to-end
+        store.swap_tables("ta", "tb")
+        a2 = eng.query("select count(*) as c from ta").collect()[0][0]
+        assert a2 == (100 if swapped else 7)
+
+    @pytest.mark.parametrize("fail_at", [0, 1, 2])
+    def test_kill_between_renames(self, spark, tmp_path, fail_at, monkeypatch):
+        eng, store = self._setup(spark, tmp_path, f"r{fail_at}")
+        calls = {"n": 0}
+        real_rename = os.rename
+
+        def dying_rename(src, dst):
+            if calls["n"] == fail_at:
+                raise OSError("simulated crash mid-swap")
+            calls["n"] += 1
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(os, "rename", dying_rename)
+        with pytest.raises(OSError, match="simulated crash"):
+            store.swap_tables("ta", "tb")
+        monkeypatch.setattr(os, "rename", real_rename)
+        # reopen the store (a new process): __init__ recovers
+        reopened = TableStore(store.root)
+        # crashes before rename 2 roll BACK (swap never visible);
+        # crashes after rename 2 roll FORWARD (swap completed)
+        self._assert_consistent(spark, reopened, swapped=fail_at >= 2)
+
+    def test_kill_before_stream_retarget(self, spark, tmp_path, monkeypatch):
+        eng, store = self._setup(spark, tmp_path, "retarget")
+        real_apply = TableStore._apply_stream_targets
+
+        def dying_apply(self, targets):
+            raise OSError("simulated crash before retarget")
+
+        monkeypatch.setattr(TableStore, "_apply_stream_targets", dying_apply)
+        with pytest.raises(OSError, match="simulated crash"):
+            store.swap_tables("ta", "tb")
+        monkeypatch.setattr(TableStore, "_apply_stream_targets", real_apply)
+        reopened = TableStore(store.root)
+        self._assert_consistent(spark, reopened, swapped=True)
+
+    def test_recovery_on_same_store_next_swap(self, spark, tmp_path, monkeypatch):
+        """The crashed store object itself (no reopen) also recovers at
+        the next swap attempt instead of rmtree-ing the stranded dir."""
+        eng, store = self._setup(spark, tmp_path, "inline")
+        calls = {"n": 0}
+        real_rename = os.rename
+
+        def dying_rename(src, dst):
+            if calls["n"] == 1:
+                raise OSError("simulated crash mid-swap")
+            calls["n"] += 1
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(os, "rename", dying_rename)
+        with pytest.raises(OSError, match="simulated crash"):
+            store.swap_tables("ta", "tb")
+        monkeypatch.setattr(os, "rename", real_rename)
+        # ta's whole directory currently sits in _swap_tmp; the next
+        # swap must recover it, not delete it
+        store.swap_tables("ta", "tb")
+        self._assert_consistent(spark, store, swapped=True)
+
+    def test_orphan_swap_tmp_refused(self, spark, tmp_path):
+        """An unattributable _swap_tmp holding a _VERSION (no journal)
+        must make swap refuse, never rmtree table bytes."""
+        eng, store = self._setup(spark, tmp_path, "orphan")
+        os.makedirs(store._swap_tmp(), exist_ok=True)
+        with open(os.path.join(store._swap_tmp(), "_VERSION"), "w") as f:
+            f.write("1")
+        with pytest.raises(RuntimeError, match="refusing"):
+            store.swap_tables("ta", "tb")
+        assert os.path.isfile(os.path.join(store._swap_tmp(), "_VERSION"))
