@@ -49,46 +49,13 @@ _STALE_PRIORITY = ["dedup_embedding_cosine", "dedup_embedding_lsh"]
 # Prune when the next CORRECTNESS record lands (judge r6 #9: the r6
 # list was pruned once CORRECTNESS_r06 recorded every entry green).
 _RECHECK_PRIORITY = [
-    # (r10 list pruned: CORRECTNESS_r10 recorded every entry green.)
-    # r11: new entry — MATCH_RECOGNIZE AFTER MATCH SKIP TO NEXT ROW +
-    # RUNNING measures under ALL ROWS PER MATCH.
-    "events_error_pairs_overlap",
-    # r11: new entry — the SQL-surface MATCH_RECOGNIZE clause
-    # (engine/mrsql.py) over the same operator.
-    "events_vshape_sql",
-    # r11: new entry — aggregate measures (SUM/AVG/MIN/MAX) over
-    # matched spans.
-    "events_error_burst_stats",
-    # r11: new entry — zero-copy CLONE (+ AT(VERSION)), divergence.
-    "orders_clone_lifecycle",
-    # r11: new entry — Snowflake agg aliases + DIV0/EDITDISTANCE.
+    # (r11 list pruned: CORRECTNESS_r11 recorded every listed entry
+    # green — per policy, green rows drop off and the self-deriving
+    # staleness ordering surfaces the next stalest cohort.)
+    # r12: dialect edge semantics (BOOLXOR_AGG all-NULL -> NULL,
+    # multiset ARRAY_INTERSECTION, ARRAY_TO_STRING null rendering,
+    # STRTOK defaults) — the oracle gained four columns covering them.
     "orders_dialect_aggs",
-    # r11: matchrec scan loop rewritten (manual search with skip
-    # policies, vectorized ALL-ROWS output, running/final prefixes) —
-    # re-verify all three existing rows on the new engine.
-    "events_error_bursts",
-    "events_value_vshape",
-    "events_error_context",
-    # r11: CDC row manifests now GATED on change_tracking (write-side
-    # switch; streams auto-enable) + aborted-commit sidecar clearing —
-    # re-verify every CDC/commit-heavy hash row on the gated paths.
-    "orders_changes_scan",
-    "orders_stream_incremental",
-    "orders_dml_lifecycle",
-    "orders_cdc_relay",
-    "orders_cdc_diff",
-    "orders_governed_timetravel",
-    "orders_ivm_minmax_status",
-    "orders_ivm_variance_status",
-    # r11: CONNECT BY rewrite moved the post-hierarchy WHERE inside the
-    # projection subquery (helper-column leak fix).
-    "customers_connect_by_roots",
-    "customers_connect_by_paths",
-    # r11: NEXTVAL select-list bounding gained ORDER BY/LIMIT
-    # terminators; task surface gained SCHEDULE interpretation and a
-    # SHOW TASKS last_run column.
-    "orders_sequence_blocks",
-    "orders_task_dag",
 ]
 
 

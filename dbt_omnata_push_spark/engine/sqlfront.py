@@ -275,9 +275,12 @@ def _rewrite_funcs(sql: str) -> str:
         sql, _FUNC_RES["TRY_TO_NUMBER"], lambda a: f"try_cast({a} AS DOUBLE)"
     )
     sql = replace_call(sql, _FUNC_RES["ARRAY_SIZE"], lambda a: f"size({a})")
-    # r11: aggregate aliases map 1:1 onto Spark built-ins (JVM-side,
-    # window-compatible); BOOLXOR_AGG is Snowflake's "exactly one TRUE"
-    # (NOT an xor fold).
+    # r11: aggregate aliases map 1:1 onto Spark built-ins (JVM-side;
+    # the direct-alias ones are window-compatible). BOOLXOR_AGG is
+    # Snowflake's "exactly one TRUE" (NOT an xor fold); it rewrites to
+    # a CASE (r12: all-NULL/empty group -> NULL, matching Snowflake,
+    # since count() skips NULLs) and therefore cannot take an OVER
+    # clause — a window use fails loudly at parse time.
     sql = replace_call(
         sql, _FUNC_RES["BOOLAND_AGG"], lambda a: f"bool_and({a})"
     )
@@ -285,7 +288,12 @@ def _rewrite_funcs(sql: str) -> str:
         sql, _FUNC_RES["BOOLOR_AGG"], lambda a: f"bool_or({a})"
     )
     sql = replace_call(
-        sql, _FUNC_RES["BOOLXOR_AGG"], lambda a: f"(count_if({a}) = 1)"
+        sql,
+        _FUNC_RES["BOOLXOR_AGG"],
+        lambda a: (
+            f"(CASE WHEN count({a}) = 0 THEN NULL "
+            f"ELSE count_if({a}) = 1 END)"
+        ),
     )
     sql = replace_call(
         sql, _FUNC_RES["BITAND_AGG"], lambda a: f"bit_and({a})"
@@ -327,10 +335,18 @@ def _rewrite_funcs(sql: str) -> str:
     # STRTOK maps to split_part — full-delimiter-string semantics;
     # Snowflake treats a multi-char delimiter as a SET of single-char
     # delimiters, a documented divergence (single-char delimiters,
-    # the common case, are identical).
-    sql = replace_call(
-        sql, _FUNC_RES["STRTOK"], lambda a: f"split_part({a})"
-    )
+    # the common case, are identical). r12: Snowflake's optional-arg
+    # defaults apply — STRTOK(s) == STRTOK(s, ' ', 1),
+    # STRTOK(s, d) == STRTOK(s, d, 1).
+    def strtok(a: str) -> str:
+        parts = _split_top_level_args(a)
+        if len(parts) == 1:
+            parts.append("' '")
+        if len(parts) == 2:
+            parts.append("1")
+        return f"split_part({', '.join(p.strip() for p in parts)})"
+
+    sql = replace_call(sql, _FUNC_RES["STRTOK"], strtok)
     sql = replace_call(
         sql, _FUNC_RES["SQUARE"], lambda a: f"power({a}, 2)"
     )
@@ -353,13 +369,32 @@ def _rewrite_funcs(sql: str) -> str:
     sql = replace_call(
         sql, _FUNC_RES["ARRAY_CAT"], lambda a: f"concat({a})"
     )
+    # r12: Snowflake renders NULL elements as empty strings; Spark's
+    # array_join silently DROPS them (and their separators) unless
+    # given a nullReplacement — pass '' explicitly.
+    def array_to_string(a: str) -> str:
+        arr, sep = _split_top_level_args(a)
+        return f"array_join({arr}, {sep}, '')"
+
+    sql = replace_call(sql, _FUNC_RES["ARRAY_TO_STRING"], array_to_string)
+
+    # r12: Snowflake's ARRAY_INTERSECTION is a MULTISET intersection
+    # (duplicates kept at min multiplicity); Spark's array_intersect
+    # dedupes. Keep the k-th occurrence of an element of the left
+    # array only if the right array holds at least k occurrences —
+    # null-safe (<=>) so NULL elements intersect like Snowflake's.
+    # Output order follows the left array (Snowflake documents the
+    # order as unspecified).
+    def array_intersection(a: str) -> str:
+        x, y = (p.strip() for p in _split_top_level_args(a))
+        return (
+            f"filter({x}, (el, i) -> "
+            f"size(filter(slice({x}, 1, i + 1), e2 -> e2 <=> el)) <= "
+            f"size(filter({y}, e2 -> e2 <=> el)))"
+        )
+
     sql = replace_call(
-        sql, _FUNC_RES["ARRAY_TO_STRING"], lambda a: f"array_join({a})"
-    )
-    sql = replace_call(
-        sql,
-        _FUNC_RES["ARRAY_INTERSECTION"],
-        lambda a: f"array_intersect({a})",
+        sql, _FUNC_RES["ARRAY_INTERSECTION"], array_intersection
     )
     sql = replace_call(
         sql, _FUNC_RES["BITSHIFTLEFT"], lambda a: f"shiftleft({a})"

