@@ -56,6 +56,9 @@ _RECHECK_PRIORITY = [
     # multiset ARRAY_INTERSECTION, ARRAY_TO_STRING null rendering,
     # STRTOK defaults) — the oracle gained four columns covering them.
     "orders_dialect_aggs",
+    # r12: new entry — metadata-only DROP/RENAME COLUMN + time travel
+    # + SHOW COLUMNS (engine/store.py drop_column/rename_column).
+    "orders_schema_evolution",
 ]
 
 

@@ -1079,6 +1079,9 @@ _SHOW_RA_POLICIES_RE = re.compile(
     r"(?is)^\s*show\s+row\s+access\s+policies\s*$"
 )
 _SHOW_PK_RE = re.compile(r"(?is)^\s*show\s+primary\s+keys\s*$")
+_SHOW_COLUMNS_RE = re.compile(
+    rf"(?is)^\s*show\s+columns\s+in\s+(?:table\s+)?({_TABLE})\s*$"
+)
 _DESC_RE = re.compile(
     rf"(?is)^\s*(?:describe|desc)\s+(history\s+|table\s+)?({_TABLE})\s*$"
 )
@@ -1109,6 +1112,36 @@ def _show(engine, sql: str) -> DataFrame:
         )
         return engine.spark.createDataFrame(
             rows, "name string, signature string, body string"
+        )
+    m = _SHOW_COLUMNS_RE.match(s)
+    if m:
+        # SHOW COLUMNS IN [TABLE] <t> (r12): the logical post-evolution
+        # schema — masking attachments and column ordinal included so
+        # schema-evolution scripts can introspect what a rename moved.
+        table = _resolve_table(engine, m.group(1))
+        masked = {
+            c.lower(): p
+            for c, p in engine.store.masking_for(table).items()
+        }
+        pcol = engine.store.partition_by(table)
+        df = engine.store.read(engine.spark, table)
+        rows = [
+            (
+                table,
+                f.name,
+                i + 1,
+                f.dataType.simpleString(),
+                f.nullable,
+                masked.get(f.name.lower()),
+                f.name == pcol,
+            )
+            for i, f in enumerate(df.schema.fields)
+        ]
+        return engine.spark.createDataFrame(
+            rows,
+            "table_name string, column_name string, ordinal int, "
+            "data_type string, nullable boolean, masking_policy string, "
+            "is_partition boolean",
         )
     if _SHOW_STREAMS_RE.match(s):
         rows = sorted(
@@ -1397,6 +1430,14 @@ _ALTER_CHANGE_TRACKING_RE = re.compile(
 _ALTER_SWAP_RE = re.compile(
     rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+swap\s+with\s+({_TABLE})\s*$"
 )
+_ALTER_DROP_COL_RE = re.compile(
+    rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+drop\s+(?:column\s+)?"
+    rf"({_IDENT})\s*$"
+)
+_ALTER_RENAME_COL_RE = re.compile(
+    rf"(?is)^\s*alter\s+table\s+({_TABLE})\s+rename\s+column\s+"
+    rf"({_IDENT})\s+to\s+({_IDENT})\s*$"
+)
 
 
 def _snowflake_type_to_spark(type_sql: str) -> str:
@@ -1422,6 +1463,13 @@ def _alter(engine, sql: str) -> DataFrame:
         old = _resolve_table(engine, m.group(1))
         engine.store.rename_table(old, _clean_ident(m.group(2)))
         return _summary(engine, tables_renamed=1)
+    m = _ALTER_RENAME_COL_RE.match(s)
+    if m:
+        table = _resolve_table(engine, m.group(1))
+        engine.store.rename_column(
+            engine.spark, table, m.group(2).strip('"'), m.group(3).strip('"')
+        )
+        return _summary(engine, columns_renamed=1)
     m = _ALTER_SWAP_RE.match(s)
     if m:
         # Snowflake ALTER TABLE a SWAP WITH b: the blue-green deploy
@@ -1470,6 +1518,13 @@ def _alter(engine, sql: str) -> DataFrame:
             )
         engine.store.drop_check_constraint(table, cname)
         return _summary(engine, constraints_dropped=1)
+    m = _ALTER_DROP_COL_RE.match(s)
+    if m:
+        # checked after every other DROP form: the anchored single-ident
+        # tail can only be a column name here
+        table = _resolve_table(engine, m.group(1))
+        engine.store.drop_column(engine.spark, table, m.group(2).strip('"'))
+        return _summary(engine, columns_dropped=1)
     m = _ALTER_ADD_RA_RE.match(s)
     if m:
         table = _resolve_table(engine, m.group(1))
@@ -1518,6 +1573,7 @@ def _alter(engine, sql: str) -> DataFrame:
         return _summary(engine, masking_policies_unset=1)
     raise ValueError(
         "supported ALTER TABLE forms: ADD [COLUMN] <name> <type>, "
+        "DROP [COLUMN] <name>, RENAME COLUMN <old> TO <new>, "
         "RENAME TO <name>, MODIFY [COLUMN] <name> SET/UNSET MASKING "
         "POLICY, ADD/DROP ROW ACCESS POLICY <p> [ON (cols)], "
         "ADD [CONSTRAINT <n>] PRIMARY KEY (cols), DROP PRIMARY KEY, "

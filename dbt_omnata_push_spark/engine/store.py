@@ -33,11 +33,12 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 import threading as _threading
 
@@ -209,6 +210,10 @@ class TableStore:
             doc["constraints"] = old["constraints"]
         if old.get("added_columns"):
             doc["added_columns"] = old["added_columns"]
+        # DROP/RENAME COLUMN read-mappings (r12) must survive rewrites:
+        # a merge can hard-link files from before the DDL.
+        if old.get("column_ops"):
+            doc["column_ops"] = old["column_ops"]
         if old.get("masking"):
             doc["masking"] = old["masking"]
         # a row-access attachment is table metadata just like masking —
@@ -569,12 +574,38 @@ class TableStore:
             # fresh empty tracking table), so the schema comes from _META
             # rather than file inference; the partition column resolves
             # from directory names on non-empty reads.
-            reader = reader.schema(StructType.fromJson(meta["schema"]))
+            pinned = StructType.fromJson(meta["schema"])
+            # r12: files from before a RENAME COLUMN carry the OLD
+            # parquet column; ask the scan for it too (recorded type)
+            # so _apply_column_ops can coalesce it into the new name.
+            have = {f.name.lower() for f in pinned.fields}
+            extra = []
+            for op in meta.get("column_ops", []):
+                if (
+                    op["op"] == "rename"
+                    and op.get("type")
+                    and op["old"].lower() not in have
+                ):
+                    from pyspark.sql.types import _parse_datatype_json_string
+
+                    extra.append(
+                        StructField(
+                            op["old"],
+                            _parse_datatype_json_string(op["type"]),
+                            True,
+                        )
+                    )
+                    have.add(op["old"].lower())
+            if extra:
+                pinned = StructType(list(pinned.fields) + extra)
+            reader = reader.schema(pinned)
         path = self.data_path(name)
         df = self._apply_dv(spark, reader.parquet(path), path)
-        # Metadata-added columns (ALTER TABLE ADD COLUMN): surface as
-        # typed NULLs until some write materializes them into files —
-        # at which point the guard makes this a no-op.
+        # DROP/RENAME COLUMN read-time mapping over mixed-generation
+        # files (r12), then metadata-added columns (ALTER TABLE ADD
+        # COLUMN) surface as typed NULLs until some write materializes
+        # them into files — at which point the guard makes this a no-op.
+        df = self._apply_column_ops(df, meta)
         for cname, ctype in meta.get("added_columns", []):
             if cname not in df.columns:
                 df = df.withColumn(cname, F.lit(None).cast(ctype))
@@ -1027,6 +1058,20 @@ class TableStore:
         cur_cols = {c.lower() for c in self.read(spark, name).columns}
         if col_name.lower() in cur_cols:
             raise ValueError(f"column already exists: {col_name}")
+        # r12: a name retired by DROP/RENAME COLUMN may still live in
+        # old physical files (the ops are metadata-only); re-adding it
+        # would make the read-time mapping resurrect old bytes into the
+        # new column. Refuse loudly (divergence from Snowflake, which
+        # rewrites nothing but tracks columns by id, not name).
+        for op in self.meta(name).get("column_ops", []):
+            retired = op["col"] if op["op"] == "drop" else op["old"]
+            if retired.lower() == col_name.lower():
+                raise ValueError(
+                    f"column name {col_name!r} was retired by a prior "
+                    f"{op['op'].upper()} COLUMN and may still exist in "
+                    "old data files; pick a different name or rewrite "
+                    "the table (CREATE OR REPLACE) to reclaim it"
+                )
         # validate the type string before committing anything
         F.lit(None).cast(type_sql)
         self._clear_cdc_sidecars(name, v + 1)
@@ -1044,6 +1089,228 @@ class TableStore:
         # metadata-only commit: the delta is empty (r10 manifest)
         self.write_cdc_files(name, v + 1, [])
         self._set_version(name, v + 1, op="add_column")
+
+    def _put_meta(self, name: str, meta: dict) -> None:
+        tmp = self._meta_file(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_file(name))
+
+    def _commit_metadata_only(self, name: str, meta: dict, op: str) -> None:
+        """Commit a schema-evolution DDL as a new hard-linked version:
+        no data file is touched, the CDC delta is empty, and the
+        version boundary gives time travel its before/after line."""
+        v = self.current_version(name)
+        self._clear_cdc_sidecars(name, v + 1)
+        self._link_version(
+            os.path.join(self._dir(name), f"v={v}"),
+            os.path.join(self._dir(name), f"v={v + 1}"),
+        )
+        self._put_meta(name, meta)
+        self.write_cdc_files(name, v + 1, [])
+        self._set_version(name, v + 1, op=op)
+
+    def _column_evolution_guard(self, name: str, col: str, verb: str) -> dict:
+        """Shared refusals for DROP/RENAME COLUMN (r12): governance
+        attachments and structural roles must follow the column or
+        block the DDL — a silent detach would unprotect data."""
+        meta = self.meta(name)
+        lc = col.lower()
+        if (meta.get("partition_by") or "").lower() == lc:
+            raise ValueError(
+                f"cannot {verb} column {col!r}: it is the partition "
+                f"column of {name}"
+            )
+        for cname, expr in (meta.get("constraints") or {}).items():
+            if re.search(rf"(?i)\b{re.escape(col)}\b", expr):
+                raise ValueError(
+                    f"cannot {verb} column {col!r}: CHECK constraint "
+                    f"{cname!r} references it — drop the constraint first"
+                )
+        ra = meta.get("row_access")
+        if ra and lc in (c.lower() for c in ra.get("columns", [])):
+            raise ValueError(
+                f"cannot {verb} column {col!r}: the row access policy "
+                f"{ra['policy']!r} is keyed on it — drop the policy first"
+            )
+        # Streams/CDC consumers diff PHYSICAL version directories;
+        # column evolution under them would hand consumers mixed-name
+        # deltas. Snowflake marks such streams stale — we refuse the
+        # DDL instead (loud, recoverable: drop the streams first).
+        if self.change_tracking(name) or any(
+            m["table"].lower() == name.lower()
+            for m in self.streams().values()
+        ):
+            raise ValueError(
+                f"cannot {verb} column {col!r}: {name} has change "
+                "tracking or streams attached; drop the streams and "
+                "disable change tracking first"
+            )
+        return meta
+
+    @_locked_write
+    def drop_column(self, spark: SparkSession, name: str, col: str) -> None:
+        """ALTER TABLE DROP COLUMN — METADATA-ONLY (r12): no data file
+        is rewritten at any table size. The column leaves the pinned
+        logical schema (partitioned scans stop reading it — column
+        pruning makes the drop free) and a ``column_ops`` entry hides
+        it from schema-merged reads of old files that still carry it.
+        A column under a masking policy, in the primary key, in a CHECK
+        constraint, keyed by a row access policy, or on a tracked /
+        streamed table refuses the drop (Snowflake parity: detach the
+        dependency first). Historical ``read_version`` reads stay
+        physical — old versions keep the column, the Snowflake
+        time-travel behavior."""
+        if not self.exists(name):
+            raise FileNotFoundError(f"table not found: {name}")
+        meta = self._column_evolution_guard(name, col, "drop")
+        lc = col.lower()
+        cur_cols = {c.lower(): c for c in self.read(spark, name).columns}
+        if lc not in cur_cols:
+            raise ValueError(f"column not found: {col}")
+        if len(cur_cols) == 1:
+            raise ValueError(f"cannot drop the only column of {name}")
+        if lc in (c.lower() for c in meta.get("masking", {})):
+            raise ValueError(
+                f"cannot drop column {col!r}: a masking policy is set "
+                "on it — UNSET MASKING POLICY first"
+            )
+        pk = meta.get("primary_key")
+        if pk and lc in (c.lower() for c in pk.get("columns", [])):
+            raise ValueError(
+                f"cannot drop column {col!r}: it is part of the "
+                "primary key — DROP PRIMARY KEY first"
+            )
+        added = meta.get("added_columns", [])
+        added_entry = next(
+            (e for e in added if e[0].lower() == lc), None
+        )
+        if added_entry is not None:
+            meta["added_columns"] = [e for e in added if e is not added_entry]
+            phys = {
+                c.lower()
+                for c in spark.read.option("mergeSchema", "true")
+                .parquet(self.data_path(name))
+                .columns
+            }
+            if lc not in phys:
+                # A metadata-added column no write ever materialized:
+                # nothing physical to hide, so no op is recorded and
+                # the name is free to reclaim.
+                self._commit_metadata_only(name, meta, f"drop_column:{col}")
+                return
+        # Hide the column from reads of old physical files; prune it
+        # from the pinned logical schema so partitioned scans never
+        # decode it. (A never-materialized metadata-added column may
+        # have no physical trace, but later merges can hard-link files
+        # from before ANY given write — the op entry is cheap and
+        # keeps every mix correct.)
+        ops = meta.get("column_ops", [])
+        ops.append({"op": "drop", "col": cur_cols[lc]})
+        meta["column_ops"] = ops
+        if meta.get("schema"):
+            pinned = StructType.fromJson(meta["schema"])
+            meta["schema"] = StructType(
+                [f for f in pinned.fields if f.name.lower() != lc]
+            ).jsonValue()
+        self._commit_metadata_only(name, meta, f"drop_column:{col}")
+
+    @_locked_write
+    def rename_column(
+        self, spark: SparkSession, name: str, old: str, new: str
+    ) -> None:
+        """ALTER TABLE RENAME COLUMN — METADATA-ONLY (r12, the Delta
+        column-mapping idea expressed as a read-time mapping): old
+        physical files keep the old parquet column; reads coalesce the
+        old-name column into the new one (per row exactly one side
+        exists, so coalesce is exact even across files written before
+        and after the rename) and later rewrites materialize the new
+        name naturally. Masking attachments, the primary key, and
+        row-access column lists FOLLOW the rename; a CHECK constraint
+        referencing the column refuses it (rewriting predicate SQL
+        is not attempted). Tracked/streamed tables refuse as in
+        drop_column."""
+        if not self.exists(name):
+            raise FileNotFoundError(f"table not found: {name}")
+        meta = self._column_evolution_guard(name, old, "rename")
+        lo, ln = old.lower(), new.lower()
+        cur_cols = {c.lower(): c for c in self.read(spark, name).columns}
+        if lo not in cur_cols:
+            raise ValueError(f"column not found: {old}")
+        if ln in cur_cols:
+            raise ValueError(f"column already exists: {new}")
+        for op in meta.get("column_ops", []):
+            retired = op["col"] if op["op"] == "drop" else op["old"]
+            if retired.lower() == ln:
+                raise ValueError(
+                    f"column name {new!r} was retired by a prior "
+                    f"{op['op'].upper()} COLUMN and may still exist in "
+                    "old data files; pick a different name"
+                )
+        # governance attachments FOLLOW the rename
+        mask = meta.get("masking", {})
+        mk = next((k for k in mask if k.lower() == lo), None)
+        if mk is not None:
+            mask = dict(mask)
+            mask[new] = mask.pop(mk)
+            meta["masking"] = mask
+        pk = meta.get("primary_key")
+        if pk and any(c.lower() == lo for c in pk.get("columns", [])):
+            pk = dict(pk)
+            pk["columns"] = [
+                new if c.lower() == lo else c for c in pk["columns"]
+            ]
+            meta["primary_key"] = pk
+        old_type = None
+        if meta.get("schema"):
+            pinned = StructType.fromJson(meta["schema"])
+            fields = []
+            for f in pinned.fields:
+                if f.name.lower() == lo:
+                    old_type = f.dataType.json()
+                    f = StructField(new, f.dataType, f.nullable)
+                fields.append(f)
+            meta["schema"] = StructType(fields).jsonValue()
+        meta["added_columns"] = [
+            ([new, e[1]] if e[0].lower() == lo else e)
+            for e in meta.get("added_columns", [])
+        ]
+        ops = meta.get("column_ops", [])
+        ops.append(
+            {
+                "op": "rename",
+                "old": cur_cols[lo],
+                "new": new,
+                # recorded so partitioned pinned-schema reads can ask
+                # the parquet scan for the old physical column too
+                "type": old_type,
+            }
+        )
+        meta["column_ops"] = ops
+        self._commit_metadata_only(name, meta, f"rename_column:{old}->{new}")
+
+    def _apply_column_ops(self, df: DataFrame, meta: dict) -> DataFrame:
+        """Read-time column evolution (r12): apply DROP/RENAME COLUMN
+        ops in DDL order over a possibly mixed-generation file set.
+        Old files carry the old physical column, new files the new one;
+        per row exactly one side is present, so coalesce reconstructs
+        the logical column exactly."""
+        for op in meta.get("column_ops", []):
+            cols = {c.lower(): c for c in df.columns}
+            if op["op"] == "drop":
+                c = cols.get(op["col"].lower())
+                if c is not None:
+                    df = df.drop(c)
+            else:
+                o = cols.get(op["old"].lower())
+                n = cols.get(op["new"].lower())
+                if o is not None and n is not None:
+                    df = df.withColumn(
+                        n, F.coalesce(F.col(n), F.col(o))
+                    ).drop(o)
+                elif o is not None:
+                    df = df.withColumnRenamed(o, op["new"])
+        return df
 
     def rename_table(self, old: str, new: str) -> None:
         """ALTER TABLE RENAME TO: a directory move — O(1) metadata, all
@@ -1844,7 +2111,24 @@ class TableStore:
         self._write_policies(pols)
 
     def masking_for(self, name: str) -> dict:
-        return self.meta(name).get("masking", {})
+        meta = self.meta(name)
+        mask = dict(meta.get("masking", {}))
+        # r12: expand mask attachments through RENAME COLUMN chains so
+        # a time-travel/historical frame — which carries the OLD
+        # physical column name — still gets the mask (the read-side
+        # loop masks whichever name the frame has and skips the rest;
+        # without this, renaming a masked column would serve raw
+        # pre-rename versions). Walked newest-op-first so chains
+        # a->b->c propagate c's mask to b, then b's to a.
+        for op in reversed(meta.get("column_ops", [])):
+            if op.get("op") != "rename":
+                continue
+            for c, p in list(mask.items()):
+                if c.lower() == op["new"].lower() and not any(
+                    k.lower() == op["old"].lower() for k in mask
+                ):
+                    mask[op["old"]] = p
+        return mask
 
     def row_access_for(self, name: str) -> dict | None:
         return self.meta(name).get("row_access")

@@ -3404,3 +3404,94 @@ def orders_session_var_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "where o_orderstatus = $want_status and cents >= $min_cents "
         "group by o_orderpriority"
     )
+
+
+@query(
+    "orders_schema_evolution",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+               o_orderkey % 7 AS junk
+        FROM orders
+    ),
+    ins AS (  -- rows inserted AFTER the rename (new-generation files)
+        SELECT -o_orderkey AS o_orderkey, 'Z' AS o_orderstatus,
+               CAST(123 AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 1000 = 0 AND o_orderkey > 0
+    ),
+    cur AS (
+        SELECT o_orderstatus, price_c AS cents FROM base
+        UNION ALL
+        SELECT o_orderstatus, cents FROM ins
+    )
+    SELECT 'cur' AS era, o_orderstatus AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM cur GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'v0', o_orderstatus, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(price_c) AS BIGINT)
+    FROM base GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'schema', 'o_orderkey,o_orderstatus,cents', 0, 0
+    """,
+    tags=("engine", "ddl", "schema_evolution", "time_travel"),
+)
+def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column evolution end-to-end (r12,
+    engine/store.py drop_column/rename_column): CTAS a store table,
+    RENAME COLUMN price_c -> cents (no rewrite), INSERT post-rename
+    rows (new files materialize the new name), DROP COLUMN junk (hides
+    a physically-present column), then certify (a) the current read
+    coalesces pre-/post-rename file generations into one logical
+    column, (b) time travel to v0 keeps the OLD schema and values,
+    and (c) SHOW COLUMNS reports the evolved logical schema — against
+    a DuckDB oracle that models the logical states directly. The
+    inode-level no-rewrite proof lives in
+    tests/test_column_evolution.py."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-ev-")))
+    engine.seed(
+        "ord_ev",
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_c"),
+            (F.col("o_orderkey") % 7).alias("junk"),
+        ),
+    )
+    engine.query("alter table ord_ev rename column price_c to cents")
+    engine.query(
+        "insert into ord_ev "
+        "select -o_orderkey, 'Z', 123, 0 from ord_ev "
+        "where o_orderkey % 1000 = 0 and o_orderkey > 0"
+    )
+    engine.query("alter table ord_ev drop column junk")
+    cur = engine.query(
+        "select 'cur' as era, o_orderstatus as grp, "
+        "cast(count(*) as bigint) as n, "
+        "cast(sum(cents) as bigint) as cents "
+        "from ord_ev group by o_orderstatus"
+    )
+    v0 = engine.query(
+        "select 'v0' as era, o_orderstatus as grp, "
+        "cast(count(*) as bigint) as n, "
+        "cast(sum(price_c) as bigint) as cents "
+        "from ord_ev at (version => 0) group by o_orderstatus"
+    )
+    cols = [
+        r["column_name"]
+        for r in engine.query("show columns in ord_ev").collect()
+    ]
+    schema_row = spark.createDataFrame(
+        [("schema", ",".join(cols), 0, 0)],
+        "era string, grp string, n long, cents long",
+    )
+    return cur.unionByName(v0).unionByName(schema_row)
