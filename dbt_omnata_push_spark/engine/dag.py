@@ -876,6 +876,7 @@ class Engine:
                 self._advance_used_sequences(res, kind)
                 return res
         self._register_views()
+        mr_views: list[str] = []
         if dialect == "snowflake":
             from .sqlfront import (
                 GLOBAL_ROWNUM_MARKER,
@@ -894,7 +895,7 @@ class Engine:
                 # becomes a temp view over the distributed operator.
                 from .mrsql import resolve_match_recognize
 
-                sql = resolve_match_recognize(self, sql)
+                sql, mr_views = resolve_match_recognize(self, sql)
             sql = transpile(sql)
             if _CHANGES_RE.search(sql):
                 # Snowflake CHANGES clause: CDC between two versions,
@@ -912,10 +913,25 @@ class Engine:
             if GLOBAL_ROWNUM_MARKER in sql:
                 sql = resolve_global_rownum(self.spark, sql)
             if seq_fills:
-                return self._fill_sequence_values(
+                res = self._fill_sequence_values(
                     self.spark.sql(sql), seq_fills
                 )
-        return self.spark.sql(sql)
+                self._drop_mr_views(mr_views)
+                return res
+        res = self.spark.sql(sql)
+        self._drop_mr_views(mr_views)
+        return res
+
+    def _drop_mr_views(self, views: list[str]) -> None:
+        """Drop MATCH_RECOGNIZE temp views once the statement is built
+        (ADVICE r11 #5). Safe immediately after ``spark.sql(...)``:
+        analysis inlines a temp view's plan into the DataFrame, so the
+        returned frame no longer references the catalog entry."""
+        for v in views:
+            try:
+                self.spark.catalog.dropTempView(v)
+            except Exception:
+                pass  # best-effort cleanup; a missing view is fine
 
     def execute_script(
         self,

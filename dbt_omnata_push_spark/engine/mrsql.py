@@ -33,6 +33,7 @@ Translated subset, mirroring the operator's:
 """
 from __future__ import annotations
 
+import itertools
 import re
 
 _MR_FROM_RE = re.compile(
@@ -41,7 +42,9 @@ _MR_FROM_RE = re.compile(
 _MEASURE_SQL_RE = re.compile(
     r"(?is)^\s*(?:(running|final)\s+)?"
     r"(first|last|count|match_number|classifier|sum|avg|min|max)\s*"
-    r"\(\s*(?:\*|([A-Za-z_]\w*)(?:\s*\.\s*\*)?)?\s*\)\s*"
+    # arg: *, col, SYM.col (r12 symbol-qualified), or SYM.*
+    r"\(\s*(?:\*|([A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)?)(?:\s*\.\s*\*)?)?"
+    r"\s*\)\s*"
     r"(?:as\s+)?([A-Za-z_]\w*)\s*$"
 )
 _DEFINE_ITEM_RE = re.compile(
@@ -126,6 +129,17 @@ def _cond_to_pandas(cond: str) -> str:
         # Snowflake's "always matches" define; evaluate over a non-null
         # anchor is unnecessary — pandas eval accepts True.
         return "True"
+    if re.search(r"\b[A-Za-z_]\w*\s*\.\s*[A-Za-z_]\w*", s):
+        # Symbol-qualified references (A.price) are supported in
+        # MEASURES (r12) but not in DEFINE: the operator evaluates
+        # define predicates match-independently in a vectorized
+        # pre-pass, so a condition over another symbol's mapped rows
+        # cannot be expressed — raise instead of mis-evaluating.
+        raise ValueError(
+            "unsupported DEFINE condition for MATCH_RECOGNIZE: "
+            f"{cond!r} (symbol-qualified references like A.price are "
+            "measures-only)"
+        )
 
     def _outside_quotes(text: str, fn) -> str:
         # apply fn only to the unquoted segments — a literal like
@@ -231,6 +245,10 @@ def _parse_body(body: str) -> dict:
                 raise ValueError(
                     f"{kind}() takes no argument: {item!r}"
                 )
+            if arg:
+                # normalize `SYM . col` spacing for the operator's
+                # measure parser (r12)
+                arg = re.sub(r"\s*\.\s*", ".", arg)
             expr = f"{kind}({arg or ''})"
             measures[alias] = f"{prefix} {expr}".strip()
 
@@ -285,14 +303,25 @@ def _parse_body(body: str) -> dict:
     )
 
 
-def resolve_match_recognize(engine, sql: str) -> str:
+_MR_VIEW_SEQ = itertools.count()
+
+
+def resolve_match_recognize(engine, sql: str) -> tuple[str, list[str]]:
     """Rewrite every ``FROM <table> MATCH_RECOGNIZE (...)`` in ``sql``
-    into a reference to a temp view holding the operator's result."""
+    into a reference to a temp view holding the operator's result.
+
+    Returns the rewritten SQL and the temp views it registered so the
+    caller can drop them once the statement is ANALYZED (ADVICE r11
+    #5): view names come from a process-wide monotonic counter — the
+    previous salted-``hash()`` name let two concurrent statements in
+    one session collide on ``createOrReplaceTempView`` and read each
+    other's results, and the views were never dropped."""
     out = sql
+    views: list[str] = []
     for _ in range(10):  # bounded: >10 clauses in one statement is absurd
         m = _MR_FROM_RE.search(out)
         if not m:
-            return out
+            return out, views
         end = _scan_balanced(out, m.end() - 1)
         body = out[m.end() : end - 1]
         spec = _parse_body(body)
@@ -301,7 +330,8 @@ def resolve_match_recognize(engine, sql: str) -> str:
         engine._register_views()
         df = engine.spark.table(m.group(1).rsplit(".", 1)[-1])
         res = match_recognize(df, **spec)
-        view = f"__mr_{abs(hash((m.group(1), body))) % 10**8}"
+        view = f"__mr_{next(_MR_VIEW_SEQ)}"
         res.createOrReplaceTempView(view)
+        views.append(view)
         out = out[: m.start()] + f"FROM {view}" + out[end:]
     raise ValueError("too many MATCH_RECOGNIZE clauses in one statement")

@@ -35,6 +35,7 @@ import json
 import os
 import re
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -175,6 +176,25 @@ class TableStore:
     def partition_by(self, name: str) -> str | None:
         return self.meta(name).get("partition_by")
 
+    # -- metadata-attachment version stamps (r12, ADVICE r11 #2) -----------
+    # CLONE AT(VERSION => v) must surface the table's metadata AS OF v,
+    # not its current metadata: a clone of a pre-masking version must be
+    # unmasked, a clone of a pre-constraint version unconstrained.
+    # Governance/constraint setters don't bump the table version, so
+    # each attachment records the version it became visible at in a
+    # "meta_at" map; _meta_as_of prunes entries stamped after the cloned
+    # version. Unstamped (pre-r12) entries are conservatively kept.
+    def _stamp_meta_at(self, name: str, meta: dict, key: str) -> None:
+        meta.setdefault("meta_at", {})[key] = self.current_version(name) or 0
+
+    @staticmethod
+    def _unstamp_meta_at(meta: dict, key: str) -> None:
+        at = meta.get("meta_at")
+        if at:
+            at.pop(key, None)
+            if not at:
+                meta.pop("meta_at", None)
+
     # -- change tracking property (r11, VERDICT r10 #2) --------------------
     # Snowflake's CHANGE_TRACKING = TRUE / Delta's
     # delta.enableChangeDataFeed: per-ROW change manifests on keyed
@@ -194,8 +214,10 @@ class TableStore:
         meta = self.meta(name)
         if enabled:
             meta["change_tracking"] = True
+            self._stamp_meta_at(name, meta, "change_tracking")
         else:
             meta.pop("change_tracking", None)
+            self._unstamp_meta_at(meta, "change_tracking")
         tmp = self._meta_file(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -225,6 +247,8 @@ class TableStore:
             doc["primary_key"] = old["primary_key"]
         if old.get("change_tracking"):
             doc["change_tracking"] = True
+        if old.get("meta_at"):
+            doc["meta_at"] = old["meta_at"]
         tmp = self._meta_file(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(doc, f)
@@ -242,6 +266,7 @@ class TableStore:
         cons = dict(meta.get("constraints") or {})
         cons[cname] = expr_sql
         meta["constraints"] = cons
+        self._stamp_meta_at(name, meta, f"constraint:{cname.lower()}")
         tmp = self._meta_file(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -268,6 +293,7 @@ class TableStore:
                 f"({meta['primary_key']['name']}) — drop it first"
             )
         meta["primary_key"] = {"name": cname, "columns": list(columns)}
+        self._stamp_meta_at(name, meta, "primary_key")
         tmp = self._meta_file(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -279,6 +305,7 @@ class TableStore:
     def drop_primary_key(self, name: str):
         meta = self.meta(name)
         meta.pop("primary_key", None)
+        self._unstamp_meta_at(meta, "primary_key")
         tmp = self._meta_file(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -289,6 +316,7 @@ class TableStore:
         cons = dict(meta.get("constraints") or {})
         cons.pop(cname, None)
         meta["constraints"] = cons
+        self._unstamp_meta_at(meta, f"constraint:{cname.lower()}")
         tmp = self._meta_file(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -358,6 +386,7 @@ class TableStore:
         name: str | None = None,
         keep: int = 1,
         retain_hours: float | None = None,
+        trash_retain_hours: float | None = None,
     ) -> None:
         """Delete superseded version directories.
 
@@ -375,8 +404,42 @@ class TableStore:
         earlier read may still scan an old version. Callers vacuum only
         when no plans from prior versions remain (end of a run), like
         Delta's VACUUM retention contract.
+
+        ``trash_retain_hours`` (r12, ADVICE r11 #4): DROP TABLE parks
+        the directory under ``_trash/`` for UNDROP; Snowflake expires
+        dropped tables after the time-travel retention window, so a
+        store-wide vacuum purges trash entries dropped longer ago than
+        this window (falls back to ``retain_hours``). Both ``None``
+        keeps trash forever — UNDROP never silently loses a table the
+        operator didn't agree to expire. Scoped (``name=...``) vacuums
+        never touch trash.
         """
         import time as _time
+
+        trash_window = (
+            trash_retain_hours
+            if trash_retain_hours is not None
+            else retain_hours
+        )
+        if name is None and trash_window is not None:
+            trash_root = os.path.join(self.root, "_trash")
+            cutoff = _time.time() - trash_window * 3600.0
+            if os.path.isdir(trash_root):
+                for entry in os.listdir(trash_root):
+                    t = os.path.join(trash_root, entry)
+                    stamp = os.path.join(t, "_DROPPED_AT")
+                    try:
+                        with open(stamp) as f:
+                            dropped = float(f.read().strip())
+                    except (OSError, ValueError):
+                        # pre-r12 trash entry: its drop time is at
+                        # latest the directory's mtime
+                        try:
+                            dropped = os.stat(t).st_mtime
+                        except OSError:
+                            continue
+                    if dropped < cutoff:
+                        shutil.rmtree(t, ignore_errors=True)
 
         names = [name] if name else [
             n for n in os.listdir(self.root)
@@ -606,7 +669,7 @@ class TableStore:
         # COLUMN) surface as typed NULLs until some write materializes
         # them into files — at which point the guard makes this a no-op.
         df = self._apply_column_ops(df, meta)
-        for cname, ctype in meta.get("added_columns", []):
+        for cname, ctype, *_ in meta.get("added_columns", []):
             if cname not in df.columns:
                 df = df.withColumn(cname, F.lit(None).cast(ctype))
         return df
@@ -1080,7 +1143,9 @@ class TableStore:
         self._link_version(old_dir, new_dir)
         meta = self.meta(name)
         added = meta.get("added_columns", [])
-        added.append([col_name, type_sql])
+        # third element: the version this column became visible at
+        # (CLONE AT(VERSION) point-in-time pruning, r12)
+        added.append([col_name, type_sql, v + 1])
         meta["added_columns"] = added
         tmp = self._meta_file(name) + ".tmp"
         with open(tmp, "w") as f:
@@ -1206,7 +1271,13 @@ class TableStore:
         # from before ANY given write — the op entry is cheap and
         # keeps every mix correct.)
         ops = meta.get("column_ops", [])
-        ops.append({"op": "drop", "col": cur_cols[lc]})
+        ops.append(
+            {
+                "op": "drop",
+                "col": cur_cols[lc],
+                "at": (self.current_version(name) or 0) + 1,
+            }
+        )
         meta["column_ops"] = ops
         if meta.get("schema"):
             pinned = StructType.fromJson(meta["schema"])
@@ -1254,6 +1325,9 @@ class TableStore:
             mask = dict(mask)
             mask[new] = mask.pop(mk)
             meta["masking"] = mask
+            at = meta.get("meta_at", {})
+            if f"masking:{lo}" in at:
+                at[f"masking:{ln}"] = at.pop(f"masking:{lo}")
         pk = meta.get("primary_key")
         if pk and any(c.lower() == lo for c in pk.get("columns", [])):
             pk = dict(pk)
@@ -1272,7 +1346,7 @@ class TableStore:
                 fields.append(f)
             meta["schema"] = StructType(fields).jsonValue()
         meta["added_columns"] = [
-            ([new, e[1]] if e[0].lower() == lo else e)
+            ([new] + list(e)[1:] if e[0].lower() == lo else e)
             for e in meta.get("added_columns", [])
         ]
         ops = meta.get("column_ops", [])
@@ -1284,6 +1358,7 @@ class TableStore:
                 # recorded so partitioned pinned-schema reads can ask
                 # the parquet scan for the old physical column too
                 "type": old_type,
+                "at": (self.current_version(name) or 0) + 1,
             }
         )
         meta["column_ops"] = ops
@@ -1512,11 +1587,136 @@ class TableStore:
         )
         meta = self.meta(src)
         if meta:
+            if v < (self.current_version(src) or 0):
+                # Historical clone: point-in-time metadata, not the
+                # source's CURRENT metadata (r12, ADVICE r11 #2) — a
+                # clone of a pre-ADD-COLUMN version must not surface
+                # the later column, a pre-masking clone is unmasked.
+                meta = self._meta_as_of(spark, src, v, src_vdir, meta)
+            # The clone's version counter restarts at 0: every kept
+            # attachment existed at its v=0, so stamps normalize to 0
+            # (a later clone-of-the-clone AT(VERSION) then prunes
+            # correctly in clone-space).
+            meta.pop("meta_at", None)
+            for e in meta.get("added_columns", []):
+                if len(e) > 2:
+                    e[2] = 0
+            for op in meta.get("column_ops", []):
+                if "at" in op:
+                    op["at"] = 0
             tmp = self._meta_file(dst) + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(meta, f)
             os.replace(tmp, self._meta_file(dst))
         self._set_version(dst, 0, op=f"clone:{src}@v{v}")
+
+    def _meta_as_of(
+        self,
+        spark: SparkSession,
+        src: str,
+        v: int,
+        src_vdir: str,
+        meta: dict,
+    ) -> dict:
+        """Reconstruct table metadata AS OF version ``v`` for a
+        historical CLONE (r12, ADVICE r11 #2 — Snowflake's
+        ``CLONE ... AT(...)`` takes the object as it existed THEN).
+
+        - ``column_ops`` / ``added_columns`` entries committed after
+          ``v`` are pruned (their stamps are table versions, recorded
+          by the DDLs since r12).
+        - Governance/constraint attachments stamped after ``v`` in
+          ``meta_at`` are pruned; unstamped (pre-r12) entries are
+          conservatively KEPT — over-protecting a historical clone is
+          the safe direction.
+        - The pinned logical schema is rebuilt from the version's own
+          physical files with the surviving ops applied: ordinary
+          writes refresh the pinned schema in place and leave no undo
+          log, but the immutable files AT ``v`` carry exactly the
+          schema of that version. Types prefer the CURRENT pinned
+          field when names match (types only widen, and a wider pin
+          reads narrower files exactly); metadata-added columns stay
+          out of the pin — the read path surfaces them as typed NULLs
+          from their ``added_columns`` entries.
+        """
+        out = dict(meta)
+        at = meta.get("meta_at") or {}
+        ops = [
+            op for op in meta.get("column_ops", []) if op.get("at", 0) <= v
+        ]
+        added = [
+            e
+            for e in meta.get("added_columns", [])
+            if len(e) < 3 or e[2] <= v
+        ]
+        for key, kept in (("column_ops", ops), ("added_columns", added)):
+            if kept:
+                out[key] = kept
+            else:
+                out.pop(key, None)
+        mask = {
+            c: p
+            for c, p in (meta.get("masking") or {}).items()
+            if at.get(f"masking:{c.lower()}", 0) <= v
+        }
+        if mask:
+            out["masking"] = mask
+        else:
+            out.pop("masking", None)
+        cons = {
+            n: s
+            for n, s in (meta.get("constraints") or {}).items()
+            if at.get(f"constraint:{n.lower()}", 0) <= v
+        }
+        if cons:
+            out["constraints"] = cons
+        else:
+            out.pop("constraints", None)
+        for key in ("primary_key", "row_access", "change_tracking"):
+            if at.get(key, 0) > v:
+                out.pop(key, None)
+        out.pop("meta_at", None)
+        if not meta.get("schema"):
+            return out
+        try:
+            phys = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(src_vdir)
+                .schema
+            )
+        except Exception:
+            # unreadable/empty version dir: keep the current pin —
+            # wrong in the same way the pre-r12 clone was, never worse
+            return out
+        names = [f.name for f in phys.fields]
+        for op in ops:
+            low = {n.lower(): i for i, n in enumerate(names)}
+            if op["op"] == "drop":
+                i = low.get(op["col"].lower())
+                if i is not None:
+                    names.pop(i)
+            else:
+                oi = low.get(op["old"].lower())
+                ni = low.get(op["new"].lower())
+                if oi is not None and ni is not None:
+                    # both generations on disk: the old physical column
+                    # coalesces into the new logical one at read
+                    names.pop(oi)
+                elif oi is not None:
+                    names[oi] = op["new"]
+        cur_fields = {
+            f.name.lower(): f
+            for f in StructType.fromJson(meta["schema"]).fields
+        }
+        phys_fields = {f.name.lower(): f for f in phys.fields}
+        fields = []
+        for n in names:
+            f = cur_fields.get(n.lower()) or phys_fields.get(n.lower())
+            if f is not None:
+                fields.append(StructField(n, f.dataType, True))
+        if fields:
+            out["schema"] = StructType(fields).jsonValue()
+        return out
 
     def undrop_table(self, name: str) -> None:
         """UNDROP TABLE (r11, Snowflake parity): restore the most
@@ -1532,6 +1732,10 @@ class TableStore:
         if not os.path.isfile(os.path.join(t, "_VERSION")):
             raise ValueError(f"no dropped table to undrop: {name}")
         os.rename(t, self._dir(name))
+        try:
+            os.remove(os.path.join(self._dir(name), "_DROPPED_AT"))
+        except OSError:
+            pass
 
     def _trash_path(self, name: str) -> str:
         return os.path.join(
@@ -1695,6 +1899,15 @@ class TableStore:
         os.makedirs(os.path.dirname(t), exist_ok=True)
         shutil.rmtree(t, ignore_errors=True)
         os.rename(d, t)
+        # drop timestamp: vacuum's trash retention window (r12, ADVICE
+        # r11 #4 — Snowflake expires dropped tables after the
+        # time-travel retention period; without a purge path every
+        # dropped table's bytes persisted forever)
+        try:
+            with open(os.path.join(t, "_DROPPED_AT"), "w") as f:
+                f.write(str(time.time()))
+        except OSError:
+            pass
 
     # -- masking policies (r8, Snowflake governance parity) ----------------
     # Policy OBJECTS are store-level (they outlive any one table, like
@@ -2155,6 +2368,7 @@ class TableStore:
                 f"{len(pol['params'])} column(s), got {len(columns)}"
             )
         meta["row_access"] = {"policy": key, "columns": list(columns)}
+        self._stamp_meta_at(name, meta, "row_access")
         tmp = self._meta_file(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -2163,6 +2377,7 @@ class TableStore:
     def drop_row_access_policy(self, name: str) -> None:
         meta = self.meta(name)
         meta.pop("row_access", None)
+        self._unstamp_meta_at(meta, "row_access")
         tmp = self._meta_file(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -2188,6 +2403,7 @@ class TableStore:
         mask = dict(meta.get("masking", {}))
         mask[column] = key
         meta["masking"] = mask
+        self._stamp_meta_at(name, meta, f"masking:{column.lower()}")
         tmp = self._meta_file(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -2198,6 +2414,7 @@ class TableStore:
         mask = dict(meta.get("masking", {}))
         mask.pop(column, None)
         meta["masking"] = mask
+        self._unstamp_meta_at(meta, f"masking:{column.lower()}")
         tmp = self._meta_file(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
