@@ -51,6 +51,16 @@ Supported subset (everything else raises):
   up to and including the current row) unless prefixed ``final``;
   under ONE ROW PER MATCH running and final coincide (the point of
   evaluation is the last row).
+  SYMBOL-QUALIFIED references (r12, VERDICT r11 #4):
+  ``first(A.price)`` / ``last(A.price)`` / ``sum(A.x)`` / ``avg`` /
+  ``min`` / ``max`` / ``count(A.x)`` evaluate over only the match's
+  rows CLASSIFIED as ``A`` (Snowflake's per-symbol row mask); a
+  match with no ``A`` row yields NULL (``count``: 0). RUNNING
+  variants see the qualifying rows up to the current row, so rows
+  before the first ``A`` carry NULL. DEFINE conditions referencing
+  other symbols' rows (``B AS price > first(A.price)``) stay
+  unsupported and raise — the vectorized pre-pass evaluates defines
+  match-independently by design.
 
 Output: ONE ROW PER MATCH -> partition keys + one column per measure,
 one row per match. ALL ROWS PER MATCH -> every input column + one
@@ -71,7 +81,7 @@ from pyspark.sql import types as T
 _MEASURE_RE = re.compile(
     r"^\s*(?:(running|final)\s+)?"
     r"(first|last|count|match_number|classifier|sum|avg|min|max)\s*"
-    r"\(\s*([A-Za-z_]\w*)?\s*\)\s*$",
+    r"\(\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)?\s*\)\s*$",
     re.IGNORECASE,
 )
 _TOKEN_RE = re.compile(
@@ -324,10 +334,12 @@ def match_recognize(
     ast, rx_text = _parse_pattern(pattern, bits)
     rx = re.compile(rx_text)
 
-    # (out_name, kind, arg, final) — `final` is the EFFECTIVE
-    # semantics: explicit prefix wins; otherwise Snowflake defaults
-    # (RUNNING under ALL ROWS, final-equivalent under ONE ROW).
-    parsed: list[tuple[str, str, str | None, bool]] = []
+    # (out_name, kind, arg, sym, final) — `sym` is the qualifying
+    # symbol of `first(A.price)`-style measures (r12), None for plain
+    # column references; `final` is the EFFECTIVE semantics: explicit
+    # prefix wins; otherwise Snowflake defaults (RUNNING under ALL
+    # ROWS, final-equivalent under ONE ROW).
+    parsed: list[tuple[str, str, str | None, str | None, bool]] = []
     for out_name, expr in measures.items():
         m = _MEASURE_RE.match(expr)
         if not m:
@@ -337,29 +349,47 @@ def match_recognize(
             )
         mode = (m.group(1) or "").lower()
         kind, arg = m.group(2).lower(), m.group(3)
+        sym: str | None = None
+        if arg is not None and "." in arg:
+            if kind in ("match_number", "classifier"):
+                raise ValueError(f"{kind}() takes no argument: {expr!r}")
+            sym, arg = arg.split(".", 1)
+            # SQL identifiers are case-insensitive: resolve the symbol
+            # against the defines' own casing
+            sym = next(
+                (k for k in defines if k.lower() == sym.lower()), sym
+            )
+            if sym not in defines:
+                raise ValueError(f"MEASURE {expr!r}: unknown symbol {sym}")
         if kind in ("first", "last", "sum", "avg", "min", "max") and (
             arg is None or arg not in df.columns
         ):
             raise ValueError(f"MEASURE {expr!r}: unknown column {arg}")
-        if kind == "count" and arg is not None and arg not in defines:
-            raise ValueError(f"MEASURE {expr!r}: unknown symbol {arg}")
+        if kind == "count" and arg is not None and sym is None:
+            # count(SYM) — the bare name is a symbol, not a column
+            if arg not in defines:
+                raise ValueError(f"MEASURE {expr!r}: unknown symbol {arg}")
+        if kind == "count" and sym is not None and arg not in df.columns:
+            raise ValueError(f"MEASURE {expr!r}: unknown column {arg}")
         final = (
             mode == "final"
             or (mode == "" and rows_per_match == "one")
         )
-        parsed.append((out_name, kind, arg, final))
+        parsed.append((out_name, kind, arg, sym, final))
 
     need_classify = (
         rows_per_match == "all"
         or isinstance(skip, tuple)
         or any(
-            k == "classifier" or (k == "count" and a is not None)
-            for _n, k, a, _f in parsed
+            k == "classifier"
+            or (k == "count" and a is not None)
+            or s is not None
+            for _n, k, a, s, _f in parsed
         )
     )
     measure_fields = [
         T.StructField(n, _measure_type(k, a, df.schema), True)
-        for n, k, a, _f in parsed
+        for n, k, a, s, _f in parsed
     ]
     if rows_per_match == "one":
         out_fields = [df.schema[c] for c in partition_by] + measure_fields
@@ -456,37 +486,52 @@ def match_recognize(
                     else:
                         cls = _classify(ast, span_masks.tolist())
 
-                def final_val(kind, arg):
-                    if kind == "first":
-                        return span[arg].iloc[0]
-                    if kind == "last":
-                        return span[arg].iloc[-1]
+                def sym_keep(sym):
+                    # per-symbol row mask over the match (r12): True at
+                    # rows the replay classified as `sym`
+                    return np.fromiter(
+                        (c == sym for c in cls),
+                        dtype=bool,
+                        count=len(cls),
+                    )
+
+                def final_val(kind, arg, sym):
                     if kind == "match_number":
                         return match_no
                     if kind == "classifier":
                         return cls[-1]
-                    if kind == "sum":
-                        v = span[arg].sum()
-                        return None if span[arg].isna().all() else v
-                    if kind == "avg":
-                        v = span[arg].mean()
-                        return None if pd.isna(v) else float(v)
-                    if kind == "min":
-                        v = span[arg].min()
-                        return None if pd.isna(v) else v
-                    if kind == "max":
-                        v = span[arg].max()
-                        return None if pd.isna(v) else v
-                    if arg is None:  # count()
+                    if kind == "count" and arg is None:
                         return len(span)
-                    return cls.count(arg)  # count(SYM)
+                    if kind == "count" and sym is None:
+                        return cls.count(arg)  # count(SYM)
+                    vals = span[arg]
+                    if sym is not None:
+                        vals = vals.iloc[sym_keep(sym)]
+                    if kind == "count":  # count(SYM.col): non-null only
+                        return int(vals.notna().sum())
+                    if kind == "first":
+                        return vals.iloc[0] if len(vals) else None
+                    if kind == "last":
+                        return vals.iloc[-1] if len(vals) else None
+                    if kind == "sum":
+                        return None if vals.isna().all() else vals.sum()
+                    if kind == "avg":
+                        if not len(vals):
+                            return None
+                        v = vals.mean()
+                        return None if pd.isna(v) else float(v)
+                    # min / max
+                    if not len(vals):
+                        return None
+                    v = getattr(vals, kind)()
+                    return None if pd.isna(v) else v
 
                 if rows_per_match == "one":
                     row = {
                         c: pdf[c].iloc[g0 + s] for c in partition_by
                     }
-                    for n_, kind, arg, _f in parsed:
-                        row[n_] = final_val(kind, arg)
+                    for n_, kind, arg, sym, _f in parsed:
+                        row[n_] = final_val(kind, arg, sym)
                     one_rows.append(row)
                 else:
                     # Vectorized per-match output (r11, VERDICT r10
@@ -494,23 +539,54 @@ def match_recognize(
                     # column — scalar for FINAL, aligned array for
                     # RUNNING.
                     part = span.copy()
-                    for n_, kind, arg, final in parsed:
-                        if final or kind in ("first", "match_number"):
+                    for n_, kind, arg, sym, final in parsed:
+                        if final or (
+                            sym is None
+                            and kind in ("first", "match_number")
+                        ):
                             # RUNNING first()/match_number() are
-                            # constant over the match anyway
-                            part[n_] = final_val(kind, arg)
-                        elif kind == "last":
-                            # running last(col) at row j IS row j
-                            part[n_] = span[arg].to_numpy()
+                            # constant over the match anyway (but a
+                            # QUALIFIED running first is NULL before
+                            # the first SYM row — handled below)
+                            part[n_] = final_val(kind, arg, sym)
                         elif kind == "classifier":
                             part[n_] = cls
+                        elif kind == "first":  # running first(SYM.col)
+                            keep = sym_keep(sym)
+                            out = pd.Series(
+                                [None] * len(span),
+                                index=span.index,
+                                dtype=object,
+                            )
+                            if keep.any():
+                                p0 = int(np.argmax(keep))
+                                out.iloc[p0:] = span[arg].iloc[p0]
+                            part[n_] = out
+                        elif kind == "last":
+                            if sym is None:
+                                # running last(col) at row j IS row j
+                                part[n_] = span[arg].to_numpy()
+                            else:
+                                # most recent SYM row at or before j
+                                keep = pd.Series(
+                                    sym_keep(sym), index=span.index
+                                )
+                                part[n_] = span[arg].where(keep).ffill()
                         elif kind in ("sum", "min", "max", "avg"):
                             # cumulative aggregates, NULL-skipping like
                             # SQL: pandas cum* leave NaN AT null rows
                             # (the running value is unchanged there) —
                             # ffill restores it; a prefix with no value
                             # yet stays NaN, matching SQL's NULL.
+                            # Symbol-qualified (r12): non-SYM rows mask
+                            # to NaN first, so the same NULL-skipping
+                            # cum path aggregates only SYM rows.
                             vals = span[arg]
+                            if sym is not None:
+                                keep = pd.Series(
+                                    sym_keep(sym), index=span.index
+                                )
+                                vals = vals.where(keep)
                             if kind == "avg":
                                 sums = vals.cumsum().ffill()
                                 cnts = vals.notna().cumsum()
@@ -524,6 +600,12 @@ def match_recognize(
                                 part[n_] = agg.ffill().to_numpy()
                         elif arg is None:  # running count()
                             part[n_] = np.arange(1, len(span) + 1)
+                        elif sym is not None:  # running count(SYM.col)
+                            keep = sym_keep(sym)
+                            notna = span[arg].notna().to_numpy()
+                            part[n_] = np.cumsum(
+                                (keep & notna).astype(np.int64)
+                            )
                         else:  # running count(SYM)
                             hits = np.fromiter(
                                 (c == arg for c in cls),

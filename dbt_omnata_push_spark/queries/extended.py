@@ -3202,6 +3202,104 @@ def events_vshape_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_vshape_symbols",
+    oracle="""
+    WITH dirs AS (
+        SELECT user_id, event_id, value,
+               CASE WHEN value < LAG(value) OVER w THEN 'D'
+                    WHEN value > LAG(value) OVER w THEN 'U'
+                    ELSE NULL END AS dir,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WHERE user_id % 20 = 1
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    isl AS (
+        SELECT user_id, dir, rn, event_id, value,
+               rn - ROW_NUMBER() OVER (PARTITION BY user_id, dir
+                                       ORDER BY rn) AS grp
+        FROM dirs WHERE dir IS NOT NULL
+    ),
+    runs AS (
+        SELECT user_id, dir,
+               MIN(rn) AS srn, MAX(rn) AS ern,
+               MIN(event_id) AS sid,
+               MIN(value) AS vmin, MAX(value) AS vmax,
+               ARG_MIN(value, rn) AS vfirst,
+               ARG_MAX(value, rn) AS vlast,
+               COUNT(value) AS nv
+        FROM isl GROUP BY user_id, dir, grp
+    )
+    SELECT d.user_id,
+           CAST(d.sid AS BIGINT) AS start_id,
+           d.vfirst AS first_down,
+           d.vmin AS min_down,
+           u.vmax AS max_up,
+           u.vlast AS last_up,
+           CAST(u.nv AS BIGINT) AS n_up_vals
+    FROM runs d
+    JOIN runs u
+      ON u.user_id = d.user_id
+     AND d.dir = 'D' AND u.dir = 'U'
+     AND u.srn = d.ern + 1
+    """,
+    tags=("engine", "matchrec", "sqlfront"),
+)
+def events_vshape_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYMBOL-QUALIFIED measures through the MATCH_RECOGNIZE SQL
+    surface (r12, VERDICT r11 #4): ``FIRST(D.value)`` / ``MIN(D.value)``
+    / ``MAX(U.value)`` / ``LAST(U.value)`` / ``COUNT(U.value)``
+    evaluate over only the rows the match classified as that symbol —
+    Snowflake's per-symbol row mask (``ops/matchrec.py``). The V-shape
+    pattern maps each match to exactly one D-island + one U-island, so
+    the gaps-and-islands oracle reproduces every per-symbol aggregate
+    with ARG_MIN/ARG_MAX/MIN/MAX over the matching island — all
+    order-independent and cross-engine exact on parquet-identical
+    doubles (no float summation). 1-in-20 user cohort, offset from
+    ``events_vshape_sql``'s."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-mrq-")))
+    engine.seed(
+        "ev_mrq",
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 1)
+        .select("user_id", "event_id", "value"),
+    )
+    out = engine.query(
+        """
+        select user_id, start_id, first_down, min_down,
+               max_up, last_up, n_up_vals
+        from ev_mrq match_recognize (
+            partition by user_id
+            order by event_id
+            measures first(event_id) as start_id,
+                     first(D.value) as first_down,
+                     min(D.value) as min_down,
+                     max(U.value) as max_up,
+                     last(U.value) as last_up,
+                     count(U.value) as n_up_vals
+            pattern (D+ U+)
+            define D as value < prev(value),
+                   U as value > prev(value)
+        )
+        """
+    )
+    return out.select(
+        "user_id",
+        F.col("start_id").cast("long").alias("start_id"),
+        "first_down",
+        "min_down",
+        "max_up",
+        "last_up",
+        F.col("n_up_vals").cast("long").alias("n_up_vals"),
+    )
+
+
+@query(
     "customers_connect_by_roots",
     oracle="""
     WITH RECURSIVE base AS (
