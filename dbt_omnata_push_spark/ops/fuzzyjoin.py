@@ -99,20 +99,34 @@ def fuzzy_self_pairs(
 
     Returns (id_a, id_b, dist). Exactly equivalent to the all-pairs
     filter (the blocking only prunes); candidates come from the
-    deletion-variant equi-join. Raises when the longest string exceeds
+    deletion-variant equi-join. Fails when a string exceeds
     ``max_str_len`` (quadratic variant fan-out fence) unless
-    ``allow_long_strings=True``.
+    ``allow_long_strings=True`` — enforced MAP-SIDE inside the explode
+    scan (r12, VERDICT r11 #6): the previous eager ``max(length)``
+    guard cost one full extra pass over the table before any real work,
+    which at 100 TB is a whole scan spent on a length check. The fence
+    now rides the first scan for free; the trade is that the error
+    surfaces at action time (wrapped by Spark) instead of at plan time.
     """
     base = df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
     if not allow_long_strings:
-        longest = base.agg(F.max(F.length("_s"))).collect()[0][0] or 0
-        if longest > max_str_len:
-            raise ValueError(
-                f"fuzzy_self_pairs: longest string is {longest} chars > "
-                f"{max_str_len}; C(len,{max_dist}) deletion variants per "
-                "row would dominate — use n-gram/embedding near-dup for "
-                "long text, or pass allow_long_strings=True deliberately"
-            )
+        fence = F.when(
+            F.length("_s") <= F.lit(max_str_len), F.col("_s")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("fuzzy_self_pairs: string of "),
+                    F.length("_s").cast("string"),
+                    F.lit(
+                        f" chars > {max_str_len}; C(len,{max_dist}) "
+                        "deletion variants per row would dominate — use "
+                        "n-gram/embedding near-dup for long text, or pass "
+                        "allow_long_strings=True deliberately"
+                    ),
+                )
+            ).cast("string")
+        )
+        base = base.select("_id", fence.alias("_s"))
     # The variant self-join and the candidate de-dup carry ONLY
     # (id, variant) — strings rejoin after distinct, so the widest
     # shuffles move ids, not payload (matters when keys are long).

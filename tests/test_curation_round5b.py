@@ -303,8 +303,10 @@ class TestFuzzyJoinRound6:
 
         rows = [(0, "x" * 200), (1, "x" * 199)]
         df = spark.createDataFrame(rows, "id long, s string")
-        with pytest.raises(ValueError, match="deletion variants"):
-            fuzzy_self_pairs(df, "id", "s")
+        # r12: the fence is map-side (no extra scan), so it raises at
+        # ACTION time, wrapped by Spark's user-raised-error machinery
+        with pytest.raises(Exception, match="deletion variants"):
+            fuzzy_self_pairs(df, "id", "s").collect()
         got = {
             (r["id_a"], r["id_b"], r["dist"])
             for r in fuzzy_self_pairs(
