@@ -168,12 +168,19 @@ class Engine:
         successfully, the offset advances (run() calls
         _advance_streams_for), so each delta is processed exactly
         once across runs."""
-        if name in self._view_cache:
-            return self._view_cache[name]
         if self.store.exists(name):
+            # Store tables resolve FRESH, never from _view_cache (r12):
+            # the cache pins the DataFrame a previous run's build_df
+            # published, so a re-seed or DML between runs would be
+            # invisible to later model builds (an incremental model
+            # silently missing its new source batch). A version-pointer
+            # read is plan-time cheap; the cache stays authoritative
+            # only for ephemeral outputs that live nowhere else.
             return self._policy_masked(name, self.store.read(self.spark, name))
         if name in self.seeds:
             return self.seeds[name]
+        if name in self._view_cache:
+            return self._view_cache[name]
         if name.lower() in self.store.streams():
             df, read_v = self.stream_frame(name)
             self._stream_ref_reads[name.lower()] = read_v
@@ -782,6 +789,7 @@ class Engine:
             if when:
                 from .sqlfront import transpile as _transpile
 
+                when = self._resolve_stream_has_data(when)
                 self._register_views()
                 ok = self.spark.sql(
                     f"SELECT CAST(({_transpile(when)}) AS BOOLEAN) AS ok"
@@ -795,6 +803,30 @@ class Engine:
         return self.spark.createDataFrame(
             rows, "run_order int, task_name string, status string"
         )
+
+    def _resolve_stream_has_data(self, when: str) -> str:
+        """SYSTEM$STREAM_HAS_DATA('s') in a task WHEN clause (r12):
+        the canonical Snowflake gate for stream-driven tasks. Resolved
+        driver-side as an O(1) version-pointer compare — the stream's
+        offset against its table's current version — exactly the
+        approximation Snowflake documents (may return TRUE for a
+        net-empty delta; never FALSE when data exists). No data is
+        read, so the gate cannot consume or advance the stream."""
+        pat = re.compile(
+            r"(?is)system\$stream_has_data\s*\(\s*'([^']+)'\s*\)"
+        )
+
+        def sub(m):
+            st = self.store.streams().get(m.group(1).lower())
+            if st is None:
+                raise ValueError(
+                    "SYSTEM$STREAM_HAS_DATA: stream not found: "
+                    f"{m.group(1)}"
+                )
+            cur = self.store.current_version(st["table"]) or 0
+            return "TRUE" if st["offset"] < cur else "FALSE"
+
+        return pat.sub(sub, when)
 
     def run_due(self, now=None) -> DataFrame:
         """Scheduler tick (r11, VERDICT r10 #3): fire every STARTED

@@ -44,6 +44,21 @@ def materialize_incremental(engine, model) -> RunResult:
             engine.spark, model.name, df,
             partition_by=model.config.get("partition_by"),
         )
+    elif df.isEmpty():
+        # Empty incremental delta: commit NOTHING (r12). A 0-row
+        # append/merge would still cut a new table version, so every
+        # downstream stream would report has-data and every CDC
+        # consumer would walk a vacuous commit — in Snowflake a 0-row
+        # DML leaves streams silent. isEmpty, not count: one task on
+        # one partition suffices to prove emptiness.
+        out = engine.store.read(engine.spark, model.name)
+        engine._publish(model.name, out)
+        return RunResult(
+            model.name,
+            "success",
+            rows_affected=out.count(),
+            message="empty incremental batch — no commit",
+        )
     elif strategy == "insert_overwrite":
         engine.store.insert_overwrite(engine.spark, model.name, df)
     else:
