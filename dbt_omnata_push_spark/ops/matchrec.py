@@ -31,7 +31,17 @@ Supported subset (everything else raises):
   the defines actually reference).
   At most 12 symbols (the bitmask alphabet is 2^k codepoints).
 - ``PATTERN`` — concatenation, ``+`` ``*`` ``?`` ``|`` ``{n}``
-  ``{n,}`` ``{n,m}`` and parentheses (e.g. ``"D+ U{2,}"``).
+  ``{n,}`` ``{n,m}`` and parentheses (e.g. ``"D+ U{2,}"``), plus the
+  r12 long-tail (VERDICT r11 missing #3):
+  ``^`` / ``$`` partition anchors (a match must start at the
+  partition's first row / end at its last);
+  ``PERMUTE(p1, ..., pk)`` — all orderings of the sub-patterns,
+  preferred in the lexicographic order of the listed arguments
+  (expanded to an alternation, k <= 5);
+  ``{- p -}`` exclusion — rows matched inside it are OMITTED from
+  ALL ROWS PER MATCH output while the match extent, measures, and
+  AFTER MATCH SKIP still see them (SQL:2016 / Snowflake semantics:
+  exclusion affects output rows only).
 - ``ONE ROW PER MATCH`` (default) or ``ALL ROWS PER MATCH``
   (``rows_per_match="all"``).
 - ``AFTER MATCH SKIP`` (r11, VERDICT r10 #4): ``skip="past_last"``
@@ -85,7 +95,8 @@ _MEASURE_RE = re.compile(
     re.IGNORECASE,
 )
 _TOKEN_RE = re.compile(
-    r"\s*(?:([A-Za-z_]\w*)|([+*?|()])|\{\s*(\d+)\s*(?:(,)\s*(\d*)\s*)?\})"
+    r"\s*(?:([A-Za-z_]\w*)|(\{-|-\}|[+*?|(),^$])"
+    r"|\{\s*(\d+)\s*(?:(,)\s*(\d*)\s*)?\})"
 )
 
 # Contiguous, surrogate-free, regex-metachar-free alphabet base (CJK
@@ -150,7 +161,7 @@ def _parse_pattern(pattern: str, bits: dict[str, int]):
             break
         if m.group(1):
             name = m.group(1)
-            if name not in bits:
+            if name not in bits and name.upper() != "PERMUTE":
                 raise ValueError(
                     f"PATTERN references undefined symbol: {name}"
                 )
@@ -183,7 +194,9 @@ def _parse_pattern(pattern: str, bits: dict[str, int]):
     def parse_seq():
         nonlocal i
         parts = []
-        while i < len(tokens) and tokens[i][0] not in ("|", ")"):
+        while i < len(tokens) and tokens[i][0] not in (
+            "|", ")", ",", "-}",
+        ):
             parts.append(parse_rep())
         if not parts:
             raise ValueError(f"empty PATTERN branch in {pattern!r}")
@@ -193,10 +206,57 @@ def _parse_pattern(pattern: str, bits: dict[str, int]):
             f"(?:{p[1]})" if p[0][0] == "alt" else p[1] for p in parts
         )
 
+    def parse_permute():
+        # PERMUTE(p1, ..., pk) -> alternation of every ordering, in
+        # the lexicographic preference order of the listed arguments
+        # (SQL:2016 / Snowflake); k bounded — k! branches are real.
+        nonlocal i
+        args = [parse_alt()]
+        while i < len(tokens) and tokens[i][0] == ",":
+            i += 1
+            args.append(parse_alt())
+        if i >= len(tokens) or tokens[i][0] != ")":
+            raise ValueError(f"unbalanced PERMUTE(...) in {pattern!r}")
+        i += 1
+        if len(args) > 5:
+            raise ValueError(
+                "PERMUTE supports at most 5 arguments "
+                f"({len(args)} would expand to {len(args)}! branches)"
+            )
+        import itertools as _it
+
+        branches = [
+            (
+                ("seq", [a[0] for a in perm]),
+                "".join(
+                    f"(?:{a[1]})" if a[0][0] == "alt" else a[1]
+                    for a in perm
+                ),
+            )
+            for perm in _it.permutations(args)
+        ]
+        return (
+            ("alt", [b[0] for b in branches]),
+            "|".join(b[1] for b in branches),
+        )
+
     def parse_rep():
         nonlocal i
         t, val = tokens[i]
-        if t == "sym":
+        quantifiable = True
+        if t == "sym" and val.upper() == "PERMUTE" and (
+            val not in bits
+            and i + 1 < len(tokens)
+            and tokens[i + 1][0] == "("
+        ):
+            i += 2
+            node = parse_permute()
+            node = (node[0], f"(?:{node[1]})")
+        elif t == "sym":
+            if val not in bits:  # bare PERMUTE not followed by (
+                raise ValueError(
+                    f"PATTERN references undefined symbol: {val}"
+                )
             i += 1
             node = (("sym", bits[val], val), class_cache[bits[val]])
         elif t == "(":
@@ -206,9 +266,26 @@ def _parse_pattern(pattern: str, bits: dict[str, int]):
                 raise ValueError(f"unbalanced parentheses in {pattern!r}")
             i += 1
             node = (node[0], f"(?:{node[1]})")
+        elif t == "{-":
+            # exclusion: semantic only (rows drop from ALL ROWS
+            # output); the regex sees a plain group
+            i += 1
+            inner = parse_alt()
+            if i >= len(tokens) or tokens[i][0] != "-}":
+                raise ValueError(f"unbalanced {{- ... -}} in {pattern!r}")
+            i += 1
+            node = (("excl", inner[0]), f"(?:{inner[1]})")
+        elif t in ("^", "$"):
+            i += 1
+            node = (("anchor", t), t if t == "^" else "$")
+            quantifiable = False
         else:
             raise ValueError(f"unsupported PATTERN syntax: {pattern!r}")
         if i < len(tokens) and tokens[i][0] in ("+", "*", "?", "{}"):
+            if not quantifiable:
+                raise ValueError(
+                    f"anchor cannot be quantified in {pattern!r}"
+                )
             t2, v2 = tokens[i]
             i += 1
             lo, hi = {"+": (1, None), "*": (0, None), "?": (0, 1)}.get(
@@ -231,13 +308,18 @@ def _parse_pattern(pattern: str, bits: dict[str, int]):
     return ast, rx_text
 
 
-def _classify(ast, masks, limit: int = 200_000) -> list[str]:
+def _classify(
+    ast, masks, limit: int = 200_000
+) -> tuple[list[str], list[bool]]:
     """Replay the pattern over one matched span's symbol bitmasks with
     regex preference order (greedy quantifiers, leftmost alternative),
-    requiring the span to be consumed exactly; returns the symbol name
-    per row. The span was produced by the equivalent char-class regex,
-    so a full-consumption path exists and the first one found is the
-    path the regex engine committed to."""
+    requiring the span to be consumed exactly; returns (symbol name
+    per row, excluded flag per row — True inside a ``{- ... -}``
+    segment). The span was produced by the equivalent char-class
+    regex, so a full-consumption path exists and the first one found
+    is the path the regex engine committed to. Anchors consume no
+    rows (the regex already enforced their boundaries during
+    matching)."""
     n = len(masks)
     steps = 0
 
@@ -253,7 +335,12 @@ def _classify(ast, masks, limit: int = 200_000) -> list[str]:
         kind = node[0]
         if kind == "sym":
             if pos < n and (masks[pos] >> node[1]) & 1:
-                yield pos + 1, ((pos, node[2]),)
+                yield pos + 1, ((pos, node[2], False),)
+        elif kind == "anchor":
+            yield pos, ()
+        elif kind == "excl":
+            for p2, a in gen(node[1], pos):
+                yield p2, tuple((i, s, True) for i, s, _e in a)
         elif kind == "seq":
             def seq_gen(idx, p):
                 if idx == len(node[1]):
@@ -281,12 +368,25 @@ def _classify(ast, masks, limit: int = 200_000) -> list[str]:
     for end, asg in gen(ast, 0):
         if end == n:
             out = [""] * n
-            for p, s in asg:
+            excl = [False] * n
+            for p, s, e in asg:
                 out[p] = s
-            return out
+                excl[p] = e
+            return out, excl
     raise ValueError(
         "internal: no classification path consumed the matched span"
     )
+
+
+def _pattern_has_excl(node) -> bool:
+    kind = node[0]
+    if kind == "excl":
+        return True
+    if kind in ("sym", "anchor"):
+        return False
+    if kind == "rep":
+        return _pattern_has_excl(node[1])
+    return any(_pattern_has_excl(c) for c in node[1])
 
 
 def match_recognize(
@@ -333,6 +433,7 @@ def match_recognize(
     bits = {s: i for i, s in enumerate(symbols)}
     ast, rx_text = _parse_pattern(pattern, bits)
     rx = re.compile(rx_text)
+    has_excl = _pattern_has_excl(ast)
 
     # (out_name, kind, arg, sym, final) — `sym` is the qualifying
     # symbol of `first(A.price)`-style measures (r12), None for plain
@@ -471,20 +572,23 @@ def match_recognize(
                     continue
                 match_no += 1
                 span = pdf.iloc[g0 + s : g0 + e]
-                cls = None
+                cls, excl = None, None
                 if need_classify:
                     span_masks = mask[g0 + s : g0 + e]
-                    if bool(
+                    if not has_excl and bool(
                         np.all((span_masks & (span_masks - 1)) == 0)
                     ):
                         # exclusive rows (exactly one bit each): the
                         # only possible assignment — skip the replay
+                        # (an exclusion pattern always replays: the
+                        # excluded-row flags come from the path)
                         cls = [
                             symbols[int(v).bit_length() - 1]
                             for v in span_masks
                         ]
+                        excl = [False] * len(cls)
                     else:
-                        cls = _classify(ast, span_masks.tolist())
+                        cls, excl = _classify(ast, span_masks.tolist())
 
                 def sym_keep(sym):
                     # per-symbol row mask over the match (r12): True at
@@ -613,6 +717,11 @@ def match_recognize(
                                 count=len(cls),
                             )
                             part[n_] = np.cumsum(hits)
+                    if excl is not None and any(excl):
+                        # {- ... -} exclusion (r12): drop excluded rows
+                        # from the OUTPUT only — measures above saw the
+                        # whole match, as SQL:2016 prescribes
+                        part = part.iloc[~np.array(excl)]
                     all_parts.append(part)
 
                 if skip == "past_last":
