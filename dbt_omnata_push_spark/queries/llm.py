@@ -2123,6 +2123,35 @@ def similarity_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_topk_pq_rerank_all",
+    oracle=_TOPK_ORACLE,
+    tags=("llm", "similarity", "pq", "refine"),
+)
+def similarity_topk_pq_rerank_all(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONDITIONAL-EXACT PQ refine (r12, VERDICT r11 #5): with the
+    rerank depth >= corpus size the ADC stage retrieves EVERY vector
+    and the exact-cosine re-rank degenerates to brute force — through
+    the same code path as ``similarity_topk_pq_refined`` (codebook
+    training, encode, LUT broadcast, compressed-domain ADC scan,
+    candidate fetch join, exact re-rank), giving the PQ plumbing a
+    DuckDB-checkable hash row independent of quantization error."""
+    from ..llmops import pq as PQ
+
+    emb = PQ.l2_normalize(load_table(spark, sf_dir, "embeddings"))
+    books = PQ.pq_train(emb, m=8, k=16, max_iter=2)
+    codes = PQ.pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = PQ.pq_topk_refined(
+        codes, emb, queries, books, k=10, rerank=10_000_000
+    )
+    return out.select("q_id", "vec_id", F.col("rnk").alias("rank"))
+
+
+@query(
     "multimodal_phash_dedup",
     oracle="""
     SELECT MIN(doc_id) AS canonical_doc, CAST(COUNT(*) AS BIGINT) AS n_docs
