@@ -646,6 +646,38 @@ def events_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # asserted (identical vectors always co-assign, so every clone pair
 # lands in one cluster).
 # ---------------------------------------------------------------------------
+@query(
+    "dedup_semantic_ivf_exact",
+    oracle=_EMB_AUG_CTE
+    + """
+SELECT a.vec_id, CAST(0 AS INTEGER) AS cluster,
+       COALESCE(BOOL_OR(
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.98
+       ), FALSE) AS is_dup
+FROM aug a LEFT JOIN aug b ON b.vec_id < a.vec_id
+GROUP BY a.vec_id
+""",
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_semantic_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONDITIONAL-EXACT SemDeDup (r12, VERDICT r11 #5): k=1 puts the
+    whole corpus in one learned cluster, so the within-cluster
+    duplicate flags degenerate to the exact any-lower-id-neighbour
+    test — through the SAME code path as ``dedup_semantic_ivf``
+    (Lloyd's training, cluster assignment, blocked pair join, semi-join
+    flags), hash-checkable regardless of where the centroid converged.
+    The approximate k=8 entry keeps its planted-clone recall pytest."""
+    emb = _with_planted_dups(load_table(spark, sf_dir, "embeddings")).drop(
+        "label"
+    )
+    centroids = S.kmeans_fit(emb, k=1, max_iter=1)
+    assigned = S.assign_clusters(emb, centroids)
+    return S.semantic_dedup_flags(
+        assigned, threshold=0.98, cluster_col="cluster"
+    )
+
+
 @query("dedup_semantic_ivf", oracle=None, tags=("llm", "dedup", "similarity"))
 def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with learned clusters: k-means codebook (k=8, the IVF
