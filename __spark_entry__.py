@@ -59,6 +59,18 @@ _RECHECK_PRIORITY = [
     # r12: new entry — metadata-only DROP/RENAME COLUMN + time travel
     # + SHOW COLUMNS (engine/store.py drop_column/rename_column).
     "orders_schema_evolution",
+    # r12: the MATCH_RECOGNIZE matcher materially changed (symbol-
+    # qualified measures, anchors/PERMUTE/exclusion, 5-tuple measure
+    # plumbing) — every MR-backed entry must re-earn its hash row.
+    "events_value_vshape",
+    "events_error_bursts",
+    "events_error_context",
+    "events_error_pairs_overlap",
+    "events_error_burst_stats",
+    "events_vshape_sql",
+    # r12: fuzzy-join long-string fence moved map-side; the entity-
+    # resolution composition sits on it.
+    "customers_entity_resolution",
 ]
 
 
