@@ -182,6 +182,16 @@ HEADLINE = [
     "events_error_burst_stats",
     "orders_clone_lifecycle",
     "orders_dialect_aggs",
+    # round 12: symbol-qualified MATCH_RECOGNIZE measures through the
+    # SQL surface, and metadata-only DROP/RENAME COLUMN + time travel
+    # + SHOW COLUMNS (O(1) commits — benches the metadata path).
+    # The r12 conditional-exact ANN entries (lsh_exhaustive,
+    # ivf_nprobe_all, pq_rerank_all, semantic_ivf_exact) are
+    # deliberately-degenerate brute-force configs for the correctness
+    # gate and are NOT benched — the approximate configs above remain
+    # the measured scale paths.
+    "events_vshape_symbols",
+    "orders_schema_evolution",
 ]
 
 # Growth policy (VERDICT r9 #7, documented in BASELINE.md): the suite
@@ -211,6 +221,9 @@ _POST_R8_ADDITIONS = {
     "events_error_burst_stats",
     "orders_clone_lifecycle",
     "orders_dialect_aggs",
+    # r12
+    "events_vshape_symbols",
+    "orders_schema_evolution",
 }
 
 
