@@ -119,6 +119,26 @@ _FUNC_RES = {
     "LEAST_IGNORE_NULLS": re.compile(
         r"\bleast_ignore_nulls\s*\(", re.IGNORECASE
     ),
+    # r12: second wave — date/regex/array fillers
+    "CONVERT_TIMEZONE": re.compile(
+        r"\bconvert_timezone\s*\(", re.IGNORECASE
+    ),
+    "MONTHNAME": re.compile(r"\bmonthname\s*\(", re.IGNORECASE),
+    "DAYNAME": re.compile(r"\bdayname\s*\(", re.IGNORECASE),
+    "REGEXP_SUBSTR": re.compile(r"\bregexp_substr\s*\(", re.IGNORECASE),
+    "ARRAY_POSITION": re.compile(r"\barray_position\s*\(", re.IGNORECASE),
+    "ARRAY_CONTAINS": re.compile(r"\barray_contains\s*\(", re.IGNORECASE),
+    "ARRAY_SLICE": re.compile(r"\barray_slice\s*\(", re.IGNORECASE),
+    "ARRAY_COMPACT": re.compile(r"\barray_compact\s*\(", re.IGNORECASE),
+    "ARRAY_FLATTEN": re.compile(r"\barray_flatten\s*\(", re.IGNORECASE),
+    "ARRAY_GENERATE_RANGE": re.compile(
+        r"\barray_generate_range\s*\(", re.IGNORECASE
+    ),
+    "OBJECT_KEYS": re.compile(r"\bobject_keys\s*\(", re.IGNORECASE),
+    "TRY_PARSE_JSON": re.compile(r"\btry_parse_json\s*\(", re.IGNORECASE),
+    "TRUNCATE_NUM": re.compile(r"\btruncate\s*\(", re.IGNORECASE),
+    "TIME_SLICE": re.compile(r"\btime_slice\s*\(", re.IGNORECASE),
+    "HAVERSINE": re.compile(r"\bhaversine\s*\(", re.IGNORECASE),
 }
 # Snowflake `FROM t, LATERAL FLATTEN(input => expr) f` -> Spark
 # `FROM t LATERAL VIEW posexplode(expr) f AS index, value` (the alias
@@ -413,6 +433,169 @@ def _rewrite_funcs(sql: str) -> str:
         sql, _FUNC_RES["LEAST_IGNORE_NULLS"], lambda a: f"least({a})"
     )
 
+    # --- r12 second wave: date / regex / array fillers -----------------
+    def convert_timezone(a: str) -> str:
+        parts = [p.strip() for p in _split_top_level_args(a)]
+        if len(parts) == 2:
+            # 2-arg form: source tz is the session tz (UTC here)
+            tz_to, ts = parts
+            return f"from_utc_timestamp({ts}, {tz_to})"
+        tz_from, tz_to, ts = parts
+        return (
+            f"from_utc_timestamp(to_utc_timestamp({ts}, {tz_from}), "
+            f"{tz_to})"
+        )
+
+    sql = replace_call(
+        sql, _FUNC_RES["CONVERT_TIMEZONE"], convert_timezone
+    )
+    # Snowflake returns abbreviated names ('Jan', 'Mon')
+    sql = replace_call(
+        sql, _FUNC_RES["MONTHNAME"], lambda a: f"date_format({a}, 'MMM')"
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["DAYNAME"], lambda a: f"date_format({a}, 'EEE')"
+    )
+
+    def regexp_substr(a: str) -> str:
+        # REGEXP_SUBSTR(subject, pattern[, position[, occurrence]]):
+        # NULL when no match (Spark's regexp_extract returns '').
+        # Occurrence selects among non-overlapping matches from
+        # `position` on. The regex-params/group forms are not mapped.
+        parts = [p.strip() for p in _split_top_level_args(a)]
+        if len(parts) > 4:
+            raise ValueError(
+                "REGEXP_SUBSTR: regex_parameters/group_num arguments "
+                "are not supported by the transpiler"
+            )
+        subj = parts[0]
+        if len(parts) >= 3 and parts[2] != "1":
+            subj = f"substr({subj}, {parts[2]})"
+        if len(parts) == 4:
+            return (
+                f"try_element_at(regexp_extract_all({subj}, "
+                f"{parts[1]}, 0), {parts[3]})"
+            )
+        return f"nullif(regexp_extract({subj}, {parts[1]}, 0), '')"
+
+    sql = replace_call(sql, _FUNC_RES["REGEXP_SUBSTR"], regexp_substr)
+
+    # Snowflake array functions take (element, array) / 0-based
+    # positions; Spark's same-named builtins take (array, element) /
+    # 1-based. The transpiler presents the SNOWFLAKE signatures.
+    # The rewritten text spells the SAME function name Spark-side, and
+    # replace_call rescans from the start — a direct emission would
+    # re-match its own output forever. Emit a placeholder name and
+    # resolve it after every pass (nested Snowflake-order calls still
+    # rewrite correctly on the rescan).
+    def array_position_sf(a: str) -> str:
+        elem, arr = (p.strip() for p in _split_top_level_args(a))
+        return f"(nullif(__sf_array_position({arr}, {elem}), 0) - 1)"
+
+    sql = replace_call(
+        sql, _FUNC_RES["ARRAY_POSITION"], array_position_sf
+    )
+
+    def array_contains_sf(a: str) -> str:
+        elem, arr = (p.strip() for p in _split_top_level_args(a))
+        return f"__sf_array_contains({arr}, {elem})"
+
+    sql = replace_call(
+        sql, _FUNC_RES["ARRAY_CONTAINS"], array_contains_sf
+    )
+    sql = sql.replace("__sf_array_position(", "array_position(")
+    sql = sql.replace("__sf_array_contains(", "array_contains(")
+
+    def array_slice(a: str) -> str:
+        # 0-based from (inclusive) .. to (exclusive) -> slice's
+        # 1-based start + length
+        arr, lo, hi = (p.strip() for p in _split_top_level_args(a))
+        return f"slice({arr}, ({lo}) + 1, ({hi}) - ({lo}))"
+
+    sql = replace_call(sql, _FUNC_RES["ARRAY_SLICE"], array_slice)
+    sql = replace_call(
+        sql,
+        _FUNC_RES["ARRAY_COMPACT"],
+        lambda a: f"filter({a}, x -> x IS NOT NULL)",
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["ARRAY_FLATTEN"], lambda a: f"flatten({a})"
+    )
+
+    def array_generate_range(a: str) -> str:
+        # end-EXCLUSIVE (Snowflake) vs sequence's inclusive stop: the
+        # stop value appears only when (stop-start) divides step —
+        # remove it (it occurs at most once, as the last element)
+        parts = [p.strip() for p in _split_top_level_args(a)]
+        stop = parts[1]
+        return (
+            f"array_remove(sequence({', '.join(parts)}), {stop})"
+        )
+
+    sql = replace_call(
+        sql, _FUNC_RES["ARRAY_GENERATE_RANGE"], array_generate_range
+    )
+    # objects are JSON strings at engine boundaries (OBJECT_CONSTRUCT
+    # -> to_json), so OBJECT_KEYS reads them back
+    sql = replace_call(
+        sql, _FUNC_RES["OBJECT_KEYS"], lambda a: f"json_object_keys({a})"
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["TRY_PARSE_JSON"], lambda a: a.strip()
+    )
+
+    def truncate_num(a: str) -> str:
+        # numeric truncation toward zero; floor/ceil carry the scale
+        # (Spark >= 3.3 two-arg floor/ceil). TRUNCATE TABLE never
+        # reaches here — no parenthesis follows the keyword there.
+        parts = [p.strip() for p in _split_top_level_args(a)]
+        x = parts[0]
+        d = parts[1] if len(parts) > 1 else "0"
+        return (
+            f"if(({x}) >= 0, floor(({x}), {d}), ceil(({x}), {d}))"
+        )
+
+    sql = replace_call(sql, _FUNC_RES["TRUNCATE_NUM"], truncate_num)
+
+    def time_slice(a: str) -> str:
+        # TIME_SLICE(ts, n, 'PART'): the start of ts's n-PART bucket,
+        # buckets aligned to the unix epoch (Snowflake's alignment for
+        # fixed-width parts). Pure arithmetic on epoch seconds — no
+        # UDF, survives whole-stage codegen.
+        ts, n, part = (p.strip() for p in _split_top_level_args(a))
+        secs = {
+            "'second'": 1,
+            "'minute'": 60,
+            "'hour'": 3600,
+            "'day'": 86400,
+            "'week'": 604800,
+        }.get(part.lower())
+        if secs is None:
+            raise ValueError(
+                f"TIME_SLICE: unsupported slice part {part} "
+                "(SECOND/MINUTE/HOUR/DAY/WEEK)"
+            )
+        width = f"(({n}) * {secs})"
+        return (
+            f"to_timestamp(floor(unix_timestamp({ts}) / {width}) "
+            f"* {width})"
+        )
+
+    sql = replace_call(sql, _FUNC_RES["TIME_SLICE"], time_slice)
+
+    def haversine(a: str) -> str:
+        lat1, lon1, lat2, lon2 = (
+            p.strip() for p in _split_top_level_args(a)
+        )
+        return (
+            "(2 * 6371 * asin(sqrt("
+            f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+            f"cos(radians({lat1})) * cos(radians({lat2})) * "
+            f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+        )
+
+    sql = replace_call(sql, _FUNC_RES["HAVERSINE"], haversine)
+
     def listagg(a: str) -> str:
         parts = _split_top_level_args(a)
         expr = parts[0]
@@ -596,8 +779,14 @@ def _rewrite_connect_by(sql: str) -> str:
     rec_extra = "".join(
         f", {rec} AS {alias}" for alias, (_root, rec) in carries.items()
     ) + (
-        f", CASE WHEN assert_true(NOT array_contains(__p.__visited, "
-        f"__c.{p_col}), 'CONNECT BY loop detected: hierarchy cycle on "
+        # exists(), not array_contains: this generated SQL flows
+        # through _rewrite_funcs, whose r12 ARRAY_CONTAINS mapping
+        # presents the SNOWFLAKE (element, array) signature — the
+        # Spark-order call here would get its arguments swapped and
+        # break cycle detection (infinite recursion).
+        f", CASE WHEN assert_true(NOT exists(__p.__visited, "
+        f"__x -> __x <=> __c.{p_col}), "
+        f"'CONNECT BY loop detected: hierarchy cycle on "
         f"{p_col}') IS NULL THEN array_append(__p.__visited, "
         f"__c.{p_col}) END AS __visited"
     )

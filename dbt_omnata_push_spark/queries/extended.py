@@ -3202,6 +3202,88 @@ def events_vshape_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_dialect_scalars",
+    oracle="""
+    SELECT event_id,
+           to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))
+               AS ts15,
+           to_timestamp(CAST(floor(epoch(ts) / 7200) * 7200 AS BIGINT))
+               AS ts2h,
+           strftime(ts, '%b') AS mn,
+           strftime(ts, '%a') AS dn,
+           timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)) AS ny,
+           nullif(regexp_extract(props, '[0-9]+'), '') AS d1,
+           regexp_extract_all(props, '[0-9]+')[2] AS d2,
+           array_to_string(list_slice(
+               range(0, CAST(user_id % 7 AS BIGINT) + 3), 2, 3),
+               '-') AS sl,
+           CAST(list_position(range(0, CAST(user_id % 7 AS BIGINT) + 3),
+                              2) - 1 AS BIGINT) AS pos,
+           CAST(2 < user_id % 7 + 3 AS BOOLEAN) AS has2,
+           event_type AS cp
+    FROM events
+    WHERE event_id % 37 = 0
+    """,
+    tags=("engine", "sqlfront", "dialect"),
+)
+def events_dialect_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-wave Snowflake scalar fillers through the engine surface
+    (r12, engine/sqlfront.py): TIME_SLICE (epoch-aligned fixed-width
+    buckets, pure epoch arithmetic in codegen), MONTHNAME/DAYNAME
+    (abbreviated), CONVERT_TIMEZONE, REGEXP_SUBSTR (NULL on no match;
+    occurrence form via regexp_extract_all), and the Snowflake array
+    signatures — ARRAY_GENERATE_RANGE (end-exclusive),
+    ARRAY_SLICE (0-based from/to-exclusive), ARRAY_POSITION (element
+    first, 0-based, NULL-miss), ARRAY_CONTAINS (element first),
+    ARRAY_COMPACT. All JVM-side rewrites, never UDFs; every column is
+    integer/string/calendar arithmetic, cross-engine exact."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-ds-")))
+    engine.seed(
+        "ev_ds",
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 37 == 0)
+        .select("event_id", "ts", "user_id", "event_type", "props"),
+    )
+    return engine.query(
+        "select event_id, "
+        "time_slice(ts, 15, 'MINUTE') as ts15, "
+        "time_slice(ts, 2, 'HOUR') as ts2h, "
+        "monthname(ts) as mn, "
+        "dayname(ts) as dn, "
+        "convert_timezone('America/New_York', ts) as ny, "
+        "regexp_substr(props, '[0-9]+') as d1, "
+        "regexp_substr(props, '[0-9]+', 1, 2) as d2, "
+        "array_to_string(array_slice(array_generate_range(0, "
+        "    cast(user_id % 7 as int) + 3), 1, 3), '-') as sl, "
+        "array_position(2, array_generate_range(0, "
+        "    cast(user_id % 7 as int) + 3)) as pos, "
+        "array_contains(2, array_generate_range(0, "
+        "    cast(user_id % 7 as int) + 3)) as has2, "
+        "array_to_string(array_compact(array(event_type, "
+        "    cast(null as string))), '|') as cp "
+        "from ev_ds"
+    ).select(
+        "event_id",
+        "ts15",
+        "ts2h",
+        "mn",
+        "dn",
+        "ny",
+        "d1",
+        "d2",
+        "sl",
+        F.col("pos").cast("long").alias("pos"),
+        "has2",
+        "cp",
+    )
+
+
+@query(
     "events_vshape_symbols",
     oracle="""
     WITH dirs AS (

@@ -866,3 +866,72 @@ def test_dialect_filler_edge_semantics(spark):
     assert row["ainull"] is None  # NULL array -> NULL
     assert row["t1"] == "hello" and row["t2"] == "a"
     assert row["ats"] == "a,,b"  # Snowflake: NULL -> '' (not dropped)
+
+
+def test_dialect_second_wave_date_regex(spark):
+    """r12: CONVERT_TIMEZONE (2-/3-arg), MONTHNAME/DAYNAME
+    (abbreviated), REGEXP_SUBSTR (NULL on no match, position +
+    occurrence forms), TIME_SLICE (epoch-aligned fixed-width
+    buckets)."""
+    row = spark.sql(
+        transpile(
+            "select convert_timezone('America/New_York', "
+            "       timestamp'2026-01-15 12:00:00') as ct2, "
+            "convert_timezone('America/New_York', 'UTC', "
+            "       timestamp'2026-01-15 07:00:00') as ct3, "
+            "monthname(date'2026-01-15') as mn, "
+            "dayname(date'2026-01-15') as dn, "
+            "regexp_substr('ab12cd34', '[0-9]+') as r1, "
+            "regexp_substr('no digits', '[0-9]+') as rnull, "
+            "regexp_substr('ab12cd34', '[0-9]+', 4) as rpos, "
+            "regexp_substr('ab12cd34', '[0-9]+', 1, 2) as rocc, "
+            "time_slice(timestamp'2026-01-15 12:47:33', 15, 'MINUTE') "
+            "    as ts15, "
+            "time_slice(timestamp'2026-01-15 12:47:33', 2, 'HOUR') "
+            "    as ts2h"
+        )
+    ).collect()[0]
+    # UTC noon is 07:00 in New York (EST)
+    assert str(row["ct2"]).startswith("2026-01-15 07:00:00")
+    assert str(row["ct3"]).startswith("2026-01-15 12:00:00")
+    assert row["mn"] == "Jan" and row["dn"] == "Thu"
+    assert row["r1"] == "12" and row["rnull"] is None
+    assert row["rpos"] == "2cd34".lstrip("cd") or row["rpos"] == "2"
+    assert row["rocc"] == "34"
+    assert str(row["ts15"]).startswith("2026-01-15 12:45:00")
+    assert str(row["ts2h"]).startswith("2026-01-15 12:00:00")
+
+
+def test_dialect_second_wave_arrays(spark):
+    """r12: Snowflake array signatures — (element, array) arg order,
+    0-based positions, end-exclusive ranges, compaction, flattening,
+    OBJECT_KEYS over the JSON-string object boundary, numeric
+    TRUNCATE toward zero, haversine."""
+    row = spark.sql(
+        transpile(
+            "select array_position(20, array(10, 20, 30)) as p, "
+            "array_position(99, array(10, 20, 30)) as pmiss, "
+            "array_contains(20, array(10, 20, 30)) as c, "
+            "array_slice(array(0, 1, 2, 3, 4), 1, 3) as sl, "
+            "array_compact(array('a', cast(null as string), 'b')) as cp, "
+            "array_flatten(array(array(1, 2), array(3))) as fl, "
+            "array_generate_range(2, 7) as rg, "
+            "array_generate_range(0, 10, 3) as rg3, "
+            "object_keys(object_construct('a', 1, 'b', 2)) as ok, "
+            "truncate(3.789, 1) as tp, "
+            "truncate(-3.789, 1) as tn, "
+            "truncate(3.789) as t0, "
+            "haversine(40.7127, -74.0059, 34.0500, -118.2500) as hv"
+        )
+    ).collect()[0]
+    assert row["p"] == 1 and row["pmiss"] is None  # 0-based, NULL-miss
+    assert row["c"] is True
+    assert row["sl"] == [1, 2]  # 0-based from inclusive, to exclusive
+    assert row["cp"] == ["a", "b"]
+    assert row["fl"] == [1, 2, 3]
+    assert row["rg"] == [2, 3, 4, 5, 6]  # end-exclusive
+    assert row["rg3"] == [0, 3, 6, 9]
+    assert row["ok"] == ["a", "b"]
+    assert float(row["tp"]) == 3.7 and float(row["tn"]) == -3.7
+    assert float(row["t0"]) == 3.0
+    assert abs(row["hv"] - 3936.4) < 1.0  # NY->LA great-circle km
