@@ -139,6 +139,9 @@ _FUNC_RES = {
     "TRUNCATE_NUM": re.compile(r"\btruncate\s*\(", re.IGNORECASE),
     "TIME_SLICE": re.compile(r"\btime_slice\s*\(", re.IGNORECASE),
     "HAVERSINE": re.compile(r"\bhaversine\s*\(", re.IGNORECASE),
+    # Snowflake SKEW/KURTOSIS == Spark skewness/kurtosis (same
+    # sample-moment definitions); only SKEW needs the name bridge
+    "SKEW": re.compile(r"\bskew\s*\(", re.IGNORECASE),
 }
 # Snowflake `FROM t, LATERAL FLATTEN(input => expr) f` -> Spark
 # `FROM t LATERAL VIEW posexplode(expr) f AS index, value` (the alias
@@ -595,6 +598,9 @@ def _rewrite_funcs(sql: str) -> str:
         )
 
     sql = replace_call(sql, _FUNC_RES["HAVERSINE"], haversine)
+    sql = replace_call(
+        sql, _FUNC_RES["SKEW"], lambda a: f"skewness({a})"
+    )
 
     def listagg(a: str) -> str:
         parts = _split_top_level_args(a)

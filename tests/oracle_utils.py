@@ -40,6 +40,15 @@ def _norm(v):
         if math.isnan(v):
             return "NaN"
         return v
+    try:
+        import numpy as _np
+
+        if isinstance(v, _np.ndarray):  # DuckDB list columns (r12)
+            return tuple(_norm(x) for x in v.tolist())
+        if isinstance(v, _np.generic):
+            return _norm(v.item())
+    except ImportError:
+        pass
     if v != v:  # pandas.NaT (and any NaN-like) — not equal to itself
         return "NaN"
     if isinstance(v, datetime.datetime):

@@ -935,3 +935,16 @@ def test_dialect_second_wave_arrays(spark):
     assert float(row["tp"]) == 3.7 and float(row["tn"]) == -3.7
     assert float(row["t0"]) == 3.0
     assert abs(row["hv"] - 3936.4) < 1.0  # NY->LA great-circle km
+
+
+def test_skew_alias(spark):
+    """r12: Snowflake SKEW -> Spark skewness (same sample-moment
+    definition); KURTOSIS passes through natively."""
+    df = spark.createDataFrame([(1.0,), (2.0,), (2.0,), (9.0,)], "x double")
+    df.createOrReplaceTempView("sf_skew")
+    row = spark.sql(
+        transpile("select skew(x) as s, kurtosis(x) as k from sf_skew")
+    ).collect()[0]
+    assert row["s"] is not None and row["k"] is not None
+    # skewness must not be double-rewritten (skewness -> skewnessness)
+    assert "skewness(" in transpile("select skewness(x) from t")
