@@ -394,6 +394,29 @@ class Engine:
             df, read_v = self.stream_frame(sname)
             df.createOrReplaceTempView(sname)
             self._stream_read_versions[sname] = read_v
+        # INFORMATION_SCHEMA.TASK_HISTORY read surface (r12): one row
+        # per task execution attempt. Registered only once history
+        # exists — a tiny driver-side frame (orchestration metadata).
+        th = self.store.task_history()
+        if th:
+            self.spark.createDataFrame(
+                [
+                    (
+                        r.get("name"),
+                        r.get("root"),
+                        r.get("run_order"),
+                        r.get("state"),
+                        r.get("status_detail"),
+                        r.get("scheduled_time"),
+                        r.get("completed_time"),
+                        r.get("error"),
+                    )
+                    for r in th
+                ],
+                "name string, root string, run_order int, state string, "
+                "status_detail string, scheduled_time string, "
+                "completed_time string, error string",
+            ).createOrReplaceTempView("task_history")
         # Stored (non-materialized) views re-resolve on every read, so
         # they always reflect base tables' current versions and inherit
         # governance (their FROMs hit the masked/filtered temp views
@@ -736,7 +759,9 @@ class Engine:
             )
         self._sequence_draws.clear()
 
-    def execute_task(self, name: str) -> DataFrame:
+    def execute_task(
+        self, name: str, scheduled_time: str | None = None
+    ) -> DataFrame:
         """Snowflake EXECUTE TASK (r9): manually trigger a task and run
         its resumed descendants in topological order (AFTER edges form
         the DAG). The NAMED task runs regardless of its own state —
@@ -769,7 +794,31 @@ class Engine:
             ts.add(n, *[p for p in tasks[n]["after"] if p in selected])
         order = list(ts.static_order())
         rows = []
+        hist: list[dict] = []
         skipped: set[str] = set()
+
+        def _record(i, n, status, error=None):
+            from datetime import datetime, timezone
+
+            rows.append((i, n, status))
+            hist.append(
+                {
+                    "name": n,
+                    "root": key,
+                    "run_order": i,
+                    "state": {
+                        "success": "SUCCEEDED",
+                        "failed": "FAILED",
+                    }.get(status, "SKIPPED"),
+                    "status_detail": status,
+                    "scheduled_time": scheduled_time,
+                    "completed_time": datetime.now(
+                        timezone.utc
+                    ).isoformat(),
+                    "error": error,
+                }
+            )
+
         for i, n in enumerate(order):
             # A skipped predecessor skips the whole subtree, as in
             # Snowflake where dependents only fire after a successful
@@ -780,7 +829,7 @@ class Engine:
                 if p in selected
             ):
                 skipped.add(n)
-                rows.append((i, n, "skipped_upstream"))
+                _record(i, n, "skipped_upstream")
                 continue
             # WHEN gate (r10): evaluated at run time through the full
             # dialect surface; FALSE/NULL skips (Snowflake conditional
@@ -796,10 +845,21 @@ class Engine:
                 ).collect()[0]["ok"]
                 if not ok:
                     skipped.add(n)
-                    rows.append((i, n, "skipped_when"))
+                    _record(i, n, "skipped_when")
                     continue
-            self.query(tasks[n]["sql"])
-            rows.append((i, n, "success"))
+            try:
+                self.query(tasks[n]["sql"])
+            except Exception as e:  # noqa: BLE001 — Snowflake records,
+                # skips the subtree, and keeps the scheduler alive
+                # (r12: a failing body previously aborted the whole
+                # DAG run AND any remaining run_due tick)
+                skipped.add(n)
+                _record(
+                    i, n, "failed", f"{type(e).__name__}: {e}"[:500]
+                )
+                continue
+            _record(i, n, "success")
+        self.store.append_task_history(hist)
         return self.spark.createDataFrame(
             rows, "run_order int, task_name string, status string"
         )
@@ -862,7 +922,9 @@ class Engine:
             # Stamp BEFORE running: a failing body must not make the
             # schedule re-fire in a tight loop on every tick.
             self.store.record_task_run(name, fire.isoformat())
-            for r in self.execute_task(name).collect():
+            for r in self.execute_task(
+                name, scheduled_time=fire.isoformat()
+            ).collect():
                 out.append(
                     (name, r["run_order"], r["task_name"], r["status"])
                 )
@@ -921,6 +983,14 @@ class Engine:
             )
 
             sql, seq_fills = self._rewrite_nextval(sql)
+            # Snowflake's TABLE(INFORMATION_SCHEMA.TASK_HISTORY())
+            # table function (r12) -> the registered history view
+            sql = re.sub(
+                r"(?is)\btable\s*\(\s*information_schema\s*\.\s*"
+                r"task_history\s*\(\s*\)\s*\)",
+                "task_history",
+                sql,
+            )
             if re.search(r"(?is)\bmatch_recognize\s*\(", sql):
                 # SQL-surface MATCH_RECOGNIZE (r11): resolved BEFORE
                 # transpile — the clause body is reference dialect and

@@ -2306,6 +2306,40 @@ class TableStore:
         tasks[key]["last_run"] = fired_at
         self._write_tasks(tasks)
 
+    # -- task run history (r12, INFORMATION_SCHEMA.TASK_HISTORY) ----------
+    # Append-only jsonl at the store root: one row per task execution
+    # attempt (manual EXECUTE TASK and run_due ticks alike), the
+    # observability half of the scheduling story. O(1) appends; the
+    # read surface is a small driver-side file (task orchestration is
+    # metadata-scale by design).
+    def _task_history_file(self) -> str:
+        return os.path.join(self.root, "_task_history.jsonl")
+
+    def append_task_history(self, rows: list[dict]) -> None:
+        if not rows:
+            return
+        os.makedirs(self.root, exist_ok=True)
+        with open(self._task_history_file(), "a") as f:
+            for r in rows:
+                json.dump(r, f)
+                f.write("\n")
+
+    def task_history(self) -> list[dict]:
+        out: list[dict] = []
+        try:
+            with open(self._task_history_file()) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        out.append(json.loads(line))
+                    except ValueError:
+                        continue  # torn tail line: history is best-effort
+        except OSError:
+            return []
+        return out
+
     def drop_masking_policy(self, name: str) -> None:
         """Drop a policy OBJECT of either kind. Refuses while attached
         anywhere (Snowflake parity: a policy in use cannot be
