@@ -66,6 +66,29 @@ _CAST_TYPE_RE = re.compile(
     re.IGNORECASE,
 )
 _PATH_RE = re.compile(r'([A-Za-z_][A-Za-z_0-9.]*)\s*:\s*"([^"]+)"')
+# r12: the UNQUOTED Snowflake path form — col:field.sub[0] — the form
+# real queries actually write (the quoted form is for exotic keys).
+# Cast (`::`) never matches: the char after the colon must start an
+# identifier. Applied only OUTSIDE string literals.
+_PATH_UNQ_RE = re.compile(
+    r"\b([A-Za-z_][A-Za-z_0-9.]*)\s*:\s*"
+    r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*|\[\d+\])*)"
+)
+
+
+def _rewrite_unquoted_paths(sql: str) -> str:
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    return "".join(
+        p
+        if i % 2
+        else _PATH_UNQ_RE.sub(
+            lambda m: (
+                f"get_json_object({m.group(1)}, '$.{m.group(2)}')"
+            ),
+            p,
+        )
+        for i, p in enumerate(parts)
+    )
 _FUNC_RES = {
     "OBJECT_CONSTRUCT": re.compile(r"\bobject_construct\s*\(", re.IGNORECASE),
     "PARSE_JSON": re.compile(r"\bparse_json\s*\(", re.IGNORECASE),
@@ -905,6 +928,7 @@ def transpile(sql: str) -> str:
         )
     out = _rewrite_connect_by(out)
     out = _PATH_RE.sub(lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", out)
+    out = _rewrite_unquoted_paths(out)
     out = _rewrite_casts(out)
     out = _rewrite_funcs(out)
     out = _rewrite_window_funcs(out)

@@ -948,3 +948,30 @@ def test_skew_alias(spark):
     assert row["s"] is not None and row["k"] is not None
     # skewness must not be double-rewritten (skewness -> skewnessness)
     assert "skewness(" in transpile("select skewness(x) from t")
+
+
+def test_unquoted_variant_path(spark):
+    """r12: the unquoted Snowflake path form col:field.sub[0] (the
+    form real queries write) rewrites to get_json_object; `::` casts
+    and colons inside string literals are untouched."""
+    out = transpile("select props:name from t")
+    assert "get_json_object(props, '$.name')" in out
+    out = transpile("select e.props:user.id from t e")
+    assert "get_json_object(e.props, '$.user.id')" in out
+    out = transpile("select props:tags[0] from t")
+    assert "get_json_object(props, '$.tags[0]')" in out
+    # casts and string literals survive
+    out = transpile("select a::int, 'k:v' as lit, ts from t")
+    assert "CAST(a AS int)" in out or "a::int" not in out
+    assert "'k:v'" in out
+    # end-to-end value
+    df = spark.createDataFrame(
+        [('{"name": "ada", "tags": ["x", "y"]}',)], "props string"
+    )
+    df.createOrReplaceTempView("sf_path_t")
+    row = spark.sql(
+        transpile(
+            "select props:name as n, props:tags[1] as t1 from sf_path_t"
+        )
+    ).collect()[0]
+    assert row["n"] == "ada" and row["t1"] == "y"
