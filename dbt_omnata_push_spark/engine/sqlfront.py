@@ -534,9 +534,13 @@ def _rewrite_funcs(sql: str) -> str:
 
     def array_slice(a: str) -> str:
         # 0-based from (inclusive) .. to (exclusive) -> slice's
-        # 1-based start + length
+        # 1-based start + length; to <= from yields [] in Snowflake,
+        # so the length clamps at 0 (Spark's slice errors on negative)
         arr, lo, hi = (p.strip() for p in _split_top_level_args(a))
-        return f"slice({arr}, ({lo}) + 1, ({hi}) - ({lo}))"
+        return (
+            f"slice({arr}, ({lo}) + 1, "
+            f"greatest(({hi}) - ({lo}), 0))"
+        )
 
     sql = replace_call(sql, _FUNC_RES["ARRAY_SLICE"], array_slice)
     sql = replace_call(
