@@ -49,28 +49,16 @@ _STALE_PRIORITY = ["dedup_embedding_cosine", "dedup_embedding_lsh"]
 # Prune when the next CORRECTNESS record lands (judge r6 #9: the r6
 # list was pruned once CORRECTNESS_r06 recorded every entry green).
 _RECHECK_PRIORITY = [
-    # (r11 list pruned: CORRECTNESS_r11 recorded every listed entry
-    # green — per policy, green rows drop off and the self-deriving
-    # staleness ordering surfaces the next stalest cohort.)
-    # r12: dialect edge semantics (BOOLXOR_AGG all-NULL -> NULL,
-    # multiset ARRAY_INTERSECTION, ARRAY_TO_STRING null rendering,
-    # STRTOK defaults) — the oracle gained four columns covering them.
-    "orders_dialect_aggs",
-    # r12: new entry — metadata-only DROP/RENAME COLUMN + time travel
-    # + SHOW COLUMNS (engine/store.py drop_column/rename_column).
-    "orders_schema_evolution",
-    # r12: the MATCH_RECOGNIZE matcher materially changed (symbol-
-    # qualified measures, anchors/PERMUTE/exclusion, 5-tuple measure
-    # plumbing) — every MR-backed entry must re-earn its hash row.
-    "events_value_vshape",
-    "events_error_bursts",
-    "events_error_context",
-    "events_error_pairs_overlap",
-    "events_error_burst_stats",
-    "events_vshape_sql",
-    # r12: fuzzy-join long-string fence moved map-side; the entity-
-    # resolution composition sits on it.
-    "customers_entity_resolution",
+    # (r12 list pruned: CORRECTNESS_r12 recorded every listed entry
+    # green except events_dialect_scalars — per policy, green rows
+    # drop off; the one red row stays at the head until its driver
+    # row is green.)
+    # r13: red r12 row — oracle mistyped ts15/ts2h as TIMESTAMPTZ
+    # (bare to_timestamp); fixed with CAST(... AS TIMESTAMP) and the
+    # local gate made tz-strict (tests/test_oracle_strictness.py).
+    # Oracle also extended with TIME_SLICE calendar parts + REGEXP_SUBSTR
+    # group_num columns this round.
+    "events_dialect_scalars",
 ]
 
 

@@ -3205,10 +3205,10 @@ def events_vshape_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_dialect_scalars",
     oracle="""
     SELECT event_id,
-           to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))
-               AS ts15,
-           to_timestamp(CAST(floor(epoch(ts) / 7200) * 7200 AS BIGINT))
-               AS ts2h,
+           CAST(to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))
+               AS TIMESTAMP) AS ts15,
+           CAST(to_timestamp(CAST(floor(epoch(ts) / 7200) * 7200 AS BIGINT))
+               AS TIMESTAMP) AS ts2h,
            strftime(ts, '%b') AS mn,
            strftime(ts, '%a') AS dn,
            timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)) AS ny,

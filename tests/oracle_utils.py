@@ -71,10 +71,35 @@ def _norm(v):
     return v
 
 
+def _tz_aware_oracle_cols(odf):
+    """Oracle columns whose pandas dtype is tz-aware (DuckDB TIMESTAMPTZ).
+
+    The driver's schema comparison is tz-strict: a DuckDB TIMESTAMPTZ
+    column against a Spark timestamp (which materializes naive via
+    Arrow/pandas) records schema_match=false even when wall-clock values
+    agree (r12 `events_dialect_scalars`). `_norm` erases tzinfo for value
+    comparison, so without this check a mistyped oracle passes locally
+    and fails at the driver. Fix the oracle with CAST(... AS TIMESTAMP).
+    """
+    out = []
+    for col in odf.columns:
+        tz = getattr(odf[col].dtype, "tz", None)
+        if tz is not None:
+            out.append(col)
+    return out
+
+
 def compare(spark_df, oracle: str, sf_dir: str, float_tol: float = 0.0):
     """Return (ok, detail). Column-name-sorted, row-order-insensitive."""
     con = duckdb_con(sf_dir)
     odf = con.execute(oracle).fetchdf()
+    tz_cols = _tz_aware_oracle_cols(odf)
+    if tz_cols:
+        return False, (
+            "driver-strict schema mismatch: oracle columns are tz-aware "
+            f"(TIMESTAMPTZ) {tz_cols}; Spark side materializes naive — "
+            "wrap the oracle expression in CAST(... AS TIMESTAMP)"
+        )
     ocols = sorted(odf.columns.str.lower())
     scols = sorted(c.lower() for c in spark_df.columns)
     if ocols != scols:
