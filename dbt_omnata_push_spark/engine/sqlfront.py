@@ -77,7 +77,11 @@ _PATH_UNQ_RE = re.compile(
 
 
 def _rewrite_unquoted_paths(sql: str) -> str:
-    parts = re.split(r"('(?:[^']|'')*')", sql)
+    # Skip single-quoted literals AND double-quoted identifiers: a
+    # colon inside `"weird:ident"` is part of the identifier, not a
+    # variant path (r12 advice). The quoted path form col:"field" was
+    # already rewritten by _PATH_RE before this runs.
+    parts = re.split(r"('(?:[^']|'')*'|\"[^\"]*\")", sql)
     return "".join(
         p
         if i % 2
@@ -484,25 +488,57 @@ def _rewrite_funcs(sql: str) -> str:
     )
 
     def regexp_substr(a: str) -> str:
-        # REGEXP_SUBSTR(subject, pattern[, position[, occurrence]]):
-        # NULL when no match (Spark's regexp_extract returns '').
-        # Occurrence selects among non-overlapping matches from
-        # `position` on. The regex-params/group forms are not mapped.
+        # REGEXP_SUBSTR(subject, pattern[, position[, occurrence
+        # [, regex_parameters[, group_num]]]]): NULL when no match
+        # (Spark's regexp_extract returns ''). Occurrence selects among
+        # non-overlapping matches from `position` on. regex_parameters
+        # map to Java inline flags ((?i)(?s)(?m) prefixed to the
+        # pattern — concat of literals stays foldable, so
+        # regexp_extract_all still compiles); 'e'/group_num select a
+        # capture group (group_num implies 'e', Snowflake's rule).
         parts = [p.strip() for p in _split_top_level_args(a)]
-        if len(parts) > 4:
+        if len(parts) > 6:
             raise ValueError(
-                "REGEXP_SUBSTR: regex_parameters/group_num arguments "
-                "are not supported by the transpiler"
+                f"REGEXP_SUBSTR: too many arguments ({len(parts)})"
             )
-        subj = parts[0]
+        subj, pat = parts[0], parts[1]
+        group = "0"
+        if len(parts) >= 5:
+            lit = parts[4]
+            if not (lit.startswith("'") and lit.endswith("'")):
+                raise ValueError(
+                    "REGEXP_SUBSTR: regex_parameters must be a string "
+                    "literal"
+                )
+            flags = lit[1:-1].replace("''", "'")
+            unknown = set(flags) - set("cimse")
+            if unknown:
+                raise ValueError(
+                    f"REGEXP_SUBSTR: unknown regex_parameters {unknown}"
+                )
+            # 'c' vs 'i': the LAST occurrence wins (Snowflake rule)
+            inline = ""
+            if max(flags.rfind("i"), -1) > flags.rfind("c"):
+                inline += "i"
+            if "s" in flags:
+                inline += "s"
+            if "m" in flags:
+                inline += "m"
+            if inline:
+                pat = f"concat('(?{inline})', {pat})"
+            if "e" in flags:
+                group = "1"
+        if len(parts) == 6:
+            group = parts[5]
         if len(parts) >= 3 and parts[2] != "1":
             subj = f"substr({subj}, {parts[2]})"
-        if len(parts) == 4:
+        occ = parts[3] if len(parts) >= 4 else "1"
+        if len(parts) >= 4 or group != "0":
             return (
                 f"try_element_at(regexp_extract_all({subj}, "
-                f"{parts[1]}, 0), {parts[3]})"
+                f"{pat}, {group}), {occ})"
             )
-        return f"nullif(regexp_extract({subj}, {parts[1]}, 0), '')"
+        return f"nullif(regexp_extract({subj}, {pat}, 0), '')"
 
     sql = replace_call(sql, _FUNC_RES["REGEXP_SUBSTR"], regexp_substr)
 
@@ -535,11 +571,17 @@ def _rewrite_funcs(sql: str) -> str:
     def array_slice(a: str) -> str:
         # 0-based from (inclusive) .. to (exclusive) -> slice's
         # 1-based start + length; to <= from yields [] in Snowflake,
-        # so the length clamps at 0 (Spark's slice errors on negative)
+        # so the length clamps at 0 (Spark's slice errors on negative).
+        # Negative bounds count from the end (-1 = last element) and
+        # clamp at 0 when they underrun the array (r12 advice) — they
+        # must be normalized against size(arr) BEFORE the 1-based and
+        # length conversion, or mixed-sign calls like (1, -1) return [].
         arr, lo, hi = (p.strip() for p in _split_top_level_args(a))
+        lo_n = f"if(({lo}) < 0, greatest(size({arr}) + ({lo}), 0), ({lo}))"
+        hi_n = f"if(({hi}) < 0, greatest(size({arr}) + ({hi}), 0), ({hi}))"
         return (
-            f"slice({arr}, ({lo}) + 1, "
-            f"greatest(({hi}) - ({lo}), 0))"
+            f"slice({arr}, ({lo_n}) + 1, "
+            f"greatest(({hi_n}) - ({lo_n}), 0))"
         )
 
     sql = replace_call(sql, _FUNC_RES["ARRAY_SLICE"], array_slice)
@@ -555,11 +597,22 @@ def _rewrite_funcs(sql: str) -> str:
     def array_generate_range(a: str) -> str:
         # end-EXCLUSIVE (Snowflake) vs sequence's inclusive stop: the
         # stop value appears only when (stop-start) divides step —
-        # remove it (it occurs at most once, as the last element)
+        # remove it (it occurs at most once, as the last element).
+        # Snowflake returns [] when the step sign cannot reach stop
+        # from start; Spark's sequence(5,2) instead auto-DESCENDS and
+        # an explicit sign-mismatched step throws — guard with a CASE
+        # so those return [] (r12 advice). `if` evaluates only the
+        # taken branch, so the throwing sequence is never run. The
+        # typed-empty arm reuses sequence (slice to length 0) to keep
+        # both branches the same array type.
         parts = [p.strip() for p in _split_top_level_args(a)]
-        stop = parts[1]
+        start, stop = parts[0], parts[1]
+        step = parts[2] if len(parts) > 2 else "1"
+        seq = f"sequence({', '.join(parts)})"
+        empty = f"slice(sequence(({start}), ({start})), 1, 0)"
         return (
-            f"array_remove(sequence({', '.join(parts)}), {stop})"
+            f"if(((({stop}) - ({start})) * sign({step})) > 0, "
+            f"array_remove({seq}, {stop}), {empty})"
         )
 
     sql = replace_call(
@@ -588,27 +641,55 @@ def _rewrite_funcs(sql: str) -> str:
     sql = replace_call(sql, _FUNC_RES["TRUNCATE_NUM"], truncate_num)
 
     def time_slice(a: str) -> str:
-        # TIME_SLICE(ts, n, 'PART'): the start of ts's n-PART bucket,
-        # buckets aligned to the unix epoch (Snowflake's alignment for
-        # fixed-width parts). Pure arithmetic on epoch seconds — no
-        # UDF, survives whole-stage codegen.
-        ts, n, part = (p.strip() for p in _split_top_level_args(a))
+        # TIME_SLICE(ts, n, 'PART'[, 'START'|'END']): the start (or
+        # end) of ts's n-PART bucket. Fixed-width parts (SECOND..WEEK)
+        # align buckets to the unix epoch via pure arithmetic on epoch
+        # seconds; calendar parts (MONTH/QUARTER/YEAR, r13) count whole
+        # months since 1970-01 and add_months back from the epoch —
+        # both UDF-free, surviving whole-stage codegen. floor() handles
+        # pre-1970 inputs on either path.
+        parts = [p.strip() for p in _split_top_level_args(a)]
+        if len(parts) not in (3, 4):
+            raise ValueError(
+                f"TIME_SLICE: expected 3 or 4 arguments, got {len(parts)}"
+            )
+        ts, n, part = parts[0], parts[1], parts[2]
+        kind = "START"
+        if len(parts) == 4:
+            kind = parts[3].strip().strip("'\"").upper()
+            if kind not in ("START", "END"):
+                raise ValueError(
+                    f"TIME_SLICE: start_or_end must be 'START' or "
+                    f"'END', got {parts[3]}"
+                )
+        key = part.strip().strip("'\"").lower()
         secs = {
-            "'second'": 1,
-            "'minute'": 60,
-            "'hour'": 3600,
-            "'day'": 86400,
-            "'week'": 604800,
-        }.get(part.lower())
-        if secs is None:
+            "second": 1,
+            "minute": 60,
+            "hour": 3600,
+            "day": 86400,
+            "week": 604800,
+        }.get(key)
+        if secs is not None:
+            width = f"(({n}) * {secs})"
+            bucket = f"floor(unix_timestamp({ts}) / {width})"
+            if kind == "END":
+                bucket = f"({bucket} + 1)"
+            return f"to_timestamp({bucket} * {width})"
+        months = {"month": 1, "quarter": 3, "year": 12}.get(key)
+        if months is None:
             raise ValueError(
                 f"TIME_SLICE: unsupported slice part {part} "
-                "(SECOND/MINUTE/HOUR/DAY/WEEK)"
+                "(SECOND/MINUTE/HOUR/DAY/WEEK/MONTH/QUARTER/YEAR)"
             )
-        width = f"(({n}) * {secs})"
+        width = f"(({n}) * {months})"
+        m_since_epoch = f"((year({ts}) - 1970) * 12 + month({ts}) - 1)"
+        bucket = f"floor({m_since_epoch} / {width})"
+        if kind == "END":
+            bucket = f"({bucket} + 1)"
         return (
-            f"to_timestamp(floor(unix_timestamp({ts}) / {width}) "
-            f"* {width})"
+            f"CAST(add_months(date'1970-01-01', "
+            f"CAST({bucket} * {width} AS INT)) AS TIMESTAMP)"
         )
 
     sql = replace_call(sql, _FUNC_RES["TIME_SLICE"], time_slice)

@@ -3220,7 +3220,18 @@ def events_vshape_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_position(range(0, CAST(user_id % 7 AS BIGINT) + 3),
                               2) - 1 AS BIGINT) AS pos,
            CAST(2 < user_id % 7 + 3 AS BOOLEAN) AS has2,
-           event_type AS cp
+           event_type AS cp,
+           CAST(date_trunc('quarter', ts) AS TIMESTAMP) AS tsq,
+           CAST(DATE '1970-01-01' + to_months(CAST(
+               (floor(((year(ts) - 1970) * 12 + month(ts) - 1) / 2) + 1)
+               * 2 AS INT)) AS TIMESTAMP) AS ts2me,
+           regexp_extract(props, '"k": ([0-9]+)', 1) AS g2,
+           CASE WHEN event_type = 'error' THEN 'err' END AS gi,
+           CAST(user_id % 7 + 1 AS VARCHAR) AS sln,
+           array_to_string(range(1, CAST(user_id % 7 AS BIGINT) + 2),
+                           '-') AS slm,
+           '' AS er,
+           CAST(0 AS BIGINT) AS erd
     FROM events
     WHERE event_id % 37 = 0
     """,
@@ -3265,7 +3276,17 @@ def events_dialect_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_contains(2, array_generate_range(0, "
         "    cast(user_id % 7 as int) + 3)) as has2, "
         "array_to_string(array_compact(array(event_type, "
-        "    cast(null as string))), '|') as cp "
+        "    cast(null as string))), '|') as cp, "
+        "time_slice(ts, 1, 'QUARTER') as tsq, "
+        "time_slice(ts, 2, 'MONTH', 'END') as ts2me, "
+        "regexp_substr(props, '\"k\": ([0-9]+)', 1, 1, 'e') as g2, "
+        "regexp_substr(event_type, '(ERR)OR', 1, 1, 'ie', 1) as gi, "
+        "array_to_string(array_slice(array_generate_range(0, "
+        "    cast(user_id % 7 as int) + 3), -2, -1), '-') as sln, "
+        "array_to_string(array_slice(array_generate_range(0, "
+        "    cast(user_id % 7 as int) + 3), 1, -1), '-') as slm, "
+        "array_to_string(array_generate_range(5, 2), '-') as er, "
+        "size(array_generate_range(0, 10, -2)) as erd "
         "from ev_ds"
     ).select(
         "event_id",
@@ -3280,6 +3301,14 @@ def events_dialect_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("long").alias("pos"),
         "has2",
         "cp",
+        "tsq",
+        "ts2me",
+        "g2",
+        "gi",
+        "sln",
+        "slm",
+        "er",
+        F.col("erd").cast("long").alias("erd"),
     )
 
 

@@ -975,3 +975,69 @@ def test_unquoted_variant_path(spark):
         )
     ).collect()[0]
     assert row["n"] == "ada" and row["t1"] == "y"
+
+
+def test_time_slice_calendar_parts(spark):
+    """r13: TIME_SLICE MONTH/QUARTER/YEAR — calendar-aligned n-month
+    buckets counted from 1970-01 (Snowflake's epoch alignment), plus
+    the 4th START/END argument on both the fixed and calendar paths.
+    All add_months/date arithmetic, no UDF."""
+    row = spark.sql(
+        transpile(
+            "select "
+            "time_slice(timestamp'2024-05-17 10:11:12', 2, 'MONTH') as m2, "
+            "time_slice(timestamp'2024-05-17 10:11:12', 1, 'QUARTER') as q1, "
+            "time_slice(timestamp'2024-05-17 10:11:12', 2, 'YEAR') as y2, "
+            "time_slice(timestamp'2024-05-17 10:11:12', 2, 'MONTH', 'END') "
+            "as m2e, "
+            "time_slice(timestamp'1969-11-02 03:00:00', 1, 'MONTH') as pre, "
+            "time_slice(timestamp'2024-05-17 10:11:12', 15, 'MINUTE', "
+            "'END') as f15e"
+        )
+    ).collect()[0]
+    import datetime as dt
+
+    assert row["m2"] == dt.datetime(2024, 5, 1)  # months-since-epoch even
+    assert row["q1"] == dt.datetime(2024, 4, 1)
+    assert row["y2"] == dt.datetime(2024, 1, 1)  # 2-year buckets: 1970+2k
+    assert row["m2e"] == dt.datetime(2024, 7, 1)
+    assert row["pre"] == dt.datetime(1969, 11, 1)  # floor handles pre-epoch
+    assert row["f15e"] == dt.datetime(2024, 5, 17, 10, 15)
+
+
+def test_regexp_substr_params_and_group(spark):
+    """r13: REGEXP_SUBSTR regex_parameters ('i'/'s'/'m' -> Java inline
+    flags, last-of-c/i wins) and the 'e'/group_num capture-group form
+    (group_num implies 'e', Snowflake's rule)."""
+    row = spark.sql(
+        transpile(
+            "select "
+            "regexp_substr('abc123def456', '[a-z]+([0-9]+)', 1, 2, 'e') "
+            "as g2occ, "
+            "regexp_substr('ABCdef', 'abc', 1, 1, 'i') as ci, "
+            "regexp_substr('ABCdef', 'abc', 1, 1, 'ic') as ci_lastwins, "
+            "regexp_substr('a1-b2-c3', '([a-z])([0-9])', 1, 3, 'e', 2) "
+            "as grp2, "
+            "regexp_substr('a1-b2-c3', '([a-z])([0-9])', 1, 1, 'c', 1) "
+            "as grp_implies_e"
+        )
+    ).collect()[0]
+    assert row["g2occ"] == "456"
+    assert row["ci"] == "ABC"
+    assert row["ci_lastwins"] is None  # 'c' after 'i' -> case-sensitive
+    assert row["grp2"] == "3"
+    assert row["grp_implies_e"] == "a"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="regex_parameters"):
+        transpile("select regexp_substr(s, p, 1, 1, x) from t")
+
+
+def test_quoted_identifier_not_a_path():
+    """r13 (r12 advice): a colon inside a double-quoted identifier is
+    not a variant path; the quoted-path form col:"field" still is."""
+    out = transpile('select "weird:ident" from t')
+    assert "get_json_object" not in out
+    assert '"weird:ident"' in out
+    out = transpile('select props:"odd key" from t')
+    assert "get_json_object(props, '$.odd key')" in out
