@@ -79,6 +79,10 @@ class Engine:
         self.pre_hooks: list[Callable[[Model], None]] = []
         self.post_hooks: list[Callable[[Model, RunResult], None]] = []
         self._view_cache: dict[str, DataFrame] = {}
+        # names whose fresh output exists only in _view_cache (view
+        # materializations): ref() prefers these over a stale store
+        # table of the same name (r13, r12 advice)
+        self._nonstore_published: set[str] = set()
         # seq name -> ("per_row", refs_per_row) | ("static", total_sites)
         self._sequence_draws: dict[str, tuple[str, int]] = {}
         # Snowflake session variables (r9): SET x = expr stores the
@@ -168,6 +172,13 @@ class Engine:
         successfully, the offset advances (run() calls
         _advance_streams_for), so each delta is processed exactly
         once across runs."""
+        if name in self._nonstore_published and name in self._view_cache:
+            # This run built the name as a VIEW materialization: the
+            # cache is the fresh output, and any same-named store table
+            # is stale residue (materialization changed off table
+            # without dropping — r13, r12 advice). Store-backed
+            # publishes clear the mark, so this never pins real tables.
+            return self._view_cache[name]
         if self.store.exists(name):
             # Store tables resolve FRESH, never from _view_cache (r12):
             # the cache pins the DataFrame a previous run's build_df
@@ -370,8 +381,21 @@ class Engine:
             ):
                 self.store.advance_stream(sname, read_v)
 
-    def _publish(self, name: str, df: DataFrame) -> None:
+    def _publish(
+        self, name: str, df: DataFrame, nonstore: bool | None = None
+    ) -> None:
+        # nonstore=True marks a name whose authoritative output lives
+        # ONLY in the cache this run (view materialization): ref() must
+        # prefer it even when a stale store table of the same name
+        # still exists (model switched off table materialization
+        # without dropping — r12 advice). nonstore=False (store-backed
+        # materializations) clears the mark, restoring the store-first
+        # rule; None (ref republishing in build_df) leaves it alone.
         self._view_cache[name] = df
+        if nonstore is True:
+            self._nonstore_published.add(name)
+        elif nonstore is False:
+            self._nonstore_published.discard(name)
         df.createOrReplaceTempView(self.view_name(name))
 
     def _register_views(self) -> None:
@@ -395,28 +419,31 @@ class Engine:
             df.createOrReplaceTempView(sname)
             self._stream_read_versions[sname] = read_v
         # INFORMATION_SCHEMA.TASK_HISTORY read surface (r12): one row
-        # per task execution attempt. Registered only once history
-        # exists — a tiny driver-side frame (orchestration metadata).
+        # per task execution attempt. ALWAYS registered (r13, r12
+        # advice) — Snowflake returns an empty result before any task
+        # has run, not a missing-view error — and under a collision-
+        # proof internal name so it can never shadow a user table
+        # called task_history (the TABLE(INFORMATION_SCHEMA.
+        # TASK_HISTORY()) rewrite targets this name directly).
         th = self.store.task_history()
-        if th:
-            self.spark.createDataFrame(
-                [
-                    (
-                        r.get("name"),
-                        r.get("root"),
-                        r.get("run_order"),
-                        r.get("state"),
-                        r.get("status_detail"),
-                        r.get("scheduled_time"),
-                        r.get("completed_time"),
-                        r.get("error"),
-                    )
-                    for r in th
-                ],
-                "name string, root string, run_order int, state string, "
-                "status_detail string, scheduled_time string, "
-                "completed_time string, error string",
-            ).createOrReplaceTempView("task_history")
+        self.spark.createDataFrame(
+            [
+                (
+                    r.get("name"),
+                    r.get("root"),
+                    r.get("run_order"),
+                    r.get("state"),
+                    r.get("status_detail"),
+                    r.get("scheduled_time"),
+                    r.get("completed_time"),
+                    r.get("error"),
+                )
+                for r in th
+            ],
+            "name string, root string, run_order int, state string, "
+            "status_detail string, scheduled_time string, "
+            "completed_time string, error string",
+        ).createOrReplaceTempView("__is_task_history")
         # Stored (non-materialized) views re-resolve on every read, so
         # they always reflect base tables' current versions and inherit
         # governance (their FROMs hit the masked/filtered temp views
@@ -984,11 +1011,12 @@ class Engine:
 
             sql, seq_fills = self._rewrite_nextval(sql)
             # Snowflake's TABLE(INFORMATION_SCHEMA.TASK_HISTORY())
-            # table function (r12) -> the registered history view
+            # table function (r12) -> the always-registered internal
+            # history view (collision-proof name, r13)
             sql = re.sub(
                 r"(?is)\btable\s*\(\s*information_schema\s*\.\s*"
                 r"task_history\s*\(\s*\)\s*\)",
-                "task_history",
+                "__is_task_history",
                 sql,
             )
             if re.search(r"(?is)\bmatch_recognize\s*\(", sql):

@@ -10,7 +10,7 @@ from ..engine.model import Context
 
 def materialize_view(engine, model) -> RunResult:
     df = engine.build_df(model)
-    engine._publish(model.name, df)
+    engine._publish(model.name, df, nonstore=True)
     return RunResult(model.name, "success", message="view published")
 
 
@@ -18,7 +18,11 @@ def materialize_table(engine, model) -> RunResult:
     df = engine.build_df(model)
     engine.store.overwrite(engine.spark, model.name, df)
     n = engine.store.read(engine.spark, model.name).count()
-    engine._publish(model.name, engine.store.read(engine.spark, model.name))
+    engine._publish(
+        model.name,
+        engine.store.read(engine.spark, model.name),
+        nonstore=False,
+    )
     return RunResult(model.name, "success", rows_affected=n)
 
 
@@ -52,7 +56,7 @@ def materialize_incremental(engine, model) -> RunResult:
         # DML leaves streams silent. isEmpty, not count: one task on
         # one partition suffices to prove emptiness.
         out = engine.store.read(engine.spark, model.name)
-        engine._publish(model.name, out)
+        engine._publish(model.name, out, nonstore=False)
         return RunResult(
             model.name,
             "success",
@@ -70,7 +74,7 @@ def materialize_incremental(engine, model) -> RunResult:
         else:
             engine.store.append(engine.spark, model.name, df)
     out = engine.store.read(engine.spark, model.name)
-    engine._publish(model.name, out)
+    engine._publish(model.name, out, nonstore=False)
     return RunResult(model.name, "success", rows_affected=out.count())
 
 
@@ -106,7 +110,7 @@ def materialize_tracking_table(engine, model) -> RunResult:
             raise ValueError(f"tracking_table {model.name} requires unique_key")
         engine.store.merge_upsert(engine.spark, model.name, df, key)
     out = engine.store.read(engine.spark, model.name)
-    engine._publish(model.name, out)
+    engine._publish(model.name, out, nonstore=False)
     return RunResult(model.name, "success", rows_affected=out.count())
 
 

@@ -201,7 +201,7 @@ def materialize_snapshot(engine, model) -> RunResult:
         invalidate_hard_deletes=bool(cfg.get("invalidate_hard_deletes", False)),
     )
     out = engine.store.read(engine.spark, model.name)
-    engine._publish(model.name, out)
+    engine._publish(model.name, out, nonstore=False)
     return RunResult(model.name, "success", rows_affected=out.count())
 
 

@@ -93,3 +93,32 @@ class TestTaskHistory:
         th = engine.store.task_history()
         assert th[-1]["state"] == "SKIPPED"
         assert th[-1]["status_detail"] == "skipped_when"
+
+    def test_history_empty_before_any_task_runs(self, spark, engine):
+        """r13 (r12 advice): querying task history before any task has
+        run returns an EMPTY result, as Snowflake does — not
+        TABLE_OR_VIEW_NOT_FOUND."""
+        df = engine.query(
+            "select name, state from "
+            "table(information_schema.task_history())"
+        )
+        assert df.collect() == []
+
+    def test_user_table_named_task_history_not_shadowed(
+        self, spark, engine
+    ):
+        """r13 (r12 advice): the history view lives under an internal
+        name, so a user table called task_history keeps resolving to
+        the user's data while the TABLE(INFORMATION_SCHEMA...) form
+        reads the real history."""
+        engine.query(
+            "create table task_history as select 'mine' as who"
+        )
+        engine.query("create task t1 as select * from t")
+        engine.query("execute task t1")
+        user = engine.query("select who from task_history").collect()
+        assert [r["who"] for r in user] == ["mine"]
+        hist = engine.query(
+            "select name from table(information_schema.task_history())"
+        ).collect()
+        assert [r["name"] for r in hist] == ["t1"]
