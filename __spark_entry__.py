@@ -59,6 +59,20 @@ _RECHECK_PRIORITY = [
     # Oracle also extended with TIME_SLICE calendar parts + REGEXP_SUBSTR
     # group_num columns this round.
     "events_dialect_scalars",
+    # r13: new entries — cross-symbol DEFINE navigation (NFA scan) and
+    # ORDER BY DESC in MATCH_RECOGNIZE.
+    "events_mr_cross_define",
+    "events_mr_desc_runs",
+    # r13: the matcher materially changed again (condition-aware NFA
+    # branch, direction-aware sort) — every MR-backed entry re-earns
+    # its hash row.
+    "events_value_vshape",
+    "events_error_bursts",
+    "events_error_context",
+    "events_error_pairs_overlap",
+    "events_error_burst_stats",
+    "events_vshape_sql",
+    "events_vshape_symbols",
 ]
 
 

@@ -20,7 +20,8 @@ Reads go through the engine's registered views, so masking and
 row-access policies compose exactly as for any other FROM.
 
 Translated subset, mirroring the operator's:
-- PARTITION BY / ORDER BY (ASC only) over plain columns.
+- PARTITION BY / ORDER BY (ASC or DESC per column, r13) over plain
+  columns.
 - MEASURES: [RUNNING|FINAL] FIRST(col) | LAST(col) | COUNT(*) |
   COUNT(sym.*) | MATCH_NUMBER() | CLASSIFIER() | SUM(col) | AVG(col) |
   MIN(col) | MAX(col), each AS alias.
@@ -29,7 +30,11 @@ Translated subset, mirroring the operator's:
 - PATTERN (...) — the operator's regex subset.
 - DEFINE sym AS <condition>: comparisons (= <> != < <= > >=),
   arithmetic, PREV(col)/NEXT(col) (LAG/LEAD-1), AND/OR/NOT,
-  TRUE — translated to the operator's pandas-eval dialect.
+  TRUE — translated to the operator's pandas-eval dialect — plus
+  FIRST(sym.col)/LAST(sym.col) cross-symbol navigation (r13): the
+  first/last row mapped to sym so far in the current match attempt
+  (running, current row included), e.g.
+  ``B AS price > FIRST(A.price)``.
 """
 from __future__ import annotations
 
@@ -129,17 +134,6 @@ def _cond_to_pandas(cond: str) -> str:
         # Snowflake's "always matches" define; evaluate over a non-null
         # anchor is unnecessary — pandas eval accepts True.
         return "True"
-    if re.search(r"\b[A-Za-z_]\w*\s*\.\s*[A-Za-z_]\w*", s):
-        # Symbol-qualified references (A.price) are supported in
-        # MEASURES (r12) but not in DEFINE: the operator evaluates
-        # define predicates match-independently in a vectorized
-        # pre-pass, so a condition over another symbol's mapped rows
-        # cannot be expressed — raise instead of mis-evaluating.
-        raise ValueError(
-            "unsupported DEFINE condition for MATCH_RECOGNIZE: "
-            f"{cond!r} (symbol-qualified references like A.price are "
-            "measures-only)"
-        )
 
     def _outside_quotes(text: str, fn) -> str:
         # apply fn only to the unquoted segments — a literal like
@@ -147,6 +141,36 @@ def _cond_to_pandas(cond: str) -> str:
         parts = re.split(r"('(?:[^']|'')*')", text)
         return "".join(
             p if i % 2 else fn(p) for i, p in enumerate(parts)
+        )
+
+    # FIRST/LAST navigation in DEFINE (r13, VERDICT r12 #5):
+    # FIRST(A.price) / LAST(A.price) — the first/last row mapped to A
+    # so far in the CURRENT match attempt (running semantics, current
+    # row included, as SQL:2016 prescribes) — and the unqualified
+    # FIRST(price)/LAST(price) over all rows of the attempt. Encoded
+    # as __mrfirst__SYM__col tokens; the operator evaluates symbols
+    # whose condition carries one through its condition-aware NFA
+    # scan instead of the vectorized pre-pass (ops/matchrec.py).
+    s = _outside_quotes(
+        s,
+        lambda t: re.sub(
+            r"(?is)\b(first|last)\s*\(\s*"
+            r"(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)\s*\)",
+            lambda m: (
+                f"__mr{m.group(1).lower()}__"
+                f"{m.group(2) or ''}__{m.group(3)}"
+            ),
+            t,
+        ),
+    )
+    if re.search(r"\b[A-Za-z_]\w*\s*\.\s*[A-Za-z_]\w*", s):
+        # Other symbol-qualified references (bare A.price outside
+        # FIRST/LAST) are supported in MEASURES (r12) but not in
+        # DEFINE — raise instead of mis-evaluating.
+        raise ValueError(
+            "unsupported DEFINE condition for MATCH_RECOGNIZE: "
+            f"{cond!r} (symbol-qualified references in DEFINE are "
+            "limited to FIRST(sym.col)/LAST(sym.col))"
         )
 
     def _ops(t: str) -> str:
@@ -214,13 +238,12 @@ def _parse_body(body: str) -> dict:
     partition_by = [c.strip().strip('"') for c in pb.group(1).split(",")]
     order_by = []
     for c in ob.group(1).split(","):
-        c = re.sub(r"(?is)\s+asc\s*$", "", c.strip())
-        if re.search(r"(?is)\s+desc$", c):
-            raise ValueError(
-                "MATCH_RECOGNIZE ORDER BY ... DESC is not supported "
-                "(ascending order only)"
-            )
-        order_by.append(c.strip('"'))
+        c = c.strip()
+        desc = bool(re.search(r"(?is)\s+desc\s*$", c))
+        c = re.sub(r"(?is)\s+(asc|desc)\s*$", "", c).strip().strip('"')
+        # DESC supported (r13, VERDICT r12 #6): the operator sorts
+        # each partition by the requested direction before matching
+        order_by.append(f"{c} DESC" if desc else c)
 
     meas = clause(
         r"(?is)\bmeasures\s+(.*?)\s*"

@@ -3704,3 +3704,143 @@ def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "era string, grp string, n long, cents long",
     )
     return cur.unionByName(v0).unionByName(schema_row)
+
+
+@query(
+    "events_mr_cross_define",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER w AS rn,
+               FIRST_VALUE(value) OVER w AS v0
+        FROM events
+        WHERE user_id % 25 = 3
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    runlen AS (
+        SELECT user_id,
+               COALESCE(MIN(rn) FILTER (WHERE rn > 1
+                            AND (value > v0) IS NOT TRUE),
+                        MAX(rn) + 1) AS failrn
+        FROM ordered GROUP BY user_id
+    )
+    SELECT o.user_id,
+           CAST(MIN(o.event_id) AS BIGINT) AS s,
+           CAST(MAX(CASE WHEN o.rn < r.failrn THEN o.event_id END)
+               AS BIGINT) AS e,
+           CAST(r.failrn - 1 AS BIGINT) AS n,
+           MIN(o.v0) AS v0
+    FROM ordered o JOIN runlen r ON o.user_id = r.user_id
+    GROUP BY o.user_id, r.failrn
+    """,
+    tags=("engine", "matchrec", "sqlfront"),
+)
+def events_mr_cross_define(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-symbol DEFINE navigation through the MATCH_RECOGNIZE SQL
+    surface (r13, VERDICT r12 #5): ``B AS value > FIRST(A.value)``
+    evaluates over the rows mapped SO FAR in the current match attempt
+    (SQL:2016 running semantics), driving the operator's
+    condition-aware NFA scan (ops/matchrec.py). The ``^`` anchor pins
+    exactly one match per partition — the first row plus the maximal
+    prefix of rows above its value — so a windowed first-failure
+    oracle reproduces it exactly."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-mrx-")))
+    engine.seed(
+        "ev_mrx",
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 25 == 3)
+        .select("user_id", "event_id", "value"),
+    )
+    out = engine.query(
+        """
+        select user_id, s, e, n, v0 from ev_mrx match_recognize (
+            partition by user_id
+            order by event_id
+            measures first(event_id) as s,
+                     last(event_id) as e,
+                     count(*) as n,
+                     first(value) as v0
+            pattern (^ A B*)
+            define A as true,
+                   B as value > first(A.value)
+        )
+        """
+    )
+    return out.select(
+        "user_id",
+        F.col("s").cast("long").alias("s"),
+        F.col("e").cast("long").alias("e"),
+        F.col("n").cast("long").alias("n"),
+        "v0",
+    )
+
+
+@query(
+    "events_mr_desc_runs",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER w AS rn,
+               CASE WHEN LEAD(value) OVER w > value THEN 1 ELSE 0 END
+                   AS u
+        FROM events
+        WHERE user_id % 25 = 7
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    isl AS (
+        SELECT user_id, event_id, rn,
+               rn - ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY rn) AS grp
+        FROM f WHERE u = 1
+    )
+    SELECT user_id,
+           CAST(MAX(event_id) AS BIGINT) AS s,
+           CAST(MIN(event_id) AS BIGINT) AS e,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM isl GROUP BY user_id, grp
+    """,
+    tags=("engine", "matchrec", "sqlfront"),
+)
+def events_mr_desc_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... DESC inside MATCH_RECOGNIZE (r13, VERDICT r12 #6):
+    scanning event_id DESCENDING, ``D AS value < PREV(value)`` flags a
+    row whose value sits below its successor's, so maximal D+ runs are
+    exactly the ascending-value islands — reproduced by a LEAD-based
+    gaps-and-islands oracle in ascending terms (first(event_id) under
+    the DESC scan = the island's max id)."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-mrd-")))
+    engine.seed(
+        "ev_mrd",
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 25 == 7)
+        .select("user_id", "event_id", "value"),
+    )
+    out = engine.query(
+        """
+        select user_id, s, e, n from ev_mrd match_recognize (
+            partition by user_id
+            order by event_id desc
+            measures first(event_id) as s,
+                     last(event_id) as e,
+                     count(*) as n
+            pattern (D+)
+            define D as value < prev(value)
+        )
+        """
+    )
+    return out.select(
+        "user_id",
+        F.col("s").cast("long").alias("s"),
+        F.col("e").cast("long").alias("e"),
+        F.col("n").cast("long").alias("n"),
+    )

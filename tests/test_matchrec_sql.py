@@ -166,18 +166,25 @@ class TestSqlClause:
         # masked price is constant 0.0 -> no D rows -> no matches
         assert df.count() == 0
 
-    def test_order_by_desc_rejected(self, spark, engine):
-        with pytest.raises(ValueError, match="DESC"):
-            engine.query(
-                """
-                select * from ticks match_recognize (
-                    partition by g order by seq desc
-                    measures count(*) as n
-                    pattern (D+)
-                    define D as price < prev(price)
-                )
-                """
+    def test_order_by_desc(self, spark, engine):
+        """r13 (VERDICT r12 #6): ORDER BY ... DESC sorts each
+        partition descending before matching. g=1 in seq-desc order
+        has prices 12,9,6,8,10 — the only D+ run is seqs 4,3."""
+        out = engine.query(
+            """
+            select g, s, e, n from ticks match_recognize (
+                partition by g order by seq desc
+                measures first(seq) as s, last(seq) as e,
+                         count(*) as n
+                pattern (D+)
+                define D as price < prev(price)
             )
+            """
+        )
+        rows = sorted(
+            (r["g"], r["s"], r["e"], r["n"]) for r in out.collect()
+        )
+        assert rows == [(1, 4, 3, 2), (2, 2, 2, 1)]
 
 
 class TestSqlAggregates:

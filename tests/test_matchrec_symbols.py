@@ -3,8 +3,9 @@ VERDICT r11 #4): ``first(A.price)`` / ``last`` / ``sum`` / ``avg`` /
 ``min`` / ``max`` / ``count`` evaluate over only the rows the match
 classified as the symbol — Snowflake's per-symbol row mask — with NULL
 (count: 0) for a match that mapped no row to the symbol, and RUNNING
-variants NULL before the symbol's first row. DEFINE conditions
-referencing other symbols' rows stay unsupported and raise."""
+variants NULL before the symbol's first row. DEFINE conditions may
+navigate other symbols' rows with FIRST/LAST (r13); other qualified
+forms still raise."""
 from __future__ import annotations
 
 import math
@@ -210,8 +211,34 @@ class TestSqlSurface:
         r = df.collect()[0]
         assert (r["fd"], r["lu"], r["sd"]) == (8.0, 12.0, 14.0)
 
-    def test_qualified_define_raises(self, spark, engine):
-        with pytest.raises(ValueError, match="measures-only"):
+    def test_cross_symbol_define(self, spark, engine):
+        """r13 (VERDICT r12 #5): DEFINE may navigate another symbol's
+        mapped rows with FIRST/LAST (running over the current match
+        attempt). B anchors on the match's A row: the fixture's g=1
+        (prices 10,8,6,9,12) only matches from the A at seq 3
+        (price 6), with B rows 9 and 12 above it."""
+        out = engine.query(
+            """
+            select g, s, e, n from ticks match_recognize (
+                partition by g
+                order by seq
+                measures first(seq) as s, last(seq) as e,
+                         count(*) as n
+                pattern (A B+)
+                define A as true,
+                       B as price > first(A.price)
+            )
+            """
+        )
+        rows = sorted(
+            (r["g"], r["s"], r["e"], r["n"]) for r in out.collect()
+        )
+        assert rows == [(1, 3, 5, 3)]
+
+    def test_qualified_define_non_navigation_raises(self, spark, engine):
+        """Bare symbol-qualified references outside FIRST/LAST stay
+        rejected — only navigation semantics are defined."""
+        with pytest.raises(ValueError, match="FIRST"):
             engine.query(
                 """
                 select * from ticks match_recognize (
@@ -220,7 +247,7 @@ class TestSqlSurface:
                     measures count(*) as n
                     pattern (D U)
                     define D as price < prev(price),
-                           U as price > first(D.price)
+                           U as price > D.price
                 )
                 """
             )
