@@ -192,6 +192,11 @@ HEADLINE = [
     # the measured scale paths.
     "events_vshape_symbols",
     "orders_schema_evolution",
+    # round 13: cross-symbol DEFINE navigation (condition-aware NFA
+    # scan) and ORDER BY DESC matching — benched because the NFA path
+    # is a new per-partition cost model, not a plan-time rewrite
+    "events_mr_cross_define",
+    "events_mr_desc_runs",
 ]
 
 # Growth policy (VERDICT r9 #7, documented in BASELINE.md): the suite
@@ -224,6 +229,9 @@ _POST_R8_ADDITIONS = {
     # r12
     "events_vshape_symbols",
     "orders_schema_evolution",
+    # r13
+    "events_mr_cross_define",
+    "events_mr_desc_runs",
 }
 
 
@@ -231,6 +239,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    # Optional subset (r13): comma-separated query names for quick
+    # iteration and targeted A/B runs. A filtered run records
+    # "filtered": true and skips the recall block (the ANN entries may
+    # not be in the subset); core79_sec covers only what ran.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").strip()
+    only = [q for q in only_env.split(",") if q] if only_env else None
+    headline = [q for q in HEADLINE if only is None or q in only]
+    if only is not None:
+        missing = set(only) - set(HEADLINE)
+        if missing:
+            print(f"# not in HEADLINE (skipped): {sorted(missing)}",
+                  file=sys.stderr)
 
     from dbt_omnata_push_spark.engine.session import get_spark
     from dbt_omnata_push_spark.queries import load_all
@@ -252,7 +272,7 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     def run_pass(record: dict[str, list[float]] | None) -> None:
-        for name in HEADLINE:
+        for name in headline:
             t0 = time.perf_counter()
             df = registry[name].fn(spark, sf_dir)
             n = len(df.collect())
@@ -295,42 +315,45 @@ def main() -> None:
     def _pairs(df):
         return {(r["q_id"], r["vec_id"]) for r in df.collect()}
 
-    from pyspark.sql import functions as F
-
-    from dbt_omnata_push_spark.llmops import similarity as S
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qvecs = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    exact = _pairs(
-        S.brute_force_topk(emb, qvecs, k=10, allow_full_scan=True)
-    )
     recall = {}
-    for ann in (
-        "similarity_topk_ivf_trained",
-        "similarity_topk_ivf_indexed",
-        "similarity_topk_lsh_ann",
-        "similarity_topk_pq",
-        "similarity_topk_ivfpq",
-        "similarity_topk_pq_refined",
-    ):
-        got = _pairs(registry[ann].fn(spark, sf_dir))
-        recall[ann] = round(len(got & exact) / max(len(exact), 1), 4)
-        print(f"# recall@10 {ann}: {recall[ann]}", file=sys.stderr)
+    if only is None:
+        from pyspark.sql import functions as F
 
-    # Multiprobe LSH candidate volume (judge r6 #2): the storage-free
-    # knob recall was bought with — recorded so recall moves are
-    # attributable (more probes => more candidates => more exact
-    # scoring, never more stored index).
-    n_q = qvecs.count()
-    recall["lsh_candidates_per_query"] = round(
-        S.lsh_candidates(emb, qvecs).count() / max(n_q, 1), 1
-    )
-    print(
-        f"# lsh candidates/query: {recall['lsh_candidates_per_query']}",
-        file=sys.stderr,
-    )
+        from dbt_omnata_push_spark.llmops import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvecs = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        exact = _pairs(
+            S.brute_force_topk(emb, qvecs, k=10, allow_full_scan=True)
+        )
+        for ann in (
+            "similarity_topk_ivf_trained",
+            "similarity_topk_ivf_indexed",
+            "similarity_topk_lsh_ann",
+            "similarity_topk_pq",
+            "similarity_topk_ivfpq",
+            "similarity_topk_pq_refined",
+        ):
+            got = _pairs(registry[ann].fn(spark, sf_dir))
+            recall[ann] = round(len(got & exact) / max(len(exact), 1), 4)
+            print(f"# recall@10 {ann}: {recall[ann]}", file=sys.stderr)
+
+        # Multiprobe LSH candidate volume (judge r6 #2): the
+        # storage-free knob recall was bought with — recorded so
+        # recall moves are attributable (more probes => more
+        # candidates => more exact scoring, never more stored index).
+        n_q = qvecs.count()
+        recall["lsh_candidates_per_query"] = round(
+            S.lsh_candidates(emb, qvecs).count() / max(n_q, 1), 1
+        )
+        print(
+            f"# lsh candidates/query: "
+            f"{recall['lsh_candidates_per_query']}",
+            file=sys.stderr,
+        )
 
     timings = {
         name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
@@ -362,6 +385,8 @@ def main() -> None:
         "sf": sf,
         "config": config,
     }
+    if only is not None:
+        record["filtered"] = True
     # Judge r6 #3 / r8 #2: BENCH_r0{6,7,8}.json all recorded
     # "parsed": null — the driver captures only an output TAIL, and the
     # full per-query map (80+ entries) overflows it. The FINAL stdout
@@ -392,11 +417,134 @@ def main() -> None:
         "sf": sf,
         "full_record": "BENCH_LOCAL.json",
     }
+    if only is not None:
+        compact["filtered"] = True
     sys.stdout.flush()
     sys.stderr.flush()
     print(json.dumps(compact, separators=(",", ":")), flush=True)
     spark.stop()
 
 
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return []
+
+
+def ab_main(ref: str, append_baseline: bool) -> None:
+    """Worktree A/B drift adjudication (r13, VERDICT r12 #7): time the
+    CODE at ``ref`` against HEAD on the SAME host, same session,
+    recording loadavg around each side — formalizing the hand-run
+    method that proved the r12 core-79 drift environmental. Each side
+    runs its own bench.py as a fresh subprocess (fresh JVM, symmetric
+    warmup) and is read back from its BENCH_LOCAL.json. Use
+    SPARK_GRAFT_BENCH_QUERIES to A/B a subset — the env var reaches
+    both sides, but a ref commit older than r13 ignores it and runs
+    its full suite (per-query ratios still compare only shared names).
+
+    Emits one JSON line {head, ref, ratios, loadavg} and, with
+    --append-baseline, appends the record to BASELINE.md so round
+    records are tool-generated, not prose."""
+    import datetime
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+
+    def _git(*args: str) -> str:
+        return subprocess.run(
+            ["git", *args], cwd=repo, capture_output=True, text=True,
+            check=True,
+        ).stdout.strip()
+
+    head_sha = _git("rev-parse", "--short", "HEAD")
+    ref_sha = _git("rev-parse", "--short", ref)
+
+    def run_side(cwd: str) -> dict:
+        subprocess.run(
+            [sys.executable, os.path.join(cwd, "bench.py")],
+            cwd=cwd,
+            check=True,
+            stdout=subprocess.DEVNULL,
+            stderr=sys.stderr,
+        )
+        with open(os.path.join(cwd, "BENCH_LOCAL.json")) as f:
+            return json.load(f)
+
+    load_before = _loadavg()
+    head_rec = run_side(repo)
+    load_mid = _loadavg()
+    wt = tempfile.mkdtemp(prefix="bench-ab-")
+    _git("worktree", "add", "--detach", wt, ref)
+    try:
+        ref_rec = run_side(wt)
+    finally:
+        _git("worktree", "remove", "--force", wt)
+    load_after = _loadavg()
+
+    shared = sorted(
+        set(head_rec["queries"]) & set(ref_rec["queries"])
+    )
+    ratios = {
+        q: round(head_rec["queries"][q] / ref_rec["queries"][q], 3)
+        for q in shared
+        if ref_rec["queries"][q] > 0
+    }
+    shared_head = sum(head_rec["queries"][q] for q in shared)
+    shared_ref = sum(ref_rec["queries"][q] for q in shared)
+    record = {
+        "metric": "ab_drift",
+        "head_commit": head_sha,
+        "ref_commit": ref_sha,
+        "shared_queries": len(shared),
+        "shared_total_ratio": round(shared_head / max(shared_ref, 1e-9), 3),
+        "head_total_sec": head_rec["value"],
+        "ref_total_sec": ref_rec["value"],
+        "head_core79_sec": head_rec.get("core79_sec"),
+        "ref_core79_sec": ref_rec.get("core79_sec"),
+        "sf": head_rec.get("sf"),
+        "loadavg": {
+            "before": load_before,
+            "between": load_mid,
+            "after": load_after,
+        },
+        "worst_ratios": dict(
+            sorted(ratios.items(), key=lambda kv: -kv[1])[:10]
+        ),
+    }
+    line = json.dumps(record, separators=(",", ":"))
+    print(line, flush=True)
+    if append_baseline:
+        stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
+        block = (
+            f"\n### A/B record {stamp} — HEAD {head_sha} vs "
+            f"{ref} ({ref_sha})\n\n"
+            "Tool-generated by `bench.py --ab` (same host, "
+            "back-to-back fresh JVMs, loadavg recorded):\n\n"
+            f"```json\n{line}\n```\n"
+        )
+        with open(os.path.join(repo, "BASELINE.md"), "a") as f:
+            f.write(block)
+
+
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--ab",
+        metavar="REF",
+        help="A/B drift mode: bench HEAD and the code at REF "
+        "back-to-back in worktrees, print a ratio record",
+    )
+    ap.add_argument(
+        "--append-baseline",
+        action="store_true",
+        help="with --ab: append the tool-generated record to BASELINE.md",
+    )
+    cli = ap.parse_args()
+    if cli.ab:
+        ab_main(cli.ab, cli.append_baseline)
+    else:
+        main()
