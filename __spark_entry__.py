@@ -60,9 +60,10 @@ _RECHECK_PRIORITY = [
     # group_num columns this round.
     "events_dialect_scalars",
     # r13: new entries — cross-symbol DEFINE navigation (NFA scan) and
-    # ORDER BY DESC in MATCH_RECOGNIZE.
+    # ORDER BY DESC in MATCH_RECOGNIZE; third-wave dialect fillers.
     "events_mr_cross_define",
     "events_mr_desc_runs",
+    "orders_dialect_wave3",
     # r13: the matcher materially changed again (condition-aware NFA
     # branch, direction-aware sort) — every MR-backed entry re-earns
     # its hash row.

@@ -169,6 +169,37 @@ _FUNC_RES = {
     # Snowflake SKEW/KURTOSIS == Spark skewness/kurtosis (same
     # sample-moment definitions); only SKEW needs the name bridge
     "SKEW": re.compile(r"\bskew\s*\(", re.IGNORECASE),
+    # r13: third wave — regex long forms, ISO-calendar parts, scalar
+    # bit/bool fillers, multiset/0-based array forms
+    "REGEXP_REPLACE": re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE),
+    "REGEXP_COUNT": re.compile(r"\bregexp_count\s*\(", re.IGNORECASE),
+    "REGEXP_LIKE": re.compile(r"\bregexp_like\s*\(", re.IGNORECASE),
+    "REGEXP_INSTR": re.compile(r"\bregexp_instr\s*\(", re.IGNORECASE),
+    "PREVIOUS_DAY": re.compile(r"\bprevious_day\s*\(", re.IGNORECASE),
+    "LAST_DAY": re.compile(r"\blast_day\s*\(", re.IGNORECASE),
+    "DAYOFWEEKISO": re.compile(r"\bdayofweekiso\s*\(", re.IGNORECASE),
+    "WEEKISO": re.compile(r"\bweekiso\s*\(", re.IGNORECASE),
+    "YEAROFWEEKISO": re.compile(r"\byearofweekiso\s*\(", re.IGNORECASE),
+    "BITAND": re.compile(r"\bbitand\s*\(", re.IGNORECASE),
+    "BITOR": re.compile(r"\bbitor\s*\(", re.IGNORECASE),
+    "BITXOR": re.compile(r"\bbitxor\s*\(", re.IGNORECASE),
+    "BITNOT": re.compile(r"\bbitnot\s*\(", re.IGNORECASE),
+    "BOOLAND": re.compile(r"\bbooland\s*\(", re.IGNORECASE),
+    "BOOLOR": re.compile(r"\bboolor\s*\(", re.IGNORECASE),
+    "BOOLXOR": re.compile(r"\bboolxor\s*\(", re.IGNORECASE),
+    "BOOLNOT": re.compile(r"\bboolnot\s*\(", re.IGNORECASE),
+    "EQUAL_NULL": re.compile(r"\bequal_null\s*\(", re.IGNORECASE),
+    "NVL2": re.compile(r"\bnvl2\s*\(", re.IGNORECASE),
+    "HLL": re.compile(r"\bhll\s*\(", re.IGNORECASE),
+    "RTRIMMED_LENGTH": re.compile(
+        r"\brtrimmed_length\s*\(", re.IGNORECASE
+    ),
+    "ARRAY_EXCEPT": re.compile(r"\barray_except\s*\(", re.IGNORECASE),
+    "ARRAY_REMOVE_AT": re.compile(
+        r"\barray_remove_at\s*\(", re.IGNORECASE
+    ),
+    "ARRAY_INSERT": re.compile(r"\barray_insert\s*\(", re.IGNORECASE),
+    "ARRAY_SORT": re.compile(r"\barray_sort\s*\(", re.IGNORECASE),
 }
 # Snowflake `FROM t, LATERAL FLATTEN(input => expr) f` -> Spark
 # `FROM t LATERAL VIEW posexplode(expr) f AS index, value` (the alias
@@ -487,6 +518,29 @@ def _rewrite_funcs(sql: str) -> str:
         sql, _FUNC_RES["DAYNAME"], lambda a: f"date_format({a}, 'EEE')"
     )
 
+    def _regex_params(lit: str, fname: str) -> tuple[str, bool]:
+        """Snowflake regex_parameters string literal -> (Java inline
+        flag letters, has_e). 'c' vs 'i': the LAST occurrence wins
+        (Snowflake rule)."""
+        if not (lit.startswith("'") and lit.endswith("'")):
+            raise ValueError(
+                f"{fname}: regex_parameters must be a string literal"
+            )
+        flags = lit[1:-1].replace("''", "'")
+        unknown = set(flags) - set("cimse")
+        if unknown:
+            raise ValueError(
+                f"{fname}: unknown regex_parameters {unknown}"
+            )
+        inline = ""
+        if max(flags.rfind("i"), -1) > flags.rfind("c"):
+            inline += "i"
+        if "s" in flags:
+            inline += "s"
+        if "m" in flags:
+            inline += "m"
+        return inline, "e" in flags
+
     def regexp_substr(a: str) -> str:
         # REGEXP_SUBSTR(subject, pattern[, position[, occurrence
         # [, regex_parameters[, group_num]]]]): NULL when no match
@@ -504,29 +558,10 @@ def _rewrite_funcs(sql: str) -> str:
         subj, pat = parts[0], parts[1]
         group = "0"
         if len(parts) >= 5:
-            lit = parts[4]
-            if not (lit.startswith("'") and lit.endswith("'")):
-                raise ValueError(
-                    "REGEXP_SUBSTR: regex_parameters must be a string "
-                    "literal"
-                )
-            flags = lit[1:-1].replace("''", "'")
-            unknown = set(flags) - set("cimse")
-            if unknown:
-                raise ValueError(
-                    f"REGEXP_SUBSTR: unknown regex_parameters {unknown}"
-                )
-            # 'c' vs 'i': the LAST occurrence wins (Snowflake rule)
-            inline = ""
-            if max(flags.rfind("i"), -1) > flags.rfind("c"):
-                inline += "i"
-            if "s" in flags:
-                inline += "s"
-            if "m" in flags:
-                inline += "m"
+            inline, has_e = _regex_params(parts[4], "REGEXP_SUBSTR")
             if inline:
                 pat = f"concat('(?{inline})', {pat})"
-            if "e" in flags:
+            if has_e:
                 group = "1"
         if len(parts) == 6:
             group = parts[5]
@@ -709,6 +744,301 @@ def _rewrite_funcs(sql: str) -> str:
     sql = replace_call(
         sql, _FUNC_RES["SKEW"], lambda a: f"skewness({a})"
     )
+
+    # --- r13 third wave: regex long forms, ISO calendar, scalar -------
+    # bit/bool fillers, multiset/0-based array forms. Same-named Spark
+    # builtins are emitted through __sf_* placeholders (resolved after
+    # each pass) so replace_call never re-matches its own output.
+    def regexp_replace_sf(a: str) -> str:
+        # REGEXP_REPLACE(subject, pattern[, replacement[, position
+        # [, occurrence[, regex_parameters]]]]): Snowflake's default
+        # replacement is '' (Spark requires it) and occurrence 0 =
+        # replace all (the only Spark semantics; a specific occurrence
+        # raises). position maps to Spark's native 4th argument.
+        parts = [p.strip() for p in _split_top_level_args(a)]
+        if len(parts) > 6:
+            raise ValueError(
+                f"REGEXP_REPLACE: too many arguments ({len(parts)})"
+            )
+        s, p = parts[0], parts[1]
+        r = parts[2] if len(parts) >= 3 else "''"
+        if len(parts) >= 6:
+            inline, _e = _regex_params(parts[5], "REGEXP_REPLACE")
+            if inline:
+                p = f"concat('(?{inline})', {p})"
+        if len(parts) >= 5 and parts[4] != "0":
+            raise ValueError(
+                "REGEXP_REPLACE: only occurrence 0 (replace all) is "
+                "supported"
+            )
+        if len(parts) >= 4 and parts[3] != "1":
+            return f"__sf_regexp_replace({s}, {p}, {r}, {parts[3]})"
+        return f"__sf_regexp_replace({s}, {p}, {r})"
+
+    sql = replace_call(sql, _FUNC_RES["REGEXP_REPLACE"], regexp_replace_sf)
+
+    def regexp_count_sf(a: str) -> str:
+        # REGEXP_COUNT(subject, pattern[, position[, regex_parameters]])
+        parts = [p.strip() for p in _split_top_level_args(a)]
+        if len(parts) > 4:
+            raise ValueError(
+                f"REGEXP_COUNT: too many arguments ({len(parts)})"
+            )
+        s, p = parts[0], parts[1]
+        if len(parts) >= 4:
+            inline, _e = _regex_params(parts[3], "REGEXP_COUNT")
+            if inline:
+                p = f"concat('(?{inline})', {p})"
+        if len(parts) >= 3 and parts[2] != "1":
+            s = f"substr({s}, {parts[2]})"
+        return f"__sf_regexp_count({s}, {p})"
+
+    sql = replace_call(sql, _FUNC_RES["REGEXP_COUNT"], regexp_count_sf)
+
+    def regexp_like_sf(a: str) -> str:
+        # Snowflake REGEXP_LIKE matches the ENTIRE subject (Spark's
+        # regexp_like is a substring search): anchor with ^(?:...)$
+        parts = [p.strip() for p in _split_top_level_args(a)]
+        if len(parts) > 3:
+            raise ValueError(
+                f"REGEXP_LIKE: too many arguments ({len(parts)})"
+            )
+        s, p = parts[0], parts[1]
+        inline = ""
+        if len(parts) == 3:
+            inline, _e = _regex_params(parts[2], "REGEXP_LIKE")
+        pre = f"^(?{inline})(?:" if inline else "^(?:"
+        return f"__sf_regexp_like({s}, concat('{pre}', {p}, ')$'))"
+
+    sql = replace_call(sql, _FUNC_RES["REGEXP_LIKE"], regexp_like_sf)
+
+    def regexp_instr_sf(a: str) -> str:
+        # REGEXP_INSTR(subject, pattern[, position[, occurrence
+        # [, option[, regex_parameters]]]]): 1-based match position, 0
+        # when no match. occurrence != 1 / option != 0 / group_num
+        # forms raise. position offsets via substr; coalesce/nullif
+        # keeps the scan to ONE regexp_instr call.
+        parts = [p.strip() for p in _split_top_level_args(a)]
+        if len(parts) > 6:
+            raise ValueError(
+                "REGEXP_INSTR: group_num argument is not supported"
+            )
+        s, p = parts[0], parts[1]
+        if len(parts) >= 4 and parts[3] != "1":
+            raise ValueError(
+                "REGEXP_INSTR: only occurrence 1 is supported"
+            )
+        if len(parts) >= 5 and parts[4] != "0":
+            raise ValueError("REGEXP_INSTR: only option 0 is supported")
+        if len(parts) >= 6:
+            inline, _e = _regex_params(parts[5], "REGEXP_INSTR")
+            if inline:
+                p = f"concat('(?{inline})', {p})"
+        pos = parts[2] if len(parts) >= 3 else "1"
+        if pos != "1":
+            return (
+                f"coalesce(nullif(__sf_regexp_instr(substr({s}, {pos}), "
+                f"{p}), 0) + ({pos}) - 1, 0)"
+            )
+        return f"__sf_regexp_instr({s}, {p})"
+
+    sql = replace_call(sql, _FUNC_RES["REGEXP_INSTR"], regexp_instr_sf)
+
+    def previous_day(a: str) -> str:
+        # first DOW strictly BEFORE the date: next_day is strictly
+        # after, so next_day(d - 1) is the first DOW >= d; minus 7
+        d, dow = (p.strip() for p in _split_top_level_args(a))
+        return (
+            f"date_sub(next_day(date_sub(CAST({d} AS DATE), 1), "
+            f"{dow}), 7)"
+        )
+
+    sql = replace_call(sql, _FUNC_RES["PREVIOUS_DAY"], previous_day)
+
+    def last_day_sf(a: str) -> str:
+        # LAST_DAY(d[, part]): Spark's native covers MONTH; YEAR /
+        # QUARTER via trunc + add_months - 1 day; WEEK ends Sunday
+        # (ISO week, Snowflake's default WEEK_START=0 behavior)
+        parts = [p.strip() for p in _split_top_level_args(a)]
+        if len(parts) == 1:
+            return f"__sf_last_day({parts[0]})"
+        d = f"CAST({parts[0]} AS DATE)"
+        part = parts[1].strip().strip("'\"").lower()
+        if part in ("month", "mon", "mm", "months"):
+            return f"__sf_last_day({parts[0]})"
+        if part in ("year", "yyyy", "yy", "years"):
+            return f"date_sub(add_months(trunc({d}, 'YEAR'), 12), 1)"
+        if part in ("quarter", "qtr", "q", "quarters"):
+            return f"date_sub(add_months(trunc({d}, 'QUARTER'), 3), 1)"
+        if part in ("week", "wk", "w", "weeks"):
+            return f"date_add({d}, 6 - weekday({d}))"
+        raise ValueError(
+            f"LAST_DAY: unsupported part {parts[1]} "
+            "(MONTH/QUARTER/YEAR/WEEK)"
+        )
+
+    sql = replace_call(sql, _FUNC_RES["LAST_DAY"], last_day_sf)
+
+    # ISO calendar parts: Spark weekday() is 0=Monday, weekofyear()
+    # is ISO already; the ISO year is the year of the week's Thursday
+    sql = replace_call(
+        sql,
+        _FUNC_RES["DAYOFWEEKISO"],
+        lambda a: f"(weekday({a}) + 1)",
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["WEEKISO"], lambda a: f"weekofyear({a})"
+    )
+    sql = replace_call(
+        sql,
+        _FUNC_RES["YEAROFWEEKISO"],
+        lambda a: (
+            f"year(date_add(CAST({a} AS DATE), 3 - weekday({a})))"
+        ),
+    )
+
+    def _two(a: str) -> tuple[str, str]:
+        x, y = (p.strip() for p in _split_top_level_args(a))
+        return x, y
+
+    sql = replace_call(
+        sql, _FUNC_RES["BITAND"],
+        lambda a: "(({}) & ({}))".format(*_two(a)),
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["BITOR"],
+        lambda a: "(({}) | ({}))".format(*_two(a)),
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["BITXOR"],
+        lambda a: "(({}) ^ ({}))".format(*_two(a)),
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["BITNOT"], lambda a: f"(~({a.strip()}))"
+    )
+    # BOOLAND/BOOLOR/BOOLXOR/BOOLNOT: numeric inputs, nonzero = true;
+    # SQL three-valued logic reproduces Snowflake's NULL rules exactly
+    # (BOOLAND(0, NULL) = false, BOOLAND(1, NULL) = NULL, ...)
+    sql = replace_call(
+        sql, _FUNC_RES["BOOLAND"],
+        lambda a: "((({}) <> 0) AND (({}) <> 0))".format(*_two(a)),
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["BOOLOR"],
+        lambda a: "((({}) <> 0) OR (({}) <> 0))".format(*_two(a)),
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["BOOLXOR"],
+        lambda a: "((({}) <> 0) <> (({}) <> 0))".format(*_two(a)),
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["BOOLNOT"],
+        lambda a: f"(NOT (({a.strip()}) <> 0))",
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["EQUAL_NULL"],
+        lambda a: "(({}) <=> ({}))".format(*_two(a)),
+    )
+
+    def nvl2(a: str) -> str:
+        x, y, z = (p.strip() for p in _split_top_level_args(a))
+        return f"if(({x}) IS NOT NULL, {y}, {z})"
+
+    sql = replace_call(sql, _FUNC_RES["NVL2"], nvl2)
+    # (RATIO_TO_REPORT is handled by the dedicated window-function
+    # rewrite pass later in transpile — it enforces the OVER clause
+    # and casts the numerator to DOUBLE.)
+    sql = replace_call(
+        sql, _FUNC_RES["HLL"],
+        lambda a: f"approx_count_distinct({a})",
+    )
+    sql = replace_call(
+        sql, _FUNC_RES["RTRIMMED_LENGTH"],
+        lambda a: f"length(rtrim({a}))",
+    )
+
+    def array_except_sf(a: str) -> str:
+        # MULTISET except (Snowflake): keep the k-th occurrence of an
+        # element of the left array only if the right holds FEWER than
+        # k occurrences — Spark's array_except dedupes, so it can't be
+        # used. Null-safe (<=>) like the ARRAY_INTERSECTION rewrite.
+        x, y = _two(a)
+        return (
+            f"filter({x}, (el, i) -> "
+            f"size(filter(slice({x}, 1, i + 1), e2 -> e2 <=> el)) > "
+            f"size(filter({y}, e2 -> e2 <=> el)))"
+        )
+
+    sql = replace_call(sql, _FUNC_RES["ARRAY_EXCEPT"], array_except_sf)
+
+    def array_remove_at(a: str) -> str:
+        # 0-based position, negative counts from the end; an
+        # out-of-range position returns the array unmodified
+        arr, pos = _two(a)
+        posn = f"if(({pos}) < 0, size({arr}) + ({pos}), ({pos}))"
+        posc = f"if(({posn}) < 0, size({arr}), ({posn}))"
+        return (
+            f"concat(slice({arr}, 1, greatest({posc}, 0)), "
+            f"slice({arr}, ({posc}) + 2, "
+            f"greatest(size({arr}) - (({posc}) + 1), 0)))"
+        )
+
+    sql = replace_call(sql, _FUNC_RES["ARRAY_REMOVE_AT"], array_remove_at)
+
+    def array_insert_sf(a: str) -> str:
+        # 0-based insert (Spark's is 1-based); beyond-length positions
+        # NULL-pad on both engines. Negative positions differ between
+        # the engines' conventions — refused loudly.
+        arr, pos, elem = (p.strip() for p in _split_top_level_args(a))
+        return (
+            f"if(({pos}) >= 0, "
+            f"__sf_array_insert({arr}, ({pos}) + 1, {elem}), "
+            f"raise_error('ARRAY_INSERT: negative positions are not "
+            f"supported'))"
+        )
+
+    sql = replace_call(sql, _FUNC_RES["ARRAY_INSERT"], array_insert_sf)
+
+    def array_sort_sf(a: str) -> str:
+        # ARRAY_SORT(arr[, sort_ascending[, nulls_first]]) — Snowflake
+        # defaults: ascending, nulls LAST == Spark's array_sort.
+        # Literal flags pick among array_sort / sort_array(asc: nulls
+        # first, desc: nulls last) / reverse(array_sort) (desc, nulls
+        # first); runtime flags raise.
+        parts = [p.strip() for p in _split_top_level_args(a)]
+        arr = parts[0]
+        if len(parts) == 1:
+            return f"__sf_array_sort({arr})"
+        if len(parts) > 3:
+            raise ValueError(
+                f"ARRAY_SORT: too many arguments ({len(parts)})"
+            )
+        flags = [p.lower() for p in parts[1:]]
+        if any(fl not in ("true", "false") for fl in flags):
+            raise ValueError(
+                "ARRAY_SORT: sort flags must be literal TRUE/FALSE"
+            )
+        asc = flags[0] == "true"
+        nulls_first = len(flags) > 1 and flags[1] == "true"
+        if asc and not nulls_first:
+            return f"__sf_array_sort({arr})"
+        if asc and nulls_first:
+            return f"sort_array({arr}, true)"
+        if not asc and not nulls_first:
+            return f"sort_array({arr}, false)"
+        return f"reverse(__sf_array_sort({arr}))"
+
+    sql = replace_call(sql, _FUNC_RES["ARRAY_SORT"], array_sort_sf)
+    for ph, real in (
+        ("__sf_regexp_replace(", "regexp_replace("),
+        ("__sf_regexp_count(", "regexp_count("),
+        ("__sf_regexp_like(", "regexp_like("),
+        ("__sf_regexp_instr(", "regexp_instr("),
+        ("__sf_last_day(", "last_day("),
+        ("__sf_array_insert(", "array_insert("),
+        ("__sf_array_sort(", "array_sort("),
+    ):
+        sql = sql.replace(ph, real)
 
     def listagg(a: str) -> str:
         parts = _split_top_level_args(a)

@@ -3844,3 +3844,137 @@ def events_mr_desc_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").cast("long").alias("e"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+@query(
+    "orders_dialect_wave3",
+    oracle="""
+    SELECT o_orderkey,
+           regexp_replace(o_orderpriority, '[aeiou]', '*', 'gi') AS rr,
+           CAST(len(regexp_extract_all(substr(o_orderpriority, 3),
+                                       '[A-Z]')) AS BIGINT) AS rc,
+           regexp_full_match(o_orderpriority, '(?i)[0-9]-[a-z ]+') AS rl,
+           CASE WHEN regexp_matches(o_orderpriority, '[A-Z]')
+                THEN length(regexp_extract(o_orderpriority,
+                                           '^[^A-Z]*')) + 1
+                ELSE 0 END AS ri,
+           CAST(CAST(o_orderdate AS DATE)
+               - CAST(((isodow(CAST(o_orderdate AS DATE)) - 5 + 6) % 7)
+                      + 1 AS INT) AS TIMESTAMP) AS pd,
+           CAST(date_trunc('quarter', o_orderdate) + INTERVAL 3 MONTH
+                - INTERVAL 1 DAY AS TIMESTAMP) AS ld,
+           CAST(isodow(o_orderdate) AS BIGINT) AS dw,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS wk,
+           CAST(isoyear(o_orderdate) AS BIGINT) AS yi,
+           o_orderkey & 255 AS ba,
+           xor(o_orderkey, 85) AS bx,
+           ((o_orderkey % 2) <> 0 AND (o_custkey % 3) <> 0) AS bl,
+           (nullif(o_orderkey % 7, 0) IS NOT DISTINCT FROM
+            nullif(o_custkey % 7, 0)) AS en,
+           CASE WHEN nullif(o_orderkey % 3, 0) IS NOT NULL
+                THEN 'y' ELSE 'n' END AS n2,
+           CAST(o_orderkey % 10 AS DOUBLE)
+               / SUM(CAST(o_orderkey % 10 AS DOUBLE))
+                     OVER (PARTITION BY o_orderstatus) AS rtr,
+           CAST(length(rtrim(o_orderpriority || '  ')) AS BIGINT)
+               AS rtl,
+           array_to_string([7 + o_orderkey % 3, o_orderkey % 5], ',')
+               AS ae,
+           CAST(7 + o_orderkey % 3 AS VARCHAR) AS ra,
+           array_to_string([o_orderkey % 5, 99, 7 + o_orderkey % 3],
+                           ',') AS ai,
+           array_to_string(list_sort([7 + o_orderkey % 3,
+                                      o_orderkey % 5, 5], 'DESC'), ',')
+               AS aso
+    FROM orders
+    WHERE o_orderkey % 53 = 1
+    """,
+    tags=("engine", "sqlfront", "dialect"),
+)
+def orders_dialect_wave3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-wave Snowflake dialect fillers (r13, engine/sqlfront.py):
+    REGEXP_REPLACE/COUNT/LIKE/INSTR long forms (position, occurrence,
+    regex_parameters as Java inline flags; REGEXP_LIKE matches the
+    ENTIRE subject), PREVIOUS_DAY / LAST_DAY(part) / ISO calendar
+    parts (DAYOFWEEKISO, WEEKISO, YEAROFWEEKISO), scalar BITAND/BITOR/
+    BITXOR/BITNOT and BOOLAND/BOOLOR/BOOLXOR (SQL three-valued rules),
+    EQUAL_NULL, NVL2, RATIO_TO_REPORT, RTRIMMED_LENGTH, and the
+    Snowflake array signatures ARRAY_EXCEPT (multiset), ARRAY_REMOVE_AT
+    / ARRAY_INSERT (0-based), ARRAY_SORT (flag forms). All JVM-side
+    rewrites — no UDFs; every column is integer/string/calendar
+    arithmetic, cross-engine exact."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-w3-")))
+    engine.seed(
+        "ord_w3",
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 53 == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderdate",
+            "o_orderpriority",
+        ),
+    )
+    out = engine.query(
+        "select o_orderkey, "
+        "regexp_replace(o_orderpriority, '[aeiou]', '*', 1, 0, 'i') "
+        "    as rr, "
+        "regexp_count(o_orderpriority, '[A-Z]', 3) as rc, "
+        "regexp_like(o_orderpriority, '[0-9]-[a-z ]+', 'i') as rl, "
+        "regexp_instr(o_orderpriority, '[A-Z]+') as ri, "
+        "cast(previous_day(o_orderdate, 'FR') as timestamp) as pd, "
+        "cast(last_day(o_orderdate, 'quarter') as timestamp) as ld, "
+        "dayofweekiso(o_orderdate) as dw, "
+        "weekiso(o_orderdate) as wk, "
+        "yearofweekiso(o_orderdate) as yi, "
+        "bitand(o_orderkey, 255) as ba, "
+        "bitxor(o_orderkey, 85) as bx, "
+        "booland(o_orderkey % 2, o_custkey % 3) as bl, "
+        "equal_null(nullif(o_orderkey % 7, 0), "
+        "           nullif(o_custkey % 7, 0)) as en, "
+        "nvl2(nullif(o_orderkey % 3, 0), 'y', 'n') as n2, "
+        "ratio_to_report(cast(o_orderkey % 10 as double)) "
+        "    over (partition by o_orderstatus) as rtr, "
+        "rtrimmed_length(o_orderpriority || '  ') as rtl, "
+        "array_to_string(array_except("
+        "    array(o_orderkey % 5, 7 + o_orderkey % 3, o_orderkey % 5), "
+        "    array(o_orderkey % 5)), ',') as ae, "
+        "array_to_string(array_remove_at("
+        "    array(o_orderkey % 5, 7 + o_orderkey % 3), 0), ',') as ra, "
+        "array_to_string(array_insert("
+        "    array(o_orderkey % 5, 7 + o_orderkey % 3), 1, 99), ',') "
+        "    as ai, "
+        "array_to_string(array_sort("
+        "    array(7 + o_orderkey % 3, o_orderkey % 5, 5), false, "
+        "    false), ',') as aso "
+        "from ord_w3"
+    )
+    return out.select(
+        "o_orderkey",
+        "rr",
+        F.col("rc").cast("long").alias("rc"),
+        "rl",
+        F.col("ri").cast("long").alias("ri"),
+        "pd",
+        "ld",
+        F.col("dw").cast("long").alias("dw"),
+        F.col("wk").cast("long").alias("wk"),
+        F.col("yi").cast("long").alias("yi"),
+        "ba",
+        "bx",
+        "bl",
+        "en",
+        "n2",
+        "rtr",
+        F.col("rtl").cast("long").alias("rtl"),
+        "ae",
+        "ra",
+        "ai",
+        "aso",
+    )

@@ -1041,3 +1041,118 @@ def test_quoted_identifier_not_a_path():
     assert '"weird:ident"' in out
     out = transpile('select props:"odd key" from t')
     assert "get_json_object(props, '$.odd key')" in out
+
+
+def test_wave3_regex_forms(spark):
+    """r13 third wave: REGEXP_REPLACE long form (default replacement,
+    position via Spark's native 4th arg, params), REGEXP_COUNT
+    (position/params), REGEXP_LIKE (ENTIRE-subject match, Snowflake
+    semantics), REGEXP_INSTR (position offset, single scan)."""
+    row = spark.sql(
+        transpile(
+            "select "
+            "regexp_replace('aXbXc', 'X') as r1, "
+            "regexp_replace('aXbXc', 'x', '-', 1, 0, 'i') as r2, "
+            "regexp_replace('aXbXc', 'X', '-', 3) as r3, "
+            "regexp_count('a1b22c333', '[0-9]+') as c1, "
+            "regexp_count('a1b22c333', '[0-9]+', 4) as c2, "
+            "regexp_count('AaA', 'a', 1, 'i') as c3, "
+            "regexp_like('abc', 'a.c') as l1, "
+            "regexp_like('xabc', 'a.c') as l2, "
+            "regexp_like('ABC', 'abc', 'i') as l3, "
+            "regexp_instr('hello world', 'o.w') as i1, "
+            "regexp_instr('hello world', 'zzz') as i2, "
+            "regexp_instr('xoxo', 'o', 3) as i3"
+        )
+    ).collect()[0]
+    assert (row.r1, row.r2, row.r3) == ("abc", "a-b-c", "aXb-c")
+    assert (row.c1, row.c2, row.c3) == (3, 2, 3)
+    assert (row.l1, row.l2, row.l3) == (True, False, True)
+    assert (row.i1, row.i2, row.i3) == (5, 0, 4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="occurrence"):
+        transpile("select regexp_replace(s, p, r, 1, 2) from t")
+    with _pytest.raises(ValueError, match="occurrence"):
+        transpile("select regexp_instr(s, p, 1, 2) from t")
+
+
+def test_wave3_date_iso(spark):
+    import datetime as dt
+
+    row = spark.sql(
+        transpile(
+            "select "
+            "previous_day(date'2024-05-17', 'FR') as pf, "
+            "previous_day(date'2024-05-17', 'MO') as pm, "
+            "last_day(date'2024-05-17') as lm, "
+            "last_day(date'2024-05-17', 'year') as ly, "
+            "last_day(date'2024-05-17', 'quarter') as lq, "
+            "last_day(date'2024-05-17', 'week') as lw, "
+            "dayofweekiso(date'2024-05-17') as dw, "
+            "weekiso(date'2024-01-01') as wk, "
+            "yearofweekiso(date'2024-12-30') as y1, "
+            "yearofweekiso(date'2021-01-01') as y2"
+        )
+    ).collect()[0]
+    # 2024-05-17 is a Friday: previous Friday is the 10th
+    assert row.pf == dt.date(2024, 5, 10)
+    assert row.pm == dt.date(2024, 5, 13)
+    assert row.lm == dt.date(2024, 5, 31)
+    assert row.ly == dt.date(2024, 12, 31)
+    assert row.lq == dt.date(2024, 6, 30)
+    assert row.lw == dt.date(2024, 5, 19)  # ISO week ends Sunday
+    assert row.dw == 5
+    assert row.wk == 1
+    assert (row.y1, row.y2) == (2025, 2020)  # ISO year crosses NYE
+
+
+def test_wave3_bit_bool_scalars(spark):
+    row = spark.sql(
+        transpile(
+            "select "
+            "bitand(12, 10) as ba, bitor(12, 10) as bo, "
+            "bitxor(12, 10) as bx, bitnot(0) as bn, "
+            "booland(1, 2) as a1, booland(0, null) as a2, "
+            "booland(1, null) as a3, boolor(0, null) as o1, "
+            "boolxor(1, 0) as x1, boolxor(2, 3) as x2, "
+            "boolnot(0) as n1, "
+            "equal_null(null, null) as e1, equal_null(1, null) as e2, "
+            "nvl2(null, 'a', 'b') as v1, nvl2(7, 'a', 'b') as v2, "
+            "rtrimmed_length('abc   ') as rt"
+        )
+    ).collect()[0]
+    assert (row.ba, row.bo, row.bx, row.bn) == (8, 14, 6, -1)
+    # Snowflake NULL rules via three-valued logic
+    assert (row.a1, row.a2, row.a3, row.o1) == (True, False, None, None)
+    assert (row.x1, row.x2, row.n1) == (True, False, True)
+    assert (row.e1, row.e2) == (True, False)
+    assert (row.v1, row.v2) == ("b", "a")
+    assert row.rt == 3
+
+
+def test_wave3_array_forms(spark):
+    row = spark.sql(
+        transpile(
+            "select "
+            "array_except(array(1,1,2,3), array(1)) as e1, "
+            "array_except(array(1,1,2), array(1,1,1)) as e2, "
+            "array_remove_at(array(10,20,30), 1) as r1, "
+            "array_remove_at(array(10,20,30), -1) as r2, "
+            "array_remove_at(array(10,20,30), 9) as r3, "
+            "array_insert(array(1,2,3), 0, 99) as i1, "
+            "array_insert(array(1,2,3), 3, 99) as i2, "
+            "array_sort(array(3,null,1)) as s1, "
+            "array_sort(array(3,null,1), true, true) as s2, "
+            "array_sort(array(3,null,1), false, false) as s3, "
+            "array_sort(array(3,null,1), false, true) as s4"
+        )
+    ).collect()[0]
+    assert row.e1 == [1, 2, 3]  # multiset: one occurrence removed
+    assert row.e2 == [2]
+    assert (row.r1, row.r2, row.r3) == ([10, 30], [10, 20], [10, 20, 30])
+    assert (row.i1, row.i2) == ([99, 1, 2, 3], [1, 2, 3, 99])
+    assert row.s1 == [1, 3, None]  # Snowflake default: asc, nulls last
+    assert row.s2 == [None, 1, 3]
+    assert row.s3 == [3, 1, None]
+    assert row.s4 == [None, 3, 1]
