@@ -29,7 +29,14 @@ transpiler and not a Catalyst extension.
 (IFF/DATEADD/LISTAGG/TO_VARCHAR exceed the reference's own surface —
 they are the most common Snowflake idioms in user model SQL that would
 be pointed at this engine; NVL/COALESCE/CURRENT_TIMESTAMP parse
-natively in Spark and need no rewrite.)
+natively in Spark and need no rewrite. The r12 second wave added
+TIME_SLICE / CONVERT_TIMEZONE / MONTHNAME / DAYNAME / REGEXP_SUBSTR /
+Snowflake array signatures / TRUNCATE / HAVERSINE / OBJECT_KEYS /
+SKEW; the r13 third wave adds the REGEXP_REPLACE/COUNT/LIKE/INSTR
+long forms, PREVIOUS_DAY / LAST_DAY(part) / ISO calendar parts,
+scalar BITAND-family and BOOLAND-family, EQUAL_NULL, NVL2, HLL,
+RTRIMMED_LENGTH, and multiset ARRAY_EXCEPT / 0-based ARRAY_REMOVE_AT
++ ARRAY_INSERT / ARRAY_SORT flag forms — all JVM-side rewrites.)
 
 Any OTHER window function over the null window raises: the only faithful
 Spark plan is a single-partition Window, a silent scale-killer at 100 TB,
