@@ -7,6 +7,7 @@ hooks (omnata_push_materialization.sql:2,17) and per-model run results.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 from collections.abc import Callable
@@ -444,6 +445,24 @@ class Engine:
             "status_detail string, scheduled_time string, "
             "completed_time string, error string",
         ).createOrReplaceTempView("__is_task_history")
+        # INFORMATION_SCHEMA.DYNAMIC_TABLE_REFRESH_HISTORY (r13):
+        # one row per refresh attempt (SUCCEEDED / SKIPPED), always
+        # registered, collision-proof internal name (same contract as
+        # the task history view).
+        dth = self.store.dt_refresh_history()
+        self.spark.createDataFrame(
+            [
+                (
+                    r.get("name"),
+                    r.get("refreshed_at"),
+                    r.get("state"),
+                    json.dumps(r.get("base_versions") or {}),
+                )
+                for r in dth
+            ],
+            "name string, refreshed_at string, state string, "
+            "base_versions string",
+        ).createOrReplaceTempView("__is_dt_refresh_history")
         # Stored (non-materialized) views re-resolve on every read, so
         # they always reflect base tables' current versions and inherit
         # governance (their FROMs hit the masked/filtered temp views
@@ -955,10 +974,112 @@ class Engine:
                 out.append(
                     (name, r["run_order"], r["task_name"], r["status"])
                 )
+        # Dynamic-table lag tick (r13): refresh every STARTED dynamic
+        # table whose TARGET_LAG has elapsed at ``now``. The refresh
+        # itself is version-gated — unchanged bases commit NOTHING —
+        # so an idle tick is O(1) metadata reads per table.
+        dts = self.store.dynamic_tables()
+        for name in sorted(dts):
+            d = dts[name]
+            if d.get("state") != "started" or d.get("lag_s") is None:
+                continue
+            last = d.get("last_refresh")
+            last_dt = (
+                datetime.fromisoformat(last) if last else None
+            )
+            if last_dt is not None:
+                if last_dt.tzinfo is None:
+                    last_dt = last_dt.replace(tzinfo=timezone.utc)
+                now_utc = (
+                    now
+                    if now.tzinfo
+                    else now.replace(tzinfo=timezone.utc)
+                )
+                if (now_utc - last_dt).total_seconds() < d["lag_s"]:
+                    continue
+            status = self.refresh_dynamic_table(name, now=now)
+            out.append((name, 0, name, f"dt_{status}"))
         return self.spark.createDataFrame(
             out,
             "root string, run_order int, task_name string, status string",
         )
+
+    # -- dynamic tables (r13) ----------------------------------------------
+    def _dt_base_versions(self, sql: str) -> tuple[dict, bool]:
+        """(store-table name -> current version) for every store table
+        the defining SQL references in table position, plus a flag for
+        references the version check CANNOT cover (seeds, or qualified
+        names the scan may miss are NOT flagged — an empty version map
+        disables skipping instead, the safe default)."""
+        import os as _os
+
+        from .dml import _strip_comments
+
+        stripped = _strip_comments(sql).lower()
+        stripped = re.sub(r"'(?:[^']|'')*'", "''", stripped)
+
+        def _referenced(n: str) -> bool:
+            return bool(
+                re.search(
+                    rf"\b(?:from|join)\s*\(?\s*{re.escape(n)}\b(?!\s*\.)",
+                    stripped,
+                )
+            )
+
+        versions: dict[str, int] = {}
+        if _os.path.isdir(self.store.root):
+            for entry in _os.listdir(self.store.root):
+                logical = entry.replace("__", ".")
+                if not self.store.exists(logical):
+                    continue
+                tail = logical.rsplit(".", 1)[-1].lower()
+                if _referenced(tail):
+                    v = self.store.current_version(logical)
+                    if v is not None:
+                        versions[tail] = v
+        unversioned = any(
+            _referenced(s.lower()) for s in self.seeds
+        )
+        return versions, unversioned
+
+    def refresh_dynamic_table(
+        self, name: str, force: bool = False, now=None
+    ) -> str:
+        """Refresh a dynamic table: recompute its defining SELECT and
+        overwrite the backing store table — UNLESS every base table's
+        version pointer is unchanged since the last successful refresh,
+        in which case the refresh is recorded SKIPPED and commits
+        nothing (O(1); Snowflake's no-new-data skip). ``force=True``
+        (initial build, explicit REFRESH after suspected drift) always
+        recomputes. Returns 'refreshed' | 'skipped'."""
+        from datetime import datetime as _dt
+        from datetime import timezone as _tz
+
+        dts = self.store.dynamic_tables()
+        key = name.lower()
+        if key not in dts:
+            raise ValueError(f"dynamic table not found: {name}")
+        meta = dts[key]
+        when = (now or _dt.now(_tz.utc)).isoformat()
+        versions, unversioned = self._dt_base_versions(meta["sql"])
+        can_skip = (
+            not force
+            and self.store.exists(key)
+            and versions
+            and not unversioned
+            and versions == meta.get("base_versions")
+        )
+        if can_skip:
+            self.store.record_dynamic_refresh(
+                key, versions, when, "SKIPPED"
+            )
+            return "skipped"
+        df = self.query(meta["sql"])
+        self.store.overwrite(self.spark, key, df)
+        self.store.record_dynamic_refresh(
+            key, versions, when, "SUCCEEDED"
+        )
+        return "refreshed"
 
     def query(self, sql: str, dialect: str = "snowflake") -> DataFrame:
         """One-off ad-hoc statement over the engine's tables (r7): every
@@ -1017,6 +1138,12 @@ class Engine:
                 r"(?is)\btable\s*\(\s*information_schema\s*\.\s*"
                 r"task_history\s*\(\s*\)\s*\)",
                 "__is_task_history",
+                sql,
+            )
+            sql = re.sub(
+                r"(?is)\btable\s*\(\s*information_schema\s*\.\s*"
+                r"dynamic_table_refresh_history\s*\(\s*\)\s*\)",
+                "__is_dt_refresh_history",
                 sql,
             )
             if re.search(r"(?is)\bmatch_recognize\s*\(", sql):

@@ -162,6 +162,9 @@ _KIND_RE = re.compile(
     r"unset\s+[A-Za-z_]\w*|"
     r"create\s+(?:or\s+replace\s+)?view\b|"
     r"drop\s+view\b|"
+    r"create\s+(?:or\s+replace\s+)?dynamic\s+table\b|"
+    r"drop\s+dynamic\s+table\b|"
+    r"alter\s+dynamic\s+table\b|"
     r"create\s+(?:or\s+replace\s+)?task\b|"
     r"drop\s+task\b|"
     r"alter\s+task\b|"
@@ -202,6 +205,14 @@ def statement_kind(sql: str) -> str | None:
         return "create_view"
     if kw.startswith("drop view"):
         return "drop_view"
+    if kw.startswith(
+        ("create dynamic table", "create or replace dynamic table")
+    ):
+        return "create_dynamic"
+    if kw.startswith("drop dynamic table"):
+        return "drop_dynamic"
+    if kw.startswith("alter dynamic table"):
+        return "alter_dynamic"
     if kw.startswith(("create task", "create or replace task")):
         return "create_task"
     if kw.startswith("drop task"):
@@ -260,6 +271,19 @@ def _with_rid(engine, table: str) -> DataFrame:
     df = engine.store.read(engine.spark, table)
     return df.withColumn(_RID, F.monotonically_increasing_id()).localCheckpoint()
 
+
+
+def _refuse_dynamic(engine, table: str, verb: str) -> None:
+    """Dynamic tables' content is defined by their query (r13):
+    Snowflake refuses direct DML against them, and so does this
+    engine — the mutation would be silently overwritten by the next
+    refresh. Route changes through the base tables + a refresh."""
+    if table.lower() in engine.store.dynamic_tables():
+        raise ValueError(
+            f"{verb} is not allowed on dynamic table {table}: its "
+            "content is defined by its query (mutate the base tables, "
+            "then ALTER DYNAMIC TABLE ... REFRESH)"
+        )
 
 def _summary(engine, **counts) -> DataFrame:
     cols = ", ".join(f"{k} long" for k in counts)
@@ -345,6 +369,7 @@ def _insert(engine, sql: str) -> DataFrame:
     if not m:
         raise ValueError(f"unparsable INSERT statement: {sql[:120]}")
     table = _resolve_table(engine, m.group(1))
+    _refuse_dynamic(engine, table, "INSERT")
     rest, cols = s[m.end():].lstrip(), None
     if rest.startswith("("):
         end = _paren_group_end(rest, 0)
@@ -466,6 +491,7 @@ def _insert_multi(engine, sql: str) -> DataFrame:
             matched_any = matched_any | cond
         for item in g["items"]:
             table = _resolve_table(engine, item["table"])
+            _refuse_dynamic(engine, table, "INSERT")
             if item["values"] is not None:
                 names = item["cols"] or [
                     f"col{i+1}" for i in range(len(item["values"]))
@@ -568,6 +594,7 @@ def _update(engine, sql: str) -> DataFrame:
     if not m:
         raise ValueError(f"unparsable UPDATE statement: {s[:120]}")
     table = _resolve_table(engine, m.group(1))
+    _refuse_dynamic(engine, table, "UPDATE")
     alias = (m.group(2) or m.group(1)).strip('"').rsplit(".", 1)[-1]
     rest = s[m.end() :]
     fm = _scan_top(rest, r"from\b")
@@ -700,6 +727,7 @@ def _delete(engine, sql: str) -> DataFrame:
     if not m:
         raise ValueError(f"unparsable DELETE statement: {s[:120]}")
     table = _resolve_table(engine, m.group(1))
+    _refuse_dynamic(engine, table, "DELETE")
     alias = (m.group(2) or m.group(1)).strip('"').rsplit(".", 1)[-1]
     rest = m.group(3) or ""
     um = _scan_top(rest, r"using\b")
@@ -751,6 +779,7 @@ def _merge(engine, sql: str) -> DataFrame:
     if not m:
         raise ValueError(f"unparsable MERGE statement: {s[:120]}")
     table = _resolve_table(engine, m.group(1))
+    _refuse_dynamic(engine, table, "MERGE")
     alias = (m.group(2) or m.group(1)).strip('"').rsplit(".", 1)[-1]
     rest = s[m.end() :]
     om = _scan_top(rest, r"on\b")
@@ -1063,6 +1092,7 @@ def _truncate(engine, sql: str) -> DataFrame:
     if not m:
         raise ValueError(f"unparsable TRUNCATE statement: {s[:120]}")
     table = _resolve_table(engine, m.group(1))
+    _refuse_dynamic(engine, table, "TRUNCATE")
     cur = engine.store.read(engine.spark, table)
     n = cur.count()
     engine.store.overwrite(engine.spark, table, cur.limit(0))
@@ -1165,6 +1195,24 @@ def _show(engine, sql: str) -> DataFrame:
         )
         return engine.spark.createDataFrame(
             rows, "name string, definition string"
+        )
+    if _SHOW_DTS_RE.match(s):
+        rows = sorted(
+            (
+                n,
+                d["state"],
+                "DOWNSTREAM"
+                if d.get("lag_s") is None
+                else f"{d['lag_s']} seconds",
+                d.get("last_refresh"),
+                d["sql"],
+            )
+            for n, d in engine.store.dynamic_tables().items()
+        )
+        return engine.spark.createDataFrame(
+            rows,
+            "name string, state string, target_lag string, "
+            "last_refresh string, definition string",
         )
     if _SHOW_TASKS_RE.match(s):
         rows = sorted(
@@ -1367,6 +1415,7 @@ def _copy(engine, sql: str) -> DataFrame:
 
     # LOAD: files -> table (append; COPY INTO's one-way door)
     table = _resolve_table(engine, target)
+    _refuse_dynamic(engine, table, "COPY INTO")
     reader = engine.spark.read
     if ftype == "csv":
         # SKIP_HEADER = 1 is Snowflake's header switch; COPY matches
@@ -2033,6 +2082,117 @@ def _execute_task(engine, sql: str) -> DataFrame:
     return engine.execute_task(m.group(1).strip('"'))
 
 
+_CREATE_DT_RE = re.compile(
+    rf"(?is)^\s*create\s+(or\s+replace\s+)?dynamic\s+table\s+"
+    rf"({_IDENT})"
+    r"((?:\s+\w+\s*=\s*(?:'[^']*'|\w+))*)"
+    r"\s+as\s+(.+)$"
+)
+_DROP_DT_RE = re.compile(
+    rf"(?is)^\s*drop\s+dynamic\s+table\s+(if\s+exists\s+)?"
+    rf"({_IDENT})\s*$"
+)
+_ALTER_DT_RE = re.compile(
+    rf"(?is)^\s*alter\s+dynamic\s+table\s+({_IDENT})\s+"
+    r"(refresh|suspend|resume)\s*$"
+)
+_SHOW_DTS_RE = re.compile(r"(?is)^\s*show\s+dynamic\s+tables\s*$")
+
+
+def _parse_target_lag(val: str) -> int | None:
+    """'<n> seconds|minutes|hours|days' -> seconds; DOWNSTREAM -> None
+    (no self-schedule — refreshed manually or by an upstream)."""
+    v = val.strip().strip("'\"").lower()
+    if v == "downstream":
+        return None
+    m = re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", v)
+    if not m:
+        raise ValueError(
+            f"unparsable TARGET_LAG {val!r} (expected '<n> "
+            "seconds|minutes|hours|days' or DOWNSTREAM)"
+        )
+    return int(m.group(1)) * {
+        "second": 1,
+        "minute": 60,
+        "hour": 3600,
+        "day": 86400,
+    }[m.group(2)]
+
+
+def _create_dynamic(engine, sql: str) -> DataFrame:
+    """CREATE [OR REPLACE] DYNAMIC TABLE name TARGET_LAG = '...'
+    [WAREHOUSE = w] [REFRESH_MODE = m] [INITIALIZE = i] AS <select>
+    (r13). WAREHOUSE/REFRESH_MODE are accepted and ignored (no
+    warehouses here; refresh is always a full recompute gated by the
+    O(1) base-version check). The initial build runs at CREATE
+    (Snowflake's INITIALIZE = ON_CREATE default)."""
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _CREATE_DT_RE.match(s)
+    if not m:
+        raise ValueError(
+            "unparsable CREATE DYNAMIC TABLE (expected: CREATE [OR "
+            "REPLACE] DYNAMIC TABLE <name> TARGET_LAG = '...' "
+            f"[WAREHOUSE = w] AS <select>): {s[:120]}"
+        )
+    name = m.group(2).strip('"')
+    opts = {
+        k.lower(): v
+        for k, v in re.findall(r"(\w+)\s*=\s*('[^']*'|\w+)", m.group(3) or "")
+    }
+    unknown = set(opts) - {
+        "target_lag", "warehouse", "refresh_mode", "initialize",
+    }
+    if unknown:
+        raise ValueError(
+            f"CREATE DYNAMIC TABLE: unsupported options {sorted(unknown)}"
+        )
+    if "target_lag" not in opts:
+        raise ValueError("CREATE DYNAMIC TABLE requires TARGET_LAG")
+    lag = _parse_target_lag(opts["target_lag"])
+    engine.store.create_dynamic_table(
+        name, m.group(4).strip(), lag, replace=bool(m.group(1))
+    )
+    engine.refresh_dynamic_table(name, force=True)
+    return _summary(engine, dynamic_tables_created=1)
+
+
+def _drop_dynamic(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _DROP_DT_RE.match(s)
+    if not m:
+        raise ValueError(f"unparsable DROP DYNAMIC TABLE: {s[:90]}")
+    name = m.group(2).strip('"')
+    if name.lower() not in engine.store.dynamic_tables():
+        if m.group(1):
+            return _summary(engine, dynamic_tables_dropped=0)
+        raise ValueError(f"dynamic table not found: {name}")
+    engine.store.drop_dynamic_table(name)
+    if engine.store.exists(name.lower()):
+        engine.store.drop(name.lower())
+    return _summary(engine, dynamic_tables_dropped=1)
+
+
+def _alter_dynamic(engine, sql: str) -> DataFrame:
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = _ALTER_DT_RE.match(s)
+    if not m:
+        raise ValueError(
+            "unparsable ALTER DYNAMIC TABLE (expected "
+            f"REFRESH|SUSPEND|RESUME): {s[:90]}"
+        )
+    name = m.group(1).strip('"')
+    verb = m.group(2).lower()
+    if verb == "refresh":
+        status = engine.refresh_dynamic_table(name)
+        return engine.spark.createDataFrame(
+            [(name.lower(), status)], "name string, status string"
+        )
+    engine.store.set_dynamic_table_state(
+        name, "started" if verb == "resume" else "suspended"
+    )
+    return _summary(engine, dynamic_tables_altered=1)
+
+
 _DROP_RE = re.compile(
     rf"(?is)^\s*drop\s+table\s+(if\s+exists\s+)?({_TABLE})\s*$"
 )
@@ -2044,6 +2204,10 @@ def _drop(engine, sql: str) -> DataFrame:
     if not m:
         raise ValueError(f"unparsable DROP TABLE statement: {s[:90]}")
     table = _resolve_table(engine, m.group(2))
+    if table.lower() in engine.store.dynamic_tables():
+        raise ValueError(
+            f"{table} is a dynamic table — use DROP DYNAMIC TABLE {table}"
+        )
     if not engine.store.exists(table):
         if m.group(1):
             return _summary(engine, tables_dropped=0)
@@ -2089,6 +2253,9 @@ _DISPATCH = {
     "unset_var": _unset_var,
     "create_view": _create_view,
     "drop_view": _drop_view,
+    "create_dynamic": _create_dynamic,
+    "drop_dynamic": _drop_dynamic,
+    "alter_dynamic": _alter_dynamic,
     "create_task": _create_task,
     "drop_task": _drop_task,
     "alter_task": _alter_task,

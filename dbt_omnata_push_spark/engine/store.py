@@ -2340,6 +2340,131 @@ class TableStore:
             return []
         return out
 
+    # -- dynamic tables (r13, Snowflake CREATE DYNAMIC TABLE) -------------
+    # Declarative auto-refreshed materializations: the defining SELECT
+    # plus a TARGET_LAG drive refreshes through Engine.run_due (the
+    # injectable-clock scheduler tick) or ALTER ... REFRESH. The DATA
+    # lives as a normal versioned store table under the same name (so
+    # refs, time travel, CHANGES, and governance all compose); this
+    # metadata file holds the definition and the base-table versions
+    # the last refresh read — an O(1) version-pointer compare makes an
+    # idle refresh commit NOTHING (the 100 TB posture: lag ticks on
+    # unchanged bases are metadata-only, like SYSTEM$STREAM_HAS_DATA).
+
+    def _dynamic_tables_file(self) -> str:
+        return os.path.join(self.root, "_dynamic_tables.json")
+
+    def dynamic_tables(self) -> dict:
+        try:
+            with open(self._dynamic_tables_file()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def _write_dynamic_tables(self, dts: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._dynamic_tables_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(dts, f)
+        os.replace(tmp, self._dynamic_tables_file())
+
+    def create_dynamic_table(
+        self,
+        name: str,
+        sql: str,
+        lag_s: int | None,
+        replace: bool = False,
+    ) -> None:
+        """``lag_s`` None = TARGET_LAG DOWNSTREAM (no self-schedule;
+        refreshes only via ALTER ... REFRESH or an upstream refresh).
+        Created STARTED, like Snowflake (INITIALIZE = ON_CREATE is the
+        engine-level initial refresh)."""
+        dts = self.dynamic_tables()
+        key = name.lower()
+        if key in dts and not replace:
+            raise ValueError(f"dynamic table already exists: {name}")
+        if key not in dts and self.exists(key) and not replace:
+            raise ValueError(
+                f"a regular table named {name} already exists "
+                "(CREATE OR REPLACE DYNAMIC TABLE to take the name over)"
+            )
+        dts[key] = {
+            "sql": sql,
+            "lag_s": lag_s,
+            "state": "started",
+            "base_versions": {},
+            "last_refresh": None,
+        }
+        self._write_dynamic_tables(dts)
+
+    def drop_dynamic_table(self, name: str) -> None:
+        dts = self.dynamic_tables()
+        key = name.lower()
+        if key not in dts:
+            raise ValueError(f"dynamic table not found: {name}")
+        dts.pop(key)
+        self._write_dynamic_tables(dts)
+
+    def set_dynamic_table_state(self, name: str, state: str) -> None:
+        dts = self.dynamic_tables()
+        key = name.lower()
+        if key not in dts:
+            raise ValueError(f"dynamic table not found: {name}")
+        dts[key]["state"] = state
+        self._write_dynamic_tables(dts)
+
+    def record_dynamic_refresh(
+        self,
+        name: str,
+        base_versions: dict,
+        refreshed_at: str,
+        state: str,
+    ) -> None:
+        """Stamp a refresh attempt: base versions + time onto the
+        definition (the skip anchor) and one history row (the
+        DYNAMIC_TABLE_REFRESH_HISTORY read surface)."""
+        dts = self.dynamic_tables()
+        key = name.lower()
+        if key not in dts:
+            raise ValueError(f"dynamic table not found: {name}")
+        if state == "SUCCEEDED":
+            dts[key]["base_versions"] = base_versions
+        # last_refresh anchors the lag tick: a SKIPPED attempt counts
+        # (the table was up to date at that time), so idle lag ticks
+        # stay spaced instead of re-checking every tick
+        dts[key]["last_refresh"] = refreshed_at
+        self._write_dynamic_tables(dts)
+        os.makedirs(self.root, exist_ok=True)
+        row = {
+            "name": key,
+            "refreshed_at": refreshed_at,
+            "state": state,
+            "base_versions": base_versions,
+        }
+        with open(
+            os.path.join(self.root, "_dt_refresh_history.jsonl"), "a"
+        ) as f:
+            json.dump(row, f)
+            f.write("\n")
+
+    def dt_refresh_history(self) -> list[dict]:
+        out: list[dict] = []
+        try:
+            with open(
+                os.path.join(self.root, "_dt_refresh_history.jsonl")
+            ) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        out.append(json.loads(line))
+                    except ValueError:
+                        continue
+        except OSError:
+            return []
+        return out
+
     def drop_masking_policy(self, name: str) -> None:
         """Drop a policy OBJECT of either kind. Refuses while attached
         anywhere (Snowflake parity: a policy in use cannot be

@@ -3978,3 +3978,75 @@ def orders_dialect_wave3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ai",
         "aso",
     )
+
+
+@query(
+    "orders_dynamic_table",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 31 = 0
+    ),
+    delta AS (
+        SELECT -o_orderkey AS o_orderkey, 'Z' AS o_orderstatus,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderkey % 31 = 0 AND o_orderkey % 5 = 0
+    ),
+    unioned AS (
+        SELECT * FROM base UNION ALL SELECT * FROM delta
+    )
+    SELECT o_orderstatus AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(1 AS BIGINT) AS skips
+    FROM unioned GROUP BY o_orderstatus
+    """,
+    tags=("engine", "dml", "dynamic_table"),
+)
+def orders_dynamic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC TABLES end-to-end (r13, engine/dml.py + dag.py):
+    CREATE DYNAMIC TABLE builds immediately; a base-table INSERT plus
+    ALTER ... REFRESH recomputes (version-gated); a second REFRESH on
+    unchanged bases records SKIPPED and commits NOTHING — the skips
+    column counts those O(1) no-ops from the
+    INFORMATION_SCHEMA.DYNAMIC_TABLE_REFRESH_HISTORY surface. The
+    backing table is a normal versioned store table, so the final
+    read composes with the whole read path."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-dt-")))
+    engine.seed(
+        "ord_src",
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 31 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+    )
+    engine.query(
+        "create table ord_base as select o_orderkey, o_orderstatus, "
+        "cast(floor(o_totalprice * 100 + 0.5) as bigint) as cents "
+        "from ord_src"
+    )
+    engine.query(
+        "create dynamic table dt_rev target_lag = '1 minute' as "
+        "select o_orderstatus as grp, cast(count(*) as bigint) as n, "
+        "cast(sum(cents) as bigint) as cents "
+        "from ord_base group by o_orderstatus"
+    )
+    engine.query(
+        "insert into ord_base select -o_orderkey, 'Z', cents "
+        "from ord_base where o_orderkey % 5 = 0"
+    )
+    engine.query("alter dynamic table dt_rev refresh")  # recompute
+    engine.query("alter dynamic table dt_rev refresh")  # O(1) skip
+    return engine.query(
+        "select grp, n, cents, "
+        "(select cast(count(*) as bigint) "
+        " from table(information_schema.dynamic_table_refresh_history())"
+        " where state = 'SKIPPED') as skips "
+        "from dt_rev"
+    )

@@ -1,0 +1,236 @@
+"""Snowflake DYNAMIC TABLES (r13): declarative auto-refreshed
+materializations. CREATE DYNAMIC TABLE ... TARGET_LAG = '...' AS
+<select> builds immediately (INITIALIZE = ON_CREATE); refreshes run
+through ALTER ... REFRESH or the Engine.run_due lag tick, and are
+version-gated — when every base table's version pointer is unchanged
+the refresh records SKIPPED and commits NOTHING (the 100 TB posture:
+idle lag ticks are O(1) metadata reads). Direct DML against a dynamic
+table is refused, like Snowflake."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from dbt_omnata_push_spark.engine.dag import Engine
+from dbt_omnata_push_spark.engine.store import TableStore
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = Engine(spark, TableStore(str(tmp_path / "store")))
+    eng.query(
+        "create table base as select 1 as k, 10 as v "
+        "union all select 2, 20 union all select 2, 22"
+    )
+    return eng
+
+
+def _create(engine, lag="'60 seconds'"):
+    return engine.query(
+        f"create dynamic table dt_sum target_lag = {lag} as "
+        "select k, cast(sum(v) as bigint) as total from base group by k"
+    )
+
+
+class TestLifecycle:
+    def test_create_builds_immediately(self, engine):
+        _create(engine)
+        rows = sorted(
+            (r["k"], r["total"])
+            for r in engine.query("select * from dt_sum").collect()
+        )
+        assert rows == [(1, 10), (2, 42)]
+        dts = engine.store.dynamic_tables()
+        assert dts["dt_sum"]["state"] == "started"
+        assert dts["dt_sum"]["lag_s"] == 60
+        assert dts["dt_sum"]["base_versions"] == {"base": 0}
+
+    def test_refresh_skips_when_bases_unchanged(self, engine):
+        _create(engine)
+        v0 = engine.store.current_version("dt_sum")
+        out = engine.query("alter dynamic table dt_sum refresh")
+        assert out.collect()[0]["status"] == "skipped"
+        # O(1) skip: the backing table got NO new version
+        assert engine.store.current_version("dt_sum") == v0
+        hist = engine.store.dt_refresh_history()
+        assert hist[-1]["state"] == "SKIPPED"
+
+    def test_refresh_picks_up_base_changes(self, engine):
+        _create(engine)
+        engine.query("insert into base select 1 as k, 5 as v")
+        out = engine.query("alter dynamic table dt_sum refresh")
+        assert out.collect()[0]["status"] == "refreshed"
+        rows = sorted(
+            (r["k"], r["total"])
+            for r in engine.query("select * from dt_sum").collect()
+        )
+        assert rows == [(1, 15), (2, 42)]
+
+    def test_downstream_lag_never_self_schedules(self, engine):
+        _create(engine, lag="DOWNSTREAM")
+        engine.query("insert into base select 9 as k, 9 as v")
+        tick = engine.run_due(datetime(2027, 1, 1, tzinfo=timezone.utc))
+        assert tick.collect() == []  # no lag -> no tick-driven refresh
+        # manual refresh still works
+        out = engine.query("alter dynamic table dt_sum refresh")
+        assert out.collect()[0]["status"] == "refreshed"
+
+    def test_drop_removes_meta_and_table(self, engine):
+        _create(engine)
+        engine.query("drop dynamic table dt_sum")
+        assert "dt_sum" not in engine.store.dynamic_tables()
+        assert not engine.store.exists("dt_sum")
+        # IF EXISTS tolerates the gone table
+        out = engine.query("drop dynamic table if exists dt_sum")
+        assert out.collect()[0]["dynamic_tables_dropped"] == 0
+
+    def test_show_dynamic_tables(self, engine):
+        _create(engine)
+        rows = engine.query("show dynamic tables").collect()
+        assert [
+            (r["name"], r["state"], r["target_lag"]) for r in rows
+        ] == [("dt_sum", "started", "60 seconds")]
+
+
+class TestScheduling:
+    def test_run_due_refreshes_after_lag(self, engine):
+        _create(engine)
+        engine.query("insert into base select 3 as k, 30 as v")
+        t0 = datetime(2027, 1, 1, 12, 0, tzinfo=timezone.utc)
+        tick = engine.run_due(t0)
+        got = {(r["task_name"], r["status"]) for r in tick.collect()}
+        assert ("dt_sum", "dt_refreshed") in got
+        # within the lag window: no new attempt at all
+        tick2 = engine.run_due(
+            datetime(2027, 1, 1, 12, 0, 30, tzinfo=timezone.utc)
+        )
+        assert tick2.collect() == []
+        # past the lag with unchanged bases: attempt happens, SKIPPED
+        tick3 = engine.run_due(
+            datetime(2027, 1, 1, 12, 2, tzinfo=timezone.utc)
+        )
+        got3 = {(r["task_name"], r["status"]) for r in tick3.collect()}
+        assert ("dt_sum", "dt_skipped") in got3
+
+    def test_suspend_blocks_tick_resume_restores(self, engine):
+        _create(engine)
+        engine.query("alter dynamic table dt_sum suspend")
+        engine.query("insert into base select 4 as k, 40 as v")
+        tick = engine.run_due(datetime(2027, 2, 1, tzinfo=timezone.utc))
+        assert tick.collect() == []
+        engine.query("alter dynamic table dt_sum resume")
+        tick2 = engine.run_due(datetime(2027, 2, 1, tzinfo=timezone.utc))
+        got = {(r["task_name"], r["status"]) for r in tick2.collect()}
+        assert ("dt_sum", "dt_refreshed") in got
+
+    def test_refresh_history_surface(self, engine):
+        _create(engine)
+        engine.query("alter dynamic table dt_sum refresh")  # SKIPPED
+        rows = engine.query(
+            "select name, state from table(information_schema."
+            "dynamic_table_refresh_history())"
+        ).collect()
+        assert [(r["name"], r["state"]) for r in rows] == [
+            ("dt_sum", "SUCCEEDED"),
+            ("dt_sum", "SKIPPED"),
+        ]
+
+
+class TestGuards:
+    @pytest.mark.parametrize(
+        "stmt",
+        [
+            "insert into dt_sum select 9, 9",
+            "update dt_sum set total = 0 where k = 1",
+            "delete from dt_sum where k = 1",
+            "truncate table dt_sum",
+            "merge into dt_sum t using base b on t.k = b.k "
+            "when matched then update set total = 0",
+        ],
+    )
+    def test_dml_refused(self, engine, stmt):
+        _create(engine)
+        with pytest.raises(ValueError, match="dynamic table"):
+            engine.query(stmt)
+
+    def test_drop_table_redirects(self, engine):
+        _create(engine)
+        with pytest.raises(ValueError, match="DROP DYNAMIC TABLE"):
+            engine.query("drop table dt_sum")
+
+    def test_create_over_existing_table_requires_replace(self, engine):
+        engine.query("create table taken as select 1 as x")
+        with pytest.raises(ValueError, match="already exists"):
+            engine.query(
+                "create dynamic table taken target_lag = '1 minute' "
+                "as select * from base"
+            )
+        engine.query(
+            "create or replace dynamic table taken target_lag = "
+            "'1 minute' as select k from base"
+        )
+        assert "taken" in engine.store.dynamic_tables()
+
+    def test_bad_target_lag_rejected(self, engine):
+        with pytest.raises(ValueError, match="TARGET_LAG"):
+            engine.query(
+                "create dynamic table bad target_lag = 'sometimes' "
+                "as select * from base"
+            )
+        with pytest.raises(ValueError, match="TARGET_LAG"):
+            engine.query(
+                "create dynamic table bad as select * from base"
+            )
+
+
+class TestComposition:
+    def test_seed_base_disables_skip(self, spark, engine):
+        # a seed has no version pointer: refreshes must never skip
+        engine.seed(
+            "sd", spark.createDataFrame([(1,)], "x int")
+        )
+        engine.query(
+            "create dynamic table dt_seed target_lag = '1 minute' "
+            "as select count(*) as n from sd"
+        )
+        out = engine.query("alter dynamic table dt_seed refresh")
+        assert out.collect()[0]["status"] == "refreshed"
+
+    def test_time_travel_and_changes_compose(self, engine):
+        # the backing table is a normal versioned store table
+        _create(engine)
+        engine.query("insert into base select 1 as k, 5 as v")
+        engine.query("alter dynamic table dt_sum refresh")
+        old = engine.query(
+            "select total from dt_sum at (version => 0) where k = 1"
+        ).collect()
+        new = engine.query(
+            "select total from dt_sum where k = 1"
+        ).collect()
+        assert old[0]["total"] == 10 and new[0]["total"] == 15
+
+    def test_dt_over_dt_refreshes_on_upstream_version(self, engine):
+        _create(engine)
+        engine.query(
+            "create dynamic table dt_top target_lag = '1 minute' as "
+            "select cast(sum(total) as bigint) as grand from dt_sum"
+        )
+        assert (
+            engine.query("select grand from dt_top").collect()[0][
+                "grand"
+            ]
+            == 52
+        )
+        engine.query("insert into base select 1 as k, 8 as v")
+        # refresh upstream first, then downstream sees its new version
+        engine.query("alter dynamic table dt_sum refresh")
+        out = engine.query("alter dynamic table dt_top refresh")
+        assert out.collect()[0]["status"] == "refreshed"
+        assert (
+            engine.query("select grand from dt_top").collect()[0][
+                "grand"
+            ]
+            == 60
+        )
