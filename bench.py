@@ -194,9 +194,15 @@ HEADLINE = [
     "orders_schema_evolution",
     # round 13: cross-symbol DEFINE navigation (condition-aware NFA
     # scan) and ORDER BY DESC matching — benched because the NFA path
-    # is a new per-partition cost model, not a plan-time rewrite
+    # is a new per-partition cost model, not a plan-time rewrite —
+    # plus the third-wave scalar fillers (codegen rewrites) and the
+    # dynamic-table lifecycle (create -> delta -> refresh -> O(1)
+    # skip -> history read; commit machinery benched honestly, like
+    # orders_dml_lifecycle)
     "events_mr_cross_define",
     "events_mr_desc_runs",
+    "orders_dialect_wave3",
+    "orders_dynamic_table",
 ]
 
 # Growth policy (VERDICT r9 #7, documented in BASELINE.md): the suite
@@ -232,6 +238,8 @@ _POST_R8_ADDITIONS = {
     # r13
     "events_mr_cross_define",
     "events_mr_desc_runs",
+    "orders_dialect_wave3",
+    "orders_dynamic_table",
 }
 
 
