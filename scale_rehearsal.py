@@ -152,6 +152,17 @@ QUERIES = [
     "events_error_pairs_overlap",
     "events_vshape_sql",
     "events_error_burst_stats",
+    # round 13: the condition-aware NFA scan (cross-symbol DEFINE) is
+    # per-partition sequential Python — partitions are per-user and
+    # user count scales with data while rows/user stay fixed, so
+    # expect ~linear wall-clock on a fixed-core box; DESC runs ride
+    # the same matcher with a direction-aware sort. The dynamic-table
+    # lifecycle is commit-machinery-bound (CTAS + DT build + insert +
+    # refresh + O(1) skip) — expect the ~linear commit/scan cost, and
+    # the SKIP leg to stay flat (version-pointer reads only).
+    "events_mr_cross_define",
+    "events_mr_desc_runs",
+    "orders_dynamic_table",
 ]
 
 TABLES = ["documents", "embeddings", "customer", "events", "orders"]
