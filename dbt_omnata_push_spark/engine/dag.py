@@ -456,12 +456,13 @@ class Engine:
                     r.get("name"),
                     r.get("refreshed_at"),
                     r.get("state"),
+                    r.get("mode"),
                     json.dumps(r.get("base_versions") or {}),
                 )
                 for r in dth
             ],
             "name string, refreshed_at string, state string, "
-            "base_versions string",
+            "mode string, base_versions string",
         ).createOrReplaceTempView("__is_dt_refresh_history")
         # Stored (non-materialized) views re-resolve on every read, so
         # they always reflect base tables' current versions and inherit
@@ -1042,16 +1043,87 @@ class Engine:
         )
         return versions, unversioned
 
+    # A dynamic table qualifies for the incremental refresh path only
+    # when its defining query is a stateless per-row transform over ONE
+    # base table (SELECT <exprs> FROM base [WHERE pred]): then
+    # full(old ∪ delta) == full(old) ∪ full(delta) as multisets, so
+    # appending the transformed delta is exact. Anything that could
+    # break that algebra refuses conservatively (full recompute).
+    _DT_NON_INCREMENTAL_RE = re.compile(
+        r"(?is)\b(join|group\s+by|order\s+by|limit|distinct|over|"
+        r"union|intersect|except|qualify|connect\s+by|"
+        r"match_recognize|lateral|pivot|unpivot|window|having|"
+        r"sum\s*\(|count\s*\(|avg\s*\(|min\s*\(|max\s*\(|"
+        r"listagg\s*\(|array_agg\s*\(|\(\s*select\b)"
+    )
+    _DT_SIMPLE_RE = re.compile(
+        r"(?is)^\s*select\s+.+?\s+from\s+([A-Za-z_]\w*)"
+        r"\s*(?:where\s+.+)?$"
+    )
+
+    def _dt_incremental_delta(
+        self, meta: dict
+    ) -> DataFrame | None:
+        """The appended-rows delta for an incremental-eligible dynamic
+        table, or None when the full path must run: the query shape
+        must be a single-base per-row transform, the base's version at
+        the last successful refresh must be known, and EVERY commit
+        since must carry an insert-only ('files') CDC manifest — then
+        the delta reads ONLY the appended files (O(delta), no shuffle,
+        no full-table scan)."""
+        from .dml import _strip_comments
+
+        sql = _strip_comments(meta["sql"]).strip().rstrip(";")
+        if self._DT_NON_INCREMENTAL_RE.search(sql):
+            return None
+        m = self._DT_SIMPLE_RE.match(sql)
+        if not m:
+            return None
+        base = m.group(1).lower()
+        if not self.store.exists(base):
+            return None
+        last = meta.get("base_versions", {})
+        if set(last) != {base}:
+            return None
+        v0 = last[base]
+        v1 = self.store.current_version(base)
+        if v1 is None or v1 <= v0:
+            return None
+        parts = []
+        for v in range(v0 + 1, v1 + 1):
+            man = self.store._cdc_manifest(self.spark, base, v)
+            if man is None or man[0] != "files":
+                return None  # delete/update or no manifest: full path
+            parts.append(man[1].drop("change_type"))
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p, allowMissingColumns=True)
+        view = f"__dt_delta_{base}"
+        delta.createOrReplaceTempView(view)
+        return self.query(
+            re.sub(
+                rf"(?is)\bfrom\s+{re.escape(base)}\b",
+                f"from {view}",
+                sql,
+                count=1,
+            )
+        )
+
     def refresh_dynamic_table(
         self, name: str, force: bool = False, now=None
     ) -> str:
-        """Refresh a dynamic table: recompute its defining SELECT and
-        overwrite the backing store table — UNLESS every base table's
-        version pointer is unchanged since the last successful refresh,
-        in which case the refresh is recorded SKIPPED and commits
-        nothing (O(1); Snowflake's no-new-data skip). ``force=True``
-        (initial build, explicit REFRESH after suspected drift) always
-        recomputes. Returns 'refreshed' | 'skipped'."""
+        """Refresh a dynamic table — UNLESS every base table's version
+        pointer is unchanged since the last successful refresh, in
+        which case the refresh is recorded SKIPPED and commits nothing
+        (O(1); Snowflake's no-new-data skip). When the bases DID
+        change: REFRESH_MODE AUTO/INCREMENTAL first tries the
+        incremental path (append the transformed insert-only delta —
+        O(delta), the 100 TB posture for streaming-append bases),
+        falling back to a full recompute + overwrite whenever the
+        query shape or the change history can't guarantee exactness.
+        ``force=True`` (initial build, explicit REFRESH after
+        suspected drift) always recomputes fully. Returns
+        'refreshed' | 'skipped'."""
         from datetime import datetime as _dt
         from datetime import timezone as _tz
 
@@ -1074,10 +1146,23 @@ class Engine:
                 key, versions, when, "SKIPPED"
             )
             return "skipped"
-        df = self.query(meta["sql"])
-        self.store.overwrite(self.spark, key, df)
+        mode = "full"
+        delta = None
+        if (
+            not force
+            and self.store.exists(key)
+            and not unversioned
+            and meta.get("refresh_mode", "auto") in ("auto", "incremental")
+        ):
+            delta = self._dt_incremental_delta(meta)
+        if delta is not None:
+            self.store.append(self.spark, key, delta)
+            mode = "incremental"
+        else:
+            df = self.query(meta["sql"])
+            self.store.overwrite(self.spark, key, df)
         self.store.record_dynamic_refresh(
-            key, versions, when, "SUCCEEDED"
+            key, versions, when, "SUCCEEDED", mode=mode
         )
         return "refreshed"
 

@@ -2122,9 +2122,11 @@ def _parse_target_lag(val: str) -> int | None:
 def _create_dynamic(engine, sql: str) -> DataFrame:
     """CREATE [OR REPLACE] DYNAMIC TABLE name TARGET_LAG = '...'
     [WAREHOUSE = w] [REFRESH_MODE = m] [INITIALIZE = i] AS <select>
-    (r13). WAREHOUSE/REFRESH_MODE are accepted and ignored (no
-    warehouses here; refresh is always a full recompute gated by the
-    O(1) base-version check). The initial build runs at CREATE
+    (r13). WAREHOUSE is accepted and ignored (no warehouses here);
+    REFRESH_MODE AUTO (default) / INCREMENTAL append the transformed
+    insert-only delta when the query shape allows it (O(delta)),
+    falling back to the FULL recompute; every refresh is gated by the
+    O(1) base-version check. The initial build runs at CREATE
     (Snowflake's INITIALIZE = ON_CREATE default)."""
     s = _strip_comments(sql).strip().rstrip(";")
     m = _CREATE_DT_RE.match(s)
@@ -2149,8 +2151,18 @@ def _create_dynamic(engine, sql: str) -> DataFrame:
     if "target_lag" not in opts:
         raise ValueError("CREATE DYNAMIC TABLE requires TARGET_LAG")
     lag = _parse_target_lag(opts["target_lag"])
+    mode = opts.get("refresh_mode", "auto").strip("'\"").lower()
+    if mode not in ("auto", "full", "incremental"):
+        raise ValueError(
+            f"CREATE DYNAMIC TABLE: REFRESH_MODE must be "
+            f"AUTO|FULL|INCREMENTAL, got {mode!r}"
+        )
     engine.store.create_dynamic_table(
-        name, m.group(4).strip(), lag, replace=bool(m.group(1))
+        name,
+        m.group(4).strip(),
+        lag,
+        replace=bool(m.group(1)),
+        refresh_mode=mode,
     )
     engine.refresh_dynamic_table(name, force=True)
     return _summary(engine, dynamic_tables_created=1)

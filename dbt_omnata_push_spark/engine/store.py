@@ -2374,6 +2374,7 @@ class TableStore:
         sql: str,
         lag_s: int | None,
         replace: bool = False,
+        refresh_mode: str = "auto",
     ) -> None:
         """``lag_s`` None = TARGET_LAG DOWNSTREAM (no self-schedule;
         refreshes only via ALTER ... REFRESH or an upstream refresh).
@@ -2394,6 +2395,7 @@ class TableStore:
             "state": "started",
             "base_versions": {},
             "last_refresh": None,
+            "refresh_mode": refresh_mode,
         }
         self._write_dynamic_tables(dts)
 
@@ -2419,6 +2421,7 @@ class TableStore:
         base_versions: dict,
         refreshed_at: str,
         state: str,
+        mode: str | None = None,
     ) -> None:
         """Stamp a refresh attempt: base versions + time onto the
         definition (the skip anchor) and one history row (the
@@ -2439,6 +2442,7 @@ class TableStore:
             "name": key,
             "refreshed_at": refreshed_at,
             "state": state,
+            "mode": mode,
             "base_versions": base_versions,
         }
         with open(

@@ -234,3 +234,111 @@ class TestComposition:
             ]
             == 60
         )
+
+
+class TestIncrementalRefresh:
+    """REFRESH_MODE AUTO/INCREMENTAL (r13): a single-base per-row
+    transform refreshes by appending the transformed insert-only delta
+    (read from the per-commit 'files' CDC manifests — O(delta), no
+    full-table scan); anything that could break the multiset algebra
+    (aggregates, joins, deletes/updates on the base, FULL mode) falls
+    back to the full recompute. History rows record which path ran."""
+
+    def _mk(self, engine, mode="auto", sql=None):
+        sql = sql or (
+            "select k, v * 2 as v2 from base where v >= 10"
+        )
+        engine.query(
+            "create dynamic table dt_inc target_lag = '1 minute' "
+            f"refresh_mode = '{mode}' as {sql}"
+        )
+
+    def _content(self, engine):
+        return sorted(
+            tuple(r) for r in engine.query("select * from dt_inc").collect()
+        )
+
+    def _last_mode(self, engine):
+        return engine.store.dt_refresh_history()[-1]["mode"]
+
+    def test_append_only_delta_refreshes_incrementally(self, engine):
+        self._mk(engine)
+        engine.query("insert into base select 7 as k, 70 as v")
+        engine.query("insert into base select 8 as k, 3 as v")  # filtered
+        out = engine.query("alter dynamic table dt_inc refresh")
+        assert out.collect()[0]["status"] == "refreshed"
+        assert self._last_mode(engine) == "incremental"
+        assert self._content(engine) == [
+            (1, 20),
+            (2, 40),
+            (2, 44),
+            (7, 140),
+        ]
+
+    def test_incremental_equals_full_recompute(self, engine):
+        self._mk(engine)
+        engine.query("insert into base select 9 as k, 90 as v")
+        engine.query("alter dynamic table dt_inc refresh")
+        inc = self._content(engine)
+        rows = sorted(
+            tuple(r)
+            for r in engine.query(
+                "select k, v * 2 as v2 from base where v >= 10"
+            ).collect()
+        )
+        assert inc == rows
+
+    def test_aggregate_query_always_full(self, engine):
+        self._mk(
+            engine,
+            sql=(
+                "select k, cast(sum(v) as bigint) as total "
+                "from base group by k"
+            ),
+        )
+        engine.query("insert into base select 1 as k, 100 as v")
+        engine.query("alter dynamic table dt_inc refresh")
+        assert self._last_mode(engine) == "full"
+        rows = dict(
+            (r["k"], r["total"])
+            for r in engine.query("select * from dt_inc").collect()
+        )
+        assert rows[1] == 110
+
+    def test_base_update_falls_back_to_full(self, engine):
+        self._mk(engine)
+        engine.query("update base set v = 11 where k = 1")
+        engine.query("alter dynamic table dt_inc refresh")
+        assert self._last_mode(engine) == "full"
+        assert (1, 22) in self._content(engine)
+
+    def test_full_mode_never_incremental(self, engine):
+        self._mk(engine, mode="full")
+        engine.query("insert into base select 7 as k, 70 as v")
+        engine.query("alter dynamic table dt_inc refresh")
+        assert self._last_mode(engine) == "full"
+        assert (7, 140) in self._content(engine)
+
+    def test_multi_insert_window_composes(self, engine):
+        self._mk(engine)
+        for i in range(3):
+            engine.query(
+                f"insert into base select {10 + i} as k, {100 + i} as v"
+            )
+        engine.query("alter dynamic table dt_inc refresh")
+        assert self._last_mode(engine) == "incremental"
+        got = self._content(engine)
+        assert (10, 200) in got and (12, 204) in got
+
+    def test_history_surfaces_mode_column(self, engine):
+        self._mk(engine)
+        engine.query("insert into base select 7 as k, 70 as v")
+        engine.query("alter dynamic table dt_inc refresh")
+        rows = engine.query(
+            "select state, mode from table(information_schema."
+            "dynamic_table_refresh_history()) order by refreshed_at"
+        ).collect()
+        assert [(r["state"], r["mode"]) for r in rows] == [
+            ("SUCCEEDED", "full"),
+            ("SUCCEEDED", "incremental"),
+        ]
