@@ -64,8 +64,10 @@ _RECHECK_PRIORITY = [
     "events_mr_cross_define",
     "events_mr_desc_runs",
     "orders_dialect_wave3",
-    # r13: dynamic tables (CREATE/REFRESH/skip/history end-to-end).
+    # r13: dynamic tables (CREATE/REFRESH/skip/history end-to-end);
+    # native-idiom certification (GROUP BY ALL / ILIKE / LIKE ANY).
     "orders_dynamic_table",
+    "customers_dialect_native",
     # r13: the matcher materially changed again (condition-aware NFA
     # branch, direction-aware sort) — every MR-backed entry re-earns
     # its hash row.

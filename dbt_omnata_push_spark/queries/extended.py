@@ -4050,3 +4050,48 @@ def orders_dynamic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         " where state = 'SKIPPED') as skips "
         "from dt_rev"
     )
+
+
+@query(
+    "customers_dialect_native",
+    oracle="""
+    SELECT c_mktsegment AS seg,
+           (c_nationkey % 5) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_name ILIKE '%customer%'
+      AND (c_mktsegment LIKE '%ING%' OR c_mktsegment LIKE 'AUTO%')
+      AND c_name NOT LIKE '%xyzzy%'
+    GROUP BY ALL
+    """,
+    tags=("engine", "sqlfront", "dialect"),
+)
+def customers_dialect_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake idioms that run VERBATIM on Spark's native parser
+    through engine.query (r13, certified rather than assumed, like the
+    r9 PIVOT/ROLLUP certification): GROUP BY ALL (group on every
+    non-aggregate select expression), ILIKE, and LIKE ANY — the oracle
+    spells LIKE ANY as the OR expansion because DuckDB lacks the
+    form."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-nat-")))
+    engine.seed(
+        "cust_nat",
+        load_table(spark, sf_dir, "customer").select(
+            "c_name", "c_mktsegment", "c_nationkey"
+        ),
+    )
+    return engine.query(
+        "select c_mktsegment as seg, "
+        "(c_nationkey % 5) as bucket, "
+        "cast(count(*) as bigint) as n "
+        "from cust_nat "
+        "where c_name ilike '%customer%' "
+        "and c_mktsegment like any ('%ING%', 'AUTO%') "
+        "and c_name not like '%xyzzy%' "
+        "group by all"
+    )
