@@ -978,9 +978,19 @@ class Engine:
         # Dynamic-table lag tick (r13): refresh every STARTED dynamic
         # table whose TARGET_LAG has elapsed at ``now``. The refresh
         # itself is version-gated — unchanged bases commit NOTHING —
-        # so an idle tick is O(1) metadata reads per table.
+        # so an idle tick is O(1) metadata reads per table. DT-over-DT
+        # chains refresh in dependency order (upstream first), so one
+        # tick propagates a base change through the whole chain.
         dts = self.store.dynamic_tables()
-        for name in sorted(dts):
+        dt_graph = {
+            name: [
+                b
+                for b in self._dt_base_versions(d["sql"])[0]
+                if b in dts and b != name
+            ]
+            for name, d in dts.items()
+        }
+        for name in TopologicalSorter(dt_graph).static_order():
             d = dts[name]
             if d.get("state") != "started" or d.get("lag_s") is None:
                 continue

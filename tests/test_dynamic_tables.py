@@ -342,3 +342,49 @@ class TestIncrementalRefresh:
             ("SUCCEEDED", "full"),
             ("SUCCEEDED", "incremental"),
         ]
+
+
+class TestChainTick:
+    def test_one_tick_propagates_through_dt_chain(self, engine):
+        """DT-over-DT (r13): run_due refreshes in dependency order, so
+        a single tick carries a base change through the chain."""
+        _create(engine)
+        engine.query(
+            "create dynamic table zz_top target_lag = '1 minute' as "
+            "select cast(sum(total) as bigint) as grand from dt_sum"
+        )
+        engine.query("insert into base select 1 as k, 8 as v")
+        tick = engine.run_due(
+            datetime(2027, 3, 1, tzinfo=timezone.utc)
+        )
+        got = {(r["task_name"], r["status"]) for r in tick.collect()}
+        # zz_top sorts AFTER dt_sum only because of the dependency
+        # order (alphabetically it would come last anyway — the chain
+        # below asserts the propagated VALUE, which only holds if
+        # dt_sum ran first)
+        assert ("dt_sum", "dt_refreshed") in got
+        assert ("zz_top", "dt_refreshed") in got
+        assert (
+            engine.query("select grand from zz_top").collect()[0][
+                "grand"
+            ]
+            == 60
+        )
+
+    def test_reverse_alpha_chain_still_ordered(self, engine):
+        # upstream name sorts AFTER downstream alphabetically: only a
+        # topological order refreshes upstream first
+        engine.query(
+            "create dynamic table zz_up target_lag = '1 minute' as "
+            "select k, v from base"
+        )
+        engine.query(
+            "create dynamic table aa_down target_lag = '1 minute' as "
+            "select cast(sum(v) as bigint) as s from zz_up"
+        )
+        engine.query("insert into base select 5 as k, 1000 as v")
+        engine.run_due(datetime(2027, 3, 2, tzinfo=timezone.utc))
+        assert (
+            engine.query("select s from aa_down").collect()[0]["s"]
+            == 1052
+        )
