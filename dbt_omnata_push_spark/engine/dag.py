@@ -1071,25 +1071,15 @@ class Engine:
         r"\s*(?:where\s+.+)?$"
     )
 
-    def _dt_incremental_delta(
-        self, meta: dict
+    def _dt_append_only_delta(
+        self, meta: dict, base: str
     ) -> DataFrame | None:
-        """The appended-rows delta for an incremental-eligible dynamic
-        table, or None when the full path must run: the query shape
-        must be a single-base per-row transform, the base's version at
-        the last successful refresh must be known, and EVERY commit
-        since must carry an insert-only ('files') CDC manifest — then
-        the delta reads ONLY the appended files (O(delta), no shuffle,
-        no full-table scan)."""
-        from .dml import _strip_comments
-
-        sql = _strip_comments(meta["sql"]).strip().rstrip(";")
-        if self._DT_NON_INCREMENTAL_RE.search(sql):
-            return None
-        m = self._DT_SIMPLE_RE.match(sql)
-        if not m:
-            return None
-        base = m.group(1).lower()
+        """The raw appended-rows delta of ``base`` since the last
+        successful refresh, or None: the base's version at the last
+        refresh must be known and EVERY commit since must carry an
+        insert-only ('files') CDC manifest — then the delta reads ONLY
+        the appended files (O(delta), no shuffle, no full-table
+        scan)."""
         if not self.store.exists(base):
             return None
         last = meta.get("base_versions", {})
@@ -1108,6 +1098,13 @@ class Engine:
         delta = parts[0]
         for p in parts[1:]:
             delta = delta.unionByName(p, allowMissingColumns=True)
+        return delta
+
+    def _dt_delta_query(
+        self, sql: str, base: str, delta: DataFrame
+    ) -> DataFrame:
+        """Run the defining SQL with the base's FROM redirected to a
+        temp view over the delta rows."""
         view = f"__dt_delta_{base}"
         delta.createOrReplaceTempView(view)
         return self.query(
@@ -1118,6 +1115,115 @@ class Engine:
                 count=1,
             )
         )
+
+    def _dt_incremental_delta(
+        self, meta: dict
+    ) -> DataFrame | None:
+        """Per-row incremental path: transformed appended rows to
+        APPEND to the backing table, or None when the full path must
+        run. Eligible shape: a stateless per-row transform over ONE
+        base (SELECT exprs FROM base [WHERE pred]) — then
+        full(old ∪ delta) == full(old) ∪ full(delta) as multisets."""
+        from .dml import _strip_comments
+
+        sql = _strip_comments(meta["sql"]).strip().rstrip(";")
+        if self._DT_NON_INCREMENTAL_RE.search(sql):
+            return None
+        m = self._DT_SIMPLE_RE.match(sql)
+        if not m:
+            return None
+        base = m.group(1).lower()
+        delta = self._dt_append_only_delta(meta, base)
+        if delta is None:
+            return None
+        return self._dt_delta_query(sql, base, delta)
+
+    # Incremental AGGREGATE maintenance (r13): SELECT <group cols>,
+    # <decomposable aggs> FROM base [WHERE] GROUP BY <group cols>.
+    # SUM/COUNT/MIN/MAX are decomposable under APPEND-ONLY deltas:
+    # agg(old ∪ delta) == combine(agg(old), agg(delta)) per group —
+    # sum/count combine by summing partials, min/max by min/max. The
+    # refresh aggregates ONLY the delta and re-combines with the
+    # (group-sized) current output: O(|DT| + delta), never O(|base|).
+    # AVG / DISTINCT / anything else refuses to the full path (AVG is
+    # expressible as sum+count columns by the user).
+    _DT_AGG_SHAPE_RE = re.compile(
+        r"(?is)^\s*select\s+(.+?)\s+from\s+([A-Za-z_]\w*)"
+        r"(?:\s+where\s+(.+?))?\s+group\s+by\s+(.+?)\s*$"
+    )
+    _DT_AGG_BLOCK_RE = re.compile(
+        r"(?is)\b(join|distinct|over|union|intersect|except|having|"
+        r"qualify|limit|order\s+by|connect\s+by|match_recognize|"
+        r"lateral|pivot|unpivot|window|avg\s*\(|listagg\s*\(|"
+        r"array_agg\s*\(|count\s*\(\s*distinct|\(\s*select\b|"
+        r"rollup|cube|grouping)"
+    )
+    _DT_AGG_ITEM_RE = re.compile(
+        r"(?is)^\s*(?:cast\s*\(\s*)?(sum|count|min|max)\s*\("
+        r"\s*(\*|.+?)\s*\)\s*(?:as\s+(\w+)\s*\)\s*)?"
+        r"(?:as\s+(\w+))\s*$"
+    )
+
+    def _dt_incremental_agg(
+        self, key: str, meta: dict
+    ) -> DataFrame | None:
+        """Merged (old ∪ delta-agg) re-aggregation for an eligible
+        single-base GROUP BY query, or None for the full path."""
+        from pyspark.sql import functions as F
+
+        from .dml import _split_top_level_args, _strip_comments
+
+        sql = _strip_comments(meta["sql"]).strip().rstrip(";")
+        if self._DT_AGG_BLOCK_RE.search(sql):
+            return None
+        m = self._DT_AGG_SHAPE_RE.match(sql)
+        if not m:
+            return None
+        select_list, base = m.group(1), m.group(2).lower()
+        group_list = [
+            g.strip().strip('"').lower()
+            for g in m.group(4).split(",")
+        ]
+        if not all(re.fullmatch(r"[A-Za-z_]\w*", g) for g in group_list):
+            return None  # expression group keys: full path
+        keys: list[str] = []
+        combine: dict[str, tuple[str, str | None]] = {}
+        for item in _split_top_level_args(select_list):
+            item = item.strip()
+            am = self._DT_AGG_ITEM_RE.match(item)
+            if am:
+                fn = am.group(1).lower()
+                alias = am.group(4)
+                cast_t = am.group(3)
+                combine[alias] = (
+                    "sum" if fn in ("sum", "count") else fn,
+                    cast_t,
+                )
+                continue
+            im = re.fullmatch(
+                r'(?is)\s*([A-Za-z_]\w*|"[^"]+")\s*', item
+            )
+            if not im:
+                return None  # computed group column: full path
+            keys.append(im.group(1).strip('"'))
+        if not combine or sorted(k.lower() for k in keys) != sorted(
+            group_list
+        ):
+            return None
+        delta = self._dt_append_only_delta(meta, base)
+        if delta is None:
+            return None
+        delta_agg = self._dt_delta_query(sql, base, delta)
+        old = self.store.read(self.spark, key)
+        merged = old.unionByName(delta_agg)
+        aggs = [
+            getattr(F, fn)(F.col(a)).alias(a)
+            if not cast_t
+            else getattr(F, fn)(F.col(a)).cast(cast_t).alias(a)
+            for a, (fn, cast_t) in combine.items()
+        ]
+        out = merged.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+        return out.select(*old.columns)
 
     def refresh_dynamic_table(
         self, name: str, force: bool = False, now=None
@@ -1158,6 +1264,7 @@ class Engine:
             return "skipped"
         mode = "full"
         delta = None
+        merged = None
         if (
             not force
             and self.store.exists(key)
@@ -1165,9 +1272,16 @@ class Engine:
             and meta.get("refresh_mode", "auto") in ("auto", "incremental")
         ):
             delta = self._dt_incremental_delta(meta)
+            if delta is None:
+                merged = self._dt_incremental_agg(key, meta)
         if delta is not None:
             self.store.append(self.spark, key, delta)
             mode = "incremental"
+        elif merged is not None:
+            # incremental aggregate maintenance: the combine touched
+            # O(|DT| + delta) rows; the overwrite is group-sized
+            self.store.overwrite(self.spark, key, merged)
+            mode = "incremental_agg"
         else:
             df = self.query(meta["sql"])
             self.store.overwrite(self.spark, key, df)

@@ -288,7 +288,10 @@ class TestIncrementalRefresh:
         )
         assert inc == rows
 
-    def test_aggregate_query_always_full(self, engine):
+    def test_decomposable_aggregate_uses_agg_path(self, engine):
+        # r13 second pass: SUM/COUNT/MIN/MAX group-bys maintain
+        # incrementally too (see TestIncrementalAggregate); only
+        # non-decomposable shapes fall back to full
         self._mk(
             engine,
             sql=(
@@ -298,7 +301,7 @@ class TestIncrementalRefresh:
         )
         engine.query("insert into base select 1 as k, 100 as v")
         engine.query("alter dynamic table dt_inc refresh")
-        assert self._last_mode(engine) == "full"
+        assert self._last_mode(engine) == "incremental_agg"
         rows = dict(
             (r["k"], r["total"])
             for r in engine.query("select * from dt_inc").collect()
@@ -388,3 +391,109 @@ class TestChainTick:
             engine.query("select s from aa_down").collect()[0]["s"]
             == 1052
         )
+
+
+class TestIncrementalAggregate:
+    """Incremental AGGREGATE maintenance (r13): single-base GROUP BY
+    with decomposable aggregates (SUM/COUNT/MIN/MAX, optionally cast)
+    refreshes by aggregating ONLY the appended delta and re-combining
+    with the group-sized current output — O(|DT| + delta), never a
+    base rescan. AVG/DISTINCT/expression group keys refuse to full."""
+
+    def _mk(self, engine, sql=None):
+        sql = sql or (
+            "select k, cast(sum(v) as bigint) as total, "
+            "cast(count(*) as bigint) as n, "
+            "min(v) as lo, max(v) as hi "
+            "from base group by k"
+        )
+        engine.query(
+            "create dynamic table dt_agg target_lag = '1 minute' "
+            f"as {sql}"
+        )
+
+    def _rows(self, engine):
+        return sorted(
+            tuple(r)
+            for r in engine.query("select * from dt_agg").collect()
+        )
+
+    def _last_mode(self, engine):
+        return engine.store.dt_refresh_history()[-1]["mode"]
+
+    def test_agg_refresh_is_incremental_and_exact(self, engine):
+        self._mk(engine)
+        engine.query("insert into base select 1 as k, 5 as v")
+        engine.query("insert into base select 3 as k, 7 as v")
+        engine.query("alter dynamic table dt_agg refresh")
+        assert self._last_mode(engine) == "incremental_agg"
+        assert self._rows(engine) == [
+            (1, 15, 2, 5, 10),
+            (2, 42, 2, 20, 22),
+            (3, 7, 1, 7, 7),
+        ]
+
+    def test_agg_incremental_equals_full(self, engine):
+        self._mk(engine)
+        for i in range(4):
+            engine.query(
+                f"insert into base select {i % 2} as k, {i * 3} as v"
+            )
+        engine.query("alter dynamic table dt_agg refresh")
+        inc = self._rows(engine)
+        full = sorted(
+            tuple(r)
+            for r in engine.query(
+                "select k, cast(sum(v) as bigint) as total, "
+                "cast(count(*) as bigint) as n, "
+                "min(v) as lo, max(v) as hi from base group by k"
+            ).collect()
+        )
+        assert inc == full
+
+    def test_where_clause_composes(self, engine):
+        self._mk(
+            engine,
+            sql=(
+                "select k, cast(sum(v) as bigint) as total "
+                "from base where v >= 10 group by k"
+            ),
+        )
+        engine.query("insert into base select 1 as k, 3 as v")  # filtered
+        engine.query("insert into base select 1 as k, 100 as v")
+        engine.query("alter dynamic table dt_agg refresh")
+        assert self._last_mode(engine) == "incremental_agg"
+        assert (1, 110) in self._rows(engine)
+
+    def test_avg_refuses_to_full(self, engine):
+        self._mk(
+            engine,
+            sql="select k, avg(v) as a from base group by k",
+        )
+        engine.query("insert into base select 1 as k, 30 as v")
+        engine.query("alter dynamic table dt_agg refresh")
+        assert self._last_mode(engine) == "full"
+        rows = dict(
+            (r["k"], r["a"])
+            for r in engine.query("select * from dt_agg").collect()
+        )
+        assert rows[1] == 20.0
+
+    def test_expression_group_key_refuses_to_full(self, engine):
+        self._mk(
+            engine,
+            sql=(
+                "select k % 2 as kb, cast(sum(v) as bigint) as total "
+                "from base group by kb"
+            ),
+        )
+        engine.query("insert into base select 4 as k, 1 as v")
+        engine.query("alter dynamic table dt_agg refresh")
+        assert self._last_mode(engine) == "full"
+
+    def test_base_update_refuses_to_full(self, engine):
+        self._mk(engine)
+        engine.query("update base set v = 1000 where k = 2 and v = 20")
+        engine.query("alter dynamic table dt_agg refresh")
+        assert self._last_mode(engine) == "full"
+        assert (2, 1022, 2, 22, 1000) in self._rows(engine)
