@@ -65,9 +65,11 @@ _RECHECK_PRIORITY = [
     "events_mr_desc_runs",
     "orders_dialect_wave3",
     # r13: dynamic tables (CREATE/REFRESH/skip/history end-to-end);
-    # native-idiom certification (GROUP BY ALL / ILIKE / LIKE ANY).
+    # native-idiom certification (GROUP BY ALL / ILIKE / LIKE ANY);
+    # SQL-surface ASOF JOIN.
     "orders_dynamic_table",
     "customers_dialect_native",
+    "events_asof_sql_join",
     # r13: the matcher materially changed again (condition-aware NFA
     # branch, direction-aware sort) — every MR-backed entry re-earns
     # its hash row.

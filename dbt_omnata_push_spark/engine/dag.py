@@ -1362,6 +1362,13 @@ class Engine:
                 from .mrsql import resolve_match_recognize
 
                 sql, mr_views = resolve_match_recognize(self, sql)
+            if re.search(r"(?is)\basof\s+join\b", sql):
+                # SQL-surface ASOF JOIN (r13): same pre-transpile
+                # temp-view resolution pattern, over ops/asof.py
+                from .asofsql import resolve_asof_join
+
+                sql, asof_views = resolve_asof_join(self, sql)
+                mr_views.extend(asof_views)
             sql = transpile(sql)
             if _CHANGES_RE.search(sql):
                 # Snowflake CHANGES clause: CDC between two versions,

@@ -4095,3 +4095,55 @@ def customers_dialect_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and c_name not like '%xyzzy%' "
         "group by all"
     )
+
+
+@query(
+    "events_asof_sql_join",
+    oracle="""
+    SELECT l.user_id, l.event_id,
+           r.event_id AS err_id,
+           r.ts AS matched_ets
+    FROM (SELECT user_id, ts, event_id FROM events
+          WHERE user_id % 25 = 11) l
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, event_id FROM events
+          WHERE user_id % 25 = 11 AND event_type = 'error') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    tags=("engine", "asof", "sqlfront"),
+)
+def events_asof_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface ASOF JOIN (r13, engine/asofsql.py): Snowflake's
+    `FROM l ASOF JOIN r MATCH_CONDITION (l.ts >= r.ets) ON l.user_id =
+    r.user_id` pasted into Engine.query resolves to the distributed
+    as-of operator (ops/asof.py — union-merge + one keyed window,
+    never a range cross-join). Per event: the latest error at-or-
+    before it for the same user; events before any error keep NULLs
+    (left-outer, Snowflake's shape). DuckDB's native ASOF LEFT JOIN is
+    the oracle."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-aj-")))
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 25 == 11
+    )
+    engine.seed("ev_l", ev.select("user_id", "ts", "event_id"))
+    engine.seed(
+        "ev_r",
+        ev.filter(F.col("event_type") == "error").select(
+            "user_id",
+            F.col("ts").alias("ets"),
+            F.col("event_id").alias("err_id"),
+        ),
+    )
+    return engine.query(
+        """
+        select user_id, event_id, err_id, matched_ets
+        from ev_l l asof join ev_r r
+             match_condition (l.ts >= r.ets)
+             on l.user_id = r.user_id
+        """
+    )

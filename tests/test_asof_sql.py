@@ -1,0 +1,116 @@
+"""SQL-surface ASOF JOIN (r13): Snowflake's clause resolved inside
+Engine.query into the distributed as-of operator (ops/asof.py —
+union-merge + one keyed window, never a range cross-join)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from dbt_omnata_push_spark.engine.dag import Engine
+from dbt_omnata_push_spark.engine.store import TableStore
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = Engine(spark, TableStore(str(tmp_path / "store")))
+    eng.query(
+        "create table trades as "
+        "select 'A' as sym, timestamp'2024-01-01 10:00:03' as ts, "
+        "100.0 as qty "
+        "union all select 'A', timestamp'2024-01-01 10:00:10', 200.0 "
+        "union all select 'B', timestamp'2024-01-01 10:00:01', 50.0"
+    )
+    eng.query(
+        "create table quotes as "
+        "select 'A' as sym, timestamp'2024-01-01 10:00:01' as qts, "
+        "cast(9.9 as double) as px "
+        "union all select 'A', timestamp'2024-01-01 10:00:03', cast(10.1 as double) "
+        "union all select 'A', timestamp'2024-01-01 10:00:08', cast(10.5 as double) "
+        "union all select 'C', timestamp'2024-01-01 10:00:00', cast(1.0 as double)"
+    )
+    return eng
+
+
+class TestAsofSql:
+    def test_inclusive_backward_join(self, engine):
+        out = engine.query(
+            """
+            select sym, ts, qty, px, matched_qts
+            from trades t asof join quotes q
+                 match_condition (t.ts >= q.qts)
+                 on t.sym = q.sym
+            where qty > 0
+            """
+        ).collect()
+        res = {(r["sym"], r["ts"]): (r["px"], r["matched_qts"]) for r in out}
+        assert res[("A", dt.datetime(2024, 1, 1, 10, 0, 3))] == (
+            10.1,
+            dt.datetime(2024, 1, 1, 10, 0, 3),
+        )
+        assert res[("A", dt.datetime(2024, 1, 1, 10, 0, 10))] == (
+            10.5,
+            dt.datetime(2024, 1, 1, 10, 0, 8),
+        )
+        # no quote for B: left-outer NULLs, like Snowflake
+        assert res[("B", dt.datetime(2024, 1, 1, 10, 0, 1))] == (
+            None,
+            None,
+        )
+
+    def test_strict_form_excludes_equal_ts(self, engine):
+        out = engine.query(
+            """
+            select sym, ts, px from trades t asof join quotes q
+                 match_condition (t.ts > q.qts) on t.sym = q.sym
+            """
+        ).collect()
+        res = {(r["sym"], r["ts"]): r["px"] for r in out}
+        assert res[("A", dt.datetime(2024, 1, 1, 10, 0, 3))] == 9.9
+
+    def test_flipped_condition_normalizes(self, engine):
+        out = engine.query(
+            """
+            select sym, px from trades t asof join quotes q
+                 match_condition (q.qts <= t.ts) on q.sym = t.sym
+                 where ts = timestamp'2024-01-01 10:00:03'
+            """
+        ).collect()
+        assert [r["px"] for r in out] == [10.1]
+
+    def test_forward_condition_raises(self, engine):
+        with pytest.raises(ValueError, match="forward"):
+            engine.query(
+                "select * from trades t asof join quotes q "
+                "match_condition (t.ts <= q.qts) on t.sym = q.sym"
+            )
+
+    def test_bad_on_condition_raises(self, engine):
+        with pytest.raises(ValueError, match="ON"):
+            engine.query(
+                "select * from trades t asof join quotes q "
+                "match_condition (t.ts >= q.qts) on t.sym <> q.sym"
+            )
+
+    def test_no_on_clause_refused(self, engine):
+        # Snowflake allows a global ASOF JOIN; this engine refuses it
+        # loudly (one global ordering = a single-partition window, the
+        # same posture as the null-window rule)
+        with pytest.raises(ValueError, match="single"):
+            engine.query(
+                """
+                select sym, ts, px from trades t asof join quotes q
+                     match_condition (t.ts >= q.qts)
+                """
+            )
+
+    def test_aliases_default_to_table_names(self, engine):
+        out = engine.query(
+            """
+            select sym, ts, px from trades asof join quotes
+                 match_condition (trades.ts >= quotes.qts)
+                 on trades.sym = quotes.sym
+            """
+        ).collect()
+        assert len(out) == 3
