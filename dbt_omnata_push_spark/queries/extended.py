@@ -4105,7 +4105,7 @@ def customers_dialect_native(spark: SparkSession, sf_dir: str) -> DataFrame:
            r.ts AS matched_ets
     FROM (SELECT user_id, ts, event_id FROM events
           WHERE user_id % 25 = 11) l
-    ASOF LEFT JOIN
+    ASOF JOIN
          (SELECT user_id, ts, event_id FROM events
           WHERE user_id % 25 = 11 AND event_type = 'error') r
       ON l.user_id = r.user_id AND l.ts >= r.ts
@@ -4118,8 +4118,10 @@ def events_asof_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     r.user_id` pasted into Engine.query resolves to the distributed
     as-of operator (ops/asof.py — union-merge + one keyed window,
     never a range cross-join). Per event: the latest error at-or-
-    before it for the same user; events before any error keep NULLs
-    (left-outer, Snowflake's shape). DuckDB's native ASOF LEFT JOIN is
+    before it for the same user. Matched rows only (inner shape for
+    the oracle — NULL numerics don't hash portably, the same trade
+    events_asof_last_error documents; the left-outer NULL rows are
+    pinned by tests/test_asof_sql.py). DuckDB's native ASOF JOIN is
     the oracle."""
     import tempfile
 
@@ -4146,4 +4148,4 @@ def events_asof_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              match_condition (l.ts >= r.ets)
              on l.user_id = r.user_id
         """
-    )
+    ).filter(F.col("err_id").isNotNull())
