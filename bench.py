@@ -203,6 +203,8 @@ HEADLINE = [
     "events_mr_desc_runs",
     "orders_dialect_wave3",
     "orders_dynamic_table",
+    "customers_dialect_native",
+    "events_asof_sql_join",
 ]
 
 # Growth policy (VERDICT r9 #7, documented in BASELINE.md): the suite
@@ -240,6 +242,8 @@ _POST_R8_ADDITIONS = {
     "events_mr_desc_runs",
     "orders_dialect_wave3",
     "orders_dynamic_table",
+    "customers_dialect_native",
+    "events_asof_sql_join",
 }
 
 
