@@ -497,3 +497,60 @@ class TestIncrementalAggregate:
         engine.query("alter dynamic table dt_agg refresh")
         assert self._last_mode(engine) == "full"
         assert (2, 1022, 2, 22, 1000) in self._rows(engine)
+
+
+class TestStreamOnDynamicTable:
+    """Streams compose with dynamic tables (r13 certification): the
+    backing table is a normal versioned store table, so CREATE STREAM
+    ON TABLE <dt> (with the PK streams require) delivers each
+    refresh's delta exactly once — the DT -> stream -> incremental
+    consumer relay, Snowflake's standard pattern."""
+
+    def test_stream_sees_incremental_refresh_delta(self, engine):
+        # v % 10 = 0 keeps one row per key (the fixture's k=2 has a
+        # second v=22 row; a stream PK needs unique keys)
+        engine.query(
+            "create dynamic table dt_v target_lag = '1 minute' as "
+            "select k, v * 2 as v2 from base where v % 10 = 0"
+        )
+        engine.query("alter table dt_v add primary key (k)")
+        engine.query("create stream s_dt on table dt_v")
+        assert engine.query("select * from s_dt").collect() == []
+        engine.query("insert into base select 3 as k, 30 as v")
+        engine.query("alter dynamic table dt_v refresh")
+        assert (
+            engine.store.dt_refresh_history()[-1]["mode"]
+            == "incremental"
+        )
+        rows = engine.query(
+            "select k, v2, `METADATA$ACTION` as act from s_dt"
+        ).collect()
+        assert [(r["k"], r["v2"], r["act"]) for r in rows] == [
+            (3, 60, "INSERT")
+        ]
+        # consuming DML advances the offset: delta delivered once
+        engine.query("create table sink as select k, v2 from s_dt")
+        assert engine.query("select * from s_dt").collect() == []
+
+    def test_stream_sees_full_refresh_net_delta(self, engine):
+        engine.query(
+            "create dynamic table dt_s target_lag = '1 minute' as "
+            "select k, cast(sum(v) as bigint) as total "
+            "from base group by k"
+        )
+        engine.query("alter table dt_s add primary key (k)")
+        engine.query("create stream s2 on table dt_s")
+        engine.query("update base set v = 11 where k = 1 and v = 10")
+        engine.query("alter dynamic table dt_s refresh")  # full path
+        assert (
+            engine.store.dt_refresh_history()[-1]["mode"] == "full"
+        )
+        rows = sorted(
+            (r["k"], r["total"], r["METADATA$ACTION"], r["METADATA$ISUPDATE"])
+            for r in engine.query("select * from s2").collect()
+        )
+        # net delta: k=1 total 10 -> 11 as an update pre/post pair
+        assert rows == [
+            (1, 10, "DELETE", True),
+            (1, 11, "INSERT", True),
+        ]
