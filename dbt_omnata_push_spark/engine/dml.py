@@ -1015,6 +1015,7 @@ def _ctas(engine, sql: str) -> DataFrame:
                         "committed version at or before that time"
                     )
                 version = max(eligible)
+        _refuse_dynamic(engine, target, "CREATE TABLE ... CLONE into")
         engine.store.clone_table(
             engine.spark,
             src,
@@ -1029,6 +1030,7 @@ def _ctas(engine, sql: str) -> DataFrame:
         # clone of column definitions; no rows, no file sharing).
         target = _clean_ident(lm.group(2))
         src = _resolve_table(engine, lm.group(3))
+        _refuse_dynamic(engine, target, "CREATE TABLE ... LIKE into")
         if engine.store.exists(target) and not lm.group(1):
             raise ValueError(f"table already exists: {target}")
         template = engine.store.read(engine.spark, src).limit(0)
@@ -1049,6 +1051,13 @@ def _ctas(engine, sql: str) -> DataFrame:
         table
     ):
         table = table.rsplit(".", 1)[-1]
+    if table.rsplit(".", 1)[-1].lower() in engine.store.dynamic_tables():
+        # clobbering a dynamic table's backing data while its metadata
+        # survives would leave a zombie definition (r13)
+        raise ValueError(
+            f"{table} is a dynamic table — use CREATE OR REPLACE "
+            "DYNAMIC TABLE (or DROP DYNAMIC TABLE first)"
+        )
     body = m.group(3).strip()
     # `create temp table t as ( select ... )` — the reference wraps the
     # body in parens (salesforce_bulk_load.sql:14-16). Strip the pair

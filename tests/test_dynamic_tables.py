@@ -554,3 +554,16 @@ class TestStreamOnDynamicTable:
             (1, 10, "DELETE", True),
             (1, 11, "INSERT", True),
         ]
+
+
+class TestCreateGuards:
+    def test_ctas_over_dynamic_table_refused(self, engine):
+        _create(engine)
+        with pytest.raises(ValueError, match="DYNAMIC TABLE"):
+            engine.query(
+                "create or replace table dt_sum as select 1 as x"
+            )
+        with pytest.raises(ValueError, match="dynamic table"):
+            engine.query("create table dt_sum like base")
+        with pytest.raises(ValueError, match="dynamic table"):
+            engine.query("create table dt_sum clone base")
