@@ -538,3 +538,40 @@ def test_cdc_changes_fallback_plan_key_hash_joins_no_cartesian(
     assert plan.count("Join") >= 3
     for frag in ("LeftAnti", "Inner"):
         assert frag in plan, f"missing {frag} join in CDC plan:\n{plan[:800]}"
+
+
+def test_asof_sql_join_plan_no_cartesian_one_keyed_window(spark, sf_dir):
+    """r13: the SQL-surface ASOF JOIN must keep the operator's shape —
+    a union-merge + ONE keyed (partitioned) window, never a range
+    cross-join or a single-partition window."""
+    df = REGISTRY["events_asof_sql_join"].fn(spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re as _re
+
+    windows = _re.findall(r"(?m)^[\s+:*-]*Window \(\d+\)\s*$", plan)
+    assert len(windows) == 1, f"expected one Window op:\n{plan[:2000]}"
+    # the window is keyed on the join key, not a global ordering
+    assert "partitionBy" not in plan or "user_id" in plan
+
+
+def test_dynamic_table_skip_commits_nothing(spark, tmp_path):
+    """r13: a version-gated SKIPPED refresh is metadata-only — no new
+    backing version, no Spark job over the base table."""
+    import tempfile
+
+    from dbt_omnata_push_spark.engine.dag import Engine
+    from dbt_omnata_push_spark.engine.store import TableStore
+
+    eng = Engine(spark, TableStore(str(tmp_path / "s")))
+    eng.query("create table b as select 1 as k, 2 as v")
+    eng.query(
+        "create dynamic table d target_lag = '1 minute' as "
+        "select k, v from b"
+    )
+    v0 = eng.store.current_version("d")
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup() or [])
+    assert eng.refresh_dynamic_table("d") == "skipped"
+    assert eng.store.current_version("d") == v0
