@@ -70,6 +70,8 @@ _RECHECK_PRIORITY = [
     "orders_dynamic_table",
     "customers_dialect_native",
     "events_asof_sql_join",
+    # r13: WITHIN GROUP ordered aggs + OBJECT_AGG.
+    "orders_within_group_aggs",
     # r13: the matcher materially changed again (condition-aware NFA
     # branch, direction-aware sort) — every MR-backed entry re-earns
     # its hash row.

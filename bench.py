@@ -205,6 +205,7 @@ HEADLINE = [
     "orders_dynamic_table",
     "customers_dialect_native",
     "events_asof_sql_join",
+    "orders_within_group_aggs",
 ]
 
 # Growth policy (VERDICT r9 #7, documented in BASELINE.md): the suite
@@ -244,6 +245,7 @@ _POST_R8_ADDITIONS = {
     "orders_dynamic_table",
     "customers_dialect_native",
     "events_asof_sql_join",
+    "orders_within_group_aggs",
 }
 
 

@@ -102,6 +102,7 @@ def _rewrite_unquoted_paths(sql: str) -> str:
     )
 _FUNC_RES = {
     "OBJECT_CONSTRUCT": re.compile(r"\bobject_construct\s*\(", re.IGNORECASE),
+    "OBJECT_AGG": re.compile(r"\bobject_agg\s*\(", re.IGNORECASE),
     "PARSE_JSON": re.compile(r"\bparse_json\s*\(", re.IGNORECASE),
     "ARRAY_CONSTRUCT": re.compile(r"\barray_construct\s*\(", re.IGNORECASE),
     "ARRAY_AGG": re.compile(r"\barray_agg\s*\(", re.IGNORECASE),
@@ -326,6 +327,20 @@ def _rewrite_funcs(sql: str) -> str:
         sql, _FUNC_RES["OBJECT_CONSTRUCT"], lambda a: f"to_json(named_struct({a}))"
     )
     sql = replace_call(sql, _FUNC_RES["PARSE_JSON"], lambda a: a.strip())
+
+    def object_agg(a: str) -> str:
+        # OBJECT_AGG(k, v) -> one JSON object per group, keys sorted
+        # (deterministic rendering); values render as their string
+        # form — the same VARIANT-at-the-boundary trade
+        # ARRAY_CONSTRUCT documents. array_sort on the (key, value)
+        # struct orders by key.
+        k, v = (p.strip() for p in _split_top_level_args(a))
+        return (
+            f"to_json(map_from_entries(array_sort(collect_list("
+            f"struct(CAST({k} AS STRING), CAST({v} AS STRING))))))"
+        )
+
+    sql = replace_call(sql, _FUNC_RES["OBJECT_AGG"], object_agg)
     def array_construct(a: str) -> str:
         # Snowflake's ARRAY_CONSTRUCT builds an ARRAY of VARIANTs — a
         # bare Spark array(...) would instead coerce mixed arguments to
@@ -338,6 +353,76 @@ def _rewrite_funcs(sql: str) -> str:
         return "array(" + ", ".join(f"CAST({p} AS STRING)" for p in parts) + ")"
 
     sql = replace_call(sql, _FUNC_RES["ARRAY_CONSTRUCT"], array_construct)
+    # WITHIN GROUP (ORDER BY k [ASC|DESC]) on ARRAY_AGG / LISTAGG
+    # (r13): Spark's collect_list has no ordered form — sort structs
+    # of (order-key, value) and project the value back out, all
+    # JVM-side (array_sort on a struct orders by its first field).
+    # One order key only; DESC reverses the sorted array. Must run
+    # BEFORE the plain ARRAY_AGG/LISTAGG rewrites so the WITHIN GROUP
+    # suffix is consumed with the call.
+    def within_group_pass(sql: str) -> str:
+        pat = re.compile(
+            r"(?is)\b(array_agg|listagg)\s*\(", re.IGNORECASE
+        )
+        pos = 0
+        while True:
+            m = pat.search(sql, pos)
+            if not m:
+                return sql
+            # find the call's closing paren (quote-aware enough: the
+            # same depth scan replace_call uses)
+            depth, i = 1, m.end()
+            while i < len(sql) and depth:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                i += 1
+            inner = sql[m.end() : i - 1]
+            wg = re.match(
+                r"(?is)\s*within\s+group\s*\(\s*order\s+by\s+(.+?)"
+                r"\s*\)",
+                sql[i:],
+            )
+            if not wg:
+                pos = i
+                continue
+            order = wg.group(1).strip()
+            if "," in order:
+                raise ValueError(
+                    "WITHIN GROUP (ORDER BY ...): one order key only"
+                )
+            om = re.match(
+                r"(?is)^(.*?)(?:\s+(asc|desc))?$", order
+            )
+            key, direction = om.group(1).strip(), (
+                om.group(2) or "asc"
+            ).lower()
+            fn = m.group(1).lower()
+            if fn == "array_agg":
+                val = inner.strip()
+                delim = None
+            else:
+                parts = [
+                    p.strip() for p in _split_top_level_args(inner)
+                ]
+                val = parts[0]
+                delim = parts[1] if len(parts) > 1 else "''"
+            sorted_vals = (
+                f"transform(array_sort(collect_list("
+                f"named_struct('o', {key}, 'v', {val}))), s -> s.v)"
+            )
+            if direction == "desc":
+                sorted_vals = f"reverse({sorted_vals})"
+            repl = (
+                sorted_vals
+                if delim is None
+                else f"array_join({sorted_vals}, {delim})"
+            )
+            sql = sql[: m.start()] + repl + sql[i + wg.end() :]
+            pos = m.start() + len(repl)
+
+    sql = within_group_pass(sql)
     sql = replace_call(sql, _FUNC_RES["ARRAY_AGG"], lambda a: f"collect_list({a})")
     sql = replace_call(sql, _FUNC_RES["IFF"], lambda a: f"if({a})")
 

@@ -4149,3 +4149,52 @@ def events_asof_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              on l.user_id = r.user_id
         """
     ).filter(F.col("err_id").isNotNull())
+
+
+@query(
+    "orders_within_group_aggs",
+    oracle="""
+    SELECT o_orderstatus AS grp,
+           array_to_string(array_agg(o_orderkey ORDER BY o_orderkey),
+                           ',') AS arr,
+           string_agg(o_orderpriority, '|' ORDER BY o_orderkey DESC)
+               AS lst,
+           '{' || string_agg('"' || CAST(o_orderkey AS VARCHAR)
+                  || '":"' || CAST(o_custkey AS VARCHAR) || '"', ','
+                  ORDER BY CAST(o_orderkey AS VARCHAR)) || '}' AS obj
+    FROM orders
+    WHERE o_orderkey % 211 = 3
+    GROUP BY o_orderstatus
+    """,
+    tags=("engine", "sqlfront", "dialect"),
+)
+def orders_within_group_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered aggregation surface (r13, engine/sqlfront.py):
+    ARRAY_AGG/LISTAGG ... WITHIN GROUP (ORDER BY k [DESC]) rewrite to
+    sorted (key, value) structs projected back out (array_sort on a
+    struct orders by its first field — JVM-side, codegen-friendly),
+    and OBJECT_AGG renders one sorted-key JSON object per group. The
+    oracle uses DuckDB's native ORDER BY-inside-aggregate forms."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-wg-")))
+    engine.seed(
+        "ord_wg",
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 211 == 3)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+        ),
+    )
+    return engine.query(
+        "select o_orderstatus as grp, "
+        "array_to_string(array_agg(o_orderkey) "
+        "    within group (order by o_orderkey), ',') as arr, "
+        "listagg(o_orderpriority, '|') "
+        "    within group (order by o_orderkey desc) as lst, "
+        "object_agg(cast(o_orderkey as string), o_custkey) as obj "
+        "from ord_wg group by o_orderstatus"
+    )

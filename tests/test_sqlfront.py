@@ -1156,3 +1156,43 @@ def test_wave3_array_forms(spark):
     assert row.s2 == [None, 1, 3]
     assert row.s3 == [3, 1, None]
     assert row.s4 == [None, 3, 1]
+
+
+def test_within_group_and_object_agg(spark):
+    """r13: ARRAY_AGG/LISTAGG ... WITHIN GROUP (ORDER BY k [DESC]) via
+    sorted (key, value) structs (JVM-side, one order key), and
+    OBJECT_AGG -> one sorted-key JSON object per group (values render
+    as strings — the VARIANT-at-the-boundary trade)."""
+    df = spark.createDataFrame(
+        [(1, "b", 20), (1, "a", 10), (1, "c", 30), (2, "z", 1)],
+        "g int, k string, v int",
+    )
+    df.createOrReplaceTempView("sf_wg")
+    rows = sorted(
+        (r["g"], r["arr"], r["lst"], r["obj"])
+        for r in spark.sql(
+            transpile(
+                "select g, "
+                "array_agg(v) within group (order by k) as arr, "
+                "listagg(k, '-') within group (order by v desc) as lst, "
+                "object_agg(k, v) as obj "
+                "from sf_wg group by g"
+            )
+        ).collect()
+    )
+    assert rows[0] == (
+        1,
+        [10, 20, 30],
+        "c-b-a",
+        '{"a":"10","b":"20","c":"30"}',
+    )
+    assert rows[1] == (2, [1], "z", '{"z":"1"}')
+    # plain (unordered) forms stay on the direct rewrites
+    out = transpile("select array_agg(v) from t")
+    assert "collect_list(v)" in out and "named_struct" not in out
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="one order key"):
+        transpile(
+            "select array_agg(v) within group (order by a, b) from t"
+        )
