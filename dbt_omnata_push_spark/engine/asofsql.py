@@ -1,4 +1,5 @@
-"""SQL-surface ASOF JOIN (r13): Snowflake's time-series join clause —
+"""SQL-surface ASOF JOIN (r13, widened r14): Snowflake's time-series
+join clause —
 
     SELECT ...
     FROM trades t ASOF JOIN quotes q
@@ -14,18 +15,27 @@ closest right row under the match condition within the ON equi-group;
 left rows with no match keep NULL right columns (left-outer shape).
 
 Supported subset (everything else raises loudly):
-- exactly one ASOF JOIN per statement, table[ alias] operands;
-- MATCH_CONDITION(l.ts >= r.ts | l.ts > r.ts) — the backward-looking
-  forms (latest right at-or-before / strictly-before the left ts);
-  the condition may be written flipped (r.ts <= l.ts). The
-  forward-looking forms raise (reverse the timestamps upstream);
+- operands are ``table [alias]`` or ``(subquery) alias`` (r14,
+  VERDICT r13 #2 — the subquery runs through the full reference
+  dialect); several ASOF JOINs may appear in one statement (each
+  resolves in turn, including chained ``a ASOF JOIN b ... ASOF JOIN
+  c ...`` where the resolved view becomes the next left operand);
+  a leading WITH clause materializes its CTEs as temp views so they
+  can feed an ASOF operand (RECURSIVE raises);
+- MATCH_CONDITION(l.ts >= r.ts | l.ts > r.ts) — backward-looking
+  (latest right at-or-before / strictly-before), AND the
+  forward-looking l.ts <= r.ts | l.ts < r.ts (earliest right
+  at-or-after / strictly-after; r14, VERDICT r13 #1); either side
+  may be written flipped;
 - ON: AND-ed equi conditions l.k = r.k (right keys rename to the left
   names for the operator);
 - the resolved view exposes every left column under its own name, the
   right payload columns under theirs (collisions raise, as the
   operator does), and the matched right timestamp as
   ``matched_<rts>``; alias qualifiers (``t.``/``q.``) in the rest of
-  the statement are stripped, since the view is a single relation.
+  the statement are stripped — outside string literals only (r14,
+  ADVICE r13 #3: a literal like 'contact t. smith' passes through
+  untouched).
 """
 
 from __future__ import annotations
@@ -33,11 +43,20 @@ from __future__ import annotations
 import itertools
 import re
 
+# Relation operand over the paren-masked statement: a (possibly
+# dotted/quoted) name, or a parenthesized subquery (its masked body is
+# all NULs, so one regex matches it without balancing). The name
+# alternative must never swallow the keyword PRECEDING the operand
+# (`FROM trades ASOF JOIN` must bind trades, not from+alias-trades).
+_KW_NOT_OPERAND = (
+    r"(?!(?:from|join|inner|outer|left|right|full|cross|natural|"
+    r"asof|lateral|on|using|where|and|or|select|union)\b)"
+)
+_OPERAND = rf"(?:\b{_KW_NOT_OPERAND}[A-Za-z_][\w.$]*|\(\x00*\))"
 _ASOF_RE = re.compile(
-    r"(?is)\bfrom\s+([A-Za-z_][\w.]*)(?:\s+(?:as\s+)?"
-    r"(?!asof\b)([A-Za-z_]\w*))?"
-    r"\s+asof\s+join\s+([A-Za-z_][\w.]*)(?:\s+(?:as\s+)?"
-    r"(?!match_condition\b)([A-Za-z_]\w*))?"
+    rf"(?is)({_OPERAND})(?:\s+(?:as\s+)?(?!asof\b)([A-Za-z_]\w*))?"
+    rf"\s+asof\s+join\s+({_OPERAND})"
+    r"(?:\s+(?:as\s+)?(?!match_condition\b)([A-Za-z_]\w*))?"
     r"\s+match_condition\s*\("
 )
 _COND_RE = re.compile(
@@ -48,8 +67,14 @@ _ON_PAIR_RE = re.compile(
     r"(?is)^\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*=\s*"
     r"([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*$"
 )
+# The ON condition list ends at the next clause keyword OR the next
+# join (a chained ASOF JOIN's operand must not be swallowed).
 _CLAUSE_END_RE = re.compile(
-    r"(?is)\b(where|group\s+by|order\s+by|qualify|limit|having)\b"
+    r"(?is)\b(where|group\s+by|order\s+by|qualify|limit|having|"
+    r"asof\s+join|join|inner|left|right|full|cross|union)\b"
+)
+_WITH_CTE_RE = re.compile(
+    r"(?is)\s*(?:,\s*)?([A-Za-z_]\w*)\s+as\s*\("
 )
 
 _ASOF_VIEW_SEQ = itertools.count()
@@ -71,125 +96,222 @@ def _scan_balanced(text: str, open_idx: int) -> int:
             if depth == 0:
                 return i + 1
         i += 1
-    raise ValueError("unbalanced parentheses in MATCH_CONDITION")
+    raise ValueError("unbalanced parentheses in ASOF JOIN clause")
+
+
+def _mask(sql: str) -> str:
+    """Same-length copy with paren-group bodies and string-literal
+    contents replaced by NUL, so top-level keyword/operand regexes
+    can't be fooled by nested SQL or literals; spans map 1:1 back to
+    the original text."""
+    out = list(sql)
+    depth, in_str = 0, False
+    for i, ch in enumerate(sql):
+        if in_str:
+            if ch == "'":
+                in_str = False
+            else:
+                out[i] = "\x00"
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            if depth:
+                out[i] = "\x00"
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth:
+                out[i] = "\x00"
+        elif depth:
+            out[i] = "\x00"
+    return "".join(out)
+
+
+def _sub_outside_literals(pattern: str, repl: str, text: str) -> str:
+    """re.sub applied only to the segments outside single-quoted
+    string literals (ADVICE r13 #3)."""
+    parts = re.split(r"('(?:[^']|'')*')", text)
+    return "".join(
+        p if i % 2 else re.sub(pattern, repl, p)
+        for i, p in enumerate(parts)
+    )
+
+
+def _materialize_ctes(engine, sql: str) -> tuple[str, list[str]]:
+    """For a statement that leads with WITH and contains an ASOF JOIN:
+    run each CTE body through the engine and register it as a temp
+    view under the CTE's own name (in definition order, so later CTEs
+    can read earlier ones), then return the statement with the WITH
+    prefix stripped. The views are statement-scoped — the caller drops
+    them after analysis."""
+    m = re.match(r"(?is)\s*with\s+", sql)
+    if not m:
+        return sql, []
+    if re.match(r"(?is)\s*with\s+recursive\b", sql):
+        raise ValueError(
+            "WITH RECURSIVE cannot feed an ASOF JOIN operand"
+        )
+    views: list[str] = []
+    pos = m.end()
+    while True:
+        cm = _WITH_CTE_RE.match(sql, pos)
+        if not cm:
+            raise ValueError(
+                f"unparsable WITH clause before ASOF JOIN: "
+                f"{sql[pos:pos + 60]!r}"
+            )
+        name = cm.group(1)
+        end = _scan_balanced(sql, cm.end() - 1)
+        body = sql[cm.end() : end - 1]
+        engine.query(body).createOrReplaceTempView(name)
+        views.append(name)
+        nxt = re.match(r"(?is)\s*,", sql[end:])
+        if nxt:
+            pos = end + nxt.end()
+            continue
+        return sql[end:], views
+
+
+def _operand_df(engine, text: str, alias: str | None):
+    """(DataFrame, effective alias) for a `table [alias]` or
+    `(subquery) alias` operand."""
+    if text.startswith("("):
+        if not alias:
+            raise ValueError(
+                "ASOF JOIN subquery operand requires an alias"
+            )
+        return engine.query(text[1:-1]), alias.lower()
+    name = text.rsplit(".", 1)[-1]
+    return engine.spark.table(name), (alias or name).lower()
 
 
 def resolve_asof_join(engine, sql: str) -> tuple[str, list[str]]:
-    """Rewrite the statement's ASOF JOIN clause into a temp-view
-    reference; returns (rewritten sql, views to drop after analysis)."""
-    m = _ASOF_RE.search(sql)
-    if not m:
+    """Rewrite every ASOF JOIN clause in the statement into a
+    temp-view reference; returns (rewritten sql, views to drop after
+    analysis)."""
+    if not _ASOF_RE.search(_mask(sql)):
         return sql, []
-    t1, a1, t2, a2 = m.group(1), m.group(2), m.group(3), m.group(4)
-    a1 = (a1 or t1.rsplit(".", 1)[-1]).lower()
-    a2 = (a2 or t2.rsplit(".", 1)[-1]).lower()
-    cond_end = _scan_balanced(sql, m.end() - 1)
-    cond = sql[m.end() : cond_end - 1]
-    cm = _COND_RE.match(cond)
-    if not cm:
-        raise ValueError(
-            "unsupported ASOF JOIN MATCH_CONDITION (expected "
-            f"alias.ts >= alias.ts or a flipped form): {cond!r}"
-        )
-    la, lc, op, ra, rc = (
-        cm.group(1).lower(),
-        cm.group(2),
-        cm.group(3),
-        cm.group(4).lower(),
-        cm.group(5),
-    )
-    # normalize so the LEFT alias is on the left of the comparison
-    if la == a2 and ra == a1:
-        la, lc, ra, rc = ra, rc, la, lc
-        op = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}[op]
-    if la != a1 or ra != a2:
-        raise ValueError(
-            f"ASOF JOIN MATCH_CONDITION must compare {a1}.<ts> with "
-            f"{a2}.<ts>; got {cond!r}"
-        )
-    if op in ("<=", "<"):
-        raise ValueError(
-            "forward-looking ASOF JOIN (left ts <= right ts) is not "
-            "supported — reverse the timestamp ordering upstream"
-        )
-    strict = op == ">"
-    # optional ON clause: up to the next top-level clause keyword
-    rest = sql[cond_end:]
-    on_pairs: list[tuple[str, str]] = []
-    on_len = 0
-    om = re.match(r"(?is)\s*on\s+", rest)
-    if om:
-        e = _CLAUSE_END_RE.search(rest, om.end())
-        on_text = rest[om.end() : e.start() if e else len(rest)]
-        on_len = (e.start() if e else len(rest))
-        for part in re.split(r"(?is)\band\b", on_text):
-            pm = _ON_PAIR_RE.match(part)
-            if not pm:
-                raise ValueError(
-                    "unsupported ASOF JOIN ON condition (AND-ed "
-                    f"alias.col = alias.col only): {part.strip()!r}"
-                )
-            xa, xc, ya, yc = (
-                pm.group(1).lower(),
-                pm.group(2),
-                pm.group(3).lower(),
-                pm.group(4),
-            )
-            if xa == a2 and ya == a1:
-                xa, xc, ya, yc = ya, yc, xa, xc
-            if xa != a1 or ya != a2:
-                raise ValueError(
-                    f"ASOF JOIN ON must pair {a1} and {a2} columns: "
-                    f"{part.strip()!r}"
-                )
-            on_pairs.append((xc, yc))
-
-    if not on_pairs:
-        # Snowflake allows a global ASOF JOIN, but it is ONE ordered
-        # merge — a single-partition window at any scale. The engine
-        # refuses single-partition windows everywhere else (the
-        # null-window rule); same posture here.
-        raise ValueError(
-            "ASOF JOIN without an ON equi-condition would be a single "
-            "global ordering (one partition at 100 TB) — add an ON "
-            "key, or call ops.asof.asof_join directly if you really "
-            "want it"
-        )
-
-    from ..ops.asof import asof_join
-
     engine._register_views()
-    left = engine.spark.table(t1.rsplit(".", 1)[-1])
-    right = engine.spark.table(t2.rsplit(".", 1)[-1])
-    # right keys rename to the left names; right ts renames to left ts
-    for lk, rk in on_pairs:
-        if rk != lk:
-            right = right.withColumnRenamed(rk, lk)
-    if rc != lc:
-        right = right.withColumnRenamed(rc, lc)
-    keys = [lk for lk, _rk in on_pairs]
-    value_cols = [c for c in right.columns if c not in keys and c != lc]
-    res = asof_join(
-        left,
-        right,
-        on=keys,
-        ts_col=lc,
-        value_cols=value_cols,
-        right_ts_alias=f"matched_{rc}",
-        strict=strict,
-    )
-    view = f"__asof_{next(_ASOF_VIEW_SEQ)}"
-    res.createOrReplaceTempView(view)
-    out = (
-        sql[: m.start()]
-        + f" FROM {view} "
-        + sql[cond_end + on_len :]
-    )
-    # the view is one relation: strip now-dangling alias qualifiers
-    out = re.sub(rf"(?is)\b(?:{a1}|{a2})\s*\.\s*", "", out)
-    if _ASOF_RE.search(out):
-        raise ValueError(
-            "multiple ASOF JOIN clauses in one statement are not "
-            "supported"
+    sql, views = _materialize_ctes(engine, sql)
+    for _ in range(8):  # bounded: >8 ASOF JOINs in one statement
+        m = _ASOF_RE.search(_mask(sql))
+        if not m:
+            return sql, views
+        t1, a1t, t2, a2t = (
+            sql[m.start(1) : m.end(1)],
+            m.group(2),
+            sql[m.start(3) : m.end(3)],
+            m.group(4),
         )
-    return out, [view]
+        cond_end = _scan_balanced(sql, m.end() - 1)
+        cond = sql[m.end() : cond_end - 1]
+        left, a1 = _operand_df(engine, t1, a1t)
+        right, a2 = _operand_df(engine, t2, a2t)
+        cm = _COND_RE.match(cond)
+        if not cm:
+            raise ValueError(
+                "unsupported ASOF JOIN MATCH_CONDITION (expected "
+                f"alias.ts <op> alias.ts): {cond!r}"
+            )
+        la, lc, op, ra, rc = (
+            cm.group(1).lower(),
+            cm.group(2),
+            cm.group(3),
+            cm.group(4).lower(),
+            cm.group(5),
+        )
+        # normalize so the LEFT alias is on the left of the comparison
+        if la == a2 and ra == a1:
+            la, lc, ra, rc = ra, rc, la, lc
+            op = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}[op]
+        if la != a1 or ra != a2:
+            raise ValueError(
+                f"ASOF JOIN MATCH_CONDITION must compare {a1}.<ts> "
+                f"with {a2}.<ts>; got {cond!r}"
+            )
+        # >=/>: backward (latest right at-or-before/strictly-before);
+        # <=/<: forward (earliest right at-or-after/strictly-after)
+        direction = "backward" if op in (">=", ">") else "forward"
+        strict = op in (">", "<")
+        # optional ON clause: up to the next top-level clause keyword
+        rest = _mask(sql)[cond_end:]
+        on_pairs: list[tuple[str, str]] = []
+        on_len = 0
+        om = re.match(r"(?is)\s*on\s+", rest)
+        if om:
+            e = _CLAUSE_END_RE.search(rest, om.end())
+            on_end = e.start() if e else len(rest)
+            on_text = sql[cond_end + om.end() : cond_end + on_end]
+            on_len = on_end
+            for part in re.split(r"(?is)\band\b", on_text):
+                pm = _ON_PAIR_RE.match(part)
+                if not pm:
+                    raise ValueError(
+                        "unsupported ASOF JOIN ON condition (AND-ed "
+                        f"alias.col = alias.col only): {part.strip()!r}"
+                    )
+                xa, xc, ya, yc = (
+                    pm.group(1).lower(),
+                    pm.group(2),
+                    pm.group(3).lower(),
+                    pm.group(4),
+                )
+                if xa == a2 and ya == a1:
+                    xa, xc, ya, yc = ya, yc, xa, xc
+                if xa != a1 or ya != a2:
+                    raise ValueError(
+                        f"ASOF JOIN ON must pair {a1} and {a2} "
+                        f"columns: {part.strip()!r}"
+                    )
+                on_pairs.append((xc, yc))
+
+        if not on_pairs:
+            # Snowflake allows a global ASOF JOIN, but it is ONE
+            # ordered merge — a single-partition window at any scale.
+            # The engine refuses single-partition windows everywhere
+            # else (the null-window rule); same posture here.
+            raise ValueError(
+                "ASOF JOIN without an ON equi-condition would be a "
+                "single global ordering (one partition at 100 TB) — "
+                "add an ON key, or call ops.asof.asof_join directly "
+                "if you really want it"
+            )
+
+        from ..ops.asof import asof_join
+
+        # right keys rename to the left names; right ts to the left ts
+        for lk, rk in on_pairs:
+            if rk != lk:
+                right = right.withColumnRenamed(rk, lk)
+        if rc != lc:
+            right = right.withColumnRenamed(rc, lc)
+        keys = [lk for lk, _rk in on_pairs]
+        value_cols = [
+            c for c in right.columns if c not in keys and c != lc
+        ]
+        res = asof_join(
+            left,
+            right,
+            on=keys,
+            ts_col=lc,
+            value_cols=value_cols,
+            right_ts_alias=f"matched_{rc}",
+            strict=strict,
+            direction=direction,
+        )
+        view = f"__asof_{next(_ASOF_VIEW_SEQ)}"
+        res.createOrReplaceTempView(view)
+        views.append(view)
+        sql = (
+            sql[: m.start(1)] + view + " " + sql[cond_end + on_len :]
+        )
+        # the view is one relation: re-point now-dangling alias
+        # qualifiers at it (so a CHAINED ASOF JOIN's MATCH_CONDITION
+        # can still say t.ts) — outside string literals only (ADVICE
+        # r13 #3: a literal like 'contact t. smith' passes through)
+        sql = _sub_outside_literals(
+            rf"(?is)\b(?:{re.escape(a1)}|{re.escape(a2)})\s*\.\s*",
+            f"{view}.",
+            sql,
+        )
+    raise ValueError("too many ASOF JOIN clauses in one statement")

@@ -54,6 +54,120 @@ def _sub_ident_outside_quotes(sql: str, ident: str, replacement: str) -> str:
     return "".join(out)
 
 
+# Keywords that can directly follow a relation in a FROM clause — an
+# identifier in alias position matching one of these is a clause, not
+# an alias, and an identifier in RELATION position matching one is a
+# syntax form (VALUES, LATERAL ...) rather than a named table.
+_REL_STOP_KW = frozenset(
+    "where group order limit qualify having on using join inner left "
+    "right full cross natural asof lateral window connect pivot "
+    "unpivot fetch sample tablesample at before union intersect "
+    "except start when match_condition match_recognize semi anti "
+    "values for as".split()
+)
+_REL_IDENT_RE = re.compile(r'("(?:[^"]|"")+"|[A-Za-z_]\w*)')
+
+
+def _sql_table_refs(s: str) -> tuple[set[str], bool]:
+    """Every relation name in table position of ``s`` (string literals
+    and comments must already be stripped), as lowercased unquoted tail
+    identifiers, plus a flag for table-position constructs the scan
+    cannot NAME (table functions, unparsable relations). Handles comma
+    joins (``FROM a, b``), quoted identifiers, dotted names, aliases,
+    and subqueries (their inner FROM/JOIN get their own scan); WITH
+    aliases are excluded. Callers reasoning about base-table versions
+    must treat the flag as "cannot account for every base" (ADVICE r13
+    #1 — a missed base must disable version-gated skipping, never
+    silently enable it)."""
+    refs: set[str] = set()
+    unknown = False
+    ctes = {
+        m.group(1).strip('"').lower()
+        for m in re.finditer(
+            r'(?is)(?:\bwith\s+|,\s*)("(?:[^"]|"")+"|[A-Za-z_]\w*)'
+            r"\s+as\s*\(",
+            s,
+        )
+    }
+    n = len(s)
+
+    def skip_ws(j: int) -> int:
+        while j < n and s[j].isspace():
+            j += 1
+        return j
+
+    def skip_parens(j: int) -> int:
+        depth = 0
+        while j < n:
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    return j + 1
+            j += 1
+        return n
+
+    for m in re.finditer(r"(?is)\b(from|join)\b", s):
+        kw = m.group(1).lower()
+        j = m.end()
+        while True:  # one relation + comma-continuations (FROM only)
+            j = skip_ws(j)
+            if j >= n:
+                break
+            if s[j] == "(":
+                # subquery / parenthesized join: its inner FROM/JOIN
+                # keywords get their own finditer scan
+                j = skip_parens(j)
+            else:
+                im = _REL_IDENT_RE.match(s, j)
+                if not im:
+                    unknown = True  # FROM <something unparsable>
+                    break
+                name, j = im.group(1), im.end()
+                if name.strip('"').lower() in _REL_STOP_KW:
+                    break  # VALUES / LATERAL fn / next clause
+                while True:  # dotted name: db.schema.table
+                    k = skip_ws(j)
+                    if k < n and s[k] == ".":
+                        im = _REL_IDENT_RE.match(s, skip_ws(k + 1))
+                        if not im:
+                            unknown = True
+                            break
+                        name, j = im.group(1), im.end()
+                    else:
+                        break
+                k = skip_ws(j)
+                if k < n and s[k] == "(":
+                    # identifier called as a function in table position
+                    # (TABLE(...), GENERATOR(...), FLATTEN(...)): not a
+                    # nameable, versionable relation
+                    j = skip_parens(k)
+                    unknown = True
+                else:
+                    refs.add(name.strip('"').lower())
+            # optional [AS] alias (never a clause keyword)
+            while True:
+                j = skip_ws(j)
+                am = _REL_IDENT_RE.match(s, j)
+                if not am:
+                    break
+                word = am.group(1).strip('"').lower()
+                if word == "as":
+                    j = am.end()
+                    continue
+                if word in _REL_STOP_KW:
+                    break
+                j = am.end()
+                break
+            j = skip_ws(j)
+            if kw == "from" and j < n and s[j] == ",":
+                j += 1
+                continue
+            break
+    return refs - ctes, unknown
+
+
 @dataclass
 class RunResult:
     model: str
@@ -83,7 +197,9 @@ class Engine:
         # names whose fresh output exists only in _view_cache (view
         # materializations): ref() prefers these over a stale store
         # table of the same name (r13, r12 advice)
-        self._nonstore_published: set[str] = set()
+        # name -> same-named store table's version at view-publish
+        # time (None = none existed); see _publish / ref
+        self._nonstore_published: dict[str, int | None] = {}
         # seq name -> ("per_row", refs_per_row) | ("static", total_sites)
         self._sequence_draws: dict[str, tuple[str, int]] = {}
         # Snowflake session variables (r9): SET x = expr stores the
@@ -178,8 +294,19 @@ class Engine:
             # cache is the fresh output, and any same-named store table
             # is stale residue (materialization changed off table
             # without dropping — r13, r12 advice). Store-backed
-            # publishes clear the mark, so this never pins real tables.
-            return self._view_cache[name]
+            # publishes clear the mark — and (r14, ADVICE r13 #5) a
+            # store table written OUT-OF-BAND since the publish
+            # (ad-hoc CTAS/COPY via engine.query) un-pins it too: the
+            # version recorded at publish time no longer matches.
+            cur_v = (
+                self.store.current_version(name)
+                if self.store.exists(name)
+                else None
+            )
+            if cur_v == self._nonstore_published[name]:
+                return self._view_cache[name]
+            self._nonstore_published.pop(name, None)
+            self._view_cache.pop(name, None)
         if self.store.exists(name):
             # Store tables resolve FRESH, never from _view_cache (r12):
             # the cache pins the DataFrame a previous run's build_df
@@ -394,9 +521,18 @@ class Engine:
         # rule; None (ref republishing in build_df) leaves it alone.
         self._view_cache[name] = df
         if nonstore is True:
-            self._nonstore_published.add(name)
+            # record the same-named store table's version at publish
+            # time (None = no such table) so ref() can detect a LATER
+            # out-of-band store write over the name (ad-hoc CTAS/COPY
+            # through engine.query) and stop pinning the stale view —
+            # ADVICE r13 #5
+            self._nonstore_published[name] = (
+                self.store.current_version(name)
+                if self.store.exists(name)
+                else None
+            )
         elif nonstore is False:
-            self._nonstore_published.discard(name)
+            self._nonstore_published.pop(name, None)
         df.createOrReplaceTempView(self.view_name(name))
 
     def _register_views(self) -> None:
@@ -985,7 +1121,7 @@ class Engine:
         dt_graph = {
             name: [
                 b
-                for b in self._dt_base_versions(d["sql"])[0]
+                for b in self._dt_refs(d["sql"])[0]
                 if b in dts and b != name
             ]
             for name, d in dts.items()
@@ -1016,41 +1152,54 @@ class Engine:
         )
 
     # -- dynamic tables (r13) ----------------------------------------------
-    def _dt_base_versions(self, sql: str) -> tuple[dict, bool]:
-        """(store-table name -> current version) for every store table
-        the defining SQL references in table position, plus a flag for
-        references the version check CANNOT cover (seeds, or qualified
-        names the scan may miss are NOT flagged — an empty version map
-        disables skipping instead, the safe default)."""
-        import os as _os
-
+    def _dt_refs(self, sql: str) -> tuple[set[str], bool]:
+        """Relation names the defining SQL references in table
+        position (lowercased tails), plus the cannot-name flag, with
+        literals/comments stripped first."""
         from .dml import _strip_comments
 
         stripped = _strip_comments(sql).lower()
         stripped = re.sub(r"'(?:[^']|'')*'", "''", stripped)
+        return _sql_table_refs(stripped)
 
-        def _referenced(n: str) -> bool:
-            return bool(
-                re.search(
-                    rf"\b(?:from|join)\s*\(?\s*{re.escape(n)}\b(?!\s*\.)",
-                    stripped,
-                )
-            )
+    def _dt_base_versions(self, sql: str) -> tuple[dict, bool]:
+        """(store-table name -> current version) for every relation the
+        defining SQL references in table position, plus a flag set
+        whenever ANY reference cannot be version-accounted (a seed, a
+        temp view, an ambiguous tail, a table function, an unparsable
+        relation). The flag disables version-gated refresh skipping —
+        a base the gate cannot see must force a recompute, never a
+        silent permanent SKIPPED (ADVICE r13 #1: the old scan missed
+        comma-join and quoted bases yet still skipped on the partial
+        map)."""
+        import os as _os
 
-        versions: dict[str, int] = {}
+        refs, unknown = self._dt_refs(sql)
+        # tail -> logical store names (a tail shared by two schemas is
+        # ambiguous: refuse to version-account it)
+        tails: dict[str, list[str]] = {}
         if _os.path.isdir(self.store.root):
             for entry in _os.listdir(self.store.root):
                 logical = entry.replace("__", ".")
                 if not self.store.exists(logical):
                     continue
-                tail = logical.rsplit(".", 1)[-1].lower()
-                if _referenced(tail):
-                    v = self.store.current_version(logical)
-                    if v is not None:
-                        versions[tail] = v
-        unversioned = any(
-            _referenced(s.lower()) for s in self.seeds
-        )
+                tails.setdefault(
+                    logical.rsplit(".", 1)[-1].lower(), []
+                ).append(logical)
+        seed_tails = {s.lower() for s in self.seeds}
+        versions: dict[str, int] = {}
+        unversioned = unknown
+        for r in refs:
+            hits = tails.get(r, [])
+            v = (
+                self.store.current_version(hits[0])
+                if len(hits) == 1
+                else None
+            )
+            if v is not None and r not in seed_tails:
+                versions[r] = v
+            else:
+                unversioned = True
         return versions, unversioned
 
     # A dynamic table qualifies for the incremental refresh path only
@@ -1071,24 +1220,29 @@ class Engine:
         r"\s*(?:where\s+.+)?$"
     )
 
-    def _dt_append_only_delta(
+    def _dt_base_delta(
         self, meta: dict, base: str
-    ) -> DataFrame | None:
-        """The raw appended-rows delta of ``base`` since the last
-        successful refresh, or None: the base's version at the last
-        refresh must be known and EVERY commit since must carry an
-        insert-only ('files') CDC manifest — then the delta reads ONLY
-        the appended files (O(delta), no shuffle, no full-table
-        scan)."""
+    ) -> tuple[DataFrame, bool] | None:
+        """(appended-rows delta of ``base`` since the last refresh,
+        changed) — or None when the append-only incremental algebra
+        cannot apply: the base's anchor version must be known and
+        EVERY commit since must carry an insert-only ('files') CDC
+        manifest, so the delta reads ONLY the appended files
+        (O(delta), no shuffle, no full-table scan). changed=False
+        means no new version (the delta frame is empty) — join
+        maintenance needs to distinguish "this base idle" from "this
+        base ineligible"."""
         if not self.store.exists(base):
             return None
         last = meta.get("base_versions", {})
-        if set(last) != {base}:
+        if base not in last:
             return None
         v0 = last[base]
         v1 = self.store.current_version(base)
-        if v1 is None or v1 <= v0:
+        if v1 is None or v1 < v0:
             return None
+        if v1 == v0:
+            return self.store.read(self.spark, base).limit(0), False
         parts = []
         for v in range(v0 + 1, v1 + 1):
             man = self.store._cdc_manifest(self.spark, base, v)
@@ -1098,23 +1252,63 @@ class Engine:
         delta = parts[0]
         for p in parts[1:]:
             delta = delta.unionByName(p, allowMissingColumns=True)
-        return delta
+        return delta, True
+
+    def _dt_append_only_delta(
+        self, meta: dict, base: str
+    ) -> DataFrame | None:
+        """Single-base form: the non-empty appended-rows delta, or
+        None when ineligible OR unchanged (the skip gate owns the
+        unchanged case for single-base shapes)."""
+        if set(meta.get("base_versions", {})) != {base}:
+            return None
+        r = self._dt_base_delta(meta, base)
+        if r is None or not r[1]:
+            return None
+        return r[0]
 
     def _dt_delta_query(
         self, sql: str, base: str, delta: DataFrame
     ) -> DataFrame:
         """Run the defining SQL with the base's FROM redirected to a
         temp view over the delta rows."""
-        view = f"__dt_delta_{base}"
-        delta.createOrReplaceTempView(view)
-        return self.query(
-            re.sub(
-                rf"(?is)\bfrom\s+{re.escape(base)}\b",
-                f"from {view}",
-                sql,
-                count=1,
+        return self._dt_redirect_query(sql, {base: delta})
+
+    # An identifier right after a redirected relation that is NOT an
+    # alias but the next clause.
+    _DT_ALIAS_GUARD = (
+        r"(?!(?:inner|left|right|full|cross|natural|join|on|using|"
+        r"where|group|order|limit|qualify|having|union|intersect|"
+        r"except|as)\b)"
+    )
+
+    def _dt_redirect_query(
+        self, sql: str, frames: dict[str, DataFrame]
+    ) -> DataFrame:
+        """Run the defining SQL with each base's table-position
+        references redirected to a temp view over the given frame.
+        When the original reference carried no alias, the base name
+        becomes the view's alias so qualified column refs (base.col)
+        keep resolving."""
+        out = sql
+        for base, df in frames.items():
+            view = f"__dt_redir_{base}"
+            df.createOrReplaceTempView(view)
+
+            def repl(m, base=base, view=view):
+                alias = m.group(2)
+                return (
+                    f"{m.group(1)} {view}"
+                    + (alias if alias else f" {base}")
+                )
+
+            out = re.sub(
+                rf"(?is)\b(from|join)\s+{re.escape(base)}\b(?!\s*\.)"
+                rf"(\s+(?:as\s+)?{self._DT_ALIAS_GUARD}[A-Za-z_]\w*)?",
+                repl,
+                out,
             )
-        )
+        return self.query(out)
 
     def _dt_incremental_delta(
         self, meta: dict
@@ -1225,8 +1419,182 @@ class Engine:
         out = merged.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
         return out.select(*old.columns)
 
+    # Incremental JOIN maintenance (r14, VERDICT r13 #5): a two-base
+    # INNER equi-join under append-only deltas. Anything else (outer
+    # joins, >1 join, aggregates, DISTINCT, subqueries) refuses to the
+    # full path.
+    _DT_JOIN_BLOCK_RE = re.compile(
+        r"(?is)\b(group\s+by|distinct|over|union|intersect|except|"
+        r"having|qualify|limit|order\s+by|connect\s+by|"
+        r"match_recognize|lateral|pivot|unpivot|window|rollup|cube|"
+        r"grouping|left\s+join|right\s+join|full\s+join|cross\s+join|"
+        r"natural\s+join|asof\s+join|sum\s*\(|count\s*\(|avg\s*\(|"
+        r"min\s*\(|max\s*\(|listagg\s*\(|array_agg\s*\(|\(\s*select\b)"
+    )
+    _DT_JOIN_SHAPE_RE = re.compile(
+        r"(?is)^\s*select\s+.+?\s+from\s+([A-Za-z_]\w*)"
+        r"(?:\s+(?:as\s+)?(?!inner\b|join\b)(\w+))?"
+        r"\s+(?:inner\s+)?join\s+([A-Za-z_]\w*)"
+        r"(?:\s+(?:as\s+)?(?!on\b)(\w+))?"
+        r"\s+on\s+.+$"
+    )
+
+    def _dt_incremental_join(self, meta: dict) -> DataFrame | None:
+        """Append-only delta expansion for A ⋈ B: with
+        A = A_old ∪ ΔA and B = B_old ∪ ΔB (inner join),
+
+            A ⋈ B  =  (A_old ⋈ B_old)  ∪  (ΔA ⋈ B)  ∪  (A_old ⋈ ΔB)
+
+        so the appended output delta is q(ΔA, B_now) ∪ q(A_old, ΔB):
+        two delta-against-one-full joins (the delta side broadcasts),
+        never a recompute of the full join or a rewrite of the
+        backing table — the 100 TB posture for DT-over-join, the
+        flagship dynamic-table shape. A_old is a version-pointer read
+        of the anchor version (time travel); a vacuumed anchor falls
+        back to the full path. Returns the delta to APPEND, or None.
+        """
+        from pyspark.sql import functions as F
+
+        from .dml import _strip_comments
+
+        sql = _strip_comments(meta["sql"]).strip().rstrip(";")
+        if self._DT_JOIN_BLOCK_RE.search(sql):
+            return None
+        if len(re.findall(r"(?is)\bjoin\b", sql)) != 1:
+            return None
+        m = self._DT_JOIN_SHAPE_RE.match(sql)
+        if not m:
+            return None
+        a, b = m.group(1).lower(), m.group(3).lower()
+        if a == b:
+            return None  # self-join: the expansion needs two anchors
+        if set(meta.get("base_versions", {})) != {a, b}:
+            return None
+        ra = self._dt_base_delta(meta, a)
+        rb = self._dt_base_delta(meta, b)
+        if ra is None or rb is None:
+            return None
+        da, a_changed = ra
+        db, b_changed = rb
+        a_old = None
+        if b_changed:
+            try:
+                a_old = self.store.read_version(
+                    self.spark, a, meta["base_versions"][a]
+                )
+            except ValueError:
+                return None  # anchor version vacuumed
+        parts = []
+        if a_changed:
+            parts.append(
+                self._dt_redirect_query(sql, {a: F.broadcast(da)})
+            )
+        if b_changed:
+            parts.append(
+                self._dt_redirect_query(
+                    sql, {a: a_old, b: F.broadcast(db)}
+                )
+            )
+        if not parts:
+            return None  # both idle: the skip gate owns this
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _dt_incremental_upsert(
+        self, key: str, meta: dict
+    ) -> bool:
+        """Keyed CDC maintenance for the single-base per-row-transform
+        shape when the base history carries UPDATE/DELETE commits
+        (r14, VERDICT r13 #6): requires the base to have a PRIMARY KEY
+        whose columns pass through the select list unchanged (bare
+        references or ``*``). The net CHANGES window
+        (store.read_changes — deletion-vector aware, O(changed) under
+        manifests) maintains the DT as:
+
+            DELETE output rows keyed by (delete ∪ update_preimage)
+            APPEND transform(insert ∪ update_postimage)
+
+        The delete is a deletion-vector commit (O(matched + #files),
+        no rewrite) keyed by an IN-list of the changed keys, so the
+        path applies only while the distinct changed-key count stays
+        under a driver-safe bound (100k); larger windows fall back to
+        the full recompute. Returns True when applied."""
+        from pyspark.sql import functions as F
+
+        from .dml import _strip_comments
+
+        sql = _strip_comments(meta["sql"]).strip().rstrip(";")
+        if self._DT_NON_INCREMENTAL_RE.search(sql):
+            return False
+        m = self._DT_SIMPLE_RE.match(sql)
+        if not m:
+            return False
+        base = m.group(1).lower()
+        if set(meta.get("base_versions", {})) != {base}:
+            return False
+        pk = self.store.primary_key(base)
+        if not pk:
+            return False
+        pk_cols = [c.lower() for c in pk["columns"]]
+        # every key column must pass through the select list unchanged
+        select_list = re.match(
+            r"(?is)^\s*select\s+(.+?)\s+from\s+", sql
+        ).group(1)
+        if select_list.strip() != "*":
+            from .dml import _split_top_level_args
+
+            bare = {
+                it.strip().strip('"').lower()
+                for it in _split_top_level_args(select_list)
+                if re.fullmatch(
+                    r'\s*(?:[A-Za-z_]\w*|"[^"]+")\s*', it
+                )
+            }
+            if not set(pk_cols) <= bare:
+                return False
+        v0 = meta["base_versions"][base]
+        v1 = self.store.current_version(base)
+        if v1 is None or v1 <= v0:
+            return False
+        try:
+            changes = self.store.read_changes(
+                self.spark, base, v0, v1, pk_cols
+            )
+        except ValueError:
+            return False  # window unrecoverable (vacuumed, no chain)
+        changes = changes.localCheckpoint()
+        gone_keys = (
+            changes.filter(
+                F.col("change_type").isin(
+                    "delete", "update_preimage"
+                )
+            )
+            .select(*pk_cols)
+            .distinct()
+        )
+        keys = gone_keys.limit(100_001).collect()
+        if len(keys) > 100_000:
+            return False  # IN-list would not be driver-safe
+        if keys:
+            pred = F.lit(False)
+            for row in keys:
+                conj = F.lit(True)
+                for c in pk_cols:
+                    conj = conj & F.col(c).eqNullSafe(F.lit(row[c]))
+                pred = pred | conj
+            self.store.delete_where(self.spark, key, pred)
+        fresh = changes.filter(
+            F.col("change_type").isin("insert", "update_postimage")
+        ).drop("change_type")
+        self.store.append(
+            self.spark, key, self._dt_delta_query(sql, base, fresh)
+        )
+        return True
+
     def refresh_dynamic_table(
-        self, name: str, force: bool = False, now=None
+        self, name: str, force: bool = False, now=None, _chain=None
     ) -> str:
         """Refresh a dynamic table — UNLESS every base table's version
         pointer is unchanged since the last successful refresh, in
@@ -1248,6 +1616,25 @@ class Engine:
         if key not in dts:
             raise ValueError(f"dynamic table not found: {name}")
         meta = dts[key]
+        # TARGET_LAG = DOWNSTREAM upstreams refresh on dependent demand
+        # (ADVICE r13 #2): Snowflake refreshes a DOWNSTREAM table
+        # whenever a dependent refreshes. Without this, the dependent's
+        # version gate would pin the never-refreshed upstream's version
+        # and record SKIPPED forever. Cycle-guarded; each upstream is
+        # itself version-gated, so an idle chain walk stays O(1) per
+        # table.
+        chain = _chain if _chain is not None else set()
+        chain.add(key)
+        for up in sorted(self._dt_refs(meta["sql"])[0]):
+            d_up = dts.get(up)
+            if (
+                up != key
+                and up not in chain
+                and d_up is not None
+                and d_up.get("lag_s") is None
+                and d_up.get("state") == "started"
+            ):
+                self.refresh_dynamic_table(up, now=now, _chain=chain)
         when = (now or _dt.now(_tz.utc)).isoformat()
         versions, unversioned = self._dt_base_versions(meta["sql"])
         can_skip = (
@@ -1265,6 +1652,7 @@ class Engine:
         mode = "full"
         delta = None
         merged = None
+        applied = False
         if (
             not force
             and self.store.exists(key)
@@ -1273,8 +1661,17 @@ class Engine:
         ):
             delta = self._dt_incremental_delta(meta)
             if delta is None:
+                # two-base equi-join delta expansion (r14)
+                delta = self._dt_incremental_join(meta)
+            if delta is None:
                 merged = self._dt_incremental_agg(key, meta)
-        if delta is not None:
+            if delta is None and merged is None:
+                # keyed CDC upsert maintenance (r14) — commits its own
+                # delete-vector + append pair when it applies
+                applied = self._dt_incremental_upsert(key, meta)
+        if applied:
+            mode = "incremental"
+        elif delta is not None:
             self.store.append(self.spark, key, delta)
             mode = "incremental"
         elif merged is not None:

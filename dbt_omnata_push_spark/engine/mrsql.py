@@ -125,10 +125,82 @@ def _split_top_keyword(text: str, word: str) -> list[str]:
     return out
 
 
-def _cond_to_pandas(cond: str) -> str:
+def _shield_between_and(t: str) -> str:
+    """Mask the AND that belongs to a top-level BETWEEN so the boolean
+    splitter doesn't cut through it (``x BETWEEN 1 AND 5 AND y > 0``
+    splits only at the second AND)."""
+    out: list[str] = []
+    i, n, depth, in_btw = 0, len(t), 0, False
+    while i < n:
+        ch = t[i]
+        if ch == "'":
+            j = i + 1
+            while j < n and t[j] != "'":
+                j += 1
+            out.append(t[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch.isalpha() or ch == "_":
+            m = re.match(r"[A-Za-z_]\w*", t[i:])
+            w = m.group(0)
+            if depth == 0 and w.lower() == "between":
+                in_btw = True
+            elif depth == 0 and w.lower() == "and" and in_btw:
+                in_btw = False
+                out.append("__mrbtwand__")
+                i += m.end()
+                continue
+            out.append(w)
+            i += m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _mask_case_spans(t: str) -> tuple[str, dict[str, str]]:
+    """Replace every top-level ``CASE ... END`` span with a
+    placeholder token (the span may contain AND/OR/parens that must
+    not drive the boolean splitter); returns (masked text,
+    placeholder -> original span)."""
+    spans: dict[str, str] = {}
+    while True:
+        m = re.search(r"(?is)\bcase\b", t)
+        if not m:
+            return t, spans
+        depth, i = 1, m.end()
+        while i < len(t) and depth:
+            cm = re.match(r"(?is)\b(case|end)\b", t[i:])
+            if cm:
+                depth += 1 if cm.group(1).lower() == "case" else -1
+                i += cm.end()
+            else:
+                i += 1
+        if depth:
+            raise ValueError(f"CASE without END in DEFINE: {t!r}")
+        ph = f"__mrcase{len(spans)}__"
+        spans[ph] = t[m.start() : i]
+        t = t[: m.start()] + ph + t[i:]
+
+
+def _cond_to_pandas(
+    cond: str, sql_terms: dict[str, str] | None = None
+) -> str:
     """Translate a DEFINE condition from the reference dialect to the
-    operator's pandas-eval dialect. Subset only — anything the
-    translation can't prove safe raises rather than mis-evaluating."""
+    operator's pandas-eval dialect. Leaf terms carrying SQL-surface
+    predicates the eval dialect lacks (IN / LIKE / BETWEEN / CASE /
+    IS [NOT] NULL — r14, VERDICT r13 #3) are offloaded: each becomes a
+    ``__mrsqlN__`` placeholder recorded in ``sql_terms``, which the
+    operator pre-evaluates as a Spark SQL boolean column BEFORE the
+    matcher (vectorized, JVM-side — never a Python re-implementation
+    of SQL semantics). Anything the translation can't prove safe
+    raises rather than mis-evaluating."""
+    if sql_terms is None:
+        sql_terms = {}
     s = cond.strip()
     if re.fullmatch(r"(?is)true", s):
         # Snowflake's "always matches" define; evaluate over a non-null
@@ -163,15 +235,42 @@ def _cond_to_pandas(cond: str) -> str:
             t,
         ),
     )
+    # Running aggregates in DEFINE (r14, VERDICT r13 #4):
+    # COUNT(A.*) / COUNT(*) (rows mapped so far), SUM/AVG/MIN/MAX/
+    # COUNT over (sym-qualified or attempt-wide) columns — SQL:2016
+    # running semantics, current row tentatively included. Encoded as
+    # __mr<fn>__SYM__col tokens (col empty for the row-count forms);
+    # like FIRST/LAST they make the define match-dependent, routing
+    # the scan through the condition-aware NFA.
+    def _agg_tokens(t: str) -> str:
+        t = re.sub(
+            r"(?is)\bcount\s*\(\s*(?:([A-Za-z_]\w*)\s*\.\s*)?\*\s*\)",
+            lambda m: f"__mrcount__{m.group(1) or ''}__",
+            t,
+        )
+        return re.sub(
+            r"(?is)\b(count|sum|avg|min|max)\s*\(\s*"
+            r"(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)\s*\)",
+            lambda m: (
+                f"__mr{m.group(1).lower()}__"
+                f"{m.group(2) or ''}__{m.group(3)}"
+            ),
+            t,
+        )
+
+    s = _outside_quotes(s, _agg_tokens)
     if re.search(r"\b[A-Za-z_]\w*\s*\.\s*[A-Za-z_]\w*", s):
         # Other symbol-qualified references (bare A.price outside
-        # FIRST/LAST) are supported in MEASURES (r12) but not in
-        # DEFINE — raise instead of mis-evaluating.
+        # navigation/aggregates) are supported in MEASURES (r12) but
+        # not in DEFINE — raise instead of mis-evaluating.
         raise ValueError(
             "unsupported DEFINE condition for MATCH_RECOGNIZE: "
             f"{cond!r} (symbol-qualified references in DEFINE are "
-            "limited to FIRST(sym.col)/LAST(sym.col))"
+            "limited to FIRST/LAST/COUNT/SUM/AVG/MIN/MAX(sym.col))"
         )
+    # CASE ... END spans must not drive the boolean splitter; mask
+    # them (quote-aware) and restore at the leaf for SQL offload.
+    s, case_spans = _mask_case_spans(s)
 
     def _ops(t: str) -> str:
         # two-arg offsets first (Snowflake PREV(col, N) -> prevN_col)
@@ -196,6 +295,13 @@ def _cond_to_pandas(cond: str) -> str:
         return re.sub(r"(?<![<>!=])=(?!=)", "==", t)
 
     s = _outside_quotes(s, _ops)
+    s = _shield_between_and(s)
+
+    def _restore(t: str) -> str:
+        t = t.replace("__mrbtwand__", " and ")
+        for ph, span in case_spans.items():
+            t = t.replace(ph, span)
+        return t
 
     def bool_tree(t: str) -> str:
         ors = _split_top_keyword(t, "or")
@@ -208,14 +314,36 @@ def _cond_to_pandas(cond: str) -> str:
         m = re.match(r"(?is)^not\b(.+)$", t)
         if m:
             return f"~({bool_tree(m.group(1))})"
-        # bare (possibly parenthesized) comparison/arithmetic term —
-        # reject residual SQL-isms the eval dialect would mis-read
-        if re.search(r"(?is)\b(select|case|in|like|between|is)\b", t):
-            raise ValueError(
-                f"unsupported DEFINE condition for MATCH_RECOGNIZE: "
-                f"{cond!r} (comparisons, arithmetic, PREV/NEXT, "
-                "AND/OR/NOT only)"
-            )
+        # bare (possibly parenthesized) comparison/arithmetic term.
+        # SQL-surface predicates the eval dialect lacks (IN / LIKE /
+        # BETWEEN / CASE / IS [NOT] NULL — r14) offload to a Spark
+        # SQL boolean column; subqueries and terms MIXING those with
+        # PREV/NEXT/FIRST/LAST/aggregate navigation still raise.
+        restored = _restore(t)
+        if re.search(
+            r"(?is)\b(case|in|like|ilike|rlike|between|is)\b", restored
+        ):
+            if re.search(r"(?is)\bselect\b", restored):
+                raise ValueError(
+                    "unsupported DEFINE condition for MATCH_RECOGNIZE: "
+                    f"{cond!r} (subqueries in DEFINE are not supported)"
+                )
+            if re.search(
+                r"(?i)\b(?:prev|next)\d*_[A-Za-z_]"
+                r"|\b(?:prev|next)\s*\("
+                r"|__mr(?:first|last|count|sum|avg|min|max)__",
+                restored,
+            ):
+                raise ValueError(
+                    "unsupported DEFINE condition for "
+                    f"MATCH_RECOGNIZE: {cond!r} (PREV/NEXT/FIRST/"
+                    "LAST/aggregates cannot combine with IN/LIKE/"
+                    "BETWEEN/CASE/IS in one comparison term — split "
+                    "them with AND/OR)"
+                )
+            ph = f"__mrsql{len(sql_terms)}__"
+            sql_terms[ph] = restored
+            return ph
         return t
 
     return bool_tree(s)
@@ -307,13 +435,14 @@ def _parse_body(body: str) -> dict:
     if not dm:
         raise ValueError("MATCH_RECOGNIZE requires DEFINE ...")
     defines: dict[str, str] = {}
+    sql_terms: dict[str, str] = {}
     for item in _split_top_commas(dm.group(1)):
         m = _DEFINE_ITEM_RE.match(item)
         if not m:
             raise ValueError(
                 f"unparsable MATCH_RECOGNIZE DEFINE item: {item!r}"
             )
-        defines[m.group(1)] = _cond_to_pandas(m.group(2))
+        defines[m.group(1)] = _cond_to_pandas(m.group(2), sql_terms)
 
     return dict(
         partition_by=partition_by,
@@ -323,6 +452,7 @@ def _parse_body(body: str) -> dict:
         measures=measures,
         rows_per_match=rows_per_match,
         skip=skip,
+        sql_defines=sql_terms,
     )
 
 

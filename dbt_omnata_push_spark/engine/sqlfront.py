@@ -353,51 +353,70 @@ def _rewrite_funcs(sql: str) -> str:
         return "array(" + ", ".join(f"CAST({p} AS STRING)" for p in parts) + ")"
 
     sql = replace_call(sql, _FUNC_RES["ARRAY_CONSTRUCT"], array_construct)
-    # WITHIN GROUP (ORDER BY k [ASC|DESC]) on ARRAY_AGG / LISTAGG
-    # (r13): Spark's collect_list has no ordered form — sort structs
-    # of (order-key, value) and project the value back out, all
-    # JVM-side (array_sort on a struct orders by its first field).
-    # One order key only; DESC reverses the sorted array. Must run
-    # BEFORE the plain ARRAY_AGG/LISTAGG rewrites so the WITHIN GROUP
-    # suffix is consumed with the call.
+    # WITHIN GROUP (ORDER BY k1 [ASC|DESC], k2 ...) on ARRAY_AGG /
+    # LISTAGG (r13, widened r14): Spark's collect_list has no ordered
+    # form — sort structs of (order-keys..., value) and project the
+    # value back out, all JVM-side. Single ascending key uses the
+    # plain struct sort (array_sort orders by fields left to right);
+    # DESC reverses it; multiple keys or mixed directions use an
+    # array_sort comparator (VERDICT r13 #7). Note the struct sort
+    # breaks order-key TIES by value and reverse() flips ties too:
+    # Snowflake leaves tie order unspecified, so this is a
+    # deterministic superset, not a divergence. Must run BEFORE the
+    # plain ARRAY_AGG/LISTAGG rewrites so the WITHIN GROUP suffix is
+    # consumed with the call.
     def within_group_pass(sql: str) -> str:
         pat = re.compile(
             r"(?is)\b(array_agg|listagg)\s*\(", re.IGNORECASE
         )
+
+        def scan_close(s: str, start: int) -> int:
+            # index just past the ')' matching the '(' before start
+            depth, i = 1, start
+            while i < len(s) and depth:
+                if s[i] == "(":
+                    depth += 1
+                elif s[i] == ")":
+                    depth -= 1
+                i += 1
+            return i
+
         pos = 0
         while True:
             m = pat.search(sql, pos)
             if not m:
                 return sql
-            # find the call's closing paren (quote-aware enough: the
-            # same depth scan replace_call uses)
-            depth, i = 1, m.end()
-            while i < len(sql) and depth:
-                if sql[i] == "(":
-                    depth += 1
-                elif sql[i] == ")":
-                    depth -= 1
-                i += 1
+            i = scan_close(sql, m.end())
             inner = sql[m.end() : i - 1]
-            wg = re.match(
-                r"(?is)\s*within\s+group\s*\(\s*order\s+by\s+(.+?)"
-                r"\s*\)",
-                sql[i:],
+            wm = re.match(
+                r"(?is)\s*within\s+group\s*\(", sql[i:]
             )
-            if not wg:
+            if not wm:
                 pos = i
                 continue
-            order = wg.group(1).strip()
-            if "," in order:
+            # balanced close of the WITHIN GROUP clause (ADVICE r13
+            # #4: the old non-greedy match stopped at the FIRST ')',
+            # truncating function-call order keys like lower(k))
+            wg_end = scan_close(sql, i + wm.end())
+            wg_body = sql[i + wm.end() : wg_end - 1]
+            ob = re.match(r"(?is)\s*order\s+by\s+(.+)$", wg_body)
+            if not ob:
                 raise ValueError(
-                    "WITHIN GROUP (ORDER BY ...): one order key only"
+                    "WITHIN GROUP requires (ORDER BY ...): "
+                    f"{wg_body.strip()!r}"
                 )
-            om = re.match(
-                r"(?is)^(.*?)(?:\s+(asc|desc))?$", order
-            )
-            key, direction = om.group(1).strip(), (
-                om.group(2) or "asc"
-            ).lower()
+            keys: list[tuple[str, str]] = []
+            for part in _split_top_level_args(ob.group(1)):
+                km = re.match(
+                    r"(?is)^\s*(.*?)(?:\s+(asc|desc))?\s*$", part
+                )
+                keys.append(
+                    (km.group(1).strip(), (km.group(2) or "asc").lower())
+                )
+            if not all(k for k, _d in keys):
+                raise ValueError(
+                    f"unparsable WITHIN GROUP order key in {wg_body!r}"
+                )
             fn = m.group(1).lower()
             if fn == "array_agg":
                 val = inner.strip()
@@ -408,18 +427,47 @@ def _rewrite_funcs(sql: str) -> str:
                 ]
                 val = parts[0]
                 delim = parts[1] if len(parts) > 1 else "''"
-            sorted_vals = (
-                f"transform(array_sort(collect_list("
-                f"named_struct('o', {key}, 'v', {val}))), s -> s.v)"
+            entries = ", ".join(
+                f"'o{j}', {k}" for j, (k, _d) in enumerate(keys)
             )
-            if direction == "desc":
-                sorted_vals = f"reverse({sorted_vals})"
+            collected = (
+                f"collect_list(named_struct({entries}, 'v', {val}))"
+            )
+            if len(keys) == 1:
+                sorted_vals = f"array_sort({collected})"
+                if keys[0][1] == "desc":
+                    sorted_vals = f"reverse({sorted_vals})"
+            else:
+                # comparator: per-key three-way compare, ASC nulls
+                # last / DESC nulls first (Snowflake's defaults)
+                conds = []
+                for j, (_k, d) in enumerate(keys):
+                    lo, hi = ("-1", "1") if d == "asc" else ("1", "-1")
+                    nl = "1" if d == "asc" else "-1"
+                    nf = "-1" if d == "asc" else "1"
+                    conds.append(
+                        f"when l.o{j} is null and r.o{j} is not null "
+                        f"then {nl} "
+                        f"when l.o{j} is not null and r.o{j} is null "
+                        f"then {nf} "
+                        f"when l.o{j} < r.o{j} then {lo} "
+                        f"when l.o{j} > r.o{j} then {hi}"
+                    )
+                cmp_case = "case " + " ".join(conds) + " else 0 end"
+                # the __sf_ placeholder name keeps the Snowflake
+                # ARRAY_SORT(arr, flags) rewriter off this Spark
+                # comparator form; it restores to array_sort(...)
+                sorted_vals = (
+                    f"__sf_array_sort({collected}, "
+                    f"(l, r) -> {cmp_case})"
+                )
+            sorted_vals = f"transform({sorted_vals}, s -> s.v)"
             repl = (
                 sorted_vals
                 if delim is None
                 else f"array_join({sorted_vals}, {delim})"
             )
-            sql = sql[: m.start()] + repl + sql[i + wg.end() :]
+            sql = sql[: m.start()] + repl + sql[wg_end:]
             pos = m.start() + len(repl)
 
     sql = within_group_pass(sql)
@@ -906,33 +954,165 @@ def _rewrite_funcs(sql: str) -> str:
 
     def regexp_instr_sf(a: str) -> str:
         # REGEXP_INSTR(subject, pattern[, position[, occurrence
-        # [, option[, regex_parameters]]]]): 1-based match position, 0
-        # when no match. occurrence != 1 / option != 0 / group_num
-        # forms raise. position offsets via substr; coalesce/nullif
-        # keeps the scan to ONE regexp_instr call.
+        # [, option[, regex_parameters[, group_num]]]]]) — r14
+        # (VERDICT r13 #8): 1-based match position, 0 when no match.
+        #
+        # - occurrence N (literal): the Nth match locates via ONE scan
+        #   of a derived pattern `(?:(?:p)[\s\S]*?){N-1}((?:p))` whose
+        #   group 1 is the Nth occurrence (lazy gaps = Snowflake's
+        #   scan-from-previous-end), read with Spark regexp_instr's
+        #   group index — still a single JVM regex pass, no loops.
+        # - option 0 = match start; option 1 = first char AFTER the
+        #   match (start + matched length).
+        # - group_num: direct group index at occurrence 1; for
+        #   occurrence > 1 the wrapper shifts group numbers, so it is
+        #   supported only when the pattern is a string LITERAL (its
+        #   capture count is countable) — otherwise raises.
+        # position offsets via substr; coalesce/nullif keeps it all
+        # inside the one regexp_instr call.
         parts = [p.strip() for p in _split_top_level_args(a)]
-        if len(parts) > 6:
+        if len(parts) > 7:
             raise ValueError(
-                "REGEXP_INSTR: group_num argument is not supported"
+                f"REGEXP_INSTR: too many arguments ({len(parts)})"
             )
         s, p = parts[0], parts[1]
-        if len(parts) >= 4 and parts[3] != "1":
+        occ_s = parts[3] if len(parts) >= 4 else "1"
+        if not re.fullmatch(r"\d+", occ_s) or int(occ_s) < 1:
             raise ValueError(
-                "REGEXP_INSTR: only occurrence 1 is supported"
+                "REGEXP_INSTR: occurrence must be a literal positive "
+                f"integer, got {occ_s!r}"
             )
-        if len(parts) >= 5 and parts[4] != "0":
-            raise ValueError("REGEXP_INSTR: only option 0 is supported")
+        occ = int(occ_s)
+        opt_s = parts[4] if len(parts) >= 5 else "0"
+        if opt_s not in ("0", "1"):
+            raise ValueError(
+                f"REGEXP_INSTR: option must be literal 0 or 1, got "
+                f"{opt_s!r}"
+            )
+        group = parts[6] if len(parts) >= 7 else "0"
+        if not re.fullmatch(r"\d+", group):
+            raise ValueError(
+                "REGEXP_INSTR: group_num must be a literal integer"
+            )
+        # literal pattern text, or None. Inline flags stay a SEPARATE
+        # prefix applied at position 0 of whatever final pattern gets
+        # built — Java expires mid-pattern (?i) at the enclosing
+        # group, so folding flags into a literal that later gets
+        # group-surgered would silently drop them.
+        litm = re.fullmatch(r"'((?:[^']|'')*)'", p)
+        lit = litm.group(1) if litm else None
+        fx = ""
         if len(parts) >= 6:
             inline, _e = _regex_params(parts[5], "REGEXP_INSTR")
             if inline:
-                p = f"concat('(?{inline})', {p})"
+                fx = f"(?{inline})"
+                if lit is None:
+                    p = f"concat('{fx}', {p})"
+                else:
+                    p = f"'{fx}{lit}'"
+        g = int(group)
+        if g != 0 and lit is None:
+            raise ValueError(
+                "REGEXP_INSTR: group_num needs a string-literal "
+                "pattern (the capture structure must be statically "
+                "known)"
+            )
+        subject = s
         pos = parts[2] if len(parts) >= 3 else "1"
         if pos != "1":
-            return (
-                f"coalesce(nullif(__sf_regexp_instr(substr({s}, {pos}), "
-                f"{p}), 0) + ({pos}) - 1, 0)"
+            subject = f"substr({s}, {pos})"
+
+        def q(t: str) -> str:  # SQL string literal (already ''-safe)
+            return f"'{t}'"
+
+        def ext(pat_sql: str, idx: int) -> str:
+            return f"length(regexp_extract({subject}, {pat_sql}, {idx}))"
+
+        cap_re = re.compile(r"(?<!\\)\((?!\?)")
+        if g != 0:
+            # prefix-capture surgery on the literal: '(' at the start,
+            # ')' just before group g's paren — group-g start = match
+            # start + len(prefix capture)
+            opens = [m.start() for m in cap_re.finditer(lit)]
+            if g > len(opens):
+                raise ValueError(
+                    f"REGEXP_INSTR: group_num {g} exceeds the "
+                    f"pattern's {len(opens)} capture groups"
+                )
+            pre_lit = "(" + lit[: opens[g - 1]] + ")" + lit[opens[g - 1] :]
+        if occ == 1:
+            if g == 0:
+                core = f"__sf_regexp_instr({subject}, {p})"
+                if opt_s == "1":
+                    core = (
+                        f"case when {core} = 0 then 0 else {core} + "
+                        f"{ext(p, 0)} end"
+                    )
+            else:
+                # new group 1 = prefix; original group g shifts to g+1
+                pl = q(fx + pre_lit)
+                start = f"__sf_regexp_instr({subject}, {pl})"
+                off = ext(pl, 1)
+                tail = f" + {ext(pl, g + 1)}" if opt_s == "1" else ""
+                core = (
+                    f"case when {start} = 0 then 0 else "
+                    f"{start} + {off}{tail} end"
+                )
+        else:
+            # occurrence N: one scan of (?:(?:p)gap){N-1}(final) —
+            # lazy gaps walk successive matches; the Nth occurrence's
+            # position falls out of length arithmetic on the captures
+            # (Spark's regexp_instr has no group-position form).
+            if lit is not None:
+                inner = lit
+                if g == 0:
+                    wrap = (
+                        f"(?:(?:{inner})[\\\\s\\\\S]*?){{{occ - 1}}}"
+                        f"((?:{inner}))"
+                    )
+                    pat_sql = q(fx + wrap)
+                    c = len(cap_re.findall(inner))
+                    last_idx = c + 1
+                    pre_idx = None
+                    g_idx = None
+                else:
+                    c = len(cap_re.findall(inner))
+                    # final occurrence = outer capture (c+1) wrapping
+                    # the prefix-captured literal; inside it: pre =
+                    # c+2, original groups 1..g-1 inside pre, original
+                    # group g = c+2+g
+                    wrap = (
+                        f"(?:(?:{inner})[\\\\s\\\\S]*?){{{occ - 1}}}"
+                        f"({pre_lit})"
+                    )
+                    pat_sql = q(fx + wrap)
+                    last_idx = c + 1
+                    pre_idx = c + 2
+                    g_idx = c + 2 + g
+            else:
+                pat_sql = (
+                    f"concat('(?:(?:', {p}, ')[\\\\s\\\\S]*?)"
+                    f"{{{occ - 1}}}((?:', {p}, '))')"
+                )
+                last_idx = 1
+                pre_idx = None
+                g_idx = None
+            start = f"__sf_regexp_instr({subject}, {pat_sql})"
+            # start of the Nth occurrence = wrapper start + len(whole
+            # wrapper match) - len(final occurrence)
+            expr = (
+                f"{start} + {ext(pat_sql, 0)} - {ext(pat_sql, last_idx)}"
             )
-        return f"__sf_regexp_instr({s}, {p})"
+            if pre_idx is not None:
+                expr = f"{expr} + {ext(pat_sql, pre_idx)}"
+                if opt_s == "1":
+                    expr = f"{expr} + {ext(pat_sql, g_idx)}"
+            elif opt_s == "1":
+                expr = f"{expr} + {ext(pat_sql, last_idx)}"
+            core = f"case when {start} = 0 then 0 else {expr} end"
+        if pos != "1":
+            return f"coalesce(nullif({core}, 0) + ({pos}) - 1, 0)"
+        return core
 
     sql = replace_call(sql, _FUNC_RES["REGEXP_INSTR"], regexp_instr_sf)
 

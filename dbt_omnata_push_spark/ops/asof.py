@@ -32,14 +32,26 @@ def asof_join(
     value_cols: list[str],
     right_ts_alias: str = "matched_ts",
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: latest right row with right.ts <= left.ts per key.
 
     ``strict=True`` switches the bound to right.ts < left.ts (exclusive).
+    ``direction="forward"`` (r14, VERDICT r13 #1) flips the lookup to
+    the EARLIEST right row with right.ts >= left.ts (or > when strict)
+    — "next quote after the trade". The plan is symmetric: the same
+    union-merge, with the keyed window ordered descending, so the last
+    right payload seen walking down from the top is the minimal
+    right.ts at-or-after the left row. Still one hash shuffle on the
+    key, no cross product, no single-partition stage.
     Right-side ``value_cols`` appear on the output, plus the matched
     right timestamp as ``right_ts_alias``; unmatched left rows keep all
     of those NULL (left-outer semantics, same as DuckDB ASOF LEFT JOIN).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     clashes = set([right_ts_alias, *value_cols]) & set(left.columns)
     if clashes:
         raise ValueError(
@@ -61,11 +73,17 @@ def asof_join(
     merged = l.unionByName(r, allowMissingColumns=True)
 
     # At equal ts the right row must sort before the left row for
-    # inclusive (<=) semantics, after it for strict (<).
+    # inclusive semantics, after it for strict — in BOTH directions
+    # (the walk order flips, the tie rule doesn't).
     side_order = F.col(_SIDE).desc() if not strict else F.col(_SIDE).asc()
+    ts_order = (
+        F.col(ts_col).asc()
+        if direction == "backward"
+        else F.col(ts_col).desc()
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), side_order)
+        .orderBy(ts_order, side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = merged.withColumn(

@@ -81,6 +81,17 @@ Supported subset (everything else raises):
   the scan is backtracking-budget-bounded.
 - ``ORDER BY col [ASC|DESC]`` per column (r13, VERDICT r12 #6): the
   per-partition sort honors the requested direction before matching.
+- Running aggregates in DEFINE (r14, VERDICT r13 #4):
+  ``COUNT(A.*)``/``COUNT(*)`` (rows mapped so far) and
+  ``SUM/AVG/MIN/MAX/COUNT(col | A.col)`` (NULL-skipping, over the
+  mapped rows' values) — SQL:2016 running semantics, current row
+  tentatively included; they route through the same condition-aware
+  NFA as FIRST/LAST.
+- SQL-offloaded DEFINE terms (r14, VERDICT r13 #3): ``sql_defines``
+  maps ``__mrsqlN__`` placeholder columns to Spark SQL boolean
+  expressions (IN / LIKE / BETWEEN / CASE / IS NULL ...), evaluated
+  JVM-side as a projection before the matcher — never re-implemented
+  in Python — and excluded from the output schema.
 
 Output: ONE ROW PER MATCH -> partition keys + one column per measure,
 one row per match. ALL ROWS PER MATCH -> every input column + one
@@ -115,12 +126,18 @@ _TOKEN_RE = re.compile(
 _BASE = 0x4E00
 _MAX_SYMBOLS = 12
 
-# FIRST/LAST navigation tokens in DEFINE conditions (r13): emitted by
-# engine/mrsql._cond_to_pandas as __mrfirst__SYM__col (SYM empty for
-# the unqualified match-universal form). A define carrying one is
-# match-DEPENDENT — it cannot be evaluated in the vectorized pre-pass
-# and routes the partition scan through the condition-aware NFA.
-_MR_FL_RE = re.compile(r"__mr(first|last)__(\w*?)__(\w+)")
+# Navigation/aggregate tokens in DEFINE conditions (r13, widened
+# r14): emitted by engine/mrsql._cond_to_pandas as
+# __mr<fn>__SYM__col — SYM empty for the unqualified match-universal
+# form; col empty for the row-count forms COUNT(*) / COUNT(SYM.*)
+# (VERDICT r13 #4). A define carrying one is match-DEPENDENT — it
+# cannot be evaluated in the vectorized pre-pass and routes the
+# partition scan through the condition-aware NFA, where it evaluates
+# with SQL:2016 running semantics (rows mapped so far in the current
+# attempt, current row tentatively included).
+_MR_NAV_RE = re.compile(
+    r"__mr(first|last|count|sum|avg|min|max)__(\w*?)__(\w*)"
+)
 
 
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
@@ -416,6 +433,7 @@ def match_recognize(
     rows_per_match: str = "one",
     skip: str | tuple[str, str] = "past_last",
     buckets: int | None = None,
+    sql_defines: dict[str, str] | None = None,
 ) -> DataFrame:
     """See module docstring for the supported subset. ``buckets``
     controls how many partition keys share one Arrow batch (r11):
@@ -452,6 +470,17 @@ def match_recognize(
     rx = re.compile(rx_text)
     has_excl = _pattern_has_excl(ast)
 
+    # SQL-offloaded DEFINE terms (r14, VERDICT r13 #3): each __mrsqlN__
+    # placeholder pre-evaluates as a Spark SQL boolean column BEFORE
+    # the matcher — IN/LIKE/BETWEEN/CASE/IS NULL run JVM-side and
+    # vectorized (a projection, no extra shuffle); the pandas side just
+    # reads the bit. NULL results coalesce to false (a DEFINE condition
+    # that is not TRUE does not match, like SQL WHERE). The helper
+    # columns never appear on the output schema.
+    orig_schema = df.schema
+    for ph, term in (sql_defines or {}).items():
+        df = df.withColumn(ph, F.expr(f"coalesce(({term}), false)"))
+
     # ORDER BY direction (r13): entries may read "col DESC" / "col ASC"
     ob_cols: list[str] = []
     ob_asc: list[bool] = []
@@ -470,18 +499,22 @@ def match_recognize(
     # the NFA scan below, with SQL:2016 running semantics (the current
     # row tentatively mapped to the defining symbol). Validated here so
     # a bad reference fails at plan time, not inside an executor.
-    cond_syms = {s for s in defines if _MR_FL_RE.search(defines[s])}
+    cond_syms = {s for s in defines if _MR_NAV_RE.search(defines[s])}
     lowered_defs = {k.lower() for k in defines}
     for s_, expr_ in defines.items():
-        for _fn, qsym, col in _MR_FL_RE.findall(expr_):
-            if col not in df.columns:
+        for fn_, qsym, col in _MR_NAV_RE.findall(expr_):
+            if fn_ != "count" and not col:
                 raise ValueError(
-                    f"DEFINE {s_}: FIRST/LAST references unknown "
+                    f"DEFINE {s_}: {fn_.upper()} requires a column"
+                )
+            if col and col not in df.columns:
+                raise ValueError(
+                    f"DEFINE {s_}: {fn_.upper()} references unknown "
                     f"column {col!r}"
                 )
             if qsym and qsym.lower() not in lowered_defs:
                 raise ValueError(
-                    f"DEFINE {s_}: FIRST/LAST references undefined "
+                    f"DEFINE {s_}: {fn_.upper()} references undefined "
                     f"symbol {qsym!r}"
                 )
     cond_code = {
@@ -546,9 +579,13 @@ def match_recognize(
         for n, k, a, s, _f in parsed
     ]
     if rows_per_match == "one":
-        out_fields = [df.schema[c] for c in partition_by] + measure_fields
+        out_fields = [
+            orig_schema[c] for c in partition_by
+        ] + measure_fields
     else:
-        out_fields = list(df.schema.fields) + measure_fields
+        # original columns only — __mrsqlN__ helper columns are
+        # matcher-internal and never surface
+        out_fields = list(orig_schema.fields) + measure_fields
     out_schema = T.StructType(out_fields)
     data_cols = df.columns
 
@@ -628,7 +665,7 @@ def match_recognize(
                 code = cond_code[sname]
                 scope = {}
                 for var in code.co_names:
-                    fl = _MR_FL_RE.fullmatch(var)
+                    fl = _MR_NAV_RE.fullmatch(var)
                     if fl:
                         fn, qsym, col = fl.groups()
                         rows_ = [
@@ -636,11 +673,46 @@ def match_recognize(
                             for ri, nm, _ex in eff
                             if not qsym or nm.lower() == qsym.lower()
                         ]
-                        if rows_:
-                            ri = rows_[0] if fn == "first" else rows_[-1]
-                            scope[var] = env[col].iat[g0 + ri]
+                        if fn == "first" or fn == "last":
+                            if rows_:
+                                ri = (
+                                    rows_[0]
+                                    if fn == "first"
+                                    else rows_[-1]
+                                )
+                                scope[var] = env[col].iat[g0 + ri]
+                            else:
+                                scope[var] = None
+                        elif fn == "count" and not col:
+                            # COUNT(*) / COUNT(SYM.*): rows mapped so
+                            # far (running, current row included)
+                            scope[var] = len(rows_)
                         else:
-                            scope[var] = None
+                            # running SUM/AVG/MIN/MAX/COUNT(col) over
+                            # the mapped rows' values, NULL-skipping
+                            # like SQL aggregates
+                            vals = [
+                                v
+                                for v in (
+                                    env[col].iat[g0 + ri]
+                                    for ri in rows_
+                                )
+                                if v is not None and v == v
+                            ]
+                            if fn == "count":
+                                scope[var] = len(vals)
+                            elif not vals:
+                                scope[var] = None
+                            elif fn == "sum":
+                                scope[var] = sum(vals)
+                            elif fn == "avg":
+                                scope[var] = sum(vals) / len(vals)
+                            else:
+                                scope[var] = (
+                                    min(vals)
+                                    if fn == "min"
+                                    else max(vals)
+                                )
                     elif var in env:
                         scope[var] = env[var].iat[g0 + rel_pos]
                     else:

@@ -79,12 +79,119 @@ class TestAsofSql:
         ).collect()
         assert [r["px"] for r in out] == [10.1]
 
-    def test_forward_condition_raises(self, engine):
-        with pytest.raises(ValueError, match="forward"):
+    def test_forward_inclusive_join(self, engine):
+        # r14 (VERDICT r13 #1): earliest right at-or-after the left ts
+        out = engine.query(
+            """
+            select sym, ts, px, matched_qts
+            from trades t asof join quotes q
+                 match_condition (t.ts <= q.qts) on t.sym = q.sym
+            """
+        ).collect()
+        res = {(r["sym"], r["ts"]): (r["px"], r["matched_qts"]) for r in out}
+        assert res[("A", dt.datetime(2024, 1, 1, 10, 0, 3))] == (
+            10.1,
+            dt.datetime(2024, 1, 1, 10, 0, 3),
+        )
+        # no quote at-or-after 10:00:10 -> left-outer NULLs
+        assert res[("A", dt.datetime(2024, 1, 1, 10, 0, 10))] == (
+            None,
+            None,
+        )
+        assert res[("B", dt.datetime(2024, 1, 1, 10, 0, 1))] == (
+            None,
+            None,
+        )
+
+    def test_forward_strict_excludes_equal_ts(self, engine):
+        out = engine.query(
+            """
+            select sym, ts, px from trades t asof join quotes q
+                 match_condition (t.ts < q.qts) on t.sym = q.sym
+            """
+        ).collect()
+        res = {(r["sym"], r["ts"]): r["px"] for r in out}
+        assert res[("A", dt.datetime(2024, 1, 1, 10, 0, 3))] == 10.5
+
+    def test_subquery_operands(self, engine):
+        # r14 (VERDICT r13 #2): parenthesized subquery operands
+        out = engine.query(
+            """
+            select sym, ts, px
+            from (select * from trades where qty > 60) t
+                 asof join (select sym, qts, px from quotes) q
+                 match_condition (t.ts >= q.qts) on t.sym = q.sym
+            """
+        ).collect()
+        res = {(r["sym"], r["ts"]): r["px"] for r in out}
+        assert res == {
+            ("A", dt.datetime(2024, 1, 1, 10, 0, 3)): 10.1,
+            ("A", dt.datetime(2024, 1, 1, 10, 0, 10)): 10.5,
+        }
+
+    def test_subquery_operand_requires_alias(self, engine):
+        with pytest.raises(ValueError, match="alias"):
             engine.query(
-                "select * from trades t asof join quotes q "
-                "match_condition (t.ts <= q.qts) on t.sym = q.sym"
+                "select * from (select * from trades) "
+                "asof join quotes q "
+                "match_condition (ts >= q.qts) on sym = q.sym"
             )
+
+    def test_cte_feeds_asof_operand(self, engine):
+        out = engine.query(
+            """
+            with recent as (
+                select * from trades
+                where ts >= timestamp'2024-01-01 10:00:02'
+            )
+            select sym, ts, px from recent t asof join quotes q
+                 match_condition (t.ts >= q.qts) on t.sym = q.sym
+            """
+        ).collect()
+        res = {(r["sym"], r["ts"]): r["px"] for r in out}
+        assert res == {
+            ("A", dt.datetime(2024, 1, 1, 10, 0, 3)): 10.1,
+            ("A", dt.datetime(2024, 1, 1, 10, 0, 10)): 10.5,
+        }
+
+    def test_chained_asof_joins(self, engine):
+        # two ASOF JOINs in one statement: the resolved view of the
+        # first becomes the left operand of the second, and its alias
+        # qualifiers re-point at the view
+        engine.query(
+            "create table marks as "
+            "select 'A' as msym, "
+            "timestamp'2024-01-01 10:00:02' as mts, 1 as flag "
+            "union all select 'A', "
+            "timestamp'2024-01-01 10:00:09', 2"
+        )
+        out = engine.query(
+            """
+            select sym, ts, px, flag
+            from trades t asof join quotes q
+                 match_condition (t.ts >= q.qts) on t.sym = q.sym
+            asof join marks m
+                 match_condition (t.ts >= m.mts) on t.sym = m.msym
+            where t.sym = 'A'
+            """
+        ).collect()
+        res = {r["ts"]: (r["px"], r["flag"]) for r in out}
+        assert res == {
+            dt.datetime(2024, 1, 1, 10, 0, 3): (10.1, 1),
+            dt.datetime(2024, 1, 1, 10, 0, 10): (10.5, 2),
+        }
+
+    def test_string_literal_with_alias_dot_survives(self, engine):
+        # ADVICE r13 #3: the alias re-qualification must not touch
+        # string literals containing 't.' / 'q.'
+        out = engine.query(
+            """
+            select sym, 'contact t. smith' as note
+            from trades t asof join quotes q
+                 match_condition (t.ts >= q.qts) on t.sym = q.sym
+            """
+        ).collect()
+        assert all(r["note"] == "contact t. smith" for r in out)
 
     def test_bad_on_condition_raises(self, engine):
         with pytest.raises(ValueError, match="ON"):

@@ -567,3 +567,290 @@ class TestCreateGuards:
             engine.query("create table dt_sum like base")
         with pytest.raises(ValueError, match="dynamic table"):
             engine.query("create table dt_sum clone base")
+
+
+class TestVersionGateCoverage:
+    """ADVICE r13 #1: the version gate must account for EVERY
+    table-position base — comma joins, quoted identifiers — and must
+    DISABLE skipping whenever any reference cannot be mapped to a
+    versioned store table (a partial version map silently pinned the
+    table stale forever)."""
+
+    def test_comma_join_base_changes_are_seen(self, engine):
+        engine.query(
+            "create table base2 as select 1 as k, 100 as w"
+        )
+        engine.query(
+            "create dynamic table dt_cj target_lag = '1 minute' as "
+            "select a.k as k, a.v as v, b.w as w "
+            "from base a, base2 b where a.k = b.k"
+        )
+        engine.query("insert into base2 select 2 as k, 200 as w")
+        out = engine.query("alter dynamic table dt_cj refresh")
+        assert out.collect()[0]["status"] == "refreshed"
+        assert (
+            engine.query(
+                "select count(*) as n from dt_cj"
+            ).collect()[0]["n"]
+            == 3  # k=1 x1, k=2 x2 (base has two k=2 rows)
+        )
+        # and with BOTH bases now covered, an idle refresh skips
+        out2 = engine.query("alter dynamic table dt_cj refresh")
+        assert out2.collect()[0]["status"] == "skipped"
+
+    def test_quoted_base_is_tracked(self, engine):
+        # the GATE must see a quoted base (running quoted identifiers
+        # through Spark is a separate dialect concern)
+        versions, unversioned = engine._dt_base_versions(
+            'select k, v from "BASE"'
+        )
+        assert versions == {"base": 0} and not unversioned
+
+    def test_unnameable_relation_disables_skip(self, engine):
+        versions, unversioned = engine._dt_base_versions(
+            "select k from base, table(generator(rowcount => 3))"
+        )
+        assert versions == {"base": 0} and unversioned
+
+    def test_view_base_disables_skip(self, engine):
+        # a view has no version pointer: the gate cannot account for
+        # it, so refreshes must recompute rather than skip
+        engine.query("create view vbase as select k, v from base")
+        engine.query(
+            "create dynamic table dt_v target_lag = '1 minute' as "
+            "select k, v from vbase"
+        )
+        out = engine.query("alter dynamic table dt_v refresh")
+        assert out.collect()[0]["status"] == "refreshed"
+
+
+class TestDownstreamLag:
+    """ADVICE r13 #2: TARGET_LAG = DOWNSTREAM tables refresh whenever
+    a dependent refreshes (Snowflake semantics) — manually or via the
+    lag tick — never going permanently stale behind a dependent's
+    version gate."""
+
+    def _chain(self, engine):
+        engine.query(
+            "create dynamic table dt_mid target_lag = downstream as "
+            "select k, v from base"
+        )
+        engine.query(
+            "create dynamic table dt_leaf target_lag = '1 minute' as "
+            "select cast(sum(v) as bigint) as s from dt_mid"
+        )
+
+    def test_dependent_refresh_pulls_downstream_upstream(self, engine):
+        self._chain(engine)
+        engine.query("insert into base select 3 as k, 48 as v")
+        out = engine.query("alter dynamic table dt_leaf refresh")
+        assert out.collect()[0]["status"] == "refreshed"
+        assert (
+            engine.query("select s from dt_leaf").collect()[0]["s"]
+            == 100
+        )
+        # the upstream itself was refreshed, not bypassed
+        assert (
+            engine.query(
+                "select count(*) as n from dt_mid"
+            ).collect()[0]["n"]
+            == 4
+        )
+
+    def test_tick_pulls_downstream_upstream(self, engine):
+        self._chain(engine)
+        engine.query("insert into base select 4 as k, 8 as v")
+        engine.run_due(datetime(2027, 4, 1, tzinfo=timezone.utc))
+        assert (
+            engine.query("select s from dt_leaf").collect()[0]["s"]
+            == 60
+        )
+
+    def test_idle_dependent_refresh_still_skips(self, engine):
+        self._chain(engine)
+        engine.query("alter dynamic table dt_leaf refresh")
+        out = engine.query("alter dynamic table dt_leaf refresh")
+        assert out.collect()[0]["status"] == "skipped"
+
+
+class TestIncrementalJoin:
+    """r14 (VERDICT r13 #5): a two-base INNER equi-join DT under
+    append-only deltas maintains via the delta expansion
+    A⋈B = (A_old⋈B_old) ∪ (ΔA⋈B) ∪ (A_old⋈ΔB) — two delta-sized
+    probes appended, never a full-join recompute."""
+
+    def _mk(self, engine):
+        engine.query(
+            "create table dims as select 1 as k, 'x' as tag "
+            "union all select 2, 'y'"
+        )
+        engine.query(
+            "create dynamic table dt_j target_lag = '1 minute' as "
+            "select b.k as k, b.v as v, d.tag as tag "
+            "from base b join dims d on b.k = d.k"
+        )
+
+    def _rows(self, engine):
+        return sorted(
+            (r["k"], r["v"], r["tag"])
+            for r in engine.query("select * from dt_j").collect()
+        )
+
+    def _last_mode(self, engine):
+        return engine.store.dt_refresh_history()[-1]["mode"]
+
+    def test_left_delta_refreshes_incrementally(self, engine):
+        self._mk(engine)
+        engine.query("insert into base select 2 as k, 24 as v")
+        engine.query("alter dynamic table dt_j refresh")
+        assert self._last_mode(engine) == "incremental"
+        assert self._rows(engine) == [
+            (1, 10, "x"),
+            (2, 20, "y"),
+            (2, 22, "y"),
+            (2, 24, "y"),
+        ]
+
+    def test_right_delta_refreshes_incrementally(self, engine):
+        self._mk(engine)
+        engine.query("insert into base select 3 as k, 30 as v")
+        engine.query("alter dynamic table dt_j refresh")
+        engine.query("insert into dims select 3 as k, 'z' as tag")
+        engine.query("alter dynamic table dt_j refresh")
+        assert self._last_mode(engine) == "incremental"
+        assert (3, 30, "z") in self._rows(engine)
+
+    def test_both_deltas_compose_without_double_count(self, engine):
+        # ΔA⋈B already sees ΔB (B is read current), so the second leg
+        # must probe A_OLD — a new (k,v) x new dim row must appear
+        # exactly once
+        self._mk(engine)
+        engine.query("insert into base select 7 as k, 70 as v")
+        engine.query("insert into dims select 7 as k, 'q' as tag")
+        engine.query("alter dynamic table dt_j refresh")
+        assert self._last_mode(engine) == "incremental"
+        rows = self._rows(engine)
+        assert rows.count((7, 70, "q")) == 1
+        # and equals the full recompute
+        full = sorted(
+            tuple(r)
+            for r in engine.query(
+                "select b.k as k, b.v as v, d.tag as tag "
+                "from base b join dims d on b.k = d.k"
+            ).collect()
+        )
+        assert rows == full
+
+    def test_outer_join_refuses_to_full(self, engine):
+        engine.query(
+            "create table dims as select 1 as k, 'x' as tag"
+        )
+        engine.query(
+            "create dynamic table dt_lj target_lag = '1 minute' as "
+            "select b.k as k, d.tag as tag "
+            "from base b left join dims d on b.k = d.k"
+        )
+        engine.query("insert into base select 9 as k, 1 as v")
+        engine.query("alter dynamic table dt_lj refresh")
+        assert (
+            engine.store.dt_refresh_history()[-1]["mode"] == "full"
+        )
+
+    def test_base_update_in_join_refuses_to_full(self, engine):
+        self._mk(engine)
+        engine.query("update base set v = 11 where k = 1")
+        engine.query("alter dynamic table dt_j refresh")
+        assert self._last_mode(engine) == "full"
+        assert (1, 11, "x") in self._rows(engine)
+
+
+class TestIncrementalUpsert:
+    """r14 (VERDICT r13 #6): a per-row-transform DT over a PRIMARY
+    KEY base whose history carries updates/deletes maintains via the
+    net CHANGES window — deletion-vector delete of the changed keys +
+    append of the transformed post-images."""
+
+    def _mk(self, engine):
+        engine.query(
+            "create table src as select 1 as id, 10 as v "
+            "union all select 2, 20 union all select 3, 30"
+        )
+        engine.query("alter table src add primary key (id)")
+        engine.query(
+            "create dynamic table dt_u target_lag = '1 minute' as "
+            "select id, v * 2 as dv from src where v >= 10"
+        )
+
+    def _rows(self, engine):
+        return sorted(
+            (r["id"], r["dv"])
+            for r in engine.query("select * from dt_u").collect()
+        )
+
+    def _last_mode(self, engine):
+        return engine.store.dt_refresh_history()[-1]["mode"]
+
+    def test_update_maintains_incrementally(self, engine):
+        self._mk(engine)
+        engine.query("update src set v = 15 where id = 2")
+        engine.query("alter dynamic table dt_u refresh")
+        assert self._last_mode(engine) == "incremental"
+        assert self._rows(engine) == [(1, 20), (2, 30), (3, 60)]
+
+    def test_delete_maintains_incrementally(self, engine):
+        self._mk(engine)
+        engine.query("delete from src where id = 1")
+        engine.query("alter dynamic table dt_u refresh")
+        assert self._last_mode(engine) == "incremental"
+        assert self._rows(engine) == [(2, 40), (3, 60)]
+
+    def test_update_out_of_where_range_drops_row(self, engine):
+        self._mk(engine)
+        engine.query("update src set v = 5 where id = 3")
+        engine.query("alter dynamic table dt_u refresh")
+        assert self._last_mode(engine) == "incremental"
+        assert self._rows(engine) == [(1, 20), (2, 40)]
+
+    def test_equals_full_recompute(self, engine):
+        self._mk(engine)
+        engine.query("update src set v = 40 where id = 1")
+        engine.query("delete from src where id = 2")
+        engine.query("insert into src select 4 as id, 50 as v")
+        engine.query("alter dynamic table dt_u refresh")
+        assert self._last_mode(engine) == "incremental"
+        full = sorted(
+            tuple(r)
+            for r in engine.query(
+                "select id, v * 2 as dv from src where v >= 10"
+            ).collect()
+        )
+        assert self._rows(engine) == full
+
+    def test_no_primary_key_refuses_to_full(self, engine):
+        engine.query(
+            "create table src2 as select 1 as id, 10 as v"
+        )
+        engine.query(
+            "create dynamic table dt_u2 target_lag = '1 minute' as "
+            "select id, v from src2"
+        )
+        engine.query("update src2 set v = 11 where id = 1")
+        engine.query("alter dynamic table dt_u2 refresh")
+        assert (
+            engine.store.dt_refresh_history()[-1]["mode"] == "full"
+        )
+
+    def test_transformed_key_refuses_to_full(self, engine):
+        engine.query(
+            "create table src3 as select 1 as id, 10 as v"
+        )
+        engine.query("alter table src3 add primary key (id)")
+        engine.query(
+            "create dynamic table dt_u3 target_lag = '1 minute' as "
+            "select id + 1 as id, v from src3"
+        )
+        engine.query("update src3 set v = 11 where id = 1")
+        engine.query("alter dynamic table dt_u3 refresh")
+        assert (
+            engine.store.dt_refresh_history()[-1]["mode"] == "full"
+        )

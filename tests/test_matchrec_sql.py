@@ -45,11 +45,47 @@ class TestCondTranslation:
     def test_true_literal(self):
         assert _cond_to_pandas("TRUE") == "True"
 
-    def test_sql_isms_rejected(self):
-        with pytest.raises(ValueError, match="unsupported DEFINE"):
-            _cond_to_pandas("a IN (1, 2)")
-        with pytest.raises(ValueError, match="unsupported DEFINE"):
-            _cond_to_pandas("a LIKE 'x%'")
+    def test_sql_isms_offload_to_spark_terms(self):
+        # r14 (VERDICT r13 #3): IN/LIKE/BETWEEN/CASE/IS offload to
+        # Spark SQL boolean columns instead of raising
+        terms: dict[str, str] = {}
+        assert _cond_to_pandas("a IN (1, 2)", terms) == "__mrsql0__"
+        assert terms == {"__mrsql0__": "a IN (1, 2)"}
+        terms = {}
+        got = _cond_to_pandas("a LIKE 'x%' AND b > 1", terms)
+        assert got == "(__mrsql0__) & (b > 1)"
+        assert terms == {"__mrsql0__": "a LIKE 'x%'"}
+
+    def test_between_and_case_offload(self):
+        terms: dict[str, str] = {}
+        got = _cond_to_pandas("a BETWEEN 1 AND 5 AND b = 2", terms)
+        assert got == "(__mrsql0__) & (b == 2)"
+        assert "BETWEEN" in terms["__mrsql0__"]
+        terms = {}
+        got = _cond_to_pandas(
+            "CASE WHEN a > 0 THEN true ELSE false END", terms
+        )
+        assert got == "__mrsql0__"
+        assert terms["__mrsql0__"].upper().startswith("CASE")
+
+    def test_sql_isms_still_rejected_when_mixed_or_subquery(self):
+        with pytest.raises(ValueError, match="subquer"):
+            _cond_to_pandas("a IN (select x from t)")
+        with pytest.raises(ValueError, match="combine"):
+            _cond_to_pandas("PREV(a) LIKE 'x%'")
+        with pytest.raises(ValueError, match="combine"):
+            _cond_to_pandas("FIRST(A.a) IN (1, 2)")
+
+    def test_running_aggregate_tokens(self):
+        assert _cond_to_pandas("COUNT(B.*) < 3") == "__mrcount__B__ < 3"
+        assert _cond_to_pandas("COUNT(*) <= 5") == "__mrcount____ <= 5"
+        assert (
+            _cond_to_pandas("SUM(value) > 10") == "__mrsum____value > 10"
+        )
+        assert (
+            _cond_to_pandas("AVG(A.x) >= 2 OR MAX(x) = 1")
+            == "(__mravg__A__x >= 2) | (__mrmax____x == 1)"
+        )
 
 
 class TestSqlClause:
@@ -219,3 +255,149 @@ class TestSqlAggregates:
         assert (
             _cond_to_pandas("NEXT(v, 2) = 1") == "next2_v == 1"
         )
+
+
+class TestSqlDefinePredicates:
+    """r14 (VERDICT r13 #3): DEFINE conditions carrying IN / LIKE /
+    BETWEEN / CASE / IS NULL pre-evaluate as Spark SQL boolean columns
+    before the matcher (JVM-side, vectorized), composing with the
+    pandas-eval terms through AND/OR/NOT."""
+
+    def test_like_define_end_to_end(self, engine):
+        engine.query(
+            "create table logs as "
+            "select 1 as g, 1 as seq, 'ERR: boom' as msg "
+            "union all select 1, 2, 'ERR: again' "
+            "union all select 1, 3, 'ok' "
+            "union all select 1, 4, 'ERR: late'"
+        )
+        rows = engine.query(
+            """
+            select g, s, e from logs match_recognize (
+                partition by g order by seq
+                measures first(seq) as s, last(seq) as e
+                pattern (E+)
+                define E as msg like 'ERR%'
+            )
+            """
+        ).collect()
+        assert sorted((r["s"], r["e"]) for r in rows) == [(1, 2), (4, 4)]
+
+    def test_in_and_null_define(self, engine):
+        engine.query(
+            "create table evs as "
+            "select 1 as g, 1 as seq, 10 as kind "
+            "union all select 1, 2, 20 "
+            "union all select 1, 3, cast(null as int) "
+            "union all select 1, 4, 30"
+        )
+        rows = engine.query(
+            """
+            select g, n from evs match_recognize (
+                partition by g order by seq
+                measures count(*) as n
+                pattern (K+)
+                define K as kind in (10, 20) and kind is not null
+            )
+            """
+        ).collect()
+        assert [r["n"] for r in rows] == [2]
+
+    def test_between_mixed_with_prev(self, engine):
+        # BETWEEN offloads to SQL; PREV stays pandas-side — the
+        # boolean tree composes both
+        rows = engine.query(
+            """
+            select g, s, e from ticks match_recognize (
+                partition by g order by seq
+                measures first(seq) as s, last(seq) as e
+                pattern (D+)
+                define D as price between 4 and 9
+                            and price < prev(price)
+            )
+            """
+        ).collect()
+        # g=1: 8<10 (in range), 6<8 (in range) -> seq 2..3;
+        # g=2: 4<5 -> seq 2..2
+        assert sorted((r["g"], r["s"], r["e"]) for r in rows) == [
+            (1, 2, 3),
+            (2, 2, 2),
+        ]
+
+    def test_helper_columns_never_surface(self, engine):
+        df = engine.query(
+            """
+            select * from ticks match_recognize (
+                partition by g order by seq
+                measures count(*) as n
+                all rows per match
+                pattern (B+)
+                define B as price between 1 and 100
+            )
+            """
+        )
+        assert not [c for c in df.columns if c.startswith("__mrsql")]
+        assert len(df.collect()) == 8  # every row matches
+
+
+class TestRunningAggregateDefines:
+    """r14 (VERDICT r13 #4): running aggregates in DEFINE — the NFA
+    carries per-attempt accumulators with SQL:2016 running semantics
+    (current row tentatively included)."""
+
+    def test_count_caps_run_length(self, engine):
+        rows = engine.query(
+            """
+            select g, s, n from ticks match_recognize (
+                partition by g order by seq
+                measures first(seq) as s, count(*) as n
+                pattern (C+)
+                define C as count(c.*) <= 2
+            )
+            """
+        ).collect()
+        got = sorted((r["g"], r["s"], r["n"]) for r in rows)
+        assert got == [
+            (1, 1, 2),
+            (1, 3, 2),
+            (1, 5, 1),
+            (2, 1, 2),
+            (2, 3, 1),
+        ]
+
+    def test_sum_budget_bounds_match(self, engine):
+        rows = engine.query(
+            """
+            select g, s, n from ticks match_recognize (
+                partition by g order by seq
+                measures first(seq) as s, count(*) as n
+                pattern (B+)
+                define B as sum(price) <= 18
+            )
+            """
+        ).collect()
+        got = sorted((r["g"], r["s"], r["n"]) for r in rows)
+        # g=1: 10+8=18 ok, +6 exceeds -> (1..2); 6+9=15 ok, +12
+        # exceeds -> (3..4); 12 -> (5); g=2: 5+4=9, +6 -> 15 ok: all 3
+        assert got == [
+            (1, 1, 2),
+            (1, 3, 2),
+            (1, 5, 1),
+            (2, 1, 3),
+        ]
+
+    def test_avg_qualified_aggregate(self, engine):
+        rows = engine.query(
+            """
+            select g, s, n from ticks match_recognize (
+                partition by g order by seq
+                measures first(seq) as s, count(*) as n
+                pattern (A+)
+                define A as avg(a.price) >= 6
+            )
+            """
+        ).collect()
+        got = sorted((r["g"], r["s"], r["n"]) for r in rows)
+        # g=1: 10; (10+8)/2=9; (10+8+6)/3=8; +9 -> 8.25; +12 -> 9 ->
+        # all 5 rows; g=2: 5 fails at row 1, 4 fails, 6 -> (3..3)
+        assert got == [(1, 1, 5), (2, 3, 1)]

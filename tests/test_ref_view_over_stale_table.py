@@ -72,3 +72,35 @@ def test_table_rematerialization_clears_preference(engine):
     # store-first guarantee still holds once store-backed)
     engine.query("insert into up select 1000 as x")
     assert engine.ref("up").count() == 3
+
+
+def test_out_of_band_ctas_unpins_view(engine):
+    # r14 (ADVICE r13 #5): the view publish is pinned only while the
+    # same-named store state is UNCHANGED — an ad-hoc CTAS through
+    # engine.query (outside the materialization path) takes the name
+    # over, and later refs must see the fresh store table, not the
+    # cached view DataFrame
+    assert _run_upstream(
+        engine, "view", "select x from {{ ref('src') }}"
+    ) == 3
+    assert "up" in engine._nonstore_published
+    engine.query("create or replace table up as select 7 as x")
+    assert [r["x"] for r in engine.ref("up").collect()] == [7]
+    assert "up" not in engine._nonstore_published
+
+
+def test_out_of_band_insert_over_residue_unpins(engine):
+    # table first (store residue exists), then view; an insert into
+    # the residue table bumps its version -> the pin must drop
+    assert _run_upstream(
+        engine, "table", "select x from {{ ref('src') }}"
+    ) == 3
+    assert _run_upstream(
+        engine, "view", "select x * 10 as x from {{ ref('src') }}"
+    ) == 30
+    engine.query("insert into up select 99 as x")
+    assert sorted(r["x"] for r in engine.ref("up").collect()) == [
+        1,
+        2,
+        99,
+    ]

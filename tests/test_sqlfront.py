@@ -1190,9 +1190,15 @@ def test_within_group_and_object_agg(spark):
     # plain (unordered) forms stay on the direct rewrites
     out = transpile("select array_agg(v) from t")
     assert "collect_list(v)" in out and "named_struct" not in out
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="one order key"):
-        transpile(
-            "select array_agg(v) within group (order by a, b) from t"
-        )
+    # multi-key ORDER BY compiles to an array_sort comparator (r14,
+    # VERDICT r13 #7)
+    out = transpile(
+        "select array_agg(v) within group (order by a, b desc) from t"
+    )
+    assert "(l, r) ->" in out and "'o1', b" in out
+    # function-call order keys survive the balanced clause scan
+    # (ADVICE r13 #4: the old non-greedy match truncated lower(k))
+    out = transpile(
+        "select array_agg(v) within group (order by lower(k)) from t"
+    )
+    assert "'o0', lower(k)" in out
