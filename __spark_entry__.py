@@ -49,39 +49,33 @@ _STALE_PRIORITY = ["dedup_embedding_cosine", "dedup_embedding_lsh"]
 # Prune when the next CORRECTNESS record lands (judge r6 #9: the r6
 # list was pruned once CORRECTNESS_r06 recorded every entry green).
 _RECHECK_PRIORITY = [
-    # (r12 list pruned: CORRECTNESS_r12 recorded every listed entry
-    # green except events_dialect_scalars — per policy, green rows
-    # drop off; the one red row stays at the head until its driver
-    # row is green.)
-    # r13: red r12 row — oracle mistyped ts15/ts2h as TIMESTAMPTZ
-    # (bare to_timestamp); fixed with CAST(... AS TIMESTAMP) and the
-    # local gate made tz-strict (tests/test_oracle_strictness.py).
-    # Oracle also extended with TIME_SLICE calendar parts + REGEXP_SUBSTR
-    # group_num columns this round.
-    "events_dialect_scalars",
-    # r13: new entries — cross-symbol DEFINE navigation (NFA scan) and
-    # ORDER BY DESC in MATCH_RECOGNIZE; third-wave dialect fillers.
+    # (r13 list pruned: CORRECTNESS_r13 recorded every listed entry
+    # green — per policy, green rows drop off.)
+    # r14: new surface — forward ASOF JOIN over subquery operands, MR
+    # DEFINEs with SQL predicates (LIKE/IN offloaded to Spark SQL
+    # columns) and running aggregates (COUNT(C.*) caps), REGEXP_INSTR
+    # occurrence/option/group forms, dynamic-table incremental JOIN
+    # and keyed-upsert maintenance.
+    "events_asof_next_error",
+    "events_mr_predicate_defines",
+    "events_mr_bounded_burst",
+    "orders_regexp_instr_forms",
+    "orders_dynamic_table_join",
+    "orders_dynamic_table_upsert",
+    # r14: materially changed implementations re-earn their rows —
+    # the asof SQL resolver was rewritten (masked-operand parser,
+    # alias re-qualification), WITHIN GROUP gained multi-key ORDER BY
+    # (this oracle grew a lst2 column), the REGEXP_INSTR rewrite was
+    # rebuilt, the matcher gained sql_defines/aggregate plumbing, and
+    # the dynamic-table refresh flow gained two incremental paths.
+    "events_asof_sql_join",
+    "orders_within_group_aggs",
+    "orders_dialect_wave3",
+    "orders_dynamic_table",
     "events_mr_cross_define",
     "events_mr_desc_runs",
-    "orders_dialect_wave3",
-    # r13: dynamic tables (CREATE/REFRESH/skip/history end-to-end);
-    # native-idiom certification (GROUP BY ALL / ILIKE / LIKE ANY);
-    # SQL-surface ASOF JOIN.
-    "orders_dynamic_table",
-    "customers_dialect_native",
-    "events_asof_sql_join",
-    # r13: WITHIN GROUP ordered aggs + OBJECT_AGG.
-    "orders_within_group_aggs",
-    # r13: the matcher materially changed again (condition-aware NFA
-    # branch, direction-aware sort) — every MR-backed entry re-earns
-    # its hash row.
     "events_value_vshape",
     "events_error_bursts",
-    "events_error_context",
-    "events_error_pairs_overlap",
-    "events_error_burst_stats",
-    "events_vshape_sql",
-    "events_vshape_symbols",
 ]
 
 

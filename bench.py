@@ -206,6 +206,19 @@ HEADLINE = [
     "customers_dialect_native",
     "events_asof_sql_join",
     "orders_within_group_aggs",
+    # round 14: forward ASOF over subquery operands (descending keyed
+    # window), MR DEFINEs with Spark-SQL-offloaded predicates (new
+    # pre-matcher projection) and running aggregates (NFA accumulator
+    # cost model), REGEXP_INSTR long forms (single-scan derived
+    # patterns), and the dynamic-table incremental JOIN and keyed
+    # CDC-upsert lifecycles (delta-probe appends / deletion-vector
+    # commits benched honestly, like orders_dynamic_table)
+    "events_asof_next_error",
+    "events_mr_predicate_defines",
+    "events_mr_bounded_burst",
+    "orders_regexp_instr_forms",
+    "orders_dynamic_table_join",
+    "orders_dynamic_table_upsert",
 ]
 
 # Growth policy (VERDICT r9 #7, documented in BASELINE.md): the suite
@@ -246,6 +259,13 @@ _POST_R8_ADDITIONS = {
     "customers_dialect_native",
     "events_asof_sql_join",
     "orders_within_group_aggs",
+    # r14
+    "events_asof_next_error",
+    "events_mr_predicate_defines",
+    "events_mr_bounded_burst",
+    "orders_regexp_instr_forms",
+    "orders_dynamic_table_join",
+    "orders_dynamic_table_upsert",
 }
 
 

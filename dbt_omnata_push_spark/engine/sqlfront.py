@@ -1067,7 +1067,7 @@ def _rewrite_funcs(sql: str) -> str:
                 inner = lit
                 if g == 0:
                     wrap = (
-                        f"(?:(?:{inner})[\\\\s\\\\S]*?){{{occ - 1}}}"
+                        f"(?:(?>{inner})[\\\\s\\\\S]*?){{{occ - 1}}}"
                         f"((?:{inner}))"
                     )
                     pat_sql = q(fx + wrap)
@@ -1082,7 +1082,7 @@ def _rewrite_funcs(sql: str) -> str:
                     # c+2, original groups 1..g-1 inside pre, original
                     # group g = c+2+g
                     wrap = (
-                        f"(?:(?:{inner})[\\\\s\\\\S]*?){{{occ - 1}}}"
+                        f"(?:(?>{inner})[\\\\s\\\\S]*?){{{occ - 1}}}"
                         f"({pre_lit})"
                     )
                     pat_sql = q(fx + wrap)
@@ -1091,7 +1091,7 @@ def _rewrite_funcs(sql: str) -> str:
                     g_idx = c + 2 + g
             else:
                 pat_sql = (
-                    f"concat('(?:(?:', {p}, ')[\\\\s\\\\S]*?)"
+                    f"concat('(?:(?>', {p}, ')[\\\\s\\\\S]*?)"
                     f"{{{occ - 1}}}((?:', {p}, '))')"
                 )
                 last_idx = 1

@@ -4159,6 +4159,9 @@ def events_asof_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ',') AS arr,
            string_agg(o_orderpriority, '|' ORDER BY o_orderkey DESC)
                AS lst,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY (o_custkey % 7), o_orderkey DESC)
+               AS lst2,
            '{' || string_agg('"' || CAST(o_orderkey AS VARCHAR)
                   || '":"' || CAST(o_custkey AS VARCHAR) || '"', ','
                   ORDER BY CAST(o_orderkey AS VARCHAR)) || '}' AS obj
@@ -4195,6 +4198,415 @@ def orders_within_group_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    within group (order by o_orderkey), ',') as arr, "
         "listagg(o_orderpriority, '|') "
         "    within group (order by o_orderkey desc) as lst, "
+        # two-key mixed-direction WITHIN GROUP (r14, VERDICT r13 #7):
+        # compiles to an array_sort comparator
+        "listagg(cast(o_orderkey as string), ',') "
+        "    within group (order by o_custkey % 7, o_orderkey desc) "
+        "    as lst2, "
         "object_agg(cast(o_orderkey as string), o_custkey) as obj "
         "from ord_wg group by o_orderstatus"
+    )
+
+
+@query(
+    "events_asof_next_error",
+    oracle="""
+    SELECT l.user_id, l.event_id,
+           r.event_id AS err_id,
+           r.ts AS matched_ets
+    FROM (SELECT user_id, ts, event_id FROM events
+          WHERE user_id % 25 = 7) l
+    ASOF JOIN
+         (SELECT user_id, ts, event_id FROM events
+          WHERE user_id % 25 = 7 AND event_type = 'error') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+    tags=("engine", "asof", "sqlfront"),
+)
+def events_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD-looking SQL ASOF JOIN over SUBQUERY operands (r14,
+    VERDICT r13 #1+#2, engine/asofsql.py + ops/asof.py): per event,
+    the EARLIEST error at-or-after it for the same user —
+    MATCH_CONDITION (l.ts <= r.ets) plans as the same union-merge +
+    one keyed window, ordered descending (never a range cross-join).
+    Both operands are parenthesized subqueries resolved through the
+    full reference dialect. Matched rows only (inner shape for the
+    oracle — NULL numerics don't hash portably, the trade
+    events_asof_sql_join documents). DuckDB's native forward ASOF
+    JOIN (l.ts <= r.ts) is the oracle."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-af-")))
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 25 == 7
+    )
+    engine.seed("ev_fl", ev.select("user_id", "ts", "event_id"))
+    engine.seed(
+        "ev_fr",
+        ev.filter(F.col("event_type") == "error").select(
+            "user_id",
+            F.col("ts").alias("ets"),
+            F.col("event_id").alias("err_id"),
+        ),
+    )
+    return engine.query(
+        """
+        select user_id, event_id, err_id, matched_ets
+        from (select user_id, ts, event_id from ev_fl) l
+             asof join (select user_id, ets, err_id from ev_fr) q
+             match_condition (l.ts <= q.ets)
+             on l.user_id = q.user_id
+        """
+    ).filter(F.col("err_id").isNotNull())
+
+
+@query(
+    "events_mr_predicate_defines",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               (event_type LIKE 'err%' OR event_type = 'purchase')
+                   AS m
+        FROM events WHERE user_id % 20 = 4
+    ),
+    marked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id, m
+                                  ORDER BY ts, event_id) AS rnm
+        FROM ev
+    )
+    SELECT user_id,
+           CAST(MIN(event_id) AS BIGINT) AS s_id,
+           CAST(MAX(event_id) AS BIGINT) AS e_id,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM marked WHERE m
+    GROUP BY user_id, rn - rnm
+    """,
+    tags=("engine", "matchrec", "sqlfront"),
+)
+def events_mr_predicate_defines(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MATCH_RECOGNIZE with SQL-surface DEFINE predicates (r14,
+    VERDICT r13 #3, engine/mrsql.py + ops/matchrec.py): the LIKE term
+    offloads to a Spark SQL boolean column evaluated JVM-side BEFORE
+    the matcher; the equality term stays in the vectorized pandas
+    pre-pass; the boolean tree composes both. Maximal runs of
+    error/purchase events per user. The oracle is the classic
+    gaps-and-islands formulation (event_id is globally ts-ordered in
+    this dataset, so MIN/MAX stand in for FIRST/LAST)."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-mp-")))
+    engine.seed(
+        "ev_mp",
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 4)
+        .select("user_id", "ts", "event_id", "event_type"),
+    )
+    return engine.query(
+        """
+        select user_id, s_id, e_id, n from ev_mp match_recognize (
+            partition by user_id order by ts, event_id
+            measures first(event_id) as s_id,
+                     last(event_id) as e_id,
+                     count(*) as n
+            pattern (E+)
+            define E as event_type like 'err%'
+                        or event_type = 'purchase'
+        )
+        """
+    )
+
+
+@query(
+    "events_mr_bounded_burst",
+    oracle="""
+    WITH numbered AS (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id % 20 = 9
+    )
+    SELECT user_id,
+           CAST(MIN(event_id) AS BIGINT) AS s_id,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM numbered
+    GROUP BY user_id, CAST(floor((rn - 1) / 3) AS BIGINT)
+    """,
+    tags=("engine", "matchrec", "sqlfront"),
+)
+def events_mr_bounded_burst(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Running aggregates in MATCH_RECOGNIZE DEFINE (r14, VERDICT r13
+    #4): ``C AS COUNT(C.*) <= 3`` caps each greedy C+ match at three
+    rows (SQL:2016 running semantics — the current row counts while
+    being tested), chunking every user's stream into consecutive
+    3-row groups. Routes through the condition-aware NFA with
+    per-attempt accumulators. The oracle chunks by
+    floor((row_number - 1) / 3)."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-mb-")))
+    engine.seed(
+        "ev_mb",
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 9)
+        .select("user_id", "ts", "event_id"),
+    )
+    return engine.query(
+        """
+        select user_id, s_id, n from ev_mb match_recognize (
+            partition by user_id order by ts, event_id
+            measures first(event_id) as s_id, count(*) as n
+            pattern (C+)
+            define C as count(c.*) <= 3
+        )
+        """
+    )
+
+
+@query(
+    "orders_regexp_instr_forms",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 7
+                ELSE 0 END AS ri2,
+           CASE o_orderpriority
+                WHEN '1-URGENT' THEN 9 WHEN '2-HIGH' THEN 7
+                WHEN '3-MEDIUM' THEN 9 WHEN '4-NOT SPECIFIED' THEN 6
+                WHEN '5-LOW' THEN 6 ELSE 0 END AS rie,
+           CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 7
+                ELSE 0 END AS rip,
+           CAST(length(CAST(o_orderkey AS VARCHAR)) + 1 AS BIGINT)
+               AS rig,
+           CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 8
+                ELSE 0 END AS rg2
+    FROM orders WHERE o_orderkey % 67 = 2
+    """,
+    tags=("engine", "sqlfront", "dialect"),
+)
+def orders_regexp_instr_forms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REGEXP_INSTR long forms (r14, VERDICT r13 #8,
+    engine/sqlfront.py): occurrence N (single scan of a derived
+    lazy-gap pattern, Spark regexp_instr + regexp_extract length
+    arithmetic — no loops, no UDFs), option 1 (position after the
+    match), position offsets composing with occurrence, and group_num
+    (prefix-capture surgery on literal patterns). The oracle
+    hand-derives each position from the five known o_orderpriority
+    values and from digit-count arithmetic on o_orderkey — fully
+    independent of the Spark formulation."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-rx-")))
+    engine.seed(
+        "ord_rx",
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 67 == 2)
+        .select("o_orderkey", "o_orderpriority"),
+    )
+    out = engine.query(
+        "select o_orderkey, "
+        # second run of capitals: only '4-NOT SPECIFIED' has one
+        "regexp_instr(o_orderpriority, '[A-Z]+', 1, 2) as ri2, "
+        # option 1: first char AFTER the first capitals run
+        "regexp_instr(o_orderpriority, '[A-Z]+', 1, 1, 1) as rie, "
+        # position offset + occurrence compose
+        "regexp_instr(o_orderpriority, '[A-Z]+', 4, 2) as rip, "
+        # group_num: start of the dash group after the leading digits
+        "regexp_instr(cast(o_orderkey as string) || '-' || "
+        "             o_orderpriority, '([0-9]+)(-)', "
+        "             1, 1, 0, 'c', 2) as rig, "
+        # group_num within occurrence 2 (literal pattern surgery):
+        # group 1 starts one char into the second capitals run
+        "regexp_instr(o_orderpriority, '[A-Z]([A-Z]+)', "
+        "             1, 2, 0, 'c', 1) as rg2 "
+        "from ord_rx"
+    )
+    return out.select(
+        "o_orderkey",
+        *[
+            F.col(c).cast("long").alias(c)
+            for c in ("ri2", "rie", "rip", "rig", "rg2")
+        ],
+    )
+
+
+@query(
+    "orders_dynamic_table_join",
+    oracle="""
+    WITH a0 AS (
+        SELECT o_orderkey,
+               (o_custkey % 10) AS ck,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderkey % 31 = 0
+    ),
+    a1 AS (  -- first append: negated keys of the %5 subset
+        SELECT -o_orderkey AS o_orderkey, ck, cents
+        FROM a0 WHERE o_orderkey % 5 = 0
+    ),
+    a2 AS (  -- second append: one row in the new bucket
+        SELECT CAST(9000001 AS BIGINT) AS o_orderkey,
+               99 AS ck, CAST(123 AS BIGINT) AS cents
+    ),
+    a_all AS (
+        SELECT * FROM a0 UNION ALL SELECT * FROM a1
+        UNION ALL SELECT * FROM a2
+    ),
+    b_all AS (
+        SELECT DISTINCT ck, 'B' || CAST(ck AS VARCHAR) AS tag
+        FROM a0
+        UNION ALL SELECT 99, 'B99'
+    )
+    SELECT a.o_orderkey AS okey, a.cents AS cents, b.tag AS tag,
+           CAST(2 AS BIGINT) AS incs
+    FROM a_all a JOIN b_all b ON a.ck = b.ck
+    """,
+    tags=("engine", "dml", "dynamic_table"),
+)
+def orders_dynamic_table_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental JOIN maintenance for dynamic tables (r14, VERDICT
+    r13 #5, engine/dag.py): a DT over a two-base INNER equi-join
+    refreshes via the append-only delta expansion
+    A⋈B = (A_old⋈B_old) ∪ (ΔA⋈B) ∪ (A_old⋈ΔB) — two delta-sized
+    probes (the delta side broadcasts) APPENDED to the backing table,
+    never a full-join recompute. Window 1 appends to the left base
+    only; window 2 appends to BOTH bases (the ΔA⋈ΔB overlap must
+    appear exactly once). The incs column counts
+    REFRESH_HISTORY rows with mode='incremental' — both refreshes
+    must take the incremental path."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-dj-")))
+    engine.seed(
+        "ord_jsrc",
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 31 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+    )
+    engine.query(
+        "create table ord_a as select o_orderkey, "
+        "o_custkey % 10 as ck, "
+        "cast(floor(o_totalprice * 100 + 0.5) as bigint) as cents "
+        "from ord_jsrc"
+    )
+    engine.query(
+        "create table ord_b as select distinct ck, "
+        "'B' || cast(ck as string) as tag from ord_a"
+    )
+    engine.query(
+        "create dynamic table dt_join target_lag = '1 minute' as "
+        "select a.o_orderkey as okey, a.cents as cents, b.tag as tag "
+        "from ord_a a join ord_b b on a.ck = b.ck"
+    )
+    engine.query(
+        "insert into ord_a select -o_orderkey, ck, cents "
+        "from ord_a where o_orderkey % 5 = 0"
+    )
+    engine.query("alter dynamic table dt_join refresh")  # ΔA leg only
+    engine.query(
+        "insert into ord_a select cast(9000001 as bigint), 99, "
+        "cast(123 as bigint)"
+    )
+    engine.query("insert into ord_b select 99, 'B99'")
+    engine.query("alter dynamic table dt_join refresh")  # both legs
+    return engine.query(
+        "select okey, cents, tag, "
+        "(select cast(count(*) as bigint) "
+        " from table(information_schema.dynamic_table_refresh_history())"
+        " where mode = 'incremental') as incs "
+        "from dt_join"
+    )
+
+
+@query(
+    "orders_dynamic_table_upsert",
+    oracle="""
+    WITH u0 AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderkey % 31 = 0
+    ),
+    u1 AS (  -- after UPDATE (+1 cent on %10=1 keys: flips the mod-3
+             -- class, so rows cross the WHERE boundary) and DELETE
+        SELECT o_orderkey,
+               cents + CASE WHEN o_orderkey % 10 = 1 THEN 1
+                            ELSE 0 END AS cents
+        FROM u0 WHERE o_orderkey % 10 <> 2
+    )
+    SELECT o_orderkey, cents * 2 AS c2,
+           CAST(1 AS BIGINT) AS incs
+    FROM u1 WHERE cents % 3 = 0
+    """,
+    tags=("engine", "dml", "dynamic_table"),
+)
+def orders_dynamic_table_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keyed CDC maintenance for dynamic tables (r14, VERDICT r13 #6,
+    engine/dag.py): a per-row-transform DT over a PRIMARY KEY base
+    whose change window carries UPDATEs and DELETEs refreshes through
+    the net CHANGES read — a deletion-vector delete of the changed
+    keys plus an append of the transformed post-images, O(changed),
+    never a base rescan. The WHERE predicate composes: post-images
+    that fall out of range drop, ones that enter appear. The incs
+    column asserts the refresh recorded mode='incremental'."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-du-")))
+    engine.seed(
+        "ord_usrc",
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 31 == 0)
+        .select("o_orderkey", "o_totalprice"),
+    )
+    engine.query(
+        "create table ord_u as select o_orderkey, "
+        "cast(floor(o_totalprice * 100 + 0.5) as bigint) as cents "
+        "from ord_usrc"
+    )
+    engine.query("alter table ord_u add primary key (o_orderkey)")
+    engine.query(
+        "create dynamic table dt_up target_lag = '1 minute' as "
+        "select o_orderkey, cents * 2 as c2 from ord_u "
+        "where cents % 3 = 0"
+    )
+    engine.query(
+        "update ord_u set cents = cents + 1 where o_orderkey % 10 = 1"
+    )
+    engine.query("delete from ord_u where o_orderkey % 10 = 2")
+    engine.query("alter dynamic table dt_up refresh")
+    return engine.query(
+        "select o_orderkey, c2, "
+        "(select cast(count(*) as bigint) "
+        " from table(information_schema.dynamic_table_refresh_history())"
+        " where mode = 'incremental') as incs "
+        "from dt_up"
     )

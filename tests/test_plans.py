@@ -575,3 +575,45 @@ def test_dynamic_table_skip_commits_nothing(spark, tmp_path):
     jobs_before = len(tracker.getJobIdsForGroup() or [])
     assert eng.refresh_dynamic_table("d") == "skipped"
     assert eng.store.current_version("d") == v0
+
+
+def test_asof_forward_sql_join_same_shape(spark, sf_dir):
+    """r14: the FORWARD-looking SQL ASOF JOIN (l.ts <= r.ts) keeps the
+    identical distributed shape — union-merge + ONE keyed window
+    (ordered descending), never a range cross-join — and subquery
+    operands add projections, not joins."""
+    df = REGISTRY["events_asof_next_error"].fn(spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re as _re
+
+    windows = _re.findall(r"(?m)^[\s+:*-]*Window \(\d+\)\s*$", plan)
+    assert len(windows) == 1, f"expected one Window op:\n{plan[:2000]}"
+
+
+def test_mr_sql_define_offload_stays_jvm_side(spark, tmp_path):
+    """r14: a LIKE/IN DEFINE term pre-evaluates as a Spark SQL column
+    in the plan BEFORE the matcher's shuffle — visible as the
+    __mrsql0__ projection feeding the applyInPandas exchange — so the
+    predicate runs in codegen, not in Python."""
+    from dbt_omnata_push_spark.engine.dag import Engine
+    from dbt_omnata_push_spark.engine.store import TableStore
+
+    eng = Engine(spark, TableStore(str(tmp_path / "s")))
+    eng.query(
+        "create table mt as select 1 as g, 1 as seq, 'err: x' as msg"
+    )
+    df = eng.query(
+        """
+        select g, n from mt match_recognize (
+            partition by g order by seq
+            measures count(*) as n
+            pattern (E+)
+            define E as msg like 'err%'
+        )
+        """
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "__mrsql0__" in plan
+    assert "LIKE" in plan.upper() or "StartsWith" in plan
