@@ -219,6 +219,7 @@ HEADLINE = [
     "orders_regexp_instr_forms",
     "orders_dynamic_table_join",
     "orders_dynamic_table_upsert",
+    "orders_percentile_within_group",
 ]
 
 # Growth policy (VERDICT r9 #7, documented in BASELINE.md): the suite
@@ -266,6 +267,7 @@ _POST_R8_ADDITIONS = {
     "orders_regexp_instr_forms",
     "orders_dynamic_table_join",
     "orders_dynamic_table_upsert",
+    "orders_percentile_within_group",
 }
 
 

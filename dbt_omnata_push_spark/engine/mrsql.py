@@ -35,6 +35,17 @@ Translated subset, mirroring the operator's:
   first/last row mapped to sym so far in the current match attempt
   (running, current row included), e.g.
   ``B AS price > FIRST(A.price)``.
+  r14 widenings (VERDICT r13 #3/#4): FIRST/LAST take logical
+  offsets (``FIRST(A.price, 2)``); bare symbol-qualified refs
+  (``B AS price > A.price``) read as SQL:2016's running
+  LAST(A.price); running aggregates
+  ``COUNT(A.*)/COUNT(*)/SUM/AVG/MIN/MAX(col | A.col)`` carry
+  per-attempt accumulators; IN / LIKE / BETWEEN / CASE /
+  IS [NOT] NULL terms OFFLOAD to Spark SQL boolean columns
+  evaluated JVM-side before the matcher (terms mixing those with
+  PREV/NEXT/navigation in ONE comparison raise — split with
+  AND/OR); MEASURES FIRST/LAST also take offsets under FINAL
+  semantics.
 """
 from __future__ import annotations
 
@@ -47,8 +58,10 @@ _MR_FROM_RE = re.compile(
 _MEASURE_SQL_RE = re.compile(
     r"(?is)^\s*(?:(running|final)\s+)?"
     r"(first|last|count|match_number|classifier|sum|avg|min|max)\s*"
-    # arg: *, col, SYM.col (r12 symbol-qualified), or SYM.*
+    # arg: *, col, SYM.col (r12 symbol-qualified), or SYM.*; FIRST/
+    # LAST take an optional logical offset (r14)
     r"\(\s*(?:\*|([A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)?)(?:\s*\.\s*\*)?)?"
+    r"(?:\s*,\s*(\d+))?"
     r"\s*\)\s*"
     r"(?:as\s+)?([A-Za-z_]\w*)\s*$"
 )
@@ -188,7 +201,9 @@ def _mask_case_spans(t: str) -> tuple[str, dict[str, str]]:
 
 
 def _cond_to_pandas(
-    cond: str, sql_terms: dict[str, str] | None = None
+    cond: str,
+    sql_terms: dict[str, str] | None = None,
+    symbols: set[str] | None = None,
 ) -> str:
     """Translate a DEFINE condition from the reference dialect to the
     operator's pandas-eval dialect. Leaf terms carrying SQL-surface
@@ -227,9 +242,10 @@ def _cond_to_pandas(
         s,
         lambda t: re.sub(
             r"(?is)\b(first|last)\s*\(\s*"
-            r"(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)\s*\)",
+            r"(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)"
+            r"(?:\s*,\s*(\d+))?\s*\)",
             lambda m: (
-                f"__mr{m.group(1).lower()}__"
+                f"__mr{m.group(1).lower()}{m.group(4) or ''}__"
                 f"{m.group(2) or ''}__{m.group(3)}"
             ),
             t,
@@ -259,14 +275,32 @@ def _cond_to_pandas(
         )
 
     s = _outside_quotes(s, _agg_tokens)
+    # Bare symbol-qualified references (r14): SQL:2016 reads a bare
+    # ``A.price`` in DEFINE as the LAST row mapped to A so far in the
+    # current attempt (running semantics — within A's own define it is
+    # the current row, which is tentatively mapped to A). Translate to
+    # the LAST-navigation token; qualifiers that are NOT defined
+    # symbols still raise below.
+    if symbols:
+        s = _outside_quotes(
+            s,
+            lambda t: re.sub(
+                r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)",
+                lambda m: (
+                    f"__mrlast__{m.group(1)}__{m.group(2)}"
+                    if m.group(1).lower() in symbols
+                    else m.group(0)
+                ),
+                t,
+            ),
+        )
     if re.search(r"\b[A-Za-z_]\w*\s*\.\s*[A-Za-z_]\w*", s):
-        # Other symbol-qualified references (bare A.price outside
-        # navigation/aggregates) are supported in MEASURES (r12) but
-        # not in DEFINE — raise instead of mis-evaluating.
+        # Qualifiers that are not defined symbols — raise instead of
+        # mis-evaluating.
         raise ValueError(
             "unsupported DEFINE condition for MATCH_RECOGNIZE: "
-            f"{cond!r} (symbol-qualified references in DEFINE are "
-            "limited to FIRST/LAST/COUNT/SUM/AVG/MIN/MAX(sym.col))"
+            f"{cond!r} (the qualifier of a symbol-qualified reference "
+            "must be a defined pattern symbol)"
         )
     # CASE ... END spans must not drive the boolean splitter; mask
     # them (quote-aware) and restore at the leaf for SQL offload.
@@ -387,20 +421,25 @@ def _parse_body(body: str) -> dict:
                     f"unsupported MATCH_RECOGNIZE measure: {item!r}"
                 )
             prefix = (m.group(1) or "").lower()
-            kind, arg, alias = (
+            kind, arg, off, alias = (
                 m.group(2).lower(),
                 m.group(3),
                 m.group(4),
+                m.group(5),
             )
             if kind in ("match_number", "classifier") and arg:
                 raise ValueError(
                     f"{kind}() takes no argument: {item!r}"
                 )
+            if off and kind not in ("first", "last"):
+                raise ValueError(
+                    f"only FIRST/LAST take a logical offset: {item!r}"
+                )
             if arg:
                 # normalize `SYM . col` spacing for the operator's
                 # measure parser (r12)
                 arg = re.sub(r"\s*\.\s*", ".", arg)
-            expr = f"{kind}({arg or ''})"
+            expr = f"{kind}({arg or ''}{', ' + off if off else ''})"
             measures[alias] = f"{prefix} {expr}".strip()
 
     rows_per_match = (
@@ -436,13 +475,19 @@ def _parse_body(body: str) -> dict:
         raise ValueError("MATCH_RECOGNIZE requires DEFINE ...")
     defines: dict[str, str] = {}
     sql_terms: dict[str, str] = {}
+    # two passes: bare SYM.col references can point at symbols defined
+    # LATER in the clause, so collect every name first
+    items = []
     for item in _split_top_commas(dm.group(1)):
         m = _DEFINE_ITEM_RE.match(item)
         if not m:
             raise ValueError(
                 f"unparsable MATCH_RECOGNIZE DEFINE item: {item!r}"
             )
-        defines[m.group(1)] = _cond_to_pandas(m.group(2), sql_terms)
+        items.append((m.group(1), m.group(2)))
+    sym_names = {n.lower() for n, _c in items}
+    for n, c in items:
+        defines[n] = _cond_to_pandas(c, sql_terms, sym_names)
 
     return dict(
         partition_by=partition_by,

@@ -67,7 +67,9 @@ Supported subset (everything else raises):
   rows CLASSIFIED as ``A`` (Snowflake's per-symbol row mask); a
   match with no ``A`` row yields NULL (``count``: 0). RUNNING
   variants see the qualifying rows up to the current row, so rows
-  before the first ``A`` carry NULL.
+  before the first ``A`` carry NULL. FIRST/LAST take a logical
+  offset (r14: ``first(col, 2)`` = the third row, NULL when fewer)
+  under FINAL semantics — RUNNING + offset raises.
 - Cross-symbol DEFINE references (r13, VERDICT r12 #5):
   ``B AS price > first(A.price)`` — FIRST/LAST over a symbol's (or
   unqualified: the match's) rows mapped SO FAR in the current match
@@ -86,7 +88,12 @@ Supported subset (everything else raises):
   ``SUM/AVG/MIN/MAX/COUNT(col | A.col)`` (NULL-skipping, over the
   mapped rows' values) — SQL:2016 running semantics, current row
   tentatively included; they route through the same condition-aware
-  NFA as FIRST/LAST.
+  NFA as FIRST/LAST. Cost note: each aggregate evaluation walks the
+  attempt's assignment (O(match length)), so a k-row match tests in
+  O(k^2) worst case — acceptable because matches are short by
+  construction (the aggregate itself bounds them) and the 500k-step
+  budget trips loudly otherwise; carry incremental accumulators per
+  NFA state if a profile ever shows this hot.
 - SQL-offloaded DEFINE terms (r14, VERDICT r13 #3): ``sql_defines``
   maps ``__mrsqlN__`` placeholder columns to Spark SQL boolean
   expressions (IN / LIKE / BETWEEN / CASE / IS NULL ...), evaluated
@@ -112,7 +119,8 @@ from pyspark.sql import types as T
 _MEASURE_RE = re.compile(
     r"^\s*(?:(running|final)\s+)?"
     r"(first|last|count|match_number|classifier|sum|avg|min|max)\s*"
-    r"\(\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)?\s*\)\s*$",
+    r"\(\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)?"
+    r"(?:\s*,\s*(\d+))?\s*\)\s*$",
     re.IGNORECASE,
 )
 _TOKEN_RE = re.compile(
@@ -135,8 +143,10 @@ _MAX_SYMBOLS = 12
 # partition scan through the condition-aware NFA, where it evaluates
 # with SQL:2016 running semantics (rows mapped so far in the current
 # attempt, current row tentatively included).
+# optional digits after first/last are the SQL:2016 logical offset —
+# FIRST(A.price, 2) = the third A row (r14)
 _MR_NAV_RE = re.compile(
-    r"__mr(first|last|count|sum|avg|min|max)__(\w*?)__(\w*)"
+    r"__mr(first|last|count|sum|avg|min|max)(\d*)__(\w*?)__(\w*)"
 )
 
 
@@ -502,7 +512,7 @@ def match_recognize(
     cond_syms = {s for s in defines if _MR_NAV_RE.search(defines[s])}
     lowered_defs = {k.lower() for k in defines}
     for s_, expr_ in defines.items():
-        for fn_, qsym, col in _MR_NAV_RE.findall(expr_):
+        for fn_, _off, qsym, col in _MR_NAV_RE.findall(expr_):
             if fn_ != "count" and not col:
                 raise ValueError(
                     f"DEFINE {s_}: {fn_.upper()} requires a column"
@@ -527,6 +537,7 @@ def match_recognize(
     # prefix wins; otherwise Snowflake defaults (RUNNING under ALL
     # ROWS, final-equivalent under ONE ROW).
     parsed: list[tuple[str, str, str | None, str | None, bool]] = []
+    offsets: dict[str, int] = {}  # out_name -> FIRST/LAST offset (r14)
     for out_name, expr in measures.items():
         m = _MEASURE_RE.match(expr)
         if not m:
@@ -536,6 +547,7 @@ def match_recognize(
             )
         mode = (m.group(1) or "").lower()
         kind, arg = m.group(2).lower(), m.group(3)
+        off = int(m.group(4) or 0)
         sym: str | None = None
         if arg is not None and "." in arg:
             if kind in ("match_number", "classifier"):
@@ -562,6 +574,22 @@ def match_recognize(
             mode == "final"
             or (mode == "" and rows_per_match == "one")
         )
+        if off:
+            # logical offsets (r14): FIRST(col, N) = the (N+1)th row.
+            # FINAL semantics only — a RUNNING offset navigation is a
+            # sliding alignment nobody has asked for yet; raise loudly
+            # rather than approximate.
+            if kind not in ("first", "last"):
+                raise ValueError(
+                    f"MEASURE {expr!r}: only FIRST/LAST take a "
+                    "logical offset"
+                )
+            if not final:
+                raise ValueError(
+                    f"MEASURE {expr!r}: RUNNING FIRST/LAST with a "
+                    "logical offset is not supported (use FINAL)"
+                )
+            offsets[out_name] = off
         parsed.append((out_name, kind, arg, sym, final))
 
     need_classify = (
@@ -667,19 +695,18 @@ def match_recognize(
                 for var in code.co_names:
                     fl = _MR_NAV_RE.fullmatch(var)
                     if fl:
-                        fn, qsym, col = fl.groups()
+                        fn, off, qsym, col = fl.groups()
                         rows_ = [
                             ri
                             for ri, nm, _ex in eff
                             if not qsym or nm.lower() == qsym.lower()
                         ]
                         if fn == "first" or fn == "last":
-                            if rows_:
-                                ri = (
-                                    rows_[0]
-                                    if fn == "first"
-                                    else rows_[-1]
-                                )
+                            k = int(off or 0)
+                            if len(rows_) > k:
+                                ri = rows_[
+                                    k if fn == "first" else -1 - k
+                                ]
                                 scope[var] = env[col].iat[g0 + ri]
                             else:
                                 scope[var] = None
@@ -857,7 +884,7 @@ def match_recognize(
                         count=len(cls),
                     )
 
-                def final_val(kind, arg, sym):
+                def final_val(kind, arg, sym, off=0):
                     if kind == "match_number":
                         return match_no
                     if kind == "classifier":
@@ -872,9 +899,15 @@ def match_recognize(
                     if kind == "count":  # count(SYM.col): non-null only
                         return int(vals.notna().sum())
                     if kind == "first":
-                        return vals.iloc[0] if len(vals) else None
+                        return (
+                            vals.iloc[off] if len(vals) > off else None
+                        )
                     if kind == "last":
-                        return vals.iloc[-1] if len(vals) else None
+                        return (
+                            vals.iloc[-1 - off]
+                            if len(vals) > off
+                            else None
+                        )
                     if kind == "sum":
                         return None if vals.isna().all() else vals.sum()
                     if kind == "avg":
@@ -893,7 +926,7 @@ def match_recognize(
                         c: pdf[c].iloc[g0 + s] for c in partition_by
                     }
                     for n_, kind, arg, sym, _f in parsed:
-                        row[n_] = final_val(kind, arg, sym)
+                        row[n_] = final_val(kind, arg, sym, offsets.get(n_, 0))
                     one_rows.append(row)
                 else:
                     # Vectorized per-match output (r11, VERDICT r10
@@ -910,7 +943,7 @@ def match_recognize(
                             # constant over the match anyway (but a
                             # QUALIFIED running first is NULL before
                             # the first SYM row — handled below)
-                            part[n_] = final_val(kind, arg, sym)
+                            part[n_] = final_val(kind, arg, sym, offsets.get(n_, 0))
                         elif kind == "classifier":
                             part[n_] = cls
                         elif kind == "first":  # running first(SYM.col)

@@ -4610,3 +4610,58 @@ def orders_dynamic_table_upsert(
         " where mode = 'incremental') as incs "
         "from dt_up"
     )
+
+
+@query(
+    "orders_percentile_within_group",
+    oracle="""
+    SELECT o_orderstatus AS grp,
+           CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)
+                AS DOUBLE) AS med,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)
+                AS DOUBLE) AS q1,
+           CAST(median(cents) AS DOUBLE) AS md
+    FROM (SELECT o_orderstatus,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS cents
+          FROM orders WHERE o_orderkey % 41 = 5)
+    GROUP BY o_orderstatus
+    """,
+    tags=("engine", "sqlfront", "dialect"),
+)
+def orders_percentile_within_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERCENTILE_CONT / PERCENTILE_DISC ... WITHIN GROUP and MEDIAN
+    (r14, certified native like GROUP BY ALL was in r13): Snowflake's
+    ordered-set aggregates run VERBATIM on Spark's parser through
+    engine.query — the WITHIN GROUP rewrite pass touches only
+    ARRAY_AGG/LISTAGG and must leave these alone. Integer cents keep
+    the linear interpolation exactly representable (a midpoint is
+    x.0 or x.5), so the DuckDB comparison is exact."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-pc-")))
+    engine.seed(
+        "ord_pc",
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 41 == 5)
+        .select(
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+        ),
+    )
+    return engine.query(
+        "select o_orderstatus as grp, "
+        "cast(percentile_cont(0.5) within group (order by cents) "
+        "    as double) as med, "
+        "cast(percentile_disc(0.25) within group (order by cents) "
+        "    as double) as q1, "
+        "cast(median(cents) as double) as md "
+        "from ord_pc group by o_orderstatus"
+    )

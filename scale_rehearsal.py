@@ -163,6 +163,17 @@ QUERIES = [
     "events_mr_cross_define",
     "events_mr_desc_runs",
     "orders_dynamic_table",
+    # round 14: MR DEFINE running aggregates ride the NFA with an
+    # O(match length) accumulator walk per test — matches are capped
+    # at 3 rows here so the walk is constant and the scan ~linear in
+    # cohort rows; the SQL-offloaded predicate define adds one codegen
+    # projection before the matcher shuffle — expect the plain MR
+    # ratio. The DT join/upsert lifecycles are commit-machinery-bound
+    # like orders_dynamic_table; their READ legs are delta-sized.
+    "events_mr_bounded_burst",
+    "events_mr_predicate_defines",
+    "orders_dynamic_table_join",
+    "orders_dynamic_table_upsert",
 ]
 
 TABLES = ["documents", "embeddings", "customer", "events", "orders"]

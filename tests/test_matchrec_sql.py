@@ -401,3 +401,127 @@ class TestRunningAggregateDefines:
         # g=1: 10; (10+8)/2=9; (10+8+6)/3=8; +9 -> 8.25; +12 -> 9 ->
         # all 5 rows; g=2: 5 fails at row 1, 4 fails, 6 -> (3..3)
         assert got == [(1, 1, 5), (2, 3, 1)]
+
+
+class TestBareSymbolRefs:
+    """r14: SQL:2016 bare symbol-qualified DEFINE references —
+    ``B AS price > A.price`` reads the LAST row mapped to A so far
+    (running semantics), translating to the same NFA navigation as
+    LAST(A.price)."""
+
+    def test_bare_ref_equals_last_navigation(self, engine):
+        q = """
+            select g, s, e from ticks match_recognize (
+                partition by g order by seq
+                measures first(seq) as s, last(seq) as e
+                pattern (A B+)
+                define A as price < 6,
+                       B as price > {ref}
+            )
+        """
+        bare = engine.query(q.format(ref="a.price")).collect()
+        nav = engine.query(q.format(ref="last(a.price)")).collect()
+        assert sorted(map(tuple, bare)) == sorted(map(tuple, nav))
+        # g=2: A at seq 2 (price 4), B at seq 3 (6 > 4)
+        assert sorted(map(tuple, bare)) == [(2, 2, 3)]
+
+    def test_non_symbol_qualifier_raises(self, engine):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="defined pattern symbol"):
+            engine.query(
+                """
+                select g from ticks match_recognize (
+                    partition by g order by seq
+                    measures count(*) as n
+                    pattern (A+)
+                    define A as price > tkx.price
+                )
+                """
+            )
+
+
+class TestNavigationOffsets:
+    """r14: FIRST/LAST logical offsets in DEFINE navigation —
+    FIRST(A.price, 1) is the SECOND row mapped to A so far; fewer
+    mapped rows than the offset reads NULL (condition not true)."""
+
+    def test_first_with_offset(self, engine):
+        rows = engine.query(
+            """
+            select g, s, e from ticks match_recognize (
+                partition by g order by seq
+                measures first(seq) as s, last(seq) as e
+                pattern (A A B)
+                define A as true,
+                       B as price > first(a.price, 1)
+            )
+            """
+        ).collect()
+        # g=1: A=(10,8) B needs price > 8 -> seq3 price 6 no; next
+        # scan from 2: A=(8,6), B: 9 > 6 yes -> (2,4); g=2: A=(5,4),
+        # B: 6 > 4 -> (1,3)
+        assert sorted(map(tuple, rows)) == [(1, 2, 4), (2, 1, 3)]
+
+    def test_offset_beyond_mapped_rows_is_null(self, engine):
+        rows = engine.query(
+            """
+            select g, n from ticks match_recognize (
+                partition by g order by seq
+                measures count(*) as n
+                pattern (A B)
+                define A as true,
+                       B as price > last(a.price, 5)
+            )
+            """
+        ).collect()
+        assert rows == []  # offset 5 never has enough A rows
+
+
+class TestMeasureOffsets:
+    """r14: FIRST/LAST logical offsets in MEASURES (FINAL semantics;
+    RUNNING + offset raises)."""
+
+    def test_offsets_in_measures(self, engine):
+        rows = engine.query(
+            """
+            select g, s2, e2 from ticks match_recognize (
+                partition by g order by seq
+                measures first(seq, 1) as s2, last(seq, 1) as e2
+                pattern (A+)
+                define A as true
+            )
+            """
+        ).collect()
+        # g=1: rows 1..5 -> second=2, second-to-last=4;
+        # g=2: rows 1..3 -> 2, 2
+        assert sorted(map(tuple, rows)) == [(1, 2, 4), (2, 2, 2)]
+
+    def test_offset_beyond_match_is_null(self, engine):
+        rows = engine.query(
+            """
+            select g, x from ticks match_recognize (
+                partition by g order by seq
+                measures first(seq, 9) as x
+                pattern (A+)
+                define A as true
+            )
+            """
+        ).collect()
+        assert [r["x"] for r in rows] == [None, None]
+
+    def test_running_offset_raises(self, engine):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="offset"):
+            engine.query(
+                """
+                select g from ticks match_recognize (
+                    partition by g order by seq
+                    measures running first(seq, 1) as x
+                    all rows per match
+                    pattern (A+)
+                    define A as true
+                )
+                """
+            )
