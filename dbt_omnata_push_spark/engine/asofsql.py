@@ -127,6 +127,17 @@ def _mask(sql: str) -> str:
     return "".join(out)
 
 
+def _mask_literals(sql: str) -> str:
+    """Blank only string-literal contents (parens left intact) — for
+    existence checks that must not be fooled by 'asof join' inside a
+    literal."""
+    return re.sub(
+        r"'(?:[^']|'')*'",
+        lambda m: "'" + "\x00" * (len(m.group(0)) - 2) + "'",
+        sql,
+    )
+
+
 def _sub_outside_literals(pattern: str, repl: str, text: str) -> str:
     """re.sub applied only to the segments outside single-quoted
     string literals (ADVICE r13 #3)."""
@@ -185,14 +196,63 @@ def _operand_df(engine, text: str, alias: str | None):
     return engine.spark.table(name), (alias or name).lower()
 
 
+def _resolve_nested(engine, sql: str, views: list[str]) -> str:
+    """An ASOF JOIN nested inside a parenthesized subquery (derived
+    table, IN-subquery) is invisible to the masked top-level scan:
+    resolve by running the innermost enclosing subquery through
+    engine.query (which recursively resolves its own ASOF JOINs) and
+    substituting a temp-view read."""
+    for _ in range(8):
+        if _ASOF_RE.search(_mask(sql)) or not re.search(
+            r"(?is)\basof\s+join\b", _mask_literals(sql)
+        ):
+            return sql
+        m = re.search(r"(?is)\basof\s+join\b", _mask_literals(sql))
+        stack: list[int] = []
+        in_str = False
+        for i in range(m.start()):
+            ch = sql[i]
+            if in_str:
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                stack.append(i)
+            elif ch == ")":
+                if stack:
+                    stack.pop()
+        if not stack:
+            raise ValueError(
+                "unparsable ASOF JOIN clause (not resolvable at the "
+                f"top level and not inside a subquery): {sql[:120]!r}"
+            )
+        o = stack[-1]
+        c = _scan_balanced(sql, o)
+        inner = sql[o + 1 : c - 1]
+        if not re.match(r"(?is)\s*(select|with)\b", inner):
+            raise ValueError(
+                "ASOF JOIN inside a non-subquery parenthesized "
+                f"expression: {inner[:80]!r}"
+            )
+        view = f"__asof_{next(_ASOF_VIEW_SEQ)}"
+        engine.query(inner).createOrReplaceTempView(view)
+        views.append(view)
+        sql = sql[:o] + f"(select * from {view})" + sql[c:]
+    raise ValueError("too many nested ASOF JOIN subqueries")
+
+
 def resolve_asof_join(engine, sql: str) -> tuple[str, list[str]]:
     """Rewrite every ASOF JOIN clause in the statement into a
     temp-view reference; returns (rewritten sql, views to drop after
     analysis)."""
-    if not _ASOF_RE.search(_mask(sql)):
-        return sql, []
+    if not re.search(r"(?is)\basof\s+join\b", _mask_literals(sql)):
+        return sql, []  # only inside a string literal: nothing to do
     engine._register_views()
     sql, views = _materialize_ctes(engine, sql)
+    sql = _resolve_nested(engine, sql, views)
+    if not _ASOF_RE.search(_mask(sql)):
+        return sql, views
     for _ in range(8):  # bounded: >8 ASOF JOINs in one statement
         m = _ASOF_RE.search(_mask(sql))
         if not m:

@@ -221,3 +221,45 @@ class TestAsofSql:
             """
         ).collect()
         assert len(out) == 3
+
+
+class TestNestedAsof:
+    """r14: ASOF JOIN clauses nested inside derived tables or CTE
+    bodies resolve recursively (the enclosing subquery runs through
+    engine.query, which resolves its own clause)."""
+
+    def test_asof_inside_derived_table(self, engine):
+        out = engine.query(
+            """
+            select sym, cnt from (
+                select sym, count(*) as cnt
+                from trades t asof join quotes q
+                     match_condition (t.ts >= q.qts)
+                     on t.sym = q.sym
+                where px is not null
+                group by sym
+            ) z where cnt > 0
+            """
+        ).collect()
+        assert {(r["sym"], r["cnt"]) for r in out} == {("A", 2)}
+
+    def test_asof_inside_cte_body(self, engine):
+        out = engine.query(
+            """
+            with matched as (
+                select sym, px
+                from trades t asof join quotes q
+                     match_condition (t.ts >= q.qts)
+                     on t.sym = q.sym
+            )
+            select sym, count(px) as n from matched group by sym
+            """
+        ).collect()
+        assert {(r["sym"], r["n"]) for r in out} == {("A", 2), ("B", 0)}
+
+    def test_literal_asof_join_text_untouched(self, engine):
+        out = engine.query(
+            "select 'use asof join here' as tip, count(*) as n "
+            "from trades group by tip"
+        ).collect()
+        assert out[0]["tip"] == "use asof join here"
