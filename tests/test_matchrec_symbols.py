@@ -235,19 +235,27 @@ class TestSqlSurface:
         )
         assert rows == [(1, 3, 5, 3)]
 
-    def test_qualified_define_non_navigation_raises(self, spark, engine):
-        """Bare symbol-qualified references outside FIRST/LAST stay
-        rejected — only navigation semantics are defined."""
-        with pytest.raises(ValueError, match="FIRST"):
-            engine.query(
-                """
-                select * from ticks match_recognize (
-                    partition by g
-                    order by seq
-                    measures count(*) as n
-                    pattern (D U)
-                    define D as price < prev(price),
-                           U as price > D.price
-                )
-                """
+    def test_qualified_define_bare_ref_reads_running_last(
+        self, spark, engine
+    ):
+        """r14: a bare symbol-qualified reference in DEFINE reads
+        SQL:2016's running LAST of that symbol — ``U AS price >
+        D.price`` must behave exactly like ``LAST(D.price)``; a
+        qualifier that is NOT a defined symbol still raises."""
+        q = """
+            select * from ticks match_recognize (
+                partition by g
+                order by seq
+                measures count(*) as n
+                pattern (D U)
+                define D as price < prev(price),
+                       U as price > {ref}
             )
+        """
+        bare = sorted(map(tuple, engine.query(q.format(ref="D.price")).collect()))
+        nav = sorted(
+            map(tuple, engine.query(q.format(ref="last(D.price)")).collect())
+        )
+        assert bare == nav
+        with pytest.raises(ValueError, match="defined pattern symbol"):
+            engine.query(q.format(ref="zzz.price"))

@@ -1073,8 +1073,13 @@ def test_wave3_regex_forms(spark):
 
     with _pytest.raises(ValueError, match="occurrence"):
         transpile("select regexp_replace(s, p, r, 1, 2) from t")
+    # r14: REGEXP_INSTR occurrence > 1 is now supported via the
+    # derived atomic-group lazy-gap pattern (certified functionally in
+    # orders_regexp_instr_forms); a non-literal occurrence still raises
+    out = transpile("select regexp_instr(s, p, 1, 2) from t")
+    assert "regexp_extract" in out
     with _pytest.raises(ValueError, match="occurrence"):
-        transpile("select regexp_instr(s, p, 1, 2) from t")
+        transpile("select regexp_instr(s, p, 1, n) from t")
 
 
 def test_wave3_date_iso(spark):
