@@ -1574,16 +1574,37 @@ class Engine:
             .select(*pk_cols)
             .distinct()
         )
-        keys = gone_keys.limit(100_001).collect()
-        if len(keys) > 100_000:
-            return False  # IN-list would not be driver-safe
+        # single-column keys compile to ONE flat isin (Catalyst InSet,
+        # driver-safe to 100k); composite keys need per-key
+        # conjunctions — OR-reduced as a BALANCED tree (a linear chain
+        # at ~1k keys overflows the JVM analyzer stack) and capped
+        # much lower because the plan carries every leaf.
+        cap = 100_000 if len(pk_cols) == 1 else 5_000
+        keys = gone_keys.limit(cap + 1).collect()
+        if len(keys) > cap:
+            return False  # delete predicate would not be driver-safe
         if keys:
-            pred = F.lit(False)
-            for row in keys:
-                conj = F.lit(True)
-                for c in pk_cols:
-                    conj = conj & F.col(c).eqNullSafe(F.lit(row[c]))
-                pred = pred | conj
+            if len(pk_cols) == 1:
+                pred = F.col(pk_cols[0]).isin(
+                    [row[pk_cols[0]] for row in keys]
+                )
+            else:
+                conds = []
+                for row in keys:
+                    conj = F.lit(True)
+                    for c in pk_cols:
+                        conj = conj & F.col(c).eqNullSafe(
+                            F.lit(row[c])
+                        )
+                    conds.append(conj)
+                while len(conds) > 1:
+                    conds = [
+                        conds[i] | conds[i + 1]
+                        if i + 1 < len(conds)
+                        else conds[i]
+                        for i in range(0, len(conds), 2)
+                    ]
+                pred = conds[0]
             self.store.delete_where(self.spark, key, pred)
         fresh = changes.filter(
             F.col("change_type").isin("insert", "update_postimage")
