@@ -854,3 +854,35 @@ class TestIncrementalUpsert:
         assert (
             engine.store.dt_refresh_history()[-1]["mode"] == "full"
         )
+
+
+class TestIncrementalJoinPlanShape:
+    """r14: the incremental join refresh must APPEND delta-probe rows
+    (hard-linked files + new parquet), never rewrite the backing
+    table, and the delta probes must carry the broadcast hint on the
+    delta side."""
+
+    def test_refresh_commits_append_and_broadcasts_delta(
+        self, spark, engine
+    ):
+        engine.query(
+            "create table dims as select 1 as k, 'x' as tag "
+            "union all select 2, 'y'"
+        )
+        engine.query(
+            "create dynamic table dt_pj target_lag = '1 minute' as "
+            "select b.k as k, b.v as v, d.tag as tag "
+            "from base b join dims d on b.k = d.k"
+        )
+        engine.query("insert into base select 2 as k, 99 as v")
+        # the delta the refresh would append: broadcast-hinted probe
+        meta = engine.store.dynamic_tables()["dt_pj"]
+        delta = engine._dt_incremental_join(meta)
+        assert delta is not None
+        plan = delta._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan
+        assert "CartesianProduct" not in plan
+        engine.query("alter dynamic table dt_pj refresh")
+        hist = engine.store.history(spark, "dt_pj").collect()
+        # newest commit first: the incremental refresh appended
+        assert hist[0]["op"] == "append"
