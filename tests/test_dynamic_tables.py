@@ -886,3 +886,82 @@ class TestIncrementalJoinPlanShape:
         hist = engine.store.history(spark, "dt_pj").collect()
         # newest commit first: the incremental refresh appended
         assert hist[0]["op"] == "append"
+
+
+class TestChainedIncrementalComposition:
+    """r14: DT-over-DT chains stay INCREMENTAL at every level — an
+    upstream incremental refresh is an append commit whose files
+    manifest exposes the delta to the downstream DT's own incremental
+    path. No special wiring: the composition falls out of the store's
+    unconditional append manifests."""
+
+    def test_per_row_then_aggregate_chain(self, engine):
+        engine.query(
+            "create dynamic table c_dt1 target_lag = '1 minute' as "
+            "select k, v * 2 as v2 from base"
+        )
+        engine.query(
+            "create dynamic table c_dt2 target_lag = '1 minute' as "
+            "select k, cast(sum(v2) as bigint) as total "
+            "from c_dt1 group by k"
+        )
+        engine.query("insert into base select 1 as k, 5 as v")
+        engine.query("alter dynamic table c_dt1 refresh")
+        engine.query("alter dynamic table c_dt2 refresh")
+        modes = [
+            (h["name"], h["mode"])
+            for h in engine.store.dt_refresh_history()
+        ]
+        assert ("c_dt1", "incremental") in modes
+        assert ("c_dt2", "incremental_agg") in modes
+        assert sorted(
+            (r["k"], r["total"])
+            for r in engine.query("select * from c_dt2").collect()
+        ) == [(1, 30), (2, 84)]
+
+    def test_per_row_then_join_chain(self, engine):
+        engine.query(
+            "create table c_dims as select 1 as k, 'x' as tag "
+            "union all select 2, 'y'"
+        )
+        engine.query(
+            "create dynamic table c_j1 target_lag = '1 minute' as "
+            "select k, v from base"
+        )
+        engine.query(
+            "create dynamic table c_j2 target_lag = '1 minute' as "
+            "select a.k as k, a.v as v, d.tag as tag "
+            "from c_j1 a join c_dims d on a.k = d.k"
+        )
+        engine.query("insert into base select 2 as k, 7 as v")
+        engine.query("alter dynamic table c_j1 refresh")
+        engine.query("alter dynamic table c_j2 refresh")
+        modes = [
+            (h["name"], h["mode"])
+            for h in engine.store.dt_refresh_history()
+        ]
+        assert ("c_j1", "incremental") in modes
+        assert ("c_j2", "incremental") in modes
+        assert (2, 7, "y") in [
+            (r["k"], r["v"], r["tag"])
+            for r in engine.query("select * from c_j2").collect()
+        ]
+
+    def test_one_tick_keeps_chain_incremental(self, engine):
+        engine.query(
+            "create dynamic table t_dt1 target_lag = '1 minute' as "
+            "select k, v from base"
+        )
+        engine.query(
+            "create dynamic table t_dt2 target_lag = '1 minute' as "
+            "select k, cast(count(*) as bigint) as n "
+            "from t_dt1 group by k"
+        )
+        engine.query("insert into base select 9 as k, 1 as v")
+        engine.run_due(datetime(2027, 5, 1, tzinfo=timezone.utc))
+        modes = [
+            (h["name"], h["mode"])
+            for h in engine.store.dt_refresh_history()
+        ]
+        assert ("t_dt1", "incremental") in modes
+        assert ("t_dt2", "incremental_agg") in modes
