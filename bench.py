@@ -220,6 +220,7 @@ HEADLINE = [
     "orders_dynamic_table_join",
     "orders_dynamic_table_upsert",
     "orders_percentile_within_group",
+    "events_mr_unmatched_rows",
 ]
 
 # Growth policy (VERDICT r9 #7, documented in BASELINE.md): the suite
@@ -268,6 +269,7 @@ _POST_R8_ADDITIONS = {
     "orders_dynamic_table_join",
     "orders_dynamic_table_upsert",
     "orders_percentile_within_group",
+    "events_mr_unmatched_rows",
 }
 
 

@@ -442,11 +442,15 @@ def _parse_body(body: str) -> dict:
             expr = f"{kind}({arg or ''}{', ' + off if off else ''})"
             measures[alias] = f"{prefix} {expr}".strip()
 
-    rows_per_match = (
-        "all"
-        if clause(r"(?is)\ball\s+rows\s+per\s+match\b")
-        else "one"
-    )
+    if clause(
+        r"(?is)\ball\s+rows\s+per\s+match\s+with\s+unmatched\s+rows\b"
+    ):
+        # r14: unmatched input rows emit with every measure NULL
+        rows_per_match = "all_unmatched"
+    elif clause(r"(?is)\ball\s+rows\s+per\s+match\b"):
+        rows_per_match = "all"
+    else:
+        rows_per_match = "one"
 
     skip: str | tuple[str, str] = "past_last"
     sk = clause(

@@ -453,8 +453,16 @@ def match_recognize(
     floor 256) so a bucket — which must fit one pandas frame in an
     executor — shrinks as the cluster grows; at very large row counts
     pass buckets ~ total_rows / 5e6 explicitly."""
-    if rows_per_match not in ("one", "all"):
-        raise ValueError("rows_per_match must be 'one' or 'all'")
+    if rows_per_match not in ("one", "all", "all_unmatched"):
+        raise ValueError(
+            "rows_per_match must be 'one', 'all', or 'all_unmatched'"
+        )
+    # ALL ROWS PER MATCH WITH UNMATCHED ROWS (r14): input rows in NO
+    # match emit with every measure NULL (Snowflake semantics —
+    # CLASSIFIER()/MATCH_NUMBER() included)
+    with_unmatched = rows_per_match == "all_unmatched"
+    if with_unmatched:
+        rows_per_match = "all"
     symbols = list(defines)
     if len(symbols) > _MAX_SYMBOLS:
         raise ValueError(
@@ -821,6 +829,9 @@ def match_recognize(
         one_rows = []  # ONE ROW PER MATCH: one dict per match
         all_parts = []  # ALL ROWS PER MATCH: one sliced frame per match
         for g0, g1 in zip(starts.tolist(), ends.tolist()):
+            covered = (
+                np.zeros(g1 - g0, dtype=bool) if with_unmatched else None
+            )
             # vectorized symbol string: one codepoint per row (unused
             # on the conditional-NFA path)
             seq = (
@@ -840,6 +851,8 @@ def match_recognize(
                         break
                     s, e, asg = found
                     match_no += 1
+                    if covered is not None:
+                        covered[s:e] = True
                     span = pdf.iloc[g0 + s : g0 + e]
                     # classification falls out of the NFA path
                     cls = [""] * (e - s)
@@ -856,6 +869,8 @@ def match_recognize(
                         pos = s + 1  # empty match (pure X*) is no match
                         continue
                     match_no += 1
+                    if covered is not None:
+                        covered[s:e] = True
                     span = pdf.iloc[g0 + s : g0 + e]
                     cls, excl = None, None
                 if not cond_syms and need_classify:
@@ -1038,6 +1053,12 @@ def match_recognize(
                             "advance)"
                         )
                     pos = s + rel
+
+            if covered is not None and not covered.all():
+                um = pdf.iloc[g0:g1][~covered].copy()
+                for n_, _k, _a, _s, _f in parsed:
+                    um[n_] = None
+                all_parts.append(um)
 
         names = [f.name for f in out_fields]
         if rows_per_match == "one":

@@ -4665,3 +4665,74 @@ def orders_percentile_within_group(
         "cast(median(cents) as double) as md "
         "from ord_pc group by o_orderstatus"
     )
+
+
+@query(
+    "events_mr_unmatched_rows",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, event_id, (event_type = 'error') AS m
+        FROM events WHERE user_id % 20 = 13
+    ),
+    marked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id, m
+                                  ORDER BY ts, event_id) AS rnm
+        FROM ev
+    ),
+    isl AS (
+        SELECT user_id, event_id, m,
+               CASE WHEN m THEN COUNT(*) OVER (
+                   PARTITION BY user_id, m, rn - rnm
+               ) END AS n
+        FROM marked
+    )
+    SELECT user_id, event_id,
+           CAST(coalesce(n, -1) AS BIGINT) AS n,
+           CASE WHEN m THEN 'E' ELSE '-' END AS cls
+    FROM isl
+    """,
+    tags=("engine", "matchrec", "sqlfront"),
+)
+def events_mr_unmatched_rows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALL ROWS PER MATCH WITH UNMATCHED ROWS (r14, engine/mrsql.py +
+    ops/matchrec.py): every input row emits — rows inside an error
+    run carry the match's FINAL COUNT(*) and CLASSIFIER(), rows in no
+    match carry NULL measures (coalesced to sentinels here: NULL
+    numerics don't hash portably, the asof entries' documented
+    trade). The oracle is the gaps-and-islands formulation with a
+    CASE-guarded island size."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-mu-")))
+    engine.seed(
+        "ev_mu",
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 13)
+        .select("user_id", "ts", "event_id", "event_type"),
+    )
+    out = engine.query(
+        """
+        select user_id, event_id, n, cls
+        from ev_mu match_recognize (
+            partition by user_id order by ts, event_id
+            measures final count(*) as n, classifier() as cls
+            all rows per match with unmatched rows
+            pattern (E+)
+            define E as event_type = 'error'
+        )
+        """
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.coalesce(F.col("n"), F.lit(-1)).cast("long").alias("n"),
+        F.coalesce(F.col("cls"), F.lit("-")).alias("cls"),
+    )

@@ -525,3 +525,45 @@ class TestMeasureOffsets:
                 )
                 """
             )
+
+
+class TestUnmatchedRows:
+    """r14: ALL ROWS PER MATCH WITH UNMATCHED ROWS — input rows in no
+    match emit with every measure NULL (Snowflake semantics,
+    CLASSIFIER()/MATCH_NUMBER() included)."""
+
+    def test_unmatched_rows_emit_with_null_measures(self, engine):
+        rows = engine.query(
+            """
+            select g, seq, n, cls from ticks match_recognize (
+                partition by g order by seq
+                measures final count(*) as n, classifier() as cls
+                all rows per match with unmatched rows
+                pattern (D+)
+                define D as price < prev(price)
+            )
+            """
+        ).collect()
+        # every input row appears exactly once
+        assert len(rows) == 8
+        got = {(r["g"], r["seq"]): (r["n"], r["cls"]) for r in rows}
+        # matched: g=1 seq 2,3 (D D); g=2 seq 2
+        assert got[(1, 2)] == (2, "D") and got[(1, 3)] == (2, "D")
+        assert got[(2, 2)] == (1, "D")
+        # unmatched rows carry NULL measures
+        for key in [(1, 1), (1, 4), (1, 5), (2, 1), (2, 3)]:
+            assert got[key] == (None, None), key
+
+    def test_plain_all_rows_unchanged(self, engine):
+        rows = engine.query(
+            """
+            select g, seq from ticks match_recognize (
+                partition by g order by seq
+                measures count(*) as n
+                all rows per match
+                pattern (D+)
+                define D as price < prev(price)
+            )
+            """
+        ).collect()
+        assert len(rows) == 3  # matched rows only
