@@ -64,6 +64,7 @@ _RECHECK_PRIORITY = [
     "orders_dynamic_table_upsert",
     "orders_percentile_within_group",
     "events_mr_unmatched_rows",
+    "orders_lambda_functions",
     # r14: materially changed implementations re-earn their rows —
     # the asof SQL resolver was rewritten (masked-operand parser,
     # alias re-qualification), WITHIN GROUP gained multi-key ORDER BY

@@ -221,6 +221,7 @@ HEADLINE = [
     "orders_dynamic_table_upsert",
     "orders_percentile_within_group",
     "events_mr_unmatched_rows",
+    "orders_lambda_functions",
 ]
 
 # Growth policy (VERDICT r9 #7, documented in BASELINE.md): the suite
@@ -270,6 +271,7 @@ _POST_R8_ADDITIONS = {
     "orders_dynamic_table_upsert",
     "orders_percentile_within_group",
     "events_mr_unmatched_rows",
+    "orders_lambda_functions",
 }
 
 

@@ -2105,6 +2105,10 @@ _ALTER_DT_RE = re.compile(
     rf"(?is)^\s*alter\s+dynamic\s+table\s+({_IDENT})\s+"
     r"(refresh|suspend|resume)\s*$"
 )
+_ALTER_DT_SET_RE = re.compile(
+    rf"(?is)^\s*alter\s+dynamic\s+table\s+({_IDENT})\s+set\s+"
+    r"target_lag\s*=\s*('[^']*'|\w+)\s*$"
+)
 _SHOW_DTS_RE = re.compile(r"(?is)^\s*show\s+dynamic\s+tables\s*$")
 
 
@@ -2195,11 +2199,21 @@ def _drop_dynamic(engine, sql: str) -> DataFrame:
 
 def _alter_dynamic(engine, sql: str) -> DataFrame:
     s = _strip_comments(sql).strip().rstrip(";")
+    sm = _ALTER_DT_SET_RE.match(s)
+    if sm:
+        # ALTER DYNAMIC TABLE t SET TARGET_LAG = '...' | DOWNSTREAM
+        # (r14): retune the schedule without rebuilding; the next lag
+        # tick uses the new value, DOWNSTREAM drops self-scheduling.
+        name = sm.group(1).strip('"')
+        engine.store.set_dynamic_table_lag(
+            name, _parse_target_lag(sm.group(2))
+        )
+        return _summary(engine, dynamic_tables_altered=1)
     m = _ALTER_DT_RE.match(s)
     if not m:
         raise ValueError(
             "unparsable ALTER DYNAMIC TABLE (expected "
-            f"REFRESH|SUSPEND|RESUME): {s[:90]}"
+            f"REFRESH|SUSPEND|RESUME|SET TARGET_LAG = ...): {s[:90]}"
         )
     name = m.group(1).strip('"')
     verb = m.group(2).lower()

@@ -2415,6 +2415,17 @@ class TableStore:
         dts[key]["state"] = state
         self._write_dynamic_tables(dts)
 
+    def set_dynamic_table_lag(
+        self, name: str, lag_s: int | None
+    ) -> None:
+        """Retune TARGET_LAG (r14): None = DOWNSTREAM."""
+        dts = self.dynamic_tables()
+        key = name.lower()
+        if key not in dts:
+            raise ValueError(f"dynamic table not found: {name}")
+        dts[key]["lag_s"] = lag_s
+        self._write_dynamic_tables(dts)
+
     def record_dynamic_refresh(
         self,
         name: str,

@@ -4736,3 +4736,60 @@ def events_mr_unmatched_rows(
         F.coalesce(F.col("n"), F.lit(-1)).cast("long").alias("n"),
         F.coalesce(F.col("cls"), F.lit("-")).alias("cls"),
     )
+
+
+@query(
+    "orders_lambda_functions",
+    oracle="""
+    SELECT o_orderkey,
+           array_to_string(list_transform(
+               [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3],
+               x -> x * 2), ',') AS t,
+           coalesce(array_to_string(list_filter(
+               [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3],
+               x -> x > 2), ','), '') AS f,
+           CAST(o_orderkey % 7 + o_orderkey % 5 + o_orderkey % 3
+                AS BIGINT) AS r
+    FROM orders WHERE o_orderkey % 59 = 4
+    """,
+    tags=("engine", "sqlfront", "dialect"),
+)
+def orders_lambda_functions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snowflake's higher-order array functions — FILTER / TRANSFORM
+    with `x ->` lambdas and REDUCE(arr, init, (acc, x) -> ...) —
+    certified to run natively through engine.query (r14, the GROUP BY
+    ALL certification pattern): Spark's lambda syntax is identical,
+    and the transpiler must pass the arrows through untouched (the
+    CONNECT BY cycle-guard rewrite already proved lambdas survive).
+    The DuckDB oracle uses list_transform/list_filter and spells the
+    REDUCE as plain arithmetic (DuckDB's list_reduce takes no init)."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-hof-")))
+    engine.seed(
+        "ord_hof",
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 59 == 4)
+        .select("o_orderkey"),
+    )
+    out = engine.query(
+        "select o_orderkey, "
+        "array_to_string(transform("
+        "    array(o_orderkey % 7, o_orderkey % 5, o_orderkey % 3), "
+        "    x -> x * 2), ',') as t, "
+        "array_to_string(filter("
+        "    array(o_orderkey % 7, o_orderkey % 5, o_orderkey % 3), "
+        "    x -> x > 2), ',') as f, "
+        "reduce(array(o_orderkey % 7, o_orderkey % 5, "
+        "    o_orderkey % 3), cast(0 as bigint), "
+        "    (acc, x) -> acc + x) as r "
+        "from ord_hof"
+    )
+    return out.select(
+        "o_orderkey", "t", "f", F.col("r").cast("long").alias("r")
+    )

@@ -965,3 +965,49 @@ class TestChainedIncrementalComposition:
         ]
         assert ("t_dt1", "incremental") in modes
         assert ("t_dt2", "incremental_agg") in modes
+
+
+class TestSetTargetLag:
+    """r14: ALTER DYNAMIC TABLE ... SET TARGET_LAG retunes the
+    schedule in place — the next tick honors the new lag, and setting
+    DOWNSTREAM drops self-scheduling."""
+
+    def test_set_lag_changes_tick_schedule(self, engine):
+        _create(engine)  # 60-second lag
+        engine.query(
+            "alter dynamic table dt_sum set target_lag = '1 hour'"
+        )
+        assert (
+            engine.store.dynamic_tables()["dt_sum"]["lag_s"] == 3600
+        )
+        engine.query("insert into base select 8 as k, 80 as v")
+        # 2 minutes after the create-time refresh (which stamped the
+        # real clock): inside the new 1-hour lag, so no attempt fires
+        from datetime import timedelta
+
+        tick = engine.run_due(
+            datetime.now(timezone.utc) + timedelta(minutes=2)
+        )
+        assert tick.collect() == []
+
+    def test_set_downstream_drops_self_schedule(self, engine):
+        _create(engine)
+        engine.query(
+            "alter dynamic table dt_sum set target_lag = downstream"
+        )
+        assert (
+            engine.store.dynamic_tables()["dt_sum"]["lag_s"] is None
+        )
+        engine.query("insert into base select 8 as k, 80 as v")
+        tick = engine.run_due(datetime(2028, 1, 1, tzinfo=timezone.utc))
+        assert tick.collect() == []
+        # manual refresh still works
+        out = engine.query("alter dynamic table dt_sum refresh")
+        assert out.collect()[0]["status"] == "refreshed"
+
+    def test_bad_lag_value_rejected(self, engine):
+        _create(engine)
+        with pytest.raises(ValueError, match="TARGET_LAG"):
+            engine.query(
+                "alter dynamic table dt_sum set target_lag = 'soon'"
+            )
