@@ -110,10 +110,17 @@ def _mask(sql: str) -> str:
         if in_str:
             if ch == "'":
                 in_str = False
+                # quote chars inside a paren body mask too (ADVICE
+                # r14 #1: a literal in a subquery operand must not
+                # break the \(\x00*\) operand pattern)
+                if depth:
+                    out[i] = "\x00"
             else:
                 out[i] = "\x00"
         elif ch == "'":
             in_str = True
+            if depth:
+                out[i] = "\x00"
         elif ch == "(":
             if depth:
                 out[i] = "\x00"
@@ -146,6 +153,57 @@ def _sub_outside_literals(pattern: str, repl: str, text: str) -> str:
         p if i % 2 else re.sub(pattern, repl, p)
         for i, p in enumerate(parts)
     )
+
+
+def _redefines_alias(body: str, aliases: tuple[str, str]) -> bool:
+    """True if the subquery body defines its own relation alias with
+    one of the given names (so its qualified refs belong to ITS scope,
+    not the resolved ASOF view's)."""
+    masked = _mask_literals(body)
+    for a in aliases:
+        pat = (
+            rf"(?is)(?:\b(?:from|join)\s+[A-Za-z_][\w.$]*|\))"
+            rf"\s+(?:as\s+)?{re.escape(a)}\b"
+        )
+        if re.search(pat, masked):
+            return True
+    return False
+
+
+def _requalify(sql: str, a1: str, a2: str, view: str) -> str:
+    """Re-point dangling `a1.`/`a2.` qualifiers at the resolved view —
+    but only within the statement's own scope (ADVICE r14 #4): a
+    parenthesized subquery that redefines the same alias name keeps
+    its body untouched; other paren bodies (function calls, correlated
+    subqueries) still rewrite."""
+    pat = rf"(?is)\b(?:{re.escape(a1)}|{re.escape(a2)})\s*\.\s*"
+    repl = f"{view}."
+    protected: list[tuple[int, int]] = []
+    in_str, i = False, 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            end = _scan_balanced(sql, i)
+            body = sql[i + 1 : end - 1]
+            if re.match(
+                r"(?is)\s*(select|with)\b", body
+            ) and _redefines_alias(body, (a1, a2)):
+                protected.append((i, end))
+                i = end
+                continue
+        i += 1
+    out, pos = [], 0
+    for s, e in protected:
+        out.append(_sub_outside_literals(pat, repl, sql[pos:s]))
+        out.append(sql[s:e])
+        pos = e
+    out.append(_sub_outside_literals(pat, repl, sql[pos:]))
+    return "".join(out)
 
 
 def _materialize_ctes(engine, sql: str) -> tuple[str, list[str]]:
@@ -367,11 +425,8 @@ def resolve_asof_join(engine, sql: str) -> tuple[str, list[str]]:
         )
         # the view is one relation: re-point now-dangling alias
         # qualifiers at it (so a CHAINED ASOF JOIN's MATCH_CONDITION
-        # can still say t.ts) — outside string literals only (ADVICE
-        # r13 #3: a literal like 'contact t. smith' passes through)
-        sql = _sub_outside_literals(
-            rf"(?is)\b(?:{re.escape(a1)}|{re.escape(a2)})\s*\.\s*",
-            f"{view}.",
-            sql,
-        )
+        # can still say t.ts) — outside string literals, and only in
+        # the statement's own scope: subqueries that redefine the same
+        # alias keep their bodies (ADVICE r13 #3 + r14 #4)
+        sql = _requalify(sql, a1, a2, view)
     raise ValueError("too many ASOF JOIN clauses in one statement")

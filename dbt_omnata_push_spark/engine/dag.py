@@ -125,8 +125,18 @@ def _sql_table_refs(s: str) -> tuple[set[str], bool]:
                     unknown = True  # FROM <something unparsable>
                     break
                 name, j = im.group(1), im.end()
-                if name.strip('"').lower() in _REL_STOP_KW:
-                    break  # VALUES / LATERAL fn / next clause
+                lw = name.strip('"').lower()
+                if not name.startswith('"') and lw in _REL_STOP_KW:
+                    # Only VALUES / LATERAL are genuine relation-
+                    # position syntax forms; any OTHER stop keyword
+                    # here means the scan lost track of the clause —
+                    # a base may be missed, so flag it rather than
+                    # silently enabling version-gated skip (ADVICE
+                    # r14 #2). Quoted identifiers are never keywords
+                    # and fall through as real relation names.
+                    if lw not in ("values", "lateral"):
+                        unknown = True
+                    break
                 while True:  # dotted name: db.schema.table
                     k = skip_ws(j)
                     if k < n and s[k] == ".":
@@ -1289,7 +1299,9 @@ class Engine:
         references redirected to a temp view over the given frame.
         When the original reference carried no alias, the base name
         becomes the view's alias so qualified column refs (base.col)
-        keep resolving."""
+        keep resolving. The substitution never touches string-literal
+        contents (ADVICE r14 #5: a base name inside a label literal
+        must pass through unchanged)."""
         out = sql
         for base, df in frames.items():
             view = f"__dt_redir_{base}"
@@ -1302,11 +1314,14 @@ class Engine:
                     + (alias if alias else f" {base}")
                 )
 
-            out = re.sub(
+            pat = (
                 rf"(?is)\b(from|join)\s+{re.escape(base)}\b(?!\s*\.)"
-                rf"(\s+(?:as\s+)?{self._DT_ALIAS_GUARD}[A-Za-z_]\w*)?",
-                repl,
-                out,
+                rf"(\s+(?:as\s+)?{self._DT_ALIAS_GUARD}[A-Za-z_]\w*)?"
+            )
+            parts = re.split(r"('(?:[^']|'')*')", out)
+            out = "".join(
+                p if i % 2 else re.sub(pat, repl, p)
+                for i, p in enumerate(parts)
             )
         return self.query(out)
 

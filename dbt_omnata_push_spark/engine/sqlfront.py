@@ -312,11 +312,20 @@ def _rewrite_funcs(sql: str) -> str:
             m = pattern.search(sql)
             if not m:
                 return sql
-            depth, i = 1, m.end()
+            # quote-aware balanced scan: a '(' inside a string literal
+            # (e.g. the regex '[(]x') must not bump the depth (ADVICE
+            # r14 #3 fallout)
+            depth, i, quote = 1, m.end(), None
             while i < len(sql) and depth:
-                if sql[i] == "(":
+                c = sql[i]
+                if quote:
+                    if c == quote:
+                        quote = None
+                elif c in "'\"":
+                    quote = c
+                elif c == "(":
                     depth += 1
-                elif sql[i] == ")":
+                elif c == ")":
                     depth -= 1
                 i += 1
             inner = sql[m.end() : i - 1]
@@ -1028,12 +1037,31 @@ def _rewrite_funcs(sql: str) -> str:
         def ext(pat_sql: str, idx: int) -> str:
             return f"length(regexp_extract({subject}, {pat_sql}, {idx}))"
 
-        cap_re = re.compile(r"(?<!\\)\((?!\?)")
+        def capture_opens(pat: str) -> list[int]:
+            # positions of CAPTURING '(' — escape- and character-
+            # class-aware (ADVICE r14 #3: '[(]' is a literal paren,
+            # not a group; counting it corrupts the group surgery)
+            opens, i, in_cls = [], 0, False
+            while i < len(pat):
+                ch = pat[i]
+                if ch == "\\":
+                    i += 2
+                    continue
+                if in_cls:
+                    if ch == "]":
+                        in_cls = False
+                elif ch == "[":
+                    in_cls = True
+                elif ch == "(" and not pat.startswith("(?", i):
+                    opens.append(i)
+                i += 1
+            return opens
+
         if g != 0:
             # prefix-capture surgery on the literal: '(' at the start,
             # ')' just before group g's paren — group-g start = match
             # start + len(prefix capture)
-            opens = [m.start() for m in cap_re.finditer(lit)]
+            opens = capture_opens(lit)
             if g > len(opens):
                 raise ValueError(
                     f"REGEXP_INSTR: group_num {g} exceeds the "
@@ -1071,12 +1099,12 @@ def _rewrite_funcs(sql: str) -> str:
                         f"((?:{inner}))"
                     )
                     pat_sql = q(fx + wrap)
-                    c = len(cap_re.findall(inner))
+                    c = len(capture_opens(inner))
                     last_idx = c + 1
                     pre_idx = None
                     g_idx = None
                 else:
-                    c = len(cap_re.findall(inner))
+                    c = len(capture_opens(inner))
                     # final occurrence = outer capture (c+1) wrapping
                     # the prefix-captured literal; inside it: pre =
                     # c+2, original groups 1..g-1 inside pre, original
@@ -1090,13 +1118,18 @@ def _rewrite_funcs(sql: str) -> str:
                     pre_idx = c + 2
                     g_idx = c + 2 + g
             else:
-                pat_sql = (
-                    f"concat('(?:(?>', {p}, ')[\\\\s\\\\S]*?)"
-                    f"{{{occ - 1}}}((?:', {p}, '))')"
+                # a runtime pattern's capture count is unknowable
+                # statically: if it contains groups, group 1 belongs
+                # to the first (?>p) copy, not the final-occurrence
+                # wrapper, and the length arithmetic silently reads
+                # the wrong group (ADVICE r14 #3) — raise, like the
+                # group_num path already does.
+                raise ValueError(
+                    "REGEXP_INSTR: occurrence > 1 needs a string-"
+                    "literal pattern (the wrapper's group index "
+                    "depends on the pattern's capture count, which "
+                    "must be statically known)"
                 )
-                last_idx = 1
-                pre_idx = None
-                g_idx = None
             start = f"__sf_regexp_instr({subject}, {pat_sql})"
             # start of the Nth occurrence = wrapper start + len(whole
             # wrapper match) - len(final occurrence)

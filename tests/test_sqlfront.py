@@ -1073,11 +1073,16 @@ def test_wave3_regex_forms(spark):
 
     with _pytest.raises(ValueError, match="occurrence"):
         transpile("select regexp_replace(s, p, r, 1, 2) from t")
-    # r14: REGEXP_INSTR occurrence > 1 is now supported via the
-    # derived atomic-group lazy-gap pattern (certified functionally in
-    # orders_regexp_instr_forms); a non-literal occurrence still raises
-    out = transpile("select regexp_instr(s, p, 1, 2) from t")
+    # r14: REGEXP_INSTR occurrence > 1 is supported for LITERAL
+    # patterns via the derived atomic-group lazy-gap pattern
+    # (certified functionally in orders_regexp_instr_forms). A
+    # RUNTIME pattern must raise (ADVICE r14 #3): its capture count
+    # is statically unknowable, so the wrapper's group index — and
+    # therefore the length arithmetic — cannot be derived safely.
+    out = transpile("select regexp_instr(s, 'a(b)c', 1, 2) from t")
     assert "regexp_extract" in out
+    with _pytest.raises(ValueError, match="string-literal pattern"):
+        transpile("select regexp_instr(s, p, 1, 2) from t")
     with _pytest.raises(ValueError, match="occurrence"):
         transpile("select regexp_instr(s, p, 1, n) from t")
 
