@@ -551,7 +551,15 @@ class TableStore:
         )
 
     @_locked_write
-    def delete_where(self, spark: SparkSession, name: str, predicate) -> int:
+    def delete_where(
+        self,
+        spark: SparkSession,
+        name: str,
+        predicate=None,
+        *,
+        using: DataFrame | None = None,
+        on: list[str] | None = None,
+    ) -> int:
         """Targeted row deletion via DELETION VECTORS (the Delta/Iceberg
         merge-on-read DELETE): matching row positions are recorded in a
         per-version ``_dv`` sidecar and every data file is carried into
@@ -560,8 +568,24 @@ class TableStore:
         broadcast anti-join; rewrite paths (overwrite, unpartitioned
         merge, OPTIMIZE/compact) read through the vector and so
         MATERIALIZE the deletes, clearing the sidecar naturally.
+
+        Two match forms:
+        - ``predicate``: a Column predicate, applied as a filter.
+        - ``using`` + ``on`` (DELETE ... USING, VERDICT r14 #2): rows
+          whose ``on``-columns match any row of the ``using`` frame are
+          deleted via a SEMI-JOIN — the key set never touches the
+          driver, so a 10M-key CDC window deletes as a distributed
+          join (size-gated broadcast of the key frame; AQE otherwise),
+          not a collected IN-list.
+
         Returns the number of newly deleted row positions.
         """
+        if (predicate is None) == (using is None):
+            raise ValueError(
+                "delete_where: exactly one of predicate / using"
+            )
+        if using is not None and not on:
+            raise ValueError("delete_where: using requires on=[cols]")
         v = self.current_version(name)
         if v is None:
             raise FileNotFoundError(f"table not found: {name}")
@@ -573,11 +597,18 @@ class TableStore:
             raw = raw.schema(StructType.fromJson(meta["schema"]))
         base = raw.parquet(old_dir)
         data_cols = base.columns
-        matched = base.filter(predicate).select(
+        marked = base.select(
             *data_cols,
             self._relpath_expr(old_dir).alias("relpath"),
             F.col("_metadata.row_index").alias("row_index"),
         )
+        if using is not None:
+            from ..ops.partitioning import maybe_broadcast
+
+            keys = maybe_broadcast(using.select(*on).distinct())
+            matched = marked.join(keys, on, "left_semi")
+        else:
+            matched = marked.filter(predicate)
         old_dv_dir = self._dv_dir(old_dir)
         if os.path.isdir(old_dv_dir):
             old_dv = spark.read.parquet(old_dv_dir)

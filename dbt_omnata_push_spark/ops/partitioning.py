@@ -52,13 +52,15 @@ def maybe_broadcast(df: DataFrame) -> DataFrame:
     if thr <= 0:
         return df
     try:
-        size = int(
+        raw = (
             df._jdf.queryExecution()
             .optimizedPlan()
             .stats()
             .sizeInBytes()
-            .toString()
         )
+        # py4j converts scala.math.BigInt to int when it fits; larger
+        # values come back as a JavaObject needing toString()
+        size = raw if isinstance(raw, int) else int(raw.toString())
     except Exception:
         return df
     return F.broadcast(df) if size <= thr else df

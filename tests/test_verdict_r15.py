@@ -1,0 +1,208 @@
+"""Round-15 VERDICT r14 tasks 1-2:
+
+1. The dynamic-table incremental-join delta leg broadcasts only while
+   its optimizer size estimate stays under
+   spark.sql.autoBroadcastJoinThreshold — above the bound the hint is
+   dropped (AQE picks the strategy) and the refresh STAYS incremental,
+   instead of a forced broadcast that OOMs at adversarial delta sizes.
+2. Keyed-upsert maintenance deletes via DELETE ... USING (semi-join
+   against the changed-key frame): no driver-collected IN-list, so the
+   r14 100k-key cap is gone — a >100k-changed-keys window still
+   records an incremental refresh.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_omnata_push_spark.engine.dag import Engine
+from dbt_omnata_push_spark.engine.store import TableStore
+from dbt_omnata_push_spark.ops.partitioning import (
+    _parse_bytes,
+    maybe_broadcast,
+)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, TableStore(str(tmp_path / "store")))
+
+
+class TestMaybeBroadcast:
+    def test_parse_bytes_forms(self):
+        assert _parse_bytes("10485760") == 10 * 1024 * 1024
+        assert _parse_bytes("10MB") == 10 * 1024 * 1024
+        assert _parse_bytes("1g") == 1024**3
+        assert _parse_bytes("-1") == -1
+
+    def test_small_frame_gets_hint(self, spark):
+        df = spark.range(10)
+        plan = (
+            maybe_broadcast(df)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        assert "ResolvedHint" in plan
+
+    def test_over_threshold_drops_hint(self, spark):
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+            df = spark.range(100_000)
+            plan = (
+                maybe_broadcast(df)
+                ._jdf.queryExecution()
+                .analyzed()
+                .toString()
+            )
+            assert "ResolvedHint" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_disabled_threshold_drops_hint(self, spark):
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", "-1"
+            )
+            plan = (
+                maybe_broadcast(spark.range(2))
+                ._jdf.queryExecution()
+                .analyzed()
+                .toString()
+            )
+            assert "ResolvedHint" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestLargeDeltaJoinStaysIncremental:
+    """VERDICT r14 #1: an adversarially large delta leg must neither
+    carry a forced broadcast hint nor knock the refresh off the
+    incremental path."""
+
+    def _mk(self, engine):
+        engine.query(
+            "create table fact as select 1 as k, 10 as v "
+            "union all select 2, 20"
+        )
+        engine.query(
+            "create table dims as select 1 as k, 'x' as tag "
+            "union all select 2, 'y'"
+        )
+        engine.query(
+            "create dynamic table dt_big target_lag = '1 minute' as "
+            "select f.k as k, f.v as v, d.tag as tag "
+            "from fact f join dims d on f.k = d.k"
+        )
+
+    def test_large_delta_plan_has_no_forced_broadcast(self, engine):
+        spark = engine.spark
+        self._mk(engine)
+        engine.query(
+            "insert into fact select cast(id % 2 + 1 as int) as k, "
+            "cast(id as int) as v from range(50000)"
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # force 'over the bound' without a GB-sized fixture
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", "1KB"
+            )
+            meta = engine.store.dynamic_tables()["dt_big"]
+            delta = engine._dt_incremental_join(meta)
+            assert delta is not None  # still the incremental path
+            plan = (
+                delta._jdf.queryExecution().analyzed().toString()
+            )
+            assert "ResolvedHint" not in plan
+            engine.query("alter dynamic table dt_big refresh")
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        hist = engine.store.dt_refresh_history()
+        assert hist[-1]["mode"] == "incremental"
+        assert (
+            engine.query(
+                "select count(*) as n from dt_big"
+            ).collect()[0]["n"]
+            == 50002
+        )
+
+    def test_small_delta_still_broadcasts(self, engine):
+        self._mk(engine)
+        engine.query("insert into fact select 2 as k, 99 as v")
+        meta = engine.store.dynamic_tables()["dt_big"]
+        delta = engine._dt_incremental_join(meta)
+        plan = delta._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan
+
+
+class TestUpsertBeyondKeyCap:
+    """VERDICT r14 #2: >100k changed keys in one CHANGES window still
+    maintains incrementally (the delete is a distributed semi-join,
+    not a driver IN-list)."""
+
+    def test_120k_changed_keys_stay_incremental(self, engine):
+        engine.query(
+            "create table src as select cast(id as int) as id, "
+            "cast(id * 2 as int) as v from range(150000)"
+        )
+        engine.query("alter table src add primary key (id)")
+        engine.query(
+            "create dynamic table dt_wide target_lag = '1 minute' as "
+            "select id, v + 1 as dv from src where v >= 0"
+        )
+        engine.query("update src set v = v + 10 where id < 120000")
+        engine.query("alter dynamic table dt_wide refresh")
+        assert (
+            engine.store.dt_refresh_history()[-1]["mode"]
+            == "incremental"
+        )
+        got = engine.query(
+            "select cast(count(*) as bigint) as n, "
+            "cast(sum(dv) as bigint) as s from dt_wide"
+        ).collect()[0]
+        want = engine.query(
+            "select cast(count(*) as bigint) as n, "
+            "cast(sum(v + 1) as bigint) as s from src where v >= 0"
+        ).collect()[0]
+        assert (got["n"], got["s"]) == (want["n"], want["s"])
+
+    def test_composite_key_semi_join_delete(self, engine):
+        # composite PKs were capped at 5k under the OR-tree; the
+        # semi-join form has no per-key plan leaves at all
+        engine.query(
+            "create table src2 as select cast(id % 100 as int) as a, "
+            "cast(id as int) as b, cast(id as int) as v "
+            "from range(20000)"
+        )
+        engine.query("alter table src2 add primary key (a, b)")
+        engine.query(
+            "create dynamic table dt_comp target_lag = '1 minute' as "
+            "select a, b, v * 2 as dv from src2"
+        )
+        engine.query("update src2 set v = v + 1 where b < 10000")
+        engine.query("alter dynamic table dt_comp refresh")
+        assert (
+            engine.store.dt_refresh_history()[-1]["mode"]
+            == "incremental"
+        )
+        got = engine.query(
+            "select cast(sum(dv) as bigint) as s, "
+            "cast(count(*) as bigint) as n from dt_comp"
+        ).collect()[0]
+        want = engine.query(
+            "select cast(sum(v * 2) as bigint) as s, "
+            "cast(count(*) as bigint) as n from src2"
+        ).collect()[0]
+        assert (got["s"], got["n"]) == (want["s"], want["n"])
+
+    def test_delete_where_using_requires_on(self, engine, spark):
+        engine.query("create table t1 as select 1 as id")
+        with pytest.raises(ValueError, match="using requires on"):
+            engine.store.delete_where(
+                spark, "t1", using=spark.range(1)
+            )
+        with pytest.raises(ValueError, match="exactly one"):
+            engine.store.delete_where(spark, "t1")
