@@ -49,36 +49,24 @@ _STALE_PRIORITY = ["dedup_embedding_cosine", "dedup_embedding_lsh"]
 # Prune when the next CORRECTNESS record lands (judge r6 #9: the r6
 # list was pruned once CORRECTNESS_r06 recorded every entry green).
 _RECHECK_PRIORITY = [
-    # (r13 list pruned: CORRECTNESS_r13 recorded every listed entry
-    # green — per policy, green rows drop off.)
-    # r14: new surface — forward ASOF JOIN over subquery operands, MR
-    # DEFINEs with SQL predicates (LIKE/IN offloaded to Spark SQL
-    # columns) and running aggregates (COUNT(C.*) caps), REGEXP_INSTR
-    # occurrence/option/group forms, dynamic-table incremental JOIN
-    # and keyed-upsert maintenance.
+    # (r14 list pruned: CORRECTNESS_r14 recorded every listed entry
+    # green — per policy, green rows drop off. New r15 entries —
+    # orders_dynamic_table_join3, orders_dynamic_table_join_agg —
+    # lead automatically as never-checked.)
+    # r15: materially changed implementations re-earn their rows —
+    # the ASOF operand masker and alias re-qualification were
+    # rewritten (quote masking inside paren bodies, scope-aware
+    # substitution), REGEXP_INSTR's capture counting became
+    # class-aware and runtime-pattern occurrence>1 now raises, the
+    # DT join path generalized to N-base chains with size-gated
+    # broadcasts, and keyed-upsert deletes became semi-joins.
+    "events_asof_sql_join",
     "events_asof_next_error",
-    "events_mr_predicate_defines",
-    "events_mr_bounded_burst",
     "orders_regexp_instr_forms",
+    "orders_dialect_wave3",
     "orders_dynamic_table_join",
     "orders_dynamic_table_upsert",
-    "orders_percentile_within_group",
-    "events_mr_unmatched_rows",
-    "orders_lambda_functions",
-    # r14: materially changed implementations re-earn their rows —
-    # the asof SQL resolver was rewritten (masked-operand parser,
-    # alias re-qualification), WITHIN GROUP gained multi-key ORDER BY
-    # (this oracle grew a lst2 column), the REGEXP_INSTR rewrite was
-    # rebuilt, the matcher gained sql_defines/aggregate plumbing, and
-    # the dynamic-table refresh flow gained two incremental paths.
-    "events_asof_sql_join",
-    "orders_within_group_aggs",
-    "orders_dialect_wave3",
     "orders_dynamic_table",
-    "events_mr_cross_define",
-    "events_mr_desc_runs",
-    "events_value_vshape",
-    "events_error_bursts",
 ]
 
 

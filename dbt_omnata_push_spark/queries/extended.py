@@ -4613,6 +4613,212 @@ def orders_dynamic_table_upsert(
 
 
 @query(
+    "orders_dynamic_table_join3",
+    oracle="""
+    WITH a0 AS (
+        SELECT o_orderkey,
+               (o_custkey % 10) AS ck,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderkey % 31 = 0
+    ),
+    a1 AS (
+        SELECT -o_orderkey AS o_orderkey, ck, cents
+        FROM a0 WHERE o_orderkey % 5 = 0
+    ),
+    a2 AS (
+        SELECT CAST(9000001 AS BIGINT) AS o_orderkey,
+               99 AS ck, CAST(123 AS BIGINT) AS cents
+    ),
+    a_all AS (
+        SELECT * FROM a0 UNION ALL SELECT * FROM a1
+        UNION ALL SELECT * FROM a2
+    ),
+    b_all AS (
+        SELECT DISTINCT ck, 'B' || CAST(ck AS VARCHAR) AS tag
+        FROM a0
+        UNION ALL SELECT 99, 'B99'
+    ),
+    c_all AS (
+        SELECT tag, CAST(length(tag) * 10 AS BIGINT) AS boost
+        FROM b_all
+    )
+    SELECT a.o_orderkey AS okey, a.cents AS cents,
+           c.boost AS boost, CAST(2 AS BIGINT) AS incs
+    FROM a_all a JOIN b_all b ON a.ck = b.ck
+    JOIN c_all c ON b.tag = c.tag
+    """,
+    tags=("engine", "dml", "dynamic_table"),
+)
+def orders_dynamic_table_join3(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance for a THREE-base join chain (r15,
+    VERDICT r14 #4, engine/dag.py::_dt_join_delta_legs): the
+    append-only expansion telescopes into one delta-sized leg per
+    changed base — ΔA⋈B⋈C ∪ A_old⋈ΔB⋈C ∪ A_old⋈B_old⋈ΔC — earlier
+    bases anchored by time travel, later bases current, delta sides
+    size-gated broadcast. Window 1 appends to the fact only; window 2
+    appends to ALL THREE bases (the ΔA⋈ΔB⋈ΔC triple overlap must
+    appear exactly once). incs counts REFRESH_HISTORY rows with
+    mode='incremental' — both refreshes must stay incremental."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-dj3-")))
+    engine.seed(
+        "ord_jsrc3",
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 31 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+    )
+    engine.query(
+        "create table ord_a3 as select o_orderkey, "
+        "o_custkey % 10 as ck, "
+        "cast(floor(o_totalprice * 100 + 0.5) as bigint) as cents "
+        "from ord_jsrc3"
+    )
+    engine.query(
+        "create table ord_b3 as select distinct ck, "
+        "'B' || cast(ck as string) as tag from ord_a3"
+    )
+    engine.query(
+        "create table ord_c3 as select tag, "
+        "cast(length(tag) * 10 as bigint) as boost from ord_b3"
+    )
+    engine.query(
+        "create dynamic table dt_join3 target_lag = '1 minute' as "
+        "select a.o_orderkey as okey, a.cents as cents, "
+        "c.boost as boost from ord_a3 a "
+        "join ord_b3 b on a.ck = b.ck "
+        "join ord_c3 c on b.tag = c.tag"
+    )
+    engine.query(
+        "insert into ord_a3 select -o_orderkey, ck, cents "
+        "from ord_a3 where o_orderkey % 5 = 0"
+    )
+    engine.query("alter dynamic table dt_join3 refresh")  # ΔA only
+    engine.query(
+        "insert into ord_a3 select cast(9000001 as bigint), 99, "
+        "cast(123 as bigint)"
+    )
+    engine.query("insert into ord_b3 select 99, 'B99'")
+    engine.query(
+        "insert into ord_c3 select 'B99', cast(30 as bigint)"
+    )
+    engine.query("alter dynamic table dt_join3 refresh")  # all legs
+    return engine.query(
+        "select okey, cents, boost, "
+        "(select cast(count(*) as bigint) "
+        " from table(information_schema.dynamic_table_refresh_history())"
+        " where mode = 'incremental') as incs "
+        "from dt_join3"
+    )
+
+
+@query(
+    "orders_dynamic_table_join_agg",
+    oracle="""
+    WITH a0 AS (
+        SELECT o_orderkey,
+               (o_custkey % 10) AS ck,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderkey % 31 = 0
+    ),
+    a1 AS (
+        SELECT -o_orderkey AS o_orderkey, ck, cents + 7 AS cents
+        FROM a0 WHERE o_orderkey % 5 = 0
+    ),
+    a2 AS (
+        SELECT CAST(9000001 AS BIGINT) AS o_orderkey,
+               99 AS ck, CAST(123 AS BIGINT) AS cents
+    ),
+    a_all AS (
+        SELECT * FROM a0 UNION ALL SELECT * FROM a1
+        UNION ALL SELECT * FROM a2
+    ),
+    b_all AS (
+        SELECT DISTINCT ck, 'B' || CAST(ck AS VARCHAR) AS tag
+        FROM a0
+        UNION ALL SELECT 99, 'B99'
+    )
+    SELECT b.tag AS tag,
+           CAST(sum(a.cents) AS BIGINT) AS scents,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(a.cents) AS BIGINT) AS lo,
+           CAST(max(a.cents) AS BIGINT) AS hi,
+           CAST(2 AS BIGINT) AS incs
+    FROM a_all a JOIN b_all b ON a.ck = b.ck
+    GROUP BY b.tag
+    """,
+    tags=("engine", "dml", "dynamic_table"),
+)
+def orders_dynamic_table_join_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The flagship fact⋈dim rollup dynamic table (r15, VERDICT r14
+    #3, engine/dag.py::_dt_incremental_join_agg): GROUP BY over an
+    inner equi-join maintains by running the defining query over each
+    append-only delta-join leg (the r14 join expansion) and
+    re-combining SUM/COUNT/MIN/MAX with the group-sized current
+    output — O(|DT| + delta joins), never a base rescan. Window 1
+    appends facts only; window 2 opens a NEW group on both sides.
+    incs counts REFRESH_HISTORY rows with mode='incremental_agg' —
+    both refreshes must take the combine path."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-dja-")))
+    engine.seed(
+        "ord_jsrca",
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 31 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+    )
+    engine.query(
+        "create table ord_aa as select o_orderkey, "
+        "o_custkey % 10 as ck, "
+        "cast(floor(o_totalprice * 100 + 0.5) as bigint) as cents "
+        "from ord_jsrca"
+    )
+    engine.query(
+        "create table ord_ba as select distinct ck, "
+        "'B' || cast(ck as string) as tag from ord_aa"
+    )
+    engine.query(
+        "create dynamic table dt_jagg target_lag = '1 minute' as "
+        "select b.tag as tag, cast(sum(a.cents) as bigint) as scents, "
+        "cast(count(*) as bigint) as n, "
+        "cast(min(a.cents) as bigint) as lo, "
+        "cast(max(a.cents) as bigint) as hi "
+        "from ord_aa a join ord_ba b on a.ck = b.ck group by b.tag"
+    )
+    engine.query(
+        "insert into ord_aa select -o_orderkey, ck, cents + 7 "
+        "from ord_aa where o_orderkey % 5 = 0"
+    )
+    engine.query("alter dynamic table dt_jagg refresh")  # fact leg
+    engine.query(
+        "insert into ord_aa select cast(9000001 as bigint), 99, "
+        "cast(123 as bigint)"
+    )
+    engine.query("insert into ord_ba select 99, 'B99'")
+    engine.query("alter dynamic table dt_jagg refresh")  # new group
+    return engine.query(
+        "select tag, scents, n, lo, hi, "
+        "(select cast(count(*) as bigint) "
+        " from table(information_schema.dynamic_table_refresh_history())"
+        " where mode = 'incremental_agg') as incs "
+        "from dt_jagg"
+    )
+
+
+@query(
     "orders_percentile_within_group",
     oracle="""
     SELECT o_orderstatus AS grp,

@@ -198,6 +198,180 @@ class TestUpsertBeyondKeyCap:
         ).collect()[0]
         assert (got["s"], got["n"]) == (want["s"], want["n"])
 
+class TestMultiJoinChainIncremental:
+    """VERDICT r14 #4: Δ(A⋈B⋈C) = ΔA⋈B⋈C ∪ A_old⋈ΔB⋈C ∪
+    A_old⋈B_old⋈ΔC — one delta-sized leg per changed base, earlier
+    bases anchored via time travel, later bases current."""
+
+    def _mk(self, engine):
+        engine.query(
+            "create table f3 as select 1 as k, 10 as v "
+            "union all select 2, 20"
+        )
+        engine.query(
+            "create table d3 as select 1 as k, 'x' as tag "
+            "union all select 2, 'y'"
+        )
+        engine.query(
+            "create table c3 as select 'x' as tag, 100 as w "
+            "union all select 'y', 200"
+        )
+        engine.query(
+            "create dynamic table dt3 target_lag = '1 minute' as "
+            "select f.k as k, f.v as v, c.w as w from f3 f "
+            "join d3 d on f.k = d.k join c3 c on d.tag = c.tag"
+        )
+
+    def _mode(self, engine):
+        return engine.store.dt_refresh_history()[-1]["mode"]
+
+    def _full(self, engine):
+        return sorted(
+            tuple(r)
+            for r in engine.query(
+                "select f.k as k, f.v as v, c.w as w from f3 f "
+                "join d3 d on f.k = d.k join c3 c on d.tag = c.tag"
+            ).collect()
+        )
+
+    def _dt(self, engine):
+        return sorted(
+            tuple(r)
+            for r in engine.query("select * from dt3").collect()
+        )
+
+    def test_single_base_delta(self, engine):
+        self._mk(engine)
+        engine.query("insert into f3 select 2, 22")
+        engine.query("alter dynamic table dt3 refresh")
+        assert self._mode(engine) == "incremental"
+        assert self._dt(engine) == self._full(engine)
+
+    def test_all_three_bases_change_no_double_count(self, engine):
+        # new fact x new dim x new cat rows cross all three deltas —
+        # the telescoping legs must count each output row exactly once
+        self._mk(engine)
+        engine.query("insert into f3 select 3, 33")
+        engine.query("insert into d3 select 3, 'z'")
+        engine.query("insert into c3 select 'z', 300")
+        engine.query("alter dynamic table dt3 refresh")
+        assert self._mode(engine) == "incremental"
+        rows = self._dt(engine)
+        assert rows.count((3, 33, 300)) == 1
+        assert rows == self._full(engine)
+
+    def test_middle_base_only(self, engine):
+        self._mk(engine)
+        engine.query("insert into f3 select 3, 30")
+        engine.query("alter dynamic table dt3 refresh")
+        engine.query("insert into d3 select 3, 'y'")
+        engine.query("alter dynamic table dt3 refresh")
+        assert self._mode(engine) == "incremental"
+        assert self._dt(engine) == self._full(engine)
+
+    def test_update_on_any_base_refuses_to_full(self, engine):
+        self._mk(engine)
+        engine.query("update d3 set tag = 'y' where k = 1")
+        engine.query("alter dynamic table dt3 refresh")
+        assert self._mode(engine) == "full"
+        assert self._dt(engine) == self._full(engine)
+
+
+class TestJoinAggIncremental:
+    """VERDICT r14 #3: the fact⋈dim rollup — GROUP BY over an inner
+    equi-join maintains by aggregating each delta-join leg through
+    the defining query and re-combining with the group-sized current
+    output."""
+
+    def _mk(self, engine):
+        engine.query(
+            "create table fga as select 1 as k, 10 as v "
+            "union all select 2, 20 union all select 2, 22"
+        )
+        engine.query(
+            "create table dga as select 1 as k, 'x' as tag "
+            "union all select 2, 'y'"
+        )
+        engine.query(
+            "create dynamic table dt_ja target_lag = '1 minute' as "
+            "select d.tag as tag, cast(sum(f.v) as bigint) as s, "
+            "cast(count(*) as bigint) as n, min(f.v) as lo, "
+            "max(f.v) as hi "
+            "from fga f join dga d on f.k = d.k group by d.tag"
+        )
+
+    def _mode(self, engine):
+        return engine.store.dt_refresh_history()[-1]["mode"]
+
+    def _check(self, engine):
+        got = sorted(
+            tuple(r)
+            for r in engine.query("select * from dt_ja").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in engine.query(
+                "select d.tag as tag, cast(sum(f.v) as bigint) as s, "
+                "cast(count(*) as bigint) as n, min(f.v) as lo, "
+                "max(f.v) as hi "
+                "from fga f join dga d on f.k = d.k group by d.tag"
+            ).collect()
+        )
+        assert got == want
+
+    def test_fact_delta_recombines(self, engine):
+        self._mk(engine)
+        engine.query("insert into fga select 1, 5")
+        engine.query("alter dynamic table dt_ja refresh")
+        assert self._mode(engine) == "incremental_agg"
+        self._check(engine)
+
+    def test_both_sides_new_group(self, engine):
+        self._mk(engine)
+        engine.query("insert into fga select 3, 30")
+        engine.query("insert into dga select 3, 'z'")
+        engine.query("alter dynamic table dt_ja refresh")
+        assert self._mode(engine) == "incremental_agg"
+        self._check(engine)
+
+    def test_where_composes(self, engine):
+        engine.query(
+            "create table fgw as select 1 as k, 10 as v "
+            "union all select 2, 20"
+        )
+        engine.query(
+            "create table dgw as select 1 as k, 'x' as tag "
+            "union all select 2, 'y'"
+        )
+        engine.query(
+            "create dynamic table dt_jw target_lag = '1 minute' as "
+            "select d.tag as tag, cast(sum(f.v) as bigint) as s "
+            "from fgw f join dgw d on f.k = d.k "
+            "where f.v >= 15 group by d.tag"
+        )
+        engine.query("insert into fgw select 1, 100")
+        engine.query("insert into fgw select 2, 3")  # filtered out
+        engine.query("alter dynamic table dt_jw refresh")
+        assert self._mode(engine) == "incremental_agg"
+        got = sorted(
+            tuple(r)
+            for r in engine.query("select * from dt_jw").collect()
+        )
+        assert got == [("x", 100), ("y", 20)]
+
+    def test_avg_refuses_to_full(self, engine):
+        self._mk(engine)
+        engine.query(
+            "create dynamic table dt_avg target_lag = '1 minute' as "
+            "select d.tag as tag, avg(f.v) as a "
+            "from fga f join dga d on f.k = d.k group by d.tag"
+        )
+        engine.query("insert into fga select 1, 7")
+        engine.query("alter dynamic table dt_avg refresh")
+        assert self._mode(engine) == "full"
+
+
+class TestDeleteWhereUsing:
     def test_delete_where_using_requires_on(self, engine, spark):
         engine.query("create table t1 as select 1 as id")
         with pytest.raises(ValueError, match="using requires on"):
