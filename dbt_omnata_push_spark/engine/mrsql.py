@@ -200,10 +200,97 @@ def _mask_case_spans(t: str) -> tuple[str, dict[str, str]]:
         t = t[: m.start()] + ph + t[i:]
 
 
+def _parse_in_subquery(
+    term: str,
+) -> tuple[str, bool, str] | None:
+    """``<lhs> [NOT] IN (SELECT ...)`` -> (lhs, negated, subquery
+    SQL), or None when the term is not exactly that shape (lhs with
+    navigation tokens, trailing predicates after the subquery's
+    close, multi-select lhs)."""
+    t = term.strip()
+    m = re.search(r"(?is)\b(not\s+)?in\s*(\()\s*select\b", t)
+    if not m:
+        return None
+    try:
+        if _scan_balanced(t, m.start(2)) != len(t):
+            return None  # something follows the subquery's close
+    except ValueError:
+        return None
+    lhs = t[: m.start()].strip()
+    sub_sql = t[m.start(2) + 1 : len(t) - 1].strip()
+    if not lhs or re.search(r"(?is)\bselect\b", lhs):
+        return None
+    # navigation/aggregate tokens in either part: the lhs evaluates
+    # on the raw frame and the subquery through the engine — neither
+    # can see match state
+    nav = (
+        r"(?i)\b(?:prev|next)\d*_[A-Za-z_]"
+        r"|\b(?:prev|next)\s*\("
+        r"|__mr(?:first|last|count|sum|avg|min|max|case|btwand)"
+    )
+    if re.search(nav, lhs) or re.search(nav, sub_sql):
+        return None
+    return lhs, bool(m.group(1)), sub_sql
+
+
+def _apply_subquery_defines(
+    engine, df, subq: dict[str, str]
+) -> tuple:
+    """Pre-evaluate each ``<expr> [NOT] IN (SELECT ...)`` DEFINE term
+    (r15, VERDICT r14 #6) as a boolean column on the matcher's input:
+    the subquery runs through the ENGINE (full dialect + store
+    views), its distinct values LEFT-join against the source rows
+    (size-gated broadcast — never a collected IN-list, never a
+    per-row probe), and the matcher just reads the bit. SQL
+    three-valued semantics fold to the matcher's TRUE/not-TRUE:
+    a NULL lhs, or a NOT IN against a set containing NULL, yields
+    NULL in SQL — which never matches, i.e. false here."""
+    from pyspark.sql import functions as F
+
+    from ..ops.partitioning import maybe_broadcast
+
+    hidden: list[str] = []
+    for ph, term in subq.items():
+        lhs, neg, sub_sql = _parse_in_subquery(term)
+        sub = engine.query(sub_sql)
+        if len(sub.columns) != 1:
+            raise ValueError(
+                "MATCH_RECOGNIZE DEFINE IN-subquery must return "
+                f"exactly one column: {sub_sql!r}"
+            )
+        vals = sub.select(
+            F.col(sub.columns[0]).alias("__mrsubv")
+        ).distinct()
+        has_null = (
+            vals.filter(F.col("__mrsubv").isNull()).limit(1).count()
+            > 0
+        )
+        flag = vals.filter(F.col("__mrsubv").isNotNull()).withColumn(
+            "__mrsubf", F.lit(True)
+        )
+        lhs_col = F.expr(lhs)
+        matched = F.coalesce(F.col("__mrsubf"), F.lit(False))
+        df = df.join(
+            maybe_broadcast(flag),
+            lhs_col == F.col("__mrsubv"),
+            "left",
+        )
+        if neg:
+            expr = F.when(matched, F.lit(False)).otherwise(
+                lhs_col.isNotNull() & F.lit(not has_null)
+            )
+        else:
+            expr = matched
+        df = df.withColumn(ph, expr).drop("__mrsubv", "__mrsubf")
+        hidden.append(ph)
+    return df, hidden
+
+
 def _cond_to_pandas(
     cond: str,
     sql_terms: dict[str, str] | None = None,
     symbols: set[str] | None = None,
+    subq_terms: dict[str, str] | None = None,
 ) -> str:
     """Translate a DEFINE condition from the reference dialect to the
     operator's pandas-eval dialect. Leaf terms carrying SQL-surface
@@ -338,13 +425,19 @@ def _cond_to_pandas(
         return t
 
     def bool_tree(t: str) -> str:
+        t = t.strip()
+        # fully-wrapping parens strip and recurse (r15, VERDICT r14
+        # #5): "(PREV(price) > 0 AND state LIKE 'err%')" decomposes
+        # into a navigation term for the NFA and an SQL-offloaded
+        # term, instead of raising as one mixed leaf
+        while t.startswith("(") and _scan_balanced(t, 0) == len(t):
+            t = t[1:-1].strip()
         ors = _split_top_keyword(t, "or")
         if len(ors) > 1:
             return " | ".join(f"({bool_tree(p)})" for p in ors)
         ands = _split_top_keyword(t, "and")
         if len(ands) > 1:
             return " & ".join(f"({bool_tree(p)})" for p in ands)
-        t = t.strip()
         m = re.match(r"(?is)^not\b(.+)$", t)
         if m:
             return f"~({bool_tree(m.group(1))})"
@@ -358,9 +451,22 @@ def _cond_to_pandas(
             r"(?is)\b(case|in|like|ilike|rlike|between|is)\b", restored
         ):
             if re.search(r"(?is)\bselect\b", restored):
+                # `<expr> [NOT] IN (SELECT ...)` (r15, VERDICT r14
+                # #6): recorded for pre-evaluation as a broadcast
+                # semi-join boolean column before the matcher — the
+                # same offload seam as __mrsqlN__, but resolved by
+                # the ENGINE (the subquery needs store tables).
+                if (
+                    subq_terms is not None
+                    and _parse_in_subquery(restored) is not None
+                ):
+                    ph = f"__mrsubq{len(subq_terms)}__"
+                    subq_terms[ph] = restored
+                    return ph
                 raise ValueError(
                     "unsupported DEFINE condition for MATCH_RECOGNIZE: "
-                    f"{cond!r} (subqueries in DEFINE are not supported)"
+                    f"{cond!r} (only `<expr> [NOT] IN (SELECT ...)` "
+                    "subqueries are supported in DEFINE)"
                 )
             if re.search(
                 r"(?i)\b(?:prev|next)\d*_[A-Za-z_]"
@@ -479,6 +585,7 @@ def _parse_body(body: str) -> dict:
         raise ValueError("MATCH_RECOGNIZE requires DEFINE ...")
     defines: dict[str, str] = {}
     sql_terms: dict[str, str] = {}
+    subq_terms: dict[str, str] = {}
     # two passes: bare SYM.col references can point at symbols defined
     # LATER in the clause, so collect every name first
     items = []
@@ -491,7 +598,7 @@ def _parse_body(body: str) -> dict:
         items.append((m.group(1), m.group(2)))
     sym_names = {n.lower() for n, _c in items}
     for n, c in items:
-        defines[n] = _cond_to_pandas(c, sql_terms, sym_names)
+        defines[n] = _cond_to_pandas(c, sql_terms, sym_names, subq_terms)
 
     return dict(
         partition_by=partition_by,
@@ -502,6 +609,7 @@ def _parse_body(body: str) -> dict:
         rows_per_match=rows_per_match,
         skip=skip,
         sql_defines=sql_terms,
+        subq_defines=subq_terms,
     )
 
 
@@ -531,7 +639,11 @@ def resolve_match_recognize(engine, sql: str) -> tuple[str, list[str]]:
 
         engine._register_views()
         df = engine.spark.table(m.group(1).rsplit(".", 1)[-1])
-        res = match_recognize(df, **spec)
+        subq = spec.pop("subq_defines", None) or {}
+        hidden: list[str] = []
+        if subq:
+            df, hidden = _apply_subquery_defines(engine, df, subq)
+        res = match_recognize(df, hidden_cols=hidden or None, **spec)
         view = f"__mr_{next(_MR_VIEW_SEQ)}"
         res.createOrReplaceTempView(view)
         views.append(view)

@@ -444,6 +444,7 @@ def match_recognize(
     skip: str | tuple[str, str] = "past_last",
     buckets: int | None = None,
     sql_defines: dict[str, str] | None = None,
+    hidden_cols: list[str] | None = None,
 ) -> DataFrame:
     """See module docstring for the supported subset. ``buckets``
     controls how many partition keys share one Arrow batch (r11):
@@ -495,7 +496,14 @@ def match_recognize(
     # reads the bit. NULL results coalesce to false (a DEFINE condition
     # that is not TRUE does not match, like SQL WHERE). The helper
     # columns never appear on the output schema.
-    orig_schema = df.schema
+    # hidden_cols (r15): caller-prepared helper columns (e.g. the
+    # engine's pre-joined IN-subquery flags) that the defines read but
+    # the output schema must not carry — same contract as the
+    # __mrsqlN__ columns added below.
+    _hide = set(hidden_cols or ())
+    orig_schema = T.StructType(
+        [f for f in df.schema.fields if f.name not in _hide]
+    )
     for ph, term in (sql_defines or {}).items():
         df = df.withColumn(ph, F.expr(f"coalesce(({term}), false)"))
 

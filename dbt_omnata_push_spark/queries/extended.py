@@ -4328,6 +4328,149 @@ def events_mr_predicate_defines(
 
 
 @query(
+    "events_mr_mixed_term",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, event_id, value, event_type,
+               LAG(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pv
+        FROM events WHERE user_id % 20 = 5
+    ),
+    ev2 AS (
+        SELECT *,
+               COALESCE(value > pv AND event_type LIKE 'err%',
+                        FALSE) AS m
+        FROM ev
+    ),
+    marked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id, m
+                                  ORDER BY ts, event_id) AS rnm
+        FROM ev2
+    )
+    SELECT user_id,
+           CAST(MIN(event_id) AS BIGINT) AS s_id,
+           CAST(MAX(event_id) AS BIGINT) AS e_id,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM marked WHERE m
+    GROUP BY user_id, rn - rnm
+    """,
+    tags=("engine", "matchrec", "sqlfront"),
+)
+def events_mr_mixed_term(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MATCH_RECOGNIZE DEFINE mixing NAVIGATION and an SQL-surface
+    predicate in ONE parenthesized term (r15, VERDICT r14 #5,
+    engine/mrsql.py): the boolean tree strips fully-wrapping parens
+    and recurses, so `(value > PREV(value) AND event_type LIKE
+    'err%')` decomposes — the PREV comparison stays in the vectorized
+    matcher pre-pass and the LIKE offloads to a JVM-side Spark SQL
+    boolean column. Maximal rising-error runs per user; the oracle is
+    the gaps-and-islands formulation over LAG."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-mx-")))
+    engine.seed(
+        "ev_mx",
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 5)
+        .select("user_id", "ts", "event_id", "value", "event_type"),
+    )
+    return engine.query(
+        """
+        select user_id, s_id, e_id, n from ev_mx match_recognize (
+            partition by user_id order by ts, event_id
+            measures first(event_id) as s_id,
+                     last(event_id) as e_id,
+                     count(*) as n
+            pattern (R+)
+            define R as (value > prev(value)
+                         and event_type like 'err%')
+        )
+        """
+    )
+
+
+@query(
+    "events_mr_in_subquery",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, event_id, value, event_type
+        FROM events WHERE user_id % 20 = 9
+    ),
+    ev2 AS (
+        SELECT *,
+               event_type IN (SELECT DISTINCT event_type FROM ev
+                              WHERE event_type LIKE 'p%')
+               AND value > 2.0 AS m
+        FROM ev
+    ),
+    marked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id, m
+                                  ORDER BY ts, event_id) AS rnm
+        FROM ev2
+    )
+    SELECT user_id,
+           CAST(MIN(event_id) AS BIGINT) AS s_id,
+           CAST(MAX(event_id) AS BIGINT) AS e_id,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM marked WHERE m
+    GROUP BY user_id, rn - rnm
+    """,
+    tags=("engine", "matchrec", "sqlfront"),
+)
+def events_mr_in_subquery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MATCH_RECOGNIZE DEFINE with an IN-subquery (r15, VERDICT r14
+    #6, engine/mrsql.py::_apply_subquery_defines): `event_type IN
+    (SELECT ...)` pre-evaluates through the ENGINE as a size-gated
+    broadcast left join producing a boolean flag column BEFORE the
+    matcher — never a collected IN-list, never a per-row probe — and
+    composes with a plain comparison via AND. Maximal runs of
+    high-value purchase-ish events per user; the oracle runs the same
+    IN-subquery natively in DuckDB."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-ms-")))
+    engine.seed(
+        "ev_is",
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 9)
+        .select("user_id", "ts", "event_id", "value", "event_type"),
+    )
+    engine.query(
+        "create table etypes as select distinct event_type as t "
+        "from ev_is where event_type like 'p%'"
+    )
+    return engine.query(
+        """
+        select user_id, s_id, e_id, n from ev_is match_recognize (
+            partition by user_id order by ts, event_id
+            measures first(event_id) as s_id,
+                     last(event_id) as e_id,
+                     count(*) as n
+            pattern (E+)
+            define E as event_type in (select t from etypes)
+                        and value > 2.0
+        )
+        """
+    )
+
+
+@query(
     "events_mr_bounded_burst",
     oracle="""
     WITH numbered AS (

@@ -371,6 +371,147 @@ class TestJoinAggIncremental:
         assert self._mode(engine) == "full"
 
 
+class TestMrDefineParenMix:
+    """VERDICT r14 #5: a parenthesized DEFINE term mixing navigation
+    and SQL-offload predicates decomposes (paren-strip recursion in
+    the boolean tree) instead of raising as one mixed leaf."""
+
+    @pytest.fixture()
+    def mr_engine(self, spark, tmp_path):
+        eng = Engine(spark, TableStore(str(tmp_path / "mr")))
+        eng.query(
+            "create table tk as "
+            "select 1 as id, 1 as seq, cast(10.0 as double) as price, 'ok' as state "
+            "union all select 1, 2, cast(12.0 as double), 'err1' "
+            "union all select 1, 3, cast(15.0 as double), 'err2' "
+            "union all select 1, 4, cast(9.0 as double), 'ok'"
+        )
+        eng.query(
+            "create table errstates as select 'err1' as s "
+            "union all select 'err2' union all select null"
+        )
+        return eng
+
+    def _mr(self, eng, cond):
+        return eng.query(
+            "select * from tk match_recognize ("
+            "partition by id order by seq "
+            "measures count(*) as cnt "
+            "one row per match "
+            f"pattern (B+) define B as {cond})"
+        ).collect()
+
+    def test_paren_nav_and_like_one_term(self, mr_engine):
+        rows = self._mr(
+            mr_engine,
+            "(price > prev(price) and state like 'err%')",
+        )
+        assert [r.cnt for r in rows] == [2]
+
+    def test_double_parens(self, mr_engine):
+        rows = self._mr(
+            mr_engine,
+            "((price > prev(price) and state like 'err%'))",
+        )
+        assert [r.cnt for r in rows] == [2]
+
+    def test_paren_group_does_not_strip_partial(self, mr_engine):
+        # leading paren that does NOT wrap the whole term
+        rows = self._mr(
+            mr_engine, "(price - 1.0) > 8.0 and state like 'err%'"
+        )
+        assert [r.cnt for r in rows] == [2]
+
+
+class TestMrDefineInSubquery:
+    """VERDICT r14 #6: `<expr> [NOT] IN (SELECT ...)` DEFINE terms
+    pre-evaluate as broadcast-joined boolean columns through the
+    engine, with SQL three-valued semantics folded to the matcher's
+    TRUE/not-TRUE."""
+
+    @pytest.fixture()
+    def mr_engine(self, spark, tmp_path):
+        eng = Engine(spark, TableStore(str(tmp_path / "mr2")))
+        eng.query(
+            "create table tk as "
+            "select 1 as id, 1 as seq, cast(10.0 as double) as price, 'ok' as state "
+            "union all select 1, 2, cast(12.0 as double), 'err1' "
+            "union all select 1, 3, cast(15.0 as double), 'err2' "
+            "union all select 1, 4, cast(9.0 as double), 'ok'"
+        )
+        eng.query(
+            "create table errstates as select 'err1' as s "
+            "union all select 'err2' union all select null"
+        )
+        return eng
+
+    def _mr(self, eng, cond, measures="count(*) as cnt"):
+        return eng.query(
+            "select * from tk match_recognize ("
+            "partition by id order by seq "
+            f"measures {measures} "
+            "one row per match "
+            f"pattern (B+) define B as {cond})"
+        ).collect()
+
+    def test_in_subquery(self, mr_engine):
+        rows = self._mr(
+            mr_engine,
+            "state in (select s from errstates where s is not null)",
+        )
+        assert [r.cnt for r in rows] == [2]
+
+    def test_in_subquery_null_in_set_is_ignored(self, mr_engine):
+        rows = self._mr(
+            mr_engine, "state in (select s from errstates)"
+        )
+        assert [r.cnt for r in rows] == [2]
+
+    def test_not_in_null_set_never_matches(self, mr_engine):
+        # SQL: x NOT IN (set containing NULL) is never TRUE
+        rows = self._mr(
+            mr_engine, "state not in (select s from errstates)"
+        )
+        assert rows == []
+
+    def test_not_in_clean_set(self, mr_engine):
+        rows = self._mr(
+            mr_engine,
+            "state not in "
+            "(select s from errstates where s is not null)",
+        )
+        assert sorted(r.cnt for r in rows) == [1, 1]
+
+    def test_subquery_and_navigation_compose(self, mr_engine):
+        rows = self._mr(
+            mr_engine,
+            "state in (select s from errstates) "
+            "and price > prev(price)",
+        )
+        assert [r.cnt for r in rows] == [2]
+
+    def test_all_rows_does_not_leak_flag_column(self, mr_engine):
+        out = mr_engine.query(
+            "select * from tk match_recognize ("
+            "partition by id order by seq "
+            "measures classifier() as cls "
+            "all rows per match "
+            "pattern (B+) define B as state in "
+            "(select s from errstates where s is not null))"
+        )
+        assert out.columns == ["id", "seq", "price", "state", "cls"]
+        assert out.count() == 2
+
+    def test_nav_lhs_subquery_still_raises(self, mr_engine):
+        # navigation on the IN's left side cannot pre-evaluate on the
+        # raw frame — must refuse, never mis-evaluate
+        with pytest.raises(ValueError, match="IN \\(SELECT"):
+            self._mr(
+                mr_engine,
+                "prev(state) in (select s from errstates)",
+            )
+
+
 class TestDeleteWhereUsing:
     def test_delete_where_using_requires_on(self, engine, spark):
         engine.query("create table t1 as select 1 as id")
