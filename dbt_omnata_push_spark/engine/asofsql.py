@@ -213,13 +213,10 @@ def _materialize_ctes(engine, sql: str) -> tuple[str, list[str]]:
     can read earlier ones), then return the statement with the WITH
     prefix stripped. The views are statement-scoped — the caller drops
     them after analysis."""
-    m = re.match(r"(?is)\s*with\s+", sql)
+    m = re.match(r"(?is)\s*with\s+(recursive\s+)?", sql)
     if not m:
         return sql, []
-    if re.match(r"(?is)\s*with\s+recursive\b", sql):
-        raise ValueError(
-            "WITH RECURSIVE cannot feed an ASOF JOIN operand"
-        )
+    recursive = bool(m.group(1))
     views: list[str] = []
     pos = m.end()
     while True:
@@ -232,7 +229,24 @@ def _materialize_ctes(engine, sql: str) -> tuple[str, list[str]]:
         name = cm.group(1)
         end = _scan_balanced(sql, cm.end() - 1)
         body = sql[cm.end() : end - 1]
-        engine.query(body).createOrReplaceTempView(name)
+        if recursive and re.search(
+            rf"(?is)\b{re.escape(name)}\b", _mask_literals(body)
+        ):
+            # A self-referencing CTE (r15, VERDICT r14 #8):
+            # materialize through Spark's native WITH RECURSIVE
+            # (SPARK-24497 — the same frontier-join execution the
+            # engine's CONNECT BY rewrite compiles to), then the
+            # fixed point feeds the ASOF operand as a plain view.
+            # Mutual recursion across CTEs is not expressible here
+            # (each body sees only EARLIER names as views) and fails
+            # loudly in analysis rather than silently mis-binding.
+            res = engine.query(
+                f"WITH RECURSIVE {name} AS ({body}) "
+                f"SELECT * FROM {name}"
+            )
+        else:
+            res = engine.query(body)
+        res.createOrReplaceTempView(name)
         views.append(name)
         nxt = re.match(r"(?is)\s*,", sql[end:])
         if nxt:

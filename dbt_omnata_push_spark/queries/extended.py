@@ -468,6 +468,42 @@ def events_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "events_approx_distinct_rollup_exact",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_distinct
+    FROM events GROUP BY event_type
+    """,
+    tags=("ops", "sketch", "approx"),
+)
+def events_approx_distinct_rollup_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conditional-exact companion of events_approx_distinct_rollup
+    (r15, VERDICT r14 #7 — the pattern the LSH/IVF companions
+    proved): the SAME production two-level sketch rollup — per
+    (event_type, day) HLL build, union-merge to per-type — run at
+    lg_k=21, where the DataSketches HLL stays in exact coupon mode
+    far beyond this table's per-type distinct-user cardinality, so
+    hll_sketch_estimate returns the exact distinct count and the
+    whole build→merge→estimate plumbing hash-checks against
+    COUNT(DISTINCT). Certifies sketch exchange/merge end-to-end; the
+    default-lg_k entry stays the documented approximate surface."""
+    from ..ops.sketches import approx_distinct_rollup
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = approx_distinct_rollup(
+        ev, ["event_type", "day"], ["event_type"], "user_id", lg_k=21
+    )
+    return out.select(
+        "event_type",
+        F.col("approx_distinct").cast("long").alias("approx_distinct"),
+    )
+
+
+@query(
     "orders_approx_quantiles",
     tags=("ops", "sketch", "approx"),
 )
@@ -480,6 +516,43 @@ def orders_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     od = load_table(spark, sf_dir, "orders")
     return approx_quantiles(od, "o_totalprice", [0.25, 0.5, 0.75, 0.95])
+
+
+@query(
+    "orders_approx_quantiles_exact",
+    oracle="""
+    SELECT CAST(0.25 AS DOUBLE) AS prob,
+           quantile_disc(o_totalprice, 0.25) AS value FROM orders
+    UNION ALL
+    SELECT CAST(0.5 AS DOUBLE),
+           quantile_disc(o_totalprice, 0.5) FROM orders
+    UNION ALL
+    SELECT CAST(0.75 AS DOUBLE),
+           quantile_disc(o_totalprice, 0.75) FROM orders
+    UNION ALL
+    SELECT CAST(0.95 AS DOUBLE),
+           quantile_disc(o_totalprice, 0.95) FROM orders
+    """,
+    tags=("ops", "sketch", "approx"),
+)
+def orders_approx_quantiles_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conditional-exact companion of orders_approx_quantiles (r15,
+    VERDICT r14 #7): the SAME Greenwald-Khanna percentile_approx
+    path with accuracy = 1e7 ≫ N, where the GK summary retains every
+    value (rank error < N/accuracy < 1), so the approximate operator
+    returns exactly the discrete quantiles and hash-checks against
+    DuckDB's quantile_disc. Certifies the summary build/merge and the
+    prob-zip/explode output shaping; the default-accuracy entry stays
+    the documented approximate surface."""
+    from ..ops.sketches import approx_quantiles
+
+    od = load_table(spark, sf_dir, "orders")
+    return approx_quantiles(
+        od, "o_totalprice", [0.25, 0.5, 0.75, 0.95],
+        accuracy=10_000_000,
+    )
 
 
 @query(
@@ -4094,6 +4167,98 @@ def customers_dialect_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and c_mktsegment like any ('%ING%', 'AUTO%') "
         "and c_name not like '%xyzzy%' "
         "group by all"
+    )
+
+
+@query(
+    "orders_asof_recursive_cte",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               (o_custkey % 10) AS ck,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+                   AS rn
+        FROM orders WHERE o_custkey % 50 = 7
+    ),
+    chain AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, ck, rn,
+               1 AS depth
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.o_custkey, b.o_orderkey, b.o_orderdate, b.ck,
+               b.rn, c.depth + 1
+        FROM chain c JOIN base b
+          ON b.o_custkey = c.o_custkey AND b.rn = c.rn + 1
+    ),
+    epochs AS (
+        SELECT DISTINCT (o_custkey % 10) AS ck,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                   AS qd
+        FROM orders WHERE o_custkey % 50 = 7
+    )
+    SELECT c.o_orderkey AS okey, CAST(c.depth AS BIGINT) AS depth,
+           e.qd AS qd
+    FROM chain c ASOF JOIN epochs e
+      ON c.ck = e.ck AND c.o_orderdate >= e.qd
+    """,
+    tags=("engine", "asof", "sqlfront"),
+)
+def orders_asof_recursive_cte(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WITH RECURSIVE feeding an ASOF JOIN operand (r15, VERDICT r14
+    #8, engine/asofsql.py::_materialize_ctes): a self-referencing CTE
+    materializes through Spark's native WITH RECURSIVE (SPARK-24497 —
+    depth rounds of frontier hash joins, the same execution the
+    engine's CONNECT BY compiles to), and the fixed point feeds the
+    keyed-window ASOF plan as a plain view. The chain walks each
+    customer's orders in date order (depth == rn proves the
+    recursion); each order ASOF-matches the latest month-start epoch
+    in its customer bucket. DuckDB runs the same recursive CTE and
+    its native ASOF JOIN as the oracle."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-ar-")))
+    engine.seed(
+        "ord_rsrc",
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 50 == 7)
+        .select("o_custkey", "o_orderkey", "o_orderdate"),
+    )
+    engine.query(
+        "create table ord_rcb as select o_custkey, o_orderkey, "
+        "o_orderdate, o_custkey % 10 as ck, "
+        "row_number() over (partition by o_custkey "
+        "order by o_orderdate, o_orderkey) as rn from ord_rsrc"
+    )
+    engine.query(
+        "create table ord_epochs as select distinct "
+        "o_custkey % 10 as ck, "
+        "cast(date_trunc('MONTH', o_orderdate) as timestamp_ntz) "
+        "as qd from ord_rsrc"
+    )
+    return engine.query(
+        """
+        with recursive chain as (
+            select o_custkey, o_orderkey, o_orderdate, ck, rn,
+                   1 as depth
+            from ord_rcb where rn = 1
+            union all
+            select b.o_custkey, b.o_orderkey, b.o_orderdate, b.ck,
+                   b.rn, c.depth + 1
+            from chain c join ord_rcb b
+              on b.o_custkey = c.o_custkey and b.rn = c.rn + 1
+        )
+        select c.o_orderkey as okey, cast(c.depth as bigint) as depth,
+               q.matched_qd as qd
+        from chain c asof join ord_epochs q
+             match_condition (c.o_orderdate >= q.qd)
+             on c.ck = q.ck
+        """
     )
 
 

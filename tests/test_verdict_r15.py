@@ -512,6 +512,73 @@ class TestMrDefineInSubquery:
             )
 
 
+class TestAsofRecursiveCte:
+    """VERDICT r14 #8: WITH RECURSIVE feeding an ASOF JOIN operand —
+    the self-referencing CTE materializes through Spark's native
+    WITH RECURSIVE, then the fixed point is a plain view to the ASOF
+    resolver."""
+
+    def test_recursive_cte_operand(self, engine):
+        engine.query(
+            "create table edges as select 1 as child, "
+            "cast(null as int) as parent, 'g' as grp, "
+            "timestamp'2024-01-01 10:00:00' as ts "
+            "union all select 2, 1, 'g', "
+            "timestamp'2024-01-01 10:00:05' "
+            "union all select 3, 2, 'g', "
+            "timestamp'2024-01-01 10:00:09'"
+        )
+        engine.query(
+            "create table quotes as select 'g' as grp, "
+            "timestamp'2024-01-01 10:00:04' as qts, "
+            "cast(1.5 as double) as px "
+            "union all select 'g', "
+            "timestamp'2024-01-01 10:00:08', cast(2.5 as double)"
+        )
+        rows = engine.query(
+            """
+            with recursive tree as (
+                select child, parent, grp, ts, 1 as depth
+                from edges where parent is null
+                union all
+                select e.child, e.parent, e.grp, e.ts, t.depth + 1
+                from tree t join edges e on e.parent = t.child
+            )
+            select t.child, t.depth, q.px
+            from tree t asof join quotes q
+                 match_condition (t.ts >= q.qts) on t.grp = q.grp
+            order by t.child
+            """
+        ).collect()
+        assert [(r.child, r.depth, r.px) for r in rows] == [
+            (1, 1, None),
+            (2, 2, 1.5),
+            (3, 3, 2.5),
+        ]
+
+    def test_non_recursive_cte_under_recursive_keyword(self, engine):
+        # WITH RECURSIVE where the CTE does NOT self-reference: plain
+        # materialization path
+        engine.query(
+            "create table tq as select 'g' as grp, "
+            "timestamp'2024-01-01 10:00:01' as ts, 1 as n"
+        )
+        engine.query(
+            "create table tr as select 'g' as grp, "
+            "timestamp'2024-01-01 10:00:00' as qts, 7 as v"
+        )
+        rows = engine.query(
+            """
+            with recursive lhs as (
+                select grp, ts, n from tq
+            )
+            select l.n, q.v from lhs l asof join tr q
+                 match_condition (l.ts >= q.qts) on l.grp = q.grp
+            """
+        ).collect()
+        assert [(r.n, r.v) for r in rows] == [(1, 7)]
+
+
 class TestDeleteWhereUsing:
     def test_delete_where_using_requires_on(self, engine, spark):
         engine.query("create table t1 as select 1 as id")
