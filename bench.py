@@ -222,6 +222,20 @@ HEADLINE = [
     "orders_percentile_within_group",
     "events_mr_unmatched_rows",
     "orders_lambda_functions",
+    # round 15: N-base DT join chains and the agg-over-join rollup
+    # (per-leg delta probes + group-sized combine, commit machinery
+    # benched honestly), MR paren-mixed terms (offload projection +
+    # NFA) and IN-subquery defines (engine-side broadcast flag join),
+    # recursive-CTE ASOF operands (native WITH RECURSIVE frontier
+    # joins feeding the keyed window), and the conditional-exact
+    # sketch companions (same code paths at exactness settings)
+    "orders_dynamic_table_join3",
+    "orders_dynamic_table_join_agg",
+    "events_mr_mixed_term",
+    "events_mr_in_subquery",
+    "orders_asof_recursive_cte",
+    "events_approx_distinct_rollup_exact",
+    "orders_approx_quantiles_exact",
 ]
 
 # Growth policy (VERDICT r9 #7, documented in BASELINE.md): the suite
@@ -272,6 +286,14 @@ _POST_R8_ADDITIONS = {
     "orders_percentile_within_group",
     "events_mr_unmatched_rows",
     "orders_lambda_functions",
+    # r15
+    "orders_dynamic_table_join3",
+    "orders_dynamic_table_join_agg",
+    "events_mr_mixed_term",
+    "events_mr_in_subquery",
+    "orders_asof_recursive_cte",
+    "events_approx_distinct_rollup_exact",
+    "orders_approx_quantiles_exact",
 }
 
 

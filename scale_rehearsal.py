@@ -174,6 +174,18 @@ QUERIES = [
     "events_mr_predicate_defines",
     "orders_dynamic_table_join",
     "orders_dynamic_table_upsert",
+    # round 15: the N-base chain and agg-over-join DT lifecycles are
+    # commit-machinery-bound like the two-base join (per-leg delta
+    # probes; the combine touches the group-sized output); the MR
+    # additions add one engine-side broadcast-flag join (IN-subquery)
+    # or a pre-matcher projection (mixed term) — expect the plain MR
+    # ratio; the recursive-CTE ASOF pays depth rounds of frontier
+    # joins before the keyed window.
+    "orders_dynamic_table_join3",
+    "orders_dynamic_table_join_agg",
+    "events_mr_mixed_term",
+    "events_mr_in_subquery",
+    "orders_asof_recursive_cte",
 ]
 
 TABLES = ["documents", "embeddings", "customer", "events", "orders"]
@@ -374,6 +386,71 @@ def main() -> None:
         print(f"# knn-join {sf_dir} k={k_cells}: {dt}s ({n} rows)", file=sys.stderr)
         return dt
 
+    # DT-join bulk-backfill delta (r15, VERDICT r14 #1): a delta the
+    # size of the ENTIRE base — the adversarial case for the formerly
+    # unconditional broadcast. The refresh must STAY incremental (the
+    # size gate drops the hint and AQE picks the join) and complete
+    # without a forced-broadcast OOM at both ends of the curve.
+    run_dtbulk = "orders_dynamic_table_join" in selected
+
+    def dt_bulk_delta_secs(sf_dir: str) -> float:
+        import tempfile
+
+        from dbt_omnata_push_spark.engine.dag import Engine
+        from dbt_omnata_push_spark.engine.store import TableStore
+
+        eng = Engine(
+            spark, TableStore(tempfile.mkdtemp(prefix="sg-dtb-"))
+        )
+        eng.seed(
+            "bulk_src",
+            spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+                "o_orderkey",
+                "o_custkey % 10 as ck",
+                "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+                " as cents",
+            ),
+        )
+        eng.query(
+            "create table bulk_a as select * from bulk_src"
+        )
+        eng.query(
+            "create table bulk_dim as select distinct ck, "
+            "'B' || cast(ck as string) as tag from bulk_a"
+        )
+        eng.query(
+            "create dynamic table dt_bulk target_lag = '1 minute' as "
+            "select a.o_orderkey as okey, a.cents as cents, "
+            "d.tag as tag from bulk_a a join bulk_dim d on a.ck = d.ck"
+        )
+        eng.query(
+            "insert into bulk_a select o_orderkey + 1000000000, "
+            "ck, cents from bulk_a"
+        )
+        t0 = time.perf_counter()
+        eng.query("alter dynamic table dt_bulk refresh")
+        dt = round(time.perf_counter() - t0, 2)
+        mode = eng.store.dt_refresh_history()[-1]["mode"]
+        if mode != "incremental":
+            raise AssertionError(
+                f"bulk-delta refresh fell off incremental: {mode}"
+            )
+        print(
+            f"# dt-bulk-delta {sf_dir}: {dt}s (mode={mode})",
+            file=sys.stderr,
+        )
+        return dt
+
+    dt_bulk = None
+    if run_dtbulk:
+        dt_bulk = {
+            "base_sec": dt_bulk_delta_secs(x1_dir),
+            "scaled_sec": dt_bulk_delta_secs(xn_dir),
+        }
+        dt_bulk["time_ratio"] = round(
+            dt_bulk["scaled_sec"] / dt_bulk["base_sec"], 2
+        )
+
     knn_scaled = None
     if run_knn:
         knn_scaled = {
@@ -400,6 +477,7 @@ def main() -> None:
         "factor": args.factor,
         "semdedup_scaled_k": semdedup,
         "knn_join_scaled_k": knn_scaled,
+        "dt_bulk_delta": dt_bulk,
         "queries": {
             q: {
                 "base_sec": base[q],
