@@ -234,6 +234,8 @@ HEADLINE = [
     "events_mr_mixed_term",
     "events_mr_in_subquery",
     "orders_asof_recursive_cte",
+    "orders_dynamic_table_union",
+    "events_mr_subquery_input",
     "events_approx_distinct_rollup_exact",
     "orders_approx_quantiles_exact",
 ]
@@ -292,6 +294,8 @@ _POST_R8_ADDITIONS = {
     "events_mr_mixed_term",
     "events_mr_in_subquery",
     "orders_asof_recursive_cte",
+    "orders_dynamic_table_union",
+    "events_mr_subquery_input",
     "events_approx_distinct_rollup_exact",
     "orders_approx_quantiles_exact",
 }

@@ -1548,6 +1548,95 @@ class Engine:
             legs.append(self._dt_redirect_query(sql, frames))
         return legs
 
+    @staticmethod
+    def _split_top_union_all(sql: str) -> list[str] | None:
+        """Split on top-level UNION ALL (paren- and quote-aware).
+        Returns the legs, or None when a top-level bare UNION /
+        INTERSECT / EXCEPT appears (set semantics are not
+        append-only-decomposable)."""
+        parts: list[str] = []
+        depth, in_str, last, i, n = 0, False, 0, 0, len(sql)
+        while i < n:
+            ch = sql[i]
+            if in_str:
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and ch in "uUiIeE":
+                m = re.match(
+                    r"(?is)(union\s+all\b|union\b|intersect\b|"
+                    r"except\b|minus\b)",
+                    sql[i:],
+                )
+                if m and re.search(r"[\s)]", sql[i - 1 : i] or " "):
+                    if not m.group(1).lower().startswith("union") or (
+                        "all" not in m.group(1).lower()
+                    ):
+                        return None  # set-semantics operator
+                    parts.append(sql[last:i])
+                    i += m.end()
+                    last = i
+                    continue
+            i += 1
+        parts.append(sql[last:])
+        return parts if len(parts) > 1 else None
+
+    def _dt_incremental_union(self, meta: dict) -> DataFrame | None:
+        """Incremental maintenance for a top-level UNION ALL of
+        single-base per-row transforms (r15): UNION ALL is multiset
+        concatenation, so with each leg q_i over base B_i,
+
+            ⋃_i q_i(B_i_old ∪ ΔB_i) = (current output) ∪ ⋃_i q_i(ΔB_i)
+
+        — the appended delta is each CHANGED base's leg applied to its
+        own appended rows only. The realistic multi-source feed shape
+        (several staging tables funneled into one DT). Bare UNION /
+        INTERSECT / EXCEPT refuse (set semantics are not append-only-
+        decomposable); each leg must be the same stateless per-row
+        shape the single-base path accepts. Returns the delta to
+        APPEND, or None."""
+        from .dml import _strip_comments
+
+        sql = _strip_comments(meta["sql"]).strip().rstrip(";")
+        legs = self._split_top_union_all(sql)
+        if not legs:
+            return None
+        leg_bases: list[tuple[str, str]] = []
+        for leg in legs:
+            leg = leg.strip()
+            if self._DT_NON_INCREMENTAL_RE.search(leg):
+                return None
+            m = self._DT_SIMPLE_RE.match(leg)
+            if not m:
+                return None
+            leg_bases.append((leg, m.group(1).lower()))
+        bases = {b for _l, b in leg_bases}
+        if set(meta.get("base_versions", {})) != bases:
+            return None
+        deltas: dict[str, tuple[DataFrame, bool]] = {}
+        for b in bases:
+            r = self._dt_base_delta(meta, b)
+            if r is None:
+                return None
+            deltas[b] = r
+        parts = []
+        for leg, b in leg_bases:
+            delta, changed = deltas[b]
+            if not changed:
+                continue
+            parts.append(self._dt_redirect_query(leg, {b: delta}))
+        if not parts:
+            return None  # all bases idle: the skip gate owns this
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _dt_incremental_join(self, meta: dict) -> DataFrame | None:
         """Plain (no GROUP BY) join maintenance: union of the delta
         legs, APPENDED to the backing table. Two-base in r14
@@ -1817,6 +1906,9 @@ class Engine:
             if delta is None:
                 # two-base equi-join delta expansion (r14)
                 delta = self._dt_incremental_join(meta)
+            if delta is None:
+                # UNION ALL multi-source feed (r15)
+                delta = self._dt_incremental_union(meta)
             if delta is None:
                 merged = self._dt_incremental_agg(key, meta)
             if delta is None and merged is None:

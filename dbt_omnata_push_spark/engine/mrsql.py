@@ -629,16 +629,48 @@ def resolve_match_recognize(engine, sql: str) -> tuple[str, list[str]]:
     out = sql
     views: list[str] = []
     for _ in range(10):  # bounded: >10 clauses in one statement is absurd
-        m = _MR_FROM_RE.search(out)
-        if not m:
+        # Derived-table input (r15): `FROM (subquery) [alias]
+        # MATCH_RECOGNIZE (...)` — the subquery resolves through the
+        # full reference dialect (its own ASOF/MR/time-travel
+        # included) before feeding the matcher. Scanned first so a
+        # table-form regex can't mis-fire on a name INSIDE the
+        # subquery's own FROM.
+        sub = None
+        for cand in re.finditer(r"(?is)\bfrom\s*\(", out):
+            try:
+                close = _scan_balanced(out, cand.end() - 1)
+            except ValueError:
+                continue
+            tail = re.match(
+                r"(?is)\s*(?:as\s+)?(?:[A-Za-z_]\w*\s+)?"
+                r"match_recognize\s*\(",
+                out[close:],
+            )
+            if tail:
+                sub = (cand.start(), cand.end(), close, close + tail.end())
+                break
+        tm = _MR_FROM_RE.search(out)
+        if sub is not None and (tm is None or sub[0] <= tm.start()):
+            start, body_open, close, mr_open_end = sub
+            src_sql = out[body_open : close - 1]
+            mr_start = start
+            mr_paren_end = mr_open_end
+        elif tm is not None:
+            src_sql = None
+            mr_start = tm.start()
+            mr_paren_end = tm.end()
+        else:
             return out, views
-        end = _scan_balanced(out, m.end() - 1)
-        body = out[m.end() : end - 1]
+        end = _scan_balanced(out, mr_paren_end - 1)
+        body = out[mr_paren_end : end - 1]
         spec = _parse_body(body)
         from ..ops.matchrec import match_recognize
 
         engine._register_views()
-        df = engine.spark.table(m.group(1).rsplit(".", 1)[-1])
+        if src_sql is not None:
+            df = engine.query(src_sql)
+        else:
+            df = engine.spark.table(tm.group(1).rsplit(".", 1)[-1])
         subq = spec.pop("subq_defines", None) or {}
         hidden: list[str] = []
         if subq:
@@ -647,5 +679,5 @@ def resolve_match_recognize(engine, sql: str) -> tuple[str, list[str]]:
         view = f"__mr_{next(_MR_VIEW_SEQ)}"
         res.createOrReplaceTempView(view)
         views.append(view)
-        out = out[: m.start()] + f"FROM {view}" + out[end:]
+        out = out[:mr_start] + f"FROM {view}" + out[end:]
     raise ValueError("too many MATCH_RECOGNIZE clauses in one statement")

@@ -4171,6 +4171,172 @@ def customers_dialect_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_dynamic_table_union",
+    oracle="""
+    WITH u1_0 AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderkey % 31 = 0
+    ),
+    u2_0 AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderkey % 37 = 0
+    ),
+    u1_all AS (
+        SELECT * FROM u1_0
+        UNION ALL
+        SELECT -o_orderkey, cents + 1 FROM u1_0
+        WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT CAST(9000001 AS BIGINT), CAST(100 AS BIGINT)
+    ),
+    u2_all AS (
+        SELECT * FROM u2_0
+        UNION ALL
+        SELECT CAST(9000002 AS BIGINT), CAST(200 AS BIGINT)
+    )
+    SELECT okey, c, CAST(2 AS BIGINT) AS incs FROM (
+        SELECT o_orderkey AS okey, cents * 2 AS c FROM u1_all
+        WHERE cents % 2 = 0
+        UNION ALL
+        SELECT o_orderkey AS okey, cents * 3 AS c FROM u2_all
+    )
+    """,
+    tags=("engine", "dml", "dynamic_table"),
+)
+def orders_dynamic_table_union(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental dynamic table over a top-level UNION ALL (r15,
+    engine/dag.py::_dt_incremental_union) — the multi-source feed
+    shape: each changed base's leg applies to its OWN appended rows
+    only (UNION ALL is multiset concatenation, so the output delta is
+    the union of per-leg deltas — O(Σ deltas), never a source
+    rescan). Window 1 appends to the first source only; window 2
+    appends to both. Per-leg WHERE predicates compose. incs counts
+    REFRESH_HISTORY rows with mode='incremental' — both refreshes
+    must stay incremental."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-dun-")))
+    engine.seed(
+        "ord_usrc2",
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        ),
+    )
+    engine.query(
+        "create table ord_u1 as select o_orderkey, "
+        "cast(floor(o_totalprice * 100 + 0.5) as bigint) as cents "
+        "from ord_usrc2 where o_orderkey % 31 = 0"
+    )
+    engine.query(
+        "create table ord_u2 as select o_orderkey, "
+        "cast(floor(o_totalprice * 100 + 0.5) as bigint) as cents "
+        "from ord_usrc2 where o_orderkey % 37 = 0"
+    )
+    engine.query(
+        "create dynamic table dt_union target_lag = '1 minute' as "
+        "select o_orderkey as okey, cents * 2 as c from ord_u1 "
+        "where cents % 2 = 0 "
+        "union all "
+        "select o_orderkey as okey, cents * 3 as c from ord_u2"
+    )
+    engine.query(
+        "insert into ord_u1 select -o_orderkey, cents + 1 "
+        "from ord_u1 where o_orderkey % 5 = 0"
+    )
+    engine.query("alter dynamic table dt_union refresh")  # leg 1 only
+    engine.query(
+        "insert into ord_u1 select cast(9000001 as bigint), "
+        "cast(100 as bigint)"
+    )
+    engine.query(
+        "insert into ord_u2 select cast(9000002 as bigint), "
+        "cast(200 as bigint)"
+    )
+    engine.query("alter dynamic table dt_union refresh")  # both legs
+    return engine.query(
+        "select okey, c, "
+        "(select cast(count(*) as bigint) "
+        " from table(information_schema.dynamic_table_refresh_history())"
+        " where mode = 'incremental') as incs "
+        "from dt_union"
+    )
+
+
+@query(
+    "events_mr_subquery_input",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM events
+        WHERE user_id % 20 = 11 AND event_type <> 'click'
+    ),
+    marked AS (
+        SELECT *, (event_type = 'error') AS m,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id,
+                                  (event_type = 'error')
+                                  ORDER BY ts, event_id) AS rnm
+        FROM ev
+    )
+    SELECT user_id,
+           CAST(MIN(event_id) AS BIGINT) AS s_id,
+           CAST(MAX(event_id) AS BIGINT) AS e_id,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM marked WHERE m
+    GROUP BY user_id, rn - rnm
+    """,
+    tags=("engine", "matchrec", "sqlfront"),
+)
+def events_mr_subquery_input(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MATCH_RECOGNIZE over a DERIVED-TABLE input (r15,
+    engine/mrsql.py): `FROM (subquery) alias MATCH_RECOGNIZE (...)` —
+    the subquery resolves through the full reference dialect before
+    feeding the matcher, so pre-filters (here: click events removed,
+    which CHANGES the islands) compose with pattern matching without
+    a staging table. Maximal error runs per user over the filtered
+    stream; gaps-and-islands oracle over the same filtered CTE."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-msq-")))
+    engine.seed(
+        "ev_si",
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 11)
+        .select("user_id", "ts", "event_id", "event_type"),
+    )
+    return engine.query(
+        """
+        select user_id, s_id, e_id, n from
+            (select user_id, ts, event_id, event_type from ev_si
+             where event_type <> 'click') src
+        match_recognize (
+            partition by user_id order by ts, event_id
+            measures first(event_id) as s_id,
+                     last(event_id) as e_id,
+                     count(*) as n
+            pattern (E+)
+            define E as event_type = 'error'
+        )
+        """
+    )
+
+
+@query(
     "orders_asof_recursive_cte",
     oracle="""
     WITH RECURSIVE base AS (

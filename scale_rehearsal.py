@@ -186,6 +186,8 @@ QUERIES = [
     "events_mr_mixed_term",
     "events_mr_in_subquery",
     "orders_asof_recursive_cte",
+    "orders_dynamic_table_union",
+    "events_mr_subquery_input",
 ]
 
 TABLES = ["documents", "embeddings", "customer", "events", "orders"]

@@ -579,6 +579,131 @@ class TestAsofRecursiveCte:
         assert [(r.n, r.v) for r in rows] == [(1, 7)]
 
 
+class TestDtUnionAllIncremental:
+    """r15 (beyond the verdict list): a top-level UNION ALL of
+    single-base per-row transforms maintains incrementally — each
+    changed base's leg applies to its own appended rows only."""
+
+    def _mk(self, engine):
+        engine.query("create table s1 as select 1 as k, 10 as v")
+        engine.query("create table s2 as select 2 as k, 20 as v")
+        engine.query(
+            "create dynamic table dt_ua target_lag = '1 minute' as "
+            "select k, v * 2 as dv from s1 where v > 0 "
+            "union all select k, v * 3 as dv from s2"
+        )
+
+    def _mode(self, engine):
+        return engine.store.dt_refresh_history()[-1]["mode"]
+
+    def _check(self, engine):
+        got = sorted(
+            tuple(r)
+            for r in engine.query("select * from dt_ua").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in engine.query(
+                "select k, v * 2 as dv from s1 where v > 0 "
+                "union all select k, v * 3 as dv from s2"
+            ).collect()
+        )
+        assert got == want
+
+    def test_one_leg_changes(self, engine):
+        self._mk(engine)
+        engine.query("insert into s1 select 3, 30")
+        engine.query("alter dynamic table dt_ua refresh")
+        assert self._mode(engine) == "incremental"
+        self._check(engine)
+
+    def test_both_legs_change_where_composes(self, engine):
+        self._mk(engine)
+        engine.query("insert into s1 select 5, -5")  # filtered out
+        engine.query("insert into s2 select 4, 40")
+        engine.query("alter dynamic table dt_ua refresh")
+        assert self._mode(engine) == "incremental"
+        self._check(engine)
+
+    def test_same_base_in_two_legs(self, engine):
+        engine.query("create table sb as select 1 as k, 10 as v")
+        engine.query(
+            "create dynamic table dt_2x target_lag = '1 minute' as "
+            "select k, v as dv from sb "
+            "union all select k, -v as dv from sb"
+        )
+        engine.query("insert into sb select 7, 70")
+        engine.query("alter dynamic table dt_2x refresh")
+        assert self._mode(engine) == "incremental"
+        got = sorted(
+            tuple(r)
+            for r in engine.query("select * from dt_2x").collect()
+        )
+        assert got == [(1, -10), (1, 10), (7, -70), (7, 70)]
+
+    def test_bare_union_refuses_to_full(self, engine):
+        self._mk(engine)
+        engine.query(
+            "create dynamic table dt_bu target_lag = '1 minute' as "
+            "select k from s1 union select k from s2"
+        )
+        engine.query("insert into s1 select 9, 90")
+        engine.query("alter dynamic table dt_bu refresh")
+        assert self._mode(engine) == "full"
+
+    def test_update_on_a_leg_base_refuses_to_full(self, engine):
+        self._mk(engine)
+        engine.query("update s2 set v = 21 where k = 2")
+        engine.query("alter dynamic table dt_ua refresh")
+        assert self._mode(engine) == "full"
+        self._check(engine)
+
+
+class TestMrDerivedTableInput:
+    """r15: `FROM (subquery) [alias] MATCH_RECOGNIZE (...)` — the
+    subquery resolves through the full dialect before the matcher."""
+
+    @pytest.fixture()
+    def mr_engine(self, spark, tmp_path):
+        eng = Engine(spark, TableStore(str(tmp_path / "mri")))
+        eng.query(
+            "create table tk as select 1 as id, 1 as seq, "
+            "'ok' as state "
+            "union all select 1, 2, 'err' "
+            "union all select 1, 3, 'err' "
+            "union all select 2, 1, 'err' "
+            "union all select 2, 2, 'ok'"
+        )
+        return eng
+
+    def test_subquery_input(self, mr_engine):
+        rows = mr_engine.query(
+            """
+            select * from (select id, seq, state from tk
+                           where id = 1) t
+            match_recognize (
+                partition by id order by seq
+                measures count(*) as cnt
+                one row per match
+                pattern (E+) define E as state = 'err')
+            """
+        ).collect()
+        assert [(r.id, r.cnt) for r in rows] == [(1, 2)]
+
+    def test_table_form_still_resolves(self, mr_engine):
+        rows = mr_engine.query(
+            """
+            select * from tk match_recognize (
+                partition by id order by seq
+                measures count(*) as cnt
+                one row per match
+                pattern (E+) define E as state = 'err')
+            order by id
+            """
+        ).collect()
+        assert [(r.id, r.cnt) for r in rows] == [(1, 2), (2, 1)]
+
+
 class TestDeleteWhereUsing:
     def test_delete_where_using_requires_on(self, engine, spark):
         engine.query("create table t1 as select 1 as id")
