@@ -236,6 +236,7 @@ HEADLINE = [
     "orders_asof_recursive_cte",
     "orders_dynamic_table_union",
     "events_mr_subquery_input",
+    "events_mr_nav_predicate",
     "events_approx_distinct_rollup_exact",
     "orders_approx_quantiles_exact",
 ]
@@ -296,6 +297,7 @@ _POST_R8_ADDITIONS = {
     "orders_asof_recursive_cte",
     "orders_dynamic_table_union",
     "events_mr_subquery_input",
+    "events_mr_nav_predicate",
     "events_approx_distinct_rollup_exact",
     "orders_approx_quantiles_exact",
 }

@@ -286,6 +286,51 @@ def _apply_subquery_defines(
     return df, hidden
 
 
+_NAV_TOKEN_RE = re.compile(r"\b(prev|next)(\d*)_([A-Za-z_]\w*)")
+_SQL_LEAF_KW = {
+    "like", "ilike", "rlike", "between", "and", "or", "not", "in",
+    "is", "null", "case", "when", "then", "else", "end", "true",
+    "false", "escape", "distinct", "from",
+}
+
+
+def _fold_uniform_nav(t: str, restore) -> tuple[str, str, str] | None:
+    """A leaf mixing SQL-surface predicates with navigation folds to
+    `NAV(<predicate over bare columns>)` when EVERY column reference
+    carries the SAME navigation (direction + offset) — e.g.
+    `PREV(state) LIKE 'err%'` ≡ the predicate evaluated on the
+    previous row, so the inner predicate offloads as an SQL boolean
+    column and the define reads its shifted value (r15). Returns
+    (direction, offset, inner_sql) or None when the fold is unsound:
+    mixed navigations, bare current-row columns alongside navigation,
+    unconverted PREV(expr) calls, or match-dependent tokens."""
+    if re.search(
+        r"(?i)\b(?:prev|next)\s*\("
+        r"|__mr(?:first|last|count|sum|avg|min|max|subq)",
+        t,
+    ):
+        return None
+    navs = {(m.group(1), m.group(2)) for m in _NAV_TOKEN_RE.finditer(t)}
+    if len(navs) != 1:
+        return None
+    # every remaining identifier must be a keyword, a masked-span
+    # placeholder, or part of the single nav form — a bare current-row
+    # column alongside navigation cannot fold
+    stripped_ids = _NAV_TOKEN_RE.sub(" ", re.sub(r"'(?:[^']|'')*'", " ", t))
+    for ident in re.findall(r"[A-Za-z_]\w*", stripped_ids):
+        # __mrbtwand__ is the shielded BETWEEN-and (no column refs);
+        # a masked CASE span (__mrcaseN__) may hide CURRENT-row
+        # column refs, so it blocks the fold
+        if (
+            ident.lower() not in _SQL_LEAF_KW
+            and ident != "__mrbtwand__"
+        ):
+            return None
+    direction, off = next(iter(navs))
+    inner = _NAV_TOKEN_RE.sub(r"\3", t)
+    return direction, off, restore(inner)
+
+
 def _cond_to_pandas(
     cond: str,
     sql_terms: dict[str, str] | None = None,
@@ -474,6 +519,12 @@ def _cond_to_pandas(
                 r"|__mr(?:first|last|count|sum|avg|min|max)__",
                 restored,
             ):
+                folded = _fold_uniform_nav(t, _restore)
+                if folded is not None:
+                    direction, off, inner_sql = folded
+                    ph = f"__mrsql{len(sql_terms)}__"
+                    sql_terms[ph] = inner_sql
+                    return f"({direction}{off}_{ph} == True)"
                 raise ValueError(
                     "unsupported DEFINE condition for "
                     f"MATCH_RECOGNIZE: {cond!r} (PREV/NEXT/FIRST/"

@@ -4729,6 +4729,76 @@ def events_mr_mixed_term(
 
 
 @query(
+    "events_mr_nav_predicate",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, event_id, value, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pt,
+               LAG(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pv
+        FROM events WHERE user_id % 20 = 3
+    ),
+    ev2 AS (
+        SELECT *,
+               COALESCE(pt LIKE 'err%' AND value > pv, FALSE) AS m
+        FROM ev
+    ),
+    marked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id, m
+                                  ORDER BY ts, event_id) AS rnm
+        FROM ev2
+    )
+    SELECT user_id,
+           CAST(MIN(event_id) AS BIGINT) AS s_id,
+           CAST(MAX(event_id) AS BIGINT) AS e_id,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM marked WHERE m
+    GROUP BY user_id, rn - rnm
+    """,
+    tags=("engine", "matchrec", "sqlfront"),
+)
+def events_mr_nav_predicate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Navigation-wrapped SQL predicates in MATCH_RECOGNIZE DEFINE
+    (r15, engine/mrsql.py::_fold_uniform_nav): `PREV(event_type) LIKE
+    'err%'` folds to the predicate evaluated on the previous row —
+    the inner LIKE offloads as a JVM-side SQL flag column and the
+    matcher reads its shifted value — composing with a plain
+    navigation comparison via AND. Runs of post-error value rises per
+    user; LAG-based gaps-and-islands oracle."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-mn-")))
+    engine.seed(
+        "ev_np",
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 3)
+        .select("user_id", "ts", "event_id", "value", "event_type"),
+    )
+    return engine.query(
+        """
+        select user_id, s_id, e_id, n from ev_np match_recognize (
+            partition by user_id order by ts, event_id
+            measures first(event_id) as s_id,
+                     last(event_id) as e_id,
+                     count(*) as n
+            pattern (R+)
+            define R as prev(event_type) like 'err%'
+                        and value > prev(value)
+        )
+        """
+    )
+
+
+@query(
     "events_mr_in_subquery",
     oracle="""
     WITH ev AS (

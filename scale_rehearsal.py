@@ -188,6 +188,7 @@ QUERIES = [
     "orders_asof_recursive_cte",
     "orders_dynamic_table_union",
     "events_mr_subquery_input",
+    "events_mr_nav_predicate",
 ]
 
 TABLES = ["documents", "embeddings", "customer", "events", "orders"]

@@ -71,10 +71,20 @@ class TestCondTranslation:
     def test_sql_isms_still_rejected_when_mixed_or_subquery(self):
         with pytest.raises(ValueError, match="subquer"):
             _cond_to_pandas("a IN (select x from t)")
-        with pytest.raises(ValueError, match="combine"):
-            _cond_to_pandas("PREV(a) LIKE 'x%'")
+        # r15: PREV over an offloadable predicate now FOLDS (uniform
+        # navigation — the predicate evaluates on the previous row's
+        # columns only), reading the shifted SQL flag column
+        terms: dict = {}
+        out = _cond_to_pandas("PREV(a) LIKE 'x%'", terms)
+        assert out == "(prev___mrsql0__ == True)"
+        assert terms == {"__mrsql0__": "a LIKE 'x%'"}
+        # match-dependent navigation (FIRST/LAST/aggregates) cannot
+        # fold into a pre-computed SQL column — still raises
         with pytest.raises(ValueError, match="combine"):
             _cond_to_pandas("FIRST(A.a) IN (1, 2)")
+        # bare current-row refs alongside navigation cannot fold
+        with pytest.raises(ValueError, match="combine"):
+            _cond_to_pandas("PREV(a) + a IN (1, 2)")
 
     def test_running_aggregate_tokens(self):
         assert _cond_to_pandas("COUNT(B.*) < 3") == "__mrcount__B__ < 3"

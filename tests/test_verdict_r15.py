@@ -659,6 +659,78 @@ class TestDtUnionAllIncremental:
         self._check(engine)
 
 
+class TestMrNavPredicateFold:
+    """r15: a leaf mixing SQL predicates with UNIFORM navigation folds
+    — PREV(state) LIKE 'err%' ≡ the predicate on the previous row, so
+    the inner predicate offloads as an SQL flag column and the define
+    reads its shifted value."""
+
+    @pytest.fixture()
+    def mr_engine(self, spark, tmp_path):
+        eng = Engine(spark, TableStore(str(tmp_path / "mrf")))
+        eng.query(
+            "create table tk as select 1 as id, 1 as seq, "
+            "cast(10.0 as double) as price, 'ok' as state "
+            "union all select 1, 2, cast(12.0 as double), 'err1' "
+            "union all select 1, 3, cast(15.0 as double), 'err2' "
+            "union all select 1, 4, cast(9.0 as double), 'ok'"
+        )
+        return eng
+
+    def _mr(self, eng, cond):
+        return [
+            (r.s, r.cnt)
+            for r in eng.query(
+                "select * from tk match_recognize ("
+                "partition by id order by seq "
+                "measures count(*) as cnt, first(seq) as s "
+                "one row per match "
+                f"pattern (B+) define B as {cond})"
+            ).collect()
+        ]
+
+    def test_prev_like(self, mr_engine):
+        assert self._mr(
+            mr_engine, "prev(state) like 'err%'"
+        ) == [(3, 2)]
+
+    def test_next_in_list(self, mr_engine):
+        assert self._mr(
+            mr_engine, "next(state) in ('err1','err2')"
+        ) == [(1, 2)]
+
+    def test_prev_between(self, mr_engine):
+        assert self._mr(
+            mr_engine, "prev(price) between 11.0 and 16.0"
+        ) == [(3, 2)]
+
+    def test_prev_offset_2(self, mr_engine):
+        assert self._mr(
+            mr_engine, "prev(state, 2) like 'err%'"
+        ) == [(4, 1)]
+
+    def test_folds_compose_with_plain_terms(self, mr_engine):
+        assert self._mr(
+            mr_engine, "prev(state) like 'err%' and state = 'ok'"
+        ) == [(4, 1)]
+
+    def test_bare_column_alongside_nav_still_raises(self, mr_engine):
+        with pytest.raises(ValueError, match="cannot combine"):
+            self._mr(
+                mr_engine,
+                "(prev(price) + price) between 1 and 50",
+            )
+
+    def test_mixed_navigations_in_one_term_still_raise(
+        self, mr_engine
+    ):
+        with pytest.raises(ValueError, match="cannot combine"):
+            self._mr(
+                mr_engine,
+                "prev(price) + next(price) in (19.0, 27.0)",
+            )
+
+
 class TestMrDerivedTableInput:
     """r15: `FROM (subquery) [alias] MATCH_RECOGNIZE (...)` — the
     subquery resolves through the full dialect before the matcher."""
