@@ -359,6 +359,46 @@ class TestJoinAggIncremental:
         )
         assert got == [("x", 100), ("y", 20)]
 
+    def test_agg_over_three_base_chain(self, engine):
+        # join_agg rides the N-way legs builder, so a 3-base rollup
+        # is incremental too
+        engine.query(
+            "create table f3a as select 1 as k, 10 as v "
+            "union all select 2, 20"
+        )
+        engine.query(
+            "create table d3a as select 1 as k, 'x' as tag "
+            "union all select 2, 'y'"
+        )
+        engine.query(
+            "create table c3a as select 'x' as tag, 100 as w "
+            "union all select 'y', 200"
+        )
+        engine.query(
+            "create dynamic table dt_ja3 target_lag = '1 minute' as "
+            "select c.w as w, cast(sum(f.v) as bigint) as s "
+            "from f3a f join d3a d on f.k = d.k "
+            "join c3a c on d.tag = c.tag group by c.w"
+        )
+        engine.query("insert into f3a select 2, 22")
+        engine.query("insert into d3a select 3, 'x'")
+        engine.query("insert into f3a select 3, 33")
+        engine.query("alter dynamic table dt_ja3 refresh")
+        assert self._mode(engine) == "incremental_agg"
+        got = sorted(
+            tuple(r)
+            for r in engine.query("select * from dt_ja3").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in engine.query(
+                "select c.w as w, cast(sum(f.v) as bigint) as s "
+                "from f3a f join d3a d on f.k = d.k "
+                "join c3a c on d.tag = c.tag group by c.w"
+            ).collect()
+        )
+        assert got == want
+
     def test_avg_refuses_to_full(self, engine):
         self._mk(engine)
         engine.query(
