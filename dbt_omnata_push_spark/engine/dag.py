@@ -1624,12 +1624,23 @@ class Engine:
             if r is None:
                 return None
             deltas[b] = r
+        # SQL UNION ALL binds POSITIONALLY with the FIRST leg's names
+        # (later legs may project different aliases), so each leg's
+        # delta renames positionally to the first leg's columns before
+        # the union — never a by-name bind.
+        first_leg, first_base = leg_bases[0]
+        names = self._dt_redirect_query(
+            first_leg, {first_base: deltas[first_base][0].limit(0)}
+        ).columns
         parts = []
         for leg, b in leg_bases:
             delta, changed = deltas[b]
             if not changed:
                 continue
-            parts.append(self._dt_redirect_query(leg, {b: delta}))
+            part = self._dt_redirect_query(leg, {b: delta})
+            if len(part.columns) != len(names):
+                return None  # malformed union: full path decides
+            parts.append(part.toDF(*names))
         if not parts:
             return None  # all bases idle: the skip gate owns this
         out = parts[0]

@@ -681,6 +681,28 @@ class TestDtUnionAllIncremental:
         )
         assert got == [(1, -10), (1, 10), (7, -70), (7, 70)]
 
+    def test_legs_with_different_aliases_bind_positionally(
+        self, engine
+    ):
+        # SQL UNION ALL takes column names from the FIRST leg and
+        # binds later legs positionally — the incremental path must
+        # do the same, never a by-name bind
+        engine.query("create table p1 as select 1 as k, 10 as v")
+        engine.query("create table p2 as select 2 as k, 20 as v")
+        engine.query(
+            "create dynamic table dt_pos target_lag = '1 minute' as "
+            "select k as key_out, v * 2 as val_out from p1 "
+            "union all select k, v * 3 from p2"
+        )
+        engine.query("insert into p2 select 4, 40")
+        engine.query("alter dynamic table dt_pos refresh")
+        assert self._mode(engine) == "incremental"
+        got = sorted(
+            tuple(r)
+            for r in engine.query("select * from dt_pos").collect()
+        )
+        assert got == [(1, 20), (2, 60), (4, 120)]
+
     def test_bare_union_refuses_to_full(self, engine):
         self._mk(engine)
         engine.query(
