@@ -287,10 +287,14 @@ def _apply_subquery_defines(
 
 
 _NAV_TOKEN_RE = re.compile(r"\b(prev|next)(\d*)_([A-Za-z_]\w*)")
+# Keywords a foldable nav-predicate leaf may contain. Deliberately
+# EXCLUDES `is` (and the CASE family): `PREV(x) IS NULL` is TRUE on a
+# partition's boundary row (PREV returns NULL there), but the folded
+# flag column shifts to NaN == not-matched — a predicate that can be
+# TRUE on NULL input cannot fold, so IS-terms refuse instead.
 _SQL_LEAF_KW = {
     "like", "ilike", "rlike", "between", "and", "or", "not", "in",
-    "is", "null", "case", "when", "then", "else", "end", "true",
-    "false", "escape", "distinct", "from",
+    "null", "true", "false", "escape", "distinct",
 }
 
 

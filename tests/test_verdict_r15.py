@@ -792,6 +792,12 @@ class TestMrNavPredicateFold:
                 "prev(price) + next(price) in (19.0, 27.0)",
             )
 
+    def test_prev_is_null_refuses_to_fold(self, mr_engine):
+        # PREV(x) IS NULL is TRUE on the boundary row in SQL; the
+        # shifted-flag fold would say false there — must refuse
+        with pytest.raises(ValueError, match="cannot combine"):
+            self._mr(mr_engine, "prev(state) is null")
+
 
 class TestMrDerivedTableInput:
     """r15: `FROM (subquery) [alias] MATCH_RECOGNIZE (...)` — the
