@@ -489,6 +489,27 @@ def _cond_to_pandas(
             return " & ".join(f"({bool_tree(p)})" for p in ands)
         m = re.match(r"(?is)^not\b(.+)$", t)
         if m:
+            # NOT over a fully-SQL-offloadable operand negates INSIDE
+            # the offload (r15): coalesce(NOT(expr), false) keeps
+            # SQL's NULL -> not-matched, where ~coalesce(expr, false)
+            # would turn a NULL operand into a match.
+            restored_full = _restore(t)
+            if (
+                re.search(
+                    r"(?is)\b(case|in|like|ilike|rlike|between|is)\b",
+                    restored_full,
+                )
+                and not re.search(r"(?is)\bselect\b", restored_full)
+                and not re.search(
+                    r"(?i)\b(?:prev|next)\d*_[A-Za-z_]"
+                    r"|\b(?:prev|next)\s*\("
+                    r"|__mr(?:first|last|count|sum|avg|min|max|subq)",
+                    restored_full,
+                )
+            ):
+                ph = f"__mrsql{len(sql_terms)}__"
+                sql_terms[ph] = restored_full
+                return ph
             return f"~({bool_tree(m.group(1))})"
         # bare (possibly parenthesized) comparison/arithmetic term.
         # SQL-surface predicates the eval dialect lacks (IN / LIKE /

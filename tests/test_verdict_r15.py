@@ -792,6 +792,29 @@ class TestMrNavPredicateFold:
                 "prev(price) + next(price) in (19.0, 27.0)",
             )
 
+    def test_not_over_offload_keeps_null_semantics(
+        self, spark, tmp_path
+    ):
+        # NOT (state LIKE ...) over a NULL state is NULL in SQL —
+        # never a match; the negation must happen INSIDE the SQL
+        # offload, not Python-side on the coalesced flag
+        eng = Engine(spark, TableStore(str(tmp_path / "mrn")))
+        eng.query(
+            "create table tn as select 1 as id, 1 as seq, "
+            "'ok' as state "
+            "union all select 1, 2, cast(null as string) "
+            "union all select 1, 3, 'err'"
+        )
+        rows = eng.query(
+            "select * from tn match_recognize ("
+            "partition by id order by seq "
+            "measures count(*) as cnt, first(seq) as s "
+            "one row per match "
+            "pattern (B+) define B as not (state like 'err%'))"
+        ).collect()
+        # only the 'ok' row matches: the NULL row is excluded
+        assert [(r.s, r.cnt) for r in rows] == [(1, 1)]
+
     def test_prev_is_null_refuses_to_fold(self, mr_engine):
         # PREV(x) IS NULL is TRUE on the boundary row in SQL; the
         # shifted-flag fold would say false there — must refuse
