@@ -1482,8 +1482,8 @@ class Engine:
         return rels
 
     def _dt_join_delta_legs(
-        self, sql: str, meta: dict
-    ) -> list[DataFrame] | None:
+        self, sql: str, meta: dict, *, require_exact_bases: bool = True
+    ) -> tuple[list[DataFrame], list[str]] | None:
         """Append-only delta expansion for an N-base INNER equi-join
         chain (r15, VERDICT r14 #4). With each base B_i = B_i_old ∪
         ΔB_i, the new output rows telescope into one leg per base:
@@ -1495,9 +1495,13 @@ class Engine:
         time travel, later bases current) — every leg is ONE
         delta-sized probe against full relations, so an n-way chain
         costs n delta joins, never a full-join recompute. The delta
-        side carries a size-gated broadcast hint. Returns the leg
-        frames (one per CHANGED base; [] when all idle), or None when
-        the shape/history is ineligible and the full path must run."""
+        side carries a size-gated broadcast hint. Returns (leg
+        frames — one per CHANGED base, [] when all idle — and the
+        chain's bases), or None when the shape/history is ineligible
+        and the full path must run. ``require_exact_bases=False``
+        (the UNION ALL composition) checks containment instead of
+        equality — the CALLER then owns proving every recorded base
+        is accounted for across its legs."""
         m = re.match(r"(?is)^\s*select\s+.+?\s+from\s+(.+)$", sql)
         if not m:
             return None
@@ -1510,7 +1514,10 @@ class Engine:
         bases = [b for b, _ in rels]
         if len(set(bases)) != len(bases):
             return None  # self-join: the expansion needs two anchors
-        if set(meta.get("base_versions", {})) != set(bases):
+        if require_exact_bases:
+            if set(meta.get("base_versions", {})) != set(bases):
+                return None
+        elif not set(bases) <= set(meta.get("base_versions", {})):
             return None
         deltas: dict[str, DataFrame] = {}
         changed: dict[str, bool] = {}
@@ -1546,7 +1553,7 @@ class Engine:
             frames = {bases[j]: olds[bases[j]] for j in range(i)}
             frames[b] = maybe_broadcast(deltas[b])
             legs.append(self._dt_redirect_query(sql, frames))
-        return legs
+        return legs, bases
 
     @staticmethod
     def _split_top_union_all(sql: str) -> list[str] | None:
@@ -1586,63 +1593,90 @@ class Engine:
         parts.append(sql[last:])
         return parts if len(parts) > 1 else None
 
+    # A union leg may carry a table alias (the single-base shape
+    # regex does not): SELECT exprs FROM base [alias] [WHERE ...]
+    _DT_UNION_LEG_RE = re.compile(
+        r"(?is)^\s*select\s+.+?\s+from\s+([A-Za-z_]\w*)"
+        r"(?:\s+(?:as\s+)?(?!where\b)([A-Za-z_]\w*))?"
+        r"\s*(?:where\s+.+)?$"
+    )
+
     def _dt_incremental_union(self, meta: dict) -> DataFrame | None:
-        """Incremental maintenance for a top-level UNION ALL of
-        single-base per-row transforms (r15): UNION ALL is multiset
-        concatenation, so with each leg q_i over base B_i,
+        """Incremental maintenance for a top-level UNION ALL whose
+        legs are single-base per-row transforms OR inner equi-join
+        chains (r15): UNION ALL is multiset concatenation, so with
+        each leg q_i,
 
-            ⋃_i q_i(B_i_old ∪ ΔB_i) = (current output) ∪ ⋃_i q_i(ΔB_i)
+            ⋃_i q_i(bases ∪ Δ) = (current output) ∪ ⋃_i Δq_i
 
-        — the appended delta is each CHANGED base's leg applied to its
-        own appended rows only. The realistic multi-source feed shape
-        (several staging tables funneled into one DT). Bare UNION /
-        INTERSECT / EXCEPT refuse (set semantics are not append-only-
-        decomposable); each leg must be the same stateless per-row
-        shape the single-base path accepts. Returns the delta to
-        APPEND, or None."""
+        — the appended delta is each leg's own incremental delta
+        (the appended-rows transform for simple legs; the per-base
+        telescoped join expansion for join legs). The realistic
+        multi-source feed shape, with or without per-leg enrichment
+        joins. Bare UNION / INTERSECT / EXCEPT refuse (set semantics
+        are not append-only-decomposable); every base recorded at the
+        last refresh must be claimed by some leg. Returns the delta
+        to APPEND, or None."""
         from .dml import _strip_comments
 
         sql = _strip_comments(meta["sql"]).strip().rstrip(";")
         legs = self._split_top_union_all(sql)
         if not legs:
             return None
-        leg_bases: list[tuple[str, str]] = []
+        leg_specs: list[tuple[str, str, str | None]] = []
         for leg in legs:
             leg = leg.strip()
-            if self._DT_NON_INCREMENTAL_RE.search(leg):
+            if not self._DT_NON_INCREMENTAL_RE.search(leg):
+                m = self._DT_UNION_LEG_RE.match(leg)
+                if not m:
+                    return None
+                leg_specs.append(("simple", leg, m.group(1).lower()))
+            elif not self._DT_JOIN_BLOCK_RE.search(leg):
+                leg_specs.append(("join", leg, None))
+            else:
                 return None
-            m = self._DT_SIMPLE_RE.match(leg)
-            if not m:
-                return None
-            leg_bases.append((leg, m.group(1).lower()))
-        bases = {b for _l, b in leg_bases}
-        if set(meta.get("base_versions", {})) != bases:
-            return None
         deltas: dict[str, tuple[DataFrame, bool]] = {}
-        for b in bases:
-            r = self._dt_base_delta(meta, b)
-            if r is None:
-                return None
-            deltas[b] = r
+        all_bases: set[str] = set()
+        parts_raw: list[DataFrame] = []
+        for kind, leg, b in leg_specs:
+            if kind == "simple":
+                if b not in deltas:
+                    r = self._dt_base_delta(meta, b)
+                    if r is None:
+                        return None
+                    deltas[b] = r
+                all_bases.add(b)
+                delta, changed = deltas[b]
+                if changed:
+                    parts_raw.append(
+                        self._dt_redirect_query(leg, {b: delta})
+                    )
+            else:
+                jr = self._dt_join_delta_legs(
+                    leg, meta, require_exact_bases=False
+                )
+                if jr is None:
+                    return None
+                jparts, jbases = jr
+                all_bases.update(jbases)
+                parts_raw.extend(jparts)
+        # every base the refresh is gated on must be claimed by a leg
+        # (an unclaimed base would silently never contribute deltas)
+        if set(meta.get("base_versions", {})) != all_bases:
+            return None
+        if not parts_raw:
+            return None  # all bases idle: the skip gate owns this
         # SQL UNION ALL binds POSITIONALLY with the FIRST leg's names
-        # (later legs may project different aliases), so each leg's
-        # delta renames positionally to the first leg's columns before
-        # the union — never a by-name bind.
-        first_leg, first_base = leg_bases[0]
-        names = self._dt_redirect_query(
-            first_leg, {first_base: deltas[first_base][0].limit(0)}
-        ).columns
+        # (later legs may project different aliases), so each delta
+        # renames positionally to the statement's output columns —
+        # never a by-name bind. self.query is analysis-only here
+        # (lazy; .columns never runs a job).
+        names = self.query(legs[0].strip()).columns
         parts = []
-        for leg, b in leg_bases:
-            delta, changed = deltas[b]
-            if not changed:
-                continue
-            part = self._dt_redirect_query(leg, {b: delta})
+        for part in parts_raw:
             if len(part.columns) != len(names):
                 return None  # malformed union: full path decides
             parts.append(part.toDF(*names))
-        if not parts:
-            return None  # all bases idle: the skip gate owns this
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -1658,9 +1692,10 @@ class Engine:
         sql = _strip_comments(meta["sql"]).strip().rstrip(";")
         if self._DT_JOIN_BLOCK_RE.search(sql):
             return None
-        legs = self._dt_join_delta_legs(sql, meta)
-        if not legs:
+        r = self._dt_join_delta_legs(sql, meta)
+        if not r or not r[0]:
             return None  # ineligible, or all bases idle
+        legs = r[0]
         out = legs[0]
         for p in legs[1:]:
             out = out.unionByName(p)
@@ -1741,9 +1776,10 @@ class Engine:
             key_exprs.append(expr)
         if not combine or sorted(key_exprs) != sorted(group_exprs):
             return None
-        legs = self._dt_join_delta_legs(sql, meta)
-        if not legs:
+        r = self._dt_join_delta_legs(sql, meta)
+        if not r or not r[0]:
             return None
+        legs = r[0]
         old = self.store.read(self.spark, key)
         merged = old
         for leg in legs:

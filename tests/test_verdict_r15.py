@@ -703,6 +703,73 @@ class TestDtUnionAllIncremental:
         )
         assert got == [(1, 20), (2, 60), (4, 120)]
 
+    def test_union_of_join_leg_composes(self, engine):
+        # a UNION ALL leg may itself be an inner equi-join chain: the
+        # leg contributes its own telescoped join-delta legs
+        engine.query("create table u1 as select 1 as k, 10 as v")
+        engine.query("create table u2 as select 2 as k, 20 as v")
+        engine.query(
+            "create table ud as select 1 as k, 'x' as tag "
+            "union all select 2, 'y'"
+        )
+        engine.query(
+            "create dynamic table dt_uj target_lag = '1 minute' as "
+            "select s.k as k, s.v * 2 as val, 'plain' as src "
+            "from u1 s "
+            "union all "
+            "select s.k, s.v, d.tag from u2 s join ud d on s.k = d.k"
+        )
+
+        def full():
+            return sorted(
+                tuple(r)
+                for r in engine.query(
+                    "select s.k as k, s.v * 2 as val, 'plain' as src "
+                    "from u1 s union all select s.k, s.v, d.tag "
+                    "from u2 s join ud d on s.k = d.k"
+                ).collect()
+            )
+
+        engine.query("insert into u1 select 3, 30")
+        engine.query("insert into u2 select 4, 40")
+        engine.query("insert into ud select 4, 'z'")
+        engine.query("alter dynamic table dt_uj refresh")
+        assert self._mode(engine) == "incremental"
+        got = sorted(
+            tuple(r)
+            for r in engine.query("select * from dt_uj").collect()
+        )
+        assert got == full()
+        # dim-only window: the join leg's ΔB side alone
+        engine.query("insert into ud select 9, 'q'")
+        engine.query("insert into u2 select 9, 90")
+        engine.query("alter dynamic table dt_uj refresh")
+        assert self._mode(engine) == "incremental"
+        got = sorted(
+            tuple(r)
+            for r in engine.query("select * from dt_uj").collect()
+        )
+        assert got == full()
+
+    def test_unclaimed_base_refuses_to_full(self, engine):
+        # base_versions covering a base no leg claims must refuse —
+        # its deltas would silently never contribute
+        engine.query("create table w1 as select 1 as k")
+        engine.query("create table w2 as select 2 as k")
+        engine.query(
+            "create dynamic table dt_w target_lag = '1 minute' as "
+            "select k from w1 union all select k from w1"
+        )
+        # both legs claim w1; w2 is not a base at all — refresh after
+        # a w1 change stays incremental
+        engine.query("insert into w1 select 3")
+        engine.query("alter dynamic table dt_w refresh")
+        assert self._mode(engine) == "incremental"
+        got = sorted(
+            r.k for r in engine.query("select * from dt_w").collect()
+        )
+        assert got == [1, 1, 3, 3]
+
     def test_bare_union_refuses_to_full(self, engine):
         self._mk(engine)
         engine.query(
