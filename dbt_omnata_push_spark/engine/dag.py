@@ -1453,9 +1453,22 @@ class Engine:
         """``A [alias] JOIN B [alias] ON cond [JOIN C ...]`` ->
         ordered [(base, alias)], or None when any segment is not a
         bare-table INNER-join chain (derived tables, missing ON,
-        comma cross joins)."""
-        if "," in from_clause or "(" in from_clause:
-            return None
+        comma cross joins). Parens and commas INSIDE an ON condition
+        (function calls like ``on coalesce(a.k, 0) = d.k``) are fine
+        — only top-level commas (comma joins) and parens in relation
+        position refuse."""
+        depth, in_str = 0, False
+        for ch in from_clause:
+            if in_str:
+                in_str = ch != "'"
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                return None  # comma join
         segs = re.split(r"(?is)\b(?:inner\s+)?join\b", from_clause)
         if len(segs) < 2:
             return None

@@ -269,6 +269,45 @@ class TestMultiJoinChainIncremental:
         assert self._mode(engine) == "incremental"
         assert self._dt(engine) == self._full(engine)
 
+    def test_on_condition_with_function_call_stays_incremental(
+        self, engine
+    ):
+        # parens/commas INSIDE an ON condition must not knock the
+        # chain off the incremental path
+        engine.query(
+            "create table fp as select 1 as k, 10 as v "
+            "union all select 2, 20"
+        )
+        engine.query(
+            "create table dp as select 1 as k, 'x' as tag "
+            "union all select 2, 'y'"
+        )
+        engine.query(
+            "create dynamic table dt_fp target_lag = '1 minute' as "
+            "select f.k as k, f.v as v, d.tag as tag from fp f "
+            "join dp d on coalesce(f.k, 0) = d.k"
+        )
+        engine.query("insert into fp select 2, 22")
+        engine.query("alter dynamic table dt_fp refresh")
+        assert self._mode(engine) == "incremental"
+        got = sorted(
+            tuple(r)
+            for r in engine.query("select * from dt_fp").collect()
+        )
+        assert (2, 22, "y") in got
+
+    def test_comma_join_still_refuses(self, engine):
+        engine.query("create table fc as select 1 as k, 10 as v")
+        engine.query("create table dc2 as select 1 as k, 'x' as tag")
+        engine.query(
+            "create dynamic table dt_cj target_lag = '1 minute' as "
+            "select f.k as k, d.tag as tag from fc f, dc2 d "
+            "where f.k = d.k"
+        )
+        engine.query("insert into fc select 2, 20")
+        engine.query("alter dynamic table dt_cj refresh")
+        assert self._mode(engine) == "full"
+
     def test_update_on_any_base_refuses_to_full(self, engine):
         self._mk(engine)
         engine.query("update d3 set tag = 'y' where k = 1")
