@@ -235,6 +235,7 @@ HEADLINE = [
     "events_mr_in_subquery",
     "orders_asof_recursive_cte",
     "orders_dynamic_table_union",
+    "orders_dynamic_table_distinct",
     "events_mr_subquery_input",
     "events_mr_nav_predicate",
     "events_approx_distinct_rollup_exact",
@@ -296,6 +297,7 @@ _POST_R8_ADDITIONS = {
     "events_mr_in_subquery",
     "orders_asof_recursive_cte",
     "orders_dynamic_table_union",
+    "orders_dynamic_table_distinct",
     "events_mr_subquery_input",
     "events_mr_nav_predicate",
     "events_approx_distinct_rollup_exact",

@@ -1606,6 +1606,53 @@ class Engine:
         parts.append(sql[last:])
         return parts if len(parts) > 1 else None
 
+    # SELECT DISTINCT over a single base (r15): under append-only
+    # deltas, distinct(old ∪ Δ) = distinct(old) ∪ (distinct(Δ) ∖
+    # distinct(old)) — the appended output delta is the transformed
+    # delta's distinct rows ANTI-JOINED against the group-sized
+    # current output. O(|Δ| + |DT|), never a base rescan. Blockers
+    # mirror the per-row path minus DISTINCT itself.
+    _DT_DISTINCT_BLOCK_RE = re.compile(
+        r"(?is)\b(join|group\s+by|order\s+by|limit|over|"
+        r"union|intersect|except|qualify|connect\s+by|"
+        r"match_recognize|lateral|pivot|unpivot|window|having|"
+        r"sum\s*\(|count\s*\(|avg\s*\(|min\s*\(|max\s*\(|"
+        r"listagg\s*\(|array_agg\s*\(|\(\s*select\b)"
+    )
+    _DT_DISTINCT_RE = re.compile(
+        r"(?is)^\s*select\s+distinct\s+.+?\s+from\s+([A-Za-z_]\w*)"
+        r"\s*(?:where\s+.+)?$"
+    )
+
+    def _dt_incremental_distinct(
+        self, key: str, meta: dict
+    ) -> DataFrame | None:
+        """New-distinct-rows delta for SELECT DISTINCT ... FROM base
+        [WHERE ...], or None for the full path."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from .dml import _strip_comments
+
+        sql = _strip_comments(meta["sql"]).strip().rstrip(";")
+        if self._DT_DISTINCT_BLOCK_RE.search(sql):
+            return None
+        m = self._DT_DISTINCT_RE.match(sql)
+        if not m:
+            return None
+        base = m.group(1).lower()
+        delta = self._dt_append_only_delta(meta, base)
+        if delta is None:
+            return None
+        fresh = self._dt_delta_query(sql, base, delta)
+        old = self.store.read(self.spark, key)
+        # NULL-safe anti-join: a distinct row with NULLs must still
+        # match its existing copy, so the join keys compare with <=>
+        cond = None
+        for c in old.columns:
+            eq = fresh[c].eqNullSafe(old[c])
+            cond = eq if cond is None else (cond & eq)
+        return fresh.join(old, cond, "left_anti")
+
     # A union leg may carry a table alias (the single-base shape
     # regex does not): SELECT exprs FROM base [alias] [WHERE ...]
     _DT_UNION_LEG_RE = re.compile(
@@ -1969,6 +2016,9 @@ class Engine:
             if delta is None:
                 # UNION ALL multi-source feed (r15)
                 delta = self._dt_incremental_union(meta)
+            if delta is None:
+                # SELECT DISTINCT anti-join maintenance (r15)
+                delta = self._dt_incremental_distinct(key, meta)
             if delta is None:
                 merged = self._dt_incremental_agg(key, meta)
             if delta is None and merged is None:

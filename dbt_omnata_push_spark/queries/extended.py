@@ -4272,6 +4272,74 @@ def orders_dynamic_table_union(
 
 
 @query(
+    "orders_dynamic_table_distinct",
+    oracle="""
+    WITH d0 AS (
+        SELECT (o_custkey % 10) AS ck,
+               (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 7)
+                   AS bucket
+        FROM orders WHERE o_orderkey % 31 = 0
+    ),
+    d_all AS (
+        SELECT * FROM d0
+        UNION ALL SELECT ck, bucket FROM d0  -- duplicate window
+        UNION ALL SELECT 99, CAST(42 AS BIGINT)
+    )
+    SELECT DISTINCT ck, bucket, CAST(2 AS BIGINT) AS incs
+    FROM d_all
+    """,
+    tags=("engine", "dml", "dynamic_table"),
+)
+def orders_dynamic_table_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SELECT DISTINCT dynamic-table maintenance (r15,
+    engine/dag.py::_dt_incremental_distinct): under append-only
+    deltas, the transformed delta's distinct rows ANTI-JOIN
+    (NULL-safe) against the group-sized current output and only
+    genuinely new rows append — O(|Δ| + |DT|), never a base rescan.
+    Window 1 re-appends existing rows (must add NOTHING); window 2
+    adds one new combination. incs counts mode='incremental' — both
+    refreshes must stay incremental."""
+    import tempfile
+
+    from ..engine.dag import Engine
+    from ..engine.store import TableStore
+
+    engine = Engine(spark, TableStore(tempfile.mkdtemp(prefix="sg-dd-")))
+    engine.seed(
+        "ord_dsrc",
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 31 == 0)
+        .select("o_custkey", "o_totalprice"),
+    )
+    engine.query(
+        "create table ord_dd as select o_custkey % 10 as ck, "
+        "cast(floor(o_totalprice * 100 + 0.5) as bigint) % 7 "
+        "as bucket from ord_dsrc"
+    )
+    engine.query(
+        "create dynamic table dt_dist target_lag = '1 minute' as "
+        "select distinct ck, bucket from ord_dd"
+    )
+    engine.query(
+        "insert into ord_dd select ck, bucket from ord_dd"
+    )
+    engine.query("alter dynamic table dt_dist refresh")  # all dups
+    engine.query(
+        "insert into ord_dd select 99, cast(42 as bigint)"
+    )
+    engine.query("alter dynamic table dt_dist refresh")  # one new row
+    return engine.query(
+        "select ck, bucket, "
+        "(select cast(count(*) as bigint) "
+        " from table(information_schema.dynamic_table_refresh_history())"
+        " where mode = 'incremental') as incs "
+        "from dt_dist"
+    )
+
+
+@query(
     "events_mr_subquery_input",
     oracle="""
     WITH ev AS (

@@ -187,6 +187,7 @@ QUERIES = [
     "events_mr_in_subquery",
     "orders_asof_recursive_cte",
     "orders_dynamic_table_union",
+    "orders_dynamic_table_distinct",
     "events_mr_subquery_input",
     "events_mr_nav_predicate",
 ]

@@ -827,6 +827,69 @@ class TestDtUnionAllIncremental:
         self._check(engine)
 
 
+class TestDtDistinctIncremental:
+    """r15: SELECT DISTINCT maintenance — the transformed delta's
+    distinct rows anti-join (NULL-safe) against the group-sized
+    current output; only genuinely new rows append."""
+
+    def _mode(self, engine):
+        return engine.store.dt_refresh_history()[-1]["mode"]
+
+    def test_new_and_duplicate_rows(self, engine):
+        engine.query(
+            "create table sd as select 1 as k, 'a' as t "
+            "union all select 1, 'a' union all select 2, 'b'"
+        )
+        engine.query(
+            "create dynamic table dt_di target_lag = '1 minute' as "
+            "select distinct k, t from sd where k > 0"
+        )
+        engine.query("insert into sd select 1, 'a'")  # existing
+        engine.query("insert into sd select 3, 'c'")  # new
+        engine.query("insert into sd select 3, 'c'")  # dup in delta
+        engine.query("alter dynamic table dt_di refresh")
+        assert self._mode(engine) == "incremental"
+        got = sorted(
+            tuple(r)
+            for r in engine.query("select * from dt_di").collect()
+        )
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+    def test_null_rows_dedup_null_safely(self, engine):
+        engine.query(
+            "create table sn as select cast(null as int) as k, "
+            "'x' as t"
+        )
+        engine.query(
+            "create dynamic table dt_dn target_lag = '1 minute' as "
+            "select distinct k, t from sn"
+        )
+        engine.query("insert into sn select cast(null as int), 'x'")
+        engine.query("alter dynamic table dt_dn refresh")
+        assert self._mode(engine) == "incremental"
+        assert (
+            engine.query(
+                "select count(*) as n from dt_dn"
+            ).collect()[0]["n"]
+            == 1
+        )
+
+    def test_base_update_refuses_to_full(self, engine):
+        engine.query("create table su as select 1 as k, 'a' as t")
+        engine.query(
+            "create dynamic table dt_du2 target_lag = '1 minute' as "
+            "select distinct k, t from su"
+        )
+        engine.query("update su set t = 'b' where k = 1")
+        engine.query("alter dynamic table dt_du2 refresh")
+        assert self._mode(engine) == "full"
+        got = [
+            tuple(r)
+            for r in engine.query("select * from dt_du2").collect()
+        ]
+        assert got == [(1, "b")]
+
+
 class TestMrNavPredicateFold:
     """r15: a leaf mixing SQL predicates with UNIFORM navigation folds
     — PREV(state) LIKE 'err%' ≡ the predicate on the previous row, so
