@@ -218,6 +218,10 @@ class Engine:
         # stream-name -> version read, pending advancement on the
         # consuming model's successful materialization (r9)
         self._stream_ref_reads: dict[str, int] = {}
+        # _register_views construction cache (r15): frames keyed on the
+        # state they derive from, so per-statement registration is a
+        # catalog-map update rather than a rebuild. See _register_views.
+        self._reg_cache: dict = {}
 
     # -- registration -----------------------------------------------------
     def register(self, model: Model) -> Model:
@@ -545,24 +549,79 @@ class Engine:
             self._nonstore_published.pop(name, None)
         df.createOrReplaceTempView(self.view_name(name))
 
+    @staticmethod
+    def _fstat(path: str) -> tuple | None:
+        """Cache key for a metadata file: every writer goes through
+        os.replace, so (mtime_ns, size, inode) changes on any update."""
+        try:
+            st = os.stat(path)
+            return (st.st_mtime_ns, st.st_size, st.st_ino)
+        except OSError:
+            return None
+
     def _register_views(self) -> None:
         """Register every seed and store table as a temp view under its
         own (unqualified) name, for ad-hoc SQL. Streams register too
         (r9), tracking the version each view read so a consuming DML
-        can advance the offset."""
+        can advance the offset.
+
+        Still runs per statement — a prior statement may have shadowed
+        a table name with an alias view (AT/CHANGES resolution), and
+        re-registration is what heals that — but all frame CONSTRUCTION
+        is cached on the state it derives from (r15, guide §1.2 step 1:
+        remove unnecessary passes): store.read is version-keyed,
+        masking keys on (policies file, role), streams on (offset, base
+        version, base meta), the history views on their backing file's
+        stat, and the stored-view fixpoint re-resolves only when any of
+        those inputs changed. Re-registering a cached frame is a
+        catalog-map update — no Spark job, no re-analysis."""
+        cache = self._reg_cache
+        changed = False
         for name in list(self.seeds):
-            self.seeds[name].createOrReplaceTempView(name)
+            df = self.seeds[name]
+            if cache.get(("seed", name)) is not df:
+                cache[("seed", name)] = df
+                changed = True
+            df.createOrReplaceTempView(name)
+        pol_state = (
+            self._fstat(self.store._policies_file()),
+            str(self.vars.get("role", "PUBLIC")),
+        )
         if os.path.isdir(self.store.root):
             for entry in os.listdir(self.store.root):
                 logical = entry.replace("__", ".")
                 if self.store.exists(logical):
                     view = logical.rsplit(".", 1)[-1]
-                    self._policy_masked(
-                        logical, self.store.read(self.spark, logical)
-                    ).createOrReplaceTempView(view)
+                    raw = self.store.read(self.spark, logical)
+                    hit = cache.get(("table", logical))
+                    if (
+                        hit is not None
+                        and hit[0] is raw
+                        and hit[1] == pol_state
+                    ):
+                        masked = hit[2]
+                    else:
+                        masked = self._policy_masked(logical, raw)
+                        cache[("table", logical)] = (raw, pol_state, masked)
+                        changed = True
+                    masked.createOrReplaceTempView(view)
         self._stream_read_versions: dict[str, int] = {}
-        for sname in self.store.streams():
-            df, read_v = self.stream_frame(sname)
+        for sname, st_meta in self.store.streams().items():
+            base = st_meta.get("table", "")
+            skey = (
+                st_meta.get("offset"),
+                base,
+                self.store.current_version(base),
+                self._fstat(self.store._meta_file(base)),
+                pol_state,
+            )
+            hit = cache.get(("stream", sname))
+            if hit is not None and hit[0] == skey:
+                df, read_v = hit[1], hit[2]
+            else:
+                df, read_v = self.stream_frame(sname)
+                cache[("stream", sname)] = (skey, df, read_v)
+                changed = True
             df.createOrReplaceTempView(sname)
             self._stream_read_versions[sname] = read_v
         # INFORMATION_SCHEMA.TASK_HISTORY read surface (r12): one row
@@ -572,54 +631,79 @@ class Engine:
         # proof internal name so it can never shadow a user table
         # called task_history (the TABLE(INFORMATION_SCHEMA.
         # TASK_HISTORY()) rewrite targets this name directly).
-        th = self.store.task_history()
-        self.spark.createDataFrame(
-            [
-                (
-                    r.get("name"),
-                    r.get("root"),
-                    r.get("run_order"),
-                    r.get("state"),
-                    r.get("status_detail"),
-                    r.get("scheduled_time"),
-                    r.get("completed_time"),
-                    r.get("error"),
-                )
-                for r in th
-            ],
-            "name string, root string, run_order int, state string, "
-            "status_detail string, scheduled_time string, "
-            "completed_time string, error string",
-        ).createOrReplaceTempView("__is_task_history")
+        th_stat = self._fstat(self.store._task_history_file())
+        hit = cache.get("task_history")
+        if hit is not None and hit[0] == th_stat:
+            th_df = hit[1]
+        else:
+            th = self.store.task_history()
+            th_df = self.spark.createDataFrame(
+                [
+                    (
+                        r.get("name"),
+                        r.get("root"),
+                        r.get("run_order"),
+                        r.get("state"),
+                        r.get("status_detail"),
+                        r.get("scheduled_time"),
+                        r.get("completed_time"),
+                        r.get("error"),
+                    )
+                    for r in th
+                ],
+                "name string, root string, run_order int, state string, "
+                "status_detail string, scheduled_time string, "
+                "completed_time string, error string",
+            )
+            cache["task_history"] = (th_stat, th_df)
+            changed = True
+        th_df.createOrReplaceTempView("__is_task_history")
         # INFORMATION_SCHEMA.DYNAMIC_TABLE_REFRESH_HISTORY (r13):
         # one row per refresh attempt (SUCCEEDED / SKIPPED), always
         # registered, collision-proof internal name (same contract as
         # the task history view).
-        dth = self.store.dt_refresh_history()
-        self.spark.createDataFrame(
-            [
-                (
-                    r.get("name"),
-                    r.get("refreshed_at"),
-                    r.get("state"),
-                    r.get("mode"),
-                    json.dumps(r.get("base_versions") or {}),
-                )
-                for r in dth
-            ],
-            "name string, refreshed_at string, state string, "
-            "mode string, base_versions string",
-        ).createOrReplaceTempView("__is_dt_refresh_history")
+        dth_stat = self._fstat(self.store._dt_refresh_history_file())
+        hit = cache.get("dt_refresh_history")
+        if hit is not None and hit[0] == dth_stat:
+            dth_df = hit[1]
+        else:
+            dth = self.store.dt_refresh_history()
+            dth_df = self.spark.createDataFrame(
+                [
+                    (
+                        r.get("name"),
+                        r.get("refreshed_at"),
+                        r.get("state"),
+                        r.get("mode"),
+                        json.dumps(r.get("base_versions") or {}),
+                    )
+                    for r in dth
+                ],
+                "name string, refreshed_at string, state string, "
+                "mode string, base_versions string",
+            )
+            cache["dt_refresh_history"] = (dth_stat, dth_df)
+            changed = True
+        dth_df.createOrReplaceTempView("__is_dt_refresh_history")
         # Stored (non-materialized) views re-resolve on every read, so
         # they always reflect base tables' current versions and inherit
         # governance (their FROMs hit the masked/filtered temp views
         # registered above, never raw storage). Views may reference
         # other views: iterate to a fixpoint, registering whatever
         # resolves each pass; anything still unresolved (broken base)
-        # surfaces as an unresolved-relation error at use.
+        # surfaces as an unresolved-relation error at use. Re-resolved
+        # only when a base frame, history, or the view store changed
+        # this pass (the analyzed plans are otherwise identical).
+        vstat = self._fstat(self.store._views_file())
+        hit = cache.get("views_resolved")
+        if not changed and hit is not None and hit[0] == vstat:
+            for vname, vdf in hit[1]:
+                vdf.createOrReplaceTempView(vname)
+            return
         from .sqlfront import transpile as _transpile
 
         pending = dict(self.store.views())
+        resolved: list[tuple[str, DataFrame]] = []
         for _ in range(len(pending) + 1):
             if not pending:
                 break
@@ -630,10 +714,12 @@ class Engine:
                 except Exception:
                     continue
                 df.createOrReplaceTempView(vname)
+                resolved.append((vname, df))
                 pending.pop(vname)
                 progressed = True
             if not progressed:
                 break
+        cache["views_resolved"] = (vstat, resolved)
 
     def _substitute_session_vars(self, sql: str) -> str:
         """``$name`` -> the stored value as a SQL literal, skipping

@@ -93,6 +93,14 @@ class TableStore:
         # When set (transactional scripts), drop() trashes instead of
         # deleting — see defer_drops/commit_deferred_drops.
         self._drop_trash: str | None = None
+        # Analyzed-DataFrame cache for read(): committed version dirs
+        # and their DV sidecars are immutable, so the frame for
+        # (session, version, meta-state) can be reused across
+        # statements. Without it every engine._register_views pass
+        # re-pays a mergeSchema footer job + analysis per table per
+        # statement (guide §1.2 step 1 — remove unnecessary passes).
+        # name -> (weakref(session), version, meta-stat, DataFrame)
+        self._read_cache: dict[str, tuple] = {}
         os.makedirs(root, exist_ok=True)
         # Complete/roll back any swap a previous process died inside
         # (r12 crash-safe SWAP; see swap_tables/_recover_swap).
@@ -661,6 +669,36 @@ class TableStore:
 
     # -- operations -------------------------------------------------------
     def read(self, spark: SparkSession, name: str) -> DataFrame:
+        """Current-version read, cached per (session, version, meta).
+
+        The key covers everything the plan depends on: the version
+        pointer (data files + DV sidecar are immutable once committed)
+        and the _META file stat (schema pin, column_ops, added
+        columns; os.replace gives it a fresh inode on every change).
+        Governance (masking/row access) is applied by the ENGINE on
+        top of this frame, never here, so policy changes don't key."""
+        import weakref
+
+        v = self.current_version(name)
+        if v is None:
+            raise FileNotFoundError(f"table not found: {name}")
+        try:
+            st = os.stat(self._meta_file(name))
+            mkey = (st.st_mtime_ns, st.st_size, st.st_ino)
+        except OSError:
+            mkey = None
+        cached = self._read_cache.get(name)
+        if cached is not None:
+            c_spark, c_v, c_mkey, c_df = cached
+            if c_spark() is spark and c_v == v and c_mkey == mkey:
+                return c_df
+        df = self._read_current(spark, name, v)
+        self._read_cache[name] = (weakref.ref(spark), v, mkey, df)
+        return df
+
+    def _read_current(
+        self, spark: SparkSession, name: str, v: int
+    ) -> DataFrame:
         reader = spark.read.option("mergeSchema", "true")
         meta = self.meta(name)
         if meta.get("partition_by") and meta.get("schema"):
@@ -693,7 +731,7 @@ class TableStore:
             if extra:
                 pinned = StructType(list(pinned.fields) + extra)
             reader = reader.schema(pinned)
-        path = self.data_path(name)
+        path = os.path.join(self._dir(name), f"v={v}")
         df = self._apply_dv(spark, reader.parquet(path), path)
         # DROP/RENAME COLUMN read-time mapping over mixed-generation
         # files (r12), then metadata-added columns (ALTER TABLE ADD
@@ -2487,18 +2525,17 @@ class TableStore:
             "mode": mode,
             "base_versions": base_versions,
         }
-        with open(
-            os.path.join(self.root, "_dt_refresh_history.jsonl"), "a"
-        ) as f:
+        with open(self._dt_refresh_history_file(), "a") as f:
             json.dump(row, f)
             f.write("\n")
+
+    def _dt_refresh_history_file(self) -> str:
+        return os.path.join(self.root, "_dt_refresh_history.jsonl")
 
     def dt_refresh_history(self) -> list[dict]:
         out: list[dict] = []
         try:
-            with open(
-                os.path.join(self.root, "_dt_refresh_history.jsonl")
-            ) as f:
+            with open(self._dt_refresh_history_file()) as f:
                 for line in f:
                     line = line.strip()
                     if not line:

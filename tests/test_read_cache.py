@@ -1,0 +1,93 @@
+"""The r15 read/registration caches: a cached frame must be reused only
+while every input it derives from is unchanged (version pointer, _META,
+policies, role, stream offsets, history files)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_omnata_push_spark.engine.dag import Engine
+from dbt_omnata_push_spark.engine.store import TableStore
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return TableStore(str(tmp_path / "warehouse"))
+
+
+def test_read_cached_until_version_bump(spark, store):
+    df = spark.range(5).withColumn("x", F.col("id") * 2)
+    store.create(spark, "t", df)
+    a = store.read(spark, "t")
+    b = store.read(spark, "t")
+    assert a is b, "same version + meta must return the cached frame"
+    store.append(spark, "t", spark.range(5, 7).withColumn("x", F.col("id")))
+    c = store.read(spark, "t")
+    assert c is not a, "a committed version bump must invalidate"
+    assert c.count() == 7
+
+
+def test_read_cache_invalidates_on_meta_change(spark, store):
+    store.create(spark, "t", spark.range(3))
+    a = store.read(spark, "t")
+    store.add_column(spark, "t", "extra", "string")
+    b = store.read(spark, "t")
+    assert b is not a
+    assert "extra" in b.columns and "extra" not in a.columns
+
+
+def test_read_cache_keyed_on_recreate(spark, store):
+    store.create(spark, "t", spark.range(3))
+    a = store.read(spark, "t")
+    store.drop("t")
+    store.create(spark, "t", spark.range(9))
+    b = store.read(spark, "t")
+    assert b is not a, "drop+recreate at the same version must not hit"
+    assert b.count() == 9
+
+
+def test_registration_sees_dml_and_role_changes(spark, store):
+    eng = Engine(spark, store)
+    eng.query("create table src as select 1 as id, 'alice' as name")
+    assert eng.query("select count(*) as n from src").collect()[0].n == 1
+    eng.query("insert into src select 2, 'bob'")
+    assert eng.query("select count(*) as n from src").collect()[0].n == 2
+    # masking must re-key on role without any table version change
+    eng.query(
+        "create masking policy hide_name as (val string) returns string ->"
+        " case when current_role() = 'ADMIN' then val else '***' end"
+    )
+    eng.query("alter table src modify column name set masking policy hide_name")
+    got = {r.name for r in eng.query("select name from src").collect()}
+    assert got == {"***"}
+    eng.vars["role"] = "ADMIN"
+    got = {r.name for r in eng.query("select name from src").collect()}
+    assert got == {"alice", "bob"}
+    eng.vars["role"] = "PUBLIC"
+    got = {r.name for r in eng.query("select name from src").collect()}
+    assert got == {"***"}
+
+
+def test_registration_heals_alias_shadowing(spark, store):
+    """AT-resolution registers a frame under the table's own name; the
+    next statement's registration pass must restore the current view."""
+    eng = Engine(spark, store)
+    eng.query("create table t as select 1 as v")
+    eng.query("insert into t select 2")
+    v0 = store.versions("t")[0]
+    hist = eng.query(f"select * from t at(version => {v0})")
+    assert hist.count() == 1
+    assert eng.query("select count(*) as n from t").collect()[0].n == 2
+
+
+def test_stream_view_tracks_offset_and_base(spark, store):
+    eng = Engine(spark, store)
+    eng.query("create table base as select 1 as id, 'a' as s")
+    eng.query("alter table base add primary key (id)")
+    eng.query("create stream st on table base")
+    assert eng.query("select count(*) as n from st").collect()[0].n == 0
+    eng.query("insert into base select 2, 'b'")
+    rows = eng.query("select id from st").collect()
+    assert {r.id for r in rows} == {2}
+    # consuming DML advances the offset -> stream view must empty
+    eng.query("create table sink as select id from st")
+    assert eng.query("select count(*) as n from st").collect()[0].n == 0
