@@ -101,6 +101,15 @@ class TableStore:
         # statement (guide §1.2 step 1 — remove unnecessary passes).
         # name -> (weakref(session), version, meta-stat, DataFrame)
         self._read_cache: dict[str, tuple] = {}
+        # Analyzed-DataFrame cache for read_version() (r15): a version
+        # directory is write-once — created, committed, then never
+        # mutated (deletes/appends/restores all mint a NEW directory) —
+        # so the time-travel frame can be reused across statements
+        # (read_changes alone calls it twice per window). The directory
+        # stat guards drop->recreate reusing a version number and
+        # vacuum re-creating the path: a fresh dir has a fresh inode.
+        # (name, version) -> (weakref(session), dir-stat, DataFrame)
+        self._version_cache: dict[tuple[str, int], tuple] = {}
         os.makedirs(root, exist_ok=True)
         # Complete/roll back any swap a previous process died inside
         # (r12 crash-safe SWAP; see swap_tables/_recover_swap).
@@ -791,9 +800,26 @@ class TableStore:
                 f"version {version} of '{name}' does not exist "
                 f"(on disk: {self.versions(name)}; vacuum removes old versions)"
             )
-        reader = spark.read.option("mergeSchema", "true")
+        import weakref
+
         path = os.path.join(self._dir(name), f"v={version}")
-        return self._apply_dv(spark, reader.parquet(path), path)
+        try:
+            st = os.stat(path)
+            dkey = (st.st_mtime_ns, st.st_ino)
+        except OSError:
+            dkey = None
+        cached = self._version_cache.get((name, version))
+        if cached is not None and dkey is not None:
+            c_spark, c_key, c_df = cached
+            if c_spark() is spark and c_key == dkey:
+                return c_df
+        reader = spark.read.option("mergeSchema", "true")
+        df = self._apply_dv(spark, reader.parquet(path), path)
+        if dkey is not None:
+            self._version_cache[(name, version)] = (
+                weakref.ref(spark), dkey, df,
+            )
+        return df
 
     @_locked_write
     def create(

@@ -82,8 +82,20 @@ def main() -> None:
     )
     registry = load_all()
 
+    # PROFILE_CPROFILE=1: wrap the measured reps in cProfile to
+    # attribute driver-side Python time (py4j waits show up under
+    # socket recv; pure-Python overhead — regex transpile, os walks,
+    # plan bookkeeping — shows up under the repo's own frames).
+    prof = None
+    if os.environ.get("PROFILE_CPROFILE"):
+        import cProfile
+
+        prof = cProfile.Profile()
+
     for rep in range(reps + 1):  # rep 0 = warmup
         CALLS.clear()
+        if prof is not None and rep == 1:
+            prof.enable()
         t0 = time.perf_counter()
         df = registry[name].fn(spark, sf_dir)
         t_build = time.perf_counter() - t0
@@ -102,6 +114,12 @@ def main() -> None:
         for what, dt, label in CALLS:
             if dt >= 0.010:
                 print(f"  {dt:8.3f}s  {what}  {label}")
+    if prof is not None:
+        import pstats
+
+        prof.disable()
+        print("\n== cProfile (cumulative, top 45) ==")
+        pstats.Stats(prof).sort_stats("cumulative").print_stats(45)
     spark.stop()
 
 

@@ -45,6 +45,41 @@ def test_read_cache_keyed_on_recreate(spark, store):
     assert b.count() == 9
 
 
+def test_read_version_cached_and_immutable(spark, store):
+    store.create(spark, "t", spark.range(4).withColumn("x", F.col("id")))
+    store.append(spark, "t", spark.range(4, 6).withColumn("x", F.col("id")))
+    a = store.read_version(spark, "t", 0)
+    b = store.read_version(spark, "t", 0)
+    assert a is b, "immutable version dir must return the cached frame"
+    # a later delete mints a NEW version; the cached v=1 frame (pre-DV)
+    # must stay byte-identical while v=2 reads through the new DV
+    c1 = store.read_version(spark, "t", 1)
+    store.delete_where(spark, "t", F.col("id") >= 4)
+    assert store.read_version(spark, "t", 1) is c1
+    assert store.read_version(spark, "t", 1).count() == 6
+    assert store.read_version(spark, "t", 2).count() == 4
+
+
+def test_read_version_cache_keyed_on_recreate(spark, store):
+    store.create(spark, "t", spark.range(3))
+    a = store.read_version(spark, "t", 0)
+    assert a.count() == 3
+    store.drop("t")
+    store.create(spark, "t", spark.range(9))
+    b = store.read_version(spark, "t", 0)
+    assert b is not a, "drop+recreate at the same version must not hit"
+    assert b.count() == 9
+
+
+def test_read_version_raises_after_vacuum(spark, store):
+    store.create(spark, "t", spark.range(3))
+    store.append(spark, "t", spark.range(3, 5))
+    store.read_version(spark, "t", 0)  # populate the cache
+    store.vacuum("t", keep=1)
+    with pytest.raises(ValueError, match="does not exist"):
+        store.read_version(spark, "t", 0)
+
+
 def test_registration_sees_dml_and_role_changes(spark, store):
     eng = Engine(spark, store)
     eng.query("create table src as select 1 as id, 'alice' as name")
