@@ -466,8 +466,15 @@ def main() -> None:
     # first, so it exists even if stdout is cut).
     full_line = json.dumps(record, separators=(",", ":"))
     try:
+        # A filtered subset run must not clobber the last FULL suite
+        # record (r15: BENCH_LOCAL.json is the round's before/after
+        # evidence; subset A/B iterations write their own file).
+        fname = (
+            "BENCH_LOCAL.json" if only is None
+            else "BENCH_LOCAL_FILTERED.json"
+        )
         path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+            os.path.dirname(os.path.abspath(__file__)), fname
         )
         with open(path, "w") as f:
             f.write(full_line + "\n")

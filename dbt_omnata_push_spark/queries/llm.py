@@ -1911,14 +1911,29 @@ def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale — the scale fix for the 16-bit toy signature. Callers
     threshold on hamming."""
     register_testdata(spark, sf_dir, ["documents"])
-    sh = spark.sql(D.simhash_bands_sql(D.SPARK_WORDS_CLAUSE))
-    bands = None
-    for j in range(4):
-        part = sh.select(
-            "doc_id", "b0", "b1", "b2", "b3",
-            F.lit(j).alias("band_id"), F.col(f"b{j}").alias("bv"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # Materialize the signatures ONCE, then band via explode (r15,
+    # guide §1.2 step 1): the previous 4-way union of selects inlined
+    # the simhash subtree (word explode + 64-bit majority) into every
+    # band branch on BOTH join sides — measured 4.9s -> 2.4s at sf0.1
+    # with bit-identical pairs. The checkpoint is (doc_id, 4 ints) per
+    # doc, so it is the lightweight proxy the self-join should scan.
+    sh = spark.sql(
+        D.simhash_bands_sql(D.SPARK_WORDS_CLAUSE)
+    ).localCheckpoint(eager=True)
+    bands = sh.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.col(f"b{j}").alias("bv"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "b0", "b1", "b2", "b3", "e.band_id", "e.bv")
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
