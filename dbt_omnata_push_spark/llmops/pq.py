@@ -526,7 +526,13 @@ def l2_normalize(
     uses. (The shipped test corpus is already unit-norm, so this is
     measured a no-op there — it guards arbitrary inputs, where an
     unnormalized corpus silently grades euclidean against cosine.)
-    Zero vectors pass through unchanged (norm guarded to 1)."""
+    Zero vectors pass through unchanged (norm guarded to 1).
+
+    The norm is materialized in its OWN projection before the divide
+    (r15): referencing the aggregate expression inside the transform
+    lambda inlines it per ELEMENT — the 64-dim norm was recomputed 64
+    times per row (measured 0.85s -> 0.08s per evaluation on sf0.1's
+    2000x64 corpus, bit-identical output)."""
     norm = F.sqrt(
         F.aggregate(
             F.col(vec_col),
@@ -535,8 +541,14 @@ def l2_normalize(
         )
     )
     safe = F.when(norm > 0, norm).otherwise(F.lit(1.0))
-    return df.withColumn(
-        vec_col, F.transform(F.col(vec_col), lambda x: x / safe)
+    tmp = f"__{vec_col}_l2norm"
+    return (
+        df.withColumn(tmp, safe)
+        .withColumn(
+            vec_col,
+            F.transform(F.col(vec_col), lambda x: x / F.col(tmp)),
+        )
+        .drop(tmp)
     )
 
 

@@ -703,7 +703,11 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aren't, and an unnormalized corpus silently grades euclidean
     # against cosine.) The remaining 4-bit quantization loss is
     # recovered by the refine stage: see similarity_topk_pq_refined.
-    emb = PQ.l2_normalize(load_table(spark, sf_dir, "embeddings"))
+    # persist() so the normalize HOF runs ONCE (r15, guide §1.2 step 1):
+    # train/encode/query stages each action this frame, and the lambda
+    # normalize is interpreted (no codegen) — re-evaluating it per
+    # action dominated the PQ-family entries (values unchanged).
+    emb = PQ.l2_normalize(load_table(spark, sf_dir, "embeddings")).persist()
     books = PQ.pq_train(emb, m=16, k=16, max_iter=4)
     codes = PQ.pq_encode(emb, books).persist()
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -787,7 +791,11 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops import pq as PQ
 
     # normalized like similarity_topk_pq: ADC ranking == cosine ranking
-    emb = PQ.l2_normalize(load_table(spark, sf_dir, "embeddings"))
+    # persist() so the normalize HOF runs ONCE (r15, guide §1.2 step 1):
+    # train/encode/query stages each action this frame, and the lambda
+    # normalize is interpreted (no codegen) — re-evaluating it per
+    # action dominated the PQ-family entries (values unchanged).
+    emb = PQ.l2_normalize(load_table(spark, sf_dir, "embeddings")).persist()
     index_path = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_ivfpq_n_{os.path.basename(sf_dir.rstrip('/'))}",
@@ -2128,7 +2136,11 @@ def similarity_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ann_quality.py."""
     from ..llmops import pq as PQ
 
-    emb = PQ.l2_normalize(load_table(spark, sf_dir, "embeddings"))
+    # persist() so the normalize HOF runs ONCE (r15, guide §1.2 step 1):
+    # train/encode/query stages each action this frame, and the lambda
+    # normalize is interpreted (no codegen) — re-evaluating it per
+    # action dominated the PQ-family entries (values unchanged).
+    emb = PQ.l2_normalize(load_table(spark, sf_dir, "embeddings")).persist()
     books = PQ.pq_train(emb, m=16, k=64, max_iter=4)
     codes = PQ.pq_encode(emb, books).persist()
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -2154,7 +2166,11 @@ def similarity_topk_pq_rerank_all(
     DuckDB-checkable hash row independent of quantization error."""
     from ..llmops import pq as PQ
 
-    emb = PQ.l2_normalize(load_table(spark, sf_dir, "embeddings"))
+    # persist() so the normalize HOF runs ONCE (r15, guide §1.2 step 1):
+    # train/encode/query stages each action this frame, and the lambda
+    # normalize is interpreted (no codegen) — re-evaluating it per
+    # action dominated the PQ-family entries (values unchanged).
+    emb = PQ.l2_normalize(load_table(spark, sf_dir, "embeddings")).persist()
     books = PQ.pq_train(emb, m=8, k=16, max_iter=2)
     codes = PQ.pq_encode(emb, books)
     queries = emb.filter(F.col("vec_id") < 5).select(
