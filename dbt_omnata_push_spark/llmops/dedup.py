@@ -407,12 +407,16 @@ def connected_components(
     API dependency for no gain at this shape.
     """
     from pyspark.sql import Observation
-    # Materialize the edge list once: it is read twice per iteration,
-    # and recomputing an upstream pair-mining pipeline every round would
-    # dominate the runtime.
+    # Materialize the edge list once: it is read every iteration, and
+    # recomputing an upstream pair-mining pipeline every round would
+    # dominate the runtime. Persisted ALREADY hash-partitioned on the
+    # join key (r15, guide §2.4): each round's edge⋈labels join then
+    # reuses the cached partitioning instead of re-exchanging the edge
+    # list every iteration.
     both = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .repartition("b")
         .persist()
     )
     labels = (
@@ -425,23 +429,33 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for it in range(max_iter):
-        # candidate label for each node: min over neighbours' labels
-        neighbour_min = (
-            both.join(labels, both.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
+        # One job per round (r15, guide §2.4 — was: neighbour-min join +
+        # agg + a second LEFT join back to labels, ~5 exchanges): the
+        # neighbour messages UNION a tagged copy of the labels
+        # themselves, and a single grouped aggregation produces both the
+        # new label min(old, min neighbour label) and the old label (the
+        # tagged row is the unique self row per node) for the
+        # convergence metric. Identical fixpoint, identical rounds.
+        msgs = both.join(labels, both.b == labels.node).select(
+            "a", "component", F.lit(False).alias("_self")
         )
         obs = Observation()
         new_labels = (
-            labels.join(neighbour_min, labels.node == neighbour_min.a, "left")
-            .select(
-                "node",
-                F.col("component").alias("_old"),
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+            msgs.unionByName(
+                labels.select(
+                    F.col("node").alias("a"),
+                    "component",
+                    F.lit(True).alias("_self"),
+                )
             )
+            .groupBy("a")
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("_self"), F.col("component"))).alias(
+                    "_old"
+                ),
+            )
+            .select(F.col("a").alias("node"), "component", "_old")
             .observe(
                 obs,
                 F.count_if(F.col("component") != F.col("_old")).alias("changed"),

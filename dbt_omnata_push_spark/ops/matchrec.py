@@ -690,6 +690,23 @@ def match_recognize(
         starts = np.flatnonzero(~same)
         ends = np.append(starts[1:], len(pdf))
 
+        # r15 (guide §4.2): flat numpy views for the ONE-ROW-PER-MATCH
+        # measure path — extracted ONCE per bucket. Profiled at 32k
+        # matches: the pandas frame slice per MATCH plus Series
+        # indexing per MEASURE was ~70% of matcher wall time; the
+        # per-match work below now indexes these arrays directly.
+        _meas_np_cols = {
+            a
+            for _n, k, a, sy, _f in parsed
+            if a is not None
+            and (
+                k in ("first", "last", "sum", "avg", "min", "max")
+                or (k == "count" and sy is not None)
+            )
+        }
+        np_cols = {c: env[c].to_numpy() for c in _meas_np_cols}
+        np_part = {c: pdf[c].to_numpy() for c in partition_by}
+
         def nfa_search(g0, g1, from_pos):
             """Condition-aware leftmost match scan (r13): used only
             when a DEFINE carries FIRST/LAST navigation. Walks the
@@ -861,7 +878,13 @@ def match_recognize(
                     match_no += 1
                     if covered is not None:
                         covered[s:e] = True
-                    span = pdf.iloc[g0 + s : g0 + e]
+                    # the ONE-ROW path never touches the frame slice —
+                    # measures read the flat numpy views (r15)
+                    span = (
+                        pdf.iloc[g0 + s : g0 + e]
+                        if rows_per_match != "one"
+                        else None
+                    )
                     # classification falls out of the NFA path
                     cls = [""] * (e - s)
                     excl = [False] * (e - s)
@@ -879,7 +902,11 @@ def match_recognize(
                     match_no += 1
                     if covered is not None:
                         covered[s:e] = True
-                    span = pdf.iloc[g0 + s : g0 + e]
+                    span = (
+                        pdf.iloc[g0 + s : g0 + e]
+                        if rows_per_match != "one"
+                        else None
+                    )
                     cls, excl = None, None
                 if not cond_syms and need_classify:
                     span_masks = mask[g0 + s : g0 + e]
@@ -913,40 +940,43 @@ def match_recognize(
                     if kind == "classifier":
                         return cls[-1]
                     if kind == "count" and arg is None:
-                        return len(span)
+                        return e - s
                     if kind == "count" and sym is None:
                         return cls.count(arg)  # count(SYM)
-                    vals = span[arg]
+                    # r15: index the per-bucket flat numpy view — no
+                    # per-match frame slice, no pandas indexing.
+                    vals = np_cols[arg][g0 + s : g0 + e]
                     if sym is not None:
-                        vals = vals.iloc[sym_keep(sym)]
+                        vals = vals[sym_keep(sym)]
                     if kind == "count":  # count(SYM.col): non-null only
-                        return int(vals.notna().sum())
+                        return int(pd.notna(vals).sum())
                     if kind == "first":
-                        return (
-                            vals.iloc[off] if len(vals) > off else None
-                        )
+                        return vals[off] if len(vals) > off else None
                     if kind == "last":
                         return (
-                            vals.iloc[-1 - off]
-                            if len(vals) > off
-                            else None
+                            vals[-1 - off] if len(vals) > off else None
                         )
+                    # sum/avg/min/max wrap the SAME values in a Series
+                    # (a view, not a copy) so pandas' NULL-skipping
+                    # reductions — and their float summation order —
+                    # stay bit-identical to the pre-r15 frame path.
+                    vs = pd.Series(vals)
                     if kind == "sum":
-                        return None if vals.isna().all() else vals.sum()
+                        return None if vs.isna().all() else vs.sum()
                     if kind == "avg":
-                        if not len(vals):
+                        if not len(vs):
                             return None
-                        v = vals.mean()
+                        v = vs.mean()
                         return None if pd.isna(v) else float(v)
                     # min / max
-                    if not len(vals):
+                    if not len(vs):
                         return None
-                    v = getattr(vals, kind)()
+                    v = getattr(vs, kind)()
                     return None if pd.isna(v) else v
 
                 if rows_per_match == "one":
                     row = {
-                        c: pdf[c].iloc[g0 + s] for c in partition_by
+                        c: np_part[c][g0 + s] for c in partition_by
                     }
                     for n_, kind, arg, sym, _f in parsed:
                         row[n_] = final_val(kind, arg, sym, offsets.get(n_, 0))
