@@ -626,6 +626,13 @@ class TableStore:
             matched = marked.join(keys, on, "left_semi")
         else:
             matched = marked.filter(predicate)
+        # r15 (guide §2.3 — narrow what materializes): the checkpoint
+        # below is consumed by the DV write (positions only) and, when
+        # a CDC consumer exists, the event sidecar (payload columns).
+        # Without change tracking, carrying the payload through the
+        # checkpoint is pure overhead — project to the two positions.
+        if not self.change_tracking(name):
+            matched = matched.select("relpath", "row_index")
         old_dv_dir = self._dv_dir(old_dir)
         if os.path.isdir(old_dv_dir):
             old_dv = spark.read.parquet(old_dv_dir)
@@ -710,11 +717,20 @@ class TableStore:
     ) -> DataFrame:
         reader = spark.read.option("mergeSchema", "true")
         meta = self.meta(name)
-        if meta.get("partition_by") and meta.get("schema"):
-            # A partitioned table can have zero partition directories (a
-            # fresh empty tracking table), so the schema comes from _META
-            # rather than file inference; the partition column resolves
-            # from directory names on non-empty reads.
+        if meta.get("schema"):
+            # Pin the read schema from _META for EVERY table (r15 —
+            # was: partitioned tables only). Every commit path refreshes
+            # _META to the union schema (create/_rewrite stamp
+            # df.schema; append unions in new columns), so _META is
+            # authoritative and the mergeSchema footer-inference job —
+            # a distributed pass over every data file's footer on the
+            # first read of each new version, per table — is pure
+            # overhead; at scale it is a full file-listing+footer scan
+            # (guide §6). Partitioned rationale (kept): a partitioned
+            # table can have zero partition directories (a fresh empty
+            # tracking table), so the schema must come from _META; the
+            # partition column resolves from directory names on
+            # non-empty reads.
             pinned = StructType.fromJson(meta["schema"])
             # r12: files from before a RENAME COLUMN carry the OLD
             # parquet column; ask the scan for it too (recorded type)
