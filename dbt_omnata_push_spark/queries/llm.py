@@ -2499,7 +2499,6 @@ def documents_hashed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     40 docs — the deterministic miniature of embed-and-search whose
     SCORES cross-engine hash-match (integer-count cosines)."""
     from ..llmops.retrieval import hashed_tf_embedding
-    from ..llmops.similarity import cosine
 
     docs = load_table(spark, sf_dir, "documents")
     # ONE hash projection, persisted: both join sides reuse it instead
@@ -2519,20 +2518,24 @@ def documents_hashed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    a = vecs.filter(F.col("doc_id") < 40).select(
-        F.col("lang").alias("_b"),
-        F.col("doc_id").alias("src"),
-        F.col("vec").alias("_va"),
-    )
-    b = vecs.select(
-        F.col("lang").alias("_b"),
-        F.col("doc_id").alias("dst"),
-        F.col("vec").alias("_vb"),
-    )
     from pyspark.sql import Window
 
-    pairs = b.join(F.broadcast(a), "_b").filter(F.col("src") != F.col("dst"))
-    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    from ..llmops.similarity import pairwise_block_sims
+
+    # r15 (guide §4.2): cosine() recomputed BOTH norms per pair in the
+    # interpreted fold; the cogrouped Arrow kernel computes norms once
+    # per vector and the dot grid in the fold's exact IEEE order —
+    # F.round(sim_raw, 6) below is bit-identical to the old plan.
+    # lang has a handful of values — salt the corpus side so the
+    # cogroup parallelism tracks the session, not the language count
+    # (guide §2.5); the 40-doc query side replicates to every bucket.
+    salt = max(int(spark.conf.get("spark.sql.shuffle.partitions", "8")), 8)
+    a = vecs.filter(F.col("doc_id") < 40)
+    pairs = pairwise_block_sims(
+        a, vecs, "lang", "doc_id", "doc_id", "vec",
+        pair_filter="ne", right_salt=salt,
+    )
+    sim = F.round(F.col("sim_raw"), 6)
     w = Window.partitionBy("src").orderBy(F.desc("sim"), F.col("dst"))
     return (
         pairs.select("src", "dst", sim.alias("sim"))
