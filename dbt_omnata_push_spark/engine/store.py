@@ -51,6 +51,21 @@ _HELD_LOCKS = _threading.local()
 
 
 
+def _contains_map(dt) -> bool:
+    """True when a data type contains a MapType anywhere — Spark
+    cannot compare maps for equality, so CDC update detection on such
+    payloads falls back to the to_json digest (r15)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def _locked_write(fn):
     """Wrap a public mutating TableStore method (self, spark, name, ...)
     in the per-table writer lock (see _write_lock)."""
@@ -110,6 +125,7 @@ class TableStore:
         # vacuum re-creating the path: a fresh dir has a fresh inode.
         # (name, version) -> (weakref(session), dir-stat, DataFrame)
         self._version_cache: dict[tuple[str, int], tuple] = {}
+        self._cdc_manifest_cache: dict[tuple[str, int], tuple] = {}
         os.makedirs(root, exist_ok=True)
         # Complete/roll back any swap a previous process died inside
         # (r12 crash-safe SWAP; see swap_tables/_recover_swap).
@@ -610,7 +626,9 @@ class TableStore:
         old_dir = os.path.join(self._dir(name), f"v={v}")
         raw = spark.read.option("mergeSchema", "true")
         meta = self.meta(name)
-        if meta.get("partition_by") and meta.get("schema"):
+        if meta.get("schema"):
+            # r15: pin from _META for every table (same rationale as
+            # _read_current) — skips the footer-inference job.
             raw = raw.schema(StructType.fromJson(meta["schema"]))
         base = raw.parquet(old_dir)
         data_cols = base.columns
@@ -2965,14 +2983,57 @@ class TableStore:
         self, spark: SparkSession, name: str, version: int
     ) -> tuple[str, DataFrame] | None:
         """(kind, events) for a commit's manifest, or None. kind is
-        'files' (insert-only, reads ONLY the appended files) or 'rows'."""
+        'files' (insert-only, reads ONLY the appended files) or 'rows'.
+
+        Cached per (session, sidecar stat, _META stat) — r15, guide
+        §1.2/§6: a stream consumer rebuilds its frame after every base
+        commit, and each rebuild re-walks the whole manifest window, so
+        the same immutable sidecar was re-analyzed (a footer job) once
+        per later commit. _clear_cdc_sidecars gives a recommitted
+        version a fresh stat; _META keys the schema pin."""
+        import weakref
+
+        try:
+            mst = os.stat(self._meta_file(name))
+            mkey = (mst.st_mtime_ns, mst.st_size, mst.st_ino)
+        except OSError:
+            mkey = None
+
+        def _hit(path: str):
+            try:
+                st = os.stat(path)
+            except OSError:
+                return None, None
+            skey = (st.st_mtime_ns, st.st_ino, mkey)
+            c = self._cdc_manifest_cache.get((name, version))
+            if c is not None:
+                c_spark, c_key, kind, df = c
+                if c_spark() is spark and c_key == skey:
+                    return skey, (kind, df)
+            return skey, None
+
+        def _put(skey, kind: str, df: DataFrame):
+            if skey is not None:
+                self._cdc_manifest_cache[(name, version)] = (
+                    weakref.ref(spark), skey, kind, df,
+                )
+            return kind, df
+
         rows_dir = self._cdc_rows_dir(name, version)
         if os.path.isdir(rows_dir):
-            return "rows", spark.read.option("mergeSchema", "true").parquet(
-                rows_dir
+            skey, hit = _hit(rows_dir)
+            if hit is not None:
+                return hit
+            return _put(
+                skey,
+                "rows",
+                spark.read.option("mergeSchema", "true").parquet(rows_dir),
             )
         ff = self._cdc_files_file(name, version)
         if os.path.isfile(ff):
+            skey, hit = _hit(ff)
+            if hit is not None:
+                return hit
             try:
                 with open(ff) as f:
                     rels = json.load(f)["files"]
@@ -2980,10 +3041,12 @@ class TableStore:
                 return None
             vdir = os.path.join(self._dir(name), f"v={version}")
             if not rels:
-                return "files", (
+                return _put(
+                    skey,
+                    "files",
                     self.read_version(spark, name, version)
                     .limit(0)
-                    .withColumn("change_type", F.lit("insert"))
+                    .withColumn("change_type", F.lit("insert")),
                 )
             reader = spark.read.option("basePath", vdir).option(
                 "mergeSchema", "true"
@@ -2995,7 +3058,9 @@ class TableStore:
             df = reader.parquet(*[os.path.join(vdir, r) for r in rels])
             # New files carry no deletion-vector rows at their own
             # commit (a delete creates a LATER version), so no DV apply.
-            return "files", df.withColumn("change_type", F.lit("insert"))
+            return _put(
+                skey, "files", df.withColumn("change_type", F.lit("insert"))
+            )
         return None
 
     def _compose_changes(
@@ -3038,10 +3103,24 @@ class TableStore:
             return ev.drop("_v")
 
         payload = [c for c in cols if c not in keys]
-        dig = F.md5(F.to_json(F.struct(*[F.col(c) for c in payload])))
+        # r15 (guide §2.3/§4.1): update detection compares the payload
+        # structs directly (null-safe, field-wise) instead of hashing
+        # every row with md5(to_json(...)) — the rows already travel in
+        # full for the pre/post images, so the digest bought nothing
+        # but per-row JSON+md5 CPU and 32 extra shuffled bytes (and a
+        # theoretical collision-misses-update hole). Maps are not
+        # comparable in Spark, so map-typed payloads keep the digest.
+        use_digest = any(
+            _contains_map(template.schema[c].dataType) for c in payload
+        )
+        if use_digest:
+            dig = F.md5(F.to_json(F.struct(*[F.col(c) for c in payload])))
+            extra = [dig.alias("_dig")]
+        else:
+            extra = []
         is_pre = F.col("change_type").isin("delete", "update_preimage")
         is_post = F.col("change_type").isin("insert", "update_postimage")
-        row_struct = F.struct(*[F.col(c) for c in cols], dig.alias("_dig"))
+        row_struct = F.struct(*[F.col(c) for c in cols], *extra)
         big = F.lit(1 << 60).cast("long")
         ev = ev.withColumn("_pre", is_pre).withColumn("_post", is_post)
         agg = ev.groupBy(*[F.col(k) for k in keys]).agg(
@@ -3085,7 +3164,15 @@ class TableStore:
             .when(
                 init_here
                 & fin_here
-                & (F.col("_init._dig") != F.col("_fin._dig")),
+                & (
+                    (F.col("_init._dig") != F.col("_fin._dig"))
+                    if use_digest
+                    else ~F.struct(
+                        *[F.col(f"_init.{c}") for c in payload]
+                    ).eqNullSafe(
+                        F.struct(*[F.col(f"_fin.{c}") for c in payload])
+                    )
+                ),
                 F.array(
                     F.struct(
                         F.lit("update_preimage").alias("ct"),
@@ -3166,13 +3253,27 @@ class TableStore:
             new.columns
         )
         payload = [c for c in new.columns if c not in keys]
+        # r15: direct null-safe struct comparison instead of per-row
+        # md5(to_json(...)) digests — same rationale and map-type
+        # fallback as _compose_changes.
+        use_digest = any(
+            _contains_map(new.schema[c].dataType) for c in payload
+        )
 
         def digest(df: DataFrame) -> DataFrame:
+            if not use_digest:
+                return df
             return df.withColumn(
                 "_digest", F.md5(F.to_json(F.struct(*[F.col(c) for c in payload])))
             )
 
         o, n = digest(old_w).alias("o"), digest(new).alias("n")
+        if use_digest:
+            pay_changed = F.col("o._digest") != F.col("n._digest")
+        else:
+            pay_changed = ~F.struct(
+                *[F.col(f"o.{c}") for c in payload]
+            ).eqNullSafe(F.struct(*[F.col(f"n.{c}") for c in payload]))
         # Null-safe key equality (<=>): a NULL-key row present
         # identically in both versions is "unchanged" and must emit
         # nothing — plain = would mis-emit it as an insert+delete pair.
@@ -3190,9 +3291,7 @@ class TableStore:
             .drop("_digest")
             .withColumn("change_type", F.lit("delete"))
         )
-        changed = o.join(
-            n, key_eq & (F.col("o._digest") != F.col("n._digest")), "inner"
-        )
+        changed = o.join(n, key_eq & pay_changed, "inner")
         pre = (
             changed.select("o.*")
             .drop("_digest")

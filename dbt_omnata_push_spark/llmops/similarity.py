@@ -632,20 +632,38 @@ def kmeans_fit(
     else:
         init = emb.orderBy(id_col).limit(k).select(vec_col).collect()
         centroids = [[float(x) for x in r[0]] for r in init]
-    assign = assign_clusters_arrow if arrow_assign else assign_clusters
     for _ in range(max_iter):
-        # arrow_assign=True routes the hot assignment through the
-        # Arrow/numpy matrix path (~2x at k*dim scale); identical
-        # argmin semantics, float-rounding-order differences only.
-        assigned = assign(emb, centroids, vec_col)
-        stats = (
-            assigned.select(
-                "cluster", F.posexplode(F.col(vec_col)).alias("pos", "v")
+        if arrow_assign:
+            # r15 (guide §4.2): fuse assignment + per-cluster partial
+            # sums into ONE Arrow pass — the iteration previously ran
+            # the numpy assign, then posexploded k*dim values per ROW
+            # into a JVM aggregation (a second stage shuffling
+            # rows*dim values). The kernel emits (cluster, pos, s, n)
+            # partials per batch — k*dim rows per batch, independent
+            # of row count — and the tiny JVM agg just sums partials.
+            # Same argmin, same driver-side s/n division; only float
+            # summation order differs, which is why this stays behind
+            # arrow_assign (training/blocking consumers, never
+            # bit-exact oracle paths).
+            stats = (
+                _kmeans_stats_arrow(emb, centroids, vec_col)
+                .groupBy("cluster", "pos")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()
             )
-            .groupBy("cluster", "pos")
-            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
+        else:
+            assigned = assign_clusters(emb, centroids, vec_col)
+            stats = (
+                assigned.select(
+                    "cluster", F.posexplode(F.col(vec_col)).alias("pos", "v")
+                )
+                .groupBy("cluster", "pos")
+                .agg(
+                    F.sum(F.col("v").cast("double")).alias("s"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
+            )
         new_centroids = [list(c) for c in centroids]
         dims = {}
         for r in stats:
@@ -682,7 +700,13 @@ def ivf_topk_trained(
     """
     from pyspark.sql import Window
 
-    cells = assign_clusters(emb, centroids, vec_col)
+    # r15 (guide §4.1): the blocking assignment goes through the Arrow
+    # matrix kernel — the JVM path inlines k interpreted zip_with/
+    # aggregate folds PER ROW. Assignment only picks which cells a
+    # candidate lives in; the ranking below stays exact-cosine, and
+    # the conditional-exact companion (nprobe = nlist) probes every
+    # cell, so its result is independent of assignment rounding.
+    cells = assign_clusters_arrow(emb, centroids, vec_col)
 
     def sqdist_q(c):
         arr = F.array(*[F.lit(float(x)) for x in c])
@@ -710,10 +734,21 @@ def ivf_topk_trained(
     )
     q_cells = queries.withColumn(
         "cluster", F.explode(F.transform(probes, lambda s: s["cid"]))
+    ).withColumn("_qn", _norm(F.col(q_vec_col)))
+    # r15 (guide §4.1): norms hoist to one evaluation per VECTOR
+    # (corpus side) / per QUERY (broadcast side) — the per-pair fold
+    # pays only the dot product. dot/(na*nb) performs the identical
+    # float ops in the identical order as cosine(), so ranks are
+    # bit-exact (the conditional-exact companion's hash holds). The
+    # broadcast join shape is kept deliberately: at scale the corpus
+    # streams map-side against the tiny query set — a cogrouped
+    # kernel would re-exchange the corpus on cluster.
+    sim = _dot(F.col(q_vec_col), F.col(vec_col)) / (
+        F.col("_qn") * F.col("_cn")
     )
-    sim = cosine(F.col(q_vec_col), F.col(vec_col))
     scored = (
-        cells.join(F.broadcast(q_cells), "cluster")
+        cells.withColumn("_cn", _norm(F.col(vec_col)))
+        .join(F.broadcast(q_cells), "cluster")
         .filter(F.col(id_col) != F.col(q_id_col))
         .select(q_id_col, id_col, sim.alias("sim"))
     )
@@ -1015,6 +1050,65 @@ def semantic_dedup_flags(
             F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def _kmeans_stats_arrow(
+    emb: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd's-iteration statistics pass: nearest-centroid
+    assignment (same matrix math and argmin tie-break as
+    assign_clusters_arrow) fused with per-cluster per-dimension
+    partial sums, in a single Arrow scan. Output: (cluster, pos, s, n)
+    with k*dim rows per batch — the shuffle/collect volume is
+    independent of the corpus row count (r15, guide §4.2)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+    c2 = (C * C).sum(axis=1)  # (k,)
+    schema = StructType(
+        [
+            StructField("cluster", IntegerType()),
+            StructField("pos", IntegerType()),
+            StructField("s", DoubleType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def go(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            scores = -2.0 * (mat @ C.T) + c2[None, :]
+            a = np.argmin(scores, axis=1)
+            cids, poss, ss, ns = [], [], [], []
+            d = mat.shape[1]
+            for cid in np.unique(a):
+                sel = mat[a == cid]
+                cids.extend([int(cid)] * d)
+                poss.extend(range(d))
+                ss.extend(sel.sum(axis=0).tolist())
+                ns.extend([int(sel.shape[0])] * d)
+            yield pd.DataFrame(
+                {
+                    "cluster": pd.array(cids, dtype="int32"),
+                    "pos": pd.array(poss, dtype="int32"),
+                    "s": pd.array(ss, dtype="float64"),
+                    "n": pd.array(ns, dtype="int64"),
+                }
+            )
+
+    return emb.select(vec_col).mapInPandas(go, schema)
 
 
 def assign_clusters_arrow(

@@ -685,7 +685,9 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine >= 0.98 flags duplicates."""
     emb = _with_planted_dups(load_table(spark, sf_dir, "embeddings")).drop("label")
     centroids = S.kmeans_fit(emb, k=8, max_iter=4, arrow_assign=True)
-    assigned = S.assign_clusters(emb, centroids)
+    # r15: blocking-only assignment through the Arrow kernel (rows-only
+    # entry; the conditional-exact k=1 twin keeps the JVM path).
+    assigned = S.assign_clusters_arrow(emb, centroids)
     return S.semantic_dedup_flags(
         assigned, threshold=0.98, cluster_col="cluster"
     )
