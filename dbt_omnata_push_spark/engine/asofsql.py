@@ -247,6 +247,7 @@ def _materialize_ctes(engine, sql: str) -> tuple[str, list[str]]:
         else:
             res = engine.query(body)
         res.createOrReplaceTempView(name)
+        engine._mark_shadowed(name)
         views.append(name)
         nxt = re.match(r"(?is)\s*,", sql[end:])
         if nxt:
@@ -309,6 +310,7 @@ def _resolve_nested(engine, sql: str, views: list[str]) -> str:
             )
         view = f"__asof_{next(_ASOF_VIEW_SEQ)}"
         engine.query(inner).createOrReplaceTempView(view)
+        engine._mark_shadowed(view)
         views.append(view)
         sql = sql[:o] + f"(select * from {view})" + sql[c:]
     raise ValueError("too many nested ASOF JOIN subqueries")
@@ -433,6 +435,7 @@ def resolve_asof_join(engine, sql: str) -> tuple[str, list[str]]:
         )
         view = f"__asof_{next(_ASOF_VIEW_SEQ)}"
         res.createOrReplaceTempView(view)
+        engine._mark_shadowed(view)
         views.append(view)
         sql = (
             sql[: m.start(1)] + view + " " + sql[cond_end + on_len :]

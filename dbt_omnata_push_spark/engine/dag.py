@@ -222,6 +222,15 @@ class Engine:
         # state they derive from, so per-statement registration is a
         # catalog-map update rather than a rebuild. See _register_views.
         self._reg_cache: dict = {}
+        # Names registered as temp views OUTSIDE _register_views since
+        # its last full pass (AT/CHANGES/ASOF/MR/DML shadow views, CTE
+        # materializations). When none of them can shadow an engine-
+        # owned name and no frame changed, the catalog is already
+        # exactly what a re-registration pass would produce and the
+        # pass skips its ~O(#views) createOrReplaceTempView calls
+        # (r15, guide §1.2 step 1).
+        self._shadowed: set[str] = set()
+        self._reg_catalog_ok = False
 
     # -- registration -----------------------------------------------------
     def register(self, model: Model) -> Model:
@@ -548,6 +557,18 @@ class Engine:
         elif nonstore is False:
             self._nonstore_published.pop(name, None)
         df.createOrReplaceTempView(self.view_name(name))
+        self._mark_shadowed(self.view_name(name))
+
+    def _mark_shadowed(self, *names: str) -> None:
+        """Record temp-view names registered outside _register_views
+        (shadow views for AT/CHANGES/ASOF/MR resolution, mid-statement
+        DML frames, CTE materializations). The next registration pass
+        must flush if any of them collides with a name it owns."""
+        for n in names:
+            if n:
+                self._shadowed.add(
+                    n.strip('"').rsplit(".", 1)[-1].lower()
+                )
 
     @staticmethod
     def _fstat(path: str) -> tuple | None:
@@ -574,15 +595,25 @@ class Engine:
         version, base meta), the history views on their backing file's
         stat, and the stored-view fixpoint re-resolves only when any of
         those inputs changed. Re-registering a cached frame is a
-        catalog-map update — no Spark job, no re-analysis."""
+        catalog-map update — no Spark job, no re-analysis.
+
+        r15 second pass: even the catalog-map updates are skipped when
+        NOTHING changed — registrations are deferred into ``regs`` and
+        flushed only when a frame changed this pass, the catalog was
+        never fully written (first pass), or an out-of-band temp view
+        (_mark_shadowed: AT/CHANGES/ASOF/MR/DML shadow views, CTE
+        materializations) may shadow one of the names this pass owns.
+        A skipped pass leaves the catalog bit-identical to a flushed
+        one by construction: same names, same cached frame objects."""
         cache = self._reg_cache
         changed = False
+        regs: list[tuple[str, DataFrame]] = []
         for name in list(self.seeds):
             df = self.seeds[name]
             if cache.get(("seed", name)) is not df:
                 cache[("seed", name)] = df
                 changed = True
-            df.createOrReplaceTempView(name)
+            regs.append((name, df))
         pol_state = (
             self._fstat(self.store._policies_file()),
             str(self.vars.get("role", "PUBLIC")),
@@ -604,7 +635,7 @@ class Engine:
                         masked = self._policy_masked(logical, raw)
                         cache[("table", logical)] = (raw, pol_state, masked)
                         changed = True
-                    masked.createOrReplaceTempView(view)
+                    regs.append((view, masked))
         self._stream_read_versions: dict[str, int] = {}
         for sname, st_meta in self.store.streams().items():
             base = st_meta.get("table", "")
@@ -622,7 +653,7 @@ class Engine:
                 df, read_v = self.stream_frame(sname)
                 cache[("stream", sname)] = (skey, df, read_v)
                 changed = True
-            df.createOrReplaceTempView(sname)
+            regs.append((sname, df))
             self._stream_read_versions[sname] = read_v
         # INFORMATION_SCHEMA.TASK_HISTORY read surface (r12): one row
         # per task execution attempt. ALWAYS registered (r13, r12
@@ -657,7 +688,7 @@ class Engine:
             )
             cache["task_history"] = (th_stat, th_df)
             changed = True
-        th_df.createOrReplaceTempView("__is_task_history")
+        regs.append(("__is_task_history", th_df))
         # INFORMATION_SCHEMA.DYNAMIC_TABLE_REFRESH_HISTORY (r13):
         # one row per refresh attempt (SUCCEEDED / SKIPPED), always
         # registered, collision-proof internal name (same contract as
@@ -684,7 +715,7 @@ class Engine:
             )
             cache["dt_refresh_history"] = (dth_stat, dth_df)
             changed = True
-        dth_df.createOrReplaceTempView("__is_dt_refresh_history")
+        regs.append(("__is_dt_refresh_history", dth_df))
         # Stored (non-materialized) views re-resolve on every read, so
         # they always reflect base tables' current versions and inherit
         # governance (their FROMs hit the masked/filtered temp views
@@ -697,9 +728,24 @@ class Engine:
         vstat = self._fstat(self.store._views_file())
         hit = cache.get("views_resolved")
         if not changed and hit is not None and hit[0] == vstat:
-            for vname, vdf in hit[1]:
+            regs.extend(hit[1])
+            if self._reg_catalog_ok and not (
+                self._shadowed and self._shadowed & {
+                    n.lower() for n, _ in regs
+                }
+            ):
+                # Nothing changed and no owned name was shadowed since
+                # the last flush: the catalog already holds exactly
+                # these (name, frame) pairs.
+                self._shadowed.clear()
+                return
+            for vname, vdf in regs:
                 vdf.createOrReplaceTempView(vname)
+            self._shadowed.clear()
+            self._reg_catalog_ok = True
             return
+        for vname, vdf in regs:
+            vdf.createOrReplaceTempView(vname)
         from .sqlfront import transpile as _transpile
 
         pending = dict(self.store.views())
@@ -720,6 +766,8 @@ class Engine:
             if not progressed:
                 break
         cache["views_resolved"] = (vstat, resolved)
+        self._shadowed.clear()
+        self._reg_catalog_ok = True
 
     def _substitute_session_vars(self, sql: str) -> str:
         """``$name`` -> the stored value as a SQL literal, skipping
@@ -1392,6 +1440,7 @@ class Engine:
         for base, df in frames.items():
             view = f"__dt_redir_{base}"
             df.createOrReplaceTempView(view)
+            self._mark_shadowed(view)
 
             def repl(m, base=base, view=view):
                 alias = m.group(2)
@@ -2371,6 +2420,7 @@ class Engine:
                 # recorded read version) must be fresh every run, not
                 # pinned by _view_cache
                 self.ref(r).createOrReplaceTempView(self.view_name(r))
+                self._mark_shadowed(self.view_name(r))
         if model.builder is not None:
             return model.builder(ctx)
         sql = model.compile_sql(ctx)

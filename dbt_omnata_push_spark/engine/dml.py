@@ -586,6 +586,7 @@ def _register_df(engine, df: DataFrame, *names: str) -> None:
     for n in names:
         if n:
             df.createOrReplaceTempView(n.strip('"').rsplit(".", 1)[-1])
+    engine._mark_shadowed(*names)
 
 
 def _update(engine, sql: str) -> DataFrame:

@@ -754,6 +754,7 @@ def resolve_match_recognize(engine, sql: str) -> tuple[str, list[str]]:
         res = match_recognize(df, hidden_cols=hidden or None, **spec)
         view = f"__mr_{next(_MR_VIEW_SEQ)}"
         res.createOrReplaceTempView(view)
+        engine._mark_shadowed(view)
         views.append(view)
         out = out[:mr_start] + f"FROM {view}" + out[end:]
     raise ValueError("too many MATCH_RECOGNIZE clauses in one statement")

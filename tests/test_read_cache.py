@@ -126,3 +126,68 @@ def test_stream_view_tracks_offset_and_base(spark, store):
     # consuming DML advances the offset -> stream view must empty
     eng.query("create table sink as select id from st")
     assert eng.query("select count(*) as n from st").collect()[0].n == 0
+
+
+def test_registration_pass_skips_when_state_unchanged(spark, store):
+    """r15: when no frame changed and nothing shadowed an owned name,
+    _register_views leaves the catalog untouched (zero
+    createOrReplaceTempView calls) — and a flush still happens the
+    moment an out-of-band registration is marked or a commit lands."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    eng = Engine(spark, store)
+    eng.query("create table t_skip as select 1 as v")
+    eng.query("select * from t_skip")  # settles caches + catalog
+
+    calls = []
+    orig = DataFrame.createOrReplaceTempView
+
+    def counting(self, name):
+        calls.append(name)
+        return orig(self, name)
+
+    DataFrame.createOrReplaceTempView = counting
+    try:
+        eng._register_views()
+        assert calls == [], f"clean pass must skip, registered: {calls}"
+        # an out-of-band shadow of an owned name forces a heal
+        spark.range(1).select(F.lit(9).alias("v")).createOrReplaceTempView(
+            "t_skip"
+        )
+        eng._mark_shadowed("t_skip")
+        eng._register_views()
+        assert "t_skip" in calls, "shadowed owned name must re-register"
+        assert (
+            eng.query("select max(v) as m from t_skip").collect()[0].m == 1
+        ), "healed view must read the committed table, not the shadow"
+    finally:
+        DataFrame.createOrReplaceTempView = orig
+
+
+def test_registration_pass_flushes_after_commit(spark, store):
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    eng = Engine(spark, store)
+    eng.query("create table t_flush as select 1 as v")
+    eng.query("select * from t_flush")
+    eng.query("insert into t_flush select 2")
+
+    calls = []
+    orig = DataFrame.createOrReplaceTempView
+
+    def counting(self, name):
+        calls.append(name)
+        return orig(self, name)
+
+    DataFrame.createOrReplaceTempView = counting
+    try:
+        # the insert bumped the version: the next pass must flush the
+        # new frame into the catalog...
+        eng._register_views()
+        assert "t_flush" in calls
+        # ...and the pass after that (nothing changed) skips again
+        calls.clear()
+        eng._register_views()
+        assert calls == []
+    finally:
+        DataFrame.createOrReplaceTempView = orig
