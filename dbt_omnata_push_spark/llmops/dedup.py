@@ -412,10 +412,21 @@ def connected_components(
     # dominate the runtime. Persisted ALREADY hash-partitioned on the
     # join key (r15, guide §2.4): each round's edge⋈labels join then
     # reuses the cached partitioning instead of re-exchanging the edge
-    # list every iteration.
+    # list every iteration. Both directions come from ONE explode of
+    # each edge row — the previous self-union evaluated the upstream
+    # pair-mining plan twice inside the materializing job (guide §2.4:
+    # duplicated subtrees; measured 7.3s -> 5.8s on
+    # customers_entity_resolution's CC stage alone).
     both = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
         .repartition("b")
         .persist()
     )
