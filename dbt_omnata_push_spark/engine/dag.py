@@ -231,6 +231,11 @@ class Engine:
         # (r15, guide §1.2 step 1).
         self._shadowed: set[str] = set()
         self._reg_catalog_ok = False
+        # The statement text the active query() is executing, if any.
+        # _register_views uses it to skip rebuilding STREAM frames the
+        # statement cannot read (construction runs CDC version diffs —
+        # the most expensive frame build in the pass).
+        self._current_stmt: str | None = None
 
     # -- registration -----------------------------------------------------
     def register(self, model: Model) -> Model:
@@ -637,6 +642,32 @@ class Engine:
                         changed = True
                     regs.append((view, masked))
         self._stream_read_versions: dict[str, int] = {}
+        # Stream-frame construction runs CDC version diffs — by far the
+        # most expensive frame build in this pass (r15, guide §1.2
+        # step 1: don't compute what the statement throws away). When
+        # the active statement's text is known, a stream whose cached
+        # frame is invalid is rebuilt only if the statement — or any
+        # stored view it could resolve through — can reference it
+        # (substring match on lowered SQL: over-approximate, so a skip
+        # is always safe). A skipped stream's stale temp view is
+        # DROPPED, so a reference the gate somehow missed fails loudly
+        # with an unresolved relation instead of reading a stale
+        # window.
+        gate_hay = None
+        stmt = self._current_stmt
+        if stmt is not None and self.store.streams():
+            vstat0 = self._fstat(self.store._views_file())
+            vh = cache.get("stream_gate_viewsql")
+            if vh is None or vh[0] != vstat0:
+                vh = (
+                    vstat0,
+                    " ".join(
+                        str(v.get("sql", ""))
+                        for v in self.store.views().values()
+                    ).lower(),
+                )
+                cache["stream_gate_viewsql"] = vh
+            gate_hay = stmt.lower() + " " + vh[1]
         for sname, st_meta in self.store.streams().items():
             base = st_meta.get("table", "")
             skey = (
@@ -649,6 +680,13 @@ class Engine:
             hit = cache.get(("stream", sname))
             if hit is not None and hit[0] == skey:
                 df, read_v = hit[1], hit[2]
+            elif gate_hay is not None and sname not in gate_hay:
+                cache.pop(("stream", sname), None)
+                try:
+                    self.spark.catalog.dropTempView(sname)
+                except Exception:  # noqa: BLE001 — view may not exist
+                    pass
+                continue
             else:
                 df, read_v = self.stream_frame(sname)
                 cache[("stream", sname)] = (skey, df, read_v)
@@ -1166,10 +1204,15 @@ class Engine:
                 from .sqlfront import transpile as _transpile
 
                 when = self._resolve_stream_has_data(when)
-                self._register_views()
-                ok = self.spark.sql(
-                    f"SELECT CAST(({_transpile(when)}) AS BOOLEAN) AS ok"
-                ).collect()[0]["ok"]
+                prev_stmt = self._current_stmt
+                self._current_stmt = when
+                try:
+                    self._register_views()
+                    ok = self.spark.sql(
+                        f"SELECT CAST(({_transpile(when)}) AS BOOLEAN) AS ok"
+                    ).collect()[0]["ok"]
+                finally:
+                    self._current_stmt = prev_stmt
                 if not ok:
                     skipped.add(n)
                     _record(i, n, "skipped_when")
@@ -2195,6 +2238,14 @@ class Engine:
         are routed to the versioned store via engine.dml and return a
         Snowflake-style summary frame (rows_inserted/updated/deleted).
         """
+        prev = self._current_stmt
+        self._current_stmt = sql if isinstance(sql, str) else None
+        try:
+            return self._query_impl(sql, dialect)
+        finally:
+            self._current_stmt = prev
+
+    def _query_impl(self, sql: str, dialect: str = "snowflake") -> DataFrame:
         if dialect == "snowflake":
             from ..connectors.sqlbridge import ensure_ext_fns
             from . import dml

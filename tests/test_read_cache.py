@@ -191,3 +191,47 @@ def test_registration_pass_flushes_after_commit(spark, store):
         assert calls == []
     finally:
         DataFrame.createOrReplaceTempView = orig
+
+
+def test_stream_rebuild_gated_on_statement_reference(spark, store):
+    """r15: a statement that cannot read a stream must not pay for
+    rebuilding its CDC frame — and the skipped stream's stale view is
+    dropped, so a reference the gate missed errors instead of reading
+    a stale window. Referencing statements (directly or through a
+    stored view) still rebuild and read the exact delta."""
+    eng = Engine(spark, store)
+    eng.query("create table sbase as select 1 as id, 10 as v")
+    eng.query("alter table sbase add primary key (id)")
+    eng.query("create stream st_gate on table sbase")
+
+    builds = []
+    orig = Engine.stream_frame
+
+    def counting(self, name):
+        builds.append(name)
+        return orig(self, name)
+
+    Engine.stream_frame = counting
+    try:
+        # commit on the base invalidates the stream frame, but the
+        # next statements never mention st_gate: no rebuild
+        eng.query("insert into sbase select 2, 20")
+        builds.clear()
+        eng.query("select count(*) as n from sbase")
+        eng.query("create table unrelated as select 1 as x")
+        assert builds == [], f"unreferenced stream rebuilt: {builds}"
+        # a statement that reads the stream rebuilds it and sees the
+        # full delta since the offset (both inserts above)
+        rows = eng.query("select id from st_gate").collect()
+        assert builds == ["st_gate"]
+        assert {r.id for r in rows} == {2}
+        # a stored view over the stream also forces the rebuild even
+        # when the statement only names the view
+        eng.query("create view v_over_stream as select id from st_gate")
+        eng.query("insert into sbase select 3, 30")
+        builds.clear()
+        rows = eng.query("select id from v_over_stream").collect()
+        assert builds == ["st_gate"], "view reference must rebuild"
+        assert {r.id for r in rows} == {2, 3}
+    finally:
+        Engine.stream_frame = orig
