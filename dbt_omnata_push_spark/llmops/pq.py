@@ -77,13 +77,17 @@ def pq_train(
     import numpy as np
     import pandas as pd
 
-    dim = len(emb.select(vec_col).first()[0])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m} subvectors")
-    sub = dim // m
+    # One action probes the dimension AND collects the deterministic
+    # init (the k lowest-id vectors) — the dim is read off the first
+    # init row instead of a separate .first() job (r15, guide §1.2:
+    # fewer driver actions; the init rows are identical either way).
     init = emb.orderBy(id_col).limit(k).select(vec_col).collect()
     if len(init) < k:
         raise ValueError(f"need >= {k} vectors to init {k} codes")
+    dim = len(init[0][0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subvectors")
+    sub = dim // m
     books = np.stack(
         [np.asarray(r[0], dtype="float64").reshape(m, sub) for r in init]
     ).transpose(1, 0, 2)  # m x k x sub

@@ -450,8 +450,8 @@ def match_recognize(
     controls how many partition keys share one Arrow batch (r11):
     the matcher buckets keys so per-key Arrow overhead amortizes;
     results are key-deterministic regardless of the value. Default
-    scales with the session (``8 x spark.sql.shuffle.partitions``,
-    floor 256) so a bucket — which must fit one pandas frame in an
+    scales with the session (``4 x spark.sql.shuffle.partitions``,
+    floor 64) so a bucket — which must fit one pandas frame in an
     executor — shrinks as the cluster grows; at very large row counts
     pass buckets ~ total_rows / 5e6 explicitly."""
     if rows_per_match not in ("one", "all", "all_unmatched"):
@@ -654,9 +654,17 @@ def match_recognize(
         ).reset_index(drop=True)
         gb = pdf.groupby(list(partition_by), sort=False, dropna=False)
         env = {c: pdf[c] for c in data_cols}
+        # r15 (guide §1.2: don't compute what's thrown away): a
+        # groupby-shift per column per bucket is the setup's dominant
+        # pandas cost — build only the prev_/next_ columns some DEFINE
+        # actually references (the same text source the deeper-offset
+        # loop below scans).
+        _def_text = " ".join(defines.values())
         for c in data_cols:
-            env[f"prev_{c}"] = gb[c].shift(1)
-            env[f"next_{c}"] = gb[c].shift(-1)
+            if re.search(rf"\bprev_{re.escape(c)}\b", _def_text):
+                env[f"prev_{c}"] = gb[c].shift(1)
+            if re.search(rf"\bnext_{re.escape(c)}\b", _def_text):
+                env[f"next_{c}"] = gb[c].shift(-1)
         # deeper offsets (r11, Snowflake PREV(col, N)/NEXT(col, N)):
         # only the shifts the defines reference are computed
         for direction, sign in (("prev", 1), ("next", -1)):
@@ -706,6 +714,19 @@ def match_recognize(
         }
         np_cols = {c: env[c].to_numpy() for c in _meas_np_cols}
         np_part = {c: pdf[c].to_numpy() for c in partition_by}
+        # r15 second pass (guide §4.2): the ALL-ROWS output path now
+        # assembles per-match COLUMN DICTS over these flat views and
+        # builds ONE DataFrame per bucket at the end — the per-match
+        # pdf.iloc slice + .copy() + per-measure column inserts +
+        # pd.concat of thousands of small frames were ~40% of matcher
+        # wall in the UDF profile. Only the columns the output needs
+        # are materialized.
+        out_names = [f.name for f in out_fields]
+        np_base = (
+            {c: pdf[c].to_numpy() for c in out_names if c in pdf.columns}
+            if rows_per_match != "one"
+            else {}
+        )
 
         def nfa_search(g0, g1, from_pos):
             """Condition-aware leftmost match scan (r13): used only
@@ -878,13 +899,6 @@ def match_recognize(
                     match_no += 1
                     if covered is not None:
                         covered[s:e] = True
-                    # the ONE-ROW path never touches the frame slice —
-                    # measures read the flat numpy views (r15)
-                    span = (
-                        pdf.iloc[g0 + s : g0 + e]
-                        if rows_per_match != "one"
-                        else None
-                    )
                     # classification falls out of the NFA path
                     cls = [""] * (e - s)
                     excl = [False] * (e - s)
@@ -902,11 +916,6 @@ def match_recognize(
                     match_no += 1
                     if covered is not None:
                         covered[s:e] = True
-                    span = (
-                        pdf.iloc[g0 + s : g0 + e]
-                        if rows_per_match != "one"
-                        else None
-                    )
                     cls, excl = None, None
                 if not cond_syms and need_classify:
                     span_masks = mask[g0 + s : g0 + e]
@@ -983,10 +992,18 @@ def match_recognize(
                     one_rows.append(row)
                 else:
                     # Vectorized per-match output (r11, VERDICT r10
-                    # #5): slice once, assign each measure as a whole
-                    # column — scalar for FINAL, aligned array for
-                    # RUNNING.
-                    part = span.copy()
+                    # #5; r15: column dicts over the bucket's flat
+                    # numpy views — no frame slice, no copy, no
+                    # per-measure insert): scalar fill for FINAL,
+                    # aligned array for RUNNING. The pandas Series
+                    # wrappers below are VIEWS over the same values,
+                    # so NULL-skip semantics and float summation order
+                    # are bit-identical to the frame path.
+                    n_rows = e - s
+                    part = {
+                        c: arr[g0 + s : g0 + e]
+                        for c, arr in np_base.items()
+                    }
                     for n_, kind, arg, sym, final in parsed:
                         if final or (
                             sym is None
@@ -996,30 +1013,35 @@ def match_recognize(
                             # constant over the match anyway (but a
                             # QUALIFIED running first is NULL before
                             # the first SYM row — handled below)
-                            part[n_] = final_val(kind, arg, sym, offsets.get(n_, 0))
-                        elif kind == "classifier":
-                            part[n_] = cls
-                        elif kind == "first":  # running first(SYM.col)
-                            keep = sym_keep(sym)
-                            out = pd.Series(
-                                [None] * len(span),
-                                index=span.index,
+                            part[n_] = np.full(
+                                n_rows,
+                                final_val(
+                                    kind, arg, sym, offsets.get(n_, 0)
+                                ),
                                 dtype=object,
                             )
+                        elif kind == "classifier":
+                            part[n_] = np.asarray(cls, dtype=object)
+                        elif kind == "first":  # running first(SYM.col)
+                            keep = sym_keep(sym)
+                            out = np.full(n_rows, None, dtype=object)
                             if keep.any():
                                 p0 = int(np.argmax(keep))
-                                out.iloc[p0:] = span[arg].iloc[p0]
+                                out[p0:] = np_cols[arg][g0 + s + p0]
                             part[n_] = out
                         elif kind == "last":
+                            vals = np_cols[arg][g0 + s : g0 + e]
                             if sym is None:
                                 # running last(col) at row j IS row j
-                                part[n_] = span[arg].to_numpy()
+                                part[n_] = vals
                             else:
                                 # most recent SYM row at or before j
-                                keep = pd.Series(
-                                    sym_keep(sym), index=span.index
+                                part[n_] = (
+                                    pd.Series(vals)
+                                    .where(sym_keep(sym))
+                                    .ffill()
+                                    .to_numpy()
                                 )
-                                part[n_] = span[arg].where(keep).ffill()
                         elif kind in ("sum", "min", "max", "avg"):
                             # cumulative aggregates, NULL-skipping like
                             # SQL: pandas cum* leave NaN AT null rows
@@ -1029,12 +1051,9 @@ def match_recognize(
                             # Symbol-qualified (r12): non-SYM rows mask
                             # to NaN first, so the same NULL-skipping
                             # cum path aggregates only SYM rows.
-                            vals = span[arg]
+                            vals = pd.Series(np_cols[arg][g0 + s : g0 + e])
                             if sym is not None:
-                                keep = pd.Series(
-                                    sym_keep(sym), index=span.index
-                                )
-                                vals = vals.where(keep)
+                                vals = vals.where(sym_keep(sym))
                             if kind == "avg":
                                 sums = vals.cumsum().ffill()
                                 cnts = vals.notna().cumsum()
@@ -1047,10 +1066,12 @@ def match_recognize(
                                 )()
                                 part[n_] = agg.ffill().to_numpy()
                         elif arg is None:  # running count()
-                            part[n_] = np.arange(1, len(span) + 1)
+                            part[n_] = np.arange(1, n_rows + 1)
                         elif sym is not None:  # running count(SYM.col)
                             keep = sym_keep(sym)
-                            notna = span[arg].notna().to_numpy()
+                            notna = pd.notna(
+                                np_cols[arg][g0 + s : g0 + e]
+                            )
                             part[n_] = np.cumsum(
                                 (keep & notna).astype(np.int64)
                             )
@@ -1065,7 +1086,11 @@ def match_recognize(
                         # {- ... -} exclusion (r12): drop excluded rows
                         # from the OUTPUT only — measures above saw the
                         # whole match, as SQL:2016 prescribes
-                        part = part.iloc[~np.array(excl)]
+                        keep_rows = ~np.asarray(excl, dtype=bool)
+                        part = {
+                            c: np.asarray(v)[keep_rows]
+                            for c, v in part.items()
+                        }
                     all_parts.append(part)
 
                 if skip == "past_last":
@@ -1093,9 +1118,13 @@ def match_recognize(
                     pos = s + rel
 
             if covered is not None and not covered.all():
-                um = pdf.iloc[g0:g1][~covered].copy()
+                sel = ~covered
+                um = {
+                    c: arr[g0:g1][sel] for c, arr in np_base.items()
+                }
+                k_um = int(sel.sum())
                 for n_, _k, _a, _s, _f in parsed:
-                    um[n_] = None
+                    um[n_] = np.full(k_um, None, dtype=object)
                 all_parts.append(um)
 
         names = [f.name for f in out_fields]
@@ -1109,7 +1138,23 @@ def match_recognize(
             return pd.DataFrame(
                 {f.name: pd.Series(dtype=object) for f in out_fields}
             )
-        return pd.concat(all_parts, ignore_index=True)[names]
+        # ONE frame per bucket: concatenate each output column across
+        # matches (numpy promotes mixed part dtypes exactly where
+        # pd.concat would — e.g. int64 match columns with object
+        # unmatched fills widen to object).
+        return pd.DataFrame(
+            {
+                nm: (
+                    np.concatenate(
+                        [np.asarray(p[nm]) for p in all_parts]
+                    )
+                    if len(all_parts) > 1
+                    else np.asarray(all_parts[0][nm])
+                )
+                for nm in names
+            },
+            copy=False,
+        )
 
     # Bucket the partition keys (r11): one shuffle either way, but the
     # pandas UDF now receives ~|keys|/buckets keys per Arrow batch
@@ -1120,7 +1165,16 @@ def match_recognize(
         shuffle_parts = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
-        buckets = max(256, shuffle_parts * 8)
+        # 4x the reduce-task count (r15; was 8x with floor 256): tasks
+        # = shuffle partitions regardless of bucket count — buckets
+        # only smooth key skew across tasks and bound the per-bucket
+        # pandas frame, while every extra bucket pays the fixed
+        # per-bucket setup (sort, groupby shifts, pd.eval per DEFINE).
+        # Measured at sf0.1/32 parts: 256 buckets 2.13s -> 128 buckets
+        # 1.54s on events_value_vshape, identical results (bucketing is
+        # key-deterministic). Still cluster-proportional; very large
+        # inputs pass buckets ~ total_rows / 5e6 explicitly.
+        buckets = max(64, shuffle_parts * 4)
     bucket = F.pmod(
         F.xxhash64(*[F.col(c) for c in partition_by]), F.lit(buckets)
     )
