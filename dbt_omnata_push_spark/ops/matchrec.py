@@ -872,8 +872,12 @@ def match_recognize(
                     break  # preference-first path is empty: no match
             return None
 
-        one_rows = []  # ONE ROW PER MATCH: one dict per match
-        all_parts = []  # ALL ROWS PER MATCH: one sliced frame per match
+        # ONE ROW PER MATCH accumulates per-COLUMN lists (r15: a
+        # DataFrame built from one dict per match re-scans every dict
+        # for inference — O(matches) pandas overhead at 32k+ matches)
+        one_cols: dict[str, list] = {}
+        n_one = 0
+        all_parts = []  # ALL ROWS PER MATCH: one column dict per match
         for g0, g1 in zip(starts.tolist(), ends.tolist()):
             covered = (
                 np.zeros(g1 - g0, dtype=bool) if with_unmatched else None
@@ -989,7 +993,9 @@ def match_recognize(
                     }
                     for n_, kind, arg, sym, _f in parsed:
                         row[n_] = final_val(kind, arg, sym, offsets.get(n_, 0))
-                    one_rows.append(row)
+                    for kk, vv in row.items():
+                        one_cols.setdefault(kk, []).append(vv)
+                    n_one += 1
                 else:
                     # Vectorized per-match output (r11, VERDICT r10
                     # #5; r15: column dicts over the bucket's flat
@@ -1129,11 +1135,14 @@ def match_recognize(
 
         names = [f.name for f in out_fields]
         if rows_per_match == "one":
-            if not one_rows:
+            if not n_one:
                 return pd.DataFrame(
                     {f.name: pd.Series(dtype=object) for f in out_fields}
                 )
-            return pd.DataFrame(one_rows, columns=names)
+            return pd.DataFrame(
+                {nm: one_cols.get(nm, [None] * n_one) for nm in names},
+                columns=names,
+            )
         if not all_parts:
             return pd.DataFrame(
                 {f.name: pd.Series(dtype=object) for f in out_fields}
