@@ -231,6 +231,11 @@ class Engine:
         # (r15, guide §1.2 step 1).
         self._shadowed: set[str] = set()
         self._reg_catalog_ok = False
+        # What this engine last wrote into the session catalog, per
+        # lowered view name (r16): the flush skips names whose frame
+        # object is already the registered one and that nothing
+        # shadowed — per-name incremental registration.
+        self._reg_written: dict[str, DataFrame] = {}
         # The statement text the active query() is executing, if any.
         # _register_views uses it to skip rebuilding STREAM frames the
         # statement cannot read (construction runs CDC version diffs —
@@ -682,6 +687,7 @@ class Engine:
                 df, read_v = hit[1], hit[2]
             elif gate_hay is not None and sname not in gate_hay:
                 cache.pop(("stream", sname), None)
+                self._reg_written.pop(sname.lower(), None)
                 try:
                     self.spark.catalog.dropTempView(sname)
                 except Exception:  # noqa: BLE001 — view may not exist
@@ -766,24 +772,14 @@ class Engine:
         vstat = self._fstat(self.store._views_file())
         hit = cache.get("views_resolved")
         if not changed and hit is not None and hit[0] == vstat:
+            # Nothing changed this pass: flush per NAME (r16) — only
+            # frames the catalog doesn't already hold (object identity)
+            # or whose name was shadowed out-of-band re-register; a
+            # fully clean pass touches nothing.
             regs.extend(hit[1])
-            if self._reg_catalog_ok and not (
-                self._shadowed and self._shadowed & {
-                    n.lower() for n, _ in regs
-                }
-            ):
-                # Nothing changed and no owned name was shadowed since
-                # the last flush: the catalog already holds exactly
-                # these (name, frame) pairs.
-                self._shadowed.clear()
-                return
-            for vname, vdf in regs:
-                vdf.createOrReplaceTempView(vname)
-            self._shadowed.clear()
-            self._reg_catalog_ok = True
+            self._flush_regs(regs)
             return
-        for vname, vdf in regs:
-            vdf.createOrReplaceTempView(vname)
+        self._flush_regs(regs, clear_shadowed=False)
         from .sqlfront import transpile as _transpile
 
         pending = dict(self.store.views())
@@ -798,6 +794,7 @@ class Engine:
                 except Exception:
                     continue
                 df.createOrReplaceTempView(vname)
+                self._reg_written[vname.lower()] = df
                 resolved.append((vname, df))
                 pending.pop(vname)
                 progressed = True
@@ -806,6 +803,27 @@ class Engine:
         cache["views_resolved"] = (vstat, resolved)
         self._shadowed.clear()
         self._reg_catalog_ok = True
+
+    def _flush_regs(
+        self, regs: list[tuple[str, DataFrame]], clear_shadowed: bool = True
+    ) -> None:
+        """Per-name incremental catalog flush (r16, guide §1.2): a
+        lifecycle statement typically changes ONE table's frame, but the
+        r15 flush re-issued createOrReplaceTempView for every owned name
+        (~7 ms of py4j + catalog-map work each). Re-register only names
+        whose frame object differs from what this engine last wrote, or
+        that an out-of-band registration may have shadowed. ``regs``
+        order is preserved, so duplicate view names keep last-wins."""
+        written = self._reg_written
+        shadowed = self._shadowed
+        for vname, vdf in regs:
+            key = vname.lower()
+            if written.get(key) is not vdf or key in shadowed:
+                vdf.createOrReplaceTempView(vname)
+                written[key] = vdf
+        if clear_shadowed:
+            self._shadowed.clear()
+            self._reg_catalog_ok = True
 
     def _substitute_session_vars(self, sql: str) -> str:
         """``$name`` -> the stored value as a SQL literal, skipping

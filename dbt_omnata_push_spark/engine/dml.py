@@ -290,6 +290,20 @@ def _summary(engine, **counts) -> DataFrame:
     return engine.spark.createDataFrame([tuple(counts.values())], cols)
 
 
+def _obs_count(df: DataFrame):
+    """Attach a row-count Observation so the count rides the frame's
+    one materializing action (versioned write or localCheckpoint)
+    instead of costing a separate Spark job per statement (r16, guide
+    §1.2 — the DML engine paid count jobs on every INSERT/CTAS/UPDATE/
+    DELETE/MERGE commit). Returns (observed_df, get) — call ``get()``
+    only AFTER the action has run."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = df.observe(obs, F.count(F.lit(1)).cast("long").alias("n"))
+    return out, (lambda: int(obs.get["n"] or 0))
+
+
 def _run_select(engine, body: str) -> DataFrame:
     body = body.strip()
     if re.match(r"(?is)^values\b", body):
@@ -382,11 +396,15 @@ def _insert(engine, sql: str) -> DataFrame:
             ]
             rest = rest[end:]
     body = rest.strip().rstrip(";")
-    src = _run_select(engine, body).localCheckpoint()  # exactly-once exprs
-    aligned = _aligned_for_insert(engine, table, src, cols)
-    n = aligned.count()
+    # r16: the versioned write is the ONLY action — non-deterministic
+    # body expressions still evaluate exactly once (the contract the
+    # former localCheckpoint bought with an extra materialization job),
+    # and the row count rides the write via Observation instead of a
+    # separate count job. 3 Spark jobs per INSERT -> 1.
+    src = _run_select(engine, body)
+    aligned, get_n = _obs_count(_aligned_for_insert(engine, table, src, cols))
     engine.store.append(engine.spark, table, aligned)
-    return _summary(engine, rows_inserted=n)
+    return _summary(engine, rows_inserted=get_n())
 
 
 # ---------------------------------------------------------------------------
@@ -504,10 +522,11 @@ def _insert_multi(engine, sql: str) -> DataFrame:
                 )
             else:
                 proj = rows
-            aligned = _aligned_for_insert(engine, table, proj, item["cols"])
-            n = aligned.count()
+            aligned, get_n = _obs_count(
+                _aligned_for_insert(engine, table, proj, item["cols"])
+            )
             engine.store.append(engine.spark, table, aligned)
-            results[table] = results.get(table, 0) + n
+            results[table] = results.get(table, 0) + get_n()
     return engine.spark.createDataFrame(
         sorted(results.items()), "table string, rows_inserted long"
     )
@@ -631,8 +650,13 @@ def _update(engine, sql: str) -> DataFrame:
         f"FROM {from_clause}"
         + (f" WHERE {transpile(cond)}" if cond else "")
     )
-    matches = engine.spark.sql(match_sql).dropDuplicates([_RID]).localCheckpoint()
-    n = matches.count()
+    # r16: the matched-row count rides the checkpoint's materialization
+    # via Observation — no separate count job per UPDATE statement.
+    observed, get_n = _obs_count(
+        engine.spark.sql(match_sql).dropDuplicates([_RID])
+    )
+    matches = observed.localCheckpoint()
+    n = get_n()
     joined = tgt.join(matches, _RID, "left")
     out_cols = []
     set_names = {c.lower(): i for i, (c, _) in enumerate(assignments)}
@@ -753,8 +777,11 @@ def _delete(engine, sql: str) -> DataFrame:
         f"SELECT {alias}.{_RID} AS {_RID} FROM {alias}, {src_text}"
         + (f" WHERE {transpile(cond)}" if cond else "")
     )
-    ids = engine.spark.sql(match_sql).dropDuplicates([_RID]).localCheckpoint()
-    n = ids.count()
+    observed, get_n = _obs_count(
+        engine.spark.sql(match_sql).dropDuplicates([_RID])
+    )
+    ids = observed.localCheckpoint()
+    n = get_n()
     kept = tgt.join(ids, _RID, "left_anti").drop(_RID)
     events = (
         tgt.join(ids, _RID, "left_semi")
@@ -861,15 +888,14 @@ def _merge(engine, sql: str) -> DataFrame:
     # simplification of Snowflake's clause-order rule).
     if dele is not None:
         extra = f" AND ({transpile(dele['extra'])})" if dele["extra"] else ""
-        del_ids = (
+        observed, get_n = _obs_count(
             engine.spark.sql(
                 f"SELECT {alias}.{_RID} AS {_RID} FROM {alias}, {src_alias} "
                 f"WHERE ({on_sql}){extra}"
-            )
-            .dropDuplicates([_RID])
-            .localCheckpoint()
+            ).dropDuplicates([_RID])
         )
-        n_del = del_ids.count()
+        del_ids = observed.localCheckpoint()
+        n_del = get_n()
         patched = patched.join(del_ids, _RID, "left_anti")
         cdc_parts.append(
             tgt.join(del_ids, _RID, "left_semi")
@@ -895,8 +921,9 @@ def _merge(engine, sql: str) -> DataFrame:
         ).dropDuplicates([_RID])
         if del_ids is not None:
             matches = matches.join(del_ids, _RID, "left_anti")
+        matches, get_n = _obs_count(matches)
         matches = matches.localCheckpoint()
-        n_upd = matches.count()
+        n_upd = get_n()
         cdc_parts.append(
             _update_events(engine, tgt, matches, assignments, schema)
         )
@@ -938,10 +965,13 @@ def _merge(engine, sql: str) -> DataFrame:
         )
         if ins["extra"]:
             anti = anti.filter(F.expr(transpile(ins["extra"])))
-        new_rows = anti.select(
-            *[F.expr(transpile(v)).alias(c) for v, c in zip(vals, cols)]
-        ).localCheckpoint()
-        n_ins = new_rows.count()
+        observed, get_n = _obs_count(
+            anti.select(
+                *[F.expr(transpile(v)).alias(c) for v, c in zip(vals, cols)]
+            )
+        )
+        new_rows = observed.localCheckpoint()
+        n_ins = get_n()
         aligned = _aligned_for_insert(engine, table, new_rows, cols)
         final = final.unionByName(aligned)
         cdc_parts.append(
@@ -1080,7 +1110,7 @@ def _ctas(engine, sql: str) -> DataFrame:
                     break
         if closes_at_end:
             body = body[1:-1]
-    df = engine.query(body)
+    df, get_n = _obs_count(engine.query(body))
     if engine.store.exists(table):
         if not replace:
             raise ValueError(f"table already exists: {table}")
@@ -1088,9 +1118,9 @@ def _ctas(engine, sql: str) -> DataFrame:
     else:
         engine.store.create(engine.spark, table, df)
     # One evaluation total: the write IS the only materialization; the
-    # row count reads back parquet footers (metadata-only).
-    n = engine.store.read(engine.spark, table).count()
-    return _summary(engine, rows_inserted=n)
+    # row count rides it via Observation (r16 — was a separate
+    # read-back count job per CTAS).
+    return _summary(engine, rows_inserted=get_n())
 
 
 _TRUNCATE_RE = re.compile(rf"(?is)^\s*truncate\s+(?:table\s+)?({_TABLE})\s*$")
@@ -1415,13 +1445,12 @@ def _copy(engine, sql: str) -> DataFrame:
         # directory; Snowflake's stage semantics are append-only, but a
         # filesystem unload that silently mixes runs is a footgun).
         table = _resolve_table(engine, source)
-        df = engine.store.read(engine.spark, table)
-        n = df.count()
+        df, get_n = _obs_count(engine.store.read(engine.spark, table))
         writer = df.write.mode("overwrite")
         if ftype == "csv":
             writer = writer.option("header", True)
         getattr(writer, ftype)(target.strip("'"))
-        return _summary(engine, rows_unloaded=n)
+        return _summary(engine, rows_unloaded=get_n())
 
     # LOAD: files -> table (append; COPY INTO's one-way door)
     table = _resolve_table(engine, target)
@@ -1432,10 +1461,9 @@ def _copy(engine, sql: str) -> DataFrame:
         # columns positionally either way, like we do below.
         reader = reader.option("header", fmt.get("skip_header") == "1")
     df = getattr(reader, ftype)(source.strip("'"))
-    aligned = _aligned_for_insert(engine, table, df, None)
-    n = aligned.count()
+    aligned, get_n = _obs_count(_aligned_for_insert(engine, table, df, None))
     engine.store.append(engine.spark, table, aligned)
-    return _summary(engine, rows_loaded=n)
+    return _summary(engine, rows_loaded=get_n())
 
 
 # ---------------------------------------------------------------------------

@@ -652,22 +652,26 @@ class TableStore:
         if not self.change_tracking(name):
             matched = matched.select("relpath", "row_index")
         old_dv_dir = self._dv_dir(old_dir)
+        old_dv = None
         if os.path.isdir(old_dv_dir):
             old_dv = spark.read.parquet(old_dv_dir)
             # rows already deleted by a prior DV are not deleted again
-            new_hits = matched.join(
+            matched = matched.join(
                 old_dv, ["relpath", "row_index"], "left_anti"
-            ).localCheckpoint()
-            n_new = new_hits.count()
-            merged_dv = (
-                new_hits.select("relpath", "row_index")
-                .unionByName(old_dv)
-                .distinct()
             )
-        else:
-            new_hits = matched.localCheckpoint()
-            n_new = new_hits.count()
-            merged_dv = new_hits.select("relpath", "row_index").distinct()
+        # r16: the deleted-position count rides the checkpoint's
+        # materialization via Observation — no separate count job.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_hits = matched.observe(
+            obs, F.count(F.lit(1)).cast("long").alias("n")
+        ).localCheckpoint()
+        n_new = int(obs.get["n"] or 0)
+        merged_dv = new_hits.select("relpath", "row_index")
+        if old_dv is not None:
+            merged_dv = merged_dv.unionByName(old_dv)
+        merged_dv = merged_dv.distinct()
 
         new_dir = os.path.join(self._dir(name), f"v={v + 1}")
         shutil.rmtree(new_dir, ignore_errors=True)

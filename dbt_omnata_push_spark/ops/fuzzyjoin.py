@@ -127,12 +127,20 @@ def fuzzy_self_pairs(
             ).cast("string")
         )
         base = base.select("_id", fence.alias("_s"))
-    # The variant self-join and the candidate de-dup carry ONLY
-    # (id, variant) — strings rejoin after distinct, so the widest
-    # shuffles move ids, not payload (matters when keys are long).
+    # The variant self-join carries ONLY (id, hash64(variant)) — an
+    # 8-byte join key instead of the variant string (r16, guide §2.3:
+    # narrower shuffle/broadcast bytes, cheaper probes). A hash
+    # collision between two DIFFERENT variants can only ADD candidates
+    # (equal variants always hash equal), and every candidate passes
+    # the exact Levenshtein verify below — lossless either way.
     exploded = base.select(
         "_id",
-        F.explode(deletion_neighborhood(F.col("_s"), max_dist)).alias("_v"),
+        F.explode(
+            F.transform(
+                deletion_neighborhood(F.col("_s"), max_dist),
+                lambda v: F.xxhash64(v),
+            )
+        ).alias("_v"),
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
@@ -144,11 +152,16 @@ def fuzzy_self_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
+    # (r16: de-duping AFTER the exact verify instead — saving this
+    # shuffle — was tried and measured 1.7x WORSE at sf0.1: a true
+    # pair shares many deletion variants here, so the un-deduped
+    # candidate stream multiplied the rejoin+Levenshtein work by more
+    # than the distinct costs. The early distinct stays.)
     sa = base.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
     sb = base.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .withColumn("dist", F.levenshtein("_sa", "_sb"))
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
