@@ -552,6 +552,14 @@ def ab_main(ref: str, append_baseline: bool) -> None:
     ref_sha = _git("rev-parse", "--short", ref)
 
     def run_side(cwd: str) -> dict:
+        # Read back the file THIS run wrote (r16 fix): a filtered run
+        # (SPARK_GRAFT_BENCH_QUERIES set) writes BENCH_LOCAL_FILTERED
+        # .json since fab2ac7, but --ab kept reading BENCH_LOCAL.json —
+        # both sides then returned the stale committed full record and
+        # every filtered A/B reported ratio 1.0. Full runs still read
+        # BENCH_LOCAL.json; a pre-fab2ac7 ref commit ignores the env
+        # var, runs full, and writes BENCH_LOCAL.json either way.
+        t0 = __import__("time").time()
         subprocess.run(
             [sys.executable, os.path.join(cwd, "bench.py")],
             cwd=cwd,
@@ -559,8 +567,19 @@ def ab_main(ref: str, append_baseline: bool) -> None:
             stdout=subprocess.DEVNULL,
             stderr=sys.stderr,
         )
-        with open(os.path.join(cwd, "BENCH_LOCAL.json")) as f:
-            return json.load(f)
+        # Prefer whichever record THIS run just wrote (mtime >= t0):
+        # a filtered HEAD-side run writes BENCH_LOCAL_FILTERED.json,
+        # a full run — or a pre-fab2ac7 ref that ignores the filter
+        # env — writes BENCH_LOCAL.json. Never read a stale
+        # checked-out record.
+        for fname in ("BENCH_LOCAL_FILTERED.json", "BENCH_LOCAL.json"):
+            path = os.path.join(cwd, fname)
+            if os.path.exists(path) and os.path.getmtime(path) >= t0:
+                with open(path) as f:
+                    return json.load(f)
+        raise RuntimeError(
+            f"bench run in {cwd} wrote no fresh BENCH_LOCAL record"
+        )
 
     load_before = _loadavg()
     head_rec = run_side(repo)

@@ -14,8 +14,11 @@ DuckDB oracle reproduces them bit-for-bit).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 DEFAULT_NUM_PERM = 8
 DEFAULT_BAND_SIZE = 2
@@ -380,11 +383,60 @@ DUCKDB_WORDS_CLAUSE = "SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM 
 # The apply-step after pair mining: every doc gets the min doc_id of its
 # duplicate cluster, so "keep one per cluster" is a single filter.
 # ---------------------------------------------------------------------------
+def _cc_local(pairs: DataFrame) -> DataFrame:
+    """Exact connected components for a driver-sized edge list: Arrow
+    collect, numpy min-label propagation with full pointer jumping
+    between rounds (labels chase their own labels to fixpoint, so the
+    outer loop converges in O(log diameter) vectorized passes, each
+    O(edges)). Node ids map to their sorted rank so `min id reachable`
+    is `min rank reachable` for any orderable id type — the result is
+    the same (node, component) set the distributed rounds produce."""
+    import numpy as np
+    import pandas as pd
+
+    spark = pairs.sparkSession
+    schema = StructType(
+        [
+            StructField("node", pairs.schema["a"].dataType, True),
+            StructField("component", pairs.schema["b"].dataType, True),
+        ]
+    )
+    pdf = pairs.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    idx = pd.Index(
+        np.sort(
+            pd.unique(pd.concat([pdf["a"], pdf["b"]], ignore_index=True))
+        )
+    )
+    a = idx.get_indexer(pdf["a"])
+    b = idx.get_indexer(pdf["b"])
+    s = np.concatenate([a, b])
+    d = np.concatenate([b, a])
+    label = np.arange(len(idx), dtype=np.int64)
+    while True:
+        new = label.copy()
+        np.minimum.at(new, s, label[d])
+        while True:  # pointer jumping: follow labels to their root
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, label):
+            break
+        label = new
+    out = pd.DataFrame(
+        {"node": idx.values, "component": idx.values[label]}
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    local_edge_limit: int | None = None,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list.
 
@@ -407,22 +459,57 @@ def connected_components(
     API dependency for no gain at this shape.
     """
     from pyspark.sql import Observation
-    # Materialize the edge list once: it is read every iteration, and
-    # recomputing an upstream pair-mining pipeline every round would
-    # dominate the runtime. Persisted ALREADY hash-partitioned on the
-    # join key (r15, guide §2.4): each round's edge⋈labels join then
-    # reuses the cached partitioning instead of re-exchanging the edge
-    # list every iteration. Both directions come from ONE explode of
-    # each edge row — the previous self-union evaluated the upstream
-    # pair-mining plan twice inside the materializing job (guide §2.4:
-    # duplicated subtrees; measured 7.3s -> 5.8s on
-    # customers_entity_resolution's CC stage alone).
+
+    # Materialize the mined edge list ONCE (it is read every iteration
+    # either way), riding an edge/null count on the same job. The count
+    # gates a size-adaptive execution choice (r16, guide §1.2 step 1 —
+    # the best distributed algorithm for a small intermediate is no
+    # distribution; same posture as the BPE local/distributed path):
+    # label propagation costs O(diameter) whole Spark rounds of
+    # scheduling + checkpoint overhead, while a pair graph that fits
+    # comfortably on the driver (default 4M edges ~ 64 MB of id pairs,
+    # the broadcast-join trade) resolves exactly in one vectorized
+    # numpy min-label + pointer-jumping loop. Identical fixpoint: the
+    # min reachable id per node is unique, so both paths return the
+    # same rows. The distributed path remains for real corpus-scale
+    # graphs and for edge ids containing NULLs (the driver path would
+    # have to special-case them; the safe direction is to not take it).
+    if local_edge_limit is None:
+        local_edge_limit = int(
+            os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "4000000")
+        )
+    eobs = Observation()
+    pairs = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .observe(
+            eobs,
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(
+                F.col("a").isNull() | F.col("b").isNull()
+            ).alias("nulls"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    em = eobs.get
+    if int(em["n"] or 0) <= local_edge_limit and not int(em["nulls"] or 0):
+        return _cc_local(pairs)
+    # Persisted ALREADY hash-partitioned on the join key (r15, guide
+    # §2.4): each round's edge⋈labels join then reuses the cached
+    # partitioning instead of re-exchanging the edge list every
+    # iteration. Both directions come from ONE explode of each edge
+    # row — the previous self-union evaluated the upstream pair-mining
+    # plan twice inside the materializing job (guide §2.4: duplicated
+    # subtrees; measured 7.3s -> 5.8s on customers_entity_resolution's
+    # CC stage alone). The explode now reads the checkpointed pairs,
+    # so mining is evaluated exactly once regardless of path.
     both = (
-        edges.select(
+        pairs.select(
             F.explode(
                 F.array(
-                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
-                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(
+                        F.col("b").alias("a"), F.col("a").alias("b")
+                    ),
                 )
             ).alias("_e")
         )

@@ -177,6 +177,50 @@ def test_connected_components_converges_without_max_iter_hit(spark):
     assert out == {1: 1, 2: 1, 3: 1, 9: 1, 50: 50, 60: 50}
 
 
+def test_connected_components_local_equals_distributed(spark):
+    """r16: the size-gated driver-local CC path (numpy min-label +
+    pointer jumping) must produce exactly the distributed rounds'
+    fixpoint on a random mixed graph (chains, stars, singleton-free
+    edges, string ids too)."""
+    import random
+
+    from dbt_omnata_push_spark.llmops.dedup import connected_components
+
+    rng = random.Random(7)
+    # chain depth stays under the distributed path's max_iter bound
+    # (the local path is exact at any diameter)
+    edges = [(i, i + 1) for i in range(0, 20)]  # one long chain
+    edges += [(100, 100 + k) for k in range(1, 9)]  # star
+    edges += [
+        (rng.randrange(200, 260), rng.randrange(200, 260))
+        for _ in range(80)
+    ]  # random clumps (self-loops possible — both paths must agree)
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    local = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(df, local_edge_limit=0).collect()
+    }
+    assert local == dist and len(local) > 0
+    # string ids: sorted-rank mapping must match Spark's string min
+    sdf = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y"), ("é", "z")],
+        "doc_a string, doc_b string",
+    )
+    local_s = {
+        (r["node"], r["component"])
+        for r in connected_components(sdf).collect()
+    }
+    dist_s = {
+        (r["node"], r["component"])
+        for r in connected_components(sdf, local_edge_limit=0).collect()
+    }
+    assert local_s == dist_s
+
+
 def test_incremental_dedup_matches_full_rescan(spark, sf_dir):
     """The batch-vs-index path must find exactly the cross-split pairs a
     full-corpus near_duplicate_pairs run finds (same bands, same
