@@ -77,10 +77,48 @@ def pq_train(
     import numpy as np
     import pandas as pd
 
-    # One action probes the dimension AND collects the deterministic
-    # init (the k lowest-id vectors) — the dim is read off the first
-    # init row instead of a separate .first() job (r15, guide §1.2:
-    # fewer driver actions; the init rows are identical either way).
+    # ONE bounded action decides the adaptive path AND feeds the local
+    # loop (r16, guide §1.2 — was: init collect + count + data collect
+    # = 3 driver jobs before any training): collect up to limit+1
+    # (id, vec) rows; fitting under the budget IS the old count gate,
+    # and the k lowest-id init rows fall out of a numpy sort. The
+    # distributed path keeps its own orderBy-init collect (its probe
+    # rows are an arbitrary subset, not the lowest ids).
+    probe = (
+        emb.select(id_col, vec_col).limit(local_vector_limit + 1).collect()
+        if local_vector_limit
+        else []
+    )
+    if local_vector_limit and len(probe) <= local_vector_limit:
+        if len(probe) < k:
+            raise ValueError(f"need >= {k} vectors to init {k} codes")
+        dim = len(probe[0][1])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m} subvectors")
+        sub = dim // m
+        full = np.stack(
+            [np.asarray(r[1], dtype="float64") for r in probe]
+        )
+        # mat keeps COLLECT order (np.mean sums per-code rows in row
+        # order — keep it stable vs the prior data collect); only the
+        # init picks the k lowest-id rows, ascending, like orderBy.
+        order = np.argsort(
+            np.asarray([r[0] for r in probe]), kind="stable"
+        )
+        mat = full.reshape(len(probe), m, sub)
+        books = (
+            full[order[:k]].reshape(k, m, sub).transpose(1, 0, 2).copy()
+        )  # m x k x sub
+        for _ in range(max_iter):
+            b_sq = (books ** 2).sum(axis=2)  # m x k
+            cross = np.einsum("nms,mks->nmk", mat, books)
+            codes = (b_sq[None, :, :] - 2.0 * cross).argmin(axis=2)
+            for j in range(m):
+                for code in np.unique(codes[:, j]):
+                    mask = codes[:, j] == code
+                    books[j, code] = mat[mask, j, :].mean(axis=0)
+        return [[list(map(float, c)) for c in books[j]] for j in range(m)]
+
     init = emb.orderBy(id_col).limit(k).select(vec_col).collect()
     if len(init) < k:
         raise ValueError(f"need >= {k} vectors to init {k} codes")
@@ -91,21 +129,6 @@ def pq_train(
     books = np.stack(
         [np.asarray(r[0], dtype="float64").reshape(m, sub) for r in init]
     ).transpose(1, 0, 2)  # m x k x sub
-
-    if local_vector_limit and emb.count() <= local_vector_limit:
-        rows = emb.select(vec_col).collect()
-        mat = np.stack(
-            [np.asarray(r[0], dtype="float64") for r in rows]
-        ).reshape(len(rows), m, sub)
-        for _ in range(max_iter):
-            b_sq = (books ** 2).sum(axis=2)  # m x k
-            cross = np.einsum("nms,mks->nmk", mat, books)
-            codes = (b_sq[None, :, :] - 2.0 * cross).argmin(axis=2)
-            for j in range(m):
-                for code in np.unique(codes[:, j]):
-                    mask = codes[:, j] == code
-                    books[j, code] = mat[mask, j, :].mean(axis=0)
-        return [[list(map(float, c)) for c in books[j]] for j in range(m)]
 
     part_schema = StructType(
         [
@@ -320,6 +343,13 @@ def pq_topk_adc(
     """
     from pyspark.sql import Window
 
+    # (r16: a numpy mapInPandas ADC kernel — bit-identical sequential
+    # accumulation, per-partition top-k — was built and REJECTED by
+    # measurement: pq/refined ran 1.09-1.10x SLOWER at sf0.1 because
+    # the plan already carries WindowGroupLimit, i.e. Spark performs
+    # the per-partition partial top-k below the exchange on its own,
+    # so the kernel only traded the JVM fold for an extra Python
+    # boundary. The JVM fold stays.)
     lut_df = query_luts(queries, codebooks, q_id_col, q_vec_col)
     dist = F.aggregate(
         F.zip_with(
