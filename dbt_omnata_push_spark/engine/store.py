@@ -583,6 +583,94 @@ class TableStore:
             .drop("_dv_rel", "_dv_idx")
         )
 
+    # -- per-version physical-schema stamps (r16, guide §6) -----------------
+    # read_version used to pay a distributed mergeSchema footer job on
+    # the first read of EVERY historical version (the current-version
+    # read pins from _META, but _META only records the CURRENT logical
+    # schema, which a later widening may have moved past version v's
+    # physical files). Commits that know their physical schema now
+    # stamp it into the version dir as _SCHEMA.json (underscore file:
+    # invisible to the data scan) in the exact shape inference returns
+    # for Spark-written files (recursively all-nullable, file field
+    # order; appends merge old fields first + new fields appended).
+    # Hard-link/copy retention carries the stamp with the files it
+    # describes — a linked version's physical schema IS the source's.
+    # Best-effort and self-healing: no stamp, or a merge the stamp
+    # can't prove (type drift), falls back to inference. Unpartitioned
+    # tables only: a pinned schema would override the partition
+    # column's directory-name type inference.
+
+    @staticmethod
+    def _schema_stamp_file(version_dir: str) -> str:
+        return os.path.join(version_dir, "_SCHEMA.json")
+
+    @classmethod
+    def _all_nullable(cls, dt):
+        """Recursive nullable copy — mirrors the asNullable transform
+        Spark's file relations apply to inferred schemas."""
+        from pyspark.sql.types import ArrayType, MapType
+
+        if isinstance(dt, StructType):
+            return StructType(
+                [
+                    StructField(f.name, cls._all_nullable(f.dataType), True)
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, ArrayType):
+            return ArrayType(cls._all_nullable(dt.elementType), True)
+        if isinstance(dt, MapType):
+            return MapType(
+                cls._all_nullable(dt.keyType),
+                cls._all_nullable(dt.valueType),
+                True,
+            )
+        return dt
+
+    def _stamp_version_schema(
+        self, name: str, version_dir: str, schema: StructType | None
+    ) -> None:
+        if schema is None or self.partition_by(name):
+            return
+        try:
+            payload = {
+                "schema": self._all_nullable(schema).jsonValue()
+            }
+            tmp = self._schema_stamp_file(version_dir) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+            os.replace(tmp, self._schema_stamp_file(version_dir))
+        except OSError:
+            pass  # stamp is an optimization; inference remains correct
+
+    def _read_version_stamp(self, version_dir: str) -> StructType | None:
+        try:
+            with open(self._schema_stamp_file(version_dir)) as f:
+                return StructType.fromJson(json.load(f)["schema"])
+        except (OSError, KeyError, ValueError):
+            return None
+
+    def _merge_stamp_for_append(
+        self, old_dir: str, appended: StructType
+    ) -> StructType | None:
+        """The schema inference would return for old files + appended
+        files: old stamped fields in order, then appended-only fields.
+        Returns None (no stamp) when the old dir is unstamped or a
+        shared field's type drifted — inference stays authoritative."""
+        old = self._read_version_stamp(old_dir)
+        if old is None:
+            return None
+        new = self._all_nullable(appended)
+        have = {f.name.lower(): f for f in old.fields}
+        extra = []
+        for f in new.fields:
+            prev = have.get(f.name.lower())
+            if prev is None:
+                extra.append(f)
+            elif prev.dataType != f.dataType:
+                return None
+        return StructType(list(old.fields) + extra)
+
     @_locked_write
     def delete_where(
         self,
@@ -852,6 +940,12 @@ class TableStore:
             if c_spark() is spark and c_key == dkey:
                 return c_df
         reader = spark.read.option("mergeSchema", "true")
+        # r16: pin the version's stamped physical schema when the
+        # commit recorded one — skips the distributed footer-inference
+        # job per (table, version); absence falls back to inference.
+        stamp = self._read_version_stamp(path)
+        if stamp is not None:
+            reader = reader.schema(stamp)
         df = self._apply_dv(spark, reader.parquet(path), path)
         if dkey is not None:
             self._version_cache[(name, version)] = (
@@ -879,6 +973,9 @@ class TableStore:
             writer = writer.partitionBy(partition_by)
         writer.parquet(os.path.join(self._dir(name), f"v={v}"))
         self._set_meta(name, partition_by, df.schema)
+        self._stamp_version_schema(
+            name, os.path.join(self._dir(name), f"v={v}"), df.schema
+        )
         self._set_version(name, v, op="create")
 
     @_locked_write
@@ -920,6 +1017,18 @@ class TableStore:
         if pcol:
             writer = writer.partitionBy(pcol)
         writer.parquet(new_dir)
+        # The linked _SCHEMA.json describes only the OLD files; replace
+        # it with the merged stamp (old fields + appended-only fields),
+        # or drop it when the merge is unprovable — stale stamps must
+        # never outlive the files they described.
+        merged_stamp = self._merge_stamp_for_append(old_dir, df.schema)
+        if merged_stamp is not None:
+            self._stamp_version_schema(name, new_dir, merged_stamp)
+        else:
+            try:
+                os.remove(self._schema_stamp_file(new_dir))
+            except OSError:
+                pass
         # Change manifest (r10): the appended files ARE the delta —
         # everything in the new version that wasn't hard-linked in.
         self.write_cdc_files(
@@ -1812,7 +1921,9 @@ class TableStore:
         if not meta.get("schema"):
             return out
         try:
-            phys = (
+            # r16: a stamped version dir already records exactly what
+            # this inference would return — skip the footer job.
+            phys = self._read_version_stamp(src_vdir) or (
                 spark.read.option("mergeSchema", "true")
                 .parquet(src_vdir)
                 .schema
@@ -2888,6 +2999,9 @@ class TableStore:
             writer = writer.partitionBy(pcol)
         writer.parquet(os.path.join(self._dir(name), f"v={new_v}"))
         self._set_meta(name, pcol if pcol in df.columns else None, df.schema)
+        self._stamp_version_schema(
+            name, os.path.join(self._dir(name), f"v={new_v}"), df.schema
+        )
         if cdc_events is not None and self.change_tracking(name):
             # Manifest BEFORE the pointer swap: visible atomically with
             # the version. The events frame still reads the old version
@@ -2963,6 +3077,26 @@ class TableStore:
         try:
             shutil.rmtree(staging, ignore_errors=True)
             events.write.mode("overwrite").parquet(staging)
+            # r16: stamp the manifest's physical schema so the first
+            # _cdc_manifest read of this sidecar (per process) skips
+            # the footer-inference job. Sidecars are single-generation
+            # and never partitioned; the stamp is the writer's schema.
+            try:
+                tmp = os.path.join(staging, "_SCHEMA.json.tmp")
+                with open(tmp, "w") as f:
+                    json.dump(
+                        {
+                            "schema": self._all_nullable(
+                                events.schema
+                            ).jsonValue()
+                        },
+                        f,
+                    )
+                os.replace(
+                    tmp, os.path.join(staging, "_SCHEMA.json")
+                )
+            except OSError:
+                pass
             self._promote_dir(staging, self._cdc_rows_dir(name, version))
         except Exception:
             shutil.rmtree(staging, ignore_errors=True)
@@ -3028,11 +3162,11 @@ class TableStore:
             skey, hit = _hit(rows_dir)
             if hit is not None:
                 return hit
-            return _put(
-                skey,
-                "rows",
-                spark.read.option("mergeSchema", "true").parquet(rows_dir),
-            )
+            reader = spark.read.option("mergeSchema", "true")
+            stamp = self._read_version_stamp(rows_dir)  # r16: skip footer job
+            if stamp is not None:
+                reader = reader.schema(stamp)
+            return _put(skey, "rows", reader.parquet(rows_dir))
         ff = self._cdc_files_file(name, version)
         if os.path.isfile(ff):
             skey, hit = _hit(ff)

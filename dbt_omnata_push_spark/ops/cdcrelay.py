@@ -101,20 +101,26 @@ def relay_changes(
         upserts = changes.filter(
             F.col("change_type").isin("insert", "update_postimage")
         ).drop("change_type")
-        # deletes apply as a keyed anti-join (never a collected key
-        # list — O(changed) but fully distributed)
-        dels = (
-            changes.filter(F.col("change_type") == "delete")
-            .select(F.col(unique_key).alias("_dk"))
+        # Every touched key leaves the old state — a delete removes the
+        # row, an upsert replaces it — so ONE anti-join on the union of
+        # delete- and upsert-keys replaces the former two sequential
+        # anti-joins over the full state (r16, guide §2.4: one scan +
+        # one join of the state instead of two; identical set algebra:
+        # state \ dels \ upsert_keys == state \ (dels ∪ upsert_keys)).
+        # Keys apply as a keyed anti-join (never a collected key list —
+        # O(changed) but fully distributed).
+        touched = (
+            changes.filter(
+                F.col("change_type").isin(
+                    "insert", "update_postimage", "delete"
+                )
+            )
+            .select(F.col(unique_key).alias("_tk"))
             .distinct()
         )
         state = dst.read(spark, dst_table).drop(PROGRESS_COL)
-        state = state.join(
-            dels, state[unique_key].eqNullSafe(dels["_dk"]), "left_anti"
-        )
-        keys = upserts.select(F.col(unique_key).alias("_rk")).distinct()
         kept = state.join(
-            keys, state[unique_key].eqNullSafe(keys["_rk"]), "left_anti"
+            touched, state[unique_key].eqNullSafe(touched["_tk"]), "left_anti"
         )
         new_state = kept.unionByName(upserts, allowMissingColumns=True)
         dst.overwrite(

@@ -1743,12 +1743,17 @@ def _curation_stages(
     # near_keep and clean each feed TWO consumers (a shingle/score pass
     # plus the surviving-row join): staging computes each once and keeps
     # the composed optimizer tree small.
+    # Project to the columns the remaining stages read before the
+    # staging point materializes (r16, guide §2.3/§5 — the checkpoint
+    # was carrying documents' full width; downstream only ever reads
+    # doc_id/text/source). The funnel's per-stage counts are
+    # column-independent.
     near_keep = _stage(
         exact_keep.join(
             pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
             "doc_id",
             "left_anti",
-        ),
+        ).select("doc_id", "text", "source"),
         "curation_near_keep",
     )
     bench = docs.filter(F.col("doc_id") % 50 == 0)
