@@ -18,7 +18,7 @@ import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 DEFAULT_NUM_PERM = 8
 DEFAULT_BAND_SIZE = 2
@@ -639,6 +639,47 @@ def incremental_dedup_against_index(
     )
 
 
+def _pagerank_local(pairs: DataFrame, iters: int, scale: int) -> DataFrame:
+    """Driver-local twin of the distributed rounds below: identical
+    integer recurrence (BIGINT div == int64 floor-div for the
+    non-negative ranks), distinct directed edges, deg >= 1 nodes."""
+    import numpy as np
+    import pandas as pd
+
+    spark = pairs.sparkSession
+    schema = StructType(
+        [
+            StructField("doc_id", pairs.schema["a"].dataType, True),
+            StructField("rank", LongType(), True),
+        ]
+    )
+    pdf = pairs.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    idx = pd.Index(
+        pd.unique(pd.concat([pdf["a"], pdf["b"]], ignore_index=True))
+    )
+    a = idx.get_indexer(pdf["a"])
+    b = idx.get_indexer(pdf["b"])
+    e = np.unique(
+        np.concatenate(
+            [np.stack([a, b], axis=1), np.stack([b, a], axis=1)]
+        ),
+        axis=0,
+    )
+    src, dst = e[:, 0], e[:, 1]
+    n = len(idx)
+    deg = np.bincount(src, minlength=n).astype("int64")  # >= 1 per node
+    base = (15 * scale) // 100
+    rank = np.full(n, scale, dtype="int64")
+    for _ in range(iters):
+        contrib = np.zeros(n, dtype="int64")
+        np.add.at(contrib, dst, rank[src] // deg[src])
+        rank = base + (85 * contrib) // 100
+    out = pd.DataFrame({"doc_id": idx.values, "rank": rank})
+    return spark.createDataFrame(out, schema)
+
+
 def pair_graph_pagerank(
     pairs: DataFrame,
     iters: int = 3,
@@ -658,6 +699,33 @@ def pair_graph_pagerank(
     lineage is truncated per round with localCheckpoint, same as
     connected_components. Nodes are pair members only; deg >= 1 always.
     """
+    from pyspark.sql import Observation
+
+    # Size-adaptive execution (r16, same gate and rationale as
+    # connected_components): the recurrence is INTEGER arithmetic
+    # (div/sum on BIGINT), which numpy int64 reproduces bit-exactly,
+    # so a driver-sized pair graph runs all iterations in vectorized
+    # numpy instead of iters Spark rounds of join+agg+checkpoint. The
+    # mined pairs materialize once either way; NULL ids or a big graph
+    # keep the distributed rounds.
+    local_limit = int(
+        os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "4000000")
+    )
+    pobs = Observation()
+    pairs = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .observe(
+            pobs,
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(
+                F.col("a").isNull() | F.col("b").isNull()
+            ).alias("nulls"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pm = pobs.get
+    if int(pm["n"] or 0) <= local_limit and not int(pm["nulls"] or 0):
+        return _pagerank_local(pairs, iters, scale)
     # Both edge directions come from ONE evaluation of the (possibly
     # expensive) pairs input via explode — a union of two selects would
     # re-run the upstream pair-mining pipeline once per branch.
@@ -666,10 +734,10 @@ def pair_graph_pagerank(
             F.explode(
                 F.array(
                     F.struct(
-                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                        F.col("a").alias("src"), F.col("b").alias("dst")
                     ),
                     F.struct(
-                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                        F.col("b").alias("src"), F.col("a").alias("dst")
                     ),
                 )
             ).alias("e")

@@ -221,6 +221,38 @@ def test_connected_components_local_equals_distributed(spark):
     assert local_s == dist_s
 
 
+def test_pagerank_local_equals_distributed(spark):
+    """r16: the size-gated driver-local PageRank (numpy int64) must be
+    bit-identical to the distributed rounds — the recurrence is pure
+    BIGINT arithmetic, so there is no tolerance, only equality."""
+    import random
+
+    from dbt_omnata_push_spark.llmops.dedup import pair_graph_pagerank
+
+    rng = random.Random(3)
+    edges = [(i, i + 1) for i in range(15)]
+    edges += [(500, 500 + j) for j in range(1, 7)]
+    edges += [
+        (rng.randrange(0, 40), rng.randrange(0, 40)) for _ in range(60)
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    local = {
+        (r["doc_id"], r["rank"])
+        for r in pair_graph_pagerank(df, iters=3).collect()
+    }
+    import os as _os
+
+    _os.environ["SPARK_GRAFT_CC_LOCAL_EDGES"] = "0"
+    try:
+        dist = {
+            (r["doc_id"], r["rank"])
+            for r in pair_graph_pagerank(df, iters=3).collect()
+        }
+    finally:
+        del _os.environ["SPARK_GRAFT_CC_LOCAL_EDGES"]
+    assert local == dist and len(local) > 0
+
+
 def test_incremental_dedup_matches_full_rescan(spark, sf_dir):
     """The batch-vs-index path must find exactly the cross-split pairs a
     full-corpus near_duplicate_pairs run finds (same bands, same
