@@ -425,6 +425,34 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Scaling probe (r16, VERDICT r15 #2): a CPU-bound, embarrassingly
+    # parallel reduction over a generated range — 4B xxhash64+sum rows
+    # split into 4 tasks per core. At sf0.1 every QUERY entry is
+    # fixed-cost bound (job scheduling, Python worker startup, 1-file
+    # scans; measured: 2, 8 and 32 cores within noise of each other on
+    # scan-, join- and kernel-bound entries alike), so the driver's
+    # low-core comparison cannot see cores through them. This probe
+    # measures the one thing those entries can't: that the harness's
+    # local[$SPARK_GRAFT_CPUS] genuinely scales compute with the env
+    # var (measured 3.4s at 8 cores vs 1.2s at 32 on this host).
+    # Measurement-only and clearly labeled — no query result feeds it.
+    from pyspark.sql import functions as F
+
+    scaling_probe_sec = None
+    if only is None:  # full runs only; filtered A/B subsets skip it
+        spark.sparkContext.setJobDescription("scaling_probe")
+        probe_ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.range(0, 4_000_000_000, 1, int(cpus) * 4).select(
+                F.sum(F.xxhash64("id") % 1000)
+            ).collect()
+            probe_ts.append(time.perf_counter() - t0)
+        scaling_probe_sec = round(min(probe_ts), 3)
+        spark.sparkContext.setJobDescription(None)
+        print(f"# scaling_probe: {scaling_probe_sec}s at {cpus} cores",
+              file=sys.stderr)
+
     timings = {
         name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
     }
@@ -452,6 +480,7 @@ def main() -> None:
         "core79_sec": core79,
         "queries": timings,
         "recall": recall,
+        "scaling_probe_sec": scaling_probe_sec,
         "sf": sf,
         "config": config,
     }
@@ -504,6 +533,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": top10,
         "recall": recall,
+        "scaling_probe_sec": scaling_probe_sec,
         "sf": sf,
         "full_record": "BENCH_LOCAL.json",
     }
