@@ -13,13 +13,106 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
+# ---------------------------------------------------------------------------
+# Slow-test marking (r16, VERDICT r15 #1): the driver's verify budget
+# truncated the 31-41 min full suite. The default run (pytest.ini:
+# addopts -m "not slow") skips:
+# - WHOLE FILES that duplicate the driver's own external gates:
+#   test_oracle_parity.py (272 per-oracle DuckDB comparisons — the
+#   driver re-runs the same comparisons itself as CORRECTNESS_r*.json,
+#   and verify_all.py runs all 263 per commit in-session),
+#   test_verdict_r15.py (r15 verdict reproductions duplicating the
+#   focused suites), test_stale_rotation.py (oracle-rotation
+#   companions of the parity file);
+# - the individually slowest depth/property tests (>= 4s on the
+#   r16 baseline host), each of which has faster siblings covering the
+#   same operator in the default run.
+# The FULL suite (including slow) runs in-session before round close.
+# ---------------------------------------------------------------------------
+SLOW_FILES = {
+    "test_oracle_parity.py",
+    "test_verdict_r15.py",
+    "test_stale_rotation.py",
+}
+SLOW_TESTS = {
+    "tests/test_ann_quality.py::test_ivf_index_append_equals_rebuild",
+    "tests/test_ann_quality.py::test_ivf_indexed_prunes_partitions_and_matches_trained",
+    "tests/test_ann_quality.py::test_ivfpq_default_refine_recall",
+    "tests/test_ann_quality.py::test_ivfpq_prunes_partitions_and_recall",
+    "tests/test_ann_quality.py::test_kmeans_parallel_init_beats_naive",
+    "tests/test_ann_quality.py::test_kmeans_shrinks_inertia_and_assigns_all",
+    "tests/test_ann_quality.py::test_lsh_near_dup_recall_vs_bruteforce",
+    "tests/test_ann_quality.py::test_trained_ivf_recall_vs_bruteforce",
+    "tests/test_cdc_manifests.py::TestComposedEqualsFallback::test_mixed_dml_sequence",
+    "tests/test_cdc_manifests.py::TestComposedEqualsFallback::test_randomized_sequences",
+    "tests/test_cdc_manifests.py::TestLongManifestChain::test_50_commit_chain_composes_like_fallback",
+    "tests/test_cdcrelay.py::test_batched_span_equals_per_version_walk",
+    "tests/test_config_surface.py::test_tracking_namespace_override_relocates_tables",
+    "tests/test_config_surface.py::test_vars_route_connector_namespace",
+    "tests/test_curation_round5b.py::TestBpeAdaptive::test_bpe_local_equals_distributed",
+    "tests/test_curation_round5b.py::TestBpeDeep::test_checkpoint_bounds_lineage",
+    "tests/test_curation_round5b.py::TestBpeDeep::test_checkpointing_does_not_change_merges",
+    "tests/test_curation_staging.py::test_store_staging_matches_local",
+    "tests/test_entry_contract.py::test_every_oracle_parses_in_duckdb",
+    "tests/test_ivm_minmax.py::test_minmax_delete_of_extreme_recomputes",
+    "tests/test_ivm_minmax.py::test_minmax_property_equals_rebuild",
+    "tests/test_ivm_minmax.py::test_moments_property_equals_rebuild",
+    "tests/test_oracle_strictness.py::test_registry_oracles_all_tz_naive",
+    "tests/test_plans.py::test_no_forced_broadcast_on_scale_growing_tables",
+    "tests/test_property_dml.py::test_dml_sequence_matches_python_replay",
+    "tests/test_property_round5.py::TestBpeProperty::test_matches_reference",
+    "tests/test_property_round5.py::TestFuzzyJoinProperty::test_matches_bruteforce",
+    "tests/test_property_round6.py::TestBoilerplateProperty::test_matches_reference",
+    "tests/test_property_round6.py::TestPhraseSearchProperty::test_matches_reference",
+    "tests/test_property_round6.py::TestPqProperty::test_encode_matches_numpy_and_adc_is_exact_on_codebook_points",
+    "tests/test_property_round6b.py::TestHistogramProperties::test_equidepth_matches_sorted_slices",
+    "tests/test_property_round6b.py::TestHistogramProperties::test_value_histogram_matches_reference",
+    "tests/test_property_round6b.py::TestSubstringSpanProperty::test_matches_reference",
+    "tests/test_property_round6b.py::TestTimeWeightedAvgProperty::test_matches_reference",
+    "tests/test_property_round7.py::test_bm25_matches_python_reference_exactly",
+    "tests/test_property_store.py::test_commit_sequence_preserves_every_version",
+    "tests/test_property_streams.py::test_stream_delivers_each_delta_exactly_once",
+    "tests/test_push_stream.py::test_stream_push_marketing_cloud_exactly_once",
+    "tests/test_push_stream.py::test_stream_push_new_data_after_replay_still_flows",
+    "tests/test_push_stream.py::test_stream_push_per_batch_jobs_and_logs",
+    "tests/test_resilience.py::test_failed_records_are_repushed_next_run",
+    "tests/test_reverse_etl_dag.py::TestReverseEtlDag::test_full_cycle",
+    "tests/test_scale_ops.py::test_pagerank_convergence_stops_by_graph_shape",
+    "tests/test_snapshot.py::test_scd2_temporal_join_matches_at_most_one_version",
+    "tests/test_snapshot.py::test_snapshot_at_reconstructs_each_round",
+    "tests/test_sql_model_push.py::test_sql_dialect_push_end_to_end",
+    "tests/test_sqlbridge.py::TestSalesforceBulkLoadScript::test_reference_statement_sequence",
+    "tests/test_streaming.py::test_left_outer_join_stream_multibatch_matches_batch",
+    "tests/test_streaming.py::test_lsh_dedup_stream_cross_batch_state",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.nodeid.split("[")[0]
+        if item.fspath.basename in SLOW_FILES or base in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def spark():
+    extra = {
+        "spark.ui.enabled": "false",
+        "spark.sql.warehouse.dir": "/tmp/sg-warehouse",
+    }
+    # r16 experiment knobs (wall-time tuning of the shared session;
+    # production defaults in engine/session.py are untouched)
+    if os.environ.get("SPARK_GRAFT_TEST_AQE"):
+        extra["spark.sql.adaptive.enabled"] = os.environ[
+            "SPARK_GRAFT_TEST_AQE"
+        ]
     s = get_spark(
         app_name="tests",
         master="local[8]",
-        shuffle_partitions=8,
-        extra_conf={"spark.ui.enabled": "false", "spark.sql.warehouse.dir": "/tmp/sg-warehouse"},
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8")
+        ),
+        extra_conf=extra,
     )
     yield s
 
